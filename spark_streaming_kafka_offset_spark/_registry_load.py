@@ -1,0 +1,9 @@
+"""Import every operator module for its registration side-effects.
+
+Kept in one place so a broken module is discovered at import time, and the
+driver's ``queries()`` always reflects exactly what is implemented.
+"""
+
+from __future__ import annotations
+
+from .operators import aggregates, relational  # noqa: F401

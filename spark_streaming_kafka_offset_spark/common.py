@@ -1,0 +1,58 @@
+"""Shared expression helpers for exact cross-engine arithmetic.
+
+All monetary/measure doubles in the fixtures are exact 2-decimal values
+(verified: ``max(abs(x - round(x,2))) == 0`` for every such column).  Summing
+them as doubles is order-dependent (Spark partial aggregation vs DuckDB
+vectorized sum → last-ulp drift → oracle hash mismatch).  Summing them as
+DECIMAL is exact integer arithmetic — identical in any evaluation order and
+in both engines — and the final ``CAST(.. AS DOUBLE)`` of an exact decimal is
+deterministic.  This is the engine-wide pattern for every money aggregate.
+
+At 100 TB this costs nothing: decimal sum is still a partial+final hash
+aggregate inside whole-stage codegen (Spark uses a long-backed Decimal for
+precision ≤ 18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec2(col: str | Column, precision: int = 12) -> Column:
+    """Exact DECIMAL(p,2) view of a 2-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},2)")
+
+
+def one() -> Column:
+    """Literal 1 as DECIMAL(3,2) (column creation needs a live session,
+    so this is a function, not a module constant)."""
+    return F.lit(1).cast("decimal(3,2)")
+
+
+def round_dec(c: Column, ndigits: int = 2) -> Column:
+    """Round a DECIMAL column in decimal space, then cast to double.
+
+    NEVER ``F.round(decimal.cast('double'), n)``: Spark rounds the shortest
+    decimal-string repr of the double (Java ``BigDecimal.valueOf``) while
+    DuckDB rounds the binary value, and scale>n decimals cast to double land
+    exactly on ``.xx5`` boundaries where the two disagree (observed:
+    17493.385 → 17493.39 vs 17493.38).  Rounding the decimal itself is exact
+    HALF_UP (= half-away-from-zero) in both engines; the oracle-side twin is
+    ``CAST(ROUND(expr, n) AS DOUBLE)``.
+    """
+    return F.round(c, ndigits).cast("double")
+
+
+def dsum2(col: str | Column, alias: str, precision: int = 12) -> Column:
+    """Exact decimal SUM of a 2-decimal double column, returned as double."""
+    return round_dec(F.sum(dec2(col, precision)), 2).alias(alias)
+
+
+def davg2(col: str | Column, alias: str, ndigits: int = 2, precision: int = 12) -> Column:
+    """AVG via exact-SUM / COUNT — deterministic double on both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(dec2(c, precision)).cast("double") / F.count(c), ndigits
+    ).alias(alias)

@@ -1,0 +1,117 @@
+"""SparkSession factory and table loaders.
+
+Design notes (SURVEY.md §1.2, §4):
+
+* The driver may hand us an arbitrary ``SparkSession`` — so every config we
+  depend on for *correctness* must be runtime-settable and is applied via
+  :func:`ensure_configs` on whatever session we receive, not only in
+  :func:`get_spark`.
+* ``events.ts`` is parquet ``timestamp[ns]``, which Spark 4.x refuses to read
+  by default (``PARQUET_TYPE_ILLEGAL``).  Fix (verified): read with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` (→ ``long`` nanos) and convert
+  with ``timestamp_micros((ts / 1000).cast('long'))``; this reproduces the
+  DuckDB oracle's µs-truncated values exactly.
+* Session timezone pinned to UTC so collected timestamps agree with the
+  oracle byte-for-byte.
+* AQE stays on (Spark 4 default) — at 100 TB it performs runtime skew-join
+  splitting and post-shuffle coalescing that static planning cannot.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables available at every ``sf_dir`` (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Runtime-settable SQL configs required for correctness on ANY session.
+_RUNTIME_CONFS = {
+    # Oracle parity: DuckDB returns naive-UTC timestamps.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet is timestamp[ns]; without this Spark raises
+    # PARQUET_TYPE_ILLEGAL.  With it, ts reads as long (nanoseconds).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: skew joins, dynamic coalescing, runtime broadcast.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def ensure_configs(spark: SparkSession) -> SparkSession:
+    """Apply correctness-critical runtime confs to an externally-built session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on exotic builds
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "sskos-engine",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build the engine's own session (tests, bench).
+
+    ``shuffle_partitions`` defaults to the local core count: at fixture scale
+    (≤600k rows) hundreds of partitions only add scheduling overhead; on a
+    real cluster this would be sized ~2-3× total cores or left to AQE's
+    ``coalescePartitions`` with a high initial value.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(
+            os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+        )
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "true")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return ensure_configs(builder.getOrCreate())
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with full schema fidelity.
+
+    ``events`` gets the verified ns→µs timestamp repair so ``ts`` is a real
+    ``TimestampType`` column identical to DuckDB's view of the same file.
+    """
+    ensure_configs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every fixture table as a temp view for the SQL entry point."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
