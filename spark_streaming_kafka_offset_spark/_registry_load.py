@@ -6,4 +6,5 @@ driver's ``queries()`` always reflects exactly what is implemented.
 
 from __future__ import annotations
 
-from .operators import aggregates, relational  # noqa: F401
+from .functions import scalar  # noqa: F401
+from .operators import aggregates, joins, relational, setops, sorts, windows  # noqa: F401

@@ -1,0 +1,284 @@
+"""§2.8 Scalar functions: string / date / math / conditional / array /
+map / json / cast (SURVEY.md).
+
+These mirror the reference's per-record parse step [K] (delimiter payloads,
+JSON payloads) as Catalyst expressions — JVM-side, codegen'd, pushdown-safe;
+never Python row lambdas.  Dialect twins chosen per SURVEY.md §5.1 (e.g.
+``get_json_object`` ↔ ``json_extract_string``, 0- vs 1-indexed arrays,
+``ceil`` return types).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..session import load_table
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+           regexp_extract(o_orderpriority, '-(.*)$', 1) AS prio_word,
+           lower(o_orderpriority) AS lowered,
+           upper(o_orderpriority) AS uppered,
+           length(o_orderpriority) AS len,
+           replace(o_orderpriority, '-', '_') AS replaced,
+           concat(o_orderstatus, ':', o_orderpriority) AS tagged,
+           trim('  pad  ') AS trimmed,
+           (o_orderpriority LIKE '%URGENT%') AS is_urgent
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface over the delimiter-payload pattern ('1-URGENT')."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    p = F.col("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.substring(p, 1, 1).cast("int").alias("prio_num"),
+        F.regexp_extract(p, "-(.*)$", 1).alias("prio_word"),
+        F.lower(p).alias("lowered"),
+        F.upper(p).alias("uppered"),
+        F.length(p).alias("len"),
+        F.replace(p, F.lit("-"), F.lit("_")).alias("replaced"),
+        F.concat(F.col("o_orderstatus"), F.lit(":"), p).alias("tagged"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        p.like("%URGENT%").alias("is_urgent"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate) AS order_month,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mth,
+           dayofweek(o_orderdate) + 1 AS dow,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing of o_orderdate.
+
+    Dialect notes: DuckDB ``dayofweek`` is 0=Sunday while Spark's is
+    1=Sunday (oracle adds 1); DuckDB ``date_diff`` argument order is
+    (unit, start, end) ≡ Spark ``datediff(end, start)``; ``+ INTERVAL 1
+    MONTH`` end-of-month clamps identically to Spark ``add_months``.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("order_month"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mth"),
+        F.dayofweek(d).alias("dow"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.add_months(d.cast("date"), 1).alias("next_month"),
+        d.cast("date").alias("order_date"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS rounded,
+           abs(l_extendedprice - 50000) AS abs_dev,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_q,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS floor_q,
+           round(pow(l_quantity, 2), 1) AS qty_sq,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(exp(l_discount), 6) AS exp_disc,
+           CAST(sign(l_extendedprice - 50000) AS INTEGER) AS dev_sign,
+           floor(l_extendedprice / nullif(l_quantity, 0) * 10000) / 10000 AS unit_price
+    FROM lineitem
+    WHERE l_orderkey % 20 = 0
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface incl. safe division (try_divide ↔ x/nullif(y,0)).
+
+    Dialect: DuckDB ceil/floor on double return double (oracle casts to
+    BIGINT to match Spark); integer ``/`` is float division in DuckDB, so
+    l_quantity (double) divides identically.  round(x,1) on 2-decimal
+    inputs sits exactly on .x5 only at one decimal shift — inputs here are
+    exact 2-decimal doubles whose 1-digit rounding agrees (verified by the
+    parity harness).
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 20 == 0)
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price, 1).alias("rounded"),
+        F.abs(price - 50000).alias("abs_dev"),
+        F.ceil(qty / 7).alias("ceil_q"),
+        F.floor(qty / 7).alias("floor_q"),
+        F.round(F.pow(qty, 2), 1).alias("qty_sq"),
+        F.round(F.log(price), 6).alias("ln_price"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("exp_disc"),
+        F.signum(price - 50000).cast("int").alias("dev_sign"),
+        # floor-truncation, not round: round(double, n) is implemented
+        # differently across engines at half-way bits; floor(x*1e4)/1e4 is
+        # pure IEEE arithmetic and bit-identical in Spark and DuckDB.
+        (F.floor(F.try_divide(price, F.nullif(qty, F.lit(0))) * 10000) / 10000).alias(
+            "unit_price"
+        ),
+    )
+
+
+@register(
+    "fn_case",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_tier,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+           greatest(c_acctbal, 0.0) AS floor_bal,
+           least(c_acctbal, 9000.0) AS capped_bal
+    FROM customer
+    """,
+)
+def fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / greatest / least."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "debt").when(bal < 5000, "low").otherwise("high").alias(
+            "bal_tier"
+        ),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER"))
+        .alias("seg_or_other"),
+        F.greatest(bal, F.lit(0.0)).alias("floor_bal"),
+        F.least(bal, F.lit(9000.0)).alias("capped_bal"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT t.token, COUNT(*) AS n, COUNT(DISTINCT d.doc_id) AS n_docs
+    FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+    GROUP BY t.token
+    HAVING COUNT(*) >= 10
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(split(text)) token counts — Spark 0-cost lateral explode ↔
+    DuckDB unnest(string_split)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n") >= 10)
+    )
+
+
+@register(
+    "fn_array_ops",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           string_split(text, ' ')[1] AS first_token,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+             AS first3_distinct
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / array_contains / indexing / slice+sort — 0- vs 1-indexed
+    dialect handled in the oracle."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        toks.getItem(0).alias("first_token"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias(
+            "first3_distinct"
+        ),
+    )
+
+
+@register("fn_map")  # rows-only: map ordering is engine-dependent
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + element_at over parsed JSON props."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    return e.select(
+        "event_id",
+        m.alias("props_map"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+        F.map_keys(m).alias("keys"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props — the reference's schema-on-read
+    payload parse [K] as an expression."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    ).where(k > 50)
+
+
+@register(
+    "fn_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(l_linenumber AS VARCHAR) AS line_str,
+           TRY_CAST('not a number' AS INTEGER) AS bad_int,
+           TRY_CAST('123' AS INTEGER) AS good_int
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts incl. decimal and try_cast (ANSI-safe overflow → NULL)."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_linenumber").cast("string").alias("line_str"),
+        F.try_to_number(F.lit("not a number"), F.lit("999")).cast("int").alias("bad_int"),
+        F.try_to_number(F.lit("123"), F.lit("999")).cast("int").alias("good_int"),
+    )

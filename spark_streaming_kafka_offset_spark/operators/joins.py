@@ -1,0 +1,346 @@
+"""§2.3 Joins (SURVEY.md).
+
+Scale posture: dimension tables (nation, region, supplier, inline band
+tables) are explicitly ``broadcast()`` — at 100 TB the fact side never
+shuffles for those joins.  Fact⋈fact equi-joins shuffle on the join key and
+rely on AQE for skew splitting.  The theta/interval joins carry an explicit
+note: they plan as BroadcastNestedLoopJoin, acceptable only because one side
+is guaranteed tiny; an unbounded theta join would be O(n·m) and is rejected
+by design (SURVEY.md §2.10 scale rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import register
+from ..session import load_table
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; Catalyst picks SMJ/shuffled-hash, AQE may convert to
+    broadcast at runtime when the filtered side is small."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT n.n_name, r.r_name, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema enrichment: both dims broadcast → zero fact shuffles
+    before the aggregate (the 100 TB-safe plan for dims of bounded size)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 450000
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate (null-extended non-matches)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 450000)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return o.join(n, o.s_nationkey == n.n_nationkey, "right").select(
+        "s_suppkey", "s_name", "n_name"
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    WITH big_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+         big_ord  AS (SELECT o_custkey, COUNT(*) AS n_big
+                      FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey)
+    SELECT b.c_custkey, b.c_acctbal, g.o_custkey, g.n_big
+    FROM big_cust b FULL JOIN big_ord g ON b.c_custkey = g.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — null extension on both sides."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big_cust = c.where(F.col("c_acctbal") > 9000).select("c_custkey", "c_acctbal")
+    big_ord = (
+        o.where(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    return big_cust.join(big_ord, big_cust.c_custkey == big_ord.o_custkey, "full")
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi — existence filter; never duplicates left rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti — customers with no high-value order (NOT EXISTS).
+
+    The >300000 filter keeps the result non-trivially non-empty at every sf
+    (an unfiltered variant returns 0 rows — every customer has an order)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _price_bands(spark: SparkSession) -> DataFrame:
+    """Tiny inline dimension for non-equi joins (always broadcast)."""
+    return spark.createDataFrame(
+        [
+            ("budget", 0.0, 910.0),
+            ("mid", 910.0, 940.0),
+            ("premium", 940.0, 970.0),
+            ("luxury", 970.0, 1000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+
+
+_BANDS_SQL = """(VALUES ('budget', 0.0, 910.0), ('mid', 910.0, 940.0),
+                        ('premium', 940.0, 970.0), ('luxury', 970.0, 1000.0))
+                AS b(band, lo, hi)"""
+
+
+@register(
+    "join_theta_range",
+    oracle=f"""
+    SELECT b.band, COUNT(*) AS n_parts,
+           CAST(ROUND(SUM(CAST(p.p_retailprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
+    FROM part p JOIN {_BANDS_SQL}
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join against a tiny broadcast band table.
+
+    Plans as BroadcastNestedLoopJoin — O(n·|bands|), safe because the band
+    side is constant-size.  Unbounded theta joins are rejected by design.
+    """
+    p = load_table(spark, sf_dir, "part")
+    b = F.broadcast(_price_bands(spark))
+    cond = (p.p_retailprice >= b.lo) & (p.p_retailprice < b.hi)
+    return (
+        p.join(b, cond)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum(F.col("p_retailprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, s.mseg
+    FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment AS mseg FROM customer) s
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny sets (5 × 5)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    segs = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("mseg"))
+        .distinct()
+    )
+    return r.crossJoin(segs)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+) -> DataFrame:
+    """Generic as-of join: for each left row, the latest right values with
+    ``right.on <= left.on`` within the same ``by`` keys (left join).
+
+    Spark has no native ASOF JOIN; the scalable formulation is the
+    union+window trick: tag both sides, union, then ``last(col, True)``
+    over ``(by ORDER BY on, side)`` rows-unbounded-preceding picks the most
+    recent right value at or before each left row.  One shuffle on ``by``,
+    no theta join, no row explosion — O(n log n) per key group and safe at
+    100 TB (vs the O(n·m) range-join alternative).
+
+    Column contract: ``left`` and ``right`` must not share payload names
+    (rename first); right should be unique per ``(by, on)``.
+    """
+    lcols = [c for c in left.columns if c not in by and c != on]
+    rcols = [c for c in right.columns if c not in by and c != on]
+    r = right.select(
+        *by, on, F.lit(0).alias("__side"),
+        *rcols,
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+    )
+    l = left.select(
+        *by, on, F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in rcols],
+        *lcols,
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = r.unionByName(l)
+    for c in rcols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.where(F.col("__side") == 1).drop("__side")
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.ts, p.value, c.click_ts
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's latest click at or before
+    it (DuckDB expresses the same natively with ASOF LEFT JOIN)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    # ns-precision ts → cross-side ties effectively impossible; the __side
+    # ordering inside asof_join still resolves p.ts == c.ts deterministically
+    # (click first ⇒ it counts, matching ASOF's >= semantics).
+    return asof_join(purchases, clicks, on="ts", by=["user_id"]).select(
+        "user_id", "ts", "value", "click_ts"
+    )
+
+
+_PERIODS_SQL = """(VALUES ('wk1', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
+                          ('wk2', TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15'),
+                          ('mid', TIMESTAMP '2024-01-10', TIMESTAMP '2024-01-20'),
+                          ('wk4', TIMESTAMP '2024-01-22', TIMESTAMP '2024-01-29'))
+                  AS p(period, p_start, p_end)"""
+
+
+@register(
+    "join_interval",
+    oracle=f"""
+    SELECT p.period, e.event_type, COUNT(*) AS n_events
+    FROM events e JOIN {_PERIODS_SQL}
+      ON e.ts >= p.p_start AND e.ts < p.p_end
+    GROUP BY p.period, e.event_type
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: events falling inside (possibly overlapping)
+    periods.  Broadcast NL against the tiny period table; a fact⋈fact
+    interval join would instead bucket both sides by coarse time grain and
+    equi-join on the bucket before the range predicate (documented pattern,
+    O(n·m) avoided)."""
+    e = load_table(spark, sf_dir, "events")
+    periods = spark.createDataFrame(
+        [
+            ("wk1", "2024-01-01", "2024-01-08"),
+            ("wk2", "2024-01-08", "2024-01-15"),
+            ("mid", "2024-01-10", "2024-01-20"),
+            ("wk4", "2024-01-22", "2024-01-29"),
+        ],
+        "period string, p_start string, p_end string",
+    ).select(
+        "period",
+        F.col("p_start").cast("timestamp").alias("p_start"),
+        F.col("p_end").cast("timestamp").alias("p_end"),
+    )
+    cond = (e.ts >= periods.p_start) & (e.ts < periods.p_end)
+    return (
+        e.join(F.broadcast(periods), cond)
+        .groupBy("period", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )

@@ -1,0 +1,167 @@
+"""§2.5 Window functions (SURVEY.md).
+
+Determinism rule for the oracle hash: every ORDER BY inside a window spec
+ends with a unique tie-break key (orderkey / event_id) — otherwise
+rank/lag assignment is engine-dependent.
+
+Scale: window functions shuffle once on partitionBy keys and sort within
+partitions.  A window with NO partitionBy collapses to a single task — only
+``sort_multi`` (§2.6) uses that deliberately, documented there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..common import round_dec, dec2
+from ..plans.registry import register
+from ..session import load_table
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over (customer, price desc) with unique tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type, value,
+           ROUND(value - LAG(value, 1, 0.0) OVER w, 2) AS delta_prev,
+           LEAD(event_type, 1, 'none') OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with defaults — per-user event deltas in time order."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") - F.lag("value", 1, 0.0).over(w), 2).alias(
+            "delta_prev"
+        ),
+        F.lead("event_type", 1, "none").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_frame_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def win_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with explicit ROWS frame (exact decimal, see common.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        round_dec(F.sum(dec2("o_totalprice")).over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2)))
+             OVER (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS value_7d
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding sum per user — RANGE frame over epoch seconds.
+
+    Both engines order by floor(epoch seconds) (Spark ``ts.cast('long')`` ≡
+    DuckDB ``epoch_us(ts) // 1000000``) so the frame boundary is identical;
+    RANGE includes all peer rows of equal key, so the sum is tie-safe.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        round_dec(F.sum(dec2("value")).over(w), 2).alias("value_7d"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) t
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via row_number filter.
+
+    Catalyst 3.5+/4.x applies the WindowGroupLimit optimization: the rn<=k
+    predicate is pushed into the window sort so each partition keeps only k
+    rows before the final window — the scalable form of per-group top-k.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )

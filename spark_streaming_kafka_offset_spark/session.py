@@ -101,9 +101,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_configs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # Integer `div` (NOT `/1000 cast long`: double division rounds to
+        # nearest µs while DuckDB truncates — off-by-1µs on remainders ≥500ns).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
