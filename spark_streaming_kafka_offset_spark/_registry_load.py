@@ -6,5 +6,6 @@ driver's ``queries()`` always reflects exactly what is implemented.
 
 from __future__ import annotations
 
-from .functions import scalar  # noqa: F401
+from .functions import scalar, similarity, text  # noqa: F401
 from .operators import aggregates, joins, relational, setops, sorts, windows  # noqa: F401
+from .sources import batch  # noqa: F401

@@ -1,0 +1,200 @@
+"""§2.10 Vector similarity search over `embeddings` [N] (SURVEY.md;
+mandate: BASELINE.json:6).
+
+The fixture vectors are L2-normalized (verified in FIXTURES.md), so dot
+product == cosine similarity; all scoring below is plain dot product.
+
+Scale posture:
+
+* The **exact** path is O(n·m) and exists as the correctness oracle and
+  for bounded candidate sets.  It is never run unblocked: queries join
+  candidates within a blocking key (`label` here; an IVF/LSH bucket at
+  production scale).
+* The **ANN** path buckets by random-hyperplane signs (SimHash for
+  vectors): one narrow projection per side, an equi-join on the bucket
+  key, exact re-rank inside buckets.  Hyperplanes are fixed literals
+  (seeded) so results are deterministic run-to-run.
+* Dot products stay JVM-side: ``aggregate(zip_with(a, b, (x,y)->x*y))``
+  is a codegen'd fold — no UDF, no Arrow round-trip.  Both engines cast
+  float→double (exact) then fold 64 doubles in index order, so the
+  oracle comparison is bit-stable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import register
+from ..session import load_table
+
+EMBED_DIM = 64
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Codegen'd double-precision dot product of two array<float> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+@register(
+    "sim_topk_exact",
+    oracle="""
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 25 = 0),
+    pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             floor(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) * 100000) / 100000
+               AS cosine
+      FROM q JOIN embeddings e
+        ON q.label = e.label AND q.vec_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 within the query's `label` block.
+
+    The label equi-join is the blocking key: the plan is a hash join on
+    label (never a cartesian), then a per-query top-k window.  Floor-
+    truncated at 1e-5 with a (cosine, neighbor_id) tie-break so ordering
+    is engine-independent."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    pairs = q.join(e, (F.col("q_label") == F.col("label"))).where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.floor(dot(F.col("q_emb"), F.col("embedding")) * 100000) / 100000).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int = EMBED_DIM, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed → stable buckets)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def simhash_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of a vector under fixed hyperplanes (SimHash)."""
+    # Projection of emb onto each plane: fold over zip_with(emb, plane).
+    bucket = F.lit(0).cast("long")
+    for p in planes:
+        plane = F.array(*[F.lit(v) for v in p])
+        proj = F.aggregate(
+            F.zip_with(emb, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bucket = bucket * 2 + F.when(proj > 0, 1).otherwise(0)
+    return bucket
+
+
+@register("sim_topk_ann")  # rows-only: ANN recall is approximate by design
+def sim_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via 8-bit SimHash buckets + exact
+    re-rank inside the bucket.
+
+    256 buckets; candidate pairs come from a bucket equi-join (shuffle
+    hash join on a byte — output-sized work, no n² term).  On 100 TB the
+    same plan holds with more planes and a multi-probe variant; recall
+    is traded via n_planes, validated against `sim_topk_exact`."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(8)
+    b = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        simhash_bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    q = b.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    cand = q.join(b, "bucket").where(F.col("query_id") != F.col("vec_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.floor(dot(F.col("q_emb"), F.col("embedding")) * 100000) / 100000).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+@register(
+    "dedup_embed_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) * 100000) / 100000
+             AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) > 0.4
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine high-similarity pair mining within a label block
+    — semantic dedup, the embedding-space sibling of `dedup_minhash`.
+
+    Threshold 0.4: the synthetic fixture contains no true near-dups (max
+    pairwise cosine ≈ 0.475, measured), so a production-style 0.99 cut
+    would make the test vacuous; the plan is identical either way.
+    Blocked on label; at production scale the block key is an ANN bucket
+    (`sim_topk_ann`) instead."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    d = dot(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .where(d > 0.4)
+        .select(
+            "id_a", "id_b", (F.floor(d * 100000) / 100000).alias("cosine")
+        )
+    )

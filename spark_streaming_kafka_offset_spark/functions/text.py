@@ -1,0 +1,382 @@
+"""§2.10 Text analysis + deduplication for LLM-data pipelines [N]
+(SURVEY.md; mandate: BASELINE.json:6 — the reference itself has no text
+surface [K], mirror empty §0).
+
+Design for 100 TB:
+
+* Everything here is built-in Catalyst expressions — no Python UDFs, so
+  whole-stage codegen applies and the hot path never crosses the JVM/
+  Python boundary.
+* Dedup keeps one winner per group via ``row_number() = 1`` over a
+  deterministic tie-break (``doc_id``) — a partial/final shuffle on the
+  hash key, the minimum possible data movement for exact dedup.
+* MinHash-LSH generates candidate pairs only within LSH band buckets —
+  never an unblocked self-join.  Bucket join + Jaccard verification is
+  the published scale pattern (band/bucket counts are tunable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import register
+from ..session import load_table
+
+
+def _norm_text(c: Column) -> Column:
+    """Canonical text normalization: lowercase + collapse whitespace."""
+    return F.regexp_replace(F.lower(c), r"\s+", " ")
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_hash
+      FROM documents
+    )
+    SELECT doc_id, source, content_hash
+    FROM (SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+          FROM h)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize → sha256 → keep lowest doc_id per hash.
+
+    One shuffle on a 256-bit key (skew-free by construction).  At 100 TB
+    the same plan runs unchanged; the hash is computed scan-side so only
+    (hash, id, kept-cols) move."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", "source", F.sha2(_norm_text(F.col("text")), 256).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics by (source, lang): doc/token/char counts.
+
+    Token counting is ``size(split(..))`` — scan-side, codegen'd, then a
+    single partial+final aggregate on low-cardinality keys."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens.cast("long")).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg(n_tokens.cast("double")), 4).alias("avg_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           floor(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) * 100) / 100
+             AS avg_token_len,
+           floor(
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN ('the','a','of','and','to','in','is')))
+                  AS DOUBLE)
+             / len(string_split(text, ' ')) * 10000) / 10000 AS stopword_ratio,
+           (n_chars BETWEEN 50 AND 5000
+            AND len(string_split(text, ' ')) >= 10) AS passes_length_gate
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: avg token length, stopword ratio, and a
+    length gate — the standard cheap pre-filters of an LLM data pipeline.
+    Ratios floor-truncated (not rounded) for cross-engine determinism."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop = F.array([F.lit(s) for s in ["the", "a", "of", "and", "to", "in", "is"]])
+    # filter, not array_intersect: intersect has set semantics and would
+    # undercount repeated stopwords.
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.floor(F.col("n_chars").cast("double") / n_tokens * 100) / 100).alias(
+            "avg_token_len"
+        ),
+        (F.floor(n_stop.cast("double") / n_tokens * 10000) / 10000).alias(
+            "stopword_ratio"
+        ),
+        (
+            F.col("n_chars").between(50, 5000) & (n_tokens >= 10)
+        ).alias("passes_length_gate"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN ('the','a','of','and','to','in','is')))
+                  AS DOUBLE)
+               / len(string_split(text, ' ')) AS en_score
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
+           floor(en_score * 10000) / 10000 AS en_score
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English function-word hit-rate.  A real
+    pipeline swaps the word list per language; the plumbing (scan-side
+    scoring, no shuffle) is the point."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array([F.lit(s) for s in ["the", "a", "of", "and", "to", "in", "is"]])
+    score = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast(
+        "double"
+    ) / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(score >= 0.05, "en").otherwise("other").alias("pred_lang"),
+        (F.floor(score * 10000) / 10000).alias("en_score"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                 t -> CAST(length(t) * 131 + ascii(t) AS BIGINT))),
+             (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fingerprint
+    FROM documents
+    WHERE doc_id % 7 = 0
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint (polynomial hash over
+    the token stream, mod 2^31-1) — cheap near-identity signature that,
+    unlike sha256-of-text, is computable incrementally and survives
+    chunked processing.  Pure integer arithmetic → bit-identical in any
+    engine."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    toks = F.split(_norm_text(F.col("text")), " ")
+    token_codes = F.transform(
+        toks, lambda t: (F.length(t) * 131 + F.ascii(t)).cast("long")
+    )
+    fp = F.aggregate(
+        token_codes,
+        F.lit(7).cast("long"),
+        lambda acc, x: (acc * 1000003 + x) % 2147483647,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT d.doc_id, d.source, t.token
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+    ),
+    tf AS (
+      SELECT source, token, COUNT(*) AS tf
+      FROM toks GROUP BY source, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df
+      FROM toks GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.source, tf.token,
+             floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 10000) / 10000
+               AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT source, token, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY tfidf DESC, token) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per source.
+
+    Shape at scale: explode → two partial+final aggregates (tf by
+    (source, token), df by token) → broadcast-joinable df/n sides → per-
+    source top-k window.  The doc-frequency table is vocabulary-sized —
+    broadcast it; the corpus-sized explode never re-shuffles more than
+    (source, token, count) rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("source", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar, driver-side by design (one long)
+    scored = tf.join(F.broadcast(df), "token").select(
+        "source",
+        "token",
+        (
+            F.floor(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 10000
+            )
+            / 10000
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection (rows-only: banding uses xxhash64,
+# which DuckDB cannot reproduce; the shingling stage is oracle-checked via
+# dedup_shingle below).
+# ---------------------------------------------------------------------------
+
+_MINHASH_PERMS = 16  #: signature length
+_LSH_BANDS = 4  #: bands of 4 rows each → catches Jaccard ≳ 0.5 pairs
+
+
+@register(
+    "dedup_shingle",
+    oracle="""
+    SELECT doc_id, len(shingles) AS n_shingles, shingles[1] AS first_shingle
+    FROM (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])))
+               AS shingles
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    """,
+)
+def dedup_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-token shingling — the oracle-checkable stage of MinHash dedup.
+    (DuckDB range(1, n-1) is end-exclusive and its lists are 1-indexed;
+    Spark sequence(0, n-3) is end-inclusive and 0-indexed — same set.)"""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 0)
+    shingles = _shingles(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(shingles).alias("n_shingles"),
+        F.element_at(shingles, 1).alias("first_shingle"),
+    )
+
+
+def _shingles(text: Column, k: int = 3) -> Column:
+    """Sorted distinct k-token shingles of a space-tokenized text column."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+                ),
+            )
+        )
+    )
+
+
+def minhash_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MinHash/LSH candidate pairs: (id_a, id_b, n_common_bands).
+
+    Pipeline (all built-in, one explode + two shuffles):
+      shingle → per-permutation min of xxhash64(seed_j ++ shingle) →
+      band signature → explode bands → self-join per (band, band_sig)
+      bucket.  Never compares documents outside a shared bucket, so the
+      candidate set is output-sized, not O(n²) — the property that lets
+      this run at 100 TB."""
+    sh = docs.select(id_col, F.explode(_shingles(F.col("text"))).alias("shingle"))
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+            for j in range(_MINHASH_PERMS)
+        ]
+    )
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    bands = mins.select(
+        id_col,
+        F.array(
+            *[
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias(f"b{b}")
+                for b in range(_LSH_BANDS)
+            ]
+        ).alias("band_sigs"),
+    ).select(id_col, F.posexplode("band_sigs").alias("band", "band_sig"))
+    left = bands.select(
+        F.col(id_col).alias("id_a"), "band", "band_sig"
+    )
+    right = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        left.join(right, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common_bands"))
+    )
+
+
+@register("dedup_minhash")  # rows-only: xxhash64 signatures not in DuckDB
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified by exact Jaccard ≥ 0.5
+    on the shingle sets.  The verify join touches only candidate pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidates(d)
+    sets_ = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    a = sets_.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common_bands",
+            (F.floor(inter / union * 10000) / 10000).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
