@@ -1,0 +1,81 @@
+"""Benchmark harness (SURVEY.md §6, BASELINE.md).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Timing method: each query is built fresh (plan construction included),
+executed to a driver-side count via ``collect()``, wall-clocked with a
+warm session (session/JVM startup excluded — that is deployment cost,
+not query cost).  One warm-up query runs first so JIT/codegen caches
+don't bill the first headline entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline set: one per operator family, weighted toward the plans that
+#: matter at 100 TB (scan+agg, shuffle join, broadcast star join, window,
+#: explode-heavy text, blocked vector join, streaming window).
+HEADLINE = [
+    "agg_hash",
+    "scan_pruned",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_asof",
+    "win_rank",
+    "topk_per_group",
+    "agg_grouping_sets",
+    "fn_json",
+    "text_tfidf",
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_topk_exact",
+    "stream_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from spark_streaming_kafka_offset_spark import session as S
+    import __spark_entry__ as entrymod
+
+    spark = S.get_spark("sskos-bench")
+    queries = entrymod.queries()
+
+    # Warm-up: JIT, codegen cache, parquet footer reads.
+    queries["agg_hash"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.monotonic()
+        n = len(queries[key](spark, sf_dir).collect())
+        timings[key] = round(time.monotonic() - t0, 3)
+        print(f"# {key}: {timings[key]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,7 @@ driver's ``queries()`` always reflects exactly what is implemented.
 
 from __future__ import annotations
 
-from .functions import scalar, similarity, text  # noqa: F401
+from .functions import multimodal, scalar, similarity, text, udfs  # noqa: F401
 from .operators import aggregates, joins, relational, setops, sorts, windows  # noqa: F401
 from .sources import batch  # noqa: F401
+from .streaming import core, offsets, stateful  # noqa: F401

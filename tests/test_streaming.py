@@ -1,0 +1,211 @@
+"""§5.4/§5.5 — streaming batch-equivalence and the exactly-once
+offset-ledger contract (the reference's soul [K]).
+
+Each windowed/stateful streaming operator is compared against the batch
+answer over the same rows; the ledger test kills a query between batches
+and restarts from the same checkpoint, asserting no loss, no duplication,
+no ledger gaps.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_offset_spark.session import load_table
+from spark_streaming_kafka_offset_spark.streaming.core import (
+    read_event_stream,
+    stage_stream_dir,
+)
+from spark_streaming_kafka_offset_spark.streaming.offsets import (
+    OffsetLedger,
+    run_ledgered_stream,
+)
+from spark_streaming_kafka_offset_spark.streaming.stateful import running_user_stats
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+QUERIES = entrymod.queries()
+
+
+def _batch_events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def test_tumbling_equals_batch(spark):
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in QUERIES["stream_tumbling"](spark, SF_DIR).collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in _batch_events(spark)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_sliding_equals_batch(spark):
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in QUERIES["stream_sliding"](spark, SF_DIR).collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in _batch_events(spark)
+        .groupBy(F.window("ts", "12 hours", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_session_equals_batch(spark):
+    streamed = {
+        (r["user_id"], r["window_start"]): r["n_events"]
+        for r in QUERIES["stream_session"](spark, SF_DIR).collect()
+    }
+    batch = {
+        (r["user_id"], r["window_start"]): r["n_events"]
+        for r in _batch_events(spark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events")
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_dedup_restores_exactly_once_counts(spark):
+    """Doubled input + dropDuplicatesWithinWatermark == original counts."""
+    streamed = {
+        r["event_type"]: r["n_unique"]
+        for r in QUERIES["stream_dedup"](spark, SF_DIR).collect()
+    }
+    batch = {
+        r["event_type"]: r["n"]
+        for r in _batch_events(spark)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_watermark_drops_late_chunk(spark):
+    """With the earliest 25% of rows arriving last (one file per batch),
+    append-mode windows must cover fewer rows than the full table — the
+    late rows really were dropped, not silently merged."""
+    out = QUERIES["stream_watermark"](spark, SF_DIR).collect()
+    streamed_total = sum(r["n"] for r in out)
+    full = _batch_events(spark).count()
+    assert 0 < streamed_total < full
+
+
+def test_stateful_final_state_equals_batch(spark):
+    """Multi-batch stateful fold ends at the batch groupBy answer."""
+    streamed = {
+        r["user_id"]: (r["n_events"], r["n_purchases"])
+        for r in QUERIES["stream_stateful"](spark, SF_DIR).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["np"])
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("np"),
+        )
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_stateful_values_close_to_batch(spark):
+    streamed = {
+        r["user_id"]: r["total_value"]
+        for r in QUERIES["stream_stateful"](spark, SF_DIR).collect()
+    }
+    batch = {
+        r["user_id"]: r["tv"]
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("tv"))
+        .collect()
+    }
+    for uid, tv in batch.items():
+        assert abs(streamed[uid] - tv) < 0.02
+
+
+def test_offset_ledger_exactly_once_across_restart(spark):
+    """The reference's soul [K]: kill between batches, restart from the
+    same checkpoint → sink holds each input row exactly once and the
+    ledger is gap-free."""
+    stream_dir = stage_stream_dir(spark, SF_DIR)
+    root = tempfile.mkdtemp(prefix="sskos_eo_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_eo_")
+    ledger = OffsetLedger(root)
+
+    # Phase 1: process exactly ONE file-batch, then stop (the "crash").
+    src = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        src.writeStream.foreachBatch(ledger.process)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        if any(b == 0 for b in _committed_batches(spark, ledger)):
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    first_pass = set(_committed_batches(spark, ledger))
+    assert 0 in first_pass
+
+    # Phase 2: restart from the same checkpoint; AvailableNow drains the rest.
+    run_ledgered_stream(spark, stream_dir, root, ckpt, max_files_per_trigger=1)
+
+    led = ledger.read_ledger(spark).collect()
+    batch_ids = sorted(r["batch_id"] for r in led)
+    assert batch_ids == list(range(len(batch_ids))), "ledger has gaps/dups"
+
+    sink_ids = [r["event_id"] for r in ledger.read_sink(spark).collect()]
+    src_ids = [r["event_id"] for r in _batch_events(spark).collect()]
+    assert sorted(sink_ids) == sorted(src_ids), "sink lost/duplicated rows"
+
+
+def _committed_batches(spark, ledger: OffsetLedger) -> list[int]:
+    try:
+        return [
+            r["batch_id"] for r in ledger.read_ledger(spark).collect()
+        ]
+    except Exception:
+        return []
+
+
+def test_stream_static_join_equals_batch(spark):
+    streamed = {
+        (r["c_mktsegment"], r["event_type"]): r["n"]
+        for r in QUERIES["stream_static_join"](spark, SF_DIR).collect()
+    }
+    cust = load_table(spark, SF_DIR, "customer")
+    e = _batch_events(spark)
+    batch = {
+        (r["c_mktsegment"], r["event_type"]): r["n"]
+        for r in e.join(cust, e.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert streamed == batch
