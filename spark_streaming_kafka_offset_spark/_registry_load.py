@@ -8,5 +8,5 @@ from __future__ import annotations
 
 from .functions import multimodal, scalar, similarity, text, udfs  # noqa: F401
 from .operators import aggregates, joins, relational, setops, sorts, windows  # noqa: F401
-from .sources import batch  # noqa: F401
+from .sources import batch, stream_entries  # noqa: F401
 from .streaming import core, offsets, stateful  # noqa: F401

@@ -317,21 +317,53 @@ def _shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """MinHash/LSH candidate pairs: (id_a, id_b, n_common_bands).
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle-set) pairs, materialized once (lineage truncated).
 
-    Pipeline (all built-in, one explode + two shuffles):
-      shingle → per-permutation min of xxhash64(seed_j ++ shingle) →
-      band signature → explode bands → self-join per (band, band_sig)
-      bucket.  Never compares documents outside a shared bucket, so the
-      candidate set is output-sized, not O(n²) — the property that lets
-      this run at 100 TB."""
-    sh = docs.select(id_col, F.explode(_shingles(F.col("text"))).alias("shingle"))
-    mins = sh.groupBy(id_col).agg(
+    ``localCheckpoint`` matters: the shingle expression feeds the 16
+    signature columns AND both sides of the band self-join AND the
+    Jaccard verify; without materialization Catalyst inlines the full
+    shingling tree into every consumer and whole-stage-codegen compile
+    time dominates the query (measured: 10× wall-clock).  At production
+    scale this is a staged parquet table instead."""
+    return docs.select(id_col, _shingles(F.col("text")).alias("sh")).localCheckpoint()
+
+
+def minhash_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MinHash/LSH candidate pairs: (id_a, id_b, n_common_bands)."""
+    return _candidates_from_sets(shingle_sets(docs, id_col), id_col)
+
+
+def _candidates_from_sets(sets_: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs from (id, sh) sets.
+
+    Pipeline (all built-in):
+      hash every shingle to a long ONCE (``transform(sh, xxhash64)``) →
+      per-permutation min via a cheap long re-hash
+      ``array_min(transform(hashes, h -> xxhash64(j, h)))`` — scan-side,
+      NO explode, NO shuffle for signatures; string hashing is not
+      repeated per permutation → band signature → posexplode bands
+      (|bands| rows/doc) → self-join per (band, band_sig) bucket.  The
+      only shuffles are the bucket join and the pair-count; documents
+      never compare outside a shared bucket, so candidate work is
+      output-sized, not O(n²) — the property that lets this run at
+      100 TB."""
+    # NB: seeds must be closed over with a factory, NOT `lambda h, j=j`:
+    # PySpark derives higher-order-function arity from the lambda
+    # signature, so a 2-arg lambda receives (element, array_index) and
+    # the index would silently replace the seed.
+    def perm_hash(j: int):
+        return lambda h: F.xxhash64(F.lit(j), h)
+
+    hashed = sets_.select(
+        id_col, F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hashes")
+    )
+    mins = hashed.select(
+        id_col,
         *[
-            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+            F.array_min(F.transform(F.col("hashes"), perm_hash(j))).alias(f"h{j}")
             for j in range(_MINHASH_PERMS)
-        ]
+        ],
     )
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
     bands = mins.select(
@@ -362,8 +394,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard ≥ 0.5
     on the shingle sets.  The verify join touches only candidate pairs."""
     d = load_table(spark, sf_dir, "documents")
-    cands = minhash_candidates(d)
-    sets_ = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sets_ = shingle_sets(d)
+    cands = _candidates_from_sets(sets_)
     a = sets_.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets_.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -1,0 +1,113 @@
+"""§2.1 Streaming source/sink registry entries (SURVEY.md).
+
+`source_kafka` cannot touch a broker here (none exists, and PySpark's
+bundled jars carry no Kafka connector — SURVEY.md §0).  What IS testable,
+and what the reference's jobs actually depend on [K], is the *contract*:
+the fixed 7-column Kafka record shape and the schema-on-read parse of
+`value` bytes into typed columns.  The query below materializes a
+Kafka-shaped frame from `events` (value = JSON bytes, key = user_id
+bytes, offset = event_id) and runs the exact `parse_kafka_events`
+expression a production job would run on a real stream — so the parse
+path the Kafka source feeds is exercised end-to-end, batch-for-stream.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..session import load_table
+from ..streaming.core import (
+    _EVENT_COLS,
+    parse_kafka_events,
+    read_event_stream,
+    run_to_completion,
+    stage_stream_dir,
+)
+
+
+def kafka_shaped(events: DataFrame, topic: str = "events") -> DataFrame:
+    """Project events into the Kafka record schema (key/value binary,
+    topic, partition, offset, timestamp, timestampType)."""
+    return events.select(
+        F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
+        F.encode(
+            F.to_json(F.struct(*[F.col(c) for c in _EVENT_COLS])), "utf-8"
+        ).alias("value"),
+        F.lit(topic).alias("topic"),
+        (F.col("user_id") % 8).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+
+
+@register("source_kafka")
+def source_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-record contract: events → Kafka shape → parse_kafka_events
+    round-trip, aggregated per partition like the reference's per-
+    partition offset accounting [K].  (The live readStream.format("kafka")
+    builder is `streaming.core.kafka_source`; broker-less env, §0.)"""
+    e = load_table(spark, sf_dir, "events")
+    raw = kafka_shaped(e)
+    parsed = parse_kafka_events(raw.withColumn("kafka_ts", F.col("timestamp")))
+    # Round-trip fidelity: count + value-sum per event_type survives the
+    # bytes → JSON → typed-columns path.
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+@register("source_file_stream")
+def source_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source (the Kafka stand-in [K]): schema'd monotone
+    file discovery; every input row arrives exactly once."""
+    src = read_event_stream(spark, stage_stream_dir(spark, sf_dir))
+    counted = src.groupBy("event_type").agg(F.count("*").alias("n"))
+    return run_to_completion(counted, "source_file_stream", "complete").orderBy(
+        "event_type"
+    )
+
+
+@register("sink_foreachbatch")
+def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink — the idiomatic foreachRDD replacement [K]: the
+    callback receives (batch_df, batch_id) on the driver with full batch
+    DataFrame power (joins, writes to any batch sink)."""
+    src = read_event_stream(spark, stage_stream_dir(spark, sf_dir))
+    seen: list[tuple[int, int, float]] = []
+
+    def handle(df: DataFrame, batch_id: int) -> None:
+        row = df.agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")
+        ).collect()[0]
+        seen.append((batch_id, row["n"], float(row["v"])))
+
+    q = (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        sorted(seen), "batch_id long, n_rows long, total_value double"
+    )
+
+
+@register("sink_memory")
+def sink_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory sink: stream results land in a queryable session table —
+    the test/debug sink every other streaming query here builds on."""
+    src = read_event_stream(spark, stage_stream_dir(spark, sf_dir))
+    agg = src.groupBy("user_id").agg(F.count("*").alias("n"))
+    out = run_to_completion(agg, "sink_memory_demo", "complete")
+    # Prove it is queryable as a table: SQL over the sink's queryName.
+    return spark.sql(
+        "SELECT count(*) AS n_users, sum(n) AS n_events FROM sink_memory_demo"
+    )
