@@ -27,6 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: explode-heavy text, blocked vector join, streaming window).
 HEADLINE = [
     "agg_hash",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "events_funnel",
     "scan_pruned",
     "join_inner_hash",
     "join_broadcast",

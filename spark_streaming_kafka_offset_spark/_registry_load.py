@@ -7,6 +7,14 @@ driver's ``queries()`` always reflects exactly what is implemented.
 from __future__ import annotations
 
 from .functions import multimodal, scalar, similarity, text, udfs  # noqa: F401
-from .operators import aggregates, joins, relational, setops, sorts, windows  # noqa: F401
+from .operators import (  # noqa: F401
+    aggregates,
+    analytics,
+    joins,
+    relational,
+    setops,
+    sorts,
+    windows,
+)
 from .sources import batch, stream_entries  # noqa: F401
 from .streaming import core, offsets, stateful  # noqa: F401

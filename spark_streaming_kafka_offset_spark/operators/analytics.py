@@ -1,0 +1,219 @@
+"""Composite analytics queries — multi-operator pipelines in the shape of
+TPC-H Q3/Q5/Q10, adapted to the fixture schemas (FIXTURES.md; the tables
+are TPC-H-ish but lack some official columns, so predicates are adapted).
+
+These exist because single-operator parity does not prove an engine:
+real queries chain scan → filter → multi-join → agg → sort → limit, and
+the 100 TB plan quality lives in the composition — broadcast the dims,
+shuffle the facts on join keys once, aggregate partial+final, TakeOrdered
+for the top-k.  Money sums use exact DECIMAL arithmetic (common.py) so
+the oracle hash is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..common import dec2, dsum2, one
+from ..plans.registry import register
+from ..session import load_table
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-15'
+      AND l.l_shipdate > TIMESTAMP '1998-06-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: segment filter → 3-way join → revenue agg → top-10.
+
+    Plan: customer is the small side (AQE broadcasts it after the
+    segment filter); lineitem shuffles once on l_orderkey; the final
+    sort+limit fuses to TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1998-06-15"
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-06-15")
+    revenue = dec2("l_extendedprice") * (one() - dec2("l_discount", 4))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    oracle="""
+    SELECT n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 6-table star join, local-supplier correlation
+    (c_nationkey = s_nationkey), region filter, revenue per nation.
+
+    Plan: nation/region/supplier broadcast (bounded dims); the fact
+    chain shuffles on o_custkey then l_orderkey; the nationkey equality
+    is applied as a join predicate, not a post-filter."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    revenue = dec2("l_extendedprice") * (one() - dec2("l_discount", 4))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue,
+           n.n_name,
+           CAST(ROUND(CAST(c.c_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE) AS c_acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-item revenue per customer, top 20 — the
+    'who costs us money' report.  Returnflag filter pushes to the
+    lineitem scan; nation broadcasts; one fact shuffle per join key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = dec2("l_extendedprice") * (one() - dec2("l_discount", 4))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            "n_name",
+            F.round(dec2("c_acctbal"), 2).cast("double").alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH typed AS (
+      SELECT user_id, ts, event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+             MAX(k) AS max_k
+      FROM typed GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
+      SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+               THEN 1 ELSE 0 END) AS clicked_after_view,
+      SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                AND first_purchase > first_click THEN 1 ELSE 0 END)
+        AS purchased_after_click,
+      MAX(max_k) AS max_k
+    FROM firsts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral funnel over the event stream table: view → click →
+    purchase ordering per user, plus a JSON-prop aggregate — the shape
+    the reference's per-batch ETL ultimately fed dashboards with [K],
+    expressed as one conditional-aggregation pass (no self-joins)."""
+    e = load_table(spark, sf_dir, "events")
+    typed = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    firsts = typed.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+        F.max("k").alias("max_k"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("long")).alias("viewed"),
+        F.sum(clicked.cast("long")).alias("clicked_after_view"),
+        F.sum(purchased.cast("long")).alias("purchased_after_click"),
+        F.max("max_k").alias("max_k"),
+    )

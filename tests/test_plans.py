@@ -85,6 +85,23 @@ def test_sim_topk_exact_is_blocked_not_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q3_fuses_topk_and_pushes_filters(spark):
+    df = QUERIES["q3_shipping_priority"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    full = plan_str(df)
+    assert "PushedFilters" in full and "GreaterThan(l_shipdate" in full
+
+
+def test_q5_broadcasts_all_dims(spark):
+    df = QUERIES["q5_local_supplier"](spark, SF_DIR)
+    plan = executed_plan(df)
+    # supplier, nation, region all broadcast → ≥3 broadcast joins, and the
+    # plan never degenerates to a cartesian.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
 def test_events_ts_is_timestamp(spark):
     """The ns→µs repair yields a real TimestampType events.ts."""
     e = load_table(spark, SF_DIR, "events")
