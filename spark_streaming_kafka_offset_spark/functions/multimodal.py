@@ -80,6 +80,99 @@ def decode_features(media: DataFrame) -> DataFrame:
     )
 
 
+def _resize_stub(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for an image resize (PIL not in container).
+    Real shape: decode → thumbnail to fit 128×128 preserving aspect →
+    re-encode.  Stub keeps the honest parts — aspect-preserving target
+    dims from metadata, payload shrunk by byte-stride subsampling — so
+    schema/batching match what a real resizer produces."""
+    for pdf in pdf_iter:
+        w, h = pdf["width"], pdf["height"]
+        scale = (128.0 / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
+        stride = (1.0 / (scale * scale)).round().astype(int).clip(lower=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "out_w": (w * scale).astype(int).clip(lower=1),
+                "out_h": (h * scale).astype(int).clip(lower=1),
+                "thumb": [
+                    bytes(p[::s]) for p, s in zip(pdf["payload"], stride)
+                ],
+            }
+        )
+
+
+def resize_images(media: DataFrame, max_side: int = 128) -> DataFrame:
+    """Arrow-batched resize over image rows (metadata + payload in, new
+    dims + thumbnail bytes out)."""
+    flat = media.select(
+        "doc_id", F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"), "payload",
+    )
+    return flat.mapInPandas(
+        _resize_stub, "doc_id long, out_w int, out_h int, thumb binary"
+    )
+
+
+_FRAME_BYTES = 64  #: stub frame size; real decoder yields actual frames
+
+
+def _frame_sample_stub(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for video frame sampling (ffmpeg not in
+    container).  Treats the payload as a stream of fixed-size frames and
+    emits every 4th one — an EXPLODING map (rows out > rows in), the
+    shape a real frame sampler has.  Frame content is fingerprinted, not
+    carried, so downstream joins move 8 bytes per frame."""
+    import hashlib
+
+    for pdf in pdf_iter:
+        ids, idxs, fps = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = max(len(payload) // _FRAME_BYTES, 1)
+            for i in range(0, n_frames, 4):
+                chunk = bytes(payload[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES])
+                ids.append(doc_id)
+                idxs.append(i)
+                fps.append(
+                    int.from_bytes(hashlib.sha256(chunk).digest()[:8], "big") >> 1
+                )
+        yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_fp": fps})
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Arrow-batched 1-in-4 frame sampling over video payloads."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _frame_sample_stub, "doc_id long, frame_idx int, frame_fp long"
+    )
+
+
+@register("multimodal_transform")
+def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize the images, frame-sample the videos — the two canonical
+    payload-touching media ops — then reduce each to per-type stats.
+
+    Both branches filter on metadata BEFORE any Pandas UDF opens bytes
+    (predicate first, decode second — the only viable order at 100 TB),
+    and each runs in its own ``mapInPandas`` so Arrow batches carry only
+    the columns that branch needs."""
+    media = media_table(spark, sf_dir)
+    thumbs = resize_images(media.where(F.col("media_type") == "image"))
+    frames = sample_frames(media.where(F.col("media_type") == "video"))
+    t = thumbs.agg(
+        F.lit("image_resize").alias("op"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("thumb")).alias("total_bytes"),
+        F.max("out_w").alias("max_dim"),
+    )
+    fr = frames.agg(
+        F.lit("video_frames").alias("op"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.lit(8)).cast("long").alias("total_bytes"),
+        F.max("frame_idx").alias("max_dim"),
+    )
+    return t.unionByName(fr).orderBy("op")
+
+
 @register("multimodal_cols")
 def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Carry binary payloads through project/filter/join untouched, then

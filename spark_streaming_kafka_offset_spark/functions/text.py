@@ -413,6 +413,125 @@ def _candidates_from_sets(sets_: DataFrame, id_col: str = "doc_id") -> DataFrame
     )
 
 
+_SIMHASH_BANDS = 4  #: 16-bit bands; hamming ≤ 3 pairs share ≥ 1 band
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, 64-bit SimHash) pairs — one scan, zero shuffles, no UDFs.
+
+    Classic SimHash: hash every token to 64 bits; for each bit position,
+    +1 if set else -1, summed over tokens; signature bit = (sum > 0).
+    Expressed entirely with higher-order array functions so the whole
+    thing runs inside whole-stage codegen:
+
+    * token hashes: ``transform(split(text), xxhash64)``
+    * per-bit counters: one ``aggregate`` with a 64-element array
+      accumulator, ``zip_with``-ing each token hash against a constant
+      bitmask array (single pass over the tokens, not 64 passes)
+    * signature: sum of the masks whose counter is positive — masks are
+      disjoint bits, so the sum IS the bitwise OR (no overflow possible,
+      ANSI-safe; bit 63's mask is the sign bit, handled as a negative
+      literal).
+
+    ``localCheckpoint``: the signature feeds both sides of the band
+    self-join and the hamming verify (same rationale as MinHash above)."""
+    masks = [F.lit(1 << j) for j in range(63)] + [F.lit(-(2**63))]
+    mask_arr = F.array(*masks)
+    th = F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
+    counts = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            mask_arr,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(counts, mask_arr, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.repartition(F.col(id_col))
+        .select(id_col, sig.alias("sig"))
+        .localCheckpoint()
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 signatures not in DuckDB
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded-signature LSH + exact hamming verify.
+
+    64-bit signature split into 4×16-bit bands; by pigeonhole every pair
+    at hamming ≤ 3 collides on at least one band, so the self-join is
+    bucket-blocked (never O(n²)) with *guaranteed* recall at the stated
+    radius.  Verify = ``bit_count(sig_a XOR sig_b) ≤ 3`` on candidates
+    only.  Same scale shape as MinHash: the only shuffles are the bucket
+    join and the pair distinct."""
+    sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sig", 16 * b).bitwiseAND(0xFFFF)
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_val"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_val"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        left.join(right, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+_BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  #: word | number | punct rune
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT source,
+           SUM(len(string_split(text, ' '))) AS ws_tokens,
+           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
+             AS bpe_tokens,
+           ROUND(AVG(CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE)
+               / len(string_split(text, ' '))), 4) AS bpe_per_ws
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace vs a BPE-ish pre-tokenizer
+    (letter runs | digit runs | single punctuation — the GPT-2-style
+    split that approximates BPE token counts before merges).  Both are
+    scan-side regex built-ins feeding one partial+final aggregate, so the
+    100 TB cost is one pass over text plus a 20-group shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), F.lit(0)))
+    return d.groupBy("source").agg(
+        F.sum(ws.cast("long")).alias("ws_tokens"),
+        F.sum(bpe.cast("long")).alias("bpe_tokens"),
+        F.round(F.avg(bpe.cast("double") / ws), 4).alias("bpe_per_ws"),
+    )
+
+
 @register("dedup_minhash")  # rows-only: xxhash64 signatures not in DuckDB
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard ≥ 0.5

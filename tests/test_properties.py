@@ -148,3 +148,76 @@ def test_minhash_finds_planted_near_dupe(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in minhash_candidates(docs).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_finds_planted_near_dupe(spark):
+    """Plant a near-duplicate pair; banded SimHash must surface it, and
+    the planted pair's hamming must be small while unrelated text is far."""
+    from spark_streaming_kafka_offset_spark.functions.text import simhash_signatures
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy", 1)
+    other = "completely different words about spark query engines at scale " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in simhash_signatures(docs).collect()}
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+    assert ham(1, 2) <= 3  # near-dup inside the guaranteed-recall radius
+    assert ham(1, 3) > 10 and ham(2, 3) > 10  # unrelated text is far
+
+
+def test_simhash_signature_is_deterministic(spark):
+    """Same text → same 64-bit signature across independent evaluations."""
+    from spark_streaming_kafka_offset_spark.functions.text import simhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared prefix then unique token t{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["sig"] for r in simhash_signatures(docs).collect()}
+    b = {r["doc_id"]: r["sig"] for r in simhash_signatures(docs).collect()}
+    assert a == b
+
+
+def test_resize_preserves_aspect_and_caps_side(spark):
+    """Stub resize: no output side exceeds 128, aspect ratio kept ±1px."""
+    from spark_streaming_kafka_offset_spark.functions.multimodal import (
+        media_table,
+        resize_images,
+    )
+
+    media = media_table(spark, SF_DIR).where(F.col("media_type") == "image")
+    out = resize_images(media).collect()
+    src = {r["doc_id"]: (r["meta"]["width"], r["meta"]["height"]) for r in media.collect()}
+    assert out
+    for r in out:
+        w, h = src[r["doc_id"]]
+        assert max(r["out_w"], r["out_h"]) <= 128
+        if max(w, h) > 128:  # downscaled: aspect preserved within rounding
+            assert abs(r["out_w"] / r["out_h"] - w / h) / (w / h) < 0.1
+        else:  # small images pass through untouched
+            assert (r["out_w"], r["out_h"]) == (w, h)
+
+
+def test_frame_sample_is_one_in_four(spark):
+    """Stub frame sampler emits ceil(n_frames/4) rows per video doc."""
+    from spark_streaming_kafka_offset_spark.functions.multimodal import (
+        _FRAME_BYTES,
+        media_table,
+        sample_frames,
+    )
+
+    media = media_table(spark, SF_DIR).where(F.col("media_type") == "video")
+    n_by_doc = {
+        r["doc_id"]: max(r["n"] // _FRAME_BYTES, 1)
+        for r in media.select(
+            "doc_id", F.length("payload").alias("n")
+        ).collect()
+    }
+    out = sample_frames(media).collect()
+    got = {}
+    for r in out:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+        assert r["frame_idx"] % 4 == 0
+    assert got == {d: -(-n // 4) for d, n in n_by_doc.items()}
