@@ -152,9 +152,20 @@ def run_to_completion(
     name: str,
     output_mode: str,
     checkpoint: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into a
-    memory sink and return the materialized table."""
+    memory sink and return the materialized table.
+
+    ``state_partitions`` sizes the streaming state store (each state
+    partition is an independent store instance with per-batch open/
+    commit/maintenance overhead — with ~600 state keys at fixture scale,
+    32 stores cost 2× the query: measured 2.9 s → 1.3 s at sf0.1 going
+    32 → 8).  This is THE sizing knob at 100 TB too, just in the other
+    direction: production sets it to O(executor-cores) with keys evenly
+    spread, and it is fixed for the life of a checkpoint.  The conf is
+    read at query start, so set-around-start is safe for our sequential
+    harness; restored afterwards either way."""
     spark = df.sparkSession
     writer = (
         df.writeStream.format("memory")
@@ -164,8 +175,14 @@ def run_to_completion(
     )
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
