@@ -331,17 +331,21 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFra
       ``F.split(text)`` inside the ``transform`` lambda re-evaluates the
       split per shingle (no common-subexpression elimination across a
       higher-order-function boundary) — measured 3× slower.
-    * **Repartition before the heavy projection.** A small parquet file
-      arrives as ONE input split; without the spread the shingling runs
-      on a single core of 32.  Hash-repartitioning by id costs one tiny
-      shuffle of raw text and buys full parallelism (5.0 s → 1.7 s).
+    * **Repartition before the heavy projection — with an explicit
+      partition count.** A small parquet file arrives as ONE input
+      split; without the spread the shingling runs on a single core of
+      32.  The count must be explicit: a bare ``repartition(col)``
+      exchange is AQE-coalesced back to 1 partition on byte-size grounds
+      (bytes ≪ advisory target) even though the downstream projection is
+      CPU-bound — measured: every stage after it ran as a single task.
 
     ``localCheckpoint`` truncates lineage: the set feeds the signature
     columns AND both sides of the band self-join AND the Jaccard verify;
     without it Catalyst inlines the shingling tree into every consumer
     (measured: 10× wall-clock).  At production scale this is a staged
     parquet table instead."""
-    toks_df = docs.repartition(F.col(id_col)).select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks_df = docs.repartition(par, F.col(id_col)).select(
         id_col, F.split(F.col("text"), " ").alias("_toks")
     )
     toks = F.col("_toks")
@@ -366,28 +370,30 @@ def _candidates_from_sets(sets_: DataFrame, id_col: str = "doc_id") -> DataFrame
 
     Pipeline (all built-in; ``sh`` arrives pre-hashed to longs from
     ``shingle_sets``):
-      per-permutation min via a cheap long re-hash
-      ``array_min(transform(sh, h -> xxhash64(j, h)))`` — scan-side,
-      NO explode, NO shuffle for signatures; string hashing is not
-      repeated per permutation → band signature → posexplode bands
-      (|bands| rows/doc) → self-join per (band, band_sig) bucket.  The
-      only shuffles are the bucket join and the pair-count; documents
-      never compare outside a shared bucket, so candidate work is
-      output-sized, not O(n²) — the property that lets this run at
-      100 TB."""
-    # NB: seeds must be closed over with a factory, NOT `lambda h, j=j`:
-    # PySpark derives higher-order-function arity from the lambda
-    # signature, so a 2-arg lambda receives (element, array_index) and
-    # the index would silently replace the seed.
-    def perm_hash(j: int):
-        return lambda h: F.xxhash64(F.lit(j), h)
+      **explode** the set → 16 per-permutation re-hashes
+      ``min(xxhash64(j, h))`` in ONE codegen'd hash aggregate → band
+      signature → posexplode bands (|bands| rows/doc) → self-join per
+      (band, band_sig) bucket.
 
-    mins = sets_.select(
-        id_col,
-        *[
-            F.array_min(F.transform(F.col("sh"), perm_hash(j))).alias(f"h{j}")
-            for j in range(_MINHASH_PERMS)
-        ],
+    Why explode instead of per-row ``array_min(transform(...))``: Spark
+    evaluates higher-order array functions interpreted, outside
+    whole-stage codegen — 16 interpreted array traversals per doc
+    measured 5× slower than the exploded formulation, whose 16 hash+min
+    expressions are codegen'd and partially aggregated map-side (the
+    shuffle still carries one row per doc, not one per shingle).  The
+    only shuffles are that agg, the bucket join, and the pair-count;
+    documents never compare outside a shared bucket, so candidate work
+    is output-sized, not O(n²) — the property that lets this run at
+    100 TB."""
+    mins = (
+        sets_.select(id_col, F.explode("sh").alias("h"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(j), F.col("h"))).alias(f"h{j}")
+                for j in range(_MINHASH_PERMS)
+            ]
+        )
     )
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
     bands = mins.select(
@@ -433,8 +439,16 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
       ANSI-safe; bit 63's mask is the sign bit, handled as a negative
       literal).
 
+    One interpreted pass beats 64 codegen'd aggregates here: the explode
+    → ``sum(CASE WHEN bit)``×64 formulation was measured 1.7× *slower*
+    (3.8 s vs 2.2 s at sf0.1) — the opposite verdict from MinHash, where
+    16 single-min aggregates win.  Lesson recorded: HOF-vs-explode is a
+    per-operator measurement, not a doctrine.
+
     ``localCheckpoint``: the signature feeds both sides of the band
-    self-join and the hamming verify (same rationale as MinHash above)."""
+    self-join and the hamming verify (same rationale as MinHash above).
+    Explicit partition count on the repartition for the same AQE-
+    coalesce reason documented in ``shingle_sets``."""
     masks = [F.lit(1 << j) for j in range(63)] + [F.lit(-(2**63))]
     mask_arr = F.array(*masks)
     th = F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
@@ -452,8 +466,9 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.repartition(F.col(id_col))
+        docs.repartition(par, F.col(id_col))
         .select(id_col, sig.alias("sig"))
         .localCheckpoint()
     )
@@ -472,7 +487,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -482,19 +496,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_val"),
     )
-    left = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_val"
-    )
-    right = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_val"
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
+    # Join carries ids only (a template-heavy corpus skews band buckets —
+    # sf0.1 measured 236k raw collisions for 5k docs), pairs are distinct'd
+    # BEFORE verify, and the signature lookup is a broadcast (the sig table
+    # is docs-sized, trivially under the broadcast threshold per block).
+    left = bands.select(F.col("doc_id").alias("id_a"), "band", "band_val")
+    right = bands.select(F.col("doc_id").alias("id_b"), "band", "band_val")
+    pairs = (
         left.join(right, ["band", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_a = F.broadcast(sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")))
+    sig_b = F.broadcast(sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
         .select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= 3)
-        .distinct()
         .orderBy("id_a", "id_b")
     )
 
