@@ -157,6 +157,84 @@ def sim_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_topk_ivf")  # rows-only: ANN recall is approximate by design
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via an IVF (inverted-file) index:
+    coarse-quantize every vector to its nearest of ``nlist`` centroids,
+    then answer each query by probing only its ``nprobe`` nearest cells
+    and exact-re-ranking inside them.
+
+    The scale path, piece by piece:
+
+    * **Centroids** are a deterministic seeded sample of the corpus
+      (``orderBy(xxhash64(vec_id)).limit(nlist)`` plans as a distributed
+      ``TakeOrderedAndProject`` — no full sort, no collect).  In
+      production they'd come from an offline MLlib KMeans fit; a seeded
+      sample keeps this fixture run reproducible, and the plan shape is
+      identical either way.
+    * **Assignment** is a broadcast nested-loop join of the corpus
+      against the tiny centroid table (nlist rows), folded to the argmax
+      cell with ``max_by`` — one pass over the data, partial+final agg,
+      no shuffle of the embedding column beyond the group-by on vec_id.
+    * **Probing** joins the nprobe cells per query against the cell
+      assignment on the cell id — a plain equi shuffle join whose output
+      is candidate-sized (n·nprobe/nlist expected), never n².
+    * Re-rank is the same codegen'd double dot product as the exact path;
+      recall is tuned via (nlist, nprobe) and validated against
+      `sim_topk_exact`-style brute force in tests.
+    """
+    nlist, nprobe, k = 16, 6, 3
+    e = load_table(spark, sf_dir, "embeddings")
+
+    cent = (
+        e.orderBy(F.xxhash64("vec_id"))
+        .limit(nlist)
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb"))
+    )
+
+    # Coarse assignment: nearest centroid per vector (broadcast NL + argmax).
+    scored_cells = e.select("vec_id", "embedding").crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cell_id", dot(F.col("embedding"), F.col("c_emb")).alias("sim")
+    )
+    assign = scored_cells.groupBy("vec_id").agg(
+        F.max_by("cell_id", "sim").alias("cell_id"),
+        F.first("embedding").alias("embedding"),
+    )
+
+    # Each query probes its nprobe nearest cells.
+    q = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("cell_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "q_emb", "cell_id", dot(F.col("q_emb"), F.col("c_emb")).alias("c_sim"))
+        .withColumn("pn", F.row_number().over(probe_w))
+        .where(F.col("pn") <= nprobe)
+        .select("query_id", "q_emb", "cell_id")
+    )
+
+    cand = probes.join(assign, "cell_id").where(F.col("query_id") != F.col("vec_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.floor(dot(F.col("q_emb"), F.col("embedding")) * 100000) / 100000).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.col("cosine").desc())
+    )
+
+
 @register(
     "dedup_embed_cosine",
     oracle="""
