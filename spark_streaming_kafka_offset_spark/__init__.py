@@ -18,12 +18,14 @@ operator; ``__spark_entry__.py`` re-exports it for the driver.
 from __future__ import annotations
 
 from . import _registry_load  # noqa: F401  (side-effect: registers all queries)
-from .plans import ORACLE_SQL, QUERIES
+from .plans import DRIVER_PRIORITY, ORACLE_SQL, QUERIES, ordered_queries
 from .session import ensure_configs, get_spark, load_table, load_tables
 
 __all__ = [
+    "DRIVER_PRIORITY",
     "ORACLE_SQL",
     "QUERIES",
+    "ordered_queries",
     "ensure_configs",
     "get_spark",
     "load_table",

@@ -219,9 +219,24 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fn_map")  # rows-only: map ordering is engine-dependent
+@register(
+    "fn_map",
+    # Harness rule (CORRECTNESS_r01): no Map/Array types in returned
+    # schemas — the driver's pandas canonicalizer can't hash them.  The map
+    # is still built and probed (create_map / element_at / map_keys); all
+    # outputs are serialized to scalars.  create_map preserves insertion
+    # order, so to_json / array_join are deterministic.
+    oracle="""
+    SELECT event_id,
+           '{"type":"' || event_type || '","k":"'
+             || json_extract_string(props, '$.k') || '"}' AS props_json,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           'type,k' AS keys_csv
+    FROM events
+    """,
+)
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction + element_at over parsed JSON props."""
+    """Map construction + element_at over parsed JSON props, serialized."""
     e = load_table(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("type"), F.col("event_type"),
@@ -229,9 +244,9 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "event_id",
-        m.alias("props_map"),
+        F.to_json(m).alias("props_json"),
         F.element_at(m, "k").cast("int").alias("k_val"),
-        F.map_keys(m).alias("keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
     )
 
 
@@ -261,7 +276,7 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_cast",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
            CAST(l_quantity AS INTEGER) AS qty_int,
            CAST(l_linenumber AS VARCHAR) AS line_str,
            TRY_CAST('not a number' AS INTEGER) AS bad_int,
@@ -271,12 +286,17 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Casts incl. decimal and try_cast (ANSI-safe overflow → NULL)."""
+    """Casts incl. decimal and try_cast (ANSI-safe overflow → NULL).
+
+    The decimal cast is exercised round-trip but returned as double —
+    harness rule: no DecimalType in returned schemas (pandas renders
+    Decimal objects vs DuckDB's float64 and the value-hash diverges).
+    """
     l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("double").alias("price_dec"),
         F.col("l_quantity").cast("int").alias("qty_int"),
         F.col("l_linenumber").cast("string").alias("line_str"),
         F.try_to_number(F.lit("not a number"), F.lit("999")).cast("int").alias("bad_int"),

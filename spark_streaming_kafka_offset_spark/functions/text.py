@@ -67,7 +67,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, lang,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
            ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens
@@ -297,21 +297,30 @@ def dedup_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(shingles).alias("n_shingles"),
-        F.element_at(shingles, 1).alias("first_shingle"),
+        # try_element_at: a <3-token doc has an empty shingle set and ANSI
+        # element_at would throw; NULL matches DuckDB's shingles[1].
+        F.try_element_at(shingles, F.lit(1)).alias("first_shingle"),
     )
 
 
 def _shingles(text: Column, k: int = 3) -> Column:
-    """Sorted distinct k-token shingles of a space-tokenized text column."""
+    """Sorted distinct k-token shingles of a space-tokenized text column.
+
+    Guarded for short documents: ``sequence(0, negative)`` yields a
+    *descending* sequence in Spark and ``element_at(.., 0)`` then throws —
+    any doc with fewer than k tokens must map to an empty set instead.
+    """
     toks = F.split(text, " ")
     idx = F.sequence(F.lit(0), F.size(toks) - k)
-    return F.array_sort(
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-                ),
+    return F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+                    ),
+                )
             )
         )
     )
@@ -349,12 +358,16 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFra
         id_col, F.split(F.col("text"), " ").alias("_toks")
     )
     toks = F.col("_toks")
-    hashed = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.xxhash64(
-                F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
-            ),
+    # Same short-doc guard as _shingles: <k tokens → empty set, never a
+    # descending sequence (which would throw on element_at index 0).
+    hashed = F.when(F.size(toks) < k, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+                ),
+            )
         )
     )
     return toks_df.select(id_col, hashed.alias("sh")).localCheckpoint()
@@ -527,9 +540,9 @@ _BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  #: word | number | punct rune
     "text_tokens",
     oracle="""
     SELECT source,
-           SUM(len(string_split(text, ' '))) AS ws_tokens,
-           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
-             AS bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
+             AS BIGINT) AS bpe_tokens,
            ROUND(AVG(CAST(len(regexp_extract_all(text,
                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE)
                / len(string_split(text, ' '))), 4) AS bpe_per_ws

@@ -181,16 +181,23 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT o_orderstatus,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+             AS priorities,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_orderstatus
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation — ``array_sort(collect_set(..))`` for determinism."""
+    """Array aggregation — ``array_sort(collect_set(..))`` for determinism.
+
+    Serialized via ``array_join``: harness rule (CORRECTNESS_r01), no
+    ArrayType in returned schemas — pandas can't factorize list cells.
+    """
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
         F.count("*").alias("n"),
     )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..common import dec2, dsum2, one
 from ..plans.registry import register
-from ..session import load_table
+from ..session import load_table, register_views
 
 
 @register(
@@ -40,27 +40,33 @@ from ..session import load_table
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 shape: segment filter → 3-way join → revenue agg → top-10.
+    """Q3 shape: segment filter → 3-way join → revenue agg → top-10,
+    expressed as a SQL string over registered views — this is the engine's
+    ``spark.sql`` parser-path entry point, end-to-end (the DataFrame-API
+    composite shape is covered by q5/q10).
 
-    Plan: customer is the small side (AQE broadcasts it after the
+    Plan (identical to the DataFrame form, Catalyst parses both to the same
+    logical plan): customer is the small side (AQE broadcasts it after the
     segment filter); lineitem shuffles once on l_orderkey; the final
     sort+limit fuses to TakeOrderedAndProject."""
-    c = load_table(spark, sf_dir, "customer").where(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    o = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < "1998-06-15"
-    )
-    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-06-15")
-    revenue = dec2("l_extendedprice") * (one() - dec2("l_discount", 4))
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-15'
+          AND l.l_shipdate > TIMESTAMP '1998-06-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """
     )
 
 
@@ -177,11 +183,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       COUNT(*) AS n_users,
-      SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
-      SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
-               THEN 1 ELSE 0 END) AS clicked_after_view,
-      SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
-                AND first_purchase > first_click THEN 1 ELSE 0 END)
+      CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS viewed,
+      CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+               THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+      CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                AND first_purchase > first_click THEN 1 ELSE 0 END) AS BIGINT)
         AS purchased_after_click,
       MAX(max_k) AS max_k
     FROM firsts

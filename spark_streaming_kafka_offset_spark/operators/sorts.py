@@ -27,22 +27,49 @@ from ..session import load_table
 def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key sort with nulls placement, verified via a global rank col.
 
-    The unpartitioned window collapses to one task — deliberate here (the
-    point is a *total* order; any engine must serialize it).  At scale the
-    same total order comes from ``df.orderBy`` (range-partitioned sort) and
-    ``zipWithIndex``-style ranks are avoided.
+    Scale-safe total order (replaces the r1 unpartitioned ``row_number``
+    window, which collapsed to ONE task): range-partition sort on the keys
+    (``orderBy`` → RangePartitioning, parallel), then per-partition local
+    ranks offset by the cumulative sizes of earlier ranges.  Partition
+    sizes are one tiny driver-side array (numPartitions ints), not data.
+    This is the standard distributed dense-index recipe (zipWithIndex
+    semantics expressed over DataFrames).
     """
     s = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy(
+    keys = [
         F.col("s_nationkey").asc_nulls_last(),
         F.col("s_acctbal").desc(),
         F.col("s_suppkey"),
+    ]
+    ranked = (
+        s.select("s_nationkey", "s_acctbal", "s_name", "s_suppkey")
+        .repartitionByRange(8, *keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local_pos",
+            F.row_number().over(Window.partitionBy("_pid").orderBy(*keys)),
+        )
     )
-    return s.select(
-        "s_nationkey",
-        "s_acctbal",
-        "s_name",
-        F.row_number().over(w).alias("sort_pos"),
+    # Offsets: one row per partition — broadcast-joined, never a shuffle of
+    # the data itself.  At 100 TB this is numPartitions rows on the driver.
+    sizes = ranked.groupBy("_pid").agg(F.count("*").alias("_n"))
+    offsets = sizes.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_offset")
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .select(
+            "s_nationkey",
+            "s_acctbal",
+            "s_name",
+            (F.col("_local_pos") + F.col("_offset")).cast("int").alias("sort_pos"),
+        )
     )
 
 

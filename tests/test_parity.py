@@ -1,19 +1,19 @@
 """§5.1/§5.2 — every declared oracle pair verified in-process at sf0.001.
 
-This is the same comparison the driver runs at sf0.01 (row count, column
-names, order-insensitive values), so a pair that passes here does not
-surprise us at verification time.  Rows-only queries are smoke-run for
-non-crash + stable schema.
+This is the same comparison the driver runs at sf0.01 — through the same
+pandas canonicalization (tools/driver_canon.py: dtype-sensitive values,
+``sort_values`` allowed to raise on unhashable cells), so a pair that
+passes here does not surprise us at verification time.  Rows-only queries
+are smoke-run for non-crash + canonicalizable schema.
 """
 
 from __future__ import annotations
-
-import math
 
 import pytest
 
 import __spark_entry__ as entrymod
 from tests.conftest import SF_DIR
+from tools.driver_canon import canon_frame, compare_frames
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
@@ -26,31 +26,12 @@ _SLOW_ROWS_ONLY = {
 }
 
 
-def _canon(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-
-    def norm(v):
-        if isinstance(v, float):
-            return "NaN" if math.isnan(v) else repr(v)
-        if isinstance(v, (list, tuple)):
-            return "[" + ",".join(norm(x) for x in v) + "]"
-        if isinstance(v, bytes):
-            return v.hex()
-        return repr(v)
-
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
-
-
 @pytest.mark.parametrize("key", sorted(k for k in QUERIES if k in ORACLES))
 def test_oracle_parity(spark, duck, key):
-    sdf = QUERIES[key](spark, SF_DIR)
-    srows, scols = sdf.collect(), sdf.columns
-    res = duck.execute(ORACLES[key])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-    assert sorted(scols) == sorted(dcols), f"{key}: column names differ"
-    assert len(srows) == len(drows), f"{key}: row count differs"
-    assert _canon(srows, scols) == _canon(drows, dcols), f"{key}: values differ"
+    spdf = QUERIES[key](spark, SF_DIR).toPandas()
+    dpdf = duck.execute(ORACLES[key]).df()
+    problems = compare_frames(spdf, dpdf)
+    assert not problems, f"{key}: " + "; ".join(problems)
 
 
 @pytest.mark.parametrize(
@@ -58,6 +39,8 @@ def test_oracle_parity(spark, duck, key):
 )
 def test_rows_only_smoke(spark, key):
     df = QUERIES[key](spark, SF_DIR)
-    rows = df.collect()
-    assert rows is not None
+    pdf = df.toPandas()
     assert len(df.schema.fields) > 0
+    # The driver canonicalizes rows-only results too — an Array/Map output
+    # column would be recorded as a harness error, so catch it here.
+    canon_frame(pdf)

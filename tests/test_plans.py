@@ -108,3 +108,18 @@ def test_events_ts_is_timestamp(spark):
     assert dict(e.dtypes)["ts"] == "timestamp"
     lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
     assert lo.year == 2024 and hi.year == 2024
+
+
+def test_sort_multi_has_no_single_task_window(spark):
+    """The r1 formulation ranked via an UNPARTITIONED window — every row
+    through one task.  The scale-safe form range-partitions on the sort
+    keys and window-partitions by partition id; assert the executed plan
+    carries a RangePartitioning exchange and that the data-side window
+    is partitioned (its Sort is (local) within partitions, not global).
+    """
+    df = QUERIES["sort_multi"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    # The per-partition rank window must partition by _pid: its Window spec
+    # appears with a partition clause, never an empty PartitionBy.
+    assert "_pid" in plan
