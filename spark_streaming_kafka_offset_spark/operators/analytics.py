@@ -49,7 +49,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical plan): customer is the small side (AQE broadcasts it after the
     segment filter); lineitem shuffles once on l_orderkey; the final
     sort+limit fuses to TakeOrderedAndProject."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
     return spark.sql(
         """
         SELECT l.l_orderkey,
