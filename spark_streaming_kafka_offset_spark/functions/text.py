@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..common import stage
 from ..plans.registry import register
 from ..session import load_table
 
@@ -348,11 +349,12 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFra
       (bytes ≪ advisory target) even though the downstream projection is
       CPU-bound — measured: every stage after it ran as a single task.
 
-    ``localCheckpoint`` truncates lineage: the set feeds the signature
+    The result is staged (``common.stage``): it feeds the signature
     columns AND both sides of the band self-join AND the Jaccard verify;
-    without it Catalyst inlines the shingling tree into every consumer
-    (measured: 10× wall-clock).  At production scale this is a staged
-    parquet table instead."""
+    without staging Catalyst inlines the shingling tree into every
+    consumer (measured: 10× wall-clock).  ``SSKOS_STAGE_MODE=table``
+    switches from ``localCheckpoint`` to the production parquet-staging
+    path; both modes are test-verified equal."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     toks_df = docs.repartition(par, F.col(id_col)).select(
         id_col, F.split(F.col("text"), " ").alias("_toks")
@@ -370,7 +372,7 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFra
             )
         )
     )
-    return toks_df.select(id_col, hashed.alias("sh")).localCheckpoint()
+    return stage(toks_df.select(id_col, hashed.alias("sh")))
 
 
 def minhash_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -458,8 +460,9 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     16 single-min aggregates win.  Lesson recorded: HOF-vs-explode is a
     per-operator measurement, not a doctrine.
 
-    ``localCheckpoint``: the signature feeds both sides of the band
-    self-join and the hamming verify (same rationale as MinHash above).
+    Staged (``common.stage``): the signature feeds both sides of the band
+    self-join and the hamming verify (same rationale as MinHash above);
+    ``SSKOS_STAGE_MODE=table`` selects the production parquet staging.
     Explicit partition count on the repartition for the same AQE-
     coalesce reason documented in ``shingle_sets``."""
     masks = [F.lit(1 << j) for j in range(63)] + [F.lit(-(2**63))]
@@ -480,10 +483,8 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         lambda acc, x: acc + x,
     )
     par = docs.sparkSession.sparkContext.defaultParallelism
-    return (
-        docs.repartition(par, F.col(id_col))
-        .select(id_col, sig.alias("sig"))
-        .localCheckpoint()
+    return stage(
+        docs.repartition(par, F.col(id_col)).select(id_col, sig.alias("sig"))
     )
 
 

@@ -264,3 +264,19 @@ def test_ivf_recall_against_bruteforce(spark):
         (r["query_id"], r["neighbor_id"])
         for r in QUERIES["sim_topk_ivf"](spark, SF_DIR).collect()
     }
+
+
+def test_stage_table_mode_equals_local(spark, monkeypatch, tmp_path):
+    """The production parquet-staging path (SSKOS_STAGE_MODE=table) must
+    produce byte-identical dedup results to the localCheckpoint default —
+    this is the 100 TB deployment configuration, so it cannot be a stub.
+    """
+    local = sorted(
+        map(tuple, QUERIES["dedup_minhash"](spark, SF_DIR).collect())
+    )
+    monkeypatch.setenv("SSKOS_STAGE_MODE", "table")
+    monkeypatch.setenv("SSKOS_STAGE_DIR", str(tmp_path))
+    staged = sorted(
+        map(tuple, QUERIES["dedup_minhash"](spark, SF_DIR).collect())
+    )
+    assert local == staged
