@@ -12,6 +12,7 @@ from .operators import (  # noqa: F401
     analytics,
     joins,
     relational,
+    scale,
     setops,
     sorts,
     windows,

@@ -1,0 +1,221 @@
+"""Scale-pattern operators — the techniques that keep the engine fast at
+100 TB, demonstrated as runnable, oracle-checked queries (SURVEY.md §4;
+mirror empty §0, so these are anchored to public Spark practice, not
+reference code).
+
+Each of these exists because a naive formulation breaks down at cluster
+scale in a specific way:
+
+* ``join_skew_salted``  — one hot key melts a single reducer; salting
+  splits it across S tasks with a deterministic salt and an S-way
+  replicated build side.
+* ``join_bucketed``     — two fact tables bucketed on the join key join
+  with ZERO shuffle exchanges (co-located SortMergeJoin): at 100 TB the
+  shuffle IS the cost, and bucketing amortizes it into the write path.
+* ``rollup_time``       — hierarchical time rollup (hour → day) where the
+  coarser level re-aggregates the finer one instead of rescanning the
+  fact table: count/sum/min/max compose, so the daily pass reads
+  |hours| rows, not |events|.
+* ``rollup_hll``        — the same rollup for DISTINCT, which does NOT
+  compose exactly: HLL sketches are built per hour and *merged* per day
+  (Apache DataSketches via Spark 3.5+ ``hll_sketch_agg``/
+  ``hll_union_agg``) — the standard re-aggregatable distinct at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..session import load_table
+
+_SALT = 8  #: sub-splits per hot key; sized to the worst observed skew
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 4 = 0
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join: salt the probe side, replicate the build side.
+
+    The probe row's salt is ``pmod(xxhash64(l_linenumber), S)`` —
+    deterministic (no ``rand()``: reruns and retried tasks must land rows
+    in the same bucket) but uncorrelated with the join key, so a hot
+    orderkey's rows spread across S reducers.  The build side is exploded
+    S ways (bounded: S× |orders|, far cheaper than one straggler task at
+    scale).  Result set is byte-identical to the plain join — which is
+    exactly what the oracle checks.  AQE's skewedJoin covers moderate
+    skew at runtime; explicit salting is for the pathological keys AQE
+    can't split (single-key hot spots within one partition).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 4 == 0)
+    salted_l = l.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(_SALT)).cast("int")
+    )
+    salted_o = o.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT)]))
+    )
+    return (
+        salted_l.join(
+            salted_o,
+            (salted_l.l_orderkey == salted_o.o_orderkey)
+            & (salted_l._salt == salted_o._salt),
+        )
+        .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus")
+    )
+
+
+def _bucketed_table(
+    spark: SparkSession, sf_dir: str, name: str, key: str, buckets: int = 8
+) -> DataFrame:
+    """Materialize a fixture table as a bucketed catalog table (once per
+    session × (sf_dir, table)); at production scale this is the
+    ingest-time layout decision, not a per-query step.
+
+    External table under a scratch dir: a *managed* table's warehouse
+    location outlives the in-memory catalog, and a later session hits
+    LOCATION_ALREADY_EXISTS on re-create (observed).  Scoping the name by
+    applicationId and the data by tempdir makes re-creation safe on any
+    session, including a driver-owned one."""
+    import tempfile
+
+    safe = re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
+    app = re.sub(r"[^A-Za-z0-9]", "_", spark.sparkContext.applicationId)
+    tbl = f"bkt_{app}_{safe}_{name}"
+    if not spark.catalog.tableExists(tbl):
+        (
+            load_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .option("path", tempfile.mkdtemp(prefix=f"sskos-{tbl}-") + "/data")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    return spark.table(tbl)
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT l.l_orderkey,
+           COUNT(*) AS n_lines,
+           COUNT(DISTINCT o.o_custkey) AS n_cust
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey
+    HAVING COUNT(*) >= 4
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join of two tables bucketed on the join key.
+
+    Both sides are written ``bucketBy(8, orderkey).sortBy(orderkey)``;
+    the SortMergeJoin then reads matching buckets pairwise with NO
+    shuffle exchange on either side (asserted in tests/test_plans.py) —
+    the fact-to-fact join strategy at 100 TB, where re-shuffling either
+    table per query is the dominant cost.  ``hint('merge')`` pins SMJ so
+    the demo doesn't degenerate to a broadcast at toy scale.  The
+    downstream groupBy(orderkey) ALSO reuses the bucket partitioning —
+    one layout serves join and aggregation.
+    """
+    lb = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    ob = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    return (
+        lb.hint("merge")
+        .join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+        )
+        .where(F.col("n_lines") >= 4)
+    )
+
+
+@register(
+    "rollup_time",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+             MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+             MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', hour) AS DATE) AS day, event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(sum_k) AS BIGINT) AS sum_k,
+           MIN(min_k) AS min_k,
+           MAX(max_k) AS max_k
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup: hour → day, daily computed FROM hourly.
+
+    The decomposable aggregates (count/sum/min/max) re-aggregate without
+    touching the fact table — the hypertable/materialized-rollup pattern:
+    at 100 TB the daily job reads |hours|×|types| rows instead of the
+    event stream, and the hourly table is the only scan of raw data.
+    The oracle computes the same two-level rollup so equality proves the
+    compose step, not just the final numbers.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(k.cast("long")).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour").cast("date").alias("day"),
+            "event_type",
+        ).agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sum_k").alias("sum_k"),
+            F.min("min_k").alias("min_k"),
+            F.max("max_k").alias("max_k"),
+        )
+    )
+
+
+@register("rollup_hll")  # rows-only: HLL estimates are sketch-dependent
+def rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable DISTINCT: per-hour HLL sketches merged per day.
+
+    Exact distinct does not compose across rollup levels (you cannot sum
+    distinct counts); sketches do.  ``hll_sketch_agg`` builds an Apache
+    DataSketches HLL per (hour, type), ``hll_union_agg`` merges hours
+    into days — the daily pass never revisits raw events, and the same
+    merge serves weekly/monthly levels.  Estimate accuracy is checked
+    against exact distincts in tests/test_properties.py.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"), F.count("*").alias("n"))
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("n").alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -114,6 +114,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q10_returned_items",
     "fn_array_ops",
     "set_union_all",
+    "join_skew_salted",
+    "join_bucketed",
+    "rollup_time",
+    "rollup_hll",
     # rows-only SURVEY rows, streaming first
     "stream_tumbling",
     "stream_sliding",

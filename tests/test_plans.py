@@ -123,3 +123,13 @@ def test_sort_multi_has_no_single_task_window(spark):
     # The per-partition rank window must partition by _pid: its Window spec
     # appears with a partition clause, never an empty PartitionBy.
     assert "_pid" in plan
+
+
+def test_bucketed_join_has_no_shuffle_exchange(spark):
+    """Both sides bucketed on the join key -> co-located SortMergeJoin.
+    A shuffle exchange on either side would mean the bucket layout was
+    ignored and the 100 TB claim is false."""
+    df = QUERIES["join_bucketed"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -280,3 +280,27 @@ def test_stage_table_mode_equals_local(spark, monkeypatch, tmp_path):
         map(tuple, QUERIES["dedup_minhash"](spark, SF_DIR).collect())
     )
     assert local == staged
+
+
+def test_rollup_hll_estimates_close_to_exact(spark):
+    """Merged per-day HLL estimates must track the exact per-day distinct
+    user counts (DataSketches HLL at default lgK=12 is near-exact at
+    fixture cardinalities; tolerance covers the sketch's error bound)."""
+    from spark_streaming_kafka_offset_spark.session import load_table
+
+    approx = {
+        (str(r["day"]), r["event_type"]): r["approx_users"]
+        for r in QUERIES["rollup_hll"](spark, SF_DIR).collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    exact = {
+        (str(r["day"]), r["event_type"]): r["exact_users"]
+        for r in e.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for key, est in approx.items():
+        assert abs(est - exact[key]) <= max(2, 0.05 * exact[key]), (key, est, exact[key])
