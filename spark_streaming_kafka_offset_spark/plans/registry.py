@@ -129,6 +129,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stream_join",
     "stream_offset_ledger",
     "stream_rate_limit",
+    "stream_rollup_upsert",
     "source_kafka",
     "source_file_stream",
     "sink_parquet",

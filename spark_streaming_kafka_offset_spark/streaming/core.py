@@ -362,3 +362,84 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(batches), "batch_id long, n_rows long"
     )
+
+
+@register("stream_rollup_upsert")
+def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized rollup — the streaming twin of batch
+    ``rollup_time`` (operators/scale.py): each micro-batch partially
+    aggregates its events into (hour, type) deltas and ``foreachBatch``
+    MERGEs them into a versioned hourly store; the daily level reads the
+    maintained hourly table, never raw events.
+
+    Exactly-once without transactions: store version == batch_id, so a
+    replayed batch overwrites its own version instead of double-counting
+    (same idempotence recipe as the offset ledger, offsets.py).  At scale
+    the store is a Delta/Iceberg MERGE INTO target; the versioned-dir
+    parquet store keeps identical semantics with plain files.
+
+    The equivalence test (tests/test_streaming.py) asserts the final
+    daily frame is byte-identical to the one-shot batch rollup.
+    """
+    src = read_event_stream(
+        spark, stage_stream_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+    store = tempfile.mkdtemp(prefix="sskos_rollup_store_")
+
+    def _versions() -> list[str]:
+        return sorted(
+            d for d in os.listdir(store) if d.startswith("v")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        # Aggregate INSIDE foreachBatch: a streaming-side aggregation in
+        # update mode would emit *cumulative* state rows, and merging
+        # those into the store double-counts.  Here batch_df is raw batch
+        # events, so this aggregate is a true per-batch delta.
+        k = F.get_json_object("props", "$.k").cast("int")
+        batch_df = batch_df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(k.cast("long")).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        prior = [v for v in _versions() if int(v[1:]) < batch_id]
+        merged = batch_df
+        if prior:
+            existing = spark.read.parquet(os.path.join(store, prior[-1]))
+            merged = (
+                existing.unionByName(batch_df)
+                .groupBy("hour", "event_type")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("sum_k").alias("sum_k"),
+                    F.min("min_k").alias("min_k"),
+                    F.max("max_k").alias("max_k"),
+                )
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store, f"v{batch_id:06d}")
+        )
+
+    q = (
+        src.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    hourly = spark.read.parquet(os.path.join(store, _versions()[-1]))
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sum_k").alias("sum_k"),
+            F.min("min_k").alias("min_k"),
+            F.max("max_k").alias("max_k"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -209,3 +209,17 @@ def test_stream_static_join_equals_batch(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_rollup_upsert_equals_batch_rollup(spark):
+    """The incrementally-maintained daily rollup must equal the one-shot
+    batch rollup_time over the same events — incremental view maintenance
+    is only correct if the merge step composes exactly."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    streamed = sorted(
+        map(tuple, qs["stream_rollup_upsert"](spark, SF_DIR).collect())
+    )
+    batch = sorted(map(tuple, qs["rollup_time"](spark, SF_DIR).collect()))
+    assert streamed == batch
