@@ -219,3 +219,54 @@ def rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE)
+          BETWEEN DATE '2024-01-03' AND DATE '2024-01-04'
+    GROUP BY 1, 2
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning — the first lever at 100 TB: a day
+    filter on a day-partitioned table must touch only matching
+    directories, skipping the rest at PLANNING time (PartitionFilters in
+    the scan node, asserted in tests/test_plans.py), not as a row filter.
+
+    The fixture parquet is unpartitioned, so the operator first lays
+    events out as ``day=YYYY-MM-DD/`` directories (once per session ×
+    sf_dir — at production scale this is the ingest layout, exactly like
+    the bucketed-table write above), then queries two of the days.
+    """
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, "events_by_day")
+    path = _PARTITIONED_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sskos-events-day-") + "/events"
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("day", F.date_trunc("day", "ts").cast("date"))
+            .write.partitionBy("day")
+            .parquet(path)
+        )
+        _PARTITIONED_CACHE[key] = path
+    e = spark.read.parquet(path)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.where(
+            F.col("day").between(F.lit("2024-01-03"), F.lit("2024-01-04"))
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n"), F.sum(k.cast("long")).alias("sum_k"))
+    )
+
+
+_PARTITIONED_CACHE: dict[tuple[str, str, str], str] = {}

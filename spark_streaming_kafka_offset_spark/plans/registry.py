@@ -118,6 +118,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_bucketed",
     "rollup_time",
     "rollup_hll",
+    "scan_partition_pruned",
     # rows-only SURVEY rows, streaming first
     "stream_tumbling",
     "stream_sliding",

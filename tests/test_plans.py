@@ -133,3 +133,14 @@ def test_bucketed_join_has_no_shuffle_exchange(spark):
     plan = executed_plan(df)
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_partition_pruning_skips_directories(spark):
+    """The day filter must prune at planning time: PartitionFilters on
+    the scan carries the day predicate and the row-level PushedFilters
+    does NOT re-check it (it's directory metadata, not data)."""
+    df = QUERIES["scan_partition_pruned"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "day" in seg

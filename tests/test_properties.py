@@ -304,3 +304,25 @@ def test_rollup_hll_estimates_close_to_exact(spark):
     assert approx.keys() == exact.keys()
     for key, est in approx.items():
         assert abs(est - exact[key]) <= max(2, 0.05 * exact[key]), (key, est, exact[key])
+
+
+def test_short_documents_do_not_crash_shingling(spark):
+    """ADVICE r1: docs with <k tokens made sequence(0, negative) descend
+    and element_at(.., 0) throw.  Guarded now — short docs must yield an
+    empty shingle set and pass through the whole minhash path."""
+    from spark_streaming_kafka_offset_spark.functions.text import (
+        _shingles,
+        minhash_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "single"), (3, ""), (4, "a b c d e"), (5, "a b c d e")],
+        "doc_id long, text string",
+    )
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh")).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in sh}
+    assert by_id[1] == [] and by_id[2] == [] and by_id[3] == []
+    assert len(by_id[4]) == 3
+    # full pipeline: the twin 5-token docs are the only candidate pair
+    pairs = minhash_candidates(docs).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(4, 5)}
