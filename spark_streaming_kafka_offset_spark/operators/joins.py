@@ -234,41 +234,69 @@ def asof_join(
     right: DataFrame,
     on: str,
     by: list[str],
+    direction: str = "backward",
+    tolerance: Column | None = None,
 ) -> DataFrame:
-    """Generic as-of join: for each left row, the latest right values with
-    ``right.on <= left.on`` within the same ``by`` keys (left join).
+    """Generic as-of join: for each left row, the nearest right values at
+    or before (``direction="backward"``) / at or after (``"forward"``)
+    the left row's ``on`` within the same ``by`` keys (left join).
 
     Spark has no native ASOF JOIN; the scalable formulation is the
     union+window trick: tag both sides, union, then ``last(col, True)``
     over ``(by ORDER BY on, side)`` rows-unbounded-preceding picks the most
     recent right value at or before each left row.  One shuffle on ``by``,
     no theta join, no row explosion — O(n log n) per key group and safe at
-    100 TB (vs the O(n·m) range-join alternative).
+    100 TB (vs the O(n·m) range-join alternative).  ``forward`` is the
+    same window over descending ``on``.
+
+    ``tolerance`` bounds the match gap (pandas ``merge_asof`` semantics):
+    a Column/literal comparable with ``left.on - right.on`` — a number
+    for numeric ``on``, ``F.expr("INTERVAL 1 HOUR")`` for timestamps.
+    Matches farther than the tolerance become NULLs, evaluated AFTER the
+    window (no extra shuffle).
 
     Column contract: ``left`` and ``right`` must not share payload names
     (rename first); right should be unique per ``(by, on)``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = [c for c in left.columns if c not in by and c != on]
     rcols = [c for c in right.columns if c not in by and c != on]
+    matched_on = "__asof_on"
     r = right.select(
         *by, on, F.lit(0).alias("__side"),
+        F.col(on).alias(matched_on),
         *rcols,
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
     )
     l = left.select(
         *by, on, F.lit(1).alias("__side"),
+        F.lit(None).cast(dict(right.dtypes)[on]).alias(matched_on),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in rcols],
         *lcols,
     )
+    order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .orderBy(order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = r.unionByName(l)
-    for c in rcols:
+    for c in (matched_on, *rcols):
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.where(F.col("__side") == 1).drop("__side")
+    out = out.where(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        gap = (
+            F.col(on) - F.col(matched_on)
+            if direction == "backward"
+            else F.col(matched_on) - F.col(on)
+        )
+        within = F.col(matched_on).isNotNull() & (gap <= tolerance)
+        for c in rcols:
+            out = out.withColumn(
+                c, F.when(within, F.col(c)).otherwise(F.lit(None))
+            )
+    return out.drop(matched_on)
 
 
 @register(

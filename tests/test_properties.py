@@ -326,3 +326,48 @@ def test_short_documents_do_not_crash_shingling(spark):
     # full pipeline: the twin 5-token docs are the only candidate pair
     pairs = minhash_candidates(docs).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(4, 5)}
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    rdata=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+    tol=st.integers(min_value=0, max_value=30),
+)
+@_SETTINGS
+def test_asof_forward_and_tolerance_match_bruteforce(spark, data, rdata, tol):
+    """direction='forward' + tolerance == brute-force nearest-after
+    within tol (pandas merge_asof semantics)."""
+    rmap = {}
+    for k, t, v in rdata:
+        rmap[(k, t)] = v
+    left = spark.createDataFrame(
+        [(k, t) for k, t in set(data)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rmap.items()] or [(99, 0, 0)],
+        "k long, t long, rv long",
+    )
+    out = asof_join(
+        left, right, on="t", by=["k"], direction="forward", tolerance=F.lit(tol)
+    ).collect()
+    got = {(r["k"], r["t"]): r["rv"] for r in out}
+    assert len(got) == len(set(data))
+    for k, t in set(data):
+        eligible = [rt for (rk, rt) in rmap if rk == k and t <= rt <= t + tol]
+        expected = rmap[(k, min(eligible))] if eligible else None
+        assert got[(k, t)] == expected, (k, t, tol)
