@@ -11,7 +11,9 @@ from .operators import (  # noqa: F401
     aggregates,
     analytics,
     joins,
+    pipeline,
     relational,
+    reshape,
     scale,
     setops,
     sorts,

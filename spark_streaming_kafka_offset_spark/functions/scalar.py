@@ -302,3 +302,38 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_number(F.lit("not a number"), F.lit("999")).cast("int").alias("bad_int"),
         F.try_to_number(F.lit("123"), F.lit("999")).cast("int").alias("good_int"),
     )
+
+
+@register(
+    "fn_null",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(masked)') AS seg_masked,
+           CAST(COALESCE(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, 0.0)
+                AS DOUBLE) AS bal_nonneg,
+           CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS was_null,
+           IFNULL(NULLIF(c_name, c_name), 'same') AS always_default
+    FROM customer
+    """,
+)
+def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: nullif / coalesce / ifnull / conditional
+    masking — the fill/default operations a cleaning pipeline applies
+    before training-shard export.  The fixtures contain no natural NULLs
+    (FIXTURES.md), so NULLs are manufactured with nullif/CASE and then
+    repaired, exercising both directions.  All scan-side expressions —
+    no shuffle, fully codegen'd."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(masked)")
+        ).alias("seg_masked"),
+        F.coalesce(
+            F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")), F.lit(0.0)
+        ).cast("double").alias("bal_nonneg"),
+        F.when(F.col("c_acctbal") < 0, 1).otherwise(0).alias("was_null"),
+        F.ifnull(F.nullif(F.col("c_name"), F.col("c_name")), F.lit("same")).alias(
+            "always_default"
+        ),
+    )

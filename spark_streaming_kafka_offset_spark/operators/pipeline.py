@@ -1,0 +1,146 @@
+"""§2 extension: training-data-pipeline table operators — the ingestion
+patterns every large-scale dataset build needs between "raw events" and
+"training shards": reproducible splits, CDC latest-record compaction, and
+batch sessionization.
+
+Scale notes (100 TB):
+
+* ``split_hash`` is a pure scan-side expression — no shuffle, no state,
+  and (unlike ``df.sample``) STABLE: the same row lands in the same split
+  on every run, engine, retry, and partition layout, because membership is
+  a function of the row's key alone.  This is the only defensible way to
+  cut train/val/test from 100 TB (a seeded ``sample`` changes membership
+  whenever partitioning changes).
+* ``latest_by_key`` is the standard CDC/upsert compaction: one shuffle on
+  the key, per-key sort, keep rank 1.  At scale this is exactly
+  ``max_by``-per-key; the window form keeps the whole row without a
+  self-join.
+* ``sessionize_batch`` shuffles once on ``user_id``; the gap-flag cumsum
+  and the per-session aggregate reuse the SAME partitioning (Catalyst
+  collapses the exchanges — asserted in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..common import dsum2
+from ..plans.registry import register
+from ..session import load_table
+
+#: Split boundaries on the first hex digit of md5(key): 16 buckets →
+#: 12/2/2 = 75% / 12.5% / 12.5%.  Hex digits sort '0'..'9' < 'a'..'f' in
+#: both engines (ASCII), so plain string comparison is portable.
+_SPLIT_CASE = "CASE WHEN {b} < 'c' THEN 'train' WHEN {b} < 'e' THEN 'val' ELSE 'test' END"
+
+
+@register(
+    "split_hash",
+    oracle=f"""
+    SELECT {_SPLIT_CASE.format(b="substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)")}
+               AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split of ``orders`` by hashed key,
+    summarized per split.  md5 (not xxhash64) because the split must be
+    engine-portable — the oracle reproduces the exact membership."""
+    o = load_table(spark, sf_dir, "orders")
+    b = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    split = (
+        F.when(b < "c", "train").when(b < "e", "val").otherwise("test")
+    ).alias("split")
+    return o.groupBy(split).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum2("o_totalprice", "total_price", precision=14),
+    )
+
+
+@register(
+    "latest_by_key",
+    oracle="""
+    SELECT user_id, ts, event_type, value FROM (
+        SELECT user_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: the most recent event per user (whole row), unique
+    tie-break on event_id.  One shuffle, rank-1 filter — Spark pushes the
+    ``rn = 1`` predicate into the window sort as a top-1 per key."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "sessionize_batch",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 30-minute inactivity gap: lag → gap
+    flag → running sum (the session number) → per-session stats.  The
+    streaming twin is ``stream_session`` (session_window); this is the
+    backfill/batch form every pipeline also needs.  Both windows and the
+    final aggregate share the ``user_id`` hash partitioning — one shuffle
+    total."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact gap (cast-to-long would truncate to seconds and disagree
+    # with the oracle's INTERVAL comparison on sub-second boundaries)
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

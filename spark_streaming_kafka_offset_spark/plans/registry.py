@@ -119,6 +119,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_time",
     "rollup_hll",
     "scan_partition_pruned",
+    "pivot_wide",
+    "unpivot_long",
+    "split_hash",
+    "latest_by_key",
+    "sessionize_batch",
+    "fn_null",
     # rows-only SURVEY rows, streaming first
     "stream_tumbling",
     "stream_sliding",

@@ -144,3 +144,36 @@ def test_partition_pruning_skips_directories(spark):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
     assert "day" in seg
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both windows and the final aggregate share the user_id hash
+    partitioning — exactly one exchange in the whole plan."""
+    df = QUERIES["sessionize_batch"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_pivot_has_no_discovery_pass_and_one_shuffle(spark):
+    """Explicit pivot values → a single conditional aggregate: one
+    exchange, partial+final HashAggregate, no extra distinct subplan."""
+    df = QUERIES["pivot_wide"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_unpivot_is_map_side_expand(spark):
+    df = QUERIES["unpivot_long"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Expand" in plan
+    # only the pivot aggregate's shuffle — the melt itself adds none
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_split_hash_has_no_shuffle_before_final_agg(spark):
+    """Split membership is scan-side; the only exchange is the 3-group
+    final aggregate."""
+    df = QUERIES["split_hash"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("Exchange") == 1, plan
