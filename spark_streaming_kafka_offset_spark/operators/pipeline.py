@@ -144,3 +144,37 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    GROUP BY source
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% per-stratum sample of documents, summarized per
+    source — the balanced-corpus downsampling step of a training-data
+    build.  Membership is a pure function of the row key (md5 bucket, as
+    in ``split_hash``), so the sample is identical across runs, engines,
+    retries, and partition layouts — unlike ``df.sampleBy``, whose seeded
+    Bernoulli draw changes with partitioning.  Scan-side filter (no
+    shuffle) + one tiny aggregate; at 100 TB the filter rides the parquet
+    scan and sampled rows never leave the executor that read them."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        d.where(bucket.isin("0", "1", "2", "3"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

@@ -125,6 +125,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "latest_by_key",
     "sessionize_batch",
     "fn_null",
+    "dedup_ngram_jaccard",
+    "agg_cube",
+    "sample_stratified",
     # rows-only SURVEY rows, streaming first
     "stream_tumbling",
     "stream_sliding",

@@ -177,3 +177,12 @@ def test_split_hash_has_no_shuffle_before_final_agg(spark):
     df = QUERIES["split_hash"](spark, SF_DIR)
     plan = executed_plan(df)
     assert plan.count("Exchange") == 1, plan
+
+
+def test_ngram_jaccard_is_blocked_equi_join(spark):
+    """The pair join must key on the length bucket (equi-join), never a
+    cartesian/nested-loop over all pairs."""
+    df = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
