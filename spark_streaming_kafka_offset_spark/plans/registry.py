@@ -140,6 +140,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_offset_ledger",
     "stream_rate_limit",
     "stream_rollup_upsert",
+    "stream_dedup_corpus",
     "source_kafka",
     "source_file_stream",
     "sink_parquet",

@@ -443,3 +443,34 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@register("stream_dedup_corpus")
+def stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming stream against a STATIC historical corpus — the
+    LLM-ingestion shape: drop records whose fingerprint already exists in
+    the ingested-corpus ledger, keep only genuinely new ones.
+
+    Here the ledger is the subset of event ids ≡ 0 (mod 3) ("already
+    ingested"); the stream left-anti-joins it per micro-batch.  Contrast
+    with ``stream_dedup`` (within-stream retransmission dedup, watermark
+    state): corpus dedup needs NO stream state at all — the static side
+    is broadcast per micro-batch, so nothing accumulates.
+
+    At 100 TB the ledger does not broadcast; the production forms, in
+    preference order: (1) a bloom filter built offline from the ledger,
+    broadcast (bits, not rows) with exact anti-join only on bloom hits;
+    (2) a bucketed storage-backed anti-join co-partitioned with the
+    stream's shuffle.  The micro-batch plan shape is identical."""
+    src = read_event_stream(spark, stage_stream_dir(spark, sf_dir))
+    ledger = F.broadcast(
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 3 == 0)
+        .select(F.col("event_id").alias("ingested_id"))
+    )
+    fresh = src.join(
+        ledger, src.event_id == ledger.ingested_id, "left_anti"
+    )
+    agg = fresh.groupBy("event_type").agg(F.count("*").alias("n_new"))
+    out = run_to_completion(agg, "stream_dedup_corpus", "complete")
+    return out.orderBy("event_type")

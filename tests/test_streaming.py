@@ -223,3 +223,21 @@ def test_stream_rollup_upsert_equals_batch_rollup(spark):
     )
     batch = sorted(map(tuple, qs["rollup_time"](spark, SF_DIR).collect()))
     assert streamed == batch
+
+
+def test_stream_dedup_corpus_equals_batch_anti_join(spark):
+    """Corpus dedup must keep exactly the events whose id is NOT in the
+    static ledger (ids ≡ 0 mod 3), matching the batch anti-join."""
+    streamed = {
+        (r["event_type"]): r["n_new"]
+        for r in QUERIES["stream_dedup_corpus"](spark, SF_DIR).collect()
+    }
+    e = _batch_events(spark)
+    batch = {
+        r["event_type"]: r["n"]
+        for r in e.where(F.col("event_id") % 3 != 0)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert streamed == batch
