@@ -593,10 +593,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH sets AS (
+#: Shared oracle CTE: the blocked Jaccard pair set (see
+#: dedup_ngram_jaccard for semantics) — reused by the cluster oracle.
+_JACCARD_PAIRS_SQL = """
+    sets AS (
       SELECT doc_id,
              len(string_split(text, ' ')) // 8 AS blk,
              list_distinct(
@@ -606,7 +606,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                       string_split(text, ' ')[i+2])) AS sh
       FROM documents
       WHERE len(string_split(text, ' ')) >= 3
-    )
+    ), pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
            CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
@@ -615,28 +615,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.blk = b.blk AND a.doc_id < b.doc_id
     WHERE 2 * len(list_intersect(a.sh, b.sh))
           >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (Jaccard ≥ 0.5) within
-    length-bucket blocks — the third dedup family (exact set similarity)
-    next to MinHash-LSH (approximate) and SimHash (bitwise).
+    )"""
 
-    Semantics: 3-token shingle sets; candidate pairs are blocked on
-    ``n_tokens div 8`` (a Jaccard ≥ 0.5 pair has token counts within 2×
-    of each other, so near-dups land in the same or adjacent buckets —
-    the operator's declared contract is same-bucket, mirrored exactly by
-    the oracle).  The similarity test is INTEGER-only
-    (``2·|A∩B| ≥ |A∪B|``): no float division, so the oracle hash can
-    never drift on rounding.
 
-    Scale: the block key bounds the self-join — each bucket joins only
-    with itself (equi-join on ``blk``, one shuffle per side), never an
-    unblocked cross product.  At 100 TB the same verify runs against
-    LSH-band candidates instead of length buckets (``dedup_minhash``);
-    this operator IS that verify step with an oracle-checkable blocking
-    rule."""
-    d = load_table(spark, sf_dir, "documents")
+def ngram_jaccard_pairs(d: DataFrame) -> DataFrame:
+    """Blocked exact-Jaccard near-dup pairs (id_a < id_b) — see
+    dedup_ngram_jaccard for the declared semantics and scale notes."""
     toks = F.split(F.col("text"), " ")
     sets = d.where(F.size(toks) >= 3).select(
         "doc_id",
@@ -671,3 +655,115 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             union.cast("long").alias("n_union"),
         )
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_SQL}
+    SELECT id_a, id_b, n_inter, n_union FROM pairs
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (Jaccard ≥ 0.5) within
+    length-bucket blocks — the third dedup family (exact set similarity)
+    next to MinHash-LSH (approximate) and SimHash (bitwise).
+
+    Semantics: 3-token shingle sets; candidate pairs are blocked on
+    ``n_tokens div 8`` (a Jaccard ≥ 0.5 pair has token counts within 2×
+    of each other, so near-dups land in the same or adjacent buckets —
+    the operator's declared contract is same-bucket, mirrored exactly by
+    the oracle).  The similarity test is INTEGER-only
+    (``2·|A∩B| ≥ |A∪B|``): no float division, so the oracle hash can
+    never drift on rounding.
+
+    Scale: the block key bounds the self-join — each bucket joins only
+    with itself (equi-join on ``blk``, one shuffle per side), never an
+    unblocked cross product.  At 100 TB the same verify runs against
+    LSH-band candidates instead of length buckets (``dedup_minhash``);
+    this operator IS that verify step with an oracle-checkable blocking
+    rule."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_SQL},
+    edges AS (
+      SELECT id_a AS s, id_b AS t FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT s AS node, t AS other FROM edges
+      UNION
+      SELECT r.node, e.t FROM reach r JOIN edges e ON r.other = e.s
+    )
+    SELECT node AS doc_id,
+           CAST(LEAST(node, MIN(other)) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN node <= MIN(other) THEN 1 ELSE 0 END AS BIGINT)
+               AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: connected components over the Jaccard
+    pair graph — the step that turns pairwise matches into dedup groups
+    (keep ``is_canonical``, drop the rest).
+
+    Algorithm: hash-to-min label propagation.  Every node starts with
+    label = min(self, neighbors); each round propagates the smallest
+    label one hop (edges ⋈ labels, min per node) until no label changes.
+    Converges in O(log diameter) rounds; near-dup components are tiny
+    (pairs/triples), so 2-3 rounds in practice.  Each round is ONE
+    shuffle on the node id; per-round convergence check is a count on
+    the changed-label set (a deliberate scalar driver action — this is
+    an iterative algorithm, the loop lives on the driver by design, as
+    in GraphX/Pregel).  Intermediate labels are ``stage``d so lineage
+    does not grow with iterations (prod: staged table, common.stage).
+
+    The oracle is an independent formulation — DuckDB recursive-CTE
+    transitive closure (O(n·m), fine at fixture scale, NOT the scale
+    algorithm) — so the parity check validates the propagation against
+    closed-form reachability."""
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        F.when(F.col("node") == F.col("lbl"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_canonical"),
+    )
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Hash-to-min connected components over an undirected pair list
+    (columns ``id_a``/``id_b``) → (node, lbl) where ``lbl`` is the
+    component's minimum node id.  See dedup_clusters for scale notes."""
+    fwd = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
+    edges = stage(fwd.union(fwd.select(F.col("t").alias("s"), F.col("s").alias("t"))))
+    labels = (
+        edges.groupBy("s")
+        .agg(F.least(F.first("s"), F.min("t")).alias("lbl"))
+        .select(F.col("s").alias("node"), "lbl")
+    )
+    for _ in range(max_rounds):
+        labels = stage(labels)
+        msgs = edges.join(labels, edges.s == labels.node).select(
+            F.col("t").alias("node"), "lbl"
+        )
+        new_labels = stage(
+            labels.union(msgs).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") < F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")

@@ -126,6 +126,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sessionize_batch",
     "fn_null",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "agg_cube",
     "sample_stratified",
     # rows-only SURVEY rows, streaming first

@@ -371,3 +371,29 @@ def test_asof_forward_and_tolerance_match_bruteforce(spark, data, rdata, tol):
         eligible = [rt for (rk, rt) in rmap if rk == k and t <= rt <= t + tol]
         expected = rmap[(k, min(eligible))] if eligible else None
         assert got[(k, t)] == expected, (k, t, tol)
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A ~ B and B ~ C (but A !~ C directly) must land in ONE cluster:
+    label propagation is transitive, unlike the raw pair list."""
+    from spark_streaming_kafka_offset_spark.functions.text import (
+        ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta".split()
+    a = " ".join(base)
+    b = " ".join(base[2:] + ["iota", "kappa"])       # overlaps a
+    c = " ".join(base[4:] + ["iota", "kappa", "lam", "mu"])  # overlaps b
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, "unrelated words entirely distinct here")],
+        "doc_id long, text string",
+    )
+    from spark_streaming_kafka_offset_spark.functions.text import (
+        connected_components,
+    )
+
+    pairs_df = ngram_jaccard_pairs(docs)
+    pairs = {(r["id_a"], r["id_b"]) for r in pairs_df.collect()}
+    assert (1, 3) not in pairs  # chain, not a clique
+    got = {r["node"]: r["lbl"] for r in connected_components(pairs_df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}, got
