@@ -337,3 +337,37 @@ def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             "always_default"
         ),
     )
+
+
+@register(
+    "fn_fuzzy",
+    oracle="""
+    SELECT c_custkey, c_name, probe,
+           levenshtein(lower(c_name), probe) AS edit_dist
+    FROM customer
+    CROSS JOIN (VALUES ('customer#000000001'), ('customer#000000100'),
+                       ('custmer#00000001')) AS probes(probe)
+    WHERE levenshtein(lower(c_name), probe) <= 3
+    """,
+)
+def fn_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: edit-distance lookup of a small probe list
+    against customer names (typo-tolerant entity matching).  The probe
+    side is a 3-row literal table — broadcast, so the "cross join" is a
+    map-side nested loop over a constant; the fact side never shuffles.
+    At 100 TB the same shape holds for any small dirty-name probe list;
+    large-vs-large fuzzy join needs blocking first (see
+    dedup_ngram_jaccard for the blocked-similarity pattern)."""
+    c = load_table(spark, sf_dir, "customer")
+    probes = F.broadcast(
+        c.sparkSession.createDataFrame(
+            [("customer#000000001",), ("customer#000000100",), ("custmer#00000001",)],
+            "probe string",
+        )
+    )
+    dist = F.levenshtein(F.lower(F.col("c_name")), F.col("probe"))
+    return (
+        c.crossJoin(probes)
+        .where(dist <= 3)
+        .select("c_custkey", "c_name", "probe", dist.alias("edit_dist"))
+    )

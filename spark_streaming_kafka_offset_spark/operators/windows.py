@@ -165,3 +165,39 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 3)
     )
+
+
+@register(
+    "win_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+           NTH_VALUE(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family: percent_rank / cume_dist /
+    first_value / nth_value per customer.  The rational outputs
+    ((rank-1)/(n-1), rank/n) are IEEE divisions of identical integers in
+    both engines — bit-identical, so deliberately NOT rounded (rounding
+    could only introduce divergence).  nth_value needs the full-partition
+    frame (default frame stops at CURRENT ROW and yields NULL until row
+    2 — classic trap, mirrored explicitly in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_key"),
+    )

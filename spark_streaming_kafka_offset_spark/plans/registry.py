@@ -129,6 +129,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "agg_cube",
     "sample_stratified",
+    "win_distribution",
+    "fn_fuzzy",
     # rows-only SURVEY rows, streaming first
     "stream_tumbling",
     "stream_sliding",
