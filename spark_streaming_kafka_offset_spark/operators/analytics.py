@@ -224,3 +224,37 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(purchased.cast("long")).alias("purchased_after_click"),
         F.max("max_k").alias("max_k"),
     )
+
+
+#: Correlated form of "orders priced > 1.5× their customer's average",
+#: written in EXACT arithmetic: price > 1.5·avg ⟺ 2·price·cnt > 3·sum
+#: (both sides × 2·cnt > 0).  A float AVG comparison would put boundary
+#: rows one ulp apart between engines; decimal sums and integer
+#: multiplication are exact in both.
+_SUB_CORRELATED_SQL = """
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(14,2)), 2) AS DOUBLE)
+               AS totalprice
+    FROM orders o
+    WHERE 2 * CAST(o.o_totalprice AS DECIMAL(14,2))
+            * (SELECT COUNT(*) FROM orders i
+               WHERE i.o_custkey = o.o_custkey)
+          > 3 * (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(14,2)))
+                 FROM orders i
+                 WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+@register("sub_correlated", oracle=_SUB_CORRELATED_SQL)
+def sub_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries through the SQL parser path: orders
+    priced >1.5× their customer's average (exact-arithmetic form, see
+    _SUB_CORRELATED_SQL).  Catalyst DECORRELATES this into aggregates +
+    equi-joins — no per-row subquery execution (the naive reading is
+    O(n) subqueries; the decorrelated plan is one aggregate and one join
+    per subquery, same as the hand-written form — asserted in
+    tests/test_plans.py).  The oracle is the identical SQL — DuckDB
+    decorrelates too (Neumann/Kemper unnesting), so both engines run an
+    efficient plan while the parity check pins the semantics."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SUB_CORRELATED_SQL)

@@ -131,6 +131,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_stratified",
     "win_distribution",
     "fn_fuzzy",
+    "sub_correlated",
     # rows-only SURVEY rows, streaming first
     "stream_tumbling",
     "stream_sliding",
@@ -149,6 +150,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sink_parquet",
     "sink_foreachbatch",
     "sink_memory",
+    "sink_compacted",
     "scan_csv_json",
     "agg_approx_distinct",
     "dedup_minhash",

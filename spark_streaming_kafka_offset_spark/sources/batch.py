@@ -94,3 +94,42 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     # Partition-pruned read-back: only the A directory is listed.
     return back.where(F.col("l_returnflag") == "A").orderBy("l_linestatus")
+
+
+@register("sink_compacted")  # rows-only: a write, not a query
+def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction sink — THE lake-sink failure mode at 100 TB:
+    a shuffle-heavy job ends with hundreds of partitions, so a naive write
+    emits hundreds of tiny files per table and downstream scans drown in
+    open/footer overhead.
+
+    The pattern: size the write layout explicitly —
+    ``repartition(target_files, key)`` immediately before the write (the
+    exchange doubles as the final shuffle, so it is not an extra pass)
+    plus ``maxRecordsPerFile`` as the safety bound.  Here 32 shuffle
+    partitions of lineitem are compacted to 4 output files; the returned
+    row reports the before/after file counts, asserted by pytest.
+
+    At 100 TB the target is files of 128 MB-1 GB (HDFS-block-ish);
+    with AQE, ``spark.sql.adaptive.coalescePartitions`` does the same
+    coalescing automatically for shuffle outputs, but an explicit
+    repartition keyed on the table's read pattern also CLUSTERS the data
+    (all rows of one key in one file → row-group pruning downstream)."""
+    base = tempfile.mkdtemp(prefix="sskos_compact_")
+    naive_dir = os.path.join(base, "naive")
+    compact_dir = os.path.join(base, "compacted")
+    l = load_table(spark, sf_dir, "lineitem").repartition(32, "l_orderkey")
+    proj = l.select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    proj.write.mode("overwrite").parquet(naive_dir)
+    proj.repartition(4, "l_orderkey").write.mode("overwrite").option(
+        "maxRecordsPerFile", 500_000
+    ).parquet(compact_dir)
+
+    def _count_parquet(d: str) -> int:
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    n_rows = spark.read.parquet(compact_dir).count()
+    return spark.createDataFrame(
+        [(_count_parquet(naive_dir), _count_parquet(compact_dir), n_rows)],
+        "naive_files int, compacted_files int, n_rows bigint",
+    )

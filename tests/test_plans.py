@@ -186,3 +186,13 @@ def test_ngram_jaccard_is_blocked_equi_join(spark):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sub_correlated_is_decorrelated(spark):
+    """The correlated scalar subqueries must compile to aggregate+join,
+    never per-row subquery execution or a cartesian."""
+    df = QUERIES["sub_correlated"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), plan

@@ -397,3 +397,10 @@ def test_dedup_clusters_transitive_chain(spark):
     assert (1, 3) not in pairs  # chain, not a clique
     got = {r["node"]: r["lbl"] for r in connected_components(pairs_df).collect()}
     assert got == {1: 1, 2: 1, 3: 1}, got
+
+
+def test_sink_compacted_reduces_file_count(spark):
+    row = entrymod.queries()["sink_compacted"](spark, SF_DIR).collect()[0]
+    assert row["naive_files"] == 32
+    assert row["compacted_files"] == 4
+    assert row["n_rows"] > 0
