@@ -76,16 +76,39 @@ def stage(df, mode: str | None = None):
 
     ``$SSKOS_STAGE_MODE`` flips the default so the same code path is
     testable both ways (tests/test_properties.py exercises ``table``).
+
+    Scratch hygiene: all staged parquet lives under ONE per-process
+    scratch root (per ``$SSKOS_STAGE_DIR`` base) that is removed at
+    interpreter exit, so long-lived sessions don't leak a directory per
+    stage() call.
     """
     import os
-    import tempfile
 
     mode = mode or os.environ.get("SSKOS_STAGE_MODE", "local")
     if mode == "table":
-        base = os.environ.get("SSKOS_STAGE_DIR") or tempfile.mkdtemp(
-            prefix="sskos-stage-"
-        )
-        path = tempfile.mkdtemp(dir=base, prefix="t") + "/stage.parquet"
+        path = scratch_path("stage") + "/stage.parquet"
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
     return df.localCheckpoint()
+
+
+#: Per-process scratch roots, keyed by the $SSKOS_STAGE_DIR base in effect
+#: when first used (tests monkeypatch the base per-test).  Every root is
+#: rmtree'd via atexit — the fix for the one-leaked-dir-per-stage() pattern.
+_SCRATCH_ROOTS: dict[str, str] = {}
+
+
+def scratch_path(prefix: str) -> str:
+    """A fresh subdirectory under the session-lifetime scratch root."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    base = os.environ.get("SSKOS_STAGE_DIR", "")
+    root = _SCRATCH_ROOTS.get(base)
+    if root is None:
+        root = tempfile.mkdtemp(dir=base or None, prefix="sskos-scratch-")
+        _SCRATCH_ROOTS[base] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tempfile.mkdtemp(dir=root, prefix=prefix)

@@ -146,6 +146,52 @@ def sample_frames(media: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_meta",
+    # The media table is synthesized deterministically from documents
+    # (payload = utf-8 text bytes, dims from doc_id arithmetic), so a
+    # metadata-only media query has an exact DuckDB twin over documents.
+    # This is the oracle row for the multimodal family: it proves the
+    # metadata path (the ONLY relational path — payload bytes stay
+    # unopened) computes the same sizes/dims/content-hashes both engines.
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MIN(doc_id % 640 + 64) AS INTEGER) AS min_w,
+           CAST(MAX(doc_id % 480 + 48) AS INTEGER) AS max_h,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique
+    FROM documents
+    WHERE octet_length(encode(text)) > 100
+    GROUP BY 1
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media analytics: per-type doc counts, byte totals,
+    dimension ranges, and distinct content hashes — without ever
+    referencing the payload column.
+
+    At 100 TB this plan moves a few dozen bytes per row (type string,
+    int dims, 32-byte sha) through one partial+final aggregate; Tungsten
+    never materializes the binary cells because no expression touches
+    them — the core contract of the multimodal column design."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.where(F.col("meta.n_bytes") > 100)
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("meta.n_bytes")).cast("bigint").alias("total_bytes"),
+            F.min("meta.width").alias("min_w"),
+            F.max("meta.height").alias("max_h"),
+            F.countDistinct("meta.sha").alias("n_unique"),
+        )
+        .orderBy("media_type")
+    )
+
+
 @register("multimodal_transform")
 def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize the images, frame-sample the videos — the two canonical

@@ -226,10 +226,17 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is still built and probed (create_map / element_at / map_keys); all
     # outputs are serialized to scalars.  create_map preserves insertion
     # order, so to_json / array_join are deterministic.
+    #
+    # Oracle JSON is built with DuckDB's to_json on each VALUE (quote-
+    # escaping matches Spark's) and COALESCE(...,'null') because Spark's
+    # to_json(map) emits `"k":null` for a NULL map value (verified) while
+    # bare '||' would NULL-propagate the whole string.
     oracle="""
     SELECT event_id,
-           '{"type":"' || event_type || '","k":"'
-             || json_extract_string(props, '$.k') || '"}' AS props_json,
+           '{"type":' || COALESCE(to_json(event_type), 'null')
+             || ',"k":'
+             || COALESCE(to_json(json_extract_string(props, '$.k')), 'null')
+             || '}' AS props_json,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
            'type,k' AS keys_csv
     FROM events

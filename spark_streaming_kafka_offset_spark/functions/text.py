@@ -244,13 +244,16 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("source", "token").agg(F.count("*").alias("tf"))
     df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar, driver-side by design (one long)
-    scored = tf.join(F.broadcast(df), "token").select(
+    # n_docs as a broadcast 1-row aggregate frame (NOT a driver-side
+    # d.count()): the whole query stays one lazy plan with no eager job
+    # in the build path; the cross join is 1-row-broadcast, cost-free.
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = tf.join(F.broadcast(df), "token").crossJoin(F.broadcast(n)).select(
         "source",
         "token",
         (
             F.floor(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 10000
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 10000
             )
             / 10000
         ).alias("tfidf"),
@@ -512,8 +515,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Join carries ids only (a template-heavy corpus skews band buckets —
     # sf0.1 measured 236k raw collisions for 5k docs), pairs are distinct'd
-    # BEFORE verify, and the signature lookup is a broadcast (the sig table
-    # is docs-sized, trivially under the broadcast threshold per block).
+    # BEFORE verify.  The signature lookups are deliberately UNHINTED: the
+    # sig table is corpus-sized (16 B/doc -> tens of GB at 10^9+ docs), so
+    # a broadcast would OOM the driver at scale.  Candidates are pair-sized,
+    # so a plain shuffle hash join on the id key is output-sized work and
+    # Catalyst may still choose broadcast on its own when the side is tiny.
     left = bands.select(F.col("doc_id").alias("id_a"), "band", "band_val")
     right = bands.select(F.col("doc_id").alias("id_b"), "band", "band_val")
     pairs = (
@@ -522,8 +528,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    sig_a = F.broadcast(sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")))
-    sig_b = F.broadcast(sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")))
+    sig_a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         pairs.join(sig_a, "id_a")
@@ -712,12 +718,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph — the step that turns pairwise matches into dedup groups
     (keep ``is_canonical``, drop the rest).
 
-    Algorithm: hash-to-min label propagation.  Every node starts with
-    label = min(self, neighbors); each round propagates the smallest
-    label one hop (edges ⋈ labels, min per node) until no label changes.
-    Converges in O(log diameter) rounds; near-dup components are tiny
-    (pairs/triples), so 2-3 rounds in practice.  Each round is ONE
-    shuffle on the node id; per-round convergence check is a count on
+    Algorithm: hash-to-min label propagation WITH pointer jumping.
+    Every node starts with label = min(self, neighbors); each round
+    propagates the smallest label one hop (edges ⋈ labels, min per
+    node) and then shortcuts through the label graph (adopt the label's
+    label), which is what actually delivers O(log diameter) rounds —
+    near-dup components are tiny (pairs/triples), so 2-3 rounds in
+    practice.  Each round is two shuffles on the node id (hop + jump);
+    per-round convergence check is a count on
     the changed-label set (a deliberate scalar driver action — this is
     an iterative algorithm, the loop lives on the driver by design, as
     in GraphX/Pregel).  Intermediate labels are ``stage``d so lineage
@@ -738,10 +746,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
-    """Hash-to-min connected components over an undirected pair list
-    (columns ``id_a``/``id_b``) → (node, lbl) where ``lbl`` is the
-    component's minimum node id.  See dedup_clusters for scale notes."""
+def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Hash-to-min + pointer-jumping connected components over an
+    undirected pair list (columns ``id_a``/``id_b``) → (node, lbl) where
+    ``lbl`` is the component's minimum node id.
+
+    Each round does TWO propagation steps: (1) one-hop min over the edge
+    graph (edges ⋈ labels, min per node), then (2) a pointer-jumping
+    shortcut through the LABEL graph — every node also adopts the label
+    of its current label (labels self-join on lbl == node).  Step 2 is
+    what makes convergence O(log diameter): label chains halve every
+    round (path-doubling), so a d-hop chain resolves in ~log2(d) rounds
+    instead of d (verified by tests/test_properties.py on a 33-hop
+    chain).  max_rounds=25 therefore covers components of diameter
+    ~2^25 — unreachable in practice; the RuntimeError is a corruption
+    guard, not a real ceiling.  See dedup_clusters for scale notes."""
     fwd = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
     edges = stage(fwd.union(fwd.select(F.col("t").alias("s"), F.col("s").alias("t"))))
     labels = (
@@ -754,9 +773,22 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         msgs = edges.join(labels, edges.s == labels.node).select(
             F.col("t").alias("node"), "lbl"
         )
-        new_labels = stage(
-            labels.union(msgs).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        hop = labels.union(msgs).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        # Pointer jump: adopt the label of the label (lbl is a node id,
+        # and its own label is ≤ it).  Left join + coalesce guards the
+        # round-0 case where a min label has no row yet.
+        jumped = (
+            hop.join(
+                hop.select(F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")),
+                "lbl",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("lbl2", F.col("lbl"))).alias("lbl"),
+            )
         )
+        new_labels = stage(jumped)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -330,6 +330,39 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof_fwd",
+    # DuckDB's ASOF direction is set by the comparison operator: `<=`
+    # selects the NEAREST right row at-or-after the left ts — the exact
+    # twin of direction="forward".
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.ts, p.value, c.click_ts
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts <= c.click_ts
+    """,
+)
+def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each purchase, the user's EARLIEST click at
+    or after it — the "next event" lookup (follow-up attribution), the
+    mirror of join_asof's "latest prior event".  Same single-shuffle
+    union-window plan; only the frame direction flips."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases, clicks, on="ts", by=["user_id"], direction="forward"
+    ).select("user_id", "ts", "value", "click_ts")
+
+
 _PERIODS_SQL = """(VALUES ('wk1', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
                           ('wk2', TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15'),
                           ('mid', TIMESTAMP '2024-01-10', TIMESTAMP '2024-01-20'),

@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 from ..plans.registry import register
 from ..session import load_table
 
+from ..common import scratch_path
+
 _SALT = 8  #: sub-splits per hot key; sized to the worst observed skew
 
 
@@ -95,7 +97,7 @@ def _bucketed_table(
         (
             load_table(spark, sf_dir, name)
             .write.mode("overwrite")
-            .option("path", tempfile.mkdtemp(prefix=f"sskos-{tbl}-") + "/data")
+            .option("path", scratch_path(f"sskos-{tbl}-") + "/data")
             .bucketBy(buckets, key)
             .sortBy(key)
             .saveAsTable(tbl)
@@ -250,7 +252,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "events_by_day")
     path = _PARTITIONED_CACHE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="sskos-events-day-") + "/events"
+        path = scratch_path("sskos-events-day-") + "/events"
         (
             load_table(spark, sf_dir, "events")
             .withColumn("day", F.date_trunc("day", "ts").cast("date"))

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from ..plans.registry import register
 from ..session import load_table
 
+from ..common import scratch_path
+
 
 @register(
     "scan_parquet",
@@ -62,7 +64,7 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     retype a column).  No csv/json fixture ships, so this writes a tiny
     deterministic file pair to a temp dir and reads it back through the
     real readers: the point is the reader surface, not the data."""
-    tmp = tempfile.mkdtemp(prefix="sskos_csv_json_")
+    tmp = scratch_path("sskos_csv_json_")
     csv_path, json_path = os.path.join(tmp, "t.csv"), os.path.join(tmp, "t.json")
     with open(csv_path, "w") as f:
         f.write("id,name,score\n1,alpha,0.5\n2,beta,1.5\n3,gamma,2.5\n")
@@ -85,7 +87,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch one directory (partition pruning), and each of the 32 write
     tasks emits at most |flags| files.  At 100 TB the same code writes a
     date/key-partitioned lake table."""
-    out = os.path.join(tempfile.mkdtemp(prefix="sskos_sink_"), "by_flag")
+    out = os.path.join(scratch_path("sskos_sink_"), "by_flag")
     l = load_table(spark, sf_dir, "lineitem")
     agg = l.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows")
@@ -115,7 +117,7 @@ def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalescing automatically for shuffle outputs, but an explicit
     repartition keyed on the table's read pattern also CLUSTERS the data
     (all rows of one key in one file → row-group pruning downstream)."""
-    base = tempfile.mkdtemp(prefix="sskos_compact_")
+    base = scratch_path("sskos_compact_")
     naive_dir = os.path.join(base, "naive")
     compact_dir = os.path.join(base, "compacted")
     l = load_table(spark, sf_dir, "lineitem").repartition(32, "l_orderkey")

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import register
 from ..session import load_table
+from ..common import scratch_path
 from ..streaming.core import (
     _EVENT_COLS,
     parse_kafka_events,
@@ -90,7 +91,7 @@ def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         src.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_path("ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

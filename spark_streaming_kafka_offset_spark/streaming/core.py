@@ -32,12 +32,34 @@ from pyspark.sql import functions as F
 from ..plans.registry import register
 from ..session import load_table
 
+from ..common import scratch_path
+
 EVENT_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
 _EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def kafka_options(
+    brokers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The exact option map a broker deployment receives — split out as a
+    pure function so the contract is unit-testable without a broker
+    (tests/test_streaming.py::test_kafka_option_contract)."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true",  # surface retention-expired offsets
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
 
 
 def kafka_source(
@@ -54,18 +76,15 @@ def kafka_source(
     the reference's bootstrap-from-stored-offsets [K]; after the first
     run the checkpoint WAL owns resume positions and this option is
     ignored, which is exactly the restart-safety the reference built by
-    hand.  Untestable here (no broker/jar — SURVEY.md §0); the file
-    source below substitutes in tests, sharing every downstream operator.
+    hand.  Unrunnable here (no broker/jar — SURVEY.md §0); the option
+    mapping is contract-tested, and the file source below substitutes in
+    tests, sharing every downstream operator.
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "true")  # surface retention-expired offsets
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_options(
+        brokers, topics, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()
 
 
@@ -112,7 +131,7 @@ def stage_stream_dir(
     tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=_EVENT_COLS)
     ts_us = pc.cast(tbl["ts"], pa.timestamp("us"), safe=False)
     tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_us)
-    stream_dir = tempfile.mkdtemp(prefix="sskos_stream_")
+    stream_dir = scratch_path("sskos_stream_")
     if late_chunk:
         # Chronologically earliest quarter into the last-discovered file.
         cut = pc.quantile(
@@ -248,7 +267,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     out = run_to_completion(
-        agg, "stream_watermark", "append", checkpoint=tempfile.mkdtemp(prefix="ckpt_")
+        agg, "stream_watermark", "append", checkpoint=scratch_path("ckpt_")
     )
     return _flatten_window(out).orderBy("window_start")
 
@@ -331,7 +350,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined,
         "stream_stream_join",
         "append",
-        checkpoint=tempfile.mkdtemp(prefix="ckpt_"),
+        checkpoint=scratch_path("ckpt_"),
     )
     return out.orderBy("purchase_id", "click_id")
 
@@ -355,7 +374,7 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         tagged.writeStream.foreachBatch(count_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_path("ckpt_"))
         .start()
     )
     q.awaitTermination()
@@ -384,7 +403,7 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = read_event_stream(
         spark, stage_stream_dir(spark, sf_dir), max_files_per_trigger=1
     )
-    store = tempfile.mkdtemp(prefix="sskos_rollup_store_")
+    store = scratch_path("sskos_rollup_store_")
 
     def _versions() -> list[str]:
         return sorted(
@@ -426,7 +445,7 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         src.writeStream.foreachBatch(merge)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_path("ckpt_"))
         .start()
     )
     q.awaitTermination()

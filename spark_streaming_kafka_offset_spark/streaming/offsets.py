@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from ..plans.registry import register
 from .core import read_event_stream, stage_stream_dir
 
+from ..common import scratch_path
+
 LEDGER_SCHEMA = (
     "group string, source string, batch_id long, n_rows long, "
     "min_event_id long, until_event_id long"
@@ -124,8 +126,8 @@ def stream_offset_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent ledgered sink; return the audit ledger (4 rows, gap-free,
     n_rows summing to the table row count)."""
     stream_dir = stage_stream_dir(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="sskos_ledger_")
+    root = scratch_path("sskos_ledger_")
     ledger = run_ledgered_stream(
-        spark, stream_dir, root, checkpoint=tempfile.mkdtemp(prefix="ckpt_")
+        spark, stream_dir, root, checkpoint=scratch_path("ckpt_")
     )
     return ledger.read_ledger(spark).orderBy("batch_id")

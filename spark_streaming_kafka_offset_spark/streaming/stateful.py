@@ -33,6 +33,8 @@ from pyspark.sql.window import Window
 from ..plans.registry import register
 from .core import read_event_stream, stage_stream_dir
 
+from ..common import scratch_path
+
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, n_purchases long"
 STATE_SCHEMA = "n_events long, total_value double, n_purchases long"
 
@@ -155,7 +157,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.writeStream.format("memory")
             .queryName("stream_stateful")
             .outputMode("update")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", scratch_path("ckpt_"))
             .trigger(availableNow=True)
             .start()
         )

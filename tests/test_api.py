@@ -26,7 +26,9 @@ def test_run_registered_query(eng):
 
 def test_keys_ordered_and_oracle_lookup(eng):
     ks = eng.keys()
-    assert ks[0] == "scan_parquet"  # driver-priority order
+    from spark_streaming_kafka_offset_spark.plans.registry import DRIVER_PRIORITY
+
+    assert tuple(ks) == DRIVER_PRIORITY  # driver-priority order
     assert eng.oracle("agg_hash") is not None
     assert eng.oracle("stream_tumbling") is None
 

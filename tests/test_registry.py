@@ -1,0 +1,47 @@
+"""Registry invariants — locks the driver-window evidence policy.
+
+The driver verifies only the first 50 registered queries, so the
+DRIVER_PRIORITY tuple IS the correctness-evidence policy.  These tests
+make policy drift loud: a new @register'd query that is not added to the
+tuple, a duplicate slot, or a non-oracle key inside the 50-slot window
+each fail immediately (ADVICE r2: nothing previously locked this).
+"""
+
+from __future__ import annotations
+
+from spark_streaming_kafka_offset_spark.plans.registry import (
+    DRIVER_PRIORITY,
+    ORACLE_SQL,
+    QUERIES,
+    ordered_queries,
+)
+
+WINDOW = 50
+
+
+def test_priority_covers_registry_exactly():
+    assert set(DRIVER_PRIORITY) == set(QUERIES), (
+        "DRIVER_PRIORITY and registered queries diverge: "
+        f"only-in-priority={sorted(set(DRIVER_PRIORITY) - set(QUERIES))}, "
+        f"unlisted-queries={sorted(set(QUERIES) - set(DRIVER_PRIORITY))}"
+    )
+
+
+def test_priority_has_no_duplicates():
+    assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY))
+
+
+def test_first_window_slots_are_all_oracle_backed():
+    not_oracle = [k for k in DRIVER_PRIORITY[:WINDOW] if k not in ORACLE_SQL]
+    assert not not_oracle, (
+        f"non-oracle keys inside the {WINDOW}-slot driver window would waste "
+        f"hard-signal slots: {not_oracle}"
+    )
+
+
+def test_every_oracle_key_is_registered():
+    assert set(ORACLE_SQL) <= set(QUERIES)
+
+
+def test_ordered_queries_order_matches_priority():
+    assert list(ordered_queries()) == list(DRIVER_PRIORITY)

@@ -241,3 +241,36 @@ def test_stream_dedup_corpus_equals_batch_anti_join(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_kafka_option_contract(spark):
+    """The exact reader options a broker deployment receives — the
+    subscribe/startingOffsets/failOnDataLoss/maxOffsetsPerTrigger mapping
+    — pinned without a broker.  Also proves kafka_source() wires those
+    options into a readStream.format("kafka") builder: with no connector
+    jar in the env, load() must fail with the unresolved-data-source
+    error (i.e. the options were accepted and the format string is
+    "kafka"), not an option error."""
+    import pytest
+
+    from spark_streaming_kafka_offset_spark.streaming.core import (
+        kafka_options,
+        kafka_source,
+    )
+
+    assert kafka_options("b1:9092,b2:9092", "events") == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+    }
+    per_partition = '{"events":{"0":42,"1":17}}'
+    opts = kafka_options(
+        "broker:9092", "events,clicks", per_partition, max_offsets_per_trigger=50000
+    )
+    assert opts["subscribe"] == "events,clicks"
+    assert opts["startingOffsets"] == per_partition
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+
+    with pytest.raises(Exception, match="(?i)kafka"):
+        kafka_source(spark, "broker:9092", "events")
