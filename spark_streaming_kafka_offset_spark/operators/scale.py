@@ -28,11 +28,12 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import register
 from ..session import load_table
 
-from ..common import scratch_path
+from ..common import dec2, round_dec, scratch_path
 
 _SALT = 8  #: sub-splits per hot key; sized to the worst observed skew
 
@@ -193,6 +194,73 @@ def rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("min_k").alias("min_k"),
             F.max("max_k").alias("max_k"),
         )
+    )
+
+
+@register(
+    "resample_locf",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS v
+      FROM events WHERE user_id % 10 = 0
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM agg GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    )
+    SELECT g.user_id, g.bucket,
+           COALESCE(a.n, 0) AS n_events,
+           last_value(a.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+    FROM grid g LEFT JOIN agg a
+      ON g.user_id = a.user_id AND g.bucket = a.bucket
+    """,
+)
+def resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per-user hourly value totals on a
+    DENSE hour grid (every hour between the user's first and last event),
+    missing buckets filled by last-observation-carried-forward — the
+    hypertable ``time_bucket_gapfill`` / ``locf`` pattern.
+
+    Scale shape: one aggregate to hourly granularity (the only pass over
+    raw events), a per-user ``sequence()`` explode to synthesize the
+    dense grid (output-sized: |users| × |hours|, independent of event
+    count), a left join back on (user, bucket), and one window for the
+    carry-forward — all partitioned on user_id, so the grid explode, the
+    join, and the window reuse a single shuffle.  At 100 TB the grid side
+    is millions of rows while events are billions: gap filling costs
+    ~nothing beyond the hourly rollup itself."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    agg = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        round_dec(F.sum(dec2("value")), 2).alias("v"),
+    )
+    bounds = agg.groupBy("user_id").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(agg, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).alias("v_locf"),
     )
 
 

@@ -78,20 +78,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q10_returned_items",
     "fn_array_ops",
     "set_union_all",
-    # Slots 25-29: new oracle rows this round.
+    # Slots 25-30: new oracle rows this round.
     "multimodal_meta",
     "join_asof_fwd",
     "pack_sequences",
     "chunk_documents",
     "sample_weighted",
-    # Slots 30-31: oracles/plans changed this round — need driver re-confirmation.
+    "resample_locf",
+    # Slots 31-33: oracles/plans changed this round — need driver re-confirmation.
     "fn_map",
     "text_tfidf",
-    # Slots 32-34: r2-green canaries (cross-round stability signal).
+    "dedup_exact",
+    # Slots 34-36: r2-green canaries (cross-round stability signal).
     "scan_parquet",
     "agg_hash",
     "q3_shipping_priority",
-    # Slots 35-50: r2-green backfill (already hard-confirmed in r2).
+    # Slots 37-50: r2-green backfill (already hard-confirmed in r2).
     "scan_pruned",
     "project_expr",
     "filter_pred",
@@ -106,12 +108,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_distinct",
     "agg_grouping_sets",
     "agg_percentile",
-    "win_rank",
-    "topk_per_group",
     # --- window boundary (50) ---
     # r2-green oracle rows outside the r3 window.
+    "win_rank",
+    "topk_per_group",
     "sort_multi",
-    "dedup_exact",
     "sim_topk_exact",
     "join_right",
     "join_full",
