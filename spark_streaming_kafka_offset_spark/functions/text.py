@@ -550,6 +550,45 @@ _BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  #: word | number | punct rune
 
 
 @register(
+    "vocab_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 50
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: global top-50 tokens by term frequency with
+    document frequency — the seed-vocab step of a tokenizer build (and
+    the stopword-candidate list of a quality pipeline).
+
+    Explode is scan-side; the aggregate is partial+final on the token
+    key; the top-k is TakeOrderedAndProject (no global sort).  At 100 TB
+    the combiner collapses each partition to its distinct tokens before
+    the shuffle, so wire volume is vocabulary-sized, not corpus-sized —
+    the (tf DESC, token) tie-break keeps the cut deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(50)
+    )
+
+
+@register(
     "text_tokens",
     oracle="""
     SELECT source,

@@ -178,3 +178,76 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+@register(
+    "merge_upsert",
+    # MERGE INTO expressed relationally: FULL OUTER JOIN base↔updates on
+    # the key, COALESCE per column, tag the action.  DuckDB twin uses the
+    # identical formulation, so equality proves the merge semantics
+    # (matched→update, unmatched-source→insert, unmatched-target→keep).
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_name,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey, c_name,
+             CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS bal
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'new-' || CAST(c_custkey AS VARCHAR),
+             CAST(0 AS DECIMAL(12,2))
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, b.c_name) AS c_name,
+           CAST(COALESCE(u.bal, b.bal) AS DOUBLE) AS c_acctbal,
+           CASE WHEN u.c_custkey IS NULL THEN 'keep'
+                WHEN b.c_custkey IS NULL THEN 'insert'
+                ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (upsert): apply an update set to a base table —
+    matched keys take the update's values, unmatched update rows insert,
+    untouched base rows carry through — tagged with the action taken.
+
+    This is the Delta/Iceberg ``MERGE`` re-expressed as a FULL OUTER
+    JOIN + per-column COALESCE, which is exactly what those engines
+    compile MERGE to before file rewriting; the streaming sibling
+    (stream_rollup_upsert) supplies the versioned-parquet commit.  At
+    100 TB: one shuffle on the merge key — or ZERO with a bucketed base
+    (join_bucketed's layout); update sets are typically small, so
+    Catalyst/AQE broadcasts them and the base never moves."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("decimal(12,2)").alias("bal")
+    )
+    upd = (
+        base.where(F.col("c_custkey") % 4 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("bal") + 100).cast("decimal(12,2)").alias("bal"),
+        )
+        .unionByName(
+            base.where(F.col("c_custkey") % 10 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.concat(F.lit("new-"), F.col("c_custkey").cast("string")).alias(
+                    "c_name"
+                ),
+                F.lit(0).cast("decimal(12,2)").alias("bal"),
+            )
+        )
+    )
+    b, u = base.alias("b"), upd.alias("u")
+    return b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"), "full").select(
+        F.coalesce("u.c_custkey", "b.c_custkey").alias("c_custkey"),
+        F.coalesce("u.c_name", "b.c_name").alias("c_name"),
+        F.coalesce("u.bal", "b.bal").cast("double").alias("c_acctbal"),
+        F.when(F.col("u.c_custkey").isNull(), "keep")
+        .when(F.col("b.c_custkey").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+    )

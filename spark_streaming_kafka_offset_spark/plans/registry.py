@@ -78,22 +78,24 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q10_returned_items",
     "fn_array_ops",
     "set_union_all",
-    # Slots 25-30: new oracle rows this round.
+    # Slots 25-32: new oracle rows this round.
     "multimodal_meta",
     "join_asof_fwd",
     "pack_sequences",
     "chunk_documents",
     "sample_weighted",
     "resample_locf",
-    # Slots 31-33: oracles/plans changed this round — need driver re-confirmation.
+    "merge_upsert",
+    "vocab_topk",
+    # Slots 33-35: oracles/plans changed this round — need driver re-confirmation.
     "fn_map",
     "text_tfidf",
     "dedup_exact",
-    # Slots 34-36: r2-green canaries (cross-round stability signal).
+    # Slots 36-38: r2-green canaries (cross-round stability signal).
     "scan_parquet",
     "agg_hash",
     "q3_shipping_priority",
-    # Slots 37-50: r2-green backfill (already hard-confirmed in r2).
+    # Slots 39-50: r2-green backfill (already hard-confirmed in r2).
     "scan_pruned",
     "project_expr",
     "filter_pred",
@@ -106,10 +108,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_anti",
     "join_asof",
     "agg_distinct",
-    "agg_grouping_sets",
-    "agg_percentile",
     # --- window boundary (50) ---
     # r2-green oracle rows outside the r3 window.
+    "agg_grouping_sets",
+    "agg_percentile",
     "win_rank",
     "topk_per_group",
     "sort_multi",
