@@ -439,3 +439,80 @@ def test_sink_compacted_reduces_file_count(spark):
     assert row["naive_files"] == 32
     assert row["compacted_files"] == 4
     assert row["n_rows"] > 0
+
+
+def test_pack_sequences_budget_invariant(spark):
+    """No shard exceeds budget + max-doc-tokens (a doc can straddle one
+    boundary but never skip a shard), shard ids per source are dense
+    from 0, and token totals are conserved."""
+    from spark_streaming_kafka_offset_spark.functions.training import (
+        _SHARD_BUDGET,
+    )
+    from spark_streaming_kafka_offset_spark.session import load_table
+
+    rows = QUERIES["pack_sequences"](spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    max_doc = d.select(
+        F.max(F.size(F.split("text", " "))).alias("m")
+    ).collect()[0]["m"]
+    total_tokens = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["shard_tokens"] for r in rows) == total_tokens
+    by_source = {}
+    for r in rows:
+        assert r["shard_tokens"] <= _SHARD_BUDGET + max_doc
+        by_source.setdefault(r["source"], set()).add(r["shard"])
+    for src, shards in by_source.items():
+        assert shards == set(range(len(shards))), (src, shards)
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Chunks tile each document: starts step by the stride from 0, the
+    final chunk reaches the last token, and consecutive chunks overlap
+    by chunk_len - stride (when a next chunk exists)."""
+    from spark_streaming_kafka_offset_spark.functions.training import (
+        _CHUNK_LEN,
+        _CHUNK_STRIDE,
+    )
+
+    rows = QUERIES["chunk_documents"](spark, SF_DIR).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_start"])
+        starts = [c["chunk_start"] for c in chunks]
+        assert starts == [i * _CHUNK_STRIDE for i in range(len(starts))]
+        n_tokens = starts[-1] + chunks[-1]["chunk_len"]
+        # every token index < n_tokens is inside some [start, start+len)
+        covered = set()
+        for c in chunks:
+            assert len(c["chunk_text"].split(" ")) == c["chunk_len"]
+            covered.update(range(c["chunk_start"], c["chunk_start"] + c["chunk_len"]))
+        assert covered == set(range(n_tokens)), doc_id
+
+
+def test_merge_upsert_action_counts(spark):
+    """update count = |custkey%4==0|, insert count = |custkey%10==0|,
+    output size = |base| + inserts, and updated rows carry bal+100."""
+    from spark_streaming_kafka_offset_spark.session import load_table
+
+    rows = QUERIES["merge_upsert"](spark, SF_DIR).collect()
+    base = {
+        r["c_custkey"]: r["c_acctbal"]
+        for r in load_table(spark, SF_DIR, "customer").collect()
+    }
+    n_upd = sum(1 for k in base if k % 4 == 0)
+    n_ins = sum(1 for k in base if k % 10 == 0)
+    actions = {}
+    for r in rows:
+        actions[r["action"]] = actions.get(r["action"], 0) + 1
+        if r["action"] == "update":
+            assert abs(r["c_acctbal"] - (round(base[r["c_custkey"]], 2) + 100)) < 1e-9
+        elif r["action"] == "insert":
+            assert r["c_custkey"] >= 1000000 and r["c_acctbal"] == 0.0
+    assert actions.get("update", 0) == n_upd
+    assert actions.get("insert", 0) == n_ins
+    assert len(rows) == len(base) + n_ins

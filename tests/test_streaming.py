@@ -274,3 +274,40 @@ def test_kafka_option_contract(spark):
 
     with pytest.raises(Exception, match="(?i)kafka"):
         kafka_source(spark, "broker:9092", "events")
+
+
+def test_stream_stream_join_equals_batch_join(spark):
+    """The bounded stream-stream join must produce exactly the pairs the
+    equivalent batch range join produces: with in-order chunks and
+    availableNow processing nothing is late, so watermark state eviction
+    must never drop a legitimate match."""
+    streamed = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in QUERIES["stream_stream_join"](spark, SF_DIR).collect()
+    )
+    e = _batch_events(spark)
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            ),
+            "inner",
+        ).collect()
+    )
+    assert len(batch) > 0
+    assert streamed == batch
