@@ -550,6 +550,102 @@ _BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  #: word | number | punct rune
 
 
 @register(
+    "text_bigram_pmi",
+    # PMI ratio (no log): (c_ab/N_b) / ((c_a/N_u)·(c_b/N_u)).  Monotone in
+    # PMI, and every operand is an exact integer cast to double with the
+    # SAME operation order in both engines — IEEE ops are exactly
+    # rounded, so the doubles are bit-identical and the ordering is
+    # engine-independent (no last-ulp log() drift to truncate away).
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+      FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ), uni_counts AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w
+    ), totals AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_u,
+             CAST(SUM(n - 1) AS BIGINT) AS n_b
+      FROM toks
+    ), bi AS (
+      SELECT unnest(list_transform(range(1, n), i -> t[i] || ' ' || t[i + 1]))
+               AS bigram
+      FROM toks WHERE n >= 2
+    ), bi_counts AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM bi GROUP BY bigram
+    )
+    SELECT b.bigram, b.c_ab,
+           floor(((CAST(b.c_ab AS DOUBLE) / t.n_b)
+                  / ((CAST(a1.c AS DOUBLE) / t.n_u)
+                     * (CAST(a2.c AS DOUBLE) / t.n_u))) * 100) / 100
+             AS pmi_ratio
+    FROM bi_counts b
+    JOIN uni_counts a1 ON a1.w = string_split(b.bigram, ' ')[1]
+    JOIN uni_counts a2 ON a2.w = string_split(b.bigram, ' ')[2]
+    CROSS JOIN totals t
+    WHERE b.c_ab >= 5
+    ORDER BY pmi_ratio DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise-mutual-information
+    ratio (how much more often a word pair co-occurs than independence
+    predicts) — the phrase-detection step of corpus analysis (and the
+    classic word2vec-phrases preprocessing).
+
+    Plan: bigram generation is a scan-side ``transform(sequence)``;
+    unigram and bigram counts are partial+final aggregates; the PMI join
+    touches only vocabulary-sized tables (broadcast-able), and the two
+    corpus totals ride in as a broadcast 1-row frame — one pass over
+    text, everything after it output-sized.  Top-20 is
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = d.select(t.alias("t"), F.size(t).alias("n"))
+    uni_counts = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    totals = toks.agg(
+        F.sum("n").alias("n_u"), F.sum(F.col("n") - 1).alias("n_b")
+    )
+    bigrams = toks.where(F.col("n") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    bi_counts = bigrams.groupBy("bigram").agg(F.count("*").alias("c_ab"))
+    a1 = uni_counts.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    a2 = uni_counts.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    ratio = (F.col("c_ab").cast("double") / F.col("n_b")) / (
+        (F.col("c_a").cast("double") / F.col("n_u"))
+        * (F.col("c_b").cast("double") / F.col("n_u"))
+    )
+    return (
+        bi_counts.where(F.col("c_ab") >= 5)
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+        .join(F.broadcast(a1), "w1")
+        .join(F.broadcast(a2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bigram",
+            "c_ab",
+            (F.floor(ratio * 100) / 100).alias("pmi_ratio"),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
     "vocab_topk",
     oracle="""
     WITH toks AS (

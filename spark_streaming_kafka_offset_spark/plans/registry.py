@@ -78,7 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q10_returned_items",
     "fn_array_ops",
     "set_union_all",
-    # Slots 25-32: new oracle rows this round.
+    # Slots 25-33: new oracle rows this round.
     "multimodal_meta",
     "join_asof_fwd",
     "pack_sequences",
@@ -87,15 +87,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "resample_locf",
     "merge_upsert",
     "vocab_topk",
-    # Slots 33-35: oracles/plans changed this round — need driver re-confirmation.
+    "text_bigram_pmi",
+    # Slots 34-36: oracles/plans changed this round — need driver re-confirmation.
     "fn_map",
     "text_tfidf",
     "dedup_exact",
-    # Slots 36-38: r2-green canaries (cross-round stability signal).
+    # Slots 37-39: r2-green canaries (cross-round stability signal).
     "scan_parquet",
     "agg_hash",
     "q3_shipping_priority",
-    # Slots 39-50: r2-green backfill (already hard-confirmed in r2).
+    # Slots 40-50: r2-green backfill (already hard-confirmed in r2).
     "scan_pruned",
     "project_expr",
     "filter_pred",
@@ -107,9 +108,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_semi",
     "join_anti",
     "join_asof",
-    "agg_distinct",
     # --- window boundary (50) ---
     # r2-green oracle rows outside the r3 window.
+    "agg_distinct",
     "agg_grouping_sets",
     "agg_percentile",
     "win_rank",
