@@ -226,3 +226,37 @@ def test_pack_sequences_single_window_shuffle(spark):
     plan = executed_plan(df)
     assert plan.count("Exchange hashpartitioning") <= 2  # window + (maybe) agg
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+#: Queries allowed a BroadcastNestedLoopJoin — each broadcasts a
+#: provably tiny side (1-row totals frame, literal dim, nlist-sized
+#: centroid table) or IS the §2 cartesian demo.  Everything else must
+#: plan equi joins only.
+_BNL_ALLOWED = {
+    "join_cross",        # the 5×5 cartesian §2 demo — cartesian is the point
+    "join_theta_range",  # broadcast range-bucket dim (literal, tiny)
+    "join_interval",     # broadcast 4-row period dim
+    "fn_fuzzy",          # broadcast literal name list
+    "text_tfidf",        # broadcast 1-row n_docs frame
+    "text_bigram_pmi",   # broadcast 1-row totals frame
+    "sim_topk_ivf",      # broadcast nlist=16 centroid table (assignment)
+}
+
+
+def test_no_unexpected_cartesian_or_bnl_anywhere(spark):
+    """Engine-wide scale invariant: NO batch query plans a
+    CartesianProduct, and BroadcastNestedLoopJoin appears only where a
+    tiny bounded side is deliberately broadcast (whitelist above).  A
+    new operator that accidentally introduces an unbounded cross join
+    fails here before it ever reaches a fixture where it would matter."""
+    skip = ("stream_", "sink_", "source_")
+    offenders = {}
+    for key, fn in QUERIES.items():
+        if key.startswith(skip):
+            continue
+        plan = executed_plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan and key != "join_cross":
+            offenders[key] = "cartesian"
+        elif "BroadcastNestedLoopJoin" in plan and key not in _BNL_ALLOWED:
+            offenders[key] = "bnl"
+    assert not offenders, offenders
