@@ -177,14 +177,15 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            NTH_VALUE(o_orderkey, 2) OVER
              (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-               AS second_key
+               AS second_key,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
     """,
 )
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window family: percent_rank / cume_dist /
-    first_value / nth_value per customer.  The rational outputs
+    first_value / nth_value / ntile(4) per customer.  The rational outputs
     ((rank-1)/(n-1), rank/n) are IEEE divisions of identical integers in
     both engines — bit-identical, so deliberately NOT rounded (rounding
     could only introduce divergence).  nth_value needs the full-partition
@@ -200,4 +201,5 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.first("o_orderkey").over(w).alias("cheapest_key"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_key"),
+        F.ntile(4).over(w).alias("quartile"),
     )
