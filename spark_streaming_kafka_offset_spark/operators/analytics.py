@@ -258,3 +258,138 @@ def sub_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     efficient plan while the parity check pins the semantics."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_SUB_CORRELATED_SQL)
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure scan-side predicate conjunction → one global
+    aggregate — the query that exists to prove filter pushdown: every
+    predicate reaches the parquet scan (PushedFilters), no join, no
+    per-group shuffle, a single partial+final agg to ONE row.  At 100 TB
+    this is the min-cost query class: I/O bound, embarrassingly
+    parallel, wire traffic = one partial aggregate per task.  Exact
+    decimal product (price × discount, scale 4) keeps the oracle hash
+    stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(dec2("l_extendedprice") * dec2("l_discount", 4)), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(3,2))
+                             - CAST(l.l_discount AS DECIMAL(4,2)))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+             AS promo_revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(3,2))
+                             - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: fact ⋈ broadcast dim with a conditional aggregate —
+    promo vs total revenue for a ship-date window.  The part table is
+    dim-sized (20k @ sf0.1) → broadcast, so the fact never shuffles; the
+    CASE rides inside the same partial+final agg.  Both sums exact
+    decimal; the promo/total ratio is left to the caller (a division of
+    two exact doubles) so the oracle compares exact sums, not a float
+    quotient."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    pt = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = dec2("l_extendedprice") * (one() - dec2("l_discount", 4))
+    zero = F.lit(0).cast("decimal(12,2)")
+    return li.join(pt, li.l_partkey == pt.p_partkey).agg(
+        F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)), 2)
+        .cast("double")
+        .alias("promo_revenue"),
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+    )
+
+
+@register(
+    "q18_big_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape (large-volume customers): a HAVING-aggregate over the
+    fact builds the qualifying-order set, which then SEMI-constrains the
+    main 3-way join — the aggregate-as-filter pattern.
+
+    Scale notes: the qualifying set (SUM(qty) > 250 → ~1% of orders) is
+    aggregated from lineitem with a partial+final pass on l_orderkey —
+    the same key the main join shuffles on, so the two reuse one
+    partitioning; the customer dim broadcasts; top-100 is
+    TakeOrderedAndProject.  The re-aggregation of quantity in the outer
+    query (rather than carrying it through the join) keeps every join
+    input narrow."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("qty"))
+        .where(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.round(F.sum(dec2("l_quantity")), 2).cast("double").alias("total_qty")
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
