@@ -11,8 +11,10 @@ DuckDB oracles:
   chunks (the tokenize-and-chunk step before packing).
 * ``sample_weighted`` — deterministic per-source weighted sampling
   (domain reweighting / data mixing).
+* ``pipeline_corpus_shards`` — the end-to-end composition (quality gate
+  → exact dedup → packing) as one lazy plan.
 
-All three are scan-side + one window or one broadcast join; none
+All of these are scan-side + one window or one broadcast join; none
 shuffles more than the grouped output, so each survives a 100 TB corpus
 unchanged (see per-op notes).
 """
@@ -195,3 +197,89 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
     )
+
+@register(
+    "pipeline_corpus_shards",
+    # End-to-end oracle: the same quality→dedup→pack chain as one SQL CTE
+    # pipeline.  Matching here proves the COMPOSITION, not just the parts.
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE n_chars BETWEEN 50 AND 5000
+        AND len(string_split(text, ' ')) >= 10
+    ), dedup AS (
+      SELECT doc_id, source, n_tokens
+      FROM (SELECT *, row_number() OVER (PARTITION BY sha256(norm)
+                                         ORDER BY doc_id) AS rn
+            FROM gated)
+      WHERE rn = 1
+    ), packed AS (
+      SELECT source, n_tokens,
+             CAST(floor(
+               COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {_SHARD_BUDGET}.0) AS BIGINT) AS shard
+      FROM dedup
+    )
+    SELECT source, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM packed
+    GROUP BY source, shard
+    """,
+)
+def pipeline_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus→training-shards pipeline as ONE lazy plan:
+    quality gate (length bounds, min tokens) → exact dedup (normalized
+    sha256, keep lowest doc_id) → token-budget sequence packing → per-
+    shard stats.  This is the composition a real dataset build runs; a
+    user of the individual operators gets exactly this by chaining them,
+    and the oracle verifies the chain end-to-end.
+
+    Plan: gate is a pushed scan filter; dedup is one min_by aggregate on
+    the content hash; packing reuses the per-source window partitioning;
+    nothing materializes between stages — Catalyst fuses the whole chain
+    into scan → agg → window → agg, three shuffles total at any scale
+    (hash, source window, final group — the last two share partitioning)."""
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.where(
+        F.col("n_chars").between(50, 5000)
+        & (F.size(F.split("text", " ")) >= 10)
+    ).select(
+        "doc_id",
+        "source",
+        F.sha2(
+            F.regexp_replace(F.lower("text"), r"\s+", " "), 256
+        ).alias("content_hash"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    dedup = (
+        gated.groupBy("content_hash")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "source", "n_tokens"), "doc_id"
+            ).alias("keep")
+        )
+        .select("keep.doc_id", "keep.source", "keep.n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = dedup.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _SHARD_BUDGET
+        ).alias("shard"),
+    )
+    return packed.groupBy("source", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+

@@ -78,7 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q10_returned_items",
     "fn_array_ops",
     "set_union_all",
-    # Slots 25-36: new oracle rows this round.
+    # Slots 25-37: new oracle rows this round.
     "multimodal_meta",
     "join_asof_fwd",
     "pack_sequences",
@@ -91,15 +91,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q14_promo_share",
     "q18_big_orders",
-    # Slots 37-39: oracles/plans changed this round — need driver re-confirmation.
+    "pipeline_corpus_shards",
+    # Slots 38-40: oracles/plans changed this round — need driver re-confirmation.
     "fn_map",
     "text_tfidf",
     "dedup_exact",
-    # Slots 40-42: r2-green canaries (cross-round stability signal).
+    # Slots 41-43: r2-green canaries (cross-round stability signal).
     "scan_parquet",
     "agg_hash",
     "q3_shipping_priority",
-    # Slots 43-50: r2-green backfill (already hard-confirmed in r2).
+    # Slots 44-50: r2-green backfill (already hard-confirmed in r2).
     "scan_pruned",
     "project_expr",
     "filter_pred",
@@ -107,9 +108,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "distinct_rows",
     "join_inner_hash",
     "join_broadcast",
-    "join_left",
     # --- window boundary (50) ---
     # r2-green oracle rows outside the r3 window.
+    "join_left",
     "join_semi",
     "join_anti",
     "join_asof",
