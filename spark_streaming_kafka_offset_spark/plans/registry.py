@@ -160,6 +160,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_rate_limit",
     "stream_rollup_upsert",
     "stream_dedup_corpus",
+    "stream_pack_shards",
     "source_kafka",
     "source_file_stream",
     "sink_parquet",

@@ -13,7 +13,6 @@ path the Kafka source feeds is exercised end-to-end, batch-for-stream.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

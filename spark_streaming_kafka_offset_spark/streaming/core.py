@@ -24,7 +24,6 @@ driver-collectable like any batch query.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

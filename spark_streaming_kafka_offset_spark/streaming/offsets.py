@@ -27,7 +27,6 @@ tests/test_streaming.py::test_offset_ledger_exactly_once.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -21,7 +21,6 @@ Production deployments add a timeout/TTL so state is evicted — the
 
 from __future__ import annotations
 
-import tempfile
 from typing import Any, Iterator
 
 import pandas as pd
@@ -172,3 +171,139 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         result.withColumn("rn", w).where(F.col("rn") == 1).drop("rn").orderBy("user_id")
     )
+
+# ---------------------------------------------------------------------------
+# Streaming sequence packing: the batch pack_sequences contract maintained
+# incrementally over a document stream.
+# ---------------------------------------------------------------------------
+
+PACK_OUT_SCHEMA = "source string, shard long, n_docs long, shard_tokens long"
+PACK_STATE_SCHEMA = "cum long, cur_shard long, cur_docs long, cur_tokens long"
+
+
+def _pack_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's (doc_id-ordered) docs for one source into the
+    running token cursor; emit the latest totals of every shard touched.
+
+    State is O(1) per source: the token cursor plus the current
+    (possibly still-open) shard's partial totals — closed shards never
+    return, so their final row has already been emitted and the memory
+    sink's latest-row-per-shard view converges to the batch answer."""
+    from ..functions.training import _SHARD_BUDGET
+
+    cum, cur_shard, cur_docs, cur_tokens = (
+        state.get if state.exists else (0, -1, 0, 0)
+    )
+    touched: dict[int, tuple[int, int]] = {}
+    if cur_shard >= 0:
+        touched[cur_shard] = (cur_docs, cur_tokens)
+    batch = pd.concat(list(pdfs)).sort_values("doc_id")
+    for n_tok in batch["n_tokens"].astype(int):
+        shard = cum // _SHARD_BUDGET
+        d, t = touched.get(shard, (0, 0))
+        touched[shard] = (d + 1, t + n_tok)
+        cum += n_tok
+    last = max(touched)
+    state.update((int(cum), int(last), *map(int, touched[last])))
+    yield pd.DataFrame(
+        {
+            "source": [key[0]] * len(touched),
+            "shard": list(touched),
+            "n_docs": [d for d, _ in touched.values()],
+            "shard_tokens": [t for _, t in touched.values()],
+        }
+    )
+
+
+def stage_documents_stream_dir(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> str:
+    """Chunk ``documents`` into ``n_chunks`` CONTIGUOUS doc_id ranges
+    (sorted, then sliced) with increasing mtimes — arrival order equals
+    doc_id order, the precondition packing shares with every
+    order-sensitive stream (same discipline as Kafka per-partition
+    ordering [K])."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..common import scratch_path
+
+    cache_key = (sf_dir, n_chunks, "docs")
+    cached = _DOC_STAGE_CACHE.get(cache_key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet")).sort_by("doc_id")
+    out = scratch_path("sskos_docstream_")
+    step = -(-tbl.num_rows // n_chunks)
+    for i in range(n_chunks):
+        dest = os.path.join(out, f"{i:04d}.parquet")
+        pq.write_table(tbl.slice(i * step, step), dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    _DOC_STAGE_CACHE[cache_key] = out
+    return out
+
+
+_DOC_STAGE_CACHE: dict[tuple[str, int, str], str] = {}
+
+
+@register("stream_pack_shards")
+def stream_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sequence packing: the batch ``pack_sequences``
+    contract maintained statefully over a document stream — new corpus
+    drops extend the LAST open shard per source instead of re-packing
+    the world (the only viable shape when the corpus arrives
+    continuously).
+
+    Token counting stays JVM-side (scan expression); the Pandas state
+    fold only sees (doc_id, n_tokens) ints.  Final snapshot equality
+    with batch pack_sequences is asserted in tests/test_streaming.py."""
+    stream_dir = stage_documents_stream_dir(spark, sf_dir)
+    src = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select(
+            "source",
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+    )
+    out = src.groupBy("source").applyInPandasWithState(
+        _pack_update,
+        outputStructType=PACK_OUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_pack_shards")
+            .outputMode("update")
+            .option("checkpointLocation", scratch_path("ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    result = spark.table("stream_pack_shards")
+    w = F.row_number().over(
+        Window.partitionBy("source", "shard").orderBy(F.col("n_docs").desc())
+    )
+    return (
+        result.withColumn("rn", w)
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("source", "shard")
+    )
+

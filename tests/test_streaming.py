@@ -311,3 +311,17 @@ def test_stream_stream_join_equals_batch_join(spark):
     )
     assert len(batch) > 0
     assert streamed == batch
+
+
+def test_stream_pack_shards_equals_batch_packing(spark):
+    """Incremental stateful packing over the ordered document stream
+    must converge to exactly the batch pack_sequences answer — shard
+    boundaries may not drift when docs arrive across micro-batches."""
+    streamed = sorted(
+        map(tuple, QUERIES["stream_pack_shards"](spark, SF_DIR).collect())
+    )
+    batch = sorted(
+        map(tuple, QUERIES["pack_sequences"](spark, SF_DIR).collect())
+    )
+    assert len(batch) > 0
+    assert streamed == batch
