@@ -646,6 +646,118 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    oracle="""
+    WITH tok_counts AS (
+      SELECT doc_id, token, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id % 5 = 1)
+      GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           floor(CAST(COUNT(*) AS DOUBLE) / SUM(c) * 10000) / 10000
+             AS distinct_ratio,
+           floor(CAST(MAX(c) AS DOUBLE) / SUM(c) * 10000) / 10000
+             AS top_token_ratio,
+           (CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.1
+            OR CAST(COUNT(*) AS DOUBLE) / SUM(c) < 0.3) AS flagged
+    FROM tok_counts
+    GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher rules): per-document
+    distinct-token ratio and top-token share, with a flag for documents
+    dominated by repeated tokens — the filter that removes boilerplate
+    and keyword-stuffed pages from a pre-training corpus.
+
+    Two-level aggregate, both partial+final: token counts per (doc,
+    token), then doc-level distinct/max/sum over those counts.  Both
+    group keys contain doc_id, so the second aggregate reuses the first
+    shuffle's partitioning — one exchange total; ratios floor-truncated
+    for cross-engine determinism, the FLAG compares raw doubles (same
+    IEEE division both engines)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 1)
+    tok_counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    distinct_ratio = F.count("*").cast("double") / F.sum("c")
+    top_ratio = F.max("c").cast("double") / F.sum("c")
+    return tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        (F.floor(distinct_ratio * 10000) / 10000).alias("distinct_ratio"),
+        (F.floor(top_ratio * 10000) / 10000).alias("top_token_ratio"),
+        ((top_ratio > 0.1) | (distinct_ratio < 0.3)).alias("flagged"),
+    )
+
+
+@register(
+    "contamination_check",
+    # Benchmark stand-in: every 97th doc plays the eval set.  Overlap =
+    # count of shared 3-token shingles (set semantics) between each
+    # benchmark doc and each other corpus doc, via a shingle equi-join —
+    # output-sized (shared-shingle pairs), never |corpus|×|bench|.
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(sh)) AS shingle
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+                    ELSE list_transform(
+                      range(1, len(string_split(text, ' ')) - 1),
+                      i -> string_split(text, ' ')[i] || ' ' ||
+                           string_split(text, ' ')[i+1] || ' ' ||
+                           string_split(text, ' ')[i+2]) END AS sh
+        FROM documents)
+    ), bench AS (
+      SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id AS corpus_id, shingle FROM sh WHERE doc_id % 97 <> 0
+    ), overlap_counts AS (
+      SELECT b.bench_id, c.corpus_id,
+             CAST(COUNT(*) AS BIGINT) AS shared_shingles
+      FROM bench b JOIN corpus c ON b.shingle = c.shingle
+      GROUP BY b.bench_id, c.corpus_id
+    )
+    SELECT * FROM overlap_counts WHERE shared_shingles >= 3
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination detection: find corpus documents sharing
+    ≥ 3 distinct 3-token shingles with any benchmark document — the
+    decontamination step every serious pre-training corpus runs against
+    its eval suites (the benchmark side here is a deterministic sample
+    standing in for an external eval table).
+
+    The join is shingle-equi (inverted-index shape): work scales with
+    the number of SHARED shingles, not |corpus| × |bench|.  At 100 TB
+    the benchmark side is tiny (eval suites are ~10⁵ docs) → broadcast;
+    shingles are the same `_shingles` used by MinHash, so a pipeline
+    computes them once and feeds both dedup and decontamination."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle")
+    )
+    bench = sh.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.where(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("corpus_id"), "shingle"
+    )
+    return (
+        bench.join(corpus, "shingle")
+        .groupBy("bench_id", "corpus_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= 3)
+    )
+
+
+@register(
     "vocab_topk",
     oracle="""
     WITH toks AS (
