@@ -148,9 +148,12 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_weighted",
-    # Deterministic "hash" = (doc_id * 2654435761) % 100 (Knuth
-    # multiplicative; exact in BIGINT on both engines) so the oracle can
-    # reproduce the sample without sharing an RNG.
+    # Deterministic "hash" = ((doc_id % 1000003) * 2654435761) % 100
+    # (Knuth multiplicative over a prime-bounded operand).  The inner
+    # modulo keeps the product under 2^62 for ANY doc_id — a raw
+    # doc_id × constant overflows int64 past doc_id ≈ 3.5e9, i.e. at
+    # real corpus scale — and the arithmetic stays exact BIGINT on both
+    # engines, so the oracle reproduces the sample without sharing an RNG.
     oracle="""
     WITH weights(source, pct) AS (VALUES
       ('src0', 100), ('src1', 75), ('src2', 50), ('src3', 25),
@@ -159,7 +162,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.source, d.doc_id,
              len(string_split(d.text, ' ')) AS n_tokens
       FROM documents d JOIN weights w ON d.source = w.source
-      WHERE (d.doc_id * 2654435761) % 100 < w.pct
+      WHERE ((d.doc_id % 1000003) * 2654435761) % 100 < w.pct
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
@@ -188,7 +191,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = (
         d.join(weights, "source")
-        .where((F.col("doc_id") * F.lit(2654435761)) % 100 < F.col("pct"))
+        .where(((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 100 < F.col("pct"))
         .select(
             "source", F.size(F.split("text", " ")).alias("n_tokens")
         )
