@@ -242,10 +242,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-5 terms per source.
 
     Shape at scale: explode → two partial+final aggregates (tf by
-    (source, token), df by token) → broadcast-joinable df/n sides → per-
-    source top-k window.  The doc-frequency table is vocabulary-sized —
-    broadcast it; the corpus-sized explode never re-shuffles more than
-    (source, token, count) rows."""
+    (source, token), df by token) → tf⋈df on token → per-source top-k
+    window.  The doc-frequency side is vocabulary-sized and deliberately
+    UNHINTED (a web-scale vocab can reach billions of entries; Catalyst/
+    AQE broadcasts it only when actually small — the same no-unbounded-
+    broadcast rule as dedup_simhash); the corpus-sized explode never
+    re-shuffles more than (source, token, count) rows."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("source", "token").agg(F.count("*").alias("tf"))
@@ -254,7 +256,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # d.count()): the whole query stays one lazy plan with no eager job
     # in the build path; the cross join is 1-row-broadcast, cost-free.
     n = d.agg(F.count("*").cast("double").alias("n_docs"))
-    scored = tf.join(F.broadcast(df), "token").crossJoin(F.broadcast(n)).select(
+    scored = tf.join(df, "token").crossJoin(F.broadcast(n)).select(
         "source",
         "token",
         (
@@ -598,7 +600,9 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: bigram generation is a scan-side ``transform(sequence)``;
     unigram and bigram counts are partial+final aggregates; the PMI join
-    touches only vocabulary-sized tables (broadcast-able), and the two
+    touches only vocabulary-sized tables (deliberately UNHINTED — a web-
+    scale token vocab can reach billions of entries, so Catalyst/AQE
+    picks broadcast only when the side is actually small), and the two
     corpus totals ride in as a broadcast 1-row frame — one pass over
     text, everything after it output-sized.  Top-20 is
     TakeOrderedAndProject."""
@@ -632,8 +636,8 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi_counts.where(F.col("c_ab") >= 5)
         .withColumn("w1", F.split("bigram", " ").getItem(0))
         .withColumn("w2", F.split("bigram", " ").getItem(1))
-        .join(F.broadcast(a1), "w1")
-        .join(F.broadcast(a2), "w2")
+        .join(a1, "w1")
+        .join(a2, "w2")
         .crossJoin(F.broadcast(totals))
         .select(
             "bigram",
