@@ -68,3 +68,9 @@ class Engine:
     def oracle(self, key: str) -> str | None:
         """The DuckDB oracle SQL for a key, if the query is oracle-backed."""
         return ORACLE_SQL.get(key)
+
+    def explain(self, key: str, mode: str = "formatted") -> None:
+        """Print the physical plan for a registered query (the scale
+        audit surface: check pushed filters, broadcasts, exchange
+        counts before running at size)."""
+        self.run(key).explain(mode)

@@ -38,3 +38,9 @@ def test_unknown_keys_raise(eng):
         eng.table("nope")
     with pytest.raises(KeyError):
         eng.run("nope")
+
+
+def test_explain_prints_plan(eng, capsys):
+    eng.explain("scan_pruned")
+    out = capsys.readouterr().out
+    assert "PushedFilters" in out
