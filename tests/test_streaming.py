@@ -325,3 +325,98 @@ def test_stream_pack_shards_equals_batch_packing(spark):
     )
     assert len(batch) > 0
     assert streamed == batch
+
+
+def test_stream_pack_shards_state_survives_restart(spark, tmp_path):
+    """Stateful recovery: process the first half of the corpus, let the
+    query terminate, then start a NEW query on the SAME checkpoint with
+    the remaining files present.  The restarted query must restore the
+    per-source token cursors from the state store (not recount) and
+    process only the unseen files (WAL exactly-once) — final snapshot
+    equals the batch packing of the full corpus."""
+    import os
+    import shutil
+
+    from spark_streaming_kafka_offset_spark.streaming.stateful import (
+        PACK_OUT_SCHEMA,
+        PACK_STATE_SCHEMA,
+        _pack_update,
+        stage_documents_stream_dir,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    staged = stage_documents_stream_dir(spark, SF_DIR)
+    chunks = sorted(os.listdir(staged))
+    assert len(chunks) == 4
+    live = tmp_path / "live"
+    live.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    emitted: list[list[tuple]] = []
+
+    def run_once():
+        # memory sink cannot recover from a checkpoint; foreachBatch can —
+        # it is also the production sink shape (idempotent upsert by key).
+        rows: list[tuple] = []
+        emitted.append(rows)
+
+        def sink(df, batch_id):
+            rows.extend(
+                (r["source"], r["shard"], r["n_docs"], r["shard_tokens"])
+                for r in df.collect()
+            )
+
+        src = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(live))
+            .select(
+                "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+            )
+        )
+        out = src.groupBy("source").applyInPandasWithState(
+            _pack_update,
+            outputStructType=PACK_OUT_SCHEMA,
+            stateStructType=PACK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    # copy2 preserves the staged strictly-increasing mtimes — discovery
+    # order IS the packing order, so the copies must keep their stamps
+    # (plain copy() resets mtime and two files land in the same second).
+    for c in chunks[:2]:
+        shutil.copy2(os.path.join(staged, c), live / c)
+    first = run_once()
+    assert len(first) > 0
+
+    for c in chunks[2:]:
+        shutil.copy2(os.path.join(staged, c), live / c)
+    second = run_once()
+    # The restarted run must NOT reprocess chunks 1-2 (exactly-once WAL):
+    # it emits only snapshots for work caused by the two NEW files.
+    assert 0 < len(second) < len(first) + len(second)
+
+    # Latest snapshot per (source, shard) across both runs == batch pack.
+    final_map: dict[tuple, tuple] = {}
+    for src_, shard, n_docs, toks in first + second:
+        key = (src_, shard)
+        if key not in final_map or n_docs > final_map[key][2]:
+            final_map[key] = (src_, shard, n_docs, toks)
+    final = sorted(final_map.values())
+    batch = sorted(
+        map(tuple, QUERIES["pack_sequences"](spark, SF_DIR).collect())
+    )
+    assert final == batch
