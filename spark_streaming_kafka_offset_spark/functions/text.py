@@ -7,9 +7,10 @@ Design for 100 TB:
 * Everything here is built-in Catalyst expressions — no Python UDFs, so
   whole-stage codegen applies and the hot path never crosses the JVM/
   Python boundary.
-* Dedup keeps one winner per group via ``row_number() = 1`` over a
-  deterministic tie-break (``doc_id``) — a partial/final shuffle on the
-  hash key, the minimum possible data movement for exact dedup.
+* Dedup keeps one winner per group via ``min_by`` over a deterministic
+  tie-break (``doc_id``) — map-side partial aggregation collapses
+  duplicate groups before the shuffle on the hash key, the minimum
+  possible data movement for exact dedup.
 * MinHash-LSH generates candidate pairs only within LSH band buckets —
   never an unblocked self-join.  Bucket join + Jaccard verification is
   the published scale pattern (band/bucket counts are tunable).
