@@ -134,3 +134,61 @@ def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(_count_parquet(naive_dir), _count_parquet(compact_dir), n_rows)],
         "naive_files int, compacted_files int, n_rows bigint",
     )
+
+#: staged schema-evolution dirs, one per (applicationId, sf_dir)
+_EVOLVED_CACHE: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "scan_schema_evolution",
+    # The staged split is deterministic (doc_id parity), so the merged
+    # read has an exact twin over the base table: v1 rows surface a NULL
+    # quality column, v2 rows carry n_chars/100.
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_with_quality,
+           CAST(ROUND(AVG(CASE WHEN doc_id % 2 = 1
+                     THEN CAST(n_chars AS DOUBLE) / 100 END), 4) AS DOUBLE)
+             AS avg_quality
+    FROM documents
+    GROUP BY source
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: one dataset written by two producer
+    versions — v1 files lack the ``quality`` column that v2 files added
+    — read back as a single table with ``mergeSchema``; old rows surface
+    NULL for the new column and aggregates treat them correctly.
+
+    This is the lakehouse reality at 100 TB: years of files, schemas
+    that grew.  ``mergeSchema`` pays one footer-union pass at planning
+    (pruning/pushdown still apply per file); writers must only ADD
+    nullable columns — the append-only evolution contract this op
+    demonstrates.  Staged once per session; the read path is the
+    operator under test."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    base = _EVOLVED_CACHE.get(key)
+    if base is None or not os.path.isdir(base):
+        d = load_table(spark, sf_dir, "documents")
+        base = scratch_path("sskos_evolve_")
+        d.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "source", "text"
+        ).write.mode("overwrite").parquet(os.path.join(base, "v1"))
+        d.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "source",
+            "text",
+            (F.col("n_chars").cast("double") / 100).alias("quality"),
+        ).write.mode("overwrite").parquet(os.path.join(base, "v2"))
+        _EVOLVED_CACHE[key] = base
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "v1"), os.path.join(base, "v2")
+    )
+    return merged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("quality").alias("n_with_quality"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
