@@ -315,8 +315,20 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_dir — at production scale this is the ingest layout, exactly like
     the bucketed-table write above), then queries two of the days.
     """
-    import tempfile
+    e = spark.read.parquet(_events_by_day(spark, sf_dir))
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.where(
+            F.col("day").between(F.lit("2024-01-03"), F.lit("2024-01-04"))
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n"), F.sum(k.cast("long")).alias("sum_k"))
+    )
 
+
+def _events_by_day(spark: SparkSession, sf_dir: str) -> str:
+    """Events laid out as ``day=YYYY-MM-DD/`` directories (once per
+    session × sf_dir) — the ingest layout both pruning operators read."""
     key = (spark.sparkContext.applicationId, sf_dir, "events_by_day")
     path = _PARTITIONED_CACHE.get(key)
     if path is None:
@@ -328,14 +340,54 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
         _PARTITIONED_CACHE[key] = path
-    e = spark.read.parquet(path)
-    k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        e.where(
-            F.col("day").between(F.lit("2024-01-03"), F.lit("2024-01-04"))
+    return path
+
+
+@register(
+    "scan_dynamic_pruning",
+    # The dim's kept days are deterministic (every 7th from 2024-01-01),
+    # so the oracle is a literal IN list over the base events table.
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE) IN
+          (DATE '2024-01-01', DATE '2024-01-08', DATE '2024-01-15',
+           DATE '2024-01-22', DATE '2024-01-29')
+    GROUP BY 1
+    """,
+)
+def scan_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the partition filter comes from a JOIN
+    (fact.day ⋈ filtered dim), not a literal predicate — Spark plans a
+    ``dynamicpruningexpression`` subquery that evaluates the dim first
+    and prunes the fact's partitions at runtime (plan-asserted).
+
+    This is the second pruning lever at 100 TB, and the one static
+    filters can't give you: "scan only the days some other table
+    selected" — the shape of every fact-to-date-dim star query.  The
+    pruning reuses the join's broadcast exchange, so it costs nothing
+    beyond the join itself."""
+    e = spark.read.parquet(_events_by_day(spark, sf_dir))
+    dim = (
+        spark.range(31)
+        .select(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"), F.col("id").cast("int")
+            ).alias("day"),
+            (F.col("id") % 7).alias("m"),
         )
-        .groupBy("day", "event_type")
-        .agg(F.count("*").alias("n"), F.sum(k.cast("long")).alias("sum_k"))
+        .where(F.col("m") == 0)
+        .select("day")
+    )
+    return (
+        e.join(dim, "day")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
     )
 
 

@@ -78,7 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q10_returned_items",
     "fn_array_ops",
     "set_union_all",
-    # Slots 25-40: new oracle rows this round.
+    # Slots 25-41: new oracle rows this round.
     "multimodal_meta",
     "join_asof_fwd",
     "pack_sequences",
@@ -95,21 +95,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_repetition",
     "contamination_check",
     "scan_schema_evolution",
-    # Slots 41-43: oracles/plans changed this round — need driver re-confirmation.
+    "scan_dynamic_pruning",
+    # Slots 42-44: oracles/plans changed this round — need driver re-confirmation.
     "fn_map",
     "text_tfidf",
     "dedup_exact",
-    # Slots 44-46: r2-green canaries (cross-round stability signal).
+    # Slots 45-47: r2-green canaries (cross-round stability signal).
     "scan_parquet",
     "agg_hash",
     "q3_shipping_priority",
-    # Slots 47-50: r2-green backfill (already hard-confirmed in r2).
+    # Slots 48-50: r2-green backfill (already hard-confirmed in r2).
     "scan_pruned",
     "project_expr",
     "filter_pred",
-    "filter_null",
     # --- window boundary (50) ---
     # r2-green oracle rows outside the r3 window.
+    "filter_null",
     "distinct_rows",
     "join_inner_hash",
     "join_broadcast",

@@ -260,3 +260,13 @@ def test_no_unexpected_cartesian_or_bnl_anywhere(spark):
         elif "BroadcastNestedLoopJoin" in plan and key not in _BNL_ALLOWED:
             offenders[key] = "bnl"
     assert not offenders, offenders
+
+
+def test_dynamic_partition_pruning_plans_a_runtime_filter(spark):
+    """The day-dim join must prune fact partitions via a
+    dynamicpruningexpression subquery — runtime pruning, not a row
+    filter after a full scan."""
+    df = QUERIES["scan_dynamic_pruning"](spark, SF_DIR)
+    df.collect()
+    plan = executed_plan(df)
+    assert "dynamicpruningexpression" in plan
