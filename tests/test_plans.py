@@ -270,3 +270,45 @@ def test_dynamic_partition_pruning_plans_a_runtime_filter(spark):
     df.collect()
     plan = executed_plan(df)
     assert "dynamicpruningexpression" in plan
+
+
+def test_runtime_bloom_filter_join_lever(spark):
+    """The third pruning lever at 100 TB (after static + dynamic
+    partition pruning): a runtime BLOOM filter built from the selective
+    side of a shuffle join and applied to the big side's scan
+    (`might_contain` in the plan).  Demonstrated as a test because the
+    trigger is session conf, not query shape — the engine's registered
+    queries stay conf-neutral.  Results must be identical with and
+    without the filter (it is purely work-avoidance)."""
+    from spark_streaming_kafka_offset_spark.session import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+
+    def q():
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    baseline = sorted(map(tuple, q().collect()))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q()
+        filtered = sorted(map(tuple, df.collect()))
+        assert "might_contain" in executed_plan(df)
+        assert filtered == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
