@@ -78,7 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q10_returned_items",
     "fn_array_ops",
     "set_union_all",
-    # Slots 25-41: new oracle rows this round.
+    # Slots 25-42: new oracle rows this round.
     "multimodal_meta",
     "join_asof_fwd",
     "pack_sequences",
@@ -96,20 +96,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "contamination_check",
     "scan_schema_evolution",
     "scan_dynamic_pruning",
-    # Slots 42-44: oracles/plans changed this round — need driver re-confirmation.
+    "scan_corrupt_tolerant",
+    # Slots 43-45: oracles/plans changed this round — need driver re-confirmation.
     "fn_map",
     "text_tfidf",
     "dedup_exact",
-    # Slots 45-47: r2-green canaries (cross-round stability signal).
+    # Slots 46-48: r2-green canaries (cross-round stability signal).
     "scan_parquet",
     "agg_hash",
     "q3_shipping_priority",
-    # Slots 48-50: r2-green backfill (already hard-confirmed in r2).
+    # Slots 49-50: r2-green backfill (already hard-confirmed in r2).
     "scan_pruned",
     "project_expr",
-    "filter_pred",
     # --- window boundary (50) ---
     # r2-green oracle rows outside the r3 window.
+    "filter_pred",
     "filter_null",
     "distinct_rows",
     "join_inner_hash",

@@ -192,3 +192,57 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
 
+@register(
+    "scan_corrupt_tolerant",
+    # Corruption is induced deterministically (every 11th record gets a
+    # leading '#', making the JSON invalid), so both engines see the
+    # same dirty feed.  DuckDB's json functions RAISE on invalid input —
+    # the json_valid guard is its PERMISSIVE mode.
+    oracle="""
+    WITH feed AS (
+      SELECT event_type,
+             CASE WHEN event_id % 11 = 0 THEN '#' || props ELSE props END AS raw
+      FROM events
+    ), parsed AS (
+      SELECT event_type, raw,
+             CASE WHEN json_valid(raw)
+                  THEN CAST(json_extract_string(raw, '$.k') AS INTEGER) END AS k
+      FROM feed
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(k) AS BIGINT) AS n_valid,
+           CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_corrupt,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM parsed
+    GROUP BY event_type
+    """,
+)
+def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant schema-on-read: a dirty feed (every 11th record
+    mangled into invalid JSON) parsed PERMISSIVEly — bad records are
+    counted and quarantined per group instead of failing the job, valid
+    records aggregate normally.
+
+    The ingestion-robustness contract at 100 TB: a petabyte feed always
+    contains garbage, and one bad record must never kill the pipeline.
+    Parsing and the valid/corrupt classification are scan-side
+    expressions (``get_json_object`` returns NULL on malformed input);
+    the per-type counts make the corruption rate observable — the
+    monitoring hook a real pipeline alerts on."""
+    e = load_table(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 11 == 0, F.concat(F.lit("#"), F.col("props"))
+    ).otherwise(F.col("props"))
+    k = F.get_json_object(raw, "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("k").alias("n_valid"),
+            (F.count("*") - F.count("k")).alias("n_corrupt"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
+
