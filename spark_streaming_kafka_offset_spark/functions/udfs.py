@@ -18,8 +18,6 @@ Python, and that is the point — anything oracle-able is built-in-only.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

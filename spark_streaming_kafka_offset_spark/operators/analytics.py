@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..common import dec2, dsum2, one
+from ..common import dec2, one
 from ..plans.registry import register
 from ..session import load_table, register_views
 

@@ -89,8 +89,6 @@ def _bucketed_table(
     LOCATION_ALREADY_EXISTS on re-create (observed).  Scoping the name by
     applicationId and the data by tempdir makes re-creation safe on any
     session, including a driver-owned one."""
-    import tempfile
-
     safe = re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
     app = re.sub(r"[^A-Za-z0-9]", "_", spark.sparkContext.applicationId)
     tbl = f"bkt_{app}_{safe}_{name}"
