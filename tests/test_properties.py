@@ -516,3 +516,62 @@ def test_merge_upsert_action_counts(spark):
     assert actions.get("update", 0) == n_upd
     assert actions.get("insert", 0) == n_ins
     assert len(rows) == len(base) + n_ins
+
+
+def test_resample_locf_grid_is_dense_and_conserves_counts(spark):
+    """Per user: one row per hour between first and last bucket (dense
+    grid), event counts sum to the filtered total, and v_locf is never
+    NULL after the first bucket (carry-forward works)."""
+    from spark_streaming_kafka_offset_spark.session import load_table
+
+    rows = QUERIES["resample_locf"](spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    e = load_table(spark, SF_DIR, "events").where(F.col("user_id") % 10 == 0)
+    total = e.count()
+    assert sum(r["n_events"] for r in rows) == total
+    for uid, urows in by_user.items():
+        urows.sort(key=lambda r: r["bucket"])
+        span_hours = int(
+            (urows[-1]["bucket"] - urows[0]["bucket"]).total_seconds() // 3600
+        )
+        assert len(urows) == span_hours + 1, uid  # dense: no gaps
+        assert urows[0]["n_events"] > 0  # grid starts at first observation
+        assert all(r["v_locf"] is not None for r in urows), uid
+
+
+def test_merge_upsert_is_idempotent(spark):
+    """Applying the same update set to an already-merged table changes
+    nothing: merge(merge(base)) == merge(base) on the matched keys."""
+    out1 = QUERIES["merge_upsert"](spark, SF_DIR)
+    # Re-merge: treat out1 (sans action) as the new base, apply the same
+    # updates — every matched row must stay at its already-updated value.
+    from spark_streaming_kafka_offset_spark.session import load_table
+
+    base2 = out1.select("c_custkey", "c_name", F.col("c_acctbal"))
+    upd = (
+        load_table(spark, SF_DIR, "customer")
+        .where(F.col("c_custkey") % 4 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal").cast("decimal(12,2)") + 100)
+            .cast("double")
+            .alias("c_acctbal"),
+        )
+    )
+    b, u = base2.alias("b"), upd.alias("u")
+    merged_again = b.join(
+        u, F.col("b.c_custkey") == F.col("u.c_custkey"), "full"
+    ).select(
+        F.coalesce("u.c_custkey", "b.c_custkey").alias("c_custkey"),
+        F.coalesce("u.c_acctbal", "b.c_acctbal").alias("c_acctbal"),
+    )
+    a = sorted((r["c_custkey"], r["c_acctbal"]) for r in merged_again.collect())
+    b_ = sorted(
+        (r["c_custkey"], r["c_acctbal"]) for r in out1.select(
+            "c_custkey", "c_acctbal"
+        ).collect()
+    )
+    assert a == b_
