@@ -58,6 +58,29 @@ def davg2(col: str | Column, alias: str, ndigits: int = 2, precision: int = 12) 
     ).alias(alias)
 
 
+def epoch_seconds(col: str | Column) -> Column:
+    """Wall-clock seconds since 1970-01-01 00:00:00, timezone-free.
+
+    Works for both TIMESTAMP and TIMESTAMP_NTZ inputs (the driver-generated
+    parquet has carried both across rounds — NTZ since the 2026-08-13
+    regeneration).  ``cast('long')`` and ``unix_micros`` reject NTZ, and
+    ``unix_timestamp`` reinterprets NTZ wall time in the *session* timezone,
+    so none of those are safe when the verifying session's timezone is
+    unknown.  Pure field arithmetic (days-since-epoch × 86400 + time of day)
+    depends only on the stored wall-clock value — identical to DuckDB's
+    ``epoch_us(ts) // 1000000`` on naive timestamps.  Sub-second precision is
+    intentionally floored, matching that oracle expression.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    days = F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
+    return (
+        days.cast("long") * 86400
+        + F.hour(c).cast("long") * 3600
+        + F.minute(c).cast("long") * 60
+        + F.second(c).cast("long")
+    )
+
+
 def stage(df, mode: str | None = None):
     """Materialize an expensive intermediate that is consumed by multiple
     downstream operators (e.g. a shingle-set table feeding signatures AND

@@ -121,14 +121,16 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     total."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # µs-exact gap (cast-to-long would truncate to seconds and disagree
-    # with the oracle's INTERVAL comparison on sub-second boundaries)
-    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    # µs-exact gap via timestamp subtraction (DayTimeInterval).  Interval
+    # arithmetic is type-agnostic — works for TIMESTAMP and TIMESTAMP_NTZ
+    # alike (unix_micros rejects NTZ) — and keeps sub-second precision, so
+    # it agrees with the oracle's INTERVAL comparison on µs boundaries.
+    gap = F.col("ts") - F.lag("ts").over(w)
     flagged = e.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        F.when(gap.isNull() | (gap > F.expr("INTERVAL '30' MINUTE")), 1)
         .otherwise(0)
         .alias("new_sess"),
     )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..common import round_dec, dec2
+from ..common import round_dec, dec2, epoch_seconds
 from ..plans.registry import register
 from ..session import load_table
 
@@ -116,14 +116,17 @@ def win_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day sliding sum per user — RANGE frame over epoch seconds.
 
-    Both engines order by floor(epoch seconds) (Spark ``ts.cast('long')`` ≡
-    DuckDB ``epoch_us(ts) // 1000000``) so the frame boundary is identical;
+    Both engines order by floor(epoch seconds) (Spark ``epoch_seconds(ts)``
+    ≡ DuckDB ``epoch_us(ts) // 1000000``) so the frame boundary is identical;
     RANGE includes all peer rows of equal key, so the sum is tie-safe.
+    ``epoch_seconds`` is wall-clock field arithmetic, so it accepts the
+    TIMESTAMP_NTZ the regenerated fixtures now carry (``cast('long')`` does
+    not).
     """
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(epoch_seconds("ts"))
         .rangeBetween(-7 * 86400, 0)
     )
     return e.select(
