@@ -13,10 +13,12 @@ from .functions import (  # noqa: F401
     text,
     training,
     udfs,
+    vectors,
 )
 from .operators import (  # noqa: F401
     aggregates,
     analytics,
+    analytics_ext,
     joins,
     pipeline,
     relational,

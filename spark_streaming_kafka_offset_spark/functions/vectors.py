@@ -1,0 +1,121 @@
+"""Vector-column statistics over `embeddings` [N] — companions to the
+similarity-search ops in similarity.py (same mandate: BASELINE.json:6).
+
+Where similarity.py *searches* (top-k, ANN, near-dup pairs), this module
+*profiles*: norm distributions per label (the sanity check before any
+cosine math — un-normalized vectors make cosine ≠ dot) and sign-bucket
+occupancy (the load-balance check for SimHash-style ANN bucketing).
+
+Float-parity posture (same as similarity.py): element folds run in array
+index order with float→double casts on both engines, and every float that
+reaches an aggregate is first floored into integer 1e-5 units — group
+aggregates are then exact integer arithmetic, immune to partition-order
+summation drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..session import load_table
+
+
+def _norm_e5(emb: Column) -> Column:
+    """L2 norm in integer 1e-5 units: floor(||v|| * 1e5) as BIGINT."""
+    sumsq = F.aggregate(
+        emb,
+        F.lit(0.0),
+        lambda s, x: s + x.cast("double") * x.cast("double"),
+    )
+    return F.floor(F.sqrt(sumsq) * 100000).cast("long")
+
+
+@register(
+    "embed_norm_stats",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             CAST(floor(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 100000)
+                  AS BIGINT) AS norm_e5
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(norm_e5) AS BIGINT) AS sum_norm_e5,
+           CAST(MIN(norm_e5) AS BIGINT) AS min_norm_e5,
+           CAST(MAX(norm_e5) AS BIGINT) AS max_norm_e5
+    FROM n GROUP BY label
+    """,
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile — the pre-flight check for every cosine
+    pipeline (FIXTURES.md says the vectors are L2-normalized; this query
+    is how a user *verifies* that before trusting dot == cosine).
+
+    Scan-side codegen'd fold per vector (no UDF, no shuffle for the math),
+    one partial+final agg on label.  At 100 TB the cost is the embedding
+    scan itself; wire traffic is labels × 4 integers."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", _norm_e5(F.col("embedding")).alias("norm_e5"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("norm_e5").alias("sum_norm_e5"),
+            F.min("norm_e5").alias("min_norm_e5"),
+            F.max("norm_e5").alias("max_norm_e5"),
+        )
+    )
+
+
+_N_PLANES = 8
+
+
+def _sign_bucket(emb: Column) -> Column:
+    """Sign pattern of the first 8 dims as an integer bucket id (0..255).
+
+    Sign tests on floats are exact — no rounding ambiguity — so this is
+    the rare *float-derived* key that is safely oracle-comparable.  It is
+    also exactly the axis-aligned special case of the random-hyperplane
+    bucketing sim_topk_ann uses, so bucket occupancy here measures the
+    load balance that ANN join would see."""
+    b = F.lit(0)
+    for i in range(_N_PLANES):
+        b = b + F.when(F.element_at(emb, i + 1) > 0, F.lit(1 << i)).otherwise(0)
+    return b
+
+
+@register(
+    "embed_bucket_stats",
+    oracle=f"""
+    WITH b AS (
+      SELECT label,
+             ({" + ".join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(_N_PLANES))})
+               AS bucket
+      FROM embeddings
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+    FROM b GROUP BY bucket
+    """,
+)
+def embed_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-bucket occupancy histogram: how many vectors (and distinct
+    labels) land in each of the 256 sign buckets.  The skew diagnostic for
+    ANN bucketing — a hot bucket here is a hot join partition in
+    sim_topk_ann, and the fix (more planes, or salting the hot bucket) is
+    decided from exactly this histogram.  Scan-side integer arithmetic,
+    one tiny agg; output ≤ 256 rows at any scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", _sign_bucket(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )

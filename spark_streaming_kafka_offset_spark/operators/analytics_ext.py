@@ -1,0 +1,383 @@
+"""Composite analytics, second batch — TPC-H Q4/Q7/Q13/Q17/Q19/Q22 shapes
+plus cohort retention, adapted to the fixture schemas (FIXTURES.md: no
+partsupp, no l_commitdate/l_receiptdate/l_shipmode, no c_phone — predicates
+substitute columns that exist while keeping each query's *shape*: the join
+topology, the aggregate-as-filter / EXISTS / disjunctive-pushdown pattern
+that makes the plan interesting at 100 TB).
+
+Money sums use exact DECIMAL arithmetic (common.py) so oracle hashes are
+stable; thresholds derived from doubles are either exact by construction
+(sums of integral doubles) or rearranged into integer/decimal comparisons
+so no float quotient ever decides row membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..common import dec2, one
+from ..plans.registry import register
+from ..session import load_table
+
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (order priority checking): EXISTS over the fact table →
+    LEFT SEMI join.  The official predicate (commitdate < receiptdate) has
+    no fixture columns, so the existence test is `some line was returned`.
+
+    Scale notes: the semi join shuffles both sides on the order key once —
+    the probe side is pre-filtered by the pushed date window, and a semi
+    join never duplicates order rows (no post-join dedup needed, unlike a
+    plain join + distinct).  The final priority agg is 5 groups —
+    partial+final with near-zero wire traffic."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q7_volume_flows",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE ((ns.n_name = 'NATION_12' AND nc.n_name = 'NATION_11')
+        OR (ns.n_name = 'NATION_11' AND nc.n_name = 'NATION_12'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY ns.n_name, nc.n_name, CAST(YEAR(l.l_shipdate) AS INT)
+    """,
+)
+def q7_volume_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape (volume shipping): bidirectional nation-pair flows — the
+    deepest dim chain in the suite (fact → orders → customer → nation on
+    one leg, fact → supplier → nation on the other) with a cross-leg
+    disjunction that can only be applied after both legs resolve.
+
+    Scale notes: supplier/customer/nation are dims → all broadcast (the
+    fact never shuffles for them); the single fact shuffle is the
+    lineitem⋈orders key.  The nation-pair disjunction prunes via the two
+    broadcast hash joins' build sides; grouping is (2 pairs × years) —
+    tiny.  YEAR() is wall-clock field extraction, NTZ-safe."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ns = F.broadcast(n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")))
+    nc = F.broadcast(n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_11")
+    ) | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_12"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ns, F.col("s_nationkey") == F.col("ns_key"))
+        .join(nc, F.col("c_nationkey") == F.col("nc_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(F.sum(dec2("l_extendedprice") * (one() - dec2("l_discount", 4))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer distribution): LEFT OUTER join with an extra
+    join-side predicate (the official NOT LIKE on o_comment has no fixture
+    column, so a priority filter plays the role), then a two-level
+    aggregate: orders per customer, customers per order-count.  The
+    COUNT(column) vs COUNT(*) distinction is load-bearing: unmatched
+    customers must count 0, not 1.
+
+    Scale notes: the outer join shuffles on custkey; the first aggregate
+    reuses that partitioning (no extra exchange); the second aggregate's
+    key space is tiny (distinct counts).  The join-side predicate lands in
+    the orders scan, NOT as a post-join filter — a post-join filter would
+    wrongly drop unmatched customers."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q17_small_quantity",
+    oracle="""
+    WITH brand_lines AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#3'
+    ), thresh AS (
+      SELECT l_partkey, AVG(l_quantity) * 0.3 AS t
+      FROM brand_lines GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(SUM(CAST(b.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_extprice,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM brand_lines b JOIN thresh t ON b.l_partkey = t.l_partkey
+    WHERE b.l_quantity < t.t
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (small-quantity-order revenue): per-part average quantity
+    as a correlated threshold — the aggregate-feeds-filter-on-same-table
+    pattern.  Restricting the threshold aggregate to the brand's lines
+    first is semantics-preserving (the threshold is per-part, and the
+    brand predicate is a part attribute) and shrinks the agg input ~25×.
+
+    Float-parity note: l_quantity is integral-valued, so SUM/COUNT — and
+    hence AVG — are exact in both engines regardless of partition order;
+    `avg * 0.3` is then the same double on both sides, and the `<`
+    comparison cannot flip.  The output sum is exact DECIMAL.  The final
+    sum avoids the official /7.0 float quotient (engine-dependent last-ulp
+    rounding) by reporting the exact sum and count instead."""
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_lines = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresh = brand_lines.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.3).alias("t")
+    )
+    return (
+        brand_lines.join(thresh, "l_partkey")
+        .where(F.col("l_quantity") < F.col("t"))
+        .agg(
+            F.round(F.sum(dec2("l_extendedprice")), 2)
+            .cast("double")
+            .alias("total_extprice"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_pred",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (discounted revenue): an OR-of-ANDs predicate spanning
+    both join sides — the classic test that the optimizer derives the
+    single-side residuals.  Catalyst pushes
+    `p_brand IN (…)`+size bounds to the part scan and the quantity range
+    union to the lineitem scan, then re-applies the exact disjunction
+    after the join; the join itself stays a broadcast hash join on
+    partkey (part is dim-sized), never a cartesian."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(F.sum(dec2("l_extendedprice") * (one() - dec2("l_discount", 4))), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(14,2)) * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (global sales opportunity): above-average balances with
+    no *recent* orders — scalar aggregate subquery + NOT EXISTS anti join,
+    grouped by segment (standing in for the official phone-prefix country
+    code).  "Idle" is no-orders-since-2000 rather than no-orders-ever:
+    the fixture generator gives every customer at least one order, so the
+    official predicate would be vacuously empty (0 rows proves nothing);
+    the date-filtered anti join keeps the identical plan shape with a
+    non-trivial result.
+
+    Float-parity note: `c_acctbal > AVG(c_acctbal)` would let a float
+    quotient decide membership (partition-order last-ulp drift), so the
+    inequality is rearranged to `acctbal * n > sum` with both sides exact
+    DECIMAL — no division anywhere.
+
+    Scale notes: the 1-row (sum, count) aggregate broadcasts into the
+    filter (a broadcast nested-loop over 1 row, output-sized); the anti
+    join shuffles on custkey — orders needs only its key column, pruned
+    at the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    pos = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.sum(dec2("c_acctbal", 14)).alias("s"), F.count("*").alias("n"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(pos))
+        .where(dec2("c_acctbal", 14) * F.col("n") > F.col("s"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(dec2("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS d FROM events
+    ), f AS (
+      SELECT user_id, MIN(d) AS first_d FROM d GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('week', f.first_d) AS DATE) AS cohort_week,
+           CAST(date_diff('day', f.first_d, d.d) // 7 AS BIGINT) AS week_no,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+    FROM d JOIN f ON d.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over events: users grouped by first-seen
+    week (the cohort), counted distinct in each subsequent activity week.
+    The product-analytics staple next to `events_funnel` / `sessionize_batch`.
+
+    Shape: one aggregate builds the per-user first date, a self-join tags
+    every activity day with its cohort, and a distinct-count collapses to
+    (cohort_week × week_no).  All three steps shuffle on user_id — one
+    partitioning reused end-to-end; the final matrix is weeks² rows.
+    Week arithmetic is date-level (NTZ-safe, timezone-free): both engines
+    truncate to Monday and floor-divide day deltas, which are never
+    negative (d ≥ first_d by construction)."""
+    d = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    f = d.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        d.join(f, "user_id")
+        .groupBy(
+            F.date_trunc("week", F.col("first_d")).cast("date").alias("cohort_week"),
+            F.floor(F.datediff(F.col("d"), F.col("first_d")) / 7).alias("week_no"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -185,6 +185,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "udtf_python",
     "multimodal_cols",
     "multimodal_transform",
+    # ---- Added mid-r3 (below the 50-slot window; locally parity-tested
+    # this round, rotate into the window in a later round).
+    "q4_priority_exists",
+    "q7_volume_flows",
+    "q13_order_distribution",
+    "q17_small_quantity",
+    "q19_disjunctive_pred",
+    "q22_idle_customers",
+    "cohort_retention",
+    "embed_norm_stats",
+    "embed_bucket_stats",
 )
 
 

@@ -316,3 +316,50 @@ def test_runtime_bloom_filter_join_lever(spark):
     finally:
         for k, v in saved.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+def test_q7_broadcasts_dims_no_cartesian(spark):
+    """Q7's five-table dim chain: every dim join broadcasts, the cross-leg
+    nation-pair disjunction never degenerates to a cartesian."""
+    df = QUERIES["q7_volume_flows"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_pushes_disjunctive_residuals(spark):
+    """Q19's OR-of-ANDs: Catalyst must derive the single-side residual
+    (the quantity-range union) and push it into the lineitem scan —
+    otherwise the fact scan reads every row at 100 TB."""
+    df = QUERIES["q19_disjunctive_pred"](spark, SF_DIR)
+    full = plan_str(df)
+    pushed = [l for l in full.splitlines() if "PushedFilters" in l and "l_quantity" in l]
+    assert pushed, "quantity-range union not pushed to the lineitem scan"
+    assert "Or(" in pushed[0]
+
+
+def test_q22_anti_join_and_bounded_nlj(spark):
+    """Q22: the no-recent-orders test plans as a LeftAnti hash join, and
+    the only nested-loop is the 1-row (sum, count) broadcast — output-sized
+    by construction, never a data×data cross."""
+    df = QUERIES["q22_idle_customers"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q13_left_join_keeps_unmatched(spark):
+    """Q13's COUNT(column) over a LEFT join: the join-side priority filter
+    must reach the orders scan (not post-join, which would drop unmatched
+    customers), and customers with zero qualifying orders must appear in
+    the c_count=0 bucket."""
+    df = QUERIES["q13_order_distribution"](spark, SF_DIR)
+    full = plan_str(df)
+    assert "Not(EqualTo(o_orderpriority,5-LOW))" in full
+    # Outer-join preservation: every customer lands in exactly one
+    # c_count bucket, so the distribution must sum to the customer count
+    # (an inner join would silently drop zero-order customers).
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    assert sum(r["custdist"] for r in df.collect()) == n_cust
