@@ -286,3 +286,163 @@ def pipeline_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("shard_tokens"),
     )
 
+
+
+@register(
+    "events_outliers",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS HUGEINT) AS xc
+      FROM events
+    ), g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(xc) AS s,
+             SUM(xc * xc) AS q
+      FROM x GROUP BY event_type
+    )
+    SELECT x.event_type,
+           CAST(g.n AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN (g.n * x.xc - g.s) * (g.n * x.xc - g.s)
+                              > 9 * (g.n * g.q - g.s * g.s)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM x JOIN g ON x.event_type = g.event_type
+    GROUP BY x.event_type, g.n
+    """,
+)
+def events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier counts per event type — the monitoring/data-quality
+    staple — with the z-score test rearranged into pure integer
+    arithmetic so the oracle comparison is exact.
+
+    ``|x − μ| > 3σ``, with μ = s/n and σ² = (n·q − s²)/n², multiplies out
+    to ``(n·x − s)² > 9·(n·q − s²)`` — no division, no square root, no
+    float anywhere: values are 2-decimal doubles converted to integer
+    cents up front (round(x·100) is exact for 2-decimal inputs), and
+    every product stays in integer space (DECIMAL(38,0) Spark-side,
+    HUGEINT oracle-side — n·q ≈ 10²⁶ at 10¹² rows, inside both).
+
+    Scale notes: one partial+final agg builds (n, s, q) per type — a
+    handful of rows — which broadcasts back onto the scan for the
+    outlier test; the second agg reuses the same grouping key.  Two
+    passes over events (agg + test) is the price of a global μ,σ; at
+    100 TB both passes are scan-bound and shuffle only group-sized
+    rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("xc")
+    )
+    big = F.col("xc").cast("decimal(38,0)")
+    g = e.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(big).alias("s"),
+        F.sum(big * F.col("xc")).alias("q"),
+    )
+    lhs = F.col("n") * F.col("xc") - F.col("s")
+    is_out = (lhs * lhs) > (F.lit(9) * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+    return (
+        e.join(F.broadcast(g), "event_type")
+        .groupBy("event_type", "n")
+        .agg(F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "source_p75_gate",
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ), th AS (
+      SELECT source, n_chars AS p75
+      FROM r WHERE rn = CAST(CEIL(0.75 * n) AS BIGINT)
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(d.n_chars) AS BIGINT) AS min_kept_chars,
+           CAST(ANY_VALUE(th.p75) AS BIGINT) AS p75_chars
+    FROM documents d JOIN th ON d.source = th.source
+    WHERE d.n_chars > th.p75
+    GROUP BY d.source
+    """,
+)
+def source_p75_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating by per-source length percentile: keep documents
+    above their source's 75th percentile of n_chars.  The percentile is
+    DISCRETE — the value at rank ceil(0.75·n) under a total (n_chars,
+    doc_id) order — because interpolated percentiles are float quotients
+    with engine-specific rounding, while a ranked element is exact in
+    any engine.  (0.75·n is itself exact: 3/4 is a binary-representable
+    factor.)
+
+    Scale notes: one shuffle on source for the rank window; the
+    thresholds table is sources-sized → broadcast back onto the scan.
+    At 100 TB the window sort is the cost — per-source, not global, and
+    spillable; a production variant would swap in approx_percentile and
+    lose the oracle, which is exactly the trade this query documents."""
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    th = r.where(
+        F.col("rn") == F.ceil(0.75 * F.col("n")).cast("long")
+    ).select("source", F.col("n_chars").alias("p75"))
+    return (
+        d.join(F.broadcast(th), "source")
+        .where(F.col("n_chars") > F.col("p75"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("n_chars").alias("min_kept_chars"),
+            F.any_value(F.col("p75")).alias("p75_chars"),
+        )
+    )
+
+
+@register(
+    "lang_balanced_sample",
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id FROM r WHERE rn <= 30
+    """,
+)
+def lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced subcorpus: cap every language at 30 documents,
+    chosen by deterministic hash order (md5 of the doc id) so the sample
+    is reproducible across engines, runs, and cluster sizes — the
+    multilingual-mixing step that stops a 90%-English corpus from
+    drowning low-resource languages.
+
+    Scale notes: one shuffle on lang for the rank window.  Languages are
+    a skewed key (English IS the hot partition) — at 100 TB the
+    production form pre-filters with a cheap per-partition local top-K
+    on the same hash order before the global window (K rows per
+    partition survive), which this plan's hash-order determinism makes
+    semantics-preserving; the fixture-scale plan keeps the single
+    window, and the oracle pins the exact sample either way."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 30)
+        .select("lang", "doc_id")
+    )

@@ -196,6 +196,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "embed_norm_stats",
     "embed_bucket_stats",
+    "events_outliers",
+    "source_p75_gate",
+    "lang_balanced_sample",
 )
 
 
