@@ -119,3 +119,50 @@ def embed_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("label").alias("n_labels"),
         )
     )
+
+
+@register(
+    "embed_centroids",
+    oracle="""
+    SELECT label, CAST(pos - 1 AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT))
+                AS BIGINT) AS sum_q20
+    FROM (SELECT label,
+                 generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding) AS v
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulators: for every (label, dimension), the
+    vector count and the exact component sum in Q20 fixed point — the
+    distributed half of a KMeans/mean-pooling step (the caller divides
+    sum/n; keeping the division out keeps the oracle exact).
+
+    Fixed-point note: ``floor(v * 2^20)`` is EXACT float-derived
+    arithmetic — scaling a float by a power of two is lossless in
+    double, and floor has no rounding ambiguity — unlike float→DECIMAL
+    casts, which Spark performs via the shortest-string representation
+    and DuckDB via the exact binary value (they disagree in the last
+    digit; measured on these fixtures).  Integer sums then commute.
+
+    Scale notes: posexplode is a 64× row expansion BEFORE the shuffle,
+    but each exploded row is 20 bytes and partial aggregation collapses
+    them map-side to (labels × 64) rows per task — the wire traffic is
+    output-sized, the same reason agg_hash scales.  (MLlib's Summarizer
+    avoids the explode at the cost of a black-box vector UDAF; the
+    explode form stays whole-stage-codegen and oracle-checkable.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * (1 << 20)).cast("long").alias("q20"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("q20").alias("sum_q20"),
+    )

@@ -1,0 +1,157 @@
+"""Table-maintenance operators: statistics collection (ANALYZE) and
+snapshot diffing (CDC) — the operational companions every warehouse-style
+engine ships next to its query surface.
+
+`analyze_table_stats` is what feeds a cost-based optimizer (row counts,
+null fractions, NDVs, value bounds); `snapshot_diff` is the
+change-data-capture primitive (which rows appeared / disappeared /
+changed between two table states) that drives incremental downstream
+refreshes — the read-side inverse of `merge_upsert`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..session import load_table
+
+_STAT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "analyze_table_stats",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+           MIN({c}) AS min_val,
+           MAX({c}) AS max_val
+    FROM lineitem
+    """
+        for c in _STAT_COLS
+    ),
+)
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for the fact table's numeric
+    columns: row count, null count, exact NDV, and value bounds — the
+    inputs a cost-based optimizer's cardinality estimates are built from.
+
+    One scan computes all 4×4 measures in a single partial+final
+    aggregate (the oracle's UNION ALL re-scans per column; Spark's
+    single-agg + melt is the scale shape), then melts to long form with
+    a zero-shuffle Expand.  min/max are raw column values — no
+    arithmetic, so no float-parity risk.  Exact NDV is the one genuinely
+    expensive measure (a distinct per column); the production variant
+    swaps in approx_count_distinct and loses the oracle — the same
+    exact-vs-approx trade agg_approx_distinct documents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _STAT_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one_row = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__ndv, {c}__min, {c}__max" for c in _STAT_COLS
+    )
+    return one_row.select(
+        F.expr(
+            f"stack({len(_STAT_COLS)}, {stack_args}) AS "
+            "(column_name, n_rows, n_null, ndv, min_val, max_val)"
+        )
+    )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ), snap_b AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN ROUND(o_totalprice + 10.0, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-07-01'
+        AND o_orderkey % 50 <> 0
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                WHEN a.o_orderstatus <> b.o_orderstatus
+                  OR a.o_totalprice <> b.o_totalprice THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(COALESCE(a.o_orderkey, b.o_orderkey)) AS BIGINT)
+             AS key_checksum
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    GROUP BY 1
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: classify every key across two table states as
+    insert / delete / update / unchanged, with a key checksum per class.
+    The two snapshots are deterministic derivations of `orders` (a later
+    date horizon, minus every 50th key, with every 13th price bumped) so
+    the diff exercises all four classes on fixture data.
+
+    FULL OUTER join on the key, null-ness decides insert/delete, column
+    comparison decides update — exactly what lakehouse CDC readers
+    compute between versions.  One shuffle on the key for both sides
+    (the snapshots are scans of the same table, so at 100 TB this is two
+    passes + one co-partitioned join); the class aggregate is 4 rows.
+    The update comparison is bit-exact: both engines compute the same
+    `round(x + 10.0, 2)` double, and unchanged rows compare raw values
+    with no arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    snap_a = o.where(F.col("o_orderdate") < "1998-01-01").select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderstatus").alias("a_status"),
+        F.col("o_totalprice").alias("a_price"),
+    )
+    snap_b = (
+        o.where(
+            (F.col("o_orderdate") < "1998-07-01") & (F.col("o_orderkey") % 50 != 0)
+        ).select(
+            F.col("o_orderkey").alias("b_key"),
+            F.col("o_orderstatus").alias("b_status"),
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                F.round(F.col("o_totalprice") + 10.0, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("b_price"),
+        )
+    )
+    j = snap_a.join(snap_b, snap_a.a_key == snap_b.b_key, "full_outer")
+    change = (
+        F.when(F.col("a_key").isNull(), "insert")
+        .when(F.col("b_key").isNull(), "delete")
+        .when(
+            (F.col("a_status") != F.col("b_status"))
+            | (F.col("a_price") != F.col("b_price")),
+            "update",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            change.alias("change_type"),
+            F.coalesce(F.col("a_key"), F.col("b_key")).alias("k"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("k").alias("key_checksum"),
+        )
+    )

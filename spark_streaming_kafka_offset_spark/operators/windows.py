@@ -206,3 +206,52 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_key"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST((2 * SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER w
+                 + COUNT(*) OVER w)
+                // (2 * COUNT(*) OVER w) AS BIGINT) AS ma4_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-order moving average per customer — the bounded-ROWS-frame
+    companion to win_frame_running (unbounded) and win_range_frame
+    (RANGE): all three physical frame kinds are now covered.
+
+    The average is computed entirely in integer cents with explicit
+    half-up rounding: ``(2s + n) div (2n)`` for positive s.  A
+    ``round(sum/count, 2)`` double formulation looks equivalent but is
+    NOT: frames of 2 or 4 two-decimal values land the quotient exactly
+    on half-cent boundaries where Spark and DuckDB round differently
+    (measured: 38452.395 → .40 vs .39).  Integer division has no such
+    boundary.  One shuffle on o_custkey shared by both window
+    functions."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    framed = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(cents).over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    # `div` is true integer division (no float quotient to mis-round)
+    return framed.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.expr("(2 * s + n) div (2 * n)").cast("long").alias("ma4_cents"),
+    )

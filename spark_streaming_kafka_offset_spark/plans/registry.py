@@ -199,6 +199,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_outliers",
     "source_p75_gate",
     "lang_balanced_sample",
+    "win_moving_avg",
+    "embed_centroids",
+    "analyze_table_stats",
+    "snapshot_diff",
 )
 
 
