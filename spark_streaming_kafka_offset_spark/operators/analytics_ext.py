@@ -15,8 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from ..common import dec2, one
+from ..common import dec2, epoch_seconds, one
 from ..plans.registry import register
 from ..session import load_table
 
@@ -380,4 +381,83 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.datediff(F.col("d"), F.col("first_d")) / 7).alias("week_no"),
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY COUNT(*) DESC, lang) AS rn
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang AS modal_lang, n AS n_docs
+    FROM c WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group (most frequent lang per source) — the MODE()
+    aggregate expressed as count → rank → keep-first, with a
+    deterministic lexical tie-break (a bare MODE() is engine-dependent on
+    ties, which is exactly why it is spelled out).
+
+    Scale notes: the count aggregate collapses to (source × lang) rows —
+    partial+final, so the shuffle is combination-sized, not row-sized —
+    and the rank window runs on that tiny frame.  This is the standard
+    scalable mode: never a per-group collect."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+    return (
+        counts.select(
+            "source", "lang", "n", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("modal_lang"), F.col("n").alias("n_docs"))
+    )
+
+
+@register(
+    "interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000
+               - LAG(epoch_us(ts) // 1000000)
+                 OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM g GROUP BY event_type
+    """,
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time profile per event type: gaps between successive
+    events of the same (user, type) in whole seconds — the
+    frequency/burstiness diagnostic behind rate limiting and session-gap
+    tuning (sessionize_batch's 30-minute threshold comes from exactly
+    this query's distribution).
+
+    All integer arithmetic: gaps are differences of floored epoch
+    seconds (``epoch_seconds`` — wall-clock field math, NTZ-safe), so
+    COUNT/SUM/MIN/MAX are exact in both engines.  One shuffle on
+    (user_id — the window key); the final agg is event-type-sized."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    es = epoch_seconds("ts")
+    g = e.select(
+        "event_type", (es - F.lag(es).over(w)).alias("gap_s")
+    )
+    return g.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.sum("gap_s").alias("sum_gap_s"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
     )

@@ -203,6 +203,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embed_centroids",
     "analyze_table_stats",
     "snapshot_diff",
+    "agg_mode",
+    "interarrival_stats",
 )
 
 

@@ -575,3 +575,84 @@ def test_merge_upsert_is_idempotent(spark):
         ).collect()
     )
     assert a == b_
+
+
+def test_events_outliers_chebyshev_bound(spark):
+    """3σ outliers obey Chebyshev: at most n/9 per group (holds for ANY
+    distribution — a violation means the integer rearrangement of the
+    z-score test is wrong, not that the data is odd)."""
+    out = QUERIES["events_outliers"](spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["n_outliers"] <= r["n_events"] / 9
+
+
+def test_cohort_retention_week0_equals_cohort_size(spark):
+    """Every cohort's week 0 must count every user of that cohort (each
+    user is active in their own first week by definition), and no
+    later week may exceed it."""
+    rows = QUERIES["cohort_retention"](spark, SF_DIR).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_no"]] = r["n_users"]
+    assert by_cohort
+    for weeks in by_cohort.values():
+        assert 0 in weeks
+        assert all(n <= weeks[0] for n in weeks.values())
+
+
+def test_embed_centroids_bounds_for_normalized_vectors(spark):
+    """Components of L2-normalized vectors lie in [-1, 1], so every Q20
+    component sum is bounded by n_vecs·2^20 in magnitude, and each
+    (label, pos) appears exactly once for 64 dims."""
+    rows = QUERIES["embed_centroids"](spark, SF_DIR).collect()
+    labels = {}
+    for r in rows:
+        labels.setdefault(r["label"], set()).add(r["pos"])
+        assert abs(r["sum_q20"]) <= r["n_vecs"] * (1 << 20)
+    assert all(dims == set(range(64)) for dims in labels.values())
+
+
+def test_lang_balanced_sample_caps_and_subsets(spark):
+    """No language exceeds the cap, and every sampled doc_id exists in
+    the corpus with that language."""
+    from spark_streaming_kafka_offset_spark.session import load_table
+
+    sample = QUERIES["lang_balanced_sample"](spark, SF_DIR)
+    counts = {r["lang"]: r["n"] for r in
+              sample.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts and max(counts.values()) <= 30
+    docs = load_table(spark, SF_DIR, "documents").select("lang", "doc_id")
+    assert sample.join(docs, ["lang", "doc_id"], "left_anti").count() == 0
+
+
+def test_source_p75_gate_keeps_at_most_quarter(spark):
+    """A strict > p75 gate keeps at most 25% of each source's docs
+    (ties at the threshold value only shrink the kept set)."""
+    from spark_streaming_kafka_offset_spark.session import load_table
+
+    kept = {r["source"]: r["n_kept"] for r in
+            QUERIES["source_p75_gate"](spark, SF_DIR).collect()}
+    totals = {r["source"]: r["n"] for r in
+              load_table(spark, SF_DIR, "documents")
+              .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert kept
+    for src, n_kept in kept.items():
+        assert n_kept <= totals[src] * 0.25 + 1
+
+
+def test_snapshot_diff_classes_partition_the_key_space(spark):
+    """insert+delete+update+unchanged row counts must add up to the
+    distinct keys of the two snapshots' union (each key classified
+    exactly once)."""
+    from spark_streaming_kafka_offset_spark.session import load_table
+
+    rows = {r["change_type"]: r["n_rows"]
+            for r in QUERIES["snapshot_diff"](spark, SF_DIR).collect()}
+    assert set(rows) == {"insert", "delete", "update", "unchanged"}
+    o = load_table(spark, SF_DIR, "orders")
+    a = o.where(F.col("o_orderdate") < "1998-01-01").select("o_orderkey")
+    b = o.where(
+        (F.col("o_orderdate") < "1998-07-01") & (F.col("o_orderkey") % 50 != 0)
+    ).select("o_orderkey")
+    assert sum(rows.values()) == a.union(b).distinct().count()
