@@ -205,6 +205,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "snapshot_diff",
     "agg_mode",
     "interarrival_stats",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_top_nations",
+    "q15_top_supplier",
 )
 
 
