@@ -696,3 +696,204 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("total_rev"), 2).cast("double").alias("total_rev"),
         )
     )
+
+
+@register(
+    "q12_priority_split",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'N'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping-mode priority split): per-category counts of
+    high- vs low-priority order lines — the two CASE sums ride in one
+    aggregate.  The official l_shipmode has no fixture column, so
+    l_linestatus provides the grouping and the returnflag/date window
+    the line filter; the join-then-conditional-count pattern is
+    unchanged.
+
+    Scale notes: both scans pruned (flag + date window pushed), one
+    shuffle on the order key, both CASE sums in the same partial+final
+    agg — two rows out."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_returnflag") == "N")
+        & (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_linestatus")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (part/supplier relationship): distinct supplier counts
+    per part attribute, excluding a blacklisted supplier set.  The
+    official partsupp link has no fixture — lineitem's
+    (l_partkey, l_suppkey) IS the observed part-supplier relation — and
+    negative account balances play the "complaints" blacklist.
+
+    Scale notes: the blacklist is dim-sized → broadcast ANTI join (a
+    NOT IN over a nullable column would be a null-trap; s_suppkey is a
+    key, and the anti join sidesteps the semantics entirely); part is
+    filter-pruned then broadcast; COUNT(DISTINCT) shuffles once on the
+    group keys with the distinct folded into the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#5")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_volume_suppliers",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), pt AS (
+      SELECT l_partkey, SUM(sq) AS tq FROM pq GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+    FROM pq
+    JOIN pt ON pq.l_partkey = pt.l_partkey
+    JOIN supplier s ON pq.l_suppkey = s.s_suppkey
+    WHERE pq.sq * 2 > pt.tq
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (excess/dominant inventory): suppliers who shipped more
+    than half of a part's total quantity in the window — the
+    share-of-aggregate threshold pattern (official: availqty > 50% of
+    shipped; no partsupp fixture, so dominance over the shipped total
+    plays the role).  `sq·2 > tq` keeps the half-share test in exact
+    decimal space.
+
+    Scale notes: the two aggregates share the l_partkey grouping — the
+    second is a rollup of the first (combination-sized input); the join
+    back is co-partitioned on l_partkey so AQE plans it shuffle-free
+    from the agg output; the supplier dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(dec2("l_quantity")).alias("sq"))
+    pt = pq.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        pq.join(pt, "l_partkey")
+        .where(F.col("sq") * 2 > F.col("tq"))
+        .join(s, pq.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_dominant_parts"))
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON l1.l_orderkey = o.o_orderkey
+    WHERE l1.l_returnflag = 'R'
+      AND o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): the sole-blame
+    pattern — a returned line on a finished multi-supplier order where
+    NO other supplier also returned.  EXISTS + NOT EXISTS against the
+    same fact, correlated on the order key with a supplier inequality —
+    the hardest subquery shape in the suite (official predicate uses
+    receiptdate>commitdate; returnflag plays the "late" role).
+
+    Scale notes: both existence tests compile to LEFT SEMI / LEFT ANTI
+    joins equi-keyed on l_orderkey with the suppkey inequality as the
+    join residual — all three fact passes shuffle on the SAME key, so
+    the partitioning is computed once and reused; the supplier dim
+    broadcasts and top-20 fuses to TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sk")
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        l1.join(o, l1.k == o.o_orderkey, "left_semi")
+        .join(l2, (F.col("k") == F.col("k2")) & (F.col("sk") != F.col("sk2")), "left_semi")
+        .join(l3, (F.col("k") == F.col("k3")) & (F.col("sk") != F.col("sk3")), "left_anti")
+        .join(s, F.col("sk") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -209,6 +209,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q9_product_profit",
     "q11_top_nations",
     "q15_top_supplier",
+    "q12_priority_split",
+    "q16_supplier_variety",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
 )
 
 

@@ -363,3 +363,14 @@ def test_q13_left_join_keeps_unmatched(spark):
     # (an inner join would silently drop zero-order customers).
     n_cust = load_table(spark, SF_DIR, "customer").count()
     assert sum(r["custdist"] for r in df.collect()) == n_cust
+
+
+def test_q21_semi_anti_share_order_key_partitioning(spark):
+    """Q21's EXISTS/NOT EXISTS must plan as LEFT SEMI + LEFT ANTI hash
+    joins on the order key (suppkey inequality as residual), never a
+    cartesian, with the top-20 fused to TakeOrderedAndProject."""
+    df = QUERIES["q21_waiting_suppliers"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
