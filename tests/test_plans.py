@@ -244,6 +244,9 @@ _BNL_ALLOWED = {
     "text_tfidf",        # broadcast 1-row n_docs frame
     "text_bigram_pmi",   # broadcast 1-row totals frame
     "sim_topk_ivf",      # broadcast nlist=16 centroid table (assignment)
+    "q22_idle_customers",  # broadcast 1-row (sum, count) scalar frame
+    "q11_top_nations",   # broadcast 1-row global-total scalar frame
+    "q15_top_supplier",  # broadcast 1-row global-MAX scalar frame
 }
 
 
