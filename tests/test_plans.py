@@ -377,3 +377,26 @@ def test_q21_semi_anti_share_order_key_partitioning(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_timezone_independent_results(spark):
+    """The driver builds its own SparkSession with an unknown timezone.
+    Timestamps in the fixtures are wall-clock (TIMESTAMP_NTZ since the
+    r3 regeneration), and every temporal operator uses interval/field
+    arithmetic (epoch_seconds, YEAR, date_trunc) rather than
+    tz-dependent epoch casts — so the SAME results must come back under
+    any session timezone.  Run the temporal-heavy queries under
+    America/New_York (a DST timezone) and compare row-for-row with the
+    UTC session's answers."""
+    keys = ("sessionize_batch", "win_range_frame", "cohort_retention",
+            "interarrival_stats", "q7_volume_flows")
+    utc_rows = {k: sorted(map(tuple, QUERIES[k](spark, SF_DIR).collect()))
+                for k in keys}
+    other = spark.newSession()
+    other.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for k in keys:
+            got = sorted(map(tuple, QUERIES[k](other, SF_DIR).collect()))
+            assert got == utc_rows[k], f"{k} differs under America/New_York"
+    finally:
+        other.conf.set("spark.sql.session.timeZone", "UTC")
