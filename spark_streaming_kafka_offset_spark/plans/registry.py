@@ -97,17 +97,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_schema_evolution",
     "scan_dynamic_pruning",
     "scan_corrupt_tolerant",
-    # Slots 43-45: oracles/plans changed this round — need driver re-confirmation.
-    "fn_map",
-    "text_tfidf",
-    "dedup_exact",
-    # Slots 46-48: r2-green canaries (cross-round stability signal).
-    "scan_parquet",
-    "agg_hash",
-    "q3_shipping_priority",
-    # Slots 49-50: r2-green backfill (already hard-confirmed in r2).
-    "scan_pruned",
-    "project_expr",
+    # Slots 43-50: oracle keys added mid-r3 (second TPC-H batch, cohort
+    # retention, vector/outlier/CDC ops) — never driver-checked; they
+    # displaced the r2-green canaries so every slot yields NEW signal
+    # (entry() still smoke-checks agg_hash every round regardless).
+    "q4_priority_exists",
+    "q7_volume_flows",
+    "q13_order_distribution",
+    "cohort_retention",
+    "embed_norm_stats",
+    "events_outliers",
+    "snapshot_diff",
+    "win_moving_avg",
     # --- window boundary (50) ---
     # r2-green oracle rows outside the r3 window.
     "filter_pred",
@@ -185,24 +186,27 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "udtf_python",
     "multimodal_cols",
     "multimodal_transform",
-    # ---- Added mid-r3 (below the 50-slot window; locally parity-tested
-    # this round, rotate into the window in a later round).
-    "q4_priority_exists",
-    "q7_volume_flows",
-    "q13_order_distribution",
+    # ---- Below the window: displaced r2-green keys (fn_map, text_tfidf,
+    # dedup_exact, scan_parquet, agg_hash, q3, scan_pruned, project_expr —
+    # each already holds a hard CORRECTNESS_r02 row) interleaved with the
+    # remaining mid-r3 additions; the 18 never-checked keys here are the
+    # r4 rotation queue (see SURVEY §8).
+    "fn_map",
+    "text_tfidf",
+    "dedup_exact",
     "q17_small_quantity",
     "q19_disjunctive_pred",
     "q22_idle_customers",
-    "cohort_retention",
-    "embed_norm_stats",
+    "scan_parquet",
+    "agg_hash",
     "embed_bucket_stats",
-    "events_outliers",
+    "q3_shipping_priority",
     "source_p75_gate",
     "lang_balanced_sample",
-    "win_moving_avg",
+    "project_expr",
     "embed_centroids",
     "analyze_table_stats",
-    "snapshot_diff",
+    "scan_pruned",
     "agg_mode",
     "interarrival_stats",
     "q8_market_share",
