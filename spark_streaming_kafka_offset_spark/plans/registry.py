@@ -173,6 +173,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sink_foreachbatch",
     "sink_memory",
     "sink_compacted",
+    "sink_jsonl_shards",
     "scan_csv_json",
     "agg_approx_distinct",
     "rollup_hll",

