@@ -1103,3 +1103,116 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         if changed == 0:
             return labels
     raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
+
+
+_MD5_PERMS = 8  #: md5-derived signature length for the oracle-backed variant
+_MD5_BAND_ROWS = 4  #: 2 bands of 4 rows
+
+
+def _md5_hash(col: Column, perm: int) -> Column:
+    """Permutation hash both engines can compute bit-identically: the
+    first 15 hex digits of md5(shingle || perm) parsed as a BIGINT.
+    (15 hex digits < 2^60 — no sign/overflow divergence.)"""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(str(perm)))), 1, 15), 16, 10
+    ).cast("long")
+
+
+@register(
+    "dedup_minhash_md5",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2]))) AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM tok
+    ), sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(CAST(('0x' || substr(md5(s || '{p}'), 1, 15)) AS BIGINT)) AS h{p}" for p in range(_MD5_PERMS))}
+      FROM ex GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id,
+             {" || '_' || ".join(f"CAST(h{p} AS VARCHAR)" for p in range(_MD5_BAND_ROWS))} AS b0,
+             {" || '_' || ".join(f"CAST(h{p} AS VARCHAR)" for p in range(_MD5_BAND_ROWS, _MD5_PERMS))} AS b1
+      FROM sig
+    ), cand AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM banded x JOIN banded y ON x.b0 = y.b0 AND x.doc_id < y.doc_id
+      UNION
+      SELECT x.doc_id, y.doc_id
+      FROM banded x JOIN banded y ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+    )
+    SELECT c.a, c.b,
+           CAST(len(list_intersect(ta.sh, tb.sh)) AS BIGINT) AS n_inter,
+           CAST(len(ta.sh) + len(tb.sh)
+                - len(list_intersect(ta.sh, tb.sh)) AS BIGINT) AS n_union
+    FROM cand c
+    JOIN tok ta ON ta.doc_id = c.a
+    JOIN tok tb ON tb.doc_id = c.b
+    WHERE 2 * len(list_intersect(ta.sh, tb.sh))
+          >= len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))
+    """,
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with a FULLY oracle-checkable hash: md5-derived
+    permutations (8 perms, 2 bands of 4) instead of xxhash64.  The
+    production `dedup_minhash` stays on xxhash64 (cheaper, but DuckDB
+    cannot mirror it, so it is rows-only); this variant proves the
+    entire pipeline — shingle → signature → band → candidate join →
+    exact-Jaccard verify — end to end against the oracle, because every
+    stage is deterministic integer/string arithmetic in both engines.
+
+    Plan shape is identical to dedup_minhash: explode + 8 MIN aggregates
+    build signatures in one pass, candidates come from band-key
+    equi-joins only (never all-pairs), and the Jaccard gate
+    `2·|∩| ≥ |∪|` is exact integer arithmetic on the shingle sets.  At
+    100 TB you'd run the xxhash64 variant; this one is the semantic
+    contract both are held to."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", _shingles(F.col("text")).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    ex = tok.select("doc_id", F.explode("sh").alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min(_md5_hash(F.col("s"), p)).alias(f"h{p}") for p in range(_MD5_PERMS)]
+    )
+    b0 = F.concat_ws("_", *[F.col(f"h{p}") for p in range(_MD5_BAND_ROWS)])
+    b1 = F.concat_ws(
+        "_", *[F.col(f"h{p}") for p in range(_MD5_BAND_ROWS, _MD5_PERMS)]
+    )
+    banded = sig.select("doc_id", b0.alias("b0"), b1.alias("b1"))
+    x = banded.select(
+        F.col("doc_id").alias("a"), F.col("b0").alias("xb0"), F.col("b1").alias("xb1")
+    )
+    y = banded.select(
+        F.col("doc_id").alias("b"), F.col("b0").alias("yb0"), F.col("b1").alias("yb1")
+    )
+    cand = (
+        x.join(y, (F.col("xb0") == F.col("yb0")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .union(
+            x.join(y, (F.col("xb1") == F.col("yb1")) & (F.col("a") < F.col("b")))
+            .select("a", "b")
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    tb = tok.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    return (
+        cand.join(ta, "a")
+        .join(tb, "b")
+        .where(2 * inter >= union)
+        .select(
+            "a",
+            "b",
+            inter.cast("long").alias("n_inter"),
+            union.cast("long").alias("n_union"),
+        )
+    )

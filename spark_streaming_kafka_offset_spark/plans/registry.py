@@ -218,6 +218,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q16_supplier_variety",
     "q20_volume_suppliers",
     "q21_waiting_suppliers",
+    "dedup_minhash_md5",
 )
 
 
