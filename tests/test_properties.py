@@ -656,3 +656,30 @@ def test_snapshot_diff_classes_partition_the_key_space(spark):
         (F.col("o_orderdate") < "1998-07-01") & (F.col("o_orderkey") % 50 != 0)
     ).select("o_orderkey")
     assert sum(rows.values()) == a.union(b).distinct().count()
+
+
+def test_minhash_md5_catches_all_exact_duplicates(spark, tmp_path):
+    """LSH completeness at J=1: two documents with IDENTICAL text have
+    identical shingle sets, hence identical signatures, hence share
+    every band — so an exact-duplicate pair MUST appear in the
+    candidate output with n_inter == n_union.  (The regenerated fixture
+    corpus carries no exact dups, so this builds a minimal one and runs
+    the registered query against it.)"""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "web", 43),
+            (2, "the quick brown fox jumps over the lazy dog", "en", "web", 43),
+            (3, "completely different text with no shared shingles at all", "en", "web", 57),
+            (4, "the quick brown fox jumps over the sleepy dog", "en", "web", 45),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["a"], r["b"]): (r["n_inter"], r["n_union"])
+        for r in QUERIES["dedup_minhash_md5"](spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in got, f"exact duplicate pair missed by LSH: {got}"
+    ni, nu = got[(1, 2)]
+    assert ni == nu
+    assert (1, 3) not in got and (2, 3) not in got
