@@ -897,3 +897,96 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "ts_similarity_topk",
+    oracle="""
+    WITH hc AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ), tot AS (
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS total,
+             len(CAST(SUM(n) AS VARCHAR)) AS bucket
+      FROM hc GROUP BY user_id
+    ), q AS (
+      SELECT user_id AS qa, total AS ta, bucket FROM tot WHERE user_id % 20 = 0
+    ), cand AS (
+      SELECT q.qa, t.user_id AS cb, q.ta, t.total AS tb
+      FROM q JOIN tot t ON q.bucket = t.bucket AND q.qa <> t.user_id
+    ), common AS (
+      SELECT c.qa, c.cb, c.ta, c.tb,
+             SUM(LEAST(a.n, b.n)) AS s
+      FROM cand c
+      JOIN hc a ON a.user_id = c.qa
+      JOIN hc b ON b.user_id = c.cb AND b.h = a.h
+      GROUP BY c.qa, c.cb, c.ta, c.tb
+    ), dist AS (
+      SELECT qa, cb, CAST(ta + tb - 2 * s AS BIGINT) AS l1,
+             ROW_NUMBER() OVER (PARTITION BY qa
+                                ORDER BY ta + tb - 2 * s, cb) AS rn
+      FROM common
+    )
+    SELECT qa AS query_user, cb AS similar_user, l1 FROM dist WHERE rn <= 3
+    """,
+)
+def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the EDBT'19 streaming-similarity
+    theme, discretized): for each query user, the 3 users with the most
+    similar hourly activity series by exact L1 distance.
+
+    The trick that keeps it exact AND join-shaped: with per-hour counts
+    and missing hours ≡ 0,  ``L1(a,b) = total_a + total_b − 2·Σ_common
+    min(n_a, n_b)`` — only hours BOTH users were active contribute to
+    the sum, so an inner equi-join on the hour within candidate pairs
+    suffices (no dense-vector materialization, no full outer join).
+    All integer arithmetic end to end.
+
+    Scale notes: candidates are blocked by total-activity magnitude
+    (decimal digit count — exact, unlike float log2 which can flip at
+    power boundaries), so the pair space is bucket-local, the hour join
+    is output-sized, and the final top-k is a rank window per query
+    user.  At 100 TB the block key would add a coarse time-range
+    component; the shape is unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("n"))
+    tot = hc.groupBy("user_id").agg(F.sum("n").alias("total")).select(
+        "user_id",
+        "total",
+        F.length(F.col("total").cast("string")).alias("bucket"),
+    )
+    q = tot.where(F.col("user_id") % 20 == 0).select(
+        F.col("user_id").alias("qa"), F.col("total").alias("ta"), "bucket"
+    )
+    cand = q.join(
+        tot.select(F.col("user_id").alias("cb"), F.col("total").alias("tb"), "bucket"),
+        on=["bucket"],
+    ).where(F.col("qa") != F.col("cb"))
+    a = hc.select(F.col("user_id").alias("qa"), F.col("h").alias("ha"), F.col("n").alias("na"))
+    b = hc.select(F.col("user_id").alias("cb2"), F.col("h").alias("hb"), F.col("n").alias("nb"))
+    common = (
+        cand.join(a, "qa")
+        .join(b, (F.col("cb") == F.col("cb2")) & (F.col("ha") == F.col("hb")))
+        .groupBy("qa", "cb", "ta", "tb")
+        .agg(F.sum(F.least("na", "nb")).alias("s"))
+    )
+    from pyspark.sql.window import Window as W
+
+    dist = common.select(
+        "qa",
+        "cb",
+        (F.col("ta") + F.col("tb") - 2 * F.col("s")).cast("long").alias("l1"),
+    )
+    w = W.partitionBy("qa").orderBy("l1", "cb")
+    return (
+        dist.select("qa", "cb", "l1", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("qa").alias("query_user"),
+            F.col("cb").alias("similar_user"),
+            "l1",
+        )
+    )
