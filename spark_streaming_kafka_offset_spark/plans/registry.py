@@ -44,15 +44,97 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 #: tests/test_registry.py locks the invariants (full coverage, no dups,
 #: first-50 all oracle-backed).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Window policy (r3): the driver checks the FIRST 50 keys only.
-    # r2 checked the 50 keys listed in CORRECTNESS_r02.json (all green).
-    # This round rotates the window so every oracle-backed key that has
-    # NEVER received a hard driver row sits inside it; r2 ∪ r3 then gives
-    # every oracle-backed operator at least one green driver row.  Keys
-    # displaced out of the window stay registered and locally parity-
-    # tested through the driver-identical canon (tests/test_parity.py).
+    # ---- Window policy (r4): the driver checks the FIRST 50 keys only.
+    # r2 and r3 each hash-proved a disjoint 50-key window (both 50/50
+    # green — CORRECTNESS_r02/r03.json).  This round's window closes the
+    # gap: slots 1-20 are the ONLY oracle-backed keys without a hard
+    # driver row anywhere in r2 ∪ r3 (the SURVEY §8 rotation queue plus
+    # ts_similarity_topk, registered late in r3); r2 ∪ r3 ∪ r4 then
+    # hard-covers every oracle pair in the registry.  Keys displaced out
+    # of the window stay registered and locally parity-tested through
+    # the driver-identical canon (tests/test_parity.py).
     #
-    # Slots 1-17: the §2 oracle rows never driver-checked (VERDICT r2 #1).
+    # Slots 1-20: never-driver-checked oracle keys (VERDICT r3 #2).
+    "agg_mode",
+    "analyze_table_stats",
+    "dedup_minhash_md5",
+    "embed_bucket_stats",
+    "embed_centroids",
+    "interarrival_stats",
+    "lang_balanced_sample",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_top_nations",
+    "q12_priority_split",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q19_disjunctive_pred",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "source_p75_gate",
+    "ts_similarity_topk",
+    # Slots 21-26: post-rewrite canaries (VERDICT r3 #3) — r3 changed
+    # dedup_exact (min_by) and text_tfidf (single lazy plan) AFTER their
+    # r2-green rows; fn_map / agg_collect / join_asof / win_range_frame
+    # are the r2-green keys judged most at risk of silent drift (map/
+    # array serialization canon, as-of window trick, range frames).
+    "dedup_exact",
+    "text_tfidf",
+    "fn_map",
+    "agg_collect",
+    "join_asof",
+    "win_range_frame",
+    # Slots 27-50: r2-green keys re-proved on the current code base,
+    # headline-set members first (scan/agg/q3 run every bench anyway).
+    "scan_parquet",
+    "scan_pruned",
+    "project_expr",
+    "agg_hash",
+    "q3_shipping_priority",
+    "filter_pred",
+    "filter_null",
+    "distinct_rows",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "win_rank",
+    "topk_per_group",
+    "sort_multi",
+    "sim_topk_exact",
+    "fn_string",
+    "fn_date",
+    "fn_json",
+    "events_funnel",
+    # --- window boundary (50) ---
+    # r2-green oracle rows outside the r4 window.
+    "join_right",
+    "join_full",
+    "join_theta_range",
+    "join_cross",
+    "join_interval",
+    "agg_stats",
+    "win_lag_lead",
+    "win_frame_running",
+    "limit_topk",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "fn_math",
+    "fn_case",
+    "fn_array",
+    "fn_cast",
+    "text_stats",
+    "text_tokens",
+    "dedup_shingle",
+    "dedup_embed_cosine",
+    # r3-green oracle rows (CORRECTNESS_r03.json, all hash-green).
     "agg_cube",
     "win_distribution",
     "sub_correlated",
@@ -70,7 +152,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "sample_stratified",
     "dedup_clusters",
-    # Slots 18-24: bonus oracle rows never driver-checked.
     "text_quality",
     "text_langid",
     "text_fingerprint",
@@ -78,7 +159,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q10_returned_items",
     "fn_array_ops",
     "set_union_all",
-    # Slots 25-42: new oracle rows this round.
     "multimodal_meta",
     "join_asof_fwd",
     "pack_sequences",
@@ -97,10 +177,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_schema_evolution",
     "scan_dynamic_pruning",
     "scan_corrupt_tolerant",
-    # Slots 43-50: oracle keys added mid-r3 (second TPC-H batch, cohort
-    # retention, vector/outlier/CDC ops) — never driver-checked; they
-    # displaced the r2-green canaries so every slot yields NEW signal
-    # (entry() still smoke-checks agg_hash every round regardless).
     "q4_priority_exists",
     "q7_volume_flows",
     "q13_order_distribution",
@@ -109,50 +185,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_outliers",
     "snapshot_diff",
     "win_moving_avg",
-    # --- window boundary (50) ---
-    # r2-green oracle rows outside the r3 window.
-    "filter_pred",
-    "filter_null",
-    "distinct_rows",
-    "join_inner_hash",
-    "join_broadcast",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "join_asof",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "win_rank",
-    "topk_per_group",
-    "sort_multi",
-    "sim_topk_exact",
-    "join_right",
-    "join_full",
-    "join_theta_range",
-    "join_cross",
-    "join_interval",
-    "agg_stats",
-    "agg_collect",
-    "win_lag_lead",
-    "win_frame_running",
-    "win_range_frame",
-    "limit_topk",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_case",
-    "fn_array",
-    "fn_json",
-    "fn_cast",
-    "text_stats",
-    "text_tokens",
-    "events_funnel",
-    "dedup_shingle",
-    "dedup_embed_cosine",
     # rows-only SURVEY rows, streaming first
     "stream_tumbling",
     "stream_sliding",
@@ -187,38 +219,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "udtf_python",
     "multimodal_cols",
     "multimodal_transform",
-    # ---- Below the window: displaced r2-green keys (fn_map, text_tfidf,
-    # dedup_exact, scan_parquet, agg_hash, q3, scan_pruned, project_expr —
-    # each already holds a hard CORRECTNESS_r02 row) interleaved with the
-    # remaining mid-r3 additions; the 18 never-checked keys here are the
-    # r4 rotation queue (see SURVEY §8).
-    "fn_map",
-    "text_tfidf",
-    "dedup_exact",
-    "q17_small_quantity",
-    "q19_disjunctive_pred",
-    "q22_idle_customers",
-    "scan_parquet",
-    "agg_hash",
-    "embed_bucket_stats",
-    "q3_shipping_priority",
-    "source_p75_gate",
-    "lang_balanced_sample",
-    "project_expr",
-    "embed_centroids",
-    "analyze_table_stats",
-    "scan_pruned",
-    "agg_mode",
-    "interarrival_stats",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_top_nations",
-    "q15_top_supplier",
-    "q12_priority_split",
-    "q16_supplier_variety",
-    "q20_volume_suppliers",
-    "q21_waiting_suppliers",
-    "dedup_minhash_md5",
 )
 
 
