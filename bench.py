@@ -15,12 +15,35 @@ don't bill the first headline entry.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import platform
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def cpu_fingerprint() -> dict[str, object]:
+    """VM-class token: uname + seconds for a FIXED single-core hash workload.
+
+    BASELINE.md's r3 hardware note documents a ~1.5× uniform bench
+    inflation after a mid-round VM recycle; this field makes cross-round
+    bench deltas attributable (same code, different ``cpu_sec`` ⇒ VM
+    class changed, not the plans).  Fixed work (256 sha256 passes over
+    1 MiB) so the number is a pure single-thread CPU clock proxy,
+    independent of Spark, data, and core count.
+    """
+    buf = b"\xa5" * (1 << 20)
+    t0 = time.monotonic()
+    h = hashlib.sha256()
+    for _ in range(256):
+        h.update(buf)
+    return {
+        "uname": f"{platform.system()} {platform.release()} {platform.machine()}",
+        "cpu_sec": round(time.monotonic() - t0, 4),
+    }
 
 #: Headline set: one per operator family, weighted toward the plans that
 #: matter at 100 TB (scan+agg, shuffle join, broadcast star join, window,
@@ -80,6 +103,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "env": cpu_fingerprint(),
             }
         )
     )

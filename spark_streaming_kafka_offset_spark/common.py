@@ -59,17 +59,25 @@ def davg2(col: str | Column, alias: str, ndigits: int = 2, precision: int = 12) 
 
 
 def epoch_seconds(col: str | Column) -> Column:
-    """Wall-clock seconds since 1970-01-01 00:00:00, timezone-free.
+    """Wall-clock seconds since 1970-01-01 00:00:00 of the DISPLAYED value.
 
-    Works for both TIMESTAMP and TIMESTAMP_NTZ inputs (the driver-generated
-    parquet has carried both across rounds — NTZ since the 2026-08-13
-    regeneration).  ``cast('long')`` and ``unix_micros`` reject NTZ, and
-    ``unix_timestamp`` reinterprets NTZ wall time in the *session* timezone,
-    so none of those are safe when the verifying session's timezone is
-    unknown.  Pure field arithmetic (days-since-epoch × 86400 + time of day)
-    depends only on the stored wall-clock value — identical to DuckDB's
-    ``epoch_us(ts) // 1000000`` on naive timestamps.  Sub-second precision is
-    intentionally floored, matching that oracle expression.
+    Designed for TIMESTAMP_NTZ inputs (the driver-generated parquet is NTZ
+    since the 2026-08-13 regeneration): pure field arithmetic
+    (days-since-epoch × 86400 + time of day) depends only on the stored
+    wall-clock value — identical to DuckDB's ``epoch_us(ts) // 1000000`` on
+    naive timestamps, regardless of either session's timezone.
+    ``cast('long')`` and ``unix_micros`` reject NTZ, and ``unix_timestamp``
+    reinterprets NTZ wall time in the *session* timezone, so none of those
+    are safe here.
+
+    Scope caveat (ADVICE r3): for tz-aware TIMESTAMP inputs the field
+    functions (hour/minute/cast-to-date) evaluate in the SESSION timezone,
+    so this returns UTC-anchored epoch seconds only under a UTC session
+    (session.py pins UTC; an externally-built non-UTC session would
+    diverge from DuckDB on LTZ data).  If an LTZ fixture ever returns,
+    convert first: ``epoch_seconds(to_utc_timestamp(c, tz))``.
+    Sub-second precision is intentionally floored, matching the oracle
+    expression.
     """
     c = F.col(col) if isinstance(col, str) else col
     days = F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))

@@ -231,15 +231,23 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # escaping matches Spark's) and COALESCE(...,'null') because Spark's
     # to_json(map) emits `"k":null` for a NULL map value (verified) while
     # bare '||' would NULL-propagate the whole string.
+    # json_valid guard: DuckDB's json_extract_string THROWS on malformed
+    # JSON where Spark's get_json_object returns NULL (proved by the
+    # adversarial pair test) — same guard scan_corrupt_tolerant uses.
     oracle="""
+    WITH p AS (
+      SELECT event_id, event_type,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS k_str
+      FROM events
+    )
     SELECT event_id,
            '{"type":' || COALESCE(to_json(event_type), 'null')
-             || ',"k":'
-             || COALESCE(to_json(json_extract_string(props, '$.k')), 'null')
+             || ',"k":' || COALESCE(to_json(k_str), 'null')
              || '}' AS props_json,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           TRY_CAST(k_str AS INTEGER) AS k_val,
            'type,k' AS keys_csv
-    FROM events
+    FROM p
     """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,7 +260,11 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.to_json(m).alias("props_json"),
-        F.element_at(m, "k").cast("int").alias("k_val"),
+        # try_cast, not cast: ANSI cast THROWS on a non-numeric $.k — one
+        # dirty record would kill a 100 TB job (tests/test_properties.py
+        # proves the pair on adversarial values; clean-fixture hash is
+        # unchanged).
+        F.element_at(m, "k").try_cast("int").alias("k_val"),
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
     )
 

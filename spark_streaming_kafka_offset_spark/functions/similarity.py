@@ -116,29 +116,74 @@ def simhash_bucket(emb: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+#: Banded-LSH amplification parameters for `sim_topk_ann`.  OR-over-bands:
+#: a corpus vector is a candidate if it agrees with the query on ALL bits
+#: of at least ONE band — P(candidate) = 1-(1-p^BITS)^BANDS where p is the
+#: per-hyperplane sign-agreement probability (1 - θ/π).  The fixture
+#: vectors are near-uniform (true neighbors only mildly correlated, p ≈
+#: 0.62 at the top-3 boundary), the adversarial case for LSH, so reaching
+#: recall ≥ 0.8 needs generous banding; on real embedding corpora, where
+#: near-duplicates have p ≥ 0.9, the same plan reaches that recall with
+#: far fewer/wider bands (tune BANDS down / BITS up → fewer candidates).
+#: Measured at sf0.001 vs unblocked brute force: (4,4)=0.43, (6,3)=0.72,
+#: (8,3)=0.83 recall — the assertion lives in tests/test_properties.py.
+ANN_BANDS = 8
+ANN_BITS = 3
+
+
+def _band_keys(emb: Column, bands: int = ANN_BANDS, bits: int = ANN_BITS) -> Column:
+    """Array of (band, val) struct keys from a banded SimHash signature.
+
+    Each band's value is the sign signature of its OWN disjoint plane
+    subset — equivalent to slicing one (bands·bits)-bit signature, but
+    each projection fold appears exactly once in the expression tree
+    (the slice-of-shared-signature form duplicated all 24 folds per
+    band: measured 1.5 MB task binaries at 8 bands)."""
+    planes = _hyperplanes(bands * bits)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                simhash_bucket(emb, planes[i * bits : (i + 1) * bits]).alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
 @register("sim_topk_ann")  # rows-only: ANN recall is approximate by design
 def sim_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-3 neighbors via 8-bit SimHash buckets + exact
-    re-rank inside the bucket.
+    """Approximate top-3 neighbors via banded SimHash LSH + exact re-rank.
 
-    256 buckets; candidate pairs come from a bucket equi-join (shuffle
-    hash join on a byte — output-sized work, no n² term).  On 100 TB the
-    same plan holds with more planes and a multi-probe variant; recall
-    is traded via n_planes, validated against `sim_topk_exact`."""
+    Each vector gets a 24-bit hyperplane-sign signature split into 8
+    bands of 3 bits; candidate pairs share at least one full band
+    (standard OR-amplification — `P = 1-(1-p^3)^8`).  The candidate join
+    is an equi-join on (band, val) — never all-pairs — followed by a
+    pair-distinct and an exact dot-product re-rank, the same
+    shape/scale posture as `dedup_simhash` and `dedup_minhash`.  Recall
+    vs unblocked brute force is asserted ≥ 0.8 in
+    tests/test_properties.py (measured 0.83 on the near-uniform fixture
+    vectors — LSH's adversarial case; see ANN_BANDS/ANN_BITS note).
+
+    The r3 single-probe 8-bit variant measured recall 0.05 here — a
+    bucket equi-join alone is NOT an ANN index on weakly-correlated
+    data; amplification is what buys recall, at candidate-set cost."""
     e = load_table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes(8)
     b = e.select(
-        "vec_id",
-        "label",
-        "embedding",
-        simhash_bucket(F.col("embedding"), planes).alias("bucket"),
-    )
+        "vec_id", "embedding", F.explode(_band_keys(F.col("embedding"))).alias("bk")
+    ).select("vec_id", "embedding", "bk.band", "bk.val")
     q = b.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        "bucket",
+        "band",
+        "val",
     )
-    cand = q.join(b, "bucket").where(F.col("query_id") != F.col("vec_id"))
+    cand = (
+        q.join(b, ["band", "val"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "q_emb", "vec_id", "embedding")
+        .distinct()
+    )
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -153,7 +198,7 @@ def sim_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .drop("rn")
-        .orderBy("query_id", "rn")
+        .orderBy("query_id", "neighbor_id")
     )
 
 

@@ -77,25 +77,32 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(
-            os.environ.get("SPARK_MASTER", f"local[{cpus}]")
-        )
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "true")
-        # Local-mode scan parallelism: the fixtures are single ~1-20 MB
+    )
+    if master.startswith("local"):
+        # Local-mode-ONLY scan parallelism: the fixtures are single ~1-20 MB
         # files, so the 128 MB default packs every scan into 1-3 tasks and
         # idles 29+ cores on the scan stage (measured: Q1 scan 3 tasks →
-        # 11 tasks, −25% wall).  A real cluster reading many-file 100 TB
-        # tables keeps the default — override via env there.
-        .config(
+        # 11 tasks, −25% wall).  Gated on the master so a forgotten env var
+        # on a real cluster can't plan ~100M scan tasks at 100 TB (ADVICE
+        # r3) — non-local masters keep Spark's 128 MB default unless the
+        # env var explicitly overrides.
+        builder = builder.config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
         )
-    )
+    elif os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES"):
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"],
+        )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return ensure_configs(builder.getOrCreate())
