@@ -990,3 +990,94 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l1",
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), pse AS (
+      SELECT ps.l_partkey, ps.cost, eu.s_name, eu.s_acctbal, eu.n_name
+      FROM ps
+      JOIN eu ON ps.l_suppkey = eu.s_suppkey
+      JOIN part p ON ps.l_partkey = p.p_partkey
+      WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+    ), mc AS (
+      SELECT l_partkey, MIN(cost) AS min_cost FROM pse GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(pse.s_acctbal, 2) AS DOUBLE) AS s_acctbal,
+           pse.s_name, pse.n_name,
+           pse.l_partkey AS p_partkey,
+           CAST(pse.cost AS DOUBLE) AS cost
+    FROM pse JOIN mc
+      ON pse.l_partkey = mc.l_partkey AND pse.cost = mc.min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier) — the last uncovered TPC-H
+    pattern, partsupp-free: lineitem IS the observed part-supplier
+    relation (as q16/q21 already use it), and a part's supply cost from
+    a supplier is the cheapest line price ever observed for the pair —
+    MIN over exact DECIMAL, no division, no float.  The shape is intact:
+    a correlated per-part minimum over a region-restricted supply
+    relation, ties KEPT by equality join-back (Q15's tied-maxima
+    discipline), supplier detail output ordered by account balance.
+
+    Scale notes: the (part, supplier) aggregate is the only fact-sized
+    shuffle and it partitions on l_partkey — the per-part min reuses
+    that partitioning, and the equality join-back is co-partitioned on
+    the same key (zero extra fact exchanges).  Region/nation/part dims
+    broadcast; the part filter lands before the min so the heavy
+    aggregate's output is pruned part-first.  TakeOrderedAndProject
+    caps the result; the (s_acctbal, n_name, s_name, p_partkey) sort is
+    a total order — (partkey, suppkey) is unique in the supply
+    relation, so the LIMIT cut is deterministic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec2("l_extendedprice")).alias("cost")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    pse = (
+        ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        .join(F.broadcast(p.select("p_partkey")), ps.l_partkey == F.col("p_partkey"))
+        .select("l_partkey", "cost", "s_name", "s_acctbal", "n_name")
+    )
+    mc = pse.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    return (
+        pse.join(
+            mc.withColumnRenamed("l_partkey", "mc_partkey"),
+            (pse.l_partkey == F.col("mc_partkey")) & (pse.cost == F.col("min_cost")),
+        )
+        .select(
+            F.round(F.col("s_acctbal"), 2).cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )

@@ -75,7 +75,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q22_idle_customers",
     "source_p75_gate",
     "ts_similarity_topk",
-    # Slots 21-26: post-rewrite canaries (VERDICT r3 #3) — r3 changed
+    # Slot 21: q2_min_cost_supplier — NEW this round (closes TPC-H 22/22);
+    # a new oracle pair's first hard row outranks one more canary re-proof
+    # (events_funnel, displaced just below the window, keeps its r2 row).
+    "q2_min_cost_supplier",
+    # Slots 22-27: post-rewrite canaries (VERDICT r3 #3) — r3 changed
     # dedup_exact (min_by) and text_tfidf (single lazy plan) AFTER their
     # r2-green rows; fn_map / agg_collect / join_asof / win_range_frame
     # are the r2-green keys judged most at risk of silent drift (map/
@@ -111,9 +115,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_string",
     "fn_date",
     "fn_json",
-    "events_funnel",
     # --- window boundary (50) ---
     # r2-green oracle rows outside the r4 window.
+    "events_funnel",
     "join_right",
     "join_full",
     "join_theta_range",
