@@ -1216,3 +1216,59 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             union.cast("long").alias("n_union"),
         )
     )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    vocab AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),
+    pairs AS (
+      SELECT unnest(list_transform(
+               generate_series(1, length(w) - 1),
+               i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, f
+      FROM vocab WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge decision: the 20 most frequent adjacent character
+    pairs across the corpus, weighted by word frequency — the counting
+    step a byte-pair-encoding tokenizer trainer iterates (Sennrich et
+    al. 2016; each merge round recounts pairs over the updated vocab,
+    and this query IS one round).
+
+    Scale notes: pairs are counted over the VOCABULARY (distinct words
+    + frequency), not the token stream — the corpus-sized explode
+    collapses to a vocab-sized frame in the first partial+final agg,
+    and the per-word pair explode (|w|−1 per word) runs on that small
+    frame.  On 100 TB of text the vocab is ~10⁶-10⁷ rows regardless of
+    corpus size, so every BPE round after the first scan is
+    vocab-local; tie-break (freq DESC, pair) makes the merge choice —
+    and hence the whole learned tokenizer — engine-independent.
+    Char-level `substr` in both engines; no UDF anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(20)
+    )

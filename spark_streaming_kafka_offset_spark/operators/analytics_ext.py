@@ -1035,14 +1035,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline), supplier detail output ordered by account balance.
 
     Scale notes: the (part, supplier) aggregate is the only fact-sized
-    shuffle and it partitions on l_partkey — the per-part min reuses
-    that partitioning, and the equality join-back is co-partitioned on
-    the same key (zero extra fact exchanges).  Region/nation/part dims
-    broadcast; the part filter lands before the min so the heavy
-    aggregate's output is pruned part-first.  TakeOrderedAndProject
-    caps the result; the (s_acctbal, n_name, s_name, p_partkey) sort is
-    a total order — (partkey, suppkey) is unique in the supply
-    relation, so the LIMIT cut is deterministic in both engines."""
+    shuffle; the per-part min table is at most |filtered parts| rows,
+    so it BROADCASTS into the equality join-back — without the hint
+    Catalyst planned an SMJ with two extra exchanges on (partkey, cost)
+    (plan-audited).  Region/nation/part dims broadcast; the part filter
+    lands before the min so the heavy aggregate's output is pruned
+    part-first.  Like q15, the supply view is computed once per
+    reference (twice) — a production run would stage it.
+    TakeOrderedAndProject caps the result; the (s_acctbal, n_name,
+    s_name, p_partkey) sort is a total order — (partkey, suppkey) is
+    unique in the supply relation, so the LIMIT cut is deterministic in
+    both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(dec2("l_extendedprice")).alias("cost")
@@ -1066,7 +1069,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mc = pse.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
     return (
         pse.join(
-            mc.withColumnRenamed("l_partkey", "mc_partkey"),
+            F.broadcast(mc.withColumnRenamed("l_partkey", "mc_partkey")),
             (pse.l_partkey == F.col("mc_partkey")) & (pse.cost == F.col("min_cost")),
         )
         .select(

@@ -405,3 +405,67 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("period", "event_type")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@register(
+    "join_interval_bucketed",
+    # Oracle is a DIRECT range join (DuckDB plans IEJoin) — an independent
+    # formulation of the same semantics, so the bucket decomposition is
+    # verified, not assumed.
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, MIN(ts) AS w_start, MIN(ts) + INTERVAL 2 HOUR AS w_end
+      FROM events GROUP BY user_id
+    ), e AS (SELECT ts FROM events WHERE event_type = 'error')
+    SELECT iv.user_id, CAST(COUNT(*) AS BIGINT) AS n_errors
+    FROM iv JOIN e ON e.ts >= iv.w_start AND e.ts < iv.w_end
+    GROUP BY iv.user_id
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact interval join via time-bucket equi-join — the 100 TB
+    answer to `join_interval`'s documented O(n·m) caveat.
+
+    Semantics: per user, count ALL error events (any user) inside that
+    user's first-2-hours "onboarding window".  Both sides are
+    fact-derived (user-count-sized intervals, corpus-sized points), so
+    neither broadcasts at scale and a theta join would be a
+    nested-loop disaster.  The decomposition: each interval explodes
+    into the ~3 hour buckets it covers (`sequence` over the hour
+    grid), each point computes its single hour bucket, the join is an
+    EQUI-join on the bucket key (shuffle-hash/SMJ, skew-safe via AQE),
+    and the residual `ts ∈ [w_start, w_end)` filters bucket-mates
+    outside the interval.  A point's bucket is unique, so no pair is
+    produced twice — no dedup step.  Bucket grain is the tuning knob:
+    ~median interval width keeps the explode factor O(1) (here 3×).
+
+    The oracle formulates the same query as a direct range join
+    (DuckDB's IEJoin) — two independent algorithms agreeing on the
+    hash, the same verification design as dedup_clusters."""
+    e = load_table(spark, sf_dir, "events")
+    iv = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    ivb = iv.select(
+        "user_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("w_start")),
+                F.date_trunc("hour", F.col("w_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("ts").alias("e_ts"), F.date_trunc("hour", F.col("ts")).alias("bucket")
+    )
+    return (
+        ivb.join(err, "bucket")
+        .where((F.col("e_ts") >= F.col("w_start")) & (F.col("e_ts") < F.col("w_end")))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_errors"))
+    )

@@ -79,7 +79,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # a new oracle pair's first hard row outranks one more canary re-proof
     # (events_funnel, displaced just below the window, keeps its r2 row).
     "q2_min_cost_supplier",
-    # Slots 22-27: post-rewrite canaries (VERDICT r3 #3) — r3 changed
+    # Slots 22-23: also NEW this round — bucketed fact-to-fact interval
+    # join (the join_interval scale answer) and the BPE pair-count round;
+    # first hard rows outrank two more canary re-proofs (fn_string and
+    # fn_date, displaced below the window, are unchanged since their
+    # r2-green rows).
+    "join_interval_bucketed",
+    "bpe_merge_candidates",
+    # Slots 24-29: post-rewrite canaries (VERDICT r3 #3) — r3 changed
     # dedup_exact (min_by) and text_tfidf (single lazy plan) AFTER their
     # r2-green rows; fn_map / agg_collect / join_asof / win_range_frame
     # are the r2-green keys judged most at risk of silent drift (map/
@@ -112,11 +119,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "topk_per_group",
     "sort_multi",
     "sim_topk_exact",
-    "fn_string",
-    "fn_date",
     "fn_json",
     # --- window boundary (50) ---
     # r2-green oracle rows outside the r4 window.
+    "fn_string",
+    "fn_date",
     "events_funnel",
     "join_right",
     "join_full",
@@ -199,6 +206,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_static_join",
     "stream_stream_join",
     "stream_offset_ledger",
+    "stream_offset_lag_monitor",
     "stream_rate_limit",
     "stream_rollup_upsert",
     "stream_dedup_corpus",

@@ -420,3 +420,24 @@ def test_stream_pack_shards_state_survives_restart(spark, tmp_path):
         map(tuple, QUERIES["pack_sequences"](spark, SF_DIR).collect())
     )
     assert final == batch
+
+
+def test_offset_lag_monitor_reports_real_lag(spark):
+    """The lag monitor's committed/head/lag numbers must be internally
+    consistent and reflect a consumer genuinely behind the head: two of
+    four mod-4 chunks committed → half the rows behind, committed
+    offset strictly below the head, caught_up False."""
+    from spark_streaming_kafka_offset_spark.session import load_table
+
+    row = QUERIES["stream_offset_lag_monitor"](spark, SF_DIR).collect()[0]
+    assert row["caught_up"] is False
+    assert row["lag"] == row["head_offset"] - row["committed_offset"]
+    assert row["lag"] > 0
+    n_total = load_table(spark, SF_DIR, "events").count()
+    behind = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_id") % 4 >= 2)  # the two uncommitted mod-chunks
+        .count()
+    )
+    assert row["rows_behind"] == behind
+    assert 0 < row["rows_behind"] < n_total
