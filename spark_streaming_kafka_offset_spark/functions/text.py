@@ -1272,3 +1272,51 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "char_ngram_profile",
+    oracle="""
+    WITH grams AS (
+      SELECT lang,
+             unnest(list_transform(
+               generate_series(1, length(text) - 2),
+               i -> substr(text, CAST(i AS INTEGER), 3))) AS g
+      FROM documents
+    )
+    SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams GROUP BY lang, g
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) <= 10
+    """,
+)
+def char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language profile: the top-10 char 3-grams per
+    language — the model table behind n-gram language identification
+    (Cavnar-Trenkle out-of-place ranking trains on exactly this; our
+    heuristic `text_langid` consumes hand-picked marker grams, this
+    builds the full profile from data).
+
+    Scale notes: the per-position explode is scan-side and collapses in
+    the FIRST partial aggregate to (lang × distinct-trigram)
+    cardinality — bounded by |alphabet|³ per language, not corpus size
+    — so the shuffle is model-sized.  The top-10 rank window runs on
+    that small frame, partitioned by lang.  Deterministic (n DESC, g)
+    tie-break keeps the learned profile engine-independent, same
+    discipline as `vocab_topk`/`bpe_merge_candidates`."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("lang", "g").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "g")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )

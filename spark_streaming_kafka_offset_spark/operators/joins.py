@@ -469,3 +469,48 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_errors"))
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.ts, p.value,
+           CASE WHEN c.click_ts IS NOT NULL
+                 AND p.ts - c.click_ts <= INTERVAL 1 HOUR
+                THEN c.click_ts END AS click_ts
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 1-hour tolerance (pandas ``merge_asof``
+    ``tolerance=`` semantics): each purchase matches the user's latest
+    click at or before it ONLY if that click is within the hour —
+    stale matches become NULLs, rows are kept.  The attribution-window
+    variant of `join_asof`; exercises the helper's tolerance path with
+    a hard oracle (DuckDB native ASOF + a gap mask — an independent
+    formulation).
+
+    Scale notes: identical plan to `join_asof` — the union+window trick,
+    ONE shuffle on user_id; the tolerance mask is a post-window
+    projection, zero extra exchanges (vs the naive range-join
+    formulation, which is O(n·m) per key)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )

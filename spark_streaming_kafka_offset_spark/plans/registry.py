@@ -121,6 +121,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_topk_exact",
     "fn_json",
     # --- window boundary (50) ---
+    # Oracle keys added mid-r4 after the window was sealed — locally
+    # parity-green; they head the r5 rotation queue.
+    "join_asof_tolerance",
+    "char_ngram_profile",
     # r2-green oracle rows outside the r4 window.
     "fn_string",
     "fn_date",
