@@ -155,3 +155,114 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("key_checksum"),
         )
     )
+
+
+@register(
+    "data_quality_rules",
+    oracle="""
+    SELECT 'orders_totalprice_positive' AS rule, 'orders' AS tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_quantity_in_range', 'lineitem',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', 'lineitem',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'events_id_unique', 'events',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents_nchars_consistent', 'documents',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'supplier_acctbal_nonnegative', 'supplier',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE s_acctbal < 0) AS BIGINT)
+    FROM supplier
+    """,
+)
+def data_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule evaluation (the Deequ / dbt-test /
+    great-expectations staple): domain, range, uniqueness, referential
+    and cross-column consistency checks evaluated in one report —
+    (rule, table, n_checked, n_violations).  The supplier balance rule
+    fires on the fixtures (negative balances exist by design, q16's
+    complaint stand-in), so the report is not all-zeros.
+
+    Scale notes: every same-table rule folds into ONE conditional
+    partial+final aggregate over a single scan (orders and lineitem
+    range rules never rescan per rule); uniqueness is count−distinct in
+    the same agg; the FK rule is the one genuinely join-shaped check —
+    a LEFT ANTI count whose shuffle partitions on the key (at 100 TB
+    this is the honest cost of referential verification; a bloom-filter
+    pre-pass would cut the shuffled probe side).  The final UNION is
+    6 one-row frames — plan noise, zero data motion."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def report(rule: str, tbl: str, checked, violations) -> DataFrame:
+        return checked.join(F.broadcast(violations)).select(
+            F.lit(rule).alias("rule"),
+            F.lit(tbl).alias("tbl"),
+            F.col("n_checked"),
+            F.col("n_violations"),
+        )
+
+    def one_scan(rule: str, tbl: str, df: DataFrame, bad) -> DataFrame:
+        agg = df.agg(
+            F.count("*").alias("n_checked"),
+            F.count_if(bad).alias("n_violations"),
+        )
+        return agg.select(
+            F.lit(rule).alias("rule"), F.lit(tbl).alias("tbl"),
+            "n_checked", "n_violations",
+        )
+
+    orders_rule = one_scan(
+        "orders_totalprice_positive", "orders", o, F.col("o_totalprice") <= 0
+    )
+    qty_rule = one_scan(
+        "lineitem_quantity_in_range", "lineitem", li,
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    )
+    fk_checked = li.agg(F.count("*").alias("n_checked"))
+    fk_orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+    )
+    fk_rule = report("lineitem_orderkey_fk", "lineitem", fk_checked, fk_orphans)
+    uniq_rule = e.agg(
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.countDistinct("event_id")).alias("n_violations"),
+    ).select(
+        F.lit("events_id_unique").alias("rule"), F.lit("events").alias("tbl"),
+        "n_checked", "n_violations",
+    )
+    nchars_rule = one_scan(
+        "documents_nchars_consistent", "documents", d,
+        F.col("n_chars") != F.length("text"),
+    )
+    acctbal_rule = one_scan(
+        "supplier_acctbal_nonnegative", "supplier", s, F.col("s_acctbal") < 0
+    )
+    return (
+        orders_rule.unionByName(qty_rule)
+        .unionByName(fk_rule)
+        .unionByName(uniq_rule)
+        .unionByName(nchars_rule)
+        .unionByName(acctbal_rule)
+    )

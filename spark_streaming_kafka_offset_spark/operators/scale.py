@@ -390,3 +390,94 @@ def scan_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PARTITIONED_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def misra_gries_candidates(df: DataFrame, key: str, k: int = 8) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitter candidates over ``df[key]``.
+
+    Pass 1 is shuffle-FREE: ``mapInPandas`` runs one bounded MG summary
+    (k counters) per input partition — O(k) state regardless of
+    partition size, the defining property that makes this viable where
+    a per-key pre-aggregate would itself be skew-bound.  Pass 2 merges
+    the P·k summary rows (tiny) in a single-group ``applyInPandas``:
+    summing MG counters then decrementing by the (k+1)-th largest is
+    itself a valid MG summary of the concatenated stream (Agarwal et
+    al., "Mergeable Summaries", PODS'12).
+
+    Guarantee carried to the caller: any key with true frequency
+    > W/(k+1) (W = total rows) survives both passes; counter values are
+    lower bounds with error ≤ W/(k+1).
+    """
+    import pandas as pd
+
+    out_schema = f"{key} long, mg_count long"
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[key].dropna().astype("int64"):
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [kk for kk in counters if counters[kk] == 1]
+                    for kk in counters:
+                        counters[kk] -= 1
+                    for kk in dead:
+                        del counters[kk]
+        if counters:
+            yield pd.DataFrame(
+                {key: list(counters), "mg_count": list(counters.values())}
+            )
+
+    def mg_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = pdf.groupby(key, as_index=False)["mg_count"].sum()
+        if len(merged) > k:
+            cut = merged["mg_count"].nlargest(k + 1).iloc[-1]
+            merged["mg_count"] -= cut
+            merged = merged[merged["mg_count"] > 0]
+        return merged
+
+    local = df.select(key).mapInPandas(mg_partition, out_schema)
+    return (
+        local.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda p: mg_merge(p[[key, "mg_count"]]), out_schema
+        )
+    )
+
+
+@register("detect_hot_keys")  # rows-only: sketch candidates are approximate
+def detect_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection — the reconnaissance step that feeds
+    `join_skew_salted`'s salt list and AQE's skew thresholds: find
+    candidate heavy user_ids in events WITHOUT a per-key aggregate
+    (which would itself shuffle the hot key to one reducer).
+
+    Misra-Gries candidates (bounded state per partition, mergeable) →
+    exact recount of ONLY the candidate keys (semi-join-shaped, probe
+    side is k keys) → share-of-total flag at the W/(k+1) guarantee
+    line.  Output = candidates with exact counts; any key above the
+    guarantee line is PROVABLY present (tests/test_properties.py builds
+    a skewed corpus and asserts coverage + exactness + the state
+    bound)."""
+    e = load_table(spark, sf_dir, "events")
+    cand = F.broadcast(misra_gries_candidates(e, "user_id", k=8))
+    total = e.agg(F.count("*").alias("w_total"))
+    return (
+        e.join(cand.select("user_id"), "user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_exact",
+            "w_total",
+            ((F.col("n_exact") * (8 + 1)) > F.col("w_total")).alias(
+                "above_guarantee_line"
+            ),
+        )
+        .orderBy(F.col("n_exact").desc(), "user_id")
+    )

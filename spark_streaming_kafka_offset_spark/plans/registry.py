@@ -125,6 +125,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # parity-green; they head the r5 rotation queue.
     "join_asof_tolerance",
     "char_ngram_profile",
+    "data_quality_rules",
     # r2-green oracle rows outside the r4 window.
     "fn_string",
     "fn_date",
@@ -227,6 +228,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_hll",
     "dedup_minhash",
     "dedup_simhash",
+    "detect_hot_keys",
     "sim_topk_ann",
     "sim_topk_ivf",
     "udf_python",

@@ -247,6 +247,8 @@ _BNL_ALLOWED = {
     "q22_idle_customers",  # broadcast 1-row (sum, count) scalar frame
     "q11_top_nations",   # broadcast 1-row global-total scalar frame
     "q15_top_supplier",  # broadcast 1-row global-MAX scalar frame
+    "data_quality_rules",  # broadcast 1-row checked/violation scalar frames
+    "detect_hot_keys",   # broadcast 1-row W-total frame onto k candidate rows
 }
 
 

@@ -761,3 +761,36 @@ def test_fn_map_oracle_on_adversarial_values(spark, tmp_path):
     )
     dpdf = con.execute(entrymod.oracle_sql()["fn_map"]).df()
     assert compare_frames(spdf, dpdf) == []
+
+
+def test_misra_gries_heavy_hitter_guarantee(spark):
+    """MG coverage guarantee on an adversarially skewed corpus: a key
+    holding > W/(k+1) of the stream MUST survive both the per-partition
+    summaries and the merge, with a counter that is a lower bound, and
+    the candidate set stays within the k-state bound after merge."""
+    from spark_streaming_kafka_offset_spark.operators.scale import (
+        misra_gries_candidates,
+    )
+
+    # 40% hot key (id 7), the rest spread over 200 cold keys — repartition
+    # to many partitions so per-partition summaries actually merge.
+    hot = spark.range(4000).select(F.lit(7).alias("user_id"))
+    cold = spark.range(6000).select((F.col("id") % 200 + 100).alias("user_id"))
+    df = hot.union(cold).repartition(16)
+    k = 8
+    cand = {
+        r["user_id"]: r["mg_count"]
+        for r in misra_gries_candidates(df, "user_id", k=k).collect()
+    }
+    w = 10_000
+    assert 7 in cand, f"hot key missed: {cand}"
+    assert len(cand) <= k, f"state bound violated: {len(cand)} > {k}"
+    # counter is a lower bound within W/(k+1) of the true frequency
+    assert cand[7] <= 4000
+    assert cand[7] >= 4000 - w // (k + 1)
+    # determinism of the exact-recount output contract: rerun matches
+    cand2 = {
+        r["user_id"]: r["mg_count"]
+        for r in misra_gries_candidates(df, "user_id", k=k).collect()
+    }
+    assert set(cand) == set(cand2)
