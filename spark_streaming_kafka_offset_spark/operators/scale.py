@@ -481,3 +481,61 @@ def detect_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_exact").desc(), "user_id")
     )
+
+
+@register(
+    "rollup_stats",
+    # Oracle aggregates the RAW rows directly per day — the Spark side
+    # composes day moments from hour moments, so exact integer equality
+    # proves the merge law, not just the arithmetic.
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                    * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sumsq_cents
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable moment statistics: per-hour (n, Σx, Σx²) merged
+    into per-day moments — the parallel/streaming variance pattern
+    (Chan et al. pairwise update; what `stddev` physically does inside
+    every distributed engine, surfaced as a rollup so coarser levels
+    NEVER rescan the fact table).  Completes the rollup family:
+    count/sum/min/max (`rollup_time`), distinct (`rollup_hll`,
+    sketches), and now second moments — mean/variance/stddev at any
+    granularity are pure arithmetic over these three integers.
+
+    Exactness discipline: values are 2-decimal doubles → integer cents
+    at the scan, so Σx and Σx² are EXACT BIGINTs and hour→day merge is
+    integer addition — byte-identical to the oracle's direct per-day
+    aggregation over raw rows, which is the point: the oracle takes the
+    other path (no hour level), so a hash match proves the merge law.
+    Any float stddev derived downstream is the caller's one division."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("sum_cents"),
+            F.sum(F.col("c") * F.col("c")).alias("sumsq_cents"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            "event_type", F.date_trunc("day", F.col("hour")).alias("day")
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.sum("sumsq_cents").alias("sumsq_cents"),
+        )
+    )

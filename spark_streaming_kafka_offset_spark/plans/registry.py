@@ -126,6 +126,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_asof_tolerance",
     "char_ngram_profile",
     "data_quality_rules",
+    "rollup_stats",
     # r2-green oracle rows outside the r4 window.
     "fn_string",
     "fn_date",
