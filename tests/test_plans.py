@@ -402,3 +402,22 @@ def test_timezone_independent_results(spark):
             assert got == utc_rows[k], f"{k} differs under America/New_York"
     finally:
         other.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_q2_broadcasts_min_joinback_and_takes_ordered(spark):
+    """q2's equality join-back against the per-part min table must stay a
+    broadcast hash join (an SMJ here adds two exchanges on (partkey,
+    cost) — the regression this locks out), and the LIMIT must fuse
+    into TakeOrderedAndProject."""
+    plan = executed_plan(QUERIES["q2_min_cost_supplier"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # dims + min join-back
+
+
+def test_interval_bucketed_plans_equi_join_only(spark):
+    """The bucketed interval join must plan pure equi joins — the whole
+    point is avoiding the nested-loop range join."""
+    plan = executed_plan(QUERIES["join_interval_bucketed"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -794,3 +794,64 @@ def test_misra_gries_heavy_hitter_guarantee(spark):
         for r in misra_gries_candidates(df, "user_id", k=k).collect()
     }
     assert set(cand) == set(cand2)
+
+
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),     # interval id
+            st.integers(min_value=0, max_value=500),   # start minute
+            st.integers(min_value=0, max_value=180),   # width minutes
+        ),
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    ),
+    pts=st.lists(st.integers(min_value=0, max_value=700), min_size=0, max_size=30),
+)
+@_SETTINGS
+def test_interval_bucket_decomposition_matches_bruteforce(spark, ivs, pts):
+    """Bucket-decomposed interval matching == brute-force range test for
+    arbitrary intervals (including zero-width and bucket-straddling) —
+    the law join_interval_bucketed relies on, minus the fixture."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    iv = spark.createDataFrame(
+        [
+            (
+                i,
+                base + _dt.timedelta(minutes=s),
+                base + _dt.timedelta(minutes=s + w),
+            )
+            for i, s, w in ivs
+        ],
+        "iv_id long, w_start timestamp_ntz, w_end timestamp_ntz",
+    )
+    p = spark.createDataFrame(
+        [(j, base + _dt.timedelta(minutes=m)) for j, m in enumerate(pts)]
+        or [(0, base + _dt.timedelta(days=30))],
+        "p_id long, e_ts timestamp_ntz",
+    )
+    ivb = iv.select(
+        "iv_id", "w_start", "w_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("w_start")),
+                F.date_trunc("hour", F.col("w_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    pb = p.select("p_id", "e_ts", F.date_trunc("hour", F.col("e_ts")).alias("bucket"))
+    got = {
+        (r["iv_id"], r["p_id"])
+        for r in ivb.join(pb, "bucket")
+        .where((F.col("e_ts") >= F.col("w_start")) & (F.col("e_ts") < F.col("w_end")))
+        .collect()
+    }
+    want = {
+        (i, j)
+        for i, s, w in ivs
+        for j, m in enumerate(pts)
+        if s <= m < s + w
+    }
+    assert got == want
