@@ -213,6 +213,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stream_join",
     "stream_offset_ledger",
     "stream_offset_lag_monitor",
+    "stream_offset_rewind",
     "stream_rate_limit",
     "stream_rollup_upsert",
     "stream_dedup_corpus",

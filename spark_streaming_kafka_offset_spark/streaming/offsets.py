@@ -187,3 +187,101 @@ def stream_offset_lag_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("committed_offset") >= F.col("head_offset")).alias("caught_up"),
         )
     )
+
+
+def _range_chunked_stream_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Stage events as RANGE-partitioned chunk files (chunk i = the i-th
+    event_id range), unlike ``stage_stream_dir``'s mod-split: with range
+    chunks each batch's ``until_event_id`` is a true high-watermark, so
+    ledger offsets are meaningful resume points."""
+    import os
+    import time
+
+    from ..common import scratch_path
+    from ..session import load_table
+
+    out = scratch_path("sskos_rangechunks_")
+    e = load_table(spark, sf_dir, "events")
+    hi = e.agg(F.max("event_id")).first()[0] + 1
+    step = -(-hi // n_chunks)
+    for i in range(n_chunks):
+        (
+            e.where(
+                (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"chunk={i}"))
+        )
+        time.sleep(0.05)  # distinct mtimes → in-order discovery
+    return out
+
+
+@register("stream_offset_rewind")
+def stream_offset_rewind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-from-offset — the reference KafkaManager's
+    ``startingOffsets`` bootstrap [K]: resume consumption from a chosen
+    COMMITTED offset rather than earliest/latest.
+
+    Phase 1 runs the range-chunked event stream through the ledgered
+    sink (one chunk per batch); phase 2 picks the offset committed at
+    batch 1 from the AUDIT LEDGER (not the checkpoint — the point of
+    external offset management is that the application owns the resume
+    decision) and reprocesses everything after it in a FRESH run: new
+    checkpoint, source gated to ``event_id > resume_offset`` — the
+    file-source analogue of a per-partition startingOffsets JSON.
+    Output compares the replayed stream against the batch-side truth:
+    one row per phase with row counts and id bounds; exactly-once
+    equality is asserted in tests/test_streaming.py.
+
+    Scale notes: the rewind run re-reads only post-offset source data
+    (the gate is a pushed-down scan filter here, exactly as Kafka's
+    seek-to-offset skips log segments); ledger reads are batch-count
+    sized."""
+    from ..common import scratch_path
+    from ..session import load_table
+
+    stream_dir = _range_chunked_stream_dir(spark, sf_dir, n_chunks=3)
+    full = run_ledgered_stream(
+        spark,
+        stream_dir,
+        scratch_path("sskos_rewind_full_"),
+        checkpoint=scratch_path("ckpt_rw1_"),
+    )
+    resume_offset = (
+        full.read_ledger(spark)
+        .where(F.col("batch_id") == 1)
+        .select("until_event_id")
+        .first()[0]
+    )
+
+    replay_root = scratch_path("sskos_rewind_replay_")
+    replay = OffsetLedger(replay_root, group="sskos-replay")
+    # The replay needs no per-file batching — one AvailableNow batch over
+    # the gated source is the cheapest correct resume.
+    src = read_event_stream(spark, stream_dir, max_files_per_trigger=None).where(
+        F.col("event_id") > resume_offset
+    )
+    q = (
+        src.writeStream.foreachBatch(replay.process)
+        .option("checkpointLocation", scratch_path("ckpt_rw2_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def phase(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        ).select(F.lit(name).alias("phase"), "n_rows", "min_id", "max_id")
+
+    truth = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") > resume_offset
+    )
+    return (
+        phase("expected_suffix", truth)
+        .unionByName(phase("replayed", replay.read_sink(spark)))
+        .withColumn("resume_offset", F.lit(resume_offset))
+    )

@@ -441,3 +441,17 @@ def test_offset_lag_monitor_reports_real_lag(spark):
     )
     assert row["rows_behind"] == behind
     assert 0 < row["rows_behind"] < n_total
+
+
+def test_offset_rewind_replays_exact_suffix(spark):
+    """Replay-from-committed-offset is exactly-once: the rewound run's
+    output must equal the batch-side truth for event_id > resume_offset
+    — same count, same id bounds, no loss, no duplication."""
+    rows = {
+        r["phase"]: r
+        for r in QUERIES["stream_offset_rewind"](spark, SF_DIR).collect()
+    }
+    exp, got = rows["expected_suffix"], rows["replayed"]
+    assert got["n_rows"] == exp["n_rows"] > 0
+    assert got["min_id"] == exp["min_id"] > rows["replayed"]["resume_offset"]
+    assert got["max_id"] == exp["max_id"]
