@@ -1084,3 +1084,105 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences — the next-event-prediction / user-journey table behind
+    funnels and session-flow diagrams (row-normalizing n gives the
+    transition matrix; the exact counts are returned so no float ever
+    decides the hash).
+
+    Scale notes: one LEAD window on the user_id partitioning (single
+    fact shuffle), then a partial+final agg that collapses to the
+    |types|² transition matrix before the second (tiny) exchange.  The
+    (ts, event_id) sort key is a total order per user, so sequence
+    construction is engine-deterministic even with same-timestamp
+    events."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    return seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, last_order, frequency, monetary,
+             NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(monetary), 2) AS DOUBLE) AS segment_value
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) — the classic
+    customer-value quartile grid: per-customer aggregates scored into
+    NTILE(4) quartiles on each axis, reported as segment sizes + exact
+    segment value.
+
+    Determinism discipline: NTILE tie-handling is order-dependent, so
+    every quartile window carries a (metric, o_custkey) TOTAL order —
+    without the key tiebreak the same data can legally produce
+    different quartile boundaries per engine (measured; the oracle uses
+    the identical order).  Monetary stays exact DECIMAL until the final
+    ROUND.
+
+    Scale notes: the per-customer aggregate partitions on o_custkey
+    (one fact shuffle); the three global NTILE windows run on the
+    customer-sized frame — at 100 TB one would replace the global sort
+    windows with approx-quantile boundary lookup (percentile_approx
+    broadcast), trading exact quartile edges for no global sort; the
+    fixture-scale form keeps the exact semantics the oracle can
+    mirror."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(dec2("o_totalprice", 14)).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).cast("double").alias("segment_value"),
+    )

@@ -127,6 +127,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "char_ngram_profile",
     "data_quality_rules",
     "rollup_stats",
+    "events_markov_transitions",
+    "orders_rfm_segments",
     # r2-green oracle rows outside the r4 window.
     "fn_string",
     "fn_date",
