@@ -390,3 +390,32 @@ def fn_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 3)
         .select("c_custkey", "c_name", "probe", dist.alias("edit_dist"))
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS lo_byte,
+           event_id >> 8 AS hi_bits,
+           xor(event_id, 6148914691236517205) AS xored,
+           CAST(bit_count(CAST(event_id AS BIGINT)) AS INT) AS popcount,
+           event_id << 2 AS shifted
+    FROM events WHERE event_id % 7 = 0
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators (&, |, XOR, shifts, popcount) — §2.8
+    completeness; the building blocks the engine already leans on
+    internally (SimHash band slicing, salting, hash splits) exposed as
+    scalar functions.  All JVM-side codegen expressions."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 7 == 0)
+    eid = F.col("event_id")
+    return e.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        F.shiftright(eid, 8).alias("hi_bits"),
+        eid.bitwiseXOR(F.lit(6148914691236517205)).alias("xored"),
+        F.bit_count(eid.cast("long")).alias("popcount"),
+        F.shiftleft(eid, 2).alias("shifted"),
+    )

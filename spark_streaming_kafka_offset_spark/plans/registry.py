@@ -129,6 +129,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_stats",
     "events_markov_transitions",
     "orders_rfm_segments",
+    "fn_bitwise",
     # r2-green oracle rows outside the r4 window.
     "fn_string",
     "fn_date",

@@ -855,3 +855,48 @@ def test_interval_bucket_decomposition_matches_bruteforce(spark, ivs, pts):
         if s <= m < s + w
     }
     assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # by-key
+            st.integers(min_value=0, max_value=100), # time
+        ),
+        min_size=1, max_size=15,
+    ),
+    rdata=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=0, max_size=15,
+    ),
+    tol=st.integers(min_value=0, max_value=30),
+)
+@_SETTINGS
+def test_asof_tolerance_matches_bruteforce(spark, data, rdata, tol):
+    """asof_join(tolerance=T) == brute force with matches farther than T
+    NULLed — rows always kept, never dropped (merge_asof semantics)."""
+    rmap = {}
+    for k, t, v in rdata:
+        rmap[(k, t)] = v
+    left = spark.createDataFrame(
+        [(k, t) for k, t in set(data)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rmap.items()] or [(99, 0, 0)],
+        "k long, t long, rv long",
+    )
+    out = asof_join(left, right, on="t", by=["k"], tolerance=F.lit(tol)).collect()
+    got = {(r["k"], r["t"]): r["rv"] for r in out}
+    assert len(got) == len(set(data))  # tolerance never drops left rows
+    for k, t in set(data):
+        eligible = [rt for (rk, rt) in rmap if rk == k and rt <= t]
+        want = None
+        if eligible:
+            best_t = max(eligible)
+            if t - best_t <= tol:
+                want = rmap[(k, best_t)]
+        assert got[(k, t)] == want
