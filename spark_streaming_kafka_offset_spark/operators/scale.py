@@ -539,3 +539,100 @@ def rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sumsq_cents").alias("sumsq_cents"),
         )
     )
+
+
+_MANIFEST_CACHE: dict = {}
+
+
+def _manifest_layout(spark: SparkSession, sf_dir: str):
+    """Range-clustered lineitem layout + its file manifest, built once per
+    (session, sf_dir).
+
+    The write clusters rows by ``l_shipdate`` via repartitionByRange, so
+    each parquet file covers a narrow date band; the manifest is one row
+    per file — (path, n_rows, min/max shipdate) — the essence of an
+    Iceberg/Delta manifest.  Here it's built by one post-write scan
+    grouped on ``input_file_name()``; a production writer gets the same
+    stats free from the write tasks' parquet footers."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _MANIFEST_CACHE:
+        return _MANIFEST_CACHE[key]
+    out = scratch_path("sskos_manifest_layout_") + "/lineitem"
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .repartitionByRange(8, "l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    manifest = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("path"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .collect()
+    )
+    _MANIFEST_CACHE[key] = (out, manifest)
+    return _MANIFEST_CACHE[key]
+
+
+LO_SHIP, HI_SHIP = "1997-03-01", "1997-09-01"
+
+
+def manifest_pruned_scan(spark: SparkSession, sf_dir: str):
+    """The pruned read path + skip evidence: (DataFrame, files_read,
+    files_total).  File selection happens on MANIFEST rows (metadata;
+    never opens data files outside the predicate's range) — the
+    driver-side planning step every lakehouse table format performs."""
+    out, manifest = _manifest_layout(spark, sf_dir)
+    lo, hi = LO_SHIP, HI_SHIP
+    selected = [
+        r["path"]
+        for r in manifest
+        if str(r["max_ship"]) >= lo and str(r["min_ship"]) < hi
+    ]
+    pruned = spark.read.parquet(*selected).where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    return pruned, len(selected), len(manifest)
+
+
+@register(
+    "scan_manifest_pruned",
+    oracle="""
+    SELECT CAST(l_shipdate AS DATE) AS ship_day,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-09-01'
+    GROUP BY CAST(l_shipdate AS DATE)
+    """,
+)
+def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping via a min/max manifest — the third leg of
+    the pruning triad (directory pruning = `scan_partition_pruned`,
+    runtime pruning = `scan_dynamic_pruning`, file-stats pruning =
+    this): a range-clustered layout + an Iceberg/Delta-essence manifest
+    lets the planner open only the files whose [min,max] band overlaps
+    the predicate, then a residual filter exacts the boundary files.
+
+    The oracle runs the same aggregate over the ORIGINAL table — a hash
+    match proves the pruned path loses and invents nothing.  The skip
+    evidence (files_read < files_total) is asserted in
+    tests/test_plans.py; at sf0.01 the 6-month window reads 2 of 8
+    files.  At 100 TB this is the difference between a table scan and
+    opening 1% of files — and why ingest should cluster on the
+    dominant predicate column."""
+    pruned, _, _ = manifest_pruned_scan(spark, sf_dir)
+    return pruned.groupBy(
+        F.col("l_shipdate").cast("date").alias("ship_day")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        round_dec(F.sum(dec2("l_extendedprice")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -130,6 +130,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_markov_transitions",
     "orders_rfm_segments",
     "fn_bitwise",
+    "scan_manifest_pruned",
     # r2-green oracle rows outside the r4 window.
     "fn_string",
     "fn_date",

@@ -421,3 +421,21 @@ def test_interval_bucketed_plans_equi_join_only(spark):
     plan = executed_plan(QUERIES["join_interval_bucketed"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_manifest_pruning_actually_skips_files(spark):
+    """The manifest must select a strict subset of files for the 6-month
+    window, and the pruned aggregate must equal the plain filtered
+    aggregate — skipping may lose nothing."""
+    from spark_streaming_kafka_offset_spark.operators.scale import (
+        LO_SHIP,
+        HI_SHIP,
+        manifest_pruned_scan,
+    )
+
+    pruned, n_read, n_total = manifest_pruned_scan(spark, SF_DIR)
+    assert 0 < n_read < n_total
+    li = load_table(spark, SF_DIR, "lineitem").where(
+        (F.col("l_shipdate") >= LO_SHIP) & (F.col("l_shipdate") < HI_SHIP)
+    )
+    assert pruned.count() == li.count()
