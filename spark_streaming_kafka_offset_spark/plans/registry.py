@@ -131,6 +131,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_rfm_segments",
     "fn_bitwise",
     "scan_manifest_pruned",
+    "scan_zorder_pruned",
     # r2-green oracle rows outside the r4 window.
     "fn_string",
     "fn_date",

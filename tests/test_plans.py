@@ -439,3 +439,27 @@ def test_manifest_pruning_actually_skips_files(spark):
         (F.col("l_shipdate") >= LO_SHIP) & (F.col("l_shipdate") < HI_SHIP)
     )
     assert pruned.count() == li.count()
+
+
+def test_zorder_skips_files_on_both_columns(spark):
+    """The Z-ordered layout must skip files for BOTH predicate classes —
+    a partkey window AND a date window — and each pruned frame must
+    match the plain filtered count (skipping loses nothing).  This is
+    the multi-column advantage a single-column range cluster can't
+    give."""
+    from spark_streaming_kafka_offset_spark.operators.scale import (
+        HI_SHIP,
+        LO_SHIP,
+        PK_HI,
+        PK_LO,
+        zorder_pruned_scan,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    for pred, cond in [
+        ("pk", (F.col("l_partkey") >= PK_LO) & (F.col("l_partkey") <= PK_HI)),
+        ("date", (F.col("l_shipdate") >= LO_SHIP) & (F.col("l_shipdate") < HI_SHIP)),
+    ]:
+        pruned, n_read, n_total = zorder_pruned_scan(spark, SF_DIR, pred)
+        assert 0 < n_read < n_total, (pred, n_read, n_total)
+        assert pruned.count() == li.where(cond).count(), pred
