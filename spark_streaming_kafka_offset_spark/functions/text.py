@@ -1320,3 +1320,52 @@ def char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .drop("rn")
     )
+
+
+@register(
+    "dedup_incremental_merge",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT sha256(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+               AS content_hash
+      FROM documents WHERE doc_id % 5 <> 0
+    ), incoming AS (
+      SELECT doc_id, source,
+             sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_hash
+      FROM documents WHERE doc_id % 5 = 0
+    ), novel AS (
+      SELECT i.doc_id, i.source, i.content_hash
+      FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                        WHERE c.content_hash = i.content_hash)
+    )
+    SELECT content_hash, MIN(doc_id) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_in_batch
+    FROM novel GROUP BY content_hash
+    """,
+)
+def dedup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: dedupe a NEW document batch against
+    an existing deduped corpus, then within itself — the two-stage
+    admission check every recurring crawl/ingest pipeline runs (the
+    batch flavor of `stream_dedup_corpus`).  Docs with doc_id % 5 == 0
+    play the incoming batch; the rest, the standing corpus.
+
+    Order matters at scale and is encoded in the plan: the
+    CORPUS-membership anti-join runs FIRST on the raw batch (the corpus
+    ledger is hash-only — narrow — and the anti-join discards most
+    dupes before any batch-internal work), then the intra-batch min_by
+    collapse runs on survivors only.  Both stages key on content_hash,
+    so the second reuses the first's partitioning.  At 100 TB the
+    corpus side is a hash-only ledger table (or an offline bloom with
+    exact verification on hits — `stream_dedup_corpus` documents that
+    variant)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.sha2(_norm_text(F.col("text")), 256).alias("content_hash")
+    corpus = d.where(F.col("doc_id") % 5 != 0).select(h).distinct()
+    incoming = d.where(F.col("doc_id") % 5 == 0).select("doc_id", "source", h)
+    novel = incoming.join(corpus, "content_hash", "left_anti")
+    return novel.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_in_batch"),
+    )

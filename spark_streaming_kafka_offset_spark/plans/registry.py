@@ -132,6 +132,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_bitwise",
     "scan_manifest_pruned",
     "scan_zorder_pruned",
+    "dedup_incremental_merge",
     # r2-green oracle rows outside the r4 window.
     "fn_string",
     "fn_date",
