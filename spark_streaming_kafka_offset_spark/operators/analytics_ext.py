@@ -1186,3 +1186,87 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.sum("monetary"), 2).cast("double").alias("segment_value"),
     )
+
+
+@register(
+    "events_funnel_windowed",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    qual_c AS (
+      SELECT DISTINCT c.user_id, c.ts FROM c
+      WHERE EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                    AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR)
+    ),
+    chain_v AS (
+      SELECT DISTINCT v.user_id FROM v
+      WHERE EXISTS (SELECT 1 FROM qual_c q WHERE q.user_id = v.user_id
+                    AND q.ts >= v.ts AND q.ts < v.ts + INTERVAL 1 HOUR)
+    ),
+    step2_v AS (
+      SELECT DISTINCT v.user_id FROM v
+      WHERE EXISTS (SELECT 1 FROM c WHERE c.user_id = v.user_id
+                    AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 1 HOUR)
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM v) AS BIGINT) AS viewed,
+           CAST((SELECT COUNT(*) FROM step2_v) AS BIGINT) AS clicked_1h,
+           CAST((SELECT COUNT(*) FROM chain_v) AS BIGINT) AS purchased_chain_1h
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (ClickHouse ``windowFunnel`` semantics, computed
+    EXACTLY): a user converts iff SOME view→click→purchase chain exists
+    with each step inside 1 h of the previous — not merely the first
+    occurrences in order (`events_funnel`'s unbounded variant).
+    Greedy first-qualifying-step evaluation is WRONG here: a later
+    click can open a purchase window the earliest click misses, so
+    chain existence needs the pair space — expressed as two chained
+    LEFT SEMI joins evaluated back-to-front (purchase-qualified clicks
+    first, then views with a qualified click in window).
+
+    Scale notes: every join is an EQUI-join on user_id with the time
+    window as a residual — per-user event groups bound the pair work,
+    the same blocking discipline as the similarity ops; semi joins
+    never duplicate rows, so no distinct is needed until the final
+    user count.  Three funnel-stage counts fold into single aggregates
+    over user-distinct frames."""
+    e = load_table(spark, sf_dir, "events")
+
+    def stage(t: str, a: str) -> DataFrame:
+        return e.where(F.col("event_type") == t).select(
+            F.col("user_id").alias(f"{a}_u"), F.col("ts").alias(f"{a}_ts")
+        )
+
+    v, c, p = stage("view", "v"), stage("click", "c"), stage("purchase", "p")
+    hour = F.expr("INTERVAL 1 HOUR")
+    qual_c = c.join(
+        p,
+        (F.col("p_u") == F.col("c_u"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + hour),
+        "left_semi",
+    )
+    chain_v = v.join(
+        qual_c,
+        (F.col("c_u") == F.col("v_u"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") < F.col("v_ts") + hour),
+        "left_semi",
+    )
+    step2_v = v.join(
+        c,
+        (F.col("c_u") == F.col("v_u"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") < F.col("v_ts") + hour),
+        "left_semi",
+    )
+    return (
+        v.agg(F.countDistinct("v_u").alias("viewed"))
+        .join(F.broadcast(step2_v.agg(F.countDistinct("v_u").alias("clicked_1h"))))
+        .join(
+            F.broadcast(
+                chain_v.agg(F.countDistinct("v_u").alias("purchased_chain_1h"))
+            )
+        )
+    )

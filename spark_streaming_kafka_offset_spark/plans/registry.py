@@ -133,6 +133,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_manifest_pruned",
     "scan_zorder_pruned",
     "dedup_incremental_merge",
+    "events_funnel_windowed",
     # r2-green oracle rows outside the r4 window.
     "fn_string",
     "fn_date",
