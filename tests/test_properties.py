@@ -900,3 +900,39 @@ def test_asof_tolerance_matches_bruteforce(spark, data, rdata, tol):
             if t - best_t <= tol:
                 want = rmap[(k, best_t)]
         assert got[(k, t)] == want
+
+
+def test_quality_rules_detect_planted_violations(spark, tmp_path):
+    """data_quality_rules must COUNT what it claims to detect: plant one
+    violation of each class (non-positive price, out-of-range quantity,
+    FK orphan, duplicate event id, n_chars drift, negative balance) in
+    synthetic tables and assert each rule reports exactly the planted
+    count."""
+    spark.createDataFrame(
+        [(1, 10, 100.0), (2, 11, -5.0), (3, 12, 0.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, 0.0), (2, 1, 51.0), (99, 1, 3.0)],
+        "l_orderkey long, l_linenumber long, l_quantity double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1,), (1,), (2,)], "event_id long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    spark.createDataFrame(
+        [(1, "abc", 3), (2, "abcd", 99)], "doc_id long, text string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, -2.0)], "s_suppkey long, s_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+
+    got = {
+        r["rule"]: (r["n_checked"], r["n_violations"])
+        for r in QUERIES["data_quality_rules"](spark, str(tmp_path)).collect()
+    }
+    assert got["orders_totalprice_positive"] == (3, 2)   # -5 and 0
+    assert got["lineitem_quantity_in_range"] == (4, 2)   # 0 and 51
+    assert got["lineitem_orderkey_fk"] == (4, 1)         # orderkey 99
+    assert got["events_id_unique"] == (3, 1)             # dup id 1
+    assert got["documents_nchars_consistent"] == (2, 1)  # 99 != 4
+    assert got["supplier_acctbal_nonnegative"] == (3, 2)
