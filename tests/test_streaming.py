@@ -9,7 +9,6 @@ no ledger gaps.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -144,13 +143,14 @@ def test_stateful_values_close_to_batch(spark):
         assert abs(streamed[uid] - tv) < 0.02
 
 
-def test_offset_ledger_exactly_once_across_restart(spark):
+def test_offset_ledger_exactly_once_across_restart(spark, tmp_path):
     """The reference's soul [K]: kill between batches, restart from the
     same checkpoint → sink holds each input row exactly once and the
-    ledger is gap-free."""
+    ledger is gap-free.  (tmp_path, not bare mkdtemp: pytest reaps its
+    own basetemp, so repeated runs leave no /tmp orphans.)"""
     stream_dir = stage_stream_dir(spark, SF_DIR)
-    root = tempfile.mkdtemp(prefix="sskos_eo_")
-    ckpt = tempfile.mkdtemp(prefix="ckpt_eo_")
+    root = str(tmp_path / "sskos_eo")
+    ckpt = str(tmp_path / "ckpt_eo")
     ledger = OffsetLedger(root)
 
     # Phase 1: process exactly ONE file-batch, then stop (the "crash").
