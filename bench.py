@@ -4,13 +4,21 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+     "queries": {"q": sec, ...}, "sf": 0.1, "runs": [a, b, c]}
 
-Timing method: each query is built fresh (plan construction included),
-executed to a driver-side count via ``collect()``, wall-clocked with a
-warm session (session/JVM startup excluded — that is deployment cost,
-not query cost).  One warm-up query runs first so JIT/codegen caches
-don't bill the first headline entry.
+Protocol (VERDICT r4 #6): the recorded number is the MEDIAN of THREE
+fresh-process runs — same as the baseline was measured — because a
+single run sits inside a documented 15.9–18.9 s shared-host noise band
+at sf0.1.  ``value``/``queries`` come from the median run; ``runs``
+lists all three totals so the spread is on the record.  Set
+``SSKOS_BENCH_SINGLE=1`` for the old one-shot behavior (local
+iteration).
+
+Timing method per run: each query is built fresh (plan construction
+included), executed to a driver-side count via ``collect()``,
+wall-clocked with a warm session (session/JVM startup excluded — that
+is deployment cost, not query cost).  One warm-up query runs first so
+JIT/codegen caches don't bill the first headline entry.
 """
 
 from __future__ import annotations
@@ -70,7 +78,7 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def single_run() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
@@ -95,18 +103,47 @@ def main() -> None:
         print(f"# {key}: {timings[key]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "env": cpu_fingerprint(),
-            }
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "env": cpu_fingerprint(),
+    }
+
+
+def main() -> None:
+    if os.environ.get("SSKOS_BENCH_SINGLE"):
+        print(json.dumps(single_run()))
+        return
+
+    # Median-of-3 fresh processes: each run pays its own JVM start (not
+    # billed — single_run times only query wall), so runs are fully
+    # independent samples of the same code on the same host.
+    import subprocess
+
+    payloads = []
+    for i in range(3):
+        env = dict(os.environ, SSKOS_BENCH_SINGLE="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
         )
-    )
+        sys.stderr.write(proc.stderr)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stdout)
+            raise SystemExit(f"bench run {i + 1}/3 failed: rc={proc.returncode}")
+        payloads.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+        print(f"# run {i + 1}/3 total: {payloads[-1]['value']:.3f}s", file=sys.stderr)
+
+    by_total = sorted(payloads, key=lambda p: p["value"])
+    median = by_total[1]
+    median["runs"] = [round(p["value"], 3) for p in by_total]
+    median["protocol"] = "median-of-3-fresh-process"
+    print(json.dumps(median))
 
 
 if __name__ == "__main__":

@@ -1282,7 +1282,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_transform(
                generate_series(1, length(text) - 2),
                i -> substr(text, CAST(i AS INTEGER), 3))) AS g
-      FROM documents
+      FROM documents WHERE length(text) >= 3
     )
     SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS n
     FROM grams GROUP BY lang, g
@@ -1302,8 +1302,14 @@ def char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so the shuffle is model-sized.  The top-10 rank window runs on
     that small frame, partitioned by lang.  Deterministic (n DESC, g)
     tie-break keeps the learned profile engine-independent, same
-    discipline as `vocab_topk`/`bpe_merge_candidates`."""
-    d = load_table(spark, sf_dir, "documents")
+    discipline as `vocab_topk`/`bpe_merge_candidates`.
+
+    Dirty-data guard (ADVICE r4): texts shorter than 3 chars are
+    filtered on BOTH sides — Spark's sequence(1, len-2) would step -1
+    for len<3 (e.g. sequence(1,0) = [1,0]) and emit junk grams from
+    substr at pos <= 0, while DuckDB's generate_series(1,0) is empty;
+    the shared filter removes the engine divergence."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 3)
     grams = d.select(
         "lang",
         F.explode(

@@ -1143,45 +1143,77 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored GROUP BY r_score, f_score, m_score
     """,
 )
-def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def orders_rfm_segments(
+    spark: SparkSession, sf_dir: str, *, scale_boundaries: bool = False
+) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary) — the classic
     customer-value quartile grid: per-customer aggregates scored into
-    NTILE(4) quartiles on each axis, reported as segment sizes + exact
-    segment value.
+    quartiles on each axis, reported as segment sizes + exact segment
+    value.
 
-    Determinism discipline: NTILE tie-handling is order-dependent, so
-    every quartile window carries a (metric, o_custkey) TOTAL order —
-    without the key tiebreak the same data can legally produce
-    different quartile boundaries per engine (measured; the oracle uses
-    the identical order).  Monetary stays exact DECIMAL until the final
-    ROUND.
+    Two physical strategies behind one API (VERDICT r4 #3):
 
-    Scale notes: the per-customer aggregate partitions on o_custkey
-    (one fact shuffle); the three global NTILE windows run on the
-    customer-sized frame — at 100 TB one would replace the global sort
-    windows with approx-quantile boundary lookup (percentile_approx
-    broadcast), trading exact quartile edges for no global sort; the
-    fixture-scale form keeps the exact semantics the oracle can
-    mirror."""
+    * ``scale_boundaries=False`` (default; the oracle twin): NTILE(4)
+      windows with a (metric, o_custkey) TOTAL order — NTILE
+      tie-handling is order-dependent, so without the key tiebreak the
+      same data can legally produce different quartile boundaries per
+      engine (measured; the oracle uses the identical order).  Monetary
+      stays exact DECIMAL until the final ROUND.  The three global
+      windows each funnel the customer frame through ONE partition —
+      fine at fixture scale, the known wall at 100 TB.
+    * ``scale_boundaries=True`` (the 100 TB path): quartile EDGES come
+      from one `percentile_approx` pass (a 1-row, 9-number frame,
+      broadcast back), and scoring is a CASE bucket lookup — no Window,
+      no global Sort, no single-partition funnel of the customer frame;
+      the only shuffles are the o_custkey aggregate and the tiny final
+      segment agg.  Trade: boundary ties bucket by VALUE (NTILE splits
+      tie runs by row order to force equal bins), so heavily-tied axes
+      (integer frequency) can deviate from equal quarters — the honest
+      behavior of every approx-quantile segmentation.
+      tests/test_plans.py asserts the no-Window/no-Sort plan shape;
+      the driver pair stays on the exact twin."""
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         F.sum(dec2("o_totalprice", 14)).alias("monetary"),
     )
-    scored = rfm.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
-        .alias("m_score"),
-    )
+    if scale_boundaries:
+        pcts = [0.25, 0.5, 0.75]
+        bounds = rfm.agg(
+            F.percentile_approx(F.unix_date(F.col("last_order").cast("date")), pcts, 10000).alias("rq"),
+            F.percentile_approx("frequency", pcts, 10000).alias("fq"),
+            F.percentile_approx(F.col("monetary").cast("double"), pcts, 10000).alias("mq"),
+        )
+
+        def bucket(metric, q):  # DESC quartiles: top quarter → score 1
+            return (
+                F.when(metric > q[2], 1)
+                .when(metric > q[1], 2)
+                .when(metric > q[0], 3)
+                .otherwise(4)
+            )
+
+        scored = rfm.join(F.broadcast(bounds)).select(
+            "monetary",
+            bucket(F.unix_date(F.col("last_order").cast("date")), F.col("rq")).alias("r_score"),
+            bucket(F.col("frequency"), F.col("fq")).alias("f_score"),
+            bucket(F.col("monetary").cast("double"), F.col("mq")).alias("m_score"),
+        )
+    else:
+        scored = rfm.select(
+            "o_custkey",
+            "monetary",
+            F.ntile(4)
+            .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
+            .alias("r_score"),
+            F.ntile(4)
+            .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+            .alias("f_score"),
+            F.ntile(4)
+            .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+            .alias("m_score"),
+        )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),
         F.round(F.sum("monetary"), 2).cast("double").alias("segment_value"),

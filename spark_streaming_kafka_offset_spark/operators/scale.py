@@ -463,8 +463,11 @@ def detect_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee line is PROVABLY present (tests/test_properties.py builds
     a skewed corpus and asserts coverage + exactness + the state
     bound)."""
+    # Single source of truth for the sketch budget: the W/(K+1)
+    # guarantee line below MUST use the same K as the sketch.
+    K = 8
     e = load_table(spark, sf_dir, "events")
-    cand = F.broadcast(misra_gries_candidates(e, "user_id", k=8))
+    cand = F.broadcast(misra_gries_candidates(e, "user_id", k=K))
     total = e.agg(F.count("*").alias("w_total"))
     return (
         e.join(cand.select("user_id"), "user_id")
@@ -475,7 +478,7 @@ def detect_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_exact",
             "w_total",
-            ((F.col("n_exact") * (8 + 1)) > F.col("w_total")).alias(
+            ((F.col("n_exact") * (K + 1)) > F.col("w_total")).alias(
                 "above_guarantee_line"
             ),
         )

@@ -44,85 +44,22 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 #: tests/test_registry.py locks the invariants (full coverage, no dups,
 #: first-50 all oracle-backed).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Window policy (r4): the driver checks the FIRST 50 keys only.
-    # r2 and r3 each hash-proved a disjoint 50-key window (both 50/50
-    # green — CORRECTNESS_r02/r03.json).  This round's window closes the
-    # gap: slots 1-20 are the ONLY oracle-backed keys without a hard
-    # driver row anywhere in r2 ∪ r3 (the SURVEY §8 rotation queue plus
-    # ts_similarity_topk, registered late in r3); r2 ∪ r3 ∪ r4 then
-    # hard-covers every oracle pair in the registry.  Keys displaced out
-    # of the window stay registered and locally parity-tested through
-    # the driver-identical canon (tests/test_parity.py).
+    # ---- Window policy (r5): the driver checks the FIRST 50 keys only.
+    # r2/r3/r4 each hash-proved a 50-key window (all 50/50 green —
+    # CORRECTNESS_r02/r03/r04.json); r2 ∪ r3 ∪ r4 hard-covers 123 of the
+    # registry's 134 oracle pairs.  This window (VERDICT r4 #1/#2):
+    # slots 1-11 are the ONLY oracle keys with no hard driver row in any
+    # round (registered mid-r4 after that window was sealed; all 11
+    # re-verified through the driver-identical local canon by the r4
+    # judge) — green rows here mean EVERY oracle pair in the registry
+    # has a hard CORRECTNESS row across r2 ∪ r3 ∪ r4 ∪ r5.  Slots 12-50
+    # re-prove the keys with the OLDEST evidence: the 23 keys whose only
+    # hard row is r2, then 16 r3-only keys (TPC-H shapes and pipeline
+    # ops first, per VERDICT r4 #2).  Keys displaced out of the window
+    # stay registered and locally parity-tested through the
+    # driver-identical canon (tests/test_parity.py).
     #
-    # Slots 1-20: never-driver-checked oracle keys (VERDICT r3 #2).
-    "agg_mode",
-    "analyze_table_stats",
-    "dedup_minhash_md5",
-    "embed_bucket_stats",
-    "embed_centroids",
-    "interarrival_stats",
-    "lang_balanced_sample",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_top_nations",
-    "q12_priority_split",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity",
-    "q19_disjunctive_pred",
-    "q20_volume_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "source_p75_gate",
-    "ts_similarity_topk",
-    # Slot 21: q2_min_cost_supplier — NEW this round (closes TPC-H 22/22);
-    # a new oracle pair's first hard row outranks one more canary re-proof
-    # (events_funnel, displaced just below the window, keeps its r2 row).
-    "q2_min_cost_supplier",
-    # Slots 22-23: also NEW this round — bucketed fact-to-fact interval
-    # join (the join_interval scale answer) and the BPE pair-count round;
-    # first hard rows outrank two more canary re-proofs (fn_string and
-    # fn_date, displaced below the window, are unchanged since their
-    # r2-green rows).
-    "join_interval_bucketed",
-    "bpe_merge_candidates",
-    # Slots 24-29: post-rewrite canaries (VERDICT r3 #3) — r3 changed
-    # dedup_exact (min_by) and text_tfidf (single lazy plan) AFTER their
-    # r2-green rows; fn_map / agg_collect / join_asof / win_range_frame
-    # are the r2-green keys judged most at risk of silent drift (map/
-    # array serialization canon, as-of window trick, range frames).
-    "dedup_exact",
-    "text_tfidf",
-    "fn_map",
-    "agg_collect",
-    "join_asof",
-    "win_range_frame",
-    # Slots 27-50: r2-green keys re-proved on the current code base,
-    # headline-set members first (scan/agg/q3 run every bench anyway).
-    "scan_parquet",
-    "scan_pruned",
-    "project_expr",
-    "agg_hash",
-    "q3_shipping_priority",
-    "filter_pred",
-    "filter_null",
-    "distinct_rows",
-    "join_inner_hash",
-    "join_broadcast",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "win_rank",
-    "topk_per_group",
-    "sort_multi",
-    "sim_topk_exact",
-    "fn_json",
-    # --- window boundary (50) ---
-    # Oracle keys added mid-r4 after the window was sealed — locally
-    # parity-green; they head the r5 rotation queue.
+    # Slots 1-11: mid-r4 additions — no hard driver row yet.
     "join_asof_tolerance",
     "char_ngram_profile",
     "data_quality_rules",
@@ -134,7 +71,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_zorder_pruned",
     "dedup_incremental_merge",
     "events_funnel_windowed",
-    # r2-green oracle rows outside the r4 window.
+    # Slots 12-34: r2-only greens (newest hard row is CORRECTNESS_r02) —
+    # three rounds stale, oldest evidence in the registry.
     "fn_string",
     "fn_date",
     "events_funnel",
@@ -158,23 +96,35 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_tokens",
     "dedup_shingle",
     "dedup_embed_cosine",
-    # r3-green oracle rows (CORRECTNESS_r03.json, all hash-green).
+    # Slots 35-50: r3-only greens — TPC-H query shapes and pipeline ops
+    # first (VERDICT r4 #2), then the remaining relational/scalar keys.
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_flows",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q18_big_orders",
+    "split_hash",
+    "latest_by_key",
+    "sessionize_batch",
+    "sample_stratified",
+    "merge_upsert",
     "agg_cube",
     "win_distribution",
     "sub_correlated",
     "fn_null",
     "fn_fuzzy",
+    # --- window boundary (50) ---
+    # r3-only greens displaced below the window this round; their r3
+    # rows stay the newest-but-one evidence tier (two rounds stale max
+    # after r5 — within the VERDICT r4 #2 freshness target).
     "join_skew_salted",
     "join_bucketed",
     "rollup_time",
     "scan_partition_pruned",
     "pivot_wide",
     "unpivot_long",
-    "split_hash",
-    "latest_by_key",
-    "sessionize_batch",
     "dedup_ngram_jaccard",
-    "sample_stratified",
     "dedup_clusters",
     "text_quality",
     "text_langid",
@@ -189,26 +139,71 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "chunk_documents",
     "sample_weighted",
     "resample_locf",
-    "merge_upsert",
     "vocab_topk",
     "text_bigram_pmi",
-    "q6_forecast_revenue",
-    "q14_promo_share",
-    "q18_big_orders",
     "pipeline_corpus_shards",
     "text_repetition",
     "contamination_check",
     "scan_schema_evolution",
     "scan_dynamic_pruning",
     "scan_corrupt_tolerant",
-    "q4_priority_exists",
-    "q7_volume_flows",
-    "q13_order_distribution",
     "cohort_retention",
     "embed_norm_stats",
     "events_outliers",
     "snapshot_diff",
     "win_moving_avg",
+    # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
+    # evidence in the registry, so lowest re-proof priority).
+    "agg_mode",
+    "analyze_table_stats",
+    "dedup_minhash_md5",
+    "embed_bucket_stats",
+    "embed_centroids",
+    "interarrival_stats",
+    "lang_balanced_sample",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_top_nations",
+    "q12_priority_split",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q19_disjunctive_pred",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "source_p75_gate",
+    "ts_similarity_topk",
+    "q2_min_cost_supplier",
+    "join_interval_bucketed",
+    "bpe_merge_candidates",
+    "dedup_exact",
+    "text_tfidf",
+    "fn_map",
+    "agg_collect",
+    "join_asof",
+    "win_range_frame",
+    "scan_parquet",
+    "scan_pruned",
+    "project_expr",
+    "agg_hash",
+    "q3_shipping_priority",
+    "filter_pred",
+    "filter_null",
+    "distinct_rows",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "win_rank",
+    "topk_per_group",
+    "sort_multi",
+    "sim_topk_exact",
+    "fn_json",
     # rows-only SURVEY rows, streaming first
     "stream_tumbling",
     "stream_sliding",

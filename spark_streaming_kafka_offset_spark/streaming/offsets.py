@@ -139,12 +139,16 @@ def stream_offset_lag_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     --describe`` re-expressed over our audit table): committed position
     vs source head, lag, and a caught-up flag.
 
-    Built by stopping the ledgered stream after TWO of the four batches
-    (``maxFilesPerTrigger=1`` + a 2-batch AvailableNow run against a
-    2-file prefix of the stream dir), then comparing the ledger's max
-    committed ``until_event_id`` against the full table's head — so the
-    reported lag is real, not synthetic.  Rows-only: the ledger is
-    runtime state DuckDB can't see.
+    Built by running the ledgered stream over a copied 2-chunk prefix
+    of the RANGE-chunked events layout (chunk i = the i-th event_id
+    range — ``_range_chunked_stream_dir``), then comparing the ledger's
+    max committed ``until_event_id`` against the full table's head.
+    Range chunks matter (ADVICE r4): under the mod-N split the prefix
+    contains every id class and ``until_event_id`` lands at ~head even
+    though half the rows are missing; with range chunks the committed
+    offset is a TRUE high-watermark, so lag/rows_behind/caught_up are
+    meaningful consumer-lag numbers, not fixture accidents.  Rows-only:
+    the ledger is runtime state DuckDB can't see.
 
     Scale notes: the ledger is one row per (group, source, batch) —
     monitoring reads aggregate a tiny table and the source head probe
@@ -156,11 +160,13 @@ def stream_offset_lag_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..session import load_table
 
-    stream_dir = stage_stream_dir(spark, sf_dir)
-    # 2-file prefix = a consumer that has not caught up to the head.
+    stream_dir = _range_chunked_stream_dir(spark, sf_dir, n_chunks=4)
+    # 2-chunk prefix = a consumer that has not caught up to the head.
     prefix_dir = scratch_path("sskos_lagprefix_")
     for name in sorted(os.listdir(stream_dir))[:2]:
-        shutil.copy(os.path.join(stream_dir, name), os.path.join(prefix_dir, name))
+        shutil.copytree(
+            os.path.join(stream_dir, name), os.path.join(prefix_dir, name)
+        )
     ledger = run_ledgered_stream(
         spark, prefix_dir, scratch_path("sskos_lagledger_"),
         checkpoint=scratch_path("ckpt_lag_"),
@@ -183,6 +189,7 @@ def stream_offset_lag_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "committed_offset",
             "head_offset",
             (F.col("head_offset") - F.col("committed_offset")).alias("lag"),
+            "rows_committed",
             (F.col("rows_total") - F.col("rows_committed")).alias("rows_behind"),
             (F.col("committed_offset") >= F.col("head_offset")).alias("caught_up"),
         )

@@ -464,3 +464,45 @@ def test_zorder_skips_files_on_both_columns(spark):
         pruned, n_read, n_total = zorder_pruned_scan(spark, SF_DIR, pred)
         assert 0 < n_read < n_total, (pred, n_read, n_total)
         assert pruned.count() == li.where(cond).count(), pred
+
+
+def test_rfm_scale_variant_has_no_global_sort_or_window(spark):
+    """VERDICT r4 #3: the `scale_boundaries=True` path of
+    orders_rfm_segments must contain NO Window operator and NO Sort —
+    the exact twin funnels the customer frame through three
+    single-partition NTILE sorts; the scale path replaces them with a
+    percentile_approx boundary broadcast + CASE bucketing.  Both
+    variants must agree on total customers and total segment value."""
+    from spark_streaming_kafka_offset_spark.operators.analytics_ext import (
+        orders_rfm_segments,
+    )
+
+    exact = orders_rfm_segments(spark, SF_DIR)
+    scale = orders_rfm_segments(spark, SF_DIR, scale_boundaries=True)
+
+    exact_plan = executed_plan(exact)
+    scale_plan = executed_plan(scale)
+    assert "Window" in exact_plan  # the wall the scale path removes
+    assert "Window" not in scale_plan
+    assert "Sort" not in scale_plan
+
+    e_rows = exact.collect()
+    s_rows = scale.collect()
+    assert sum(r["n_customers"] for r in s_rows) == sum(
+        r["n_customers"] for r in e_rows
+    )
+    assert abs(
+        sum(r["segment_value"] for r in s_rows)
+        - sum(r["segment_value"] for r in e_rows)
+    ) < 0.05  # same money, re-binned (per-segment ROUND drift only)
+    assert all(
+        1 <= r["r_score"] <= 4 and 1 <= r["f_score"] <= 4 and 1 <= r["m_score"] <= 4
+        for r in s_rows
+    )
+    # The continuous monetary axis should still cut near-quarters
+    # (ties are the only legal deviation source; monetary has none at
+    # fixture scale).
+    n = sum(r["n_customers"] for r in s_rows)
+    for q in range(1, 5):
+        share = sum(r["n_customers"] for r in s_rows if r["m_score"] == q) / n
+        assert 0.15 < share < 0.35, (q, share)

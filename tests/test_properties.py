@@ -6,7 +6,7 @@ fixtures prove parity; these prove algebraic laws the oracle can't).
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -794,6 +794,54 @@ def test_misra_gries_heavy_hitter_guarantee(spark):
         for r in misra_gries_candidates(df, "user_id", k=k).collect()
     }
     assert set(cand) == set(cand2)
+
+
+# (key, true_count) multisets — hypothesis explores the distribution
+# space; the pinned examples are the adversarial shapes from VERDICT r4
+# #5: all-distinct (nothing may be guaranteed), single-key (everything
+# is), and frequencies straddling the W/(k+1) line.
+mg_corpora = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=1, max_value=60)),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(corpus=mg_corpora, k=st.integers(min_value=2, max_value=8), nparts=st.integers(min_value=1, max_value=6))
+@example(corpus=[(i, 1) for i in range(10)], k=4, nparts=3)
+@example(corpus=[(0, 50)], k=2, nparts=4)
+@example(corpus=[(0, 34), (1, 33), (2, 33)], k=2, nparts=2)
+@_SETTINGS
+def test_misra_gries_mergeable_summary_laws(spark, corpus, k, nparts):
+    """The three laws of the mergeable MG summary (Agarwal et al.,
+    PODS'12), for ANY key distribution, budget k, and partitioning:
+    (1) state bound — at most k survivors after merge; (2) coverage —
+    every key with true frequency > W/(k+1) survives; (3) counter
+    sandwich — each surviving counter is a lower bound no more than
+    W/(k+1) below the true frequency.  Partition count is drawn too:
+    the laws must hold under every split of the stream, which is
+    exactly the mergeability claim `detect_hot_keys` rides on."""
+    from spark_streaming_kafka_offset_spark.operators.scale import (
+        misra_gries_candidates,
+    )
+
+    rows = [(key,) for key, n in corpus for _ in range(n)]
+    df = spark.createDataFrame(rows, "user_id long").repartition(nparts)
+    w = len(rows)
+    true = dict(corpus)
+    cand = {
+        r["user_id"]: r["mg_count"]
+        for r in misra_gries_candidates(df, "user_id", k=k).collect()
+    }
+    thresh = w / (k + 1)
+    assert len(cand) <= k
+    for key, n in true.items():
+        if n > thresh:
+            assert key in cand, (key, n, w, k, cand)
+    for key, c in cand.items():
+        assert c <= true[key], (key, c, true[key])
+        assert c >= true[key] - thresh - 1e-9, (key, c, true[key], thresh)
 
 
 @given(

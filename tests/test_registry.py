@@ -45,3 +45,23 @@ def test_every_oracle_key_is_registered():
 
 def test_ordered_queries_order_matches_priority():
     assert list(ordered_queries()) == list(DRIVER_PRIORITY)
+
+
+def test_survey_section2_enumerates_registry():
+    """SURVEY §2 is the contract; the registry is the implementation —
+    they must enumerate the SAME key set, 1:1 (VERDICT r4 #7).  Every
+    first-column backticked key in a §2 table row must be a registered
+    query and vice versa."""
+    import os
+    import re
+
+    survey = open(
+        os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    ).read()
+    sec2 = survey.split("## 2. Operator inventory")[1].split("\n## 3.")[0]
+    doc_keys = re.findall(r"^\| `([^`]+)`", sec2, re.M)
+    assert len(doc_keys) == len(set(doc_keys)), "duplicate §2 rows"
+    assert set(doc_keys) == set(QUERIES), (
+        f"doc-only={sorted(set(doc_keys) - set(QUERIES))}, "
+        f"registry-only={sorted(set(QUERIES) - set(doc_keys))}"
+    )

@@ -422,25 +422,29 @@ def test_stream_pack_shards_state_survives_restart(spark, tmp_path):
     assert final == batch
 
 
-def test_offset_lag_monitor_reports_real_lag(spark):
-    """The lag monitor's committed/head/lag numbers must be internally
-    consistent and reflect a consumer genuinely behind the head: two of
-    four mod-4 chunks committed → half the rows behind, committed
-    offset strictly below the head, caught_up False."""
+def test_offset_lag_monitor_matches_batch_twin(spark):
+    """Batch-equivalence (VERDICT r4 #4): the lag monitor commits exactly
+    the first two event-id RANGES (range-chunked layout, ADVICE r4), so
+    every reported number must equal its batch formulation over the
+    events table — committed offset = max id below the 2-range cut (a
+    true high-watermark), lag = head - committed, rows_behind = count of
+    ids above the committed offset, caught_up False."""
     from spark_streaming_kafka_offset_spark.session import load_table
 
     row = QUERIES["stream_offset_lag_monitor"](spark, SF_DIR).collect()[0]
-    assert row["caught_up"] is False
-    assert row["lag"] == row["head_offset"] - row["committed_offset"]
-    assert row["lag"] > 0
-    n_total = load_table(spark, SF_DIR, "events").count()
-    behind = (
-        load_table(spark, SF_DIR, "events")
-        .where(F.col("event_id") % 4 >= 2)  # the two uncommitted mod-chunks
-        .count()
+    e = load_table(spark, SF_DIR, "events")
+    hi = e.agg(F.max("event_id")).first()[0]
+    step = -(-(hi + 1) // 4)  # same ceil-division as _range_chunked_stream_dir
+    expect_committed = (
+        e.where(F.col("event_id") < 2 * step).agg(F.max("event_id")).first()[0]
     )
-    assert row["rows_behind"] == behind
-    assert 0 < row["rows_behind"] < n_total
+    assert row["head_offset"] == hi
+    assert row["committed_offset"] == expect_committed
+    assert row["caught_up"] is False
+    assert row["lag"] == hi - expect_committed > 0
+    behind = e.where(F.col("event_id") > expect_committed).count()
+    assert row["rows_behind"] == behind > 0
+    assert row["rows_committed"] == e.count() - behind
 
 
 def test_offset_rewind_replays_exact_suffix(spark):
@@ -455,3 +459,60 @@ def test_offset_rewind_replays_exact_suffix(spark):
     assert got["n_rows"] == exp["n_rows"] > 0
     assert got["min_id"] == exp["min_id"] > rows["replayed"]["resume_offset"]
     assert got["max_id"] == exp["max_id"]
+
+
+def test_offset_rewind_full_rows_match_batch_suffix(spark):
+    """Batch-equivalence (VERDICT r4 #4): the rewound run's SINK CONTENTS
+    — every column of every row, not just counts and id bounds — equal
+    the batch formulation `events WHERE event_id > resume_offset`.  Runs
+    the same two phases as `stream_offset_rewind` through the module's
+    own internals so the sink stays reachable for the row-level diff."""
+    from spark_streaming_kafka_offset_spark.common import scratch_path
+    from spark_streaming_kafka_offset_spark.session import load_table
+    from spark_streaming_kafka_offset_spark.streaming.core import (
+        read_event_stream,
+    )
+    from spark_streaming_kafka_offset_spark.streaming.offsets import (
+        OffsetLedger,
+        _range_chunked_stream_dir,
+        run_ledgered_stream,
+    )
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    stream_dir = _range_chunked_stream_dir(spark, SF_DIR, n_chunks=3)
+    full = run_ledgered_stream(
+        spark,
+        stream_dir,
+        scratch_path("rw_eq_full_"),
+        checkpoint=scratch_path("ckpt_rweq1_"),
+    )
+    resume_offset = (
+        full.read_ledger(spark)
+        .where(F.col("batch_id") == 1)
+        .select("until_event_id")
+        .first()[0]
+    )
+    replay = OffsetLedger(scratch_path("rw_eq_replay_"), group="sskos-replay")
+    src = read_event_stream(spark, stream_dir, max_files_per_trigger=None).where(
+        F.col("event_id") > resume_offset
+    )
+    q = (
+        src.writeStream.foreachBatch(replay.process)
+        .option("checkpointLocation", scratch_path("ckpt_rweq2_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    replayed = sorted(map(tuple, replay.read_sink(spark).select(*cols).collect()))
+    truth = sorted(
+        map(
+            tuple,
+            load_table(spark, SF_DIR, "events")
+            .where(F.col("event_id") > resume_offset)
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert len(replayed) == len(truth) > 0
+    assert replayed == truth
