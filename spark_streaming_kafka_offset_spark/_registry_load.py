@@ -19,6 +19,7 @@ from .operators import (  # noqa: F401
     aggregates,
     analytics,
     analytics_ext,
+    bloom,
     joins,
     maintenance,
     pipeline,

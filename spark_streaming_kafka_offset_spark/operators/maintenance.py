@@ -192,7 +192,9 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier
     """,
 )
-def data_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def data_quality_rules(
+    spark: SparkSession, sf_dir: str, *, use_bloom: bool = False
+) -> DataFrame:
     """Declarative data-quality rule evaluation (the Deequ / dbt-test /
     great-expectations staple): domain, range, uniqueness, referential
     and cross-column consistency checks evaluated in one report —
@@ -204,10 +206,13 @@ def data_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final aggregate over a single scan (orders and lineitem
     range rules never rescan per rule); uniqueness is count−distinct in
     the same agg; the FK rule is the one genuinely join-shaped check —
-    a LEFT ANTI count whose shuffle partitions on the key (at 100 TB
-    this is the honest cost of referential verification; a bloom-filter
-    pre-pass would cut the shuffled probe side).  The final UNION is
-    6 one-row frames — plan noise, zero data motion."""
+    a LEFT ANTI count whose shuffle partitions on the key.  With
+    ``use_bloom=True`` the FK probe runs through the distributed bloom
+    pre-pass (operators/bloom.py): definite misses bypass the shuffle
+    and only maybe-present rows reach the exact anti-join — identical
+    counts (tests/test_bloom.py asserts flag-on == flag-off), probe-side
+    shuffle cut to the FP mass at 100 TB.  The final UNION is 6 one-row
+    frames — plan noise, zero data motion."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     e = load_table(spark, sf_dir, "events")
@@ -240,10 +245,18 @@ def data_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
     )
     fk_checked = li.agg(F.count("*").alias("n_checked"))
-    fk_orphans = (
-        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
-        .agg(F.count("*").alias("n_violations"))
-    )
+    if use_bloom:
+        from .bloom import bloom_anti_join
+
+        fk_orphans = bloom_anti_join(
+            li.select("l_orderkey"), "l_orderkey",
+            o.select("o_orderkey"), "o_orderkey",
+        ).agg(F.count("*").alias("n_violations"))
+    else:
+        fk_orphans = (
+            li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+            .agg(F.count("*").alias("n_violations"))
+        )
     fk_rule = report("lineitem_orderkey_fk", "lineitem", fk_checked, fk_orphans)
     uniq_rule = e.agg(
         F.count("*").alias("n_checked"),

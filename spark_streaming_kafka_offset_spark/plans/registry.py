@@ -152,6 +152,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_outliers",
     "snapshot_diff",
     "win_moving_avg",
+    # r5 mid-round additions (registered AFTER the r5 window sealed; no
+    # hard driver row yet — these head the r6 rotation queue, slots 1-N).
+    "scan_bloom_prepass",
+    "text_pii_redact",
+    "text_normalize",
+    "text_entropy",
+    "graph_pagerank",
+    "orders_abc_pareto",
+    "events_ewma",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

@@ -114,7 +114,15 @@ def stage_stream_dir(
 
     ``late_chunk=True`` puts the chronologically *earliest* quarter of
     rows into the last-discovered file — the out-of-order arrival used by
-    watermark tests."""
+    watermark tests — with the on-time remainder split into TWO
+    time-ordered files before it.  Three files matter: Spark filters
+    late input with the PREVIOUS batch's watermark (the plan's
+    ``StateStoreSave`` carries a late-events watermark one batch behind
+    its eviction watermark), so in a two-file run the late file is
+    processed under late-events watermark 0 and nothing is ever dropped
+    (measured: 994/1000 rows admitted).  With an intermediate on-time
+    batch advancing the late-events watermark first, the late file
+    really is dropped on arrival."""
     cache_key = (sf_dir, n_chunks, late_chunk)
     cached = _STAGE_CACHE.get(cache_key)
     if cached is not None and os.path.isdir(cached):
@@ -132,12 +140,25 @@ def stage_stream_dir(
     tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_us)
     stream_dir = scratch_path("sskos_stream_")
     if late_chunk:
-        # Chronologically earliest quarter into the last-discovered file.
-        cut = pc.quantile(
-            pc.cast(ts_us, pa.int64()), q=0.25, interpolation="linear"
-        )[0].as_py()
-        on_time = pc.greater_equal(pc.cast(ts_us, pa.int64()), round(cut))
-        chunks = [tbl.filter(on_time), tbl.filter(pc.invert(on_time))]
+        # Chronologically earliest quarter into the last-discovered file;
+        # the on-time remainder split at its median ts into two ordered
+        # files so the late file arrives with the late-events watermark
+        # already advanced (see docstring).
+        ts_i64 = pc.cast(ts_us, pa.int64())
+        cut = round(
+            pc.quantile(ts_i64, q=0.25, interpolation="linear")[0].as_py()
+        )
+        mid = round(
+            pc.quantile(ts_i64, q=0.625, interpolation="linear")[0].as_py()
+        )
+        early_on_time = pc.and_(
+            pc.greater_equal(ts_i64, cut), pc.less(ts_i64, mid)
+        )
+        chunks = [
+            tbl.filter(early_on_time),
+            tbl.filter(pc.greater_equal(ts_i64, mid)),
+            tbl.filter(pc.less(ts_i64, cut)),
+        ]
     else:
         mod = pc.subtract(
             tbl["event_id"],
@@ -252,12 +273,17 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("stream_watermark")
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark + late-data drop, observable end-to-end: chunk 0 carries
-    the chronologically later 75% of events, chunk 1 (arriving in a later
-    micro-batch, forced by maxFilesPerTrigger=1) the earliest 25%.  After
-    batch 0 the watermark stands at max(ts)-15min, so nearly every row of
-    the late chunk is dropped and its windows never appear — append mode
-    emits only windows closed below the watermark."""
+    """Watermark + late-data drop, observable end-to-end: two on-time
+    chunks carry the chronologically later 75% of events in time order;
+    the last-arriving chunk (maxFilesPerTrigger=1 forces one file per
+    micro-batch) holds the earliest 25%.  Spark applies the late-input
+    filter with the PREVIOUS batch's watermark, so the intermediate
+    on-time batch is what arms it — by the time the late file arrives
+    the late-events watermark sits mid-January and every late row is
+    dropped before aggregation; append mode then emits exactly the
+    on-time windows closed below the final watermark
+    (tests/test_streaming.py asserts byte-exact equality with that
+    batch twin, and that a naive full-table twin disagrees)."""
     stream_dir = stage_stream_dir(spark, sf_dir, late_chunk=True)
     src = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
     agg = (
@@ -464,7 +490,9 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("stream_dedup_corpus")
-def stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_corpus(
+    spark: SparkSession, sf_dir: str, *, use_bloom: bool = False
+) -> DataFrame:
     """Dedup an incoming stream against a STATIC historical corpus — the
     LLM-ingestion shape: drop records whose fingerprint already exists in
     the ingested-corpus ledger, keep only genuinely new ones.
@@ -477,18 +505,28 @@ def stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the ledger does not broadcast; the production forms, in
     preference order: (1) a bloom filter built offline from the ledger,
-    broadcast (bits, not rows) with exact anti-join only on bloom hits;
-    (2) a bucketed storage-backed anti-join co-partitioned with the
-    stream's shuffle.  The micro-batch plan shape is identical."""
+    broadcast (bits, not rows) with exact anti-join only on bloom hits —
+    IMPLEMENTED here behind ``use_bloom=True`` via operators/bloom.py
+    (definite misses are admitted without touching the ledger join;
+    only maybe-ingested rows reach the exact anti-join; output proven
+    identical to the plain path in tests/test_bloom.py); (2) a bucketed
+    storage-backed anti-join co-partitioned with the stream's shuffle.
+    The micro-batch plan shape is otherwise identical."""
     src = read_event_stream(spark, stage_stream_dir(spark, sf_dir))
-    ledger = F.broadcast(
+    ledger_df = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_id") % 3 == 0)
         .select(F.col("event_id").alias("ingested_id"))
     )
-    fresh = src.join(
-        ledger, src.event_id == ledger.ingested_id, "left_anti"
-    )
+    if use_bloom:
+        from ..operators.bloom import bloom_anti_join
+
+        fresh = bloom_anti_join(src, "event_id", ledger_df, "ingested_id")
+    else:
+        fresh = src.join(
+            F.broadcast(ledger_df), src.event_id == F.col("ingested_id"),
+            "left_anti",
+        )
     agg = fresh.groupBy("event_type").agg(F.count("*").alias("n_new"))
     out = run_to_completion(agg, "stream_dedup_corpus", "complete")
     return out.orderBy("event_type")

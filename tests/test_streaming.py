@@ -98,14 +98,135 @@ def test_dedup_restores_exactly_once_counts(spark):
     assert streamed == batch
 
 
+def _late_staging_pieces(spark):
+    """(on_time_df, late_cut, final_watermark) matching stage_stream_dir's
+    late_chunk=True split: late = earliest 25% by ts, final watermark =
+    max(on-time ts) - 15min.  Computed through the same µs quantile the
+    staging uses so boundaries agree to the microsecond."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"])
+    ts_us = pc.cast(tbl["ts"], pa.timestamp("us"), safe=False)
+    cut = round(
+        pc.quantile(
+            pc.cast(ts_us, pa.int64()), q=0.25, interpolation="linear"
+        )[0].as_py()
+    )
+    cut_dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+        microseconds=cut
+    )
+    on_time = _batch_events(spark).where(F.col("ts") >= F.lit(cut_dt))
+    wm_final = on_time.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(
+        minutes=15
+    )
+    return on_time, cut_dt, wm_final
+
+
 def test_watermark_drops_late_chunk(spark):
-    """With the earliest 25% of rows arriving last (one file per batch),
-    append-mode windows must cover fewer rows than the full table — the
-    late rows really were dropped, not silently merged."""
+    """The earliest 25% of rows arrive LAST, after an intermediate
+    on-time batch armed the late-events watermark (Spark filters late
+    input with the previous batch's watermark — with only two files
+    nothing is ever dropped; measured before the 3-file staging fix).
+    Append output must equal the on-time-only batch twin restricted to
+    windows closed below the final watermark — byte-exact, and with no
+    window from the late chunk's exclusive time range."""
     out = QUERIES["stream_watermark"](spark, SF_DIR).collect()
-    streamed_total = sum(r["n"] for r in out)
-    full = _batch_events(spark).count()
-    assert 0 < streamed_total < full
+    streamed = {(r["window_start"], r["window_end"], r["n"]) for r in out}
+    on_time, cut_dt, wm_final = _late_staging_pieces(spark)
+    twin = {
+        (r["window_start"], r["window_end"], r["n"])
+        for r in on_time.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("w.end") <= F.lit(wm_final))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+        .collect()
+    }
+    assert streamed == twin
+    # Adversarial non-vacuity: the full-table twin DISAGREES — late rows
+    # would have added windows / inflated counts had they been admitted.
+    full_twin = {
+        (r["window_start"], r["window_end"], r["n"])
+        for r in _batch_events(spark)
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("w.end") <= F.lit(wm_final))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+        .collect()
+    }
+    assert streamed != full_twin
+    # No emitted window may start before the 6h-aligned window containing
+    # the late chunk's upper bound — the late range produced zero output.
+    cut_window_start = cut_dt.replace(
+        hour=(cut_dt.hour // 6) * 6, minute=0, second=0, microsecond=0
+    )
+    assert all(ws >= cut_window_start for ws, _, _ in streamed)
+
+
+def test_session_window_drops_late_data_exactly(spark):
+    """Adversarial late-data run of the SESSION window (gap merge state,
+    not fixed buckets): same 3-file staging, session windows + watermark
+    in append mode.  Emitted sessions must equal the sessions of the
+    on-time subset alone (late rows neither extended nor created any
+    session) restricted to sessions closed below the final watermark —
+    and must DIFFER from the full-table sessions over the same range,
+    proving the drop changed real output rather than passing vacuously."""
+    from spark_streaming_kafka_offset_spark.streaming.core import (
+        read_event_stream,
+        run_to_completion,
+        scratch_path,
+        stage_stream_dir,
+        _flatten_window,
+    )
+
+    stream_dir = stage_stream_dir(spark, SF_DIR, late_chunk=True)
+    src = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    agg = (
+        src.withWatermark("ts", "15 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("window"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_completion(
+        agg, "stream_session_late", "append", checkpoint=scratch_path("ckpt_")
+    )
+    streamed = {
+        (r["user_id"], r["window_start"], r["window_end"], r["n_events"])
+        for r in _flatten_window(out).collect()
+    }
+    on_time, _cut, wm_final = _late_staging_pieces(spark)
+
+    def sessions_of(df):
+        return {
+            (r["user_id"], r["window_start"], r["window_end"], r["n_events"])
+            for r in df.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .where(F.col("w.end") <= F.lit(wm_final))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "user_id",
+                "n_events",
+            )
+            .collect()
+        }
+
+    on_time_twin = sessions_of(on_time)
+    assert streamed == on_time_twin
+    full_twin = sessions_of(_batch_events(spark))
+    assert streamed != full_twin
 
 
 def test_stateful_final_state_equals_batch(spark):
