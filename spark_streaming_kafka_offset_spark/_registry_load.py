@@ -20,6 +20,7 @@ from .operators import (  # noqa: F401
     analytics,
     analytics_ext,
     bloom,
+    graph,
     joins,
     maintenance,
     pipeline,

@@ -353,3 +353,160 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", (F.floor(d * 100000) / 100000).alias("cosine")
         )
     )
+
+
+def _pq_codebooks(e: DataFrame, m: int, ksub: int, dim: int) -> DataFrame:
+    """Per-subspace codebooks as one broadcastable frame
+    (subspace, cell, c_sub array<double>, c_norm2).
+
+    m seeded MLlib KMeans fits, one per dim/m-wide slice — the real PQ
+    training step.  Model size is m·ksub·(dim/m) = ksub·dim doubles
+    total (same as ONE full-dim centroid table), the only driver pull.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // m
+    rows = []
+    for j in range(m):
+        vec = e.select(
+            array_to_vector(
+                F.slice(F.col("embedding").cast("array<double>"), j * sub + 1, sub)
+            ).alias("features")
+        )
+        model = KMeans(k=ksub, seed=42 + j, maxIter=10).fit(vec)
+        for c, center in enumerate(model.clusterCenters()):
+            cs = [float(x) for x in center]
+            rows.append((j, c, cs, float(sum(x * x for x in cs))))
+    return e.sparkSession.createDataFrame(
+        rows, "subspace int, cell int, c_sub array<double>, c_norm2 double"
+    )
+
+
+@register("sim_topk_pq")  # rows-only: ANN recall is approximate by design
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via product quantization (the FAISS
+    ``IndexPQ`` design): split each 64-dim vector into m=8 subvectors,
+    quantize each against its own ksub=32-entry codebook (→ a 8×5-bit
+    code, 40 bits per vector vs 2048 raw — 51× memory compression), scan
+    with asymmetric distance computation (ADC: per-query lookup table,
+    8 table probes per corpus vector instead of 64 multiplies), then
+    exact-re-rank a 50-deep shortlist.
+
+    The scale path, piece by piece:
+
+    * **Training** is m seeded distributed KMeans fits
+      (`_pq_codebooks`); the codebook is the only driver pull and is
+      ksub·dim doubles regardless of corpus size.
+    * **Encoding** is one broadcast join against the m·ksub codebook
+      rows: code_j = argmin ‖x_j − c‖² = argmax (x_j·c − ‖c‖²/2),
+      folded per (vec_id, subspace) with ``max_by`` and assembled into
+      an ordered code array — after this the full embedding column is
+      DROPPED from the scan path; at 100 TB the ADC scan reads 5-byte
+      codes, not 256-byte vectors.
+    * **ADC scoring** builds each query's (subspace, cell) → dot
+      contribution table as a flat 256-double array, broadcast with the
+      query set, and scores every code word with 8 ``element_at``
+      lookups folded JVM-side — no UDF, no Arrow.
+    * **Re-rank** joins TRUE embeddings back for only the 50-deep
+      shortlist per query and applies the exact codegen'd dot product;
+      recall@3 ≥ 0.8 vs numpy brute force is asserted in
+      tests/test_properties.py::test_pq_recall_against_bruteforce.
+    * At 100 TB this composes with `sim_topk_ivf`'s coarse cells
+      (IVF-PQ): coarse cell prunes the scan, PQ codes shrink it.
+    """
+    m, ksub, dim, shortlist, k = 8, 32, EMBED_DIM, 50, 3
+    sub = dim // m
+    e = load_table(spark, sf_dir, "embeddings")
+    books = F.broadcast(_pq_codebooks(e, m, ksub, dim))
+
+    # Encode: per-(vector, subspace) argmax of (x_j·c − ‖c‖²/2).
+    scored = e.select("vec_id", "embedding").crossJoin(books).select(
+        "vec_id",
+        "subspace",
+        "cell",
+        (
+            dot(F.slice(F.col("embedding"), F.col("subspace") * sub + 1, sub),
+                F.col("c_sub"))
+            - F.col("c_norm2") / 2
+        ).alias("fit"),
+    )
+    codes = (
+        scored.groupBy("vec_id", "subspace")
+        .agg(F.max_by("cell", "fit").alias("code"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+
+    # Per-query ADC lookup table: flat array indexed subspace·ksub + cell.
+    q = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    lut = (
+        q.crossJoin(books)
+        .select(
+            "query_id",
+            "subspace",
+            "cell",
+            dot(F.slice(F.col("q_emb"), F.col("subspace") * sub + 1, sub),
+                F.col("c_sub")).alias("contrib"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "cell", "contrib"))),
+                lambda s: s["contrib"],
+            ).alias("lut")
+        )
+    )
+
+    # ADC scan: 8 table lookups per corpus code word.
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    adc = codes.join(F.broadcast(lut)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.transform(
+                idx,
+                lambda j: F.element_at(
+                    F.col("lut"), (j * ksub + F.element_at(F.col("codes"), j + 1) + 1).cast("int")
+                ),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ).alias("adc_score"),
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    short = adc.withColumn("rn", F.row_number().over(w_short)).where(
+        F.col("rn") <= shortlist
+    )
+
+    # Exact re-rank of the shortlist on true embeddings.
+    nb = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
+    rer = (
+        short.join(q, "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.floor(dot(F.col("q_emb"), F.col("n_emb")) * 100000) / 100000).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.col("cosine").desc())
+    )

@@ -1375,3 +1375,192 @@ def dedup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.count("*").alias("n_in_batch"),
     )
+
+
+@register(
+    "text_pii_redact",
+    # Both sides inject the SAME deterministic PII derived from doc_id
+    # before redacting — fixture texts carry no natural PII, and an
+    # identity-transform oracle would prove nothing.  Injection into
+    # doc_id % 2 == 0 docs only, so the no-match path is exercised too.
+    # Raw string: \b must reach RE2 as a word boundary, not a backspace.
+    oracle=r"""
+    WITH staged AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN
+                   text || ' contact user' || doc_id ||
+                   '@example.com or 10.0.' || (doc_id % 256) || '.' ||
+                   (doc_id % 100) || ' phone 555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE text END AS text
+        FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '\b555-\d{4}\b')) AS BIGINT)
+             AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b555-\d{4}\b', '<PHONE>', 'g')) AS BIGINT) AS redacted_len,
+           right(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b555-\d{4}\b', '<PHONE>', 'g'), 40) AS redacted_tail
+    FROM staged
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the compliance pass every LLM
+    training corpus runs before anything else: emails, IPv4 addresses
+    and phone-shaped numbers found, counted, and masked with typed
+    placeholders.
+
+    Scale notes: pure scan-side ``regexp_count``/``regexp_replace``
+    chain — codegen'd JVM regex per row, no shuffle at all (the
+    narrowest possible pipeline shape); at 100 TB this runs at scan
+    throughput and column-prunes to (doc_id, text).  Patterns are kept
+    to the Java∩RE2 regex subset so the DuckDB oracle runs the
+    byte-identical expressions."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    injected = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com or 10.0."), F.col("doc_id") % 256,
+            F.lit("."), F.col("doc_id") % 100, F.lit(" phone 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    phone = r"\b555-\d{4}\b"
+    staged = d.select("doc_id", injected.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"),
+            ipv4, "<IP>",
+        ),
+        phone, "<PHONE>",
+    )
+    return staged.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(ipv4)).cast("long").alias("n_ips"),
+        F.regexp_count("text", F.lit(phone)).cast("long").alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.substring(redacted, -40, 40).alias("redacted_tail"),
+    )
+
+
+@register(
+    "text_normalize",
+    # Both sides MANGLE deterministically first (case flips, doubled
+    # whitespace, punctuation noise keyed on doc_id) — fixture text is
+    # already clean, so normalizing it directly would test nothing.
+    oracle="""
+    WITH mangled AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+                   WHEN 0 THEN upper(text) || '!!!'
+                   WHEN 1 THEN '  ' || replace(text, ' ', '   ') || '??'
+                   ELSE text END AS raw
+        FROM documents WHERE doc_id % 4 = 2
+    )
+    SELECT doc_id,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(raw),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+             AS norm_len,
+           CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(raw),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT)
+             AS n_tokens,
+           sha256(trim(regexp_replace(regexp_replace(lower(raw),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+    FROM mangled
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — casefold, strip non-alphanumerics, collapse
+    whitespace, trim: the canonical cleanup pass before fingerprinting
+    or dedup (``_norm_text`` is its hash-pipeline sibling).  The pytest
+    twin asserts the semantic law: normalize(mangled) == original
+    fixture text, i.e. the pipeline actually undoes case/space/punct
+    damage rather than merely producing stable bytes.
+
+    Scale notes: scan-side lower/regexp chain, zero shuffle, codegen'd;
+    output carries the sha256 of the normalized text (what a dedup
+    ledger would store), not the text itself."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 2)
+    raw = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.upper("text"), F.lit("!!!")))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("  "),
+                     F.regexp_replace("text", " ", "   "), F.lit("??")),
+        )
+        .otherwise(F.col("text"))
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("norm_len"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_tokens"),
+        F.sha2(norm, 256).alias("norm_hash"),
+    )
+
+
+@register(
+    "text_entropy",
+    # Entropy over the TOKEN distribution: H = ln(n) - Σ c·ln(c) / n.
+    # Integer counts keep both engines' doubles far from the 4-decimal
+    # rounding boundary.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id % 5 = 3
+    ), counts AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 4) AS entropy_nats
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution entropy per document — the repetition/
+    diversity quality signal (low entropy = boilerplate or degenerate
+    repetition; complements `text_repetition`'s top-ngram share).
+
+    Scale notes: explode → two-level partial+final aggregate, both
+    keyed on doc_id so the second agg reuses the first's partitioning
+    (one shuffle total); the per-doc token map never materializes on
+    the driver.  H = ln(n) − Σc·ln(c)/n is computed from integer
+    counts — numerically stable and engine-agnostic at 4 decimals."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 3)
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+            / F.sum("c"),
+            4,
+        ).alias("entropy_nats"),
+    )

@@ -1302,3 +1302,131 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "orders_abc_pareto",
+    # Class boundaries tested with exact integer-scaled DECIMAL
+    # comparisons (cum·5 ≤ total·4 for 80%, cum·20 ≤ total·19 for 95%) —
+    # no cross-engine decimal-division scale rules anywhere near the
+    # cutoff.
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS r
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT o_custkey, r,
+               SUM(r) OVER (ORDER BY r DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(r) OVER () AS total
+        FROM rev
+    ), classed AS (
+        SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                    WHEN cum * 20 <= total * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class, r, total
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(r), 2) AS DOUBLE) AS class_revenue,
+           ROUND(CAST(SUM(r) AS DOUBLE) / CAST(ANY_VALUE(total) AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of customers by revenue: rank by
+    lifetime spend, cut at 80% / 95% cumulative share — the inventory-
+    management staple (and the data-curation shape behind "which 20% of
+    sources carry 80% of tokens").
+
+    Scale notes: the windowed cumsum runs on the customer-level
+    AGGREGATE (|customers| ≪ |orders| — the orders-sized shuffle is the
+    groupBy, the global sort touches only the rollup, same posture as
+    `orders_rfm_segments`'s documented boundary variant); money stays
+    DECIMAL end-to-end and the 80/95 cuts are integer-scaled decimal
+    inequalities, exact in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum(dec2("o_totalprice", 14)).alias("r"))
+    w = Window.orderBy(F.col("r").desc(), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "o_custkey", "r",
+        F.sum("r").over(w).alias("cum"),
+        F.sum("r").over(Window.partitionBy()).alias("total"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "r",
+        "total",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("r"), 2).cast("double").alias("class_revenue"),
+            F.round(
+                F.sum("r").cast("double") / F.any_value("total").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+#: Truncated-EWMA coefficients α·(1−α)^k, α=0.3, K=20 — materialized as
+#: repr() literals so BOTH engines parse the identical double constants
+#: and the left-associated sum evaluates in the identical IEEE order.
+_EWMA_COEFFS = tuple(repr(0.3 * 0.7**k) for k in range(20))
+
+
+def _ewma_oracle() -> str:
+    terms = " + ".join(
+        f"{c} * COALESCE(lag(value, {k}) OVER w, 0.0)"
+        for k, c in enumerate(_EWMA_COEFFS)
+    )
+    return f"""
+    SELECT event_id, user_id,
+           ROUND({terms}, 6) AS ewma_value
+    FROM events
+    WHERE user_id < 30
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """
+
+
+@register("events_ewma", oracle=_ewma_oracle())
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of event value per
+    user (α=0.3, horizon K=20, zero-padded before series start) — the
+    streaming-metrics smoothing primitive, expressed as a bounded lag
+    kernel instead of the unbounded recurrence y' = αx + (1−α)y.
+
+    Why truncated: the exact recurrence needs either sequential state or
+    a pow((1−α), −j) rescaling that overflows beyond ~700 rows; the
+    K-term kernel is algebraically identical up to a (1−α)^K ≈ 8·10⁻⁴
+    tail and keeps the whole computation inside ONE window frame — no
+    UDF, no driver loop.  Both engines build the kernel from the same
+    coefficient literals via the same codegen, so the float sum agrees
+    bit-for-bit, far inside the 6-decimal rounding.
+
+    Scale notes: single hash-partitioned window (user_id), 20 lags
+    resolved in one frame pass over each partition — one shuffle total;
+    per-user state is the 20-row frame, constant memory."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    acc = None
+    for k, c in enumerate(_EWMA_COEFFS):
+        term = F.lit(float(c)) * F.coalesce(
+            F.lag("value", k).over(w), F.lit(0.0)
+        )
+        acc = term if acc is None else acc + term
+    return e.select(
+        "event_id", "user_id", F.round(acc, 6).alias("ewma_value")
+    ).orderBy("user_id", "event_id")

@@ -161,6 +161,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_pagerank",
     "orders_abc_pareto",
     "events_ewma",
+    "sim_topk_pq",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

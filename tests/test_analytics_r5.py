@@ -1,0 +1,54 @@
+"""Semantic laws for the r5 analytics ops (beyond oracle parity)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_offset_spark.plans.registry import QUERIES
+from spark_streaming_kafka_offset_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+def test_abc_pareto_partition_laws(spark):
+    """Classes partition the customers, shares sum to 1, and per-capita
+    revenue is strictly decreasing A > B > C (the whole point of the
+    classification)."""
+    rows = {r["abc_class"]: r for r in QUERIES["orders_abc_pareto"](spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_customers = (
+        load_table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows.values()) == n_customers
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-4
+    per_capita = {
+        k: r["class_revenue"] / r["n_customers"] for k, r in rows.items()
+    }
+    assert per_capita["A"] > per_capita["B"] > per_capita["C"]
+
+
+def test_ewma_matches_numpy_kernel(spark):
+    """The windowed lag kernel reproduces a direct numpy convolution of
+    each user's value series with α(1−α)^k, zero-padded — same math,
+    independently computed."""
+    out = QUERIES["events_ewma"](spark, SF_DIR).collect()
+    series = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("user_id") < 30)
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    ):
+        series.setdefault(r["user_id"], []).append(r["value"])
+    coeffs = np.array([0.3 * 0.7**k for k in range(20)])
+    expected = {}
+    for uid, vals in series.items():
+        v = np.array(vals)
+        for i in range(len(v)):
+            window = v[max(0, i - 19): i + 1][::-1]
+            expected[(uid, i)] = float((window * coeffs[: len(window)]).sum())
+    by_user_idx = {}
+    for r in out:
+        idx = by_user_idx.setdefault(r["user_id"], 0)
+        assert abs(r["ewma_value"] - expected[(r["user_id"], idx)]) < 1e-5
+        by_user_idx[r["user_id"]] = idx + 1

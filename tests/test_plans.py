@@ -250,6 +250,7 @@ _BNL_ALLOWED = {
     "data_quality_rules",  # broadcast 1-row checked/violation scalar frames
     "detect_hot_keys",   # broadcast 1-row W-total frame onto k candidate rows
     "events_funnel_windowed",  # broadcast 1-row stage-count scalar frames
+    "sim_topk_pq",       # broadcast m·ksub=256-row codebook + query LUT table
 }
 
 

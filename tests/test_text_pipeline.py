@@ -1,0 +1,58 @@
+"""Semantic laws for the r5 text-pipeline ops (beyond oracle parity).
+
+Oracle hashes prove cross-engine equality; these tests prove the
+transforms MEAN what they claim: normalization undoes damage, redaction
+leaves no PII behind, entropy respects its mathematical bounds.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_offset_spark.plans.registry import QUERIES
+from spark_streaming_kafka_offset_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+def test_normalize_recovers_original_text(spark):
+    """normalize(mangle(text)) == text for every fixture doc in the op's
+    slice — the mangling (case flips, doubled spaces, punctuation) is
+    fully undone, proven hash-for-hash against the untouched source."""
+    out = QUERIES["text_normalize"](spark, SF_DIR)
+    originals = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") % 4 == 2)
+        .select("doc_id", F.sha2("text", 256).alias("orig_hash"))
+    )
+    joined = out.join(originals, "doc_id")
+    assert joined.count() > 0
+    assert joined.where(F.col("norm_hash") != F.col("orig_hash")).count() == 0
+
+
+def test_pii_redaction_leaves_no_matches(spark):
+    """After redaction no email/IP/phone pattern may remain, every doc
+    with injected PII counted exactly one of each, and clean docs zero."""
+    out = QUERIES["text_pii_redact"](spark, SF_DIR).collect()
+    injected = [r for r in out if r["doc_id"] % 2 == 0]
+    clean = [r for r in out if r["doc_id"] % 2 == 1]
+    assert injected and clean
+    assert all(
+        (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 1, 1)
+        for r in injected
+    )
+    assert all(
+        (r["n_emails"], r["n_ips"], r["n_phones"]) == (0, 0, 0) for r in clean
+    )
+    assert all(r["redacted_tail"].endswith("<PHONE>") for r in injected)
+    assert all("@" not in r["redacted_tail"] for r in injected)
+
+
+def test_entropy_bounds(spark):
+    """0 <= H <= ln(n_distinct), with equality at uniform distribution;
+    and H must be < ln(n_tokens) whenever any token repeats."""
+    for r in QUERIES["text_entropy"](spark, SF_DIR).collect():
+        assert -1e-9 <= r["entropy_nats"] <= math.log(r["n_distinct"]) + 1e-4
+        if r["n_distinct"] < r["n_tokens"]:
+            assert r["entropy_nats"] < math.log(r["n_tokens"])
