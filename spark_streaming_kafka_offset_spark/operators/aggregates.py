@@ -234,3 +234,137 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@register(
+    "agg_histogram",
+    # Bucket index is pure integer arithmetic on cents (no width_bucket:
+    # engine availability and edge conventions differ); bounds are exact
+    # multiples of the step, share is one ROUND(..,6)-stable division.
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000, 11)
+               AS bucket,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS p
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * 50000 AS DOUBLE) AS lo,
+           CAST(CASE WHEN bucket = 11 THEN 600000 ELSE (bucket + 1) * 50000
+                END AS DOUBLE) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(p), 2) AS DOUBLE) AS bucket_revenue,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (12 × $50k buckets, last
+    bucket open-ended) — the profiling/monitoring staple behind price
+    banding, reservoir sizing, and "did this batch's distribution
+    drift" checks.
+
+    Bucketing is ``LEAST(cents div step_cents, nb−1)`` — integer
+    arithmetic instead of ``width_bucket`` (whose under/overflow bucket
+    conventions differ between engines).
+
+    Scale notes: one partial+final hash aggregate collapses the fact
+    table to ≤ 12 rows; the share window runs on that 12-row rollup.
+    The same shape serves any column at any scale — bucket count, not
+    row count, bounds the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.expr("cast(round(o_totalprice * 100) as bigint) div 5000000"),
+        F.lit(11),
+    )
+    agg = (
+        o.select(bucket.alias("bucket"), dec2("o_totalprice", 14).alias("p"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("p").alias("rev"))
+    )
+    from pyspark.sql.window import Window as W
+
+    return agg.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.col("bucket") * 50000).cast("double").alias("lo"),
+        F.when(F.col("bucket") == 11, F.lit(600000))
+        .otherwise((F.col("bucket") + 1) * 50000)
+        .cast("double")
+        .alias("hi"),
+        F.col("n").cast("long").alias("n"),
+        round_dec(F.col("rev"), 2).alias("bucket_revenue"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    ).orderBy("bucket")
+
+
+@register(
+    "agg_corr_exact",
+    # r = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²)) with every
+    # moment an exact integer (cents × centi-units, DECIMAL(38,0) /
+    # HUGEINT); the float tail is CAST→√→×→÷ — each IEEE-exact on
+    # identical inputs — then ROUND(..,6).  Native corr() is NOT used:
+    # its one-pass update order is engine-specific float arithmetic.
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity * 100) AS HUGEINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM c GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS corr_qty_price
+    FROM m
+    ORDER BY l_returnflag
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag,
+    computed from exact integer moment sums — the feature-screening /
+    drift-detection primitive, made oracle-provable by keeping all five
+    moments in integer space and sharing one deterministic float tail
+    (neither engine's native one-pass ``corr`` is float-order-stable
+    across partitionings).
+
+    Scale notes: one partial+final hash aggregate (the five moments are
+    all decomposable sums) — the same single-shuffle shape as
+    ``agg_stats``; DECIMAL(38,0) holds n·Σxy up to ~10³⁸ (≈ 10¹² rows ×
+    10¹³ per-row product with room to spare at TPC-H value ranges)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    m = (
+        l.select(F.col("l_returnflag"), x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / (dx * dy), 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

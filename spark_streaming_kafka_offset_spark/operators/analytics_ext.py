@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..common import dec2, epoch_seconds, one
+from ..common import dec2, epoch_seconds, one, round_dec
 from ..plans.registry import register
 from ..session import load_table
 
@@ -1430,3 +1430,129 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", F.round(acc, 6).alias("ewma_value")
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "events_anomaly_mad",
+    # Median/MAD land on exact .5-step (median) / .25-step (MAD) binary
+    # fractions of integer cents — both engines interpolate even-count
+    # medians identically, so every comparison below is exact.
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS xc
+      FROM events
+    ), m AS (
+      SELECT event_type, median(xc) AS med FROM c GROUP BY 1
+    ), d AS (
+      SELECT c.event_type, c.xc, m.med, ABS(c.xc - m.med) AS adev
+      FROM c JOIN m USING (event_type)
+    ), s AS (
+      SELECT event_type, median(adev) AS mad FROM d GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(ANY_VALUE(d.med) / 100, 3) AS DOUBLE) AS median_value,
+           CAST(ROUND(ANY_VALUE(s.mad) / 100, 3) AS DOUBLE) AS mad_value,
+           CAST(SUM(CASE WHEN d.adev > 3 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM d JOIN s USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event type via median absolute deviation
+    — the heavy-tail-safe twin of `events_outliers` (3-sigma breaks down
+    when the outliers themselves inflate sigma; MAD's 50% breakdown
+    point does not).
+
+    Exactness: values become integer cents up front; an even-count
+    median interpolates to a .5 step and the MAD to a .25 step — all
+    exactly representable doubles, computed identically by both
+    engines (probed: interpolating percentile-0.5 on both) — so the
+    ``adev > 3·MAD`` comparison never sits on a float boundary.
+
+    Scale notes: exact per-group median is the deliberate fixture
+    semantic (bounded by per-type cardinality); the documented 100 TB
+    path swaps both medians for ``approx_percentile`` (t-digest-style
+    mergeable sketch, partial+final agg) — the outlier PREDICATE and
+    the broadcast-back join shape are unchanged.  Two passes over
+    events (stats + test), both scan-bound; only type-sized rows
+    shuffle."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("xc")
+    )
+    med = e.groupBy("event_type").agg(F.median("xc").alias("med"))
+    d = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("xc") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.any_value("med") / 100, 3).alias("median_value"),
+            F.round(F.any_value("mad") / 100, 3).alias("mad_value"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orders_seasonality",
+    # Day-of-week from pure date arithmetic — Spark's dayofweek
+    # (Sunday=1) and DuckDB's dow (Sunday=0) disagree, so BOTH sides
+    # compute (days_since_epoch + 4) % 7 (1970-01-01 was a Thursday;
+    # Sunday=0) and no engine calendar function is trusted.
+    oracle="""
+    WITH o AS (
+      SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 4) % 7 AS dow,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS p
+      FROM orders
+    ), agg AS (
+      SELECT dow, COUNT(*) AS n_orders, SUM(p) AS rev FROM o GROUP BY 1
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6)
+             AS revenue_share
+    FROM agg
+    ORDER BY dow
+    """,
+)
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of order volume and revenue — the
+    weekly-cycle decomposition behind capacity planning and
+    batch-window scheduling (and, pipeline-side, behind "is this
+    source's crawl cadence biased toward weekdays").
+
+    Scale notes: one partial+final agg collapses orders to at most 7
+    rows; the share window runs on that 7-row rollup (trivially
+    single-partition by size, not by accident).  Day-of-week is
+    integer date arithmetic — no calendar UDF, fully codegen'd, and
+    engine-agnostic (Spark/DuckDB week-start conventions differ, so
+    neither is used)."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = (
+        o.select(
+            ((F.datediff("o_orderdate", F.lit("1970-01-01")) + 4) % 7).alias("dow"),
+            dec2("o_totalprice", 14).alias("p"),
+        )
+        .groupBy("dow")
+        .agg(F.count("*").alias("n_orders"), F.sum("p").alias("rev"))
+    )
+    return agg.select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        round_dec(F.col("rev"), 2).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum(F.col("rev")).over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    ).orderBy("dow")

@@ -514,3 +514,103 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         by=["user_id"],
         tolerance=F.expr("INTERVAL 1 HOUR"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    # Gap comparison is timestamp subtraction on BOTH sides (µs-exact
+    # INTERVAL compare — NTZ-safe wall-clock field math; no epoch
+    # materialization, no float).  DuckDB's forward ASOF (<=) admits an
+    # equal-ts click that the engine's strictly-after following frame
+    # excludes, but the backward side also holds that click at gap 0 and
+    # ties resolve backward in both engines — outputs identical.
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT p.user_id, p.ts, p.value, c.click_ts AS bts
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    ), f AS (
+      SELECT p.user_id, p.ts, c.click_ts AS fts
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts <= c.click_ts
+    )
+    SELECT b.user_id, b.ts, b.value,
+           CASE WHEN fts IS NULL THEN bts
+                WHEN bts IS NULL THEN fts
+                WHEN b.ts - bts <= fts - b.ts THEN bts
+                ELSE fts END AS click_ts,
+           CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                WHEN fts IS NULL THEN 'backward'
+                WHEN bts IS NULL THEN 'forward'
+                WHEN b.ts - bts <= fts - b.ts THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM b JOIN f ON b.user_id = f.user_id AND b.ts = f.ts
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of join: for each purchase, the click closest in time
+    in EITHER direction (pandas ``merge_asof(direction='nearest')``),
+    ties resolved toward the earlier click — completes the asof family
+    (backward `join_asof`, forward `join_asof_fwd`, bounded
+    `join_asof_tolerance`).
+
+    Single-pass formulation: ONE union + ONE shuffle on user_id carries
+    BOTH directions — the backward candidate from a preceding-frame
+    ``last(ignorenulls)`` and the forward candidate from a
+    following-frame ``first(ignorenulls)`` over the same ascending
+    (ts, side) sort.  No second pass, no self-join of two asof results,
+    no range join.  At 100 TB this is the same cost as ONE directional
+    asof join.
+
+    Purchases are unique per (user_id, ts) at ns precision — the
+    oracle's (user_id, ts) re-join relies on that (documented, not
+    load-bearing for the engine side)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("__side"),
+        F.col("ts").alias("__cand"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("__side"),
+        F.lit(None).cast(dict(e.dtypes)["ts"]).alias("__cand"),
+        "value",
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = (
+        clicks.unionByName(purchases)
+        .withColumn("__b", F.last("__cand", ignorenulls=True).over(wb))
+        .withColumn("__f", F.first("__cand", ignorenulls=True).over(wf))
+        .where(F.col("__side") == 1)
+    )
+    b, f = F.col("__b"), F.col("__f")
+    back_wins = (F.col("ts") - b) <= (f - F.col("ts"))
+    return u.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(f.isNull(), b)
+        .when(b.isNull(), f)
+        .when(back_wins, b)
+        .otherwise(f)
+        .alias("click_ts"),
+        F.when(b.isNull() & f.isNull(), F.lit(None).cast("string"))
+        .when(f.isNull(), "backward")
+        .when(b.isNull(), "forward")
+        .when(back_wins, "backward")
+        .otherwise("forward")
+        .alias("direction"),
+    )

@@ -750,3 +750,231 @@ def scan_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "resample_interp",
+    # Exactness: the interpolation numerator ``pc·DT + (nc−pc)·dt`` is
+    # pure integer (cents × hour-gaps) and the 6-decimal HALF-UP
+    # rounding is done in INTEGER space ((|ic|·2·10⁶ + d) div 2d) —
+    # interpolated values routinely land exactly on .5·10⁻⁶ boundaries
+    # (DT a power of two), where float ROUND diverges between engines
+    # (observed: 33.011563 vs 33.011562); the only float op left is a
+    # shared exact-integer / 10⁶ division.
+    oracle="""
+    WITH agg AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))) * 100, 0) AS BIGINT)
+               AS vc
+      FROM events WHERE user_id % 10 = 0
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM agg GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ), filled AS (
+      SELECT g.user_id, g.bucket, a.vc,
+             CAST(epoch(g.bucket) AS BIGINT) // 3600 AS h,
+             last_value(a.vc IGNORE NULLS) OVER wp AS pc,
+             last_value(CASE WHEN a.vc IS NOT NULL
+                             THEN CAST(epoch(g.bucket) AS BIGINT) // 3600 END IGNORE NULLS)
+               OVER wp AS ph,
+             first_value(a.vc IGNORE NULLS) OVER wn AS nc,
+             first_value(CASE WHEN a.vc IS NOT NULL
+                              THEN CAST(epoch(g.bucket) AS BIGINT) // 3600 END IGNORE NULLS)
+               OVER wn AS nh
+      FROM grid g LEFT JOIN agg a
+        ON g.user_id = a.user_id AND g.bucket = a.bucket
+      WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY g.user_id ORDER BY g.bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket,
+           CASE WHEN vc IS NOT NULL THEN TRUE ELSE FALSE END AS observed,
+           CAST(CASE WHEN ic < 0 THEN -1 ELSE 1 END
+                * ((ABS(ic) * 2000000 + dt100) // (2 * dt100)) AS DOUBLE)
+             / 1000000.0 AS v_interp
+    FROM (
+      SELECT user_id, bucket, vc,
+             pc * dt + (nc - pc) * (h - ph) AS ic,
+             100 * dt AS dt100
+      FROM (
+        SELECT *, CASE WHEN nh = ph THEN 1 ELSE nh - ph END AS dt
+        FROM filled
+      )
+    )
+    ORDER BY user_id, bucket
+    """,
+)
+def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + LINEAR-interpolation gap fill on the dense
+    per-user hour grid — `resample_locf`'s twin for signals where a gap
+    means "the value kept moving", not "the value held" (the hypertable
+    ``interpolate`` gapfill mode).
+
+    The grid spans each user's observed [min, max] hour, so every gap is
+    interior and both bracketing observations exist: the filled value is
+    ``prev + (next − prev)·(h − h_prev)/(h_next − h_prev)``, computed as
+    one integer numerator (cents·hour-gaps — exact), HALF-UP rounded to
+    6 decimals in pure integer arithmetic (float ROUND is engine-
+    divergent exactly here — interpolants sit ON .5 ulp-of-6-decimals
+    boundaries whenever the gap length is a power of two), then one
+    shared exact division for display.  Observed buckets degenerate to
+    the observation itself (h = ph, nh = ph guarded to a unit
+    denominator).
+
+    Scale notes: identical plan shape to `resample_locf` — one hourly
+    rollup over raw events (the only fact-table pass), an output-sized
+    grid explode, a left join back, and BOTH direction windows
+    (preceding-LOCF and following-NOCB) on the same user_id
+    partitioning: the explode, join, and both windows reuse ONE
+    shuffle; no extra pass for the second direction."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    agg = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(dec2("value")) * 100, 0).cast("long").alias("vc"),
+    )
+    bounds = agg.groupBy("user_id").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias(
+            "bucket"
+        ),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    h = (F.unix_timestamp("bucket") / 3600).cast("long")
+    hv = F.when(F.col("vc").isNotNull(), h)
+    filled = (
+        grid.join(agg, ["user_id", "bucket"], "left")
+        .withColumn("h", h)
+        .withColumn("pc", F.last("vc", ignorenulls=True).over(wp))
+        .withColumn("ph", F.last(hv, ignorenulls=True).over(wp))
+        .withColumn("nc", F.first("vc", ignorenulls=True).over(wn))
+        .withColumn("nh", F.first(hv, ignorenulls=True).over(wn))
+    )
+    # dt is the GUARDED gap (1 when nh == ph, i.e. an observed bucket):
+    # it must scale the numerator's pv term too, or observed buckets
+    # degenerate to 0 instead of pv (caught by the interp-laws pytest —
+    # the oracle shared the bug, so parity alone never would have).
+    dt = F.when(F.col("nh") == F.col("ph"), F.lit(1)).otherwise(
+        F.col("nh") - F.col("ph")
+    )
+    ic = F.col("pc") * dt + (F.col("nc") - F.col("pc")) * (
+        F.col("h") - F.col("ph")
+    )
+    dt100 = 100 * dt
+    # Integer HALF-UP to 6 decimals: sign · ((|ic|·2·10⁶ + d) div 2d) —
+    # `div` keeps the quotient in LONG space (a float division would
+    # lose ulps past 2⁵³) — then ONE shared exact division for display.
+    r6 = F.expr(
+        "(case when ic < 0 then -1 else 1 end)"
+        " * ((abs(ic) * 2000000 + dt100) div (2 * dt100))"
+    )
+    return (
+        filled.withColumn("ic", ic)
+        .withColumn("dt100", dt100)
+        .select(
+            "user_id",
+            "bucket",
+            F.col("vc").isNotNull().alias("observed"),
+            (r6.cast("double") / F.lit(1000000.0)).alias("v_interp"),
+        )
+        .orderBy("user_id", "bucket")
+    )
+
+
+@register(
+    "table_skew_stats",
+    # Gini via the sorted-cumulative identity G = (2·Σ(i·cᵢ) − (n+1)·Σc)
+    # / (n·Σc): every term is an exact integer (counts × ranks); the one
+    # float division is shared and ROUND(..,6)-stable.
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+    ), r AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS i,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS j
+      FROM c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+             AS top1_share,
+           ROUND(CAST(SUM(CASE WHEN j <= 10 THEN cnt ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(cnt) AS DOUBLE), 6) AS top10_share,
+           ROUND(CAST(2 * SUM(i * cnt) - (COUNT(*) + 1) * SUM(cnt) AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(cnt) AS DOUBLE), 6) AS gini
+    FROM r
+    """,
+)
+def table_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew profile for a join/grouping key: key count,
+    top-1/top-10 share, and the Gini coefficient of rows-per-key — the
+    diagnostic that decides whether `join_skew_salted` / AQE skew
+    handling is needed BEFORE a 100 TB shuffle is attempted (the
+    planning companion to `detect_hot_keys`' runtime sketch).
+
+    Gini uses the sorted-cumulative identity over per-key counts; ranks
+    are deterministic ((cnt, key) ordered), every sum is exact integer
+    arithmetic, and one shared float division lands far from rounding
+    boundaries.
+
+    Scale notes: the fact table collapses to one row per key (partial+
+    final agg — the only events-sized work); the rank windows and final
+    agg run on the key-sized rollup.  The rank window is a global sort
+    of |keys| rows — at 100 TB swap it for a two-pass range-partitioned
+    rank (approx range boundaries + per-range offset), same posture as
+    `orders_rfm_segments`' documented boundary variant; the output and
+    predicate shapes are unchanged."""
+    c = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    wi = Window.orderBy("cnt", "user_id")
+    wj = Window.orderBy(F.col("cnt").desc(), "user_id")
+    r = c.select(
+        "cnt",
+        F.row_number().over(wi).alias("i"),
+        F.row_number().over(wj).alias("j"),
+    )
+    n = F.count("*")
+    tot = F.sum("cnt")
+    return r.agg(
+        n.cast("long").alias("n_keys"),
+        tot.cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+        F.round(F.max("cnt").cast("double") / tot.cast("double"), 6).alias(
+            "top1_share"
+        ),
+        F.round(
+            F.sum(F.when(F.col("j") <= 10, F.col("cnt")).otherwise(0)).cast(
+                "double"
+            )
+            / tot.cast("double"),
+            6,
+        ).alias("top10_share"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("cnt")) - (n + 1) * tot).cast(
+                "double"
+            )
+            / (n * tot).cast("double"),
+            6,
+        ).alias("gini"),
+    )

@@ -162,6 +162,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_abc_pareto",
     "events_ewma",
     "sim_topk_pq",
+    "events_anomaly_mad",
+    "orders_seasonality",
+    "resample_interp",
+    "table_skew_stats",
+    "agg_histogram",
+    "agg_corr_exact",
+    "join_asof_nearest",
+    "dedup_containment",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",
@@ -230,6 +238,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_rollup_upsert",
     "stream_dedup_corpus",
     "stream_pack_shards",
+    "stream_topk_windowed",
     "source_kafka",
     "source_file_stream",
     "sink_parquet",

@@ -27,6 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import register
 from ..session import load_table
@@ -530,3 +531,43 @@ def stream_dedup_corpus(
     agg = fresh.groupBy("event_type").agg(F.count("*").alias("n_new"))
     out = run_to_completion(agg, "stream_dedup_corpus", "complete")
     return out.orderBy("event_type")
+
+
+@register("stream_topk_windowed")  # rows-only: streaming (batch-equivalence pytest)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed top-k: the 3 most frequent event types per
+    6-hour tumbling window, maintained incrementally — the live
+    "trending items" rollup (per-window heavy hitters served while the
+    stream runs).
+
+    Split exactly like production leaderboards: the STREAM maintains the
+    additive part (per-(window, type) counts — mergeable state, safe in
+    a streaming agg), and the RANK runs on the aggregate at read time
+    (a per-window top-k over |windows|×|types| rows, never over raw
+    events; rank is not incrementally maintainable without re-emitting a
+    whole window on every overtake, so pushing it stream-side buys
+    nothing).  Ties break on event_type for determinism.
+
+    Scale notes: state is one counter per (window, type) — bounded by
+    the domain, not the stream; with a production watermark the window
+    count also stays bounded (omitted here so the batch-equivalence
+    test is exact over unordered file arrival, cf. stream_watermark for
+    the drop semantics).  The serving rank partitions by window — no
+    global sort."""
+    src = read_event_stream(spark, stage_stream_dir(spark, sf_dir))
+    agg = src.groupBy(
+        F.window("ts", "6 hours").alias("win"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    out = run_to_completion(agg, "stream_topk_windowed", "complete")
+    w = Window.partitionBy("win").orderBy(F.col("n").desc(), "event_type")
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("window_start", "rank")
+    )

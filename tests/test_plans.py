@@ -507,3 +507,37 @@ def test_rfm_scale_variant_has_no_global_sort_or_window(spark):
     for q in range(1, 5):
         share = sum(r["n_customers"] for r in s_rows if r["m_score"] == q) / n
         assert 0.15 < share < 0.35, (q, share)
+
+
+def test_asof_nearest_single_shuffle_single_window(spark):
+    """Both asof directions must ride ONE union + ONE shuffle + ONE sort:
+    Spark fuses the preceding-frame last() and following-frame first()
+    into a single Window operator over the same (user_id) exchange —
+    the whole point of the single-pass formulation (a two-asof-join
+    composition would cost 3 exchanges)."""
+    df = QUERIES["join_asof_nearest"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan  # no self-join of two asof results
+
+
+def test_containment_prefix_filter_no_array_self_join(spark):
+    """dedup_containment must generate candidates through the prefix
+    inverted index (shingle equi-joins), never an unblocked corpus
+    self-join: every join in the plan is a hash/merge EQUI-join and the
+    full shingle arrays appear only on candidate-sized inputs."""
+    df = QUERIES["dedup_containment"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_histogram_and_corr_are_single_pass_partial_final(spark):
+    """agg_histogram / agg_corr_exact collapse the fact table in one
+    partial+final hash aggregate — the rollup-sized tail (share window,
+    float corr) must not add a fact-sized exchange."""
+    for key in ("agg_histogram", "agg_corr_exact"):
+        plan = executed_plan(QUERIES[key](spark, SF_DIR))
+        assert plan.count("HashAggregate") >= 2, key
+        assert "partial_" in plan, key

@@ -14,6 +14,7 @@ from spark_streaming_kafka_offset_spark.operators.joins import asof_join
 from spark_streaming_kafka_offset_spark.functions.text import _shingles
 import __spark_entry__ as entrymod
 from tests.conftest import SF_DIR
+from spark_streaming_kafka_offset_spark.session import load_table
 
 QUERIES = entrymod.queries()
 
@@ -1013,3 +1014,68 @@ def test_quality_rules_detect_planted_violations(spark, tmp_path):
     assert got["events_id_unique"] == (3, 1)             # dup id 1
     assert got["documents_nchars_consistent"] == (2, 1)  # 99 != 4
     assert got["supplier_acctbal_nonnegative"] == (3, 2)
+
+
+def test_resample_interp_laws(spark):
+    """Linear-interpolation gapfill laws on the fixture: (1) observed
+    buckets reproduce their own hourly total exactly; (2) a single-hour
+    gap between two observations interpolates to the exact midpoint of
+    the bracketing cent values (half-cents round HALF-UP)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    out = entrymod.queries()["resample_interp"](spark, SF_DIR).collect()
+    rows = {(r["user_id"], r["bucket"]): r for r in out}
+    e = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("user_id") % 10 == 0)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(12,2)")) * 100, 0)
+             .cast("long").alias("vc"))
+        .collect()
+    )
+    obs = {(r["user_id"], r["bucket"]): r["vc"] for r in e}
+    assert obs, "fixture slice empty"
+    for k, vc in obs.items():
+        assert rows[k]["observed"] is True
+        assert rows[k]["v_interp"] == vc / 100.0 or abs(
+            rows[k]["v_interp"] - vc / 100.0
+        ) < 1e-9, (k, vc, rows[k])
+    import datetime
+
+    checked = 0
+    for (u, b), r in rows.items():
+        if r["observed"]:
+            continue
+        prev_k = (u, b - datetime.timedelta(hours=1))
+        next_k = (u, b + datetime.timedelta(hours=1))
+        if prev_k in obs and next_k in obs:
+            ic = obs[prev_k] + obs[next_k]  # numerator cents (DT = 2)
+            expect = ((abs(ic) * 2000000 + 200) // 400) / 1000000.0 * (
+                1 if ic >= 0 else -1
+            )
+            assert abs(r["v_interp"] - expect) < 1e-12, (u, b, ic, r)
+            checked += 1
+    assert checked > 0, "no single-hour interior gaps in fixture slice"
+
+
+def test_corr_exact_bounds_and_numpy_twin(spark):
+    """|r| ≤ 1 for every group, and the exact-moment formulation agrees
+    with numpy's float64 Pearson to ~1e-9 (far inside the 6-decimal
+    output rounding) — an engine-independent third opinion."""
+    import numpy as np
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["agg_corr_exact"](spark, SF_DIR).collect()
+    assert rows
+    pdf = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    for r in rows:
+        assert -1.0 <= r["corr_qty_price"] <= 1.0
+        g = pdf[pdf["l_returnflag"] == r["l_returnflag"]]
+        expect = np.corrcoef(g["l_quantity"], g["l_extendedprice"])[0, 1]
+        assert abs(r["corr_qty_price"] - round(expect, 6)) <= 2e-6, (
+            r, expect,
+        )

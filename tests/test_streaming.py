@@ -637,3 +637,34 @@ def test_offset_rewind_full_rows_match_batch_suffix(spark):
     )
     assert len(replayed) == len(truth) > 0
     assert replayed == truth
+
+
+def test_stream_topk_windowed_equals_batch_topk(spark):
+    """The incrementally-counted per-window top-3 must equal the one-shot
+    batch window/type count + rank over the same events — the additive
+    state (counts) is what streams; the rank is read-time arithmetic."""
+    from pyspark.sql.window import Window as W
+
+    streamed = sorted(
+        map(tuple, QUERIES["stream_topk_windowed"](spark, SF_DIR).collect())
+    )
+    e = _batch_events(spark)
+    agg = e.groupBy(F.window("ts", "6 hours").alias("win"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("win").orderBy(F.col("n").desc(), "event_type")
+    batch = sorted(
+        map(
+            tuple,
+            agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                F.col("n").cast("long").alias("n"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+            .collect(),
+        )
+    )
+    assert streamed and streamed == batch
