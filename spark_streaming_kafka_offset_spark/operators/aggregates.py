@@ -368,3 +368,89 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(num / (dx * dy), 6).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_moments_exact",
+    # The four raw moment SUMS are exact integers (centi-units,
+    # DECIMAL(38,0)/HUGEINT — Σx⁴ ≈ 10²⁷ at 10¹² rows for qty ≤ 50,
+    # well inside 38 digits); the skew/kurtosis formulas then run in
+    # DOUBLE with the identical expression tree on both engines (the
+    # raw→central expansion multiplies three 38-digit decimals, which
+    # overflows exact arithmetic — determinism comes from shared IEEE
+    # op order on identical inputs, same policy as agg_corr_exact's
+    # float tail).
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity * 100) AS HUGEINT) AS x
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS s1, SUM(x * x) AS s2,
+             SUM(x * x * x) AS s3, SUM(x * x * x * x) AS s4
+      FROM c GROUP BY 1
+    ), d AS (
+      SELECT l_returnflag, CAST(n AS DOUBLE) AS n,
+             CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+             CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+      FROM m
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POWER(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6)
+             AS excess_kurtosis
+    FROM d
+    ORDER BY l_returnflag
+    """,
+)
+def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of quantity per return
+    flag, from exact integer raw-moment sums — the distribution-shape
+    drift signals (is this batch heavier-tailed than yesterday's?),
+    completing the moment family: mean/variance (`agg_stats`,
+    `rollup_stats`), correlation (`agg_corr_exact`), now 3rd/4th
+    moments.  Native `skewness`/`kurtosis` aggregates are one-pass
+    float updates whose result depends on partition order — unusable
+    for cross-engine proof, so neither side uses them.
+
+    Scale notes: ONE partial+final hash aggregate (all four moment sums
+    are decomposable); the raw→central conversion is group-count-sized
+    arithmetic.  Mergeable by construction — the same sums serve any
+    rollup level, cf. `rollup_stats`."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    m = (
+        l.select("l_returnflag", x.alias("x"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+            F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+            F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias(
+                "s4"
+            ),
+        )
+    )
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    m1 = s1 / n
+    var = s2 / n - m1 * m1
+    skew = (s3 / n - 3 * m1 * (s2 / n) + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
+    kurt = (
+        s4 / n - 4 * m1 * (s3 / n) + 6 * m1 * m1 * (s2 / n) - 3 * m1 * m1 * m1 * m1
+    ) / (var * var) - 3
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")

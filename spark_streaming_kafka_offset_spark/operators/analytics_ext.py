@@ -1556,3 +1556,135 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("revenue_share"),
     ).orderBy("dow")
+
+
+@register(
+    "events_changepoint",
+    # Split scoring and all three reported means use the integer
+    # HALF-UP trick (decimal38/HUGEINT `div`, cf. resample_interp): the
+    # argmax ranks on a shared deterministic double, every OUTPUT
+    # number is integer-rounded — nothing sits on a float boundary.
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS HUGEINT) AS s,
+             CAST(COUNT(*) AS HUGEINT) AS n
+      FROM events GROUP BY 1, 2
+    ), pre AS (
+      SELECT event_type, hour,
+             SUM(s) OVER w AS cs, SUM(n) OVER w AS cn,
+             SUM(s) OVER wt AS ts_, SUM(n) OVER wt AS tn
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wt AS (PARTITION BY event_type)
+    ), scored AS (
+      SELECT event_type, hour, cs, cn, ts_, tn,
+             ABS(cs * (tn - cn) - (ts_ - cs) * cn) AS num,
+             cn * (tn - cn) AS den
+      FROM pre WHERE cn < tn
+    ), best AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC,
+                        hour) AS rk
+      FROM scored
+    )
+    SELECT event_type, hour AS split_hour,
+           CAST(cn AS BIGINT) AS n_before, CAST(tn - cn AS BIGINT) AS n_after,
+           CAST(((ABS(cs) * 2000000 + 100 * cn) // (200 * cn))
+                AS DOUBLE) / 1000000.0 AS mean_before,
+           CAST(((ABS(ts_ - cs) * 2000000 + 100 * (tn - cn))
+                 // (200 * (tn - cn))) AS DOUBLE) / 1000000.0 AS mean_after,
+           CAST(((num * 2000000 + 100 * den) // (200 * den))
+                AS DOUBLE) / 1000000.0 AS mean_delta
+    FROM best WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection per event type: the hour boundary
+    that maximizes |mean(value) before − mean(value) after| — the
+    binary-segmentation split step every drift monitor runs on metric
+    streams (where did the level shift?).
+
+    Formulated without recursion (CUSUM's sequential state does not
+    distribute): one hourly rollup, prefix sums by window, and the
+    split score ``|S_t·(N−n_t) − (S−S_t)·n_t| / (n_t·(N−n_t))`` — the
+    cross-multiplied form of the mean difference, exact HUGEINT/decimal
+    integers until one shared double division ranks the argmax (ties →
+    earliest hour).
+
+    Scale notes: the only fact-table pass is the hourly rollup; prefix
+    windows and ranking run per type over |hours| rows.  All output
+    numbers are integer-HALF-UP-rounded (cf. `resample_interp`'s
+    boundary lesson)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    pre = hourly.select(
+        "event_type",
+        "hour",
+        F.sum("s").over(w).alias("cs"),
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(wt).alias("ts_"),
+        F.sum("n").over(wt).alias("tn"),
+    )
+    scored = pre.where(F.col("cn") < F.col("tn")).select(
+        "event_type",
+        "hour",
+        "cs",
+        "cn",
+        "ts_",
+        "tn",
+        F.abs(
+            F.col("cs") * (F.col("tn") - F.col("cn"))
+            - (F.col("ts_") - F.col("cs")) * F.col("cn")
+        ).alias("num"),
+        (F.col("cn") * (F.col("tn") - F.col("cn"))).alias("den"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            (F.col("num").cast("double") / F.col("den").cast("double")).desc(),
+            "hour",
+        )
+    )
+    best = scored.withColumn("rk", rk).where(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        F.col("hour").alias("split_hour"),
+        F.col("cn").cast("long").alias("n_before"),
+        (F.col("tn") - F.col("cn")).cast("long").alias("n_after"),
+        (
+            F.expr("(abs(cs) * 2000000 + 100 * cn) div (200 * cn)").cast(
+                "double"
+            )
+            / 1000000.0
+        ).alias("mean_before"),
+        (
+            F.expr(
+                "(abs(ts_ - cs) * 2000000 + 100 * (tn - cn))"
+                " div (200 * (tn - cn))"
+            ).cast("double")
+            / 1000000.0
+        ).alias("mean_after"),
+        (
+            F.expr("(num * 2000000 + 100 * den) div (200 * den)").cast(
+                "double"
+            )
+            / 1000000.0
+        ).alias("mean_delta"),
+    ).orderBy("event_type")

@@ -132,3 +132,187 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         F.round(F.col("r") * 1000, 6).alias("rank_permille"),
     ).orderBy("node")
+
+
+@register(
+    "graph_degree_stats",
+    oracle="""
+    WITH raw_edges AS (
+        SELECT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), nodes AS (
+        SELECT c_node AS node, s_node AS nbr FROM raw_edges
+        UNION ALL
+        SELECT s_node AS node, c_node AS nbr FROM raw_edges
+    ), deg AS (
+        SELECT node, COUNT(*) AS degree FROM nodes GROUP BY node
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg
+    GROUP BY 1, 2
+    ORDER BY node_type, degree
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer↔supplier trade graph (distinct
+    trading partners per node, histogrammed by side) — the first thing to
+    compute before ANY graph algorithm at scale: it tells you whether
+    PageRank/components will meet a power-law hub that needs special
+    handling (cf. `table_skew_stats` for the relational analogue).
+
+    Scale notes: distinct-edge collapse is one partial+final agg on the
+    fact join; degrees are a second agg on the edge list; the histogram
+    is degree-cardinality-sized.  No iteration, no window — everything
+    partial-aggregable."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    raw = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    nodes = raw.select(F.col("c_node").alias("node")).unionAll(
+        raw.select(F.col("s_node").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.col("degree").cast("long").alias("degree"),
+        )
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("node_type", "degree")
+    )
+
+
+@register(
+    "graph_triangle_count",
+    # Exact triangle counting by degree orientation (the MapReduce-era
+    # standard: Suri & Vassilvitskii "Counting Triangles and the Curse
+    # of the Last Reducer", WWW'11): orient every undirected edge from
+    # the (degree, id)-smaller endpoint to the larger, count directed
+    # paths a→b→c closed by a→c.  Each triangle is counted EXACTLY once,
+    # and every node's oriented out-degree is O(√|E|), so the wedge join
+    # is bounded even on power-law graphs.
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ), oriented AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS s,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS t
+      FROM pairs p
+      JOIN deg du ON p.u = du.node
+      JOIN deg dv ON p.v = dv.node
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM oriented e1
+      JOIN oriented e2 ON e1.t = e2.s
+      JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+    ), wedge AS (
+      SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           CAST(wedge.n_wedges AS BIGINT) AS n_wedges,
+           ROUND(3.0 * tri.n_triangles / wedge.n_wedges, 6)
+             AS clustering_coeff
+    FROM tri, wedge
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the part
+    co-purchase graph (parts linked when they appear in the same order)
+    — the community-structure / recommender diagnostic, and the
+    canonical "join that blows up unless you orient it" graph kernel.
+
+    Degree orientation makes the wedge join tractable: every edge
+    points from its (degree, id)-smaller endpoint to the larger, each
+    triangle is counted exactly once from its smallest corner, and the
+    per-node oriented out-degree is O(√|E|) — so the e1⋈e2 path join
+    generates O(|E|^{3/2}) candidates worst-case instead of Σdeg²
+    (Suri & Vassilvitskii, WWW'11; same trick GraphX/GraphFrames use).
+
+    Scale notes: co-occurrence pairs are generated per order (bounded
+    by per-order line count, ≤7 on TPC-H-shaped data) then distinct-
+    collapsed; three shuffles total (pairs, degrees, wedge join) + the
+    closing semi-join on (s, t).  The final scalar row is rollup-sized."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.alias("a")
+    b = l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    from ..common import stage
+
+    pairs = stage(pairs)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = stage(
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    e1 = oriented.select(F.col("s").alias("a_"), F.col("t").alias("b_"))
+    e2 = oriented.select(F.col("s").alias("b_"), F.col("t").alias("c_"))
+    wedges = e1.join(e2, "b_")
+    tri = wedges.join(
+        oriented,
+        (wedges.a_ == oriented.s) & (wedges.c_ == oriented.t),
+        "left_semi",
+    ).agg(F.count("*").alias("n_triangles"))
+    n_wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    counts = pairs.agg(F.count("*").alias("n_edges")).join(
+        deg.agg(F.count("*").alias("n_nodes"))
+    )
+    return (
+        counts.join(F.broadcast(tri))
+        .join(F.broadcast(n_wedges))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )

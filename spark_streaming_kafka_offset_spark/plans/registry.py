@@ -170,6 +170,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_corr_exact",
     "join_asof_nearest",
     "dedup_containment",
+    "graph_degree_stats",
+    "graph_triangle_count",
+    "events_changepoint",
+    "agg_moments_exact",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",
@@ -239,6 +243,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_dedup_corpus",
     "stream_pack_shards",
     "stream_topk_windowed",
+    "stream_cdc_apply",
     "source_kafka",
     "source_file_stream",
     "sink_parquet",

@@ -571,3 +571,84 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "rank")
     )
+
+
+@register("stream_cdc_apply")  # rows-only: streaming (batch-equivalence pytest)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: a stream of keyed upserts and deletes
+    folded into a materialized current-state table — the Debezium/Delta
+    `MERGE` consumption pattern (op = delete for 'error' events, else
+    upsert of the user's latest value; ordering key = (ts, event_id)).
+
+    Exactly-once via the versioned-store recipe (cf.
+    `stream_rollup_upsert`): each batch merges prior state with its own
+    ops by `max_by` over the ordering key, writes store version ==
+    batch_id, so a replayed batch overwrites itself.  Deletes are kept
+    as TOMBSTONES inside the store (filtered only at read time): a
+    delete must keep suppressing earlier upserts on replay/compaction,
+    and a later upsert must beat the tombstone by ordering key — the
+    same reason log-compacted topics and LSM trees keep deletion
+    markers.
+
+    Scale notes: per-batch work is one partial+final `max_by` agg on
+    the batch's keys plus a key-partitioned merge with the store; state
+    is one row per live key (+ tombstones until compaction), never
+    event-sized.  At 100 TB the store is a Delta/Iceberg MERGE target;
+    semantics here are identical over plain parquet versions."""
+    src = read_event_stream(
+        spark, stage_stream_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+    store = scratch_path("sskos_cdc_store_")
+
+    def _versions() -> list[str]:
+        return sorted(d for d in os.listdir(store) if d.startswith("v"))
+
+    def apply_cdc(batch_df: DataFrame, batch_id: int) -> None:
+        ops = batch_df.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("value").alias("value"),
+            (F.col("event_type") == "error").alias("is_delete"),
+        )
+        latest = ops.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("ts", "event_id", "value", "is_delete"),
+                F.struct("ts", "event_id"),
+            ).alias("st")
+        )
+        prior = [v for v in _versions() if int(v[1:]) < batch_id]
+        merged = latest
+        if prior:
+            existing = spark.read.parquet(os.path.join(store, prior[-1]))
+            merged = (
+                existing.unionByName(latest)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        "st", F.struct(F.col("st.ts"), F.col("st.event_id"))
+                    ).alias("st")
+                )
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store, f"v{batch_id:06d}")
+        )
+
+    q = (
+        src.writeStream.foreachBatch(apply_cdc)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch_path("ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.parquet(os.path.join(store, _versions()[-1]))
+    return (
+        state.where(~F.col("st.is_delete"))
+        .select(
+            "user_id",
+            F.col("st.ts").alias("ts"),
+            F.col("st.event_id").alias("event_id"),
+            F.col("st.value").alias("value"),
+        )
+        .orderBy("user_id")
+    )

@@ -1079,3 +1079,61 @@ def test_corr_exact_bounds_and_numpy_twin(spark):
         assert abs(r["corr_qty_price"] - round(expect, 6)) <= 2e-6, (
             r, expect,
         )
+
+
+def test_triangle_count_python_twin(spark):
+    """Degree-oriented distributed triangle count must equal a dead-simple
+    set-intersection count over the same co-purchase pairs."""
+    import itertools
+
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["graph_triangle_count"](spark, SF_DIR).collect()[0]
+    pdf = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = set()
+    for _, grp in pdf.groupby("l_orderkey"):
+        for u, v in itertools.combinations(sorted(set(grp["l_partkey"])), 2):
+            edges.add((u, v))
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(
+        len(adj[u] & adj[v]) for u, v in edges
+    ) // 3  # each triangle seen from its 3 edges
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(adj)
+    assert row["n_triangles"] == tri, (row["n_triangles"], tri)
+
+
+def test_changepoint_pandas_argmax_twin(spark):
+    """The distributed split must match a pandas scan over every candidate
+    hour boundary (exact integer score, same tie-break)."""
+    from fractions import Fraction
+
+    import __spark_entry__ as entrymod
+
+    rows = {
+        r["event_type"]: r
+        for r in entrymod.queries()["events_changepoint"](spark, SF_DIR).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "ts", "value"])
+    pdf["hour"] = pdf["ts"].dt.floor("h")
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    for etype, g in pdf.groupby("event_type"):
+        hourly = g.groupby("hour")["cents"].agg(["sum", "count"]).sort_index()
+        cs = hourly["sum"].cumsum()
+        cn = hourly["count"].cumsum()
+        S, N = int(hourly["sum"].sum()), int(hourly["count"].sum())
+        best, best_score = None, Fraction(-1)
+        for hour, (s_t, n_t) in zip(hourly.index, zip(cs, cn)):
+            if n_t >= N:
+                continue
+            score = Fraction(abs(int(s_t) * (N - int(n_t)) - (S - int(s_t)) * int(n_t)),
+                             int(n_t) * (N - int(n_t)))
+            if score > best_score:
+                best, best_score = hour, score
+        assert rows[etype]["split_hour"] == best.to_pydatetime().replace(tzinfo=None), etype
+        assert rows[etype]["n_before"] == int(cn[cn.index <= best].iloc[-1])

@@ -668,3 +668,35 @@ def test_stream_topk_windowed_equals_batch_topk(spark):
         )
     )
     assert streamed and streamed == batch
+
+
+def test_stream_cdc_apply_equals_batch_latest_state(spark):
+    """CDC folding law: the streamed upsert/delete application must equal
+    the batch 'latest op per key, drop if it is a delete' query — and a
+    key whose LAST op is a delete must be absent even if earlier batches
+    upserted it (tombstone suppression across the merge chain)."""
+    from pyspark.sql.window import Window as W
+
+    streamed = sorted(
+        map(tuple, QUERIES["stream_cdc_apply"](spark, SF_DIR).collect())
+    )
+    e = _batch_events(spark)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    batch = sorted(
+        map(
+            tuple,
+            e.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .where(F.col("event_type") != "error")
+            .select("user_id", "ts", "event_id", "value")
+            .collect(),
+        )
+    )
+    assert streamed and streamed == batch
+    # at least one key must actually be tombstoned in the fixture, or the
+    # delete path was never exercised
+    all_keys = {r[0] for r in e.select("user_id").distinct().collect()}
+    live_keys = {r[0] for r in streamed}
+    assert all_keys - live_keys, "no key ends on a delete — vacuous test"
