@@ -250,3 +250,138 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+def _phash_oracle() -> str:
+    """Codegen the 60-bit sign-sum signature on the oracle side from the
+    same md5-derived bits the engine uses, so both engines build the
+    signature from identical integer arithmetic."""
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(60)
+    )
+    sig = " + ".join(
+        f"((CASE WHEN b{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << {j})"
+        for j in range(60)
+    )
+    return f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(text) - 2),
+                           i -> substr(text, i, 4))) AS gs
+      FROM documents WHERE len(text) >= 4
+    ), ex AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+    ), hx AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+      FROM ex
+    ), bits AS (
+      SELECT doc_id,
+             {sums}
+      FROM hx GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {sig} AS sig FROM bits
+    ), bands AS (
+      SELECT doc_id, b, (sig >> (15 * b)) & 32767 AS bv
+      FROM sig, (VALUES (0), (1), (2), (3)) t(b)
+    ), cand AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig sa ON c.id_a = sa.doc_id
+    JOIN sig sb ON c.id_b = sb.doc_id
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@register("multimodal_dedup_phash", oracle=_phash_oracle())
+def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over BINARY media payloads: a
+    60-bit locality-sensitive signature (SimHash sign-sums over byte
+    4-grams), 4×15-bit band buckets, exact Hamming ≤ 3 verify — the
+    image-dedup pipeline shape (pHash/aHash + Hamming ball) with the
+    codec stage stubbed per §2.10 policy: a real pHash swaps the
+    byte-gram features for DCT coefficients, every stage downstream of
+    the feature vector (sign-sum, banding, candidate join, verify) is
+    the production pipeline unchanged.
+
+    This is the multimodal family's first ORACLE-backed near-dup: the
+    md5-derived feature bits are deterministic integer arithmetic in
+    both engines (cf. `dedup_minhash_md5`'s trick), so the hash match
+    proves signature → band → candidate → Hamming-verify end to end.
+    `dedup_simhash` (xxhash64, rows-only) stays the cheap production
+    variant.  Payload bytes are sliced engine-side with binary
+    ``substr`` — the oracle mirrors on text because payload :=
+    utf-8(text) and the fixture is pure ASCII (verified: 500/500 docs),
+    so byte slices == char slices.
+
+    Scale notes: one explode+agg pass builds signatures (60 decomposable
+    sign-sums); by pigeonhole any pair at Hamming ≤ 3 collides on ≥ 1 of
+    the 4 bands, so recall at the stated radius is GUARANTEED and the
+    self-join is band-bucketed, never all-pairs; verify touches
+    candidate pairs only.  Signatures are 8 B/doc — corpus-sized, never
+    broadcast (same policy as dedup_simhash)."""
+    m = media_table(spark, sf_dir)
+    n = F.length("payload")
+    grams = m.where(n >= 4).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 3),
+                lambda i: F.col("payload").substr(i, F.lit(4)),
+            )
+        ).alias("gs"),
+    )
+    ex = grams.select("doc_id", F.explode("gs").alias("g"))
+    h = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+    bits = ex.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(60)
+        ]
+    )
+    sig_expr = None
+    for j in range(60):
+        term = F.shiftleft(
+            F.when(F.col(f"b{j}") > 0, 1).otherwise(0).cast("long"), j
+        )
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = bits.select("doc_id", sig_expr.alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sig", 15 * b).bitwiseAND(0x7FFF)
+                    for b in range(4)
+                ]
+            )
+        ).alias("b", "bv"),
+    )
+    left = bands.select(F.col("doc_id").alias("id_a"), "b", "bv")
+    right = bands.select(F.col("doc_id").alias("id_b"), "b", "bv")
+    cand = (
+        left.join(right, ["b", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    )

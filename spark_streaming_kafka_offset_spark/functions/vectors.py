@@ -166,3 +166,88 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.sum("q20").alias("sum_q20"),
     )
+
+
+@register(
+    "embed_quantize_int8",
+    # Quantization uses FLOOR(x + 0.5), not ROUND: floor of a shared
+    # IEEE double is bit-deterministic in both engines, while each
+    # engine's ROUND(double) implementation differs at .5 boundaries
+    # (decimal-repr vs binary — the engine-wide lesson from
+    # common.round_dec).  The md5 of the joined codes then proves every
+    # single code in every vector, not just aggregates.
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             len(embedding) AS n_dims,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             CAST(list_max(embedding) AS DOUBLE) AS mx,
+             list_transform(embedding, v ->
+               CAST(FLOOR((CAST(v AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
+                          * 255.0
+                          / (CASE WHEN CAST(list_max(embedding) AS DOUBLE)
+                                       = CAST(list_min(embedding) AS DOUBLE)
+                                  THEN 1.0
+                                  ELSE CAST(list_max(embedding) AS DOUBLE)
+                                       - CAST(list_min(embedding) AS DOUBLE)
+                             END)
+                          + 0.5) AS INT)) AS codes
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(n_dims AS BIGINT) AS n_dims,
+           mn AS range_min, mx AS range_max,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           md5(array_to_string(codes, ',')) AS code_md5
+    FROM q
+    ORDER BY vec_id
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector uint8 range quantization of the embedding column —
+    4× memory/bandwidth compression for the vector store feeding
+    `sim_topk_*` (the standard serving-side trick before PQ:
+    code_i = ⌊(x_i − min)·255/(max − min) + ½⌋, reconstruct as
+    min + code·(max−min)/255 with error ≤ range/510).
+
+    The result row carries the min/max dequantization params and an
+    md5 over the comma-joined codes: the oracle hash match certifies
+    EVERY code of every vector bit-for-bit (arrays themselves are not
+    canonicalizable by the driver harness — the digest is the array
+    evidence).  Reconstruction error bound is asserted separately in
+    tests/test_properties.py.
+
+    Scale notes: pure scan-side codegen'd array math — no UDF, no
+    shuffle, no state; output is one 50-byte row per vector.  Constant
+    vectors are guarded to a unit denominator on both sides."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    den = F.when(mx == mn, F.lit(1.0)).otherwise(mx - mn)
+    codes = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor((v.cast("double") - mn) * 255.0 / den + 0.5).cast(
+            "int"
+        ),
+    )
+    q = e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("n_dims"),
+        mn.alias("range_min"),
+        mx.alias("range_max"),
+        codes.alias("codes"),
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        "n_dims",
+        "range_min",
+        "range_max",
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("code_sum"),
+        F.md5(
+            F.concat_ws(",", F.transform("codes", lambda c: c.cast("string")))
+        ).alias("code_md5"),
+    ).orderBy("vec_id")

@@ -1688,3 +1688,124 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("mean_delta"),
     ).orderBy("event_type")
+
+
+@register(
+    "orders_basket_affinity",
+    # confidence and lift are integer-HALF-UP rounded (num/den `div`
+    # trick, cf. resample_interp): conf = c_both/c_ante, lift =
+    # c_both·N/(c_ante·c_cons) — counts are exact, so the ratios never
+    # touch a float until one shared display division.
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2
+    ), n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets
+    ), item AS (
+      SELECT l_partkey, COUNT(*) AS c FROM baskets GROUP BY 1
+    ), pair AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c_both
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ), rules AS (
+      SELECT u AS antecedent, v AS consequent, c_both FROM pair
+      UNION ALL
+      SELECT v, u, c_both FROM pair
+    )
+    SELECT r.antecedent, r.consequent,
+           CAST(r.c_both AS BIGINT) AS n_both,
+           CAST(ia.c AS BIGINT) AS n_ante,
+           CAST(((r.c_both * 2000000 + ia.c) // (2 * ia.c)) AS DOUBLE)
+             / 1000000.0 AS confidence,
+           CAST(((r.c_both * n.n * 2000000 + ia.c * ic.c)
+                 // (2 * ia.c * ic.c)) AS DOUBLE) / 1000000.0 AS lift
+    FROM rules r
+    JOIN item ia ON r.antecedent = ia.l_partkey
+    JOIN item ic ON r.consequent = ic.l_partkey
+    CROSS JOIN n_orders n
+    ORDER BY antecedent, consequent
+    """,
+)
+def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: directional
+    (antecedent → consequent) part pairs with support ≥ 2 orders,
+    scored by confidence and lift — the co-purchase recommender staple
+    (and, pipeline-side, the "which sources co-occur in retrieved
+    contexts" affinity shape), built on the same co-occurrence pair
+    machinery as `graph_triangle_count`.
+
+    Scale notes: pair generation is per-basket (bounded by basket size,
+    ≤7 lines on TPC-H-shaped orders) then count-aggregated — one
+    shuffle on the pair key; the support-≥2 HAVING prunes before the
+    scoring joins; item counts join on each rule endpoint (part-sized
+    dimension, shuffle or auto-broadcast); the 1-row basket total is an
+    explicit tiny broadcast.  Counts stay exact integers; confidence
+    and lift are integer-rounded to 6 decimals before the one shared
+    display division."""
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = baskets.select(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    item = baskets.groupBy(F.col("l_partkey")).agg(F.count("*").alias("c"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("c_both"))
+        .where(F.col("c_both") >= 2)
+    )
+    rules = pair.select(
+        F.col("u").alias("antecedent"),
+        F.col("v").alias("consequent"),
+        "c_both",
+    ).unionAll(
+        pair.select(
+            F.col("v").alias("antecedent"),
+            F.col("u").alias("consequent"),
+            "c_both",
+        )
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("antecedent"), F.col("c").alias("c_ante")
+    )
+    ic = item.select(
+        F.col("l_partkey").alias("consequent"), F.col("c").alias("c_cons")
+    )
+    return (
+        rules.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .join(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c_both").cast("long").alias("n_both"),
+            F.col("c_ante").cast("long").alias("n_ante"),
+            (
+                F.expr(
+                    "(c_both * 2000000 + c_ante) div (2 * c_ante)"
+                ).cast("double")
+                / 1000000.0
+            ).alias("confidence"),
+            (
+                F.expr(
+                    "(c_both * n * 2000000 + c_ante * c_cons)"
+                    " div (2 * c_ante * c_cons)"
+                ).cast("double")
+                / 1000000.0
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

@@ -174,6 +174,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "events_changepoint",
     "agg_moments_exact",
+    "multimodal_dedup_phash",
+    "orders_basket_affinity",
+    "embed_quantize_int8",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

@@ -250,6 +250,7 @@ _BNL_ALLOWED = {
     "data_quality_rules",  # broadcast 1-row checked/violation scalar frames
     "detect_hot_keys",   # broadcast 1-row W-total frame onto k candidate rows
     "graph_triangle_count",  # broadcast 1-row triangle/wedge scalar frames
+    "orders_basket_affinity",  # broadcast 1-row basket-total scalar frame
     "events_funnel_windowed",  # broadcast 1-row stage-count scalar frames
     "sim_topk_pq",       # broadcast m·ksub=256-row codebook + query LUT table
 }

@@ -1137,3 +1137,25 @@ def test_changepoint_pandas_argmax_twin(spark):
                 best, best_score = hour, score
         assert rows[etype]["split_hour"] == best.to_pydatetime().replace(tzinfo=None), etype
         assert rows[etype]["n_before"] == int(cn[cn.index <= best].iloc[-1])
+
+
+def test_quantize_int8_reconstruction_bound(spark):
+    """uint8 range-quantization law, checked in numpy for every vector:
+    codes ∈ [0, 255] and |x_i − (min + code_i·(max−min)/255)| ≤
+    range/510 + float32 slack."""
+    import numpy as np
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["embed_quantize_int8"](spark, SF_DIR).collect()
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for _, r in pdf.iterrows()}
+    assert rows and len(rows) == len(emb)
+    for r in rows:
+        x = emb[r["vec_id"]]
+        mn, mx = r["range_min"], r["range_max"]
+        assert mn == x.min() and mx == x.max()
+        codes = np.floor((x - mn) * 255.0 / (mx - mn) + 0.5)
+        assert codes.min() >= 0 and codes.max() <= 255
+        assert int(codes.sum()) == r["code_sum"]
+        recon = mn + codes * (mx - mn) / 255.0
+        assert np.abs(x - recon).max() <= (mx - mn) / 510.0 + 1e-9
