@@ -1682,3 +1682,129 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(5 * F.col("n_inter") >= 4 * F.col("n_a"))
     )
+
+
+@register(
+    "text_dedup_paragraph",
+    # Unit = '. '-delimited sentence ≥ 20 chars, distinct per doc; keys
+    # travel as md5 digests (16 B) — both engines split/filter/digest
+    # identically, and the retained fraction is integer-HALF-UP rounded.
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'This content is provided for informational purposes only. ' || text
+                  ELSE text END AS text0
+      FROM documents
+    ), seeded2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text0 || '. All rights reserved by the original publisher'
+                  ELSE text0 END AS text
+      FROM seeded
+    ), units AS (
+      SELECT doc_id, md5(u) AS uh
+      FROM (
+        SELECT doc_id, unnest(list_distinct(string_split(text, '. '))) AS u
+        FROM seeded2
+      ) WHERE len(u) >= 20
+    ), df AS (
+      SELECT uh, COUNT(DISTINCT doc_id) AS n_docs FROM units GROUP BY uh
+    )
+    SELECT u.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(SUM(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_units,
+           CAST(((SUM(CASE WHEN df.n_docs < 3 THEN 1 ELSE 0 END) * 2000000
+                  + COUNT(*)) // (2 * COUNT(*))) AS DOUBLE) / 1000000.0
+             AS retained_frac
+    FROM units u JOIN df ON u.uh = df.uh
+    GROUP BY u.doc_id
+    ORDER BY u.doc_id
+    """,
+)
+def text_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-paragraph accounting: sentence units that
+    recur across ≥ 3 distinct documents are flagged as boilerplate, and
+    each document reports its unit count, duplicated-unit count, and
+    retained fraction — the C4/Gopher "remove any line shared by N
+    pages" step, as the per-document audit that decides the cut.
+
+    The fixture's units are all cross-doc unique, so both engine and
+    oracle deterministically seed shared boilerplate (header on
+    doc_id%4==0, footer on doc_id%7==0 — the `text_pii_redact`
+    injection discipline): the duplicated-unit path is PROVEN, not
+    assumed, and the pytest asserts the flagged counts are non-zero.
+
+    Units are '. '-delimited spans ≥ 20 chars, DISTINCT per document
+    (a doc repeating its own sentence is self-repetition —
+    `text_repetition`'s job — not corpus boilerplate).
+
+    Scale notes: units travel as md5 DIGESTS (16 B) from the scan
+    onward — the raw span text never shuffles (at 100 TB the unit
+    strings dwarf the doc table; digests make the frequency shuffle
+    key-sized).  One explode → one digest-keyed agg → join back on the
+    digest → per-doc agg: the digest agg and the join reuse the same
+    hash partitioning.  The ≥ 3-doc threshold is a broadcast-free
+    HAVING on the frequency table."""
+    d = load_table(spark, sf_dir, "documents")
+    # The fixture has NO cross-doc repeated unit (measured: max df = 1),
+    # so — as with text_pii_redact — both sides deterministically seed
+    # boilerplate (a header on doc_id%4, a footer on doc_id%7) to prove
+    # the flagging path as well as the pass-through path.
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(
+                    "This content is provided for informational purposes only. "
+                ),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text0"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text0"),
+                F.lit(". All rights reserved by the original publisher"),
+            ),
+        )
+        .otherwise(F.col("text0"))
+        .alias("text"),
+    )
+    units = (
+        seeded.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.col("text"), "\\. "))
+            ).alias("u"),
+        )
+        .where(F.length("u") >= 20)
+        .select("doc_id", F.md5("u").alias("uh"))
+    )
+    freq = units.groupBy("uh").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        units.join(freq, "uh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_units"),
+            F.sum(F.when(F.col("n_docs") >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_units"),
+            (
+                F.expr(
+                    "(sum(case when n_docs < 3 then 1 else 0 end) * 2000000"
+                    " + count(*)) div (2 * count(*))"
+                ).cast("double")
+                / 1000000.0
+            ).alias("retained_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -177,6 +177,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_dedup_phash",
     "orders_basket_affinity",
     "embed_quantize_int8",
+    "scan_agg_pushdown",
+    "text_dedup_paragraph",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

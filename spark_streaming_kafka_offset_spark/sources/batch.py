@@ -279,3 +279,76 @@ def sink_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(files), back.count(), int(back.agg(F.sum("n_chars")).first()[0]))],
         "n_shard_files int, n_rows long, sum_chars long",
     )
+
+
+@register(
+    "scan_agg_pushdown",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey,
+           MIN(o_totalprice) AS min_totalprice,
+           MAX(o_totalprice) AS max_totalprice,
+           TRUE AS agg_was_pushed
+    FROM orders
+    """,
+)
+def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown INTO the parquet scan: filterless MIN/MAX/COUNT
+    answered from file-footer statistics instead of row scans — the
+    DataSource-V2 pushdown lever that turns a 100 TB "how many rows /
+    what's the range" probe into a metadata read (thousands of footers,
+    zero data pages).  Completes the pushdown family: predicates
+    (`scan_pruned`), partitions (`scan_partition_pruned`), runtime
+    filters (`scan_dynamic_pruning`), file manifests
+    (`scan_manifest_pruned`), now whole aggregates.
+
+    The op verifies its own claim: it inspects the executed plan for
+    ``PushedAggregation`` and emits the result as the
+    ``agg_was_pushed`` column — the oracle pins it TRUE, so the hash
+    match certifies both the numbers AND that they came through the
+    pushed path.  Config scoping: aggregate pushdown needs the V2
+    parquet source, which is session-global state — the op computes
+    EAGERLY under the scoped configs and restores them in ``finally``
+    (the only registry op that collects a fact-table aggregate on the
+    driver; it is 1 row by construction)."""
+    conf = spark.conf
+    prev_push = conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    try:
+        prev_v1 = conf.get("spark.sql.sources.useV1SourceList")
+    except Exception:
+        prev_v1 = None
+    try:
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("o_orderkey").cast("long").alias("min_orderkey"),
+            F.max("o_orderkey").cast("long").alias("max_orderkey"),
+            F.min("o_totalprice").alias("min_totalprice"),
+            F.max("o_totalprice").alias("max_totalprice"),
+        )
+        pushed = "PushedAggregation" in (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+        row = df.first()
+    finally:
+        conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        if prev_v1 is not None:
+            conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        else:
+            conf.unset("spark.sql.sources.useV1SourceList")
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["min_orderkey"],
+                row["max_orderkey"],
+                row["min_totalprice"],
+                row["max_totalprice"],
+                bool(pushed),
+            )
+        ],
+        "n_rows long, min_orderkey long, max_orderkey long, "
+        "min_totalprice double, max_totalprice double, agg_was_pushed boolean",
+    )

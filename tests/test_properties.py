@@ -1159,3 +1159,65 @@ def test_quantize_int8_reconstruction_bound(spark):
         assert int(codes.sum()) == r["code_sum"]
         recon = mn + codes * (mx - mn) / 255.0
         assert np.abs(x - recon).max() <= (mx - mn) / 510.0 + 1e-9
+
+
+def test_dedup_paragraph_flags_seeded_boilerplate(spark):
+    """The seeded header (doc_id%4) and footer (doc_id%7) must actually be
+    flagged: every doc carrying either seed reports >= that many dup
+    units, unseeded docs report zero, and retained_frac reflects it."""
+    import __spark_entry__ as entrymod
+
+    rows = {
+        r["doc_id"]: r
+        for r in entrymod.queries()["text_dedup_paragraph"](spark, SF_DIR).collect()
+    }
+    assert rows
+    flagged = sum(r["n_dup_units"] for r in rows.values())
+    assert flagged > 0, "dup path vacuous"
+    for doc_id, r in rows.items():
+        n_seeds = (1 if doc_id % 4 == 0 else 0) + (1 if doc_id % 7 == 0 else 0)
+        assert r["n_dup_units"] == n_seeds, (doc_id, r)
+        if n_seeds == 0:
+            assert r["retained_frac"] == 1.0
+        else:
+            assert r["retained_frac"] < 1.0
+
+
+def test_asof_nearest_pandas_twin(spark):
+    """join_asof_nearest must match pandas merge_asof(direction='nearest')
+    on the same purchase/click frames (pandas also resolves equidistant
+    ties backward), including purchases with no click at all."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["join_asof_nearest"](spark, SF_DIR).toPandas()
+    e = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "event_type", "value"]
+    )
+    p = (
+        e[e.event_type == "purchase"][["user_id", "ts", "value"]]
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    c = (
+        e[e.event_type == "click"][["user_id", "ts"]]
+        .rename(columns={"ts": "click_ts"})
+        .sort_values("click_ts")
+        .reset_index(drop=True)
+    )
+    twin = pd.merge_asof(
+        p,
+        c,
+        left_on="ts",
+        right_on="click_ts",
+        by="user_id",
+        direction="nearest",
+    )
+    got = out.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    exp = twin.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    assert len(got) == len(exp) and len(got) > 0
+    for g, x in zip(got.itertuples(), exp.itertuples()):
+        assert (g.user_id, g.ts) == (x.user_id, x.ts)
+        if pd.isna(x.click_ts):
+            assert pd.isna(g.click_ts), g
+        else:
+            assert g.click_ts == x.click_ts, (g, x)
