@@ -978,3 +978,117 @@ def table_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+_QSK_K = 64  #: centroids per sketch; rank error ≤ ~1/K after one merge
+
+
+def _qsketch_compress(values, weights, k=_QSK_K):
+    """Compress weighted points to ≤ k equal-weight centroids (sorted by
+    value).  This is the t-digest idea with uniform (not quantile-biased)
+    bucket sizing — simpler, mergeable, rank error ≤ total_weight/k per
+    merge level."""
+    import numpy as np
+
+    order = np.argsort(values, kind="stable")
+    v, w = np.asarray(values, dtype=float)[order], np.asarray(
+        weights, dtype=float
+    )[order]
+    total = w.sum()
+    if len(v) <= k:
+        return v, w
+    bucket = total / k
+    out_v, out_w = [], []
+    acc_w = 0.0
+    acc_vw = 0.0
+    for vi, wi in zip(v, w):
+        acc_w += wi
+        acc_vw += vi * wi
+        if acc_w >= bucket:
+            out_v.append(acc_vw / acc_w)
+            out_w.append(acc_w)
+            acc_w = acc_vw = 0.0
+    if acc_w > 0:
+        out_v.append(acc_vw / acc_w)
+        out_w.append(acc_w)
+    import numpy as _np
+
+    return _np.asarray(out_v), _np.asarray(out_w)
+
+
+def _qsketch_quantile(v, w, q):
+    """Weighted-rank quantile estimate from a centroid list."""
+    import numpy as np
+
+    cum = np.cumsum(w) - w / 2.0
+    target = q * w.sum()
+    return float(np.interp(target, cum, v))
+
+
+@register("rollup_tdigest")  # rows-only: sketch estimates are approx by design
+def rollup_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable QUANTILES: per-hour value sketches merged into
+    per-day p50/p95/p99 — the missing member of the rollup family
+    (count/sum/min/max compose exactly in `rollup_time`, distincts via
+    HLL in `rollup_hll`, moments in `rollup_stats`; quantiles do NOT
+    compose exactly and need a mergeable sketch — the t-digest
+    pattern).
+
+    Two Arrow-batched `applyInPandas` levels, mirroring how a
+    lakehouse maintains quantile rollups: (1) per (day, hour) build a
+    ≤ 64-centroid equal-weight summary from raw values — the ONLY pass
+    over events; (2) per day, merge that day's hourly centroid lists
+    (concat → weighted recompress) and read p50/p95/p99 off the merged
+    summary.  Rank error is bounded by ~W/64 per merge level
+    (asserted against exact percentiles in tests/test_properties.py —
+    observed ≤ 2·W/64 end-to-end).
+
+    Scale notes: level-1 groups are (day, hour) — bounded state,
+    embarrassingly parallel; level-2 groups are days whose input is
+    24 × 64 centroids, not raw events.  Wire traffic after the first
+    pass is centroids only (~1 KB/hour).  At 100 TB swap level 1's
+    per-group numpy for a true streaming t-digest; every shape above
+    it is unchanged."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v, w = _qsketch_compress(
+            pdf["value"].to_numpy(), [1.0] * len(pdf)
+        )
+        return pd.DataFrame(
+            {
+                "day": [pdf["day"].iloc[0]] * len(v),
+                "c_value": v,
+                "c_weight": w,
+            }
+        )
+
+    hourly = e.groupBy("day", "hour").applyInPandas(
+        build, "day date, c_value double, c_weight double"
+    )
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v, w = _qsketch_compress(
+            pdf["c_value"].to_numpy(), pdf["c_weight"].to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "day": [pdf["day"].iloc[0]],
+                "n": [float(w.sum())],
+                "p50": [_qsketch_quantile(v, w, 0.50)],
+                "p95": [_qsketch_quantile(v, w, 0.95)],
+                "p99": [_qsketch_quantile(v, w, 0.99)],
+            }
+        )
+
+    return (
+        hourly.groupBy("day")
+        .applyInPandas(merge, "day date, n double, p50 double, p95 double, p99 double")
+        .orderBy("day")
+    )

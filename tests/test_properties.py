@@ -1221,3 +1221,23 @@ def test_asof_nearest_pandas_twin(spark):
             assert pd.isna(g.click_ts), g
         else:
             assert g.click_ts == x.click_ts, (g, x)
+
+
+def test_rollup_tdigest_rank_error_bound(spark):
+    """Mergeable-quantile law: for every day and every reported quantile
+    q, the number of true values below the estimate must sit within
+    2·W/64 of rank q·W (one recompress per merge level ⇒ ≤ W/64 error
+    per level; factor 2 covers both levels)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["rollup_tdigest"](spark, SF_DIR).collect()
+    assert rows
+    pdf = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["ts", "value"])
+    pdf["day"] = pdf["ts"].dt.floor("d").dt.date
+    for r in rows:
+        vals = pdf[pdf["day"] == r["day"]]["value"].to_numpy()
+        w = len(vals)
+        assert abs(r["n"] - w) < 1e-6
+        for q, est in ((0.50, r["p50"]), (0.95, r["p95"]), (0.99, r["p99"])):
+            rank = (vals < est).sum()
+            assert abs(rank - q * w) <= 2 * w / 64 + 1, (r["day"], q, rank, q * w)
