@@ -249,6 +249,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_pack_shards",
     "stream_topk_windowed",
     "stream_cdc_apply",
+    "stream_cusum_alarm",
     "rollup_tdigest",
     "source_kafka",
     "source_file_stream",

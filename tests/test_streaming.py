@@ -700,3 +700,38 @@ def test_stream_cdc_apply_equals_batch_latest_state(spark):
     all_keys = {r[0] for r in e.select("user_id").distinct().collect()}
     live_keys = {r[0] for r in streamed}
     assert all_keys - live_keys, "no key ends on a delete — vacuous test"
+
+
+def test_stream_cusum_alarm_equals_sequential_fold(spark):
+    """The streamed CUSUM snapshot must equal the same shared fold run
+    once over each type's fully time-ordered values — multi-batch state
+    carry provably matches the sequential recurrence — and at least one
+    type must have fired an alarm (non-vacuous)."""
+    from spark_streaming_kafka_offset_spark.streaming.stateful import (
+        cusum_fold,
+    )
+
+    streamed = {
+        r["event_type"]: r
+        for r in QUERIES["stream_cusum_alarm"](spark, SF_DIR).collect()
+    }
+    e = (
+        _batch_events(spark)
+        .select("event_type", "ts", "event_id", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    by_type: dict = {}
+    for r in e:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    assert set(streamed) == set(by_type)
+    total_alarms = 0
+    for etype, values in by_type.items():
+        n, sp, sn, al = cusum_fold(0, 0.0, 0.0, 0, values)
+        got = streamed[etype]
+        assert got["n_seen"] == n, etype
+        assert abs(got["s_pos"] - round(sp, 6)) < 1e-9, etype
+        assert abs(got["s_neg"] - round(sn, 6)) < 1e-9, etype
+        assert got["n_alarms"] == al, etype
+        total_alarms += al
+    assert total_alarms > 0, "no alarm fired anywhere — thresholds vacuous"
