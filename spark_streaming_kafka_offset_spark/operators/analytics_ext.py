@@ -1719,8 +1719,10 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ia.c AS BIGINT) AS n_ante,
            CAST(((r.c_both * 2000000 + ia.c) // (2 * ia.c)) AS DOUBLE)
              / 1000000.0 AS confidence,
-           CAST(((r.c_both * n.n * 2000000 + ia.c * ic.c)
-                 // (2 * ia.c * ic.c)) AS DOUBLE) / 1000000.0 AS lift
+           CAST(((CAST(r.c_both AS HUGEINT) * n.n * 2000000
+                  + CAST(ia.c AS HUGEINT) * ic.c)
+                 // (2 * CAST(ia.c AS HUGEINT) * ic.c)) AS DOUBLE)
+             / 1000000.0 AS lift
     FROM rules r
     JOIN item ia ON r.antecedent = ia.l_partkey
     JOIN item ic ON r.consequent = ic.l_partkey
@@ -1799,13 +1801,74 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("double")
                 / 1000000.0
             ).alias("confidence"),
+            # lift numerator is count×count×2·10⁶ — BIGINT overflows
+            # at production basket totals (N ~ 10¹⁰), so the rounding
+            # arithmetic runs in DECIMAL(38,0)/HUGEINT on both sides.
             (
                 F.expr(
-                    "(c_both * n * 2000000 + c_ante * c_cons)"
-                    " div (2 * c_ante * c_cons)"
+                    "(cast(c_both as decimal(38,0)) * n * 2000000"
+                    " + cast(c_ante as decimal(38,0)) * c_cons)"
+                    " div (2 * cast(c_ante as decimal(38,0)) * c_cons)"
                 ).cast("double")
                 / 1000000.0
             ).alias("lift"),
         )
         .orderBy("antecedent", "consequent")
+    )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    ), counted AS (
+      SELECT path, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rk
+      FROM paths GROUP BY path
+    )
+    SELECT CAST(rk AS BIGINT) AS rank, path, CAST(n AS BIGINT) AS n
+    FROM counted WHERE rk <= 20
+    ORDER BY rank
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-3 behavioral paths (consecutive event-type triples
+    per user, globally ranked) — the sequence-mining extension of
+    `events_markov_transitions`' length-2 matrix: which three-step
+    journeys dominate (view>click>purchase vs error loops).
+
+    Scale notes: ONE window shuffle (user_id) produces both leads in a
+    single frame pass; path counting is a partial+final agg on the
+    path-vocabulary key (|types|³ ≤ 125 distinct paths — tiny); the
+    final rank runs on that vocabulary-sized rollup.  Ties break on the
+    path string for cross-engine determinism."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = seq.where(
+        F.col("e2").isNotNull() & F.col("e3").isNotNull()
+    ).select(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n").desc(), "path")
+    )
+    return (
+        counted.withColumn("rank", rk.cast("long"))
+        .where(F.col("rank") <= 20)
+        .select("rank", "path", F.col("n").cast("long").alias("n"))
+        .orderBy("rank")
     )

@@ -179,6 +179,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embed_quantize_int8",
     "scan_agg_pushdown",
     "text_dedup_paragraph",
+    "events_top_paths",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",
@@ -250,6 +251,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_topk_windowed",
     "stream_cdc_apply",
     "stream_cusum_alarm",
+    "stream_watermark_metrics",
     "rollup_tdigest",
     "source_kafka",
     "source_file_stream",

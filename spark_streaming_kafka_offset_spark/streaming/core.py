@@ -652,3 +652,54 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register("stream_watermark_metrics")  # rows-only: runtime observability
+def stream_watermark_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark observability: run the late-data staged stream through a
+    watermarked windowed count and surface the engine's own progress
+    metrics — rows dropped by the watermark, state rows, batches — as a
+    queryable DataFrame.  This is the `kafka-consumer-groups`-style
+    monitoring surface for event-time correctness: a production job
+    alerts on `rows_dropped_by_watermark` (data loss by lateness) long
+    before anyone inspects results (the metric twin of
+    `stream_watermark`'s semantic drop test).
+
+    Scale notes: metrics come from StreamingQueryProgress (driver-side
+    JSON the engine already maintains per batch) — zero extra work on
+    the data path; the summary is batches-sized."""
+    src = read_event_stream(
+        spark,
+        stage_stream_dir(spark, sf_dir, late_chunk=True),
+        max_files_per_trigger=1,
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("win"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_watermark_metrics_sink")
+        .outputMode("update")
+        .option("checkpointLocation", scratch_path("ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = []
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") or []
+        rows.append(
+            (
+                int(p["batchId"]),
+                int(p.get("numInputRows", 0)),
+                sum(int(o.get("numRowsDroppedByWatermark", 0)) for o in ops),
+                sum(int(o.get("numRowsTotal", 0)) for o in ops),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, input_rows long, rows_dropped_by_watermark long, "
+        "state_rows long",
+    ).orderBy("batch_id")

@@ -1239,5 +1239,60 @@ def test_rollup_tdigest_rank_error_bound(spark):
         w = len(vals)
         assert abs(r["n"] - w) < 1e-6
         for q, est in ((0.50, r["p50"]), (0.95, r["p95"]), (0.99, r["p99"])):
-            rank = (vals < est).sum()
-            assert abs(rank - q * w) <= 2 * w / 64 + 1, (r["day"], q, rank, q * w)
+            lo, hi = (vals < est).sum(), (vals <= est).sum()  # tie interval
+            band = 2 * w / 64 + 1
+            assert lo - band <= q * w <= hi + band, (r["day"], q, lo, hi, q * w)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=400,
+    ),
+    split=st.integers(min_value=0, max_value=400),
+)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_qsketch_compress_laws(vals, split):
+    """Mergeable-summary laws for the quantile-sketch compressor, under
+    arbitrary inputs and an arbitrary two-way partitioning: (1) total
+    weight is conserved exactly through compress and merge; (2) output
+    is ≤ K centroids, sorted, inside [min, max]; (3) the weighted mean
+    is conserved to float tolerance (centroids are weighted averages);
+    (4) compress(all) and merge(compress(part1), compress(part2)) agree
+    on every quantile within the 2/K rank bound."""
+    import numpy as np
+
+    from spark_streaming_kafka_offset_spark.operators.scale import (
+        _QSK_K,
+        _qsketch_compress,
+        _qsketch_quantile,
+    )
+
+    arr = np.asarray(vals, dtype=float)
+    ones = np.ones(len(arr))
+    v_all, w_all = _qsketch_compress(arr, ones)
+    assert len(v_all) <= _QSK_K
+    assert abs(w_all.sum() - len(arr)) < 1e-9
+    assert (np.diff(v_all) >= -1e-12).all()
+    assert v_all.min() >= arr.min() - 1e-12 and v_all.max() <= arr.max() + 1e-12
+    assert abs((v_all * w_all).sum() - arr.sum()) <= 1e-6 * (1 + np.abs(arr).sum())
+
+    cut = min(split, len(arr))
+    a, b = arr[:cut], arr[cut:]
+    parts = [p for p in (a, b) if len(p)]
+    cs = [_qsketch_compress(p, np.ones(len(p))) for p in parts]
+    mv = np.concatenate([c[0] for c in cs])
+    mw = np.concatenate([c[1] for c in cs])
+    v_m, w_m = _qsketch_compress(mv, mw)
+    assert abs(w_m.sum() - len(arr)) < 1e-9
+    srt = np.sort(arr)
+    for q in (0.1, 0.5, 0.9):
+        est = _qsketch_quantile(v_m, w_m, q)
+        # With duplicated values the "rank of the estimate" is an
+        # INTERVAL [count(<est), count(<=est)]; the law is that it
+        # intersects the target band (a point-rank test fails even for
+        # a perfect estimate of a tied value).
+        lo, hi = (srt < est).sum(), (srt <= est).sum()
+        band = 2 * len(arr) / _QSK_K + 1
+        assert lo - band <= q * len(arr) <= hi + band

@@ -735,3 +735,16 @@ def test_stream_cusum_alarm_equals_sequential_fold(spark):
         assert got["n_alarms"] == al, etype
         total_alarms += al
     assert total_alarms > 0, "no alarm fired anywhere — thresholds vacuous"
+
+
+def test_stream_watermark_metrics_reports_real_drop(spark):
+    """The metrics surface must show the late chunk actually being
+    dropped: total input rows == staged rows, and
+    rows_dropped_by_watermark > 0 in some batch (the three-file staging
+    guarantees the intermediate batch arms the late-events filter)."""
+    out = QUERIES["stream_watermark_metrics"](spark, SF_DIR).collect()
+    assert len(out) >= 3
+    total_dropped = sum(r["rows_dropped_by_watermark"] for r in out)
+    assert total_dropped > 0, "watermark dropped nothing — metrics vacuous"
+    n_staged = _batch_events(spark).count()
+    assert sum(r["input_rows"] for r in out) == n_staged
