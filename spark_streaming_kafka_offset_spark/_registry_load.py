@@ -31,5 +31,5 @@ from .operators import (  # noqa: F401
     sorts,
     windows,
 )
-from .sources import batch, stream_entries  # noqa: F401
+from .sources import batch, stream_entries, txnlog  # noqa: F401
 from .streaming import core, offsets, stateful  # noqa: F401

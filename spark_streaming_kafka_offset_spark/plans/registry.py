@@ -252,6 +252,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_cdc_apply",
     "stream_cusum_alarm",
     "stream_watermark_metrics",
+    "sink_txn_log",
     "rollup_tdigest",
     "source_kafka",
     "source_file_stream",

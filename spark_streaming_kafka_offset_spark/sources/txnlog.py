@@ -1,0 +1,139 @@
+"""Minimal lakehouse transaction log over plain parquet (SURVEY.md §2.17).
+
+The three guarantees every table format (Delta/Iceberg/Hudi) builds on,
+reproduced with nothing but files — so the SEMANTICS are testable here and
+swap 1:1 for a real format in production:
+
+1. **Atomic commit**: a write is visible iff its commit record exists in
+   ``_log/``; the commit record lands via ``os.rename`` (atomic on POSIX),
+   so readers see all of a commit or none of it.
+2. **Torn-write invisibility**: data files not referenced by any commit
+   (a writer that died mid-job) are ignored by every reader forever.
+3. **Snapshot isolation / time travel**: a reader pins a version V and
+   reads exactly the files committed by versions ≤ V, unaffected by
+   concurrent appends.
+
+Optimistic concurrency comes free: two writers racing to the same version
+number — the second ``os.rename`` onto an existing name fails on the
+platforms that guarantee it, and the CAS loop here retries with the next
+version (documented simplification: POSIX rename overwrites, so the
+production variant uses ``link``/``O_EXCL``; single-writer here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..common import scratch_path
+from ..plans.registry import register
+from ..session import load_table
+
+
+def txn_commit(table_dir: str, files: list[str], n_rows: int) -> int:
+    """Atomically publish ``files`` as the next version; returns it."""
+    log_dir = os.path.join(table_dir, "_log")
+    os.makedirs(log_dir, exist_ok=True)
+    while True:
+        versions = [
+            int(f[:-5]) for f in os.listdir(log_dir) if f.endswith(".json")
+        ]
+        v = (max(versions) + 1) if versions else 0
+        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "files": files, "n_rows": n_rows}, fh)
+        target = os.path.join(log_dir, f"{v:06d}.json")
+        if os.path.exists(target):  # lost the race: retry with next v
+            os.unlink(tmp)
+            continue
+        os.rename(tmp, target)  # atomic publish
+        return v
+
+
+def txn_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: exactly the files committed at versions ≤ version."""
+    log_dir = os.path.join(table_dir, "_log")
+    commits = sorted(
+        f for f in os.listdir(log_dir) if f.endswith(".json")
+    )
+    files: list[str] = []
+    for c in commits:
+        with open(os.path.join(log_dir, c)) as fh:
+            rec = json.load(fh)
+        if version is not None and rec["version"] > version:
+            continue
+        files.extend(os.path.join(table_dir, "data", f) for f in rec["files"])
+    return spark.read.parquet(*files)
+
+
+def _write_data_files(
+    df: DataFrame, table_dir: str, n_files: int
+) -> tuple[list[str], int]:
+    """Write df as uniquely-named parquet files under data/ (NOT yet
+    visible — visibility comes from the commit record)."""
+    staging = scratch_path("sskos_txn_stage_")
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    names = []
+    for f in sorted(os.listdir(staging)):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            name = f"{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(staging, f), os.path.join(data_dir, name))
+            names.append(name)
+    return names, df.count()
+
+
+@register("sink_txn_log")  # rows-only: commit-protocol runtime semantics
+def sink_txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional append sink + time-travel read over plain parquet:
+    two committed appends, one deliberately TORN write (data file with
+    no commit record), then snapshot reads at v0, v1, and latest.
+
+    The output row set is the verdict: per version, the committed row
+    count AND the full-directory count — equal only if torn files leak
+    (`torn_invisible` must be true; asserted in tests along with
+    snapshot monotonicity and the exact re-read of each version's
+    rows).
+
+    Scale notes: the log is one tiny JSON per commit (listing, not
+    data); readers list O(#commits) records and plan a normal parquet
+    scan over exactly the committed files — the same read path every
+    lakehouse format lowers to.  Data files land under unique names
+    BEFORE the rename-published commit, so no reader can observe a
+    partial write at any point."""
+    table_dir = scratch_path("sskos_txn_table_")
+    e = load_table(spark, sf_dir, "events")
+    first = e.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    second = e.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value"
+    )
+    f1, n1 = _write_data_files(first, table_dir, 2)
+    v0 = txn_commit(table_dir, f1, n1)
+    f2, n2 = _write_data_files(second, table_dir, 2)
+    v1 = txn_commit(table_dir, f2, n2)
+    # torn write: data lands, writer dies before commit
+    torn, _ = _write_data_files(first.limit(100), table_dir, 1)
+    assert torn and v0 == 0 and v1 == 1
+
+    data_dir = os.path.join(table_dir, "data")
+    all_files_count = (
+        spark.read.parquet(data_dir).count()
+    )
+    rows = []
+    for label, ver in (("v0", 0), ("v1", 1), ("latest", None)):
+        cnt = txn_read(spark, table_dir, ver).count()
+        rows.append((label, cnt, all_files_count, cnt < all_files_count))
+    return spark.createDataFrame(
+        rows,
+        "snapshot string, committed_rows long, all_file_rows long, "
+        "torn_invisible boolean",
+    )
