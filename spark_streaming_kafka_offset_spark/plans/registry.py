@@ -253,6 +253,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_cusum_alarm",
     "stream_watermark_metrics",
     "sink_txn_log",
+    "scan_txn_maintenance",
     "rollup_tdigest",
     "source_kafka",
     "source_file_stream",

@@ -68,6 +68,8 @@ def txn_read(
             rec = json.load(fh)
         if version is not None and rec["version"] > version:
             continue
+        for gone in rec.get("removed", []):
+            files = [f for f in files if not f.endswith(gone)]
         files.extend(os.path.join(table_dir, "data", f) for f in rec["files"])
     return spark.read.parquet(*files)
 
@@ -136,4 +138,124 @@ def sink_txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "snapshot string, committed_rows long, all_file_rows long, "
         "torn_invisible boolean",
+    )
+
+
+def txn_read_incremental(
+    spark: SparkSession, table_dir: str, after: int, until: int | None = None
+) -> DataFrame:
+    """CDC-style incremental read: rows ADDED by commits in (after, until]
+    — the consumption contract of lakehouse streaming sources (each
+    commit is a micro-batch; the reader's offset is a version number,
+    exactly the manual-offset-store recipe [K] applied to a table)."""
+    log_dir = os.path.join(table_dir, "_log")
+    files: list[str] = []
+    for c in sorted(f for f in os.listdir(log_dir) if f.endswith(".json")):
+        with open(os.path.join(log_dir, c)) as fh:
+            rec = json.load(fh)
+        if rec["version"] <= after:
+            continue
+        if until is not None and rec["version"] > until:
+            continue
+        if rec.get("op") == "replace":
+            raise ValueError(
+                "incremental read across a REPLACE commit is undefined; "
+                "consume data commits only (as Delta CDF does)"
+            )
+        files.extend(os.path.join(table_dir, "data", f) for f in rec["files"])
+    return spark.read.parquet(*files)
+
+
+def txn_compact(spark: SparkSession, table_dir: str) -> int:
+    """Small-files compaction as a REPLACE commit: rewrite the current
+    snapshot into one file and publish a commit that both adds it and
+    removes the predecessors — readers before the commit see the old
+    files, readers after see the new one, and at no instant is the
+    table unreadable (the OPTIMIZE/rewrite_data_files maintenance op)."""
+    current = txn_read(spark, table_dir)
+    new_files, n_rows = _write_data_files(current, table_dir, 1)
+    log_dir = os.path.join(table_dir, "_log")
+    removed: list[str] = []
+    for c in sorted(f for f in os.listdir(log_dir) if f.endswith(".json")):
+        with open(os.path.join(log_dir, c)) as fh:
+            rec = json.load(fh)
+        removed.extend(rec["files"])
+        removed = [f for f in removed if f not in set(rec.get("removed", []))]
+    while True:
+        versions = [
+            int(f[:-5]) for f in os.listdir(log_dir) if f.endswith(".json")
+        ]
+        v = max(versions) + 1
+        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": v,
+                    "op": "replace",
+                    "files": new_files,
+                    "removed": removed,
+                    "n_rows": n_rows,
+                },
+                fh,
+            )
+        target = os.path.join(log_dir, f"{v:06d}.json")
+        if os.path.exists(target):
+            os.unlink(tmp)
+            continue
+        os.rename(tmp, target)
+        return v
+
+
+@register("scan_txn_maintenance")  # rows-only: commit-protocol runtime semantics
+def scan_txn_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse table MAINTENANCE on the txn log: incremental (CDC)
+    consumption between versions, then small-files compaction as a
+    REPLACE commit — the two operations that keep a 100 TB table
+    consumable and fast after months of appends.
+
+    Emits one row per claim so the tests pin each guarantee: the
+    incremental read of (v0, v1] returns exactly commit 1's rows; the
+    post-compaction snapshot is row-identical to the pre-compaction
+    one; the file count actually shrinks; time travel to v1 still
+    works THROUGH the replace commit (old files are removed from the
+    LATEST view, not deleted from history).
+
+    Scale notes: incremental readers track one integer offset (the
+    version) — the Kafka-offset recipe [K] applied to a table; the
+    compactor rewrites data once and publishes metadata atomically, so
+    concurrent readers never block; `removed` lists make vacuuming a
+    separate, safe GC decision (retention), exactly as in Delta."""
+    table_dir = scratch_path("sskos_txn_maint_")
+    e = load_table(spark, sf_dir, "events")
+    first = e.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    second = e.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value"
+    )
+    f1, n1 = _write_data_files(first, table_dir, 3)
+    txn_commit(table_dir, f1, n1)
+    f2, n2 = _write_data_files(second, table_dir, 3)
+    txn_commit(table_dir, f2, n2)
+
+    inc = txn_read_incremental(spark, table_dir, after=0, until=1).count()
+    pre_rows = txn_read(spark, table_dir).count()
+    pre_files = len(f1) + len(f2)
+    txn_compact(spark, table_dir)
+    post = txn_read(spark, table_dir)
+    post_rows = post.count()
+    post_files = post.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    v1_rows = txn_read(spark, table_dir, version=1).count()
+    return spark.createDataFrame(
+        [
+            ("incremental_v0_v1", inc),
+            ("rows_pre_compact", pre_rows),
+            ("rows_post_compact", post_rows),
+            ("files_pre_compact", pre_files),
+            ("files_post_compact", post_files),
+            ("time_travel_v1_rows", v1_rows),
+        ],
+        "claim string, value long",
     )

@@ -23,3 +23,28 @@ def test_txn_log_atomicity_and_time_travel(spark):
     for r in out.values():
         assert r["torn_invisible"], r
         assert r["all_file_rows"] == n_all + 100  # torn file IS on disk
+
+
+def test_txn_maintenance_incremental_and_compaction(spark):
+    """Incremental (v0, v1] returns exactly commit 1's rows; compaction
+    preserves the snapshot row-for-row while shrinking files to 1; time
+    travel to v1 still works through the replace commit."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_offset_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["claim"]: r["value"]
+        for r in entrymod.queries()["scan_txn_maintenance"](spark, SF_DIR).collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    n_odd = e.where(F.col("event_id") % 2 == 1).count()
+    n_all = e.count()
+    assert out["incremental_v0_v1"] == n_odd
+    assert out["rows_pre_compact"] == n_all
+    assert out["rows_post_compact"] == n_all
+    assert out["files_pre_compact"] == 6
+    assert out["files_post_compact"] == 1
+    assert out["time_travel_v1_rows"] == n_all
