@@ -76,3 +76,46 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     return _custkeys_in_year(o, 1995).subtract(_custkeys_in_year(o, 1996))
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (INTERSECT ALL): each customer appears
+    min(n_1995, n_1996) times — the multiplicity-preserving variant
+    `set_intersect` collapses; completes the ALL family with
+    `set_union_all`.
+
+    Scale notes: Catalyst lowers this to one hash aggregation per side
+    (key → count) + a join — the same single-shuffle-per-side shape as
+    INTERSECT; multiplicities never materialize as row copies until
+    output."""
+    o = load_table(spark, sf_dir, "orders")
+    return _custkeys_in_year(o, 1995).intersectAll(_custkeys_in_year(o, 1996))
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL): each customer appears
+    max(0, n_1995 − n_1996) times — order-frequency arithmetic that the
+    DISTINCT variant erases (cf. `set_except`'s docstring warning that
+    `exceptAll().distinct()` ≠ `subtract`; this op is the other side of
+    that distinction, deliberately exposed).
+
+    Scale notes: same count-join lowering as `set_intersect_all` — one
+    partial+final agg per side, one join on the key."""
+    o = load_table(spark, sf_dir, "orders")
+    return _custkeys_in_year(o, 1995).exceptAll(_custkeys_in_year(o, 1996))

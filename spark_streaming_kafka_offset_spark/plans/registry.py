@@ -180,6 +180,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_agg_pushdown",
     "text_dedup_paragraph",
     "events_top_paths",
+    "set_intersect_all",
+    "set_except_all",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",
