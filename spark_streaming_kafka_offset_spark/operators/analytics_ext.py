@@ -1872,3 +1872,163 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "path", F.col("n").cast("long").alias("n"))
         .orderBy("rank")
     )
+
+
+@register(
+    "orders_backlog_sweep",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS opened,
+             MAX(CAST(l.l_shipdate AS DATE)) AS closed
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ), deltas AS (
+      SELECT opened AS day, 1 AS d FROM iv
+      UNION ALL
+      SELECT closed + 1, -1 FROM iv
+    ), daily AS (
+      SELECT day,
+             SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_opened,
+             SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_closed,
+             SUM(SUM(d)) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS backlog
+      FROM deltas GROUP BY day
+    )
+    SELECT day, CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_closed AS BIGINT) AS n_closed,
+           CAST(backlog AS BIGINT) AS backlog
+    FROM daily ORDER BY day
+    """,
+)
+def orders_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by INTERVAL SWEEP: each order is
+    open from o_orderdate through its last lineitem shipdate; the
+    backlog curve comes from +1/−1 boundary events and one cumulative
+    sum — the sweep-line pattern that answers "how many intervals
+    overlap each day" WITHOUT a day×interval range join (the naive
+    formulation is O(days·orders) and a shuffle monster at 100 TB;
+    this is one fact-table agg + a day-level window).
+
+    Scale notes: the only fact-sized work is max(l_shipdate) per order
+    (partial+final agg on the join key); boundary events are
+    2 rows/order collapsing to |days| rows before the single ordered
+    cumsum, which runs on the day-level rollup (calendar-sized —
+    thousands of rows even at 100 TB; the sweep is inherently
+    sequential in day order, and that tiny frame is exactly where a
+    global window is correct, cf. `orders_abc_pareto`)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("opened"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("closed"))
+    )
+    deltas = iv.select(
+        F.col("opened").alias("day"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select(F.date_add("closed", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long").alias(
+            "n_opened"
+        ),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).cast("long").alias(
+            "n_closed"
+        ),
+        F.sum("d").alias("net"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum("net").over(w).cast("long").alias("backlog"),
+    ).orderBy("day")
+
+
+@register(
+    "events_rolling_active",
+    # The ORACLE computes rolling actives DIRECTLY (day grid × distinct
+    # membership — O(days·users), fine at fixture scale); the engine
+    # uses the interval-merge sweep.  A hash match cross-validates the
+    # two algorithms, like graph_triangle_count.
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))::DATE
+               AS day
+      FROM ud
+    )
+    SELECT g.day,
+           CAST(COALESCE((SELECT COUNT(*) FROM ud u WHERE u.day = g.day), 0)
+                AS BIGINT) AS dau,
+           CAST((SELECT COUNT(DISTINCT u.user_id) FROM ud u
+                 WHERE u.day BETWEEN g.day - 6 AND g.day) AS BIGINT) AS wau7
+    FROM grid g
+    ORDER BY g.day
+    """,
+)
+def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day active users (WAU) per day — computed WITHOUT
+    a count-distinct-over-window (which at 100 TB means re-scanning 7
+    days of users per output day).  Instead, the interval-merge sweep:
+    each user's active days become coverage intervals [day, day+6],
+    overlapping intervals merge per user (a gap > 6 days starts a new
+    one), and a +1/−1 boundary sweep with one cumulative sum yields
+    WAU for every calendar day.  Each user contributes O(#sessions)
+    boundary rows, not O(#days) membership rows.
+
+    Scale notes: user-day dedup is the only fact-sized agg; interval
+    merge is one window per user (lag + cumulative flag — standard
+    gaps-and-islands); the sweep cumsum runs on the calendar-sized
+    rollup.  The oracle deliberately computes the same numbers the
+    O(days·users) direct way — two algorithms, one hash."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    wlag = Window.partitionBy("user_id").orderBy("day")
+    grp = ud.withColumn(
+        "new_iv",
+        F.when(
+            F.datediff("day", F.lag("day").over(wlag)) > 6, 1
+        ).otherwise(0),
+    ).withColumn(
+        "iv_id",
+        F.sum("new_iv").over(
+            wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = grp.groupBy("user_id", "iv_id").agg(
+        F.min("day").alias("s"), F.date_add(F.max("day"), 6).alias("e")
+    )
+    deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    sweep = deltas.groupBy("day").agg(F.sum("d").alias("net"))
+    bounds = ud.agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day")
+    )
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    wsweep = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(sweep, "day", "left")
+        .join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.sum(F.coalesce("net", F.lit(0)))
+            .over(wsweep)
+            .cast("long")
+            .alias("wau7"),
+        )
+        .orderBy("day")
+    )

@@ -182,6 +182,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_top_paths",
     "set_intersect_all",
     "set_except_all",
+    "orders_backlog_sweep",
+    "events_rolling_active",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",
