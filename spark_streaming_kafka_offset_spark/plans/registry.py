@@ -184,6 +184,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "set_except_all",
     "orders_backlog_sweep",
     "events_rolling_active",
+    "bpe_train_iterative",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

@@ -543,3 +543,24 @@ def test_histogram_and_corr_are_single_pass_partial_final(spark):
         plan = executed_plan(QUERIES[key](spark, SF_DIR))
         assert plan.count("HashAggregate") >= 2, key
         assert "partial_" in plan, key
+
+
+def test_rolling_active_no_distinct_over_window(spark):
+    """events_rolling_active's whole point: WAU must NOT plan a
+    count-distinct-over-window (7-day rescan per output day) — the only
+    fact-sized operator is the user-day dedup aggregate; everything
+    after runs on session-interval or calendar-sized frames."""
+    plan = executed_plan(QUERIES["events_rolling_active"](spark, SF_DIR))
+    # a windowed COUNT DISTINCT would appear as a Window with a distinct
+    # aggregate; assert no Window carries a count(distinct ...)
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "distinct" not in line.lower(), line
+
+
+def test_backlog_sweep_single_fact_agg(spark):
+    """orders_backlog_sweep: one partial+final agg pass over the join
+    (max shipdate per order); the cumsum window is calendar-sized."""
+    plan = executed_plan(QUERIES["orders_backlog_sweep"](spark, SF_DIR))
+    assert "HashAggregate" in plan and "partial_" in plan
+    assert "CartesianProduct" not in plan

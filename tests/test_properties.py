@@ -1296,3 +1296,50 @@ def test_qsketch_compress_laws(vals, split):
         lo, hi = (srt < est).sum(), (srt <= est).sum()
         band = 2 * len(arr) / _QSK_K + 1
         assert lo - band <= q * len(arr) <= hi + band
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed 3-round BPE trainer must produce the IDENTICAL
+    merge table as a canonical in-memory reference (same tie-break:
+    freq desc, then left, then right; left-to-right non-overlapping
+    application)."""
+    from collections import Counter
+
+    import __spark_entry__ as entrymod
+
+    got = [
+        (r["round"], r["left"], r["right"], r["freq"])
+        for r in entrymod.queries()["bpe_train_iterative"](spark, SF_DIR).collect()
+    ]
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    vocab = Counter()
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                vocab[w] += 1
+    seqs = {w: list(w) for w in vocab}
+    expect = []
+    for rnd in range(3):
+        pair_freq = Counter()
+        for w, syms in seqs.items():
+            f = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_freq[(a, b)] += f
+        (l, r), freq = min(
+            pair_freq.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((rnd, l, r, freq))
+        for w, syms in seqs.items():
+            out, carry = [], None
+            for x in syms:
+                if carry == l and x == r:
+                    out.append(l + r)
+                    carry = None
+                else:
+                    if carry is not None:
+                        out.append(carry)
+                    carry = x
+            if carry is not None:
+                out.append(carry)
+            seqs[w] = out
+    assert got == expect, (got, expect)
