@@ -1092,3 +1092,48 @@ def rollup_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(merge, "day date, n double, p50 double, p95 double, p99 double")
         .orderBy("day")
     )
+
+
+@register("rollup_hll_intersect")  # rows-only: sketch estimates approx by design
+def rollup_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set ALGEBRA: estimated audience overlap |A∩B| for every pair
+    of event types via inclusion–exclusion over mergeable sketches
+    (|A| + |B| − |A∪B|) — the segment-overlap question every audience/
+    feature-coverage dashboard asks, answered without ever co-shuffling
+    the two user sets (HLL unions natively; intersections don't, and
+    inclusion–exclusion is the standard estimator, error ∝ |A∪B|'s —
+    which is why the pytest bounds error relative to the UNION size,
+    not the intersection).
+
+    Scale notes: ONE pass builds a sketch per type (partial+final
+    `hll_sketch_agg`); the pair grid is |types|² rows of sketch pairs
+    (tiny) and every estimate is sketch-local arithmetic — no re-scan,
+    no distinct shuffle.  Same posture as `rollup_hll`'s hour→day
+    merge: sketches are the only thing that moves."""
+    e = load_table(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact").alias("exact_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact").alias("exact_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_u = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        est_a.cast("long").alias("approx_a"),
+        est_b.cast("long").alias("approx_b"),
+        est_u.cast("long").alias("approx_union"),
+        (est_a + est_b - est_u).cast("long").alias("approx_intersect"),
+    ).orderBy("type_a", "type_b")

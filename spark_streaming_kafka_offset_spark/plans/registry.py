@@ -185,6 +185,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_backlog_sweep",
     "events_rolling_active",
     "bpe_train_iterative",
+    "rollup_hll_intersect",
+    "stream_autoscale_signal",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

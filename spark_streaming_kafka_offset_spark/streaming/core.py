@@ -703,3 +703,54 @@ def stream_watermark_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id long, input_rows long, rows_dropped_by_watermark long, "
         "state_rows long",
     ).orderBy("batch_id")
+
+
+@register("stream_autoscale_signal")  # rows-only: runtime observability
+def stream_autoscale_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backpressure-driven autoscale signal: per micro-batch, input rate
+    vs processing rate from StreamingQueryProgress, folded into the
+    scale decision an autoscaler would take (UP when the consumer
+    processes slower than data arrives, DOWN when capacity is > 2×
+    demand, HOLD otherwise) — the feedback loop behind every streaming
+    autoscaler, derived from metrics the engine already keeps
+    (`maxFilesPerTrigger` here plays Kafka's `maxOffsetsPerTrigger`
+    backpressure bound [K]).
+
+    Scale notes: pure driver-side progress JSON, zero data-path cost;
+    the decision table is batches-sized."""
+    src = read_event_stream(
+        spark, stage_stream_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+    agg = src.groupBy("event_type").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_autoscale_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", scratch_path("ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = []
+    for p in q.recentProgress:
+        in_rate = float(p.get("inputRowsPerSecond") or 0.0)
+        proc_rate = float(p.get("processedRowsPerSecond") or 0.0)
+        decision = (
+            "up"
+            if proc_rate < in_rate
+            else ("down" if proc_rate > 2 * in_rate and in_rate > 0 else "hold")
+        )
+        rows.append(
+            (
+                int(p["batchId"]),
+                int(p.get("numInputRows", 0)),
+                round(in_rate, 2),
+                round(proc_rate, 2),
+                decision,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, input_rows long, input_rate double, "
+        "process_rate double, decision string",
+    ).orderBy("batch_id")

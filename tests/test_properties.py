@@ -1343,3 +1343,26 @@ def test_bpe_train_matches_reference_implementation(spark):
                 out.append(carry)
             seqs[w] = out
     assert got == expect, (got, expect)
+
+
+def test_hll_intersect_error_bound(spark):
+    """Inclusion-exclusion HLL intersection: the estimate must sit within
+    5% of the UNION size of the exact intersection (HLL lgK=12 is ~1.6%
+    per sketch; three sketches compound — 5% of union is generous and
+    catches sign/merge bugs)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    rows = entrymod.queries()["rollup_hll_intersect"](spark, SF_DIR).collect()
+    assert rows
+    e = load_table(spark, SF_DIR, "events")
+    ud = e.select("event_type", "user_id").distinct().collect()
+    by_type: dict = {}
+    for r in ud:
+        by_type.setdefault(r["event_type"], set()).add(r["user_id"])
+    for r in rows:
+        exact = len(by_type[r["type_a"]] & by_type[r["type_b"]])
+        union = len(by_type[r["type_a"]] | by_type[r["type_b"]])
+        assert abs(r["approx_intersect"] - exact) <= max(0.05 * union, 2), (
+            r, exact, union,
+        )

@@ -748,3 +748,15 @@ def test_stream_watermark_metrics_reports_real_drop(spark):
     assert total_dropped > 0, "watermark dropped nothing — metrics vacuous"
     n_staged = _batch_events(spark).count()
     assert sum(r["input_rows"] for r in out) == n_staged
+
+
+def test_stream_autoscale_signal_shape(spark):
+    """One decision row per micro-batch (4 staged files => >= 4 batches
+    with rows), rates non-negative, decisions from the closed set, and
+    input rows conserved."""
+    out = QUERIES["stream_autoscale_signal"](spark, SF_DIR).collect()
+    withrows = [r for r in out if r["input_rows"] > 0]
+    assert len(withrows) >= 4
+    assert sum(r["input_rows"] for r in out) == _batch_events(spark).count()
+    assert all(r["decision"] in ("up", "down", "hold") for r in out)
+    assert all(r["input_rate"] >= 0 and r["process_rate"] >= 0 for r in out)
