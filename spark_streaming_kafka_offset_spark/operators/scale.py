@@ -1125,7 +1125,11 @@ def rollup_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sk").alias("sk_b"),
         F.col("exact").alias("exact_b"),
     )
-    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    # |event_types| is a bounded domain (5 in the fixture, O(100) in any
+    # real catalog), so the inequality pair grid is an explicit broadcast
+    # NL join over a sketch-sized frame — rows moved = |types|², never
+    # corpus-sized.  tests/test_plans.py allowlists this BNL.
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
     est_a = F.hll_sketch_estimate("sk_a")
     est_b = F.hll_sketch_estimate("sk_b")
     est_u = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))

@@ -253,6 +253,7 @@ _BNL_ALLOWED = {
     "orders_basket_affinity",  # broadcast 1-row basket-total scalar frame
     "events_funnel_windowed",  # broadcast 1-row stage-count scalar frames
     "sim_topk_pq",       # broadcast m·ksub=256-row codebook + query LUT table
+    "rollup_hll_intersect",  # broadcast |types|-row sketch frame pair grid
 }
 
 
