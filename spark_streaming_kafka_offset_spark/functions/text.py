@@ -1924,3 +1924,127 @@ def bpe_train_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round long, left string, right string, freq long"
     )
+
+
+@register(
+    "text_lm_perplexity",
+    # Float discipline: each bigram's surprisal is ONE log2 over an
+    # exact-IEEE quotient of integers, floored into integer MILLI-BIT
+    # units at the model-entry level (granularity 1e-3 vs cross-engine
+    # log ulp drift ~1e-12 — no realistic boundary flip); every
+    # aggregate after that is exact integer arithmetic, immune to
+    # partition-order summation drift (same posture as vectors.py).
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, text FROM documents WHERE length(text) >= 2
+    ), grams AS (
+      SELECT doc_id, lang, unnest(list_transform(
+               generate_series(1, length(text) - 1),
+               i -> substr(text, i, 2))) AS g
+      FROM d
+    ), model AS (
+      SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY lang, g
+    ), lang_tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM model GROUP BY lang
+    ), costs AS (
+      SELECT m.lang, m.g,
+             CAST(floor(log2(CAST(t.tot + t.v AS DOUBLE) / (m.c + 1))
+                        * 1000) AS BIGINT) AS mbits
+      FROM model m JOIN lang_tot t ON m.lang = t.lang
+    ), scored AS (
+      SELECT g.doc_id, g.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(c.mbits) AS BIGINT) AS total_mbits
+      FROM grams g JOIN costs c ON g.lang = c.lang AND g.g = c.g
+      GROUP BY g.doc_id, g.lang
+    )
+    SELECT doc_id, lang, n_bigrams, total_mbits,
+           CAST(total_mbits // n_bigrams AS BIGINT) AS avg_mbits
+    FROM scored
+    ORDER BY avg_mbits DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-model surprisal scoring — the CCNet-style
+    "perplexity filter" reduced to a char LM trainable in one aggregate:
+    train add-one-smoothed bigram models per language on the corpus
+    itself, score every document by its average surprisal (milli-bits
+    per bigram), and report the 20 most surprising documents — the
+    reject list a model-based quality gate feeds to review.  Unlike the
+    rule-based `text_quality`, the filter here is LEARNED from the
+    corpus distribution (the distinction between C4's heuristics and
+    CCNet's KenLM gate).
+
+    Surprisal of bigram g in lang L is −log2 p(g) with
+    p = (c_g + 1) / (tot_L + V_L) — every operand an exact integer, the
+    quotient one exactly-rounded IEEE division, ONE log2 per model
+    ENTRY (not per token), floored to integer milli-bits.  Documents
+    shorter than 2 chars are filtered on both sides (sequence-step
+    guard, same as `char_ngram_profile`).
+
+    Scale notes: the model is (lang × observed-char-pair) rows — bounded
+    by |alphabet|² per language, NOT corpus size — so the scoring join
+    broadcasts the model to the token stream; training and scoring are
+    each one partial+final aggregate over the same scan-side explode.
+    Total: two passes over text, zero UDFs, zero windows on fact-sized
+    frames, top-20 via TakeOrderedAndProject."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 2)
+        .select("doc_id", "lang", "text")
+    )
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("g"),
+    )
+    model = grams.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    lang_tot = model.groupBy("lang").agg(
+        F.sum("c").alias("tot"), F.count("*").alias("v")
+    )
+    costs = (
+        model.join(lang_tot, "lang")
+        .select(
+            "lang",
+            "g",
+            F.floor(
+                F.log2(
+                    (F.col("tot") + F.col("v")).cast("double")
+                    / (F.col("c") + 1)
+                )
+                * 1000
+            )
+            .cast("long")
+            .alias("mbits"),
+        )
+    )
+    scored = (
+        grams.join(F.broadcast(costs), ["lang", "g"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("mbits").cast("long").alias("total_mbits"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "total_mbits",
+            # `div` is Spark's EXACT integer division (DuckDB twin: `//`)
+            # — floor(double-division) can misround for 40-bit totals.
+            F.expr("total_mbits div n_bigrams").cast("long").alias("avg_mbits"),
+        )
+        .orderBy(F.col("avg_mbits").desc(), "doc_id")
+        .limit(20)
+    )

@@ -2032,3 +2032,84 @@ def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_pattern_match",
+    oracle=r"""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events
+      GROUP BY user_id
+    ), m AS (
+      SELECT user_id,
+             length(seq) AS seq_len,
+             regexp_extract_all(seq, 'v+c+p') AS hits
+      FROM seqs
+    )
+    SELECT user_id,
+           CAST(seq_len AS BIGINT) AS seq_len,
+           CAST(len(hits) AS BIGINT) AS n_matches,
+           CAST(list_max(list_transform(hits, x -> length(x))) AS BIGINT)
+             AS max_match_len
+    FROM m
+    WHERE len(hits) > 0
+    ORDER BY user_id
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection: per user, order
+    the event stream and find maximal runs matching ``PATTERN (V+ C+ P)``
+    — one-or-more views, then one-or-more clicks, then a purchase, with
+    the standard AFTER MATCH SKIP PAST LAST ROW semantics.  Spark has no
+    MATCH_RECOGNIZE; the engine re-expresses it as greedy non-overlapping
+    regex matching over the per-key symbol string — the same compilation
+    Flink CEP / Trino's pattern machine performs, with each event type
+    mapped to one symbol character.  Greedy leftmost-nonoverlapping
+    matching is identical semantics in Java regex and RE2-style engines
+    for this pattern class, which is what makes the DuckDB twin exact.
+
+    Scale notes: ONE groupBy(user) builds the symbol string (collect_list
+    of (ts, event_id, symbol) structs, array_sort, concat — all JVM
+    built-ins, no window, no UDF); per-user sequences are session-sized
+    (bounded by per-key activity, not corpus size), so the regex scan is
+    linear in each group's own events.  Everything after the single
+    keyed shuffle is narrow.  AFTER-SKIP-PAST-LAST semantics mean no
+    backtracking blowup: the scan is O(len) per key."""
+    e = load_table(spark, sf_dir, "events")
+    seqs = (
+        e.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("sym")
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("ev")), lambda s: s["sym"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    m = seqs.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        F.regexp_extract_all("seq", F.lit(r"v+c+p"), 0).alias("hits"),
+    )
+    return (
+        m.where(F.size("hits") > 0)
+        .select(
+            "user_id",
+            F.col("seq_len").cast("long").alias("seq_len"),
+            F.size("hits").cast("long").alias("n_matches"),
+            F.array_max(F.transform("hits", lambda x: F.length(x)))
+            .cast("long")
+            .alias("max_match_len"),
+        )
+        .orderBy("user_id")
+    )

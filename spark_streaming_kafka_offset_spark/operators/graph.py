@@ -331,3 +331,124 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+_BFS_LEVELS = 4
+_BFS_SOURCES = 3
+
+
+def _oracle_bfs() -> str:
+    """Unroll the BFS levels as chained min-merge CTEs — codegen'd with
+    the same ``_BFS_LEVELS`` the Spark loop uses, so depth agrees by
+    construction (same discipline as ``_oracle_pagerank``)."""
+    steps = []
+    prev = "d0"
+    for k in range(1, _BFS_LEVELS + 1):
+        steps.append(
+            f"""d{k} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, {prev}.dist + 1 AS dist
+            FROM edges e JOIN {prev} ON e.src = {prev}.node
+        ) GROUP BY node
+    )"""
+        )
+        prev = f"d{k}"
+    return f"""
+    WITH raw_edges AS (
+        SELECT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT c_node AS src, s_node AS dst FROM raw_edges
+        UNION ALL
+        SELECT s_node AS src, c_node AS dst FROM raw_edges
+    ), d0 AS (
+        SELECT s_suppkey * 2 + 1 AS node, 0 AS dist FROM supplier
+        ORDER BY s_suppkey LIMIT {_BFS_SOURCES}
+    ), {", ".join(steps)}
+    SELECT CAST(node AS BIGINT) AS node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(dist AS BIGINT) AS dist
+    FROM d{_BFS_LEVELS}
+    ORDER BY node
+    """
+
+
+@register("graph_shortest_paths", oracle=_oracle_bfs())
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest paths (hop distance) from a landmark set
+    — the reachability/propagation primitive behind landmark-distance
+    embeddings, blast-radius analysis ("every account within 3 hops of a
+    flagged one") and supply-chain exposure scoring.  Landmarks are the
+    ``_BFS_SOURCES`` smallest-key suppliers; the graph is the same
+    symmetrized customer↔supplier trade graph `graph_pagerank` walks.
+
+    The Spark loop is FRONTIER-expanded textbook BFS: each level joins
+    only the newly-reached nodes against the edge list, anti-joins out
+    already-settled nodes, and appends the remainder at distance k.
+    Expanding the frontier (not the whole settled set) is what makes the
+    per-round cost proportional to the level's boundary, not to the
+    accumulated result — the distinction that matters on a 100-TB graph
+    where level sizes peak early then shrink.  The ORACLE is the
+    independent dynamic-programming formulation (min-merge over full
+    level relaxations), so the hash match cross-validates two different
+    BFS derivations.
+
+    Scale notes: the distinct edge list is built once, repartitioned on
+    ``src`` and staged (lineage truncation — the iterative-algorithm
+    discipline of `graph_pagerank`/`dedup_clusters`); every level is
+    one hash join on that partitioning plus one anti join keyed the
+    same way.  Settled distances stay (node, dist) — narrow.  Depth is
+    fixed at {_BFS_LEVELS} levels; nodes unreachable within that radius
+    are absent on both engines by construction."""
+    from ..common import stage
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    raw = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .agg(F.count("*").alias("w"))
+        .drop("w")
+    )
+    edges = stage(
+        raw.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+        .unionAll(
+            raw.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+        )
+        .repartition("src")
+    )
+    landmarks = (
+        load_table(spark, sf_dir, "supplier")
+        .orderBy("s_suppkey")
+        .limit(_BFS_SOURCES)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"), F.lit(0).alias("dist"))
+    )
+    settled = landmarks
+    frontier = landmarks
+    for k in range(1, _BFS_LEVELS + 1):
+        reached = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = stage(
+            reached.join(settled.select("node"), "node", "left_anti").select(
+                "node", F.lit(k).alias("dist")
+            )
+        )
+        settled = settled.unionAll(new)
+        frontier = new
+    return settled.select(
+        F.col("node").cast("long").alias("node"),
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.col("dist").cast("long").alias("dist"),
+    ).orderBy("node")

@@ -187,6 +187,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_train_iterative",
     "rollup_hll_intersect",
     "stream_autoscale_signal",
+    "graph_shortest_paths",
+    "events_pattern_match",
+    "text_lm_perplexity",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

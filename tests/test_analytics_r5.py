@@ -52,3 +52,27 @@ def test_ewma_matches_numpy_kernel(spark):
         idx = by_user_idx.setdefault(r["user_id"], 0)
         assert abs(r["ewma_value"] - expected[(r["user_id"], idx)]) < 1e-5
         by_user_idx[r["user_id"]] = idx + 1
+
+
+def test_pattern_match_agrees_with_python_re(spark, duck):
+    """Third-engine check: the greedy non-overlapping `v+c+p` semantics
+    both SQL engines claim must equal Python's canonical `re.findall`
+    over independently-built per-user sequences."""
+    import re
+
+    got = {
+        r["user_id"]: (r["seq_len"], r["n_matches"], r["max_match_len"])
+        for r in QUERIES["events_pattern_match"](spark, SF_DIR).collect()
+    }
+    seqs = duck.execute(
+        """SELECT user_id,
+                  string_agg(substr(event_type, 1, 1), ''
+                             ORDER BY ts, event_id) AS seq
+           FROM events GROUP BY user_id"""
+    ).fetchall()
+    want = {}
+    for uid, seq in seqs:
+        hits = re.findall(r"v+c+p", seq)
+        if hits:
+            want[uid] = (len(seq), len(hits), max(len(h) for h in hits))
+    assert got == want

@@ -56,3 +56,20 @@ def test_entropy_bounds(spark):
         assert -1e-9 <= r["entropy_nats"] <= math.log(r["n_distinct"]) + 1e-4
         if r["n_distinct"] < r["n_tokens"]:
             assert r["entropy_nats"] < math.log(r["n_tokens"])
+
+
+def test_lm_perplexity_surprisal_bounds(spark):
+    """Surprisal laws: every reported doc has avg_mbits in (0, 1000·log2
+    (tot+V)] — a bigram can never be more surprising than a zero-count
+    event under add-one smoothing — and the integer ledger is internally
+    consistent (total == sum of per-bigram costs implies total ≥ n·min
+    cost ≥ n·0, and avg = total div n exactly)."""
+    rows = QUERIES["text_lm_perplexity"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_bigrams"] > 0
+        assert 0 < r["avg_mbits"] <= 25_000  # 25 bits/bigram ⇔ V+tot < 2^25
+        assert r["avg_mbits"] == r["total_mbits"] // r["n_bigrams"]
+    # The list is the argmax-20: sorted by surprisal, deterministic ties.
+    pairs = [(r["avg_mbits"], r["doc_id"]) for r in rows]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
