@@ -1852,30 +1852,12 @@ def _bpe_apply_merge(syms: Column, left: str, right: str) -> Column:
     )
 
 
-@register("bpe_train_iterative")  # rows-only: python-reference twin in pytest
-def bpe_train_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer TRAINING, three full merge rounds —
-    `bpe_merge_candidates` is one counting step; this is the actual
-    Sennrich et al. loop: count weighted adjacent symbol pairs over the
-    vocabulary, adopt the (freq DESC, left, right) argmax as the next
-    merge, rewrite every word's symbol sequence, repeat.  Output is the
-    learned merge table — the artifact a tokenizer ships.
-
-    Merge APPLICATION is a catalyst `aggregate` fold (no UDF): plain
-    string replace cannot express left-to-right non-overlapping merges
-    (the consumed-separator/lookaround problem — RE2 has no
-    lookbehind), so the fold carries (result, last-symbol) state per
-    word.  The pytest twin trains the same rounds with an independent
-    canonical python implementation and asserts the merge tables are
-    IDENTICAL — exact cross-implementation evidence where no SQL
-    oracle is expressible.
-
-    Scale notes: after the one corpus-sized scan builds (word, freq),
-    every round is vocab-local (~10⁶-10⁷ rows at any corpus size): a
-    pair explode + partial+final agg, a 1-row argmax pull (the merge
-    DECISION — driver-coordinated by design, like the pagerank loop),
-    and a map-side fold rewrite; `stage()` truncates lineage per
-    round."""
+def _bpe_learn_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """The shared Sennrich training loop behind `bpe_train_iterative`
+    (which ships the merge table) and `bpe_encode_corpus` (which applies
+    it) — one implementation, two registered surfaces."""
     d = load_table(spark, sf_dir, "documents")
     vocab = stage(
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -1892,7 +1874,7 @@ def bpe_train_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f",
         )
     )
-    merges = []
+    merges: list[tuple[int, str, str, int]] = []
     for rnd in range(_BPE_ROUNDS):
         pairs = vocab.select(
             F.explode(
@@ -1921,8 +1903,95 @@ def bpe_train_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "f",
             )
         )
+    return merges
+
+
+@register("bpe_train_iterative")  # rows-only: python-reference twin in pytest
+def bpe_train_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING, three full merge rounds —
+    `bpe_merge_candidates` is one counting step; this is the actual
+    Sennrich et al. loop: count weighted adjacent symbol pairs over the
+    vocabulary, adopt the (freq DESC, left, right) argmax as the next
+    merge, rewrite every word's symbol sequence, repeat.  Output is the
+    learned merge table — the artifact a tokenizer ships.
+
+    Merge APPLICATION is a catalyst `aggregate` fold (no UDF): plain
+    string replace cannot express left-to-right non-overlapping merges
+    (the consumed-separator/lookaround problem — RE2 has no
+    lookbehind), so the fold carries (result, last-symbol) state per
+    word.  The pytest twin trains the same rounds with an independent
+    canonical python implementation and asserts the merge tables are
+    IDENTICAL — exact cross-implementation evidence where no SQL
+    oracle is expressible.
+
+    Scale notes: after the one corpus-sized scan builds (word, freq),
+    every round is vocab-local (~10⁶-10⁷ rows at any corpus size): a
+    pair explode + partial+final agg, a 1-row argmax pull (the merge
+    DECISION — driver-coordinated by design, like the pagerank loop),
+    and a map-side fold rewrite; `stage()` truncates lineage per
+    round."""
     return spark.createDataFrame(
-        merges, "round long, left string, right string, freq long"
+        _bpe_learn_merges(spark, sf_dir),
+        "round long, left string, right string, freq long",
+    )
+
+
+@register("bpe_encode_corpus")  # rows-only: python-reference twin in pytest
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the other half of the tokenizer
+    lifecycle: take the merge table `bpe_train_iterative` learns and
+    tokenize the whole corpus with it, reporting per-document token
+    counts (the numbers a training-mix planner actually consumes:
+    tokens per doc, fertility = tokens per word).
+
+    The key scale decision: encode the DISTINCT-WORD VOCABULARY, not
+    the token stream — each word type is split to symbols and run
+    through the same `_bpe_apply_merge` catalyst fold once per learned
+    merge (map-side, no UDF), then per-doc counts come from joining
+    (doc, word, count) back to (word, n_toks) and one aggregate.  At
+    100 TB the corpus has ~10⁹ word occurrences per 10⁶ word types —
+    encoding work scales with the vocabulary, the join is
+    vocab×occurrence equi-keyed, and the merge table itself is the
+    only driver-side artifact (3 rows here; ~50k in a real tokenizer).
+
+    Single-char words never merge and bypass the vocab (cost 1 token);
+    empty strings from repeated separators are dropped on both the
+    engine and twin sides.  The pytest twin encodes every document with
+    the canonical in-memory BPE implementation and asserts EXACT
+    per-doc equality."""
+    merges = _bpe_learn_merges(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    syms: Column = F.filter(F.split("w", "(?!^)"), lambda x: x != "")
+    for _, left, right, _ in merges:
+        syms = _bpe_apply_merge(syms, left, right)
+    vtok = (
+        wc.select("w")
+        .distinct()
+        .where(F.length("w") >= 2)
+        .select("w", F.size(syms).alias("n_toks"))
+    )
+    return (
+        wc.join(vtok, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.coalesce("n_toks", F.lit(1)))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.expr("(n_tokens * 1000) div n_words")
+            .cast("long")
+            .alias("fertility_e3"),
+        )
+        .orderBy("doc_id")
     )
 
 

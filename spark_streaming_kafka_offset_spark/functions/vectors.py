@@ -251,3 +251,82 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.transform("codes", lambda c: c.cast("string")))
         ).alias("code_md5"),
     ).orderBy("vec_id")
+
+
+@register("embed_pca_project")  # rows-only: eigendecomposition has no SQL twin
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection — the dimensionality-reduction /
+    whitening step of every embedding pipeline (dataset maps, drift
+    visualization, decorrelation before quantization), computed the
+    way it actually distributes: moments first, eigen later.
+
+    ONE Arrow-batched `mapInPandas` pass emits per-batch moment rows
+    (count, Σx as d floats, ΣxxT as a d² flat array) — the sufficient
+    statistics of the covariance, mergeable by construction.  The
+    driver sums the ~(#partitions) partial rows (d=64 → 33 KB each),
+    forms C = G/n − μμᵀ, and `numpy.linalg.eigh`s the d×d matrix —
+    eigendecomposition is O(d³) DRIVER math on a frame whose size is
+    independent of corpus row count; at 100 TB the data-path cost is
+    still exactly one embedding scan.  Projection then goes back
+    JVM-side: the top-2 components become literal arrays and each
+    vector's coordinates are `zip_with` + `aggregate` folds (x·w − μ·w)
+    inside codegen — no second Python hop.
+
+    Eigenvector sign is fixed by convention (largest-|component| made
+    positive) so the output is deterministic; coordinates are floored
+    into integer 1e-5 units per the module's float discipline.  The
+    pytest twin recomputes full-precision PCA with numpy on the
+    collected matrix and asserts coordinate agreement within quantum
+    tolerance plus the variance-ordering law var(pc1) ≥ var(pc2)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    dim = int(e.select(F.size("embedding")).first()[0])
+
+    def moments(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(m)],
+                    "s": [m.sum(axis=0)],
+                    "g": [(m.T @ m).ravel()],
+                }
+            )
+
+    parts = e.select("embedding").mapInPandas(
+        moments, "n long, s array<double>, g array<double>"
+    ).toPandas()
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    g = np.sum(np.stack(parts["g"].to_numpy()), axis=0).reshape(dim, dim)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = []
+    for j in (dim - 1, dim - 2):  # eigh returns ascending order
+        w = evecs[:, j]
+        if w[np.argmax(np.abs(w))] < 0:
+            w = -w
+        comps.append(w)
+
+    def coord(w: "np.ndarray") -> Column:
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        dot = F.aggregate(
+            F.zip_with("embedding", warr, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.floor((dot - F.lit(float(mu @ w))) * 100000).cast("long")
+
+    return e.select(
+        "vec_id",
+        "label",
+        coord(comps[0]).alias("pc1_e5"),
+        coord(comps[1]).alias("pc2_e5"),
+    ).orderBy("vec_id")

@@ -190,6 +190,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_shortest_paths",
     "events_pattern_match",
     "text_lm_perplexity",
+    "bpe_encode_corpus",
+    "embed_pca_project",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

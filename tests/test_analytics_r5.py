@@ -76,3 +76,33 @@ def test_pattern_match_agrees_with_python_re(spark, duck):
         if hits:
             want[uid] = (len(seq), len(hits), max(len(h) for h in hits))
     assert got == want
+
+
+def test_pca_projection_matches_numpy(spark):
+    """The moments-first distributed PCA must agree with full-precision
+    numpy PCA on the collected matrix: coordinates within quantization
+    tolerance (integer 1e-5 units ⇒ ±1 quantum + float slack), and the
+    variance-ordering law var(pc1) ≥ var(pc2) ≥ any other component."""
+    rows = QUERIES["embed_pca_project"](spark, SF_DIR).collect()
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mu = m.mean(axis=0)
+    cov = np.cov(m, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    got = {r["vec_id"]: (r["pc1_e5"], r["pc2_e5"]) for r in rows}
+    assert set(got) == set(emb["vec_id"])
+    for k, j in enumerate((m.shape[1] - 1, m.shape[1] - 2)):
+        w = evecs[:, j]
+        if w[np.argmax(np.abs(w))] < 0:
+            w = -w
+        want = np.floor((m - mu) @ w * 100000)
+        gotk = np.array([got[v][k] for v in emb["vec_id"]], dtype=float)
+        assert np.max(np.abs(gotk - want)) <= 1.0
+    p1 = np.array([v[0] for v in got.values()], dtype=float)
+    p2 = np.array([v[1] for v in got.values()], dtype=float)
+    assert p1.var() >= p2.var()
+    # top-2 eigenvalues really are the two largest
+    assert evals[-1] >= evals[-2] >= np.max(evals[:-2])

@@ -1366,3 +1366,54 @@ def test_hll_intersect_error_bound(spark):
         assert abs(r["approx_intersect"] - exact) <= max(0.05 * union, 2), (
             r, exact, union,
         )
+
+
+def test_bpe_encode_matches_reference_implementation(spark):
+    """Per-doc token counts from the distributed encoder must EXACTLY
+    equal encoding every document with the canonical in-memory trainer
+    + applier (shared tie-break and fold semantics with the trainer
+    twin above)."""
+    from collections import Counter
+
+    import __spark_entry__ as entrymod
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["fertility_e3"])
+        for r in entrymod.queries()["bpe_encode_corpus"](spark, SF_DIR).collect()
+    }
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    vocab = Counter()
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                vocab[w] += 1
+    seqs = {w: list(w) for w in vocab}
+    for _ in range(3):
+        pair_freq = Counter()
+        for w, syms in seqs.items():
+            f = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_freq[(a, b)] += f
+        (l, r), _freq = min(
+            pair_freq.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, syms in seqs.items():
+            out, carry = [], None
+            for x in syms:
+                if carry == l and x == r:
+                    out.append(l + r)
+                    carry = None
+                else:
+                    if carry is not None:
+                        out.append(carry)
+                    carry = x
+            if carry is not None:
+                out.append(carry)
+            seqs[w] = out
+    want = {}
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        ws = [w for w in t.split(" ") if w]
+        n_words = len(ws)
+        n_tokens = sum(len(seqs[w]) if len(w) >= 2 else 1 for w in ws)
+        want[doc_id] = (n_words, n_tokens, n_tokens * 1000 // n_words)
+    assert got == want
