@@ -192,6 +192,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_lm_perplexity",
     "bpe_encode_corpus",
     "embed_pca_project",
+    "stream_dlq_split",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

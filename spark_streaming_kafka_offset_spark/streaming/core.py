@@ -754,3 +754,99 @@ def stream_autoscale_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id long, input_rows long, input_rate double, "
         "process_rate double, decision string",
     ).orderBy("batch_id")
+
+
+def dlq_mangle(df: DataFrame) -> DataFrame:
+    """Deterministic damage injection shared by `stream_dlq_split` and its
+    batch-equivalence test (the fixture stream is clean; per repo
+    discipline the reject path must be exercised, not assumed): every
+    event_id ≡ 0 (mod 7) gets its props truncated mid-JSON, and every
+    event_id ≡ 0 (mod 11) not already mangled gets a negated value."""
+    return df.withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 7 == 0, F.substring("props", 1, 5)
+        ).otherwise(F.col("props")),
+    ).withColumn(
+        "value",
+        F.when(
+            (F.col("event_id") % 11 == 0) & (F.col("event_id") % 7 != 0),
+            -F.abs("value") - 1.0,
+        ).otherwise(F.col("value")),
+    )
+
+
+def dlq_reason(df: DataFrame) -> DataFrame:
+    """Validation rules as a reason column (null = valid) — the shared
+    contract between the streaming router and the batch twin.  Rule
+    order is the triage order: parse errors first, then domain checks."""
+    k = F.get_json_object("props", "$.k")
+    return df.withColumn(
+        "dlq_reason",
+        F.when(k.isNull() | k.cast("int").isNull(), F.lit("malformed_props"))
+        .when(F.col("value") < 0, F.lit("negative_value"))
+        .otherwise(F.lit(None).cast("string")),
+    )
+
+
+@register("stream_dlq_split")
+def stream_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue routing — the ingestion pattern every production
+    Kafka consumer ships [K]: per micro-batch, validate each record and
+    route it to the MAIN sink or the DLQ sink (with a reason column)
+    inside ONE foreachBatch, so a poison record never stalls the
+    pipeline and never silently disappears.  This two-sink split is the
+    canonical reason foreachBatch exists (a writeStream has exactly one
+    sink; the batch hook can have N).
+
+    Exactly-once: each sink writes ``batch=<id>`` directories with
+    mode=overwrite, so a replayed batch overwrites its own output
+    instead of appending duplicates — the same store-version==batch_id
+    idempotence recipe as `stream_rollup_upsert` and the offset ledger.
+    At 100 TB both sinks are transactional tables (`sink_txn_log`'s
+    protocol); the routing plan itself is scan-side codegen — one
+    `get_json_object` + comparisons, no shuffle before the writes.
+
+    Returns the reconciliation report: rows per (route, reason) read
+    back from the two sinks.  The pytest twin asserts route counts
+    equal the one-shot batch formulation via the SHARED mangle/validate
+    helpers, total row conservation, and that both reject reasons are
+    non-vacuous."""
+    src = read_event_stream(
+        spark, stage_stream_dir(spark, sf_dir), max_files_per_trigger=2
+    )
+    checked = dlq_reason(dlq_mangle(src))
+    valid_dir = scratch_path("sskos_dlq_valid_")
+    dlq_dir = scratch_path("sskos_dlq_dead_")
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.where(F.col("dlq_reason").isNull()).drop(
+                "dlq_reason"
+            ).write.mode("overwrite").parquet(f"{valid_dir}/batch={batch_id}")
+            batch_df.where(F.col("dlq_reason").isNotNull()).write.mode(
+                "overwrite"
+            ).parquet(f"{dlq_dir}/batch={batch_id}")
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        checked.writeStream.foreachBatch(route)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch_path("ckpt_dlq_"))
+        .start()
+    )
+    q.awaitTermination()
+    valid = spark.read.parquet(valid_dir).select(
+        F.lit("valid").alias("route"), F.lit("ok").alias("reason")
+    )
+    dead = spark.read.parquet(dlq_dir).select(
+        F.lit("dlq").alias("route"), F.col("dlq_reason").alias("reason")
+    )
+    return (
+        valid.unionAll(dead)
+        .groupBy("route", "reason")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .orderBy("route", "reason")
+    )

@@ -760,3 +760,31 @@ def test_stream_autoscale_signal_shape(spark):
     assert sum(r["input_rows"] for r in out) == _batch_events(spark).count()
     assert all(r["decision"] in ("up", "down", "hold") for r in out)
     assert all(r["input_rate"] >= 0 and r["process_rate"] >= 0 for r in out)
+
+
+def test_stream_dlq_split_batch_equivalence(spark):
+    """Route counts from the two-sink foreachBatch router must equal the
+    one-shot batch formulation through the SAME mangle/validate helpers
+    (the shared functions are the contract), rows must be conserved
+    across the split, and both reject reasons must be non-vacuous."""
+    from spark_streaming_kafka_offset_spark.streaming.core import (
+        dlq_mangle,
+        dlq_reason,
+    )
+
+    out = {
+        (r["route"], r["reason"]): r["n_rows"]
+        for r in QUERIES["stream_dlq_split"](spark, SF_DIR).collect()
+    }
+    checked = dlq_reason(dlq_mangle(_batch_events(spark)))
+    want = {
+        ("valid" if r["dlq_reason"] is None else "dlq",
+         r["dlq_reason"] or "ok"): r["n"]
+        for r in checked.groupBy("dlq_reason").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert out == want
+    assert sum(out.values()) == _batch_events(spark).count()
+    assert out.get(("dlq", "malformed_props"), 0) > 0
+    assert out.get(("dlq", "negative_value"), 0) > 0
