@@ -253,3 +253,118 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+@register(
+    "merge_scd2",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS new_seg,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS new_bal,
+             c_mktsegment, c_acctbal
+      FROM customer
+      WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+    ), real_changes AS (
+      SELECT * FROM changes
+      WHERE new_seg <> c_mktsegment OR new_bal <> c_acctbal
+    ), unchanged AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+             DATE '1992-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM real_changes r
+                        WHERE r.c_custkey = c.c_custkey)
+    ), closed AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             DATE '1992-01-01' AS valid_from,
+             DATE '1998-01-01' AS valid_to, FALSE AS is_current
+      FROM real_changes
+    ), fresh AS (
+      SELECT c_custkey, new_seg AS c_mktsegment, new_bal AS c_acctbal,
+             DATE '1998-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+      FROM real_changes
+    )
+    SELECT * FROM unchanged
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM fresh
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 merge — the dimension-history
+    pattern every warehouse ships (Kimball SCD2): applying a change
+    batch closes the current version (valid_to = effective date,
+    is_current = false) and inserts a new current version, while NO-OP
+    changes (incoming values identical to current) must NOT create a
+    version — change detection is part of the contract, not an
+    optimization.  `merge_upsert` is the type-1 (overwrite) sibling;
+    this keeps history queryable ("segment of customer X *as of* any
+    date" via valid_from/valid_to containment).
+
+    The change batch is derived deterministically (custkey ≡ 0 mod 5 →
+    segment rewrite, ≡ 0 mod 7 → balance adjustment) so the oracle can
+    build the identical batch; customers already holding the target
+    segment exercise the no-op path for real.
+
+    Scale notes: one equi-join of the change batch against current
+    rows on the dimension key (broadcast when the batch is small,
+    shuffle-hash otherwise — left to AQE), one anti-join for the
+    untouched majority; history rows are produced by projection, never
+    by row-at-a-time mutation.  In production the write lands through
+    `sink_txn_log`'s REPLACE commit so readers flip atomically from
+    old history to new."""
+    eff = F.lit("1998-01-01").cast("date")
+    origin = F.lit("1992-01-01").cast("date")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    changes = c.where(
+        (F.col("c_custkey") % 5 == 0) | (F.col("c_custkey") % 7 == 0)
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("MACHINERY"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("new_seg"),
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("new_bal"),
+    )
+    real = changes.where(
+        (F.col("new_seg") != F.col("c_mktsegment"))
+        | (F.col("new_bal") != F.col("c_acctbal"))
+    )
+    unchanged = c.join(real.select("c_custkey"), "c_custkey", "left_anti").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        origin.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = real.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        origin.alias("valid_from"),
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    fresh = real.select(
+        "c_custkey",
+        F.col("new_seg").alias("c_mktsegment"),
+        F.col("new_bal").alias("c_acctbal"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        unchanged.unionAll(closed)
+        .unionAll(fresh)
+        .orderBy("c_custkey", "valid_from")
+    )

@@ -1141,3 +1141,88 @@ def rollup_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_u.cast("long").alias("approx_union"),
         (est_a + est_b - est_u).cast("long").alias("approx_intersect"),
     ).orderBy("type_a", "type_b")
+
+
+@register(
+    "rollup_bitmap_distinct",
+    # Oracle is the DIRECT count-distinct — the hash match proves the
+    # bitmap algebra (two OR-merge levels + popcount) exactly equals
+    # naive distinct, cross-algorithm (cf. graph_triangle_count,
+    # events_rolling_active).  Week boundaries are epoch-day integer
+    # arithmetic on both sides — neither engine's week-truncation
+    # convention is trusted (orders_seasonality's dow lesson).
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS week_id,
+             user_id
+      FROM events
+    )
+    SELECT event_type,
+           CAST(week_id AS BIGINT) AS week_id,
+           DATE '1970-01-01' + CAST(week_id * 7 AS INT) AS week_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e GROUP BY event_type, week_id
+    ORDER BY event_type, week_id
+    """,
+)
+def rollup_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per (event_type, week) through a mergeable
+    BITMAP rollup — the ClickHouse ``groupBitmap`` / roaring-bitmap
+    pattern: distinct state that, unlike a plain COUNT(DISTINCT),
+    COMPOSES across rollup levels (day words OR-merge into week words
+    into month words; sketches do this approximately, bitmaps do it
+    exactly).  The rollup family's fourth member: count/sum
+    `rollup_time`, approx-distinct `rollup_hll`, moments
+    `rollup_stats`, quantiles `rollup_tdigest` — and exact-distinct
+    here.
+
+    Encoding: user_id maps to (word_id = id div 62, bit = id mod 62) —
+    62 bits per BIGINT word keeps both engines away from the sign-bit
+    shift overflow (DuckDB raises on 1<<63, measured).  Level 1
+    aggregates the fact table ONCE into per-(type, day, word) OR-words;
+    level 2 merges day→week by OR without touching facts; the count is
+    Σ popcount(word).  All integer-exact, partial-aggregable, and the
+    per-key state is |id-universe|/62 words WORST case — dense-id
+    universes (dim keys, hashed-and-bucketed ids) are where bitmap
+    distinct beats HLL on both exactness and merge cost; sparse 64-bit
+    universes belong to `rollup_hll`.
+
+    Scale notes: one fact scan; both merge levels are partial+final
+    hash aggs keyed (type, period, word_id) — word-parallel, no
+    single-reducer popcount; week boundaries are epoch-day div 7 so no
+    calendar function is on the cross-engine path."""
+    e = load_table(spark, sf_dir, "events")
+    day_words = (
+        e.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .alias("epoch_day"),
+            F.expr("user_id div 62").alias("word_id"),
+            # SQL form: the python F.shiftleft wrapper only takes a
+            # literal bit count; the engine function itself is fine
+            # with a column.
+            F.expr("shiftleft(1L, cast(user_id % 62 as int))").alias("bit"),
+        )
+        .groupBy("event_type", "epoch_day", "word_id")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    week_words = (
+        day_words.withColumn("week_id", F.expr("epoch_day div 7"))
+        .groupBy("event_type", "week_id", "word_id")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    return (
+        week_words.groupBy("event_type", "week_id")
+        .agg(F.sum(F.bit_count("word")).cast("long").alias("n_users"))
+        .select(
+            "event_type",
+            F.col("week_id").cast("long").alias("week_id"),
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("week_id") * 7).cast("int"),
+            ).alias("week_start"),
+            "n_users",
+        )
+        .orderBy("event_type", "week_id")
+    )

@@ -193,6 +193,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_encode_corpus",
     "embed_pca_project",
     "stream_dlq_split",
+    "rollup_bitmap_distinct",
+    "merge_scd2",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

@@ -106,3 +106,30 @@ def test_pca_projection_matches_numpy(spark):
     assert p1.var() >= p2.var()
     # top-2 eigenvalues really are the two largest
     assert evals[-1] >= evals[-2] >= np.max(evals[:-2])
+
+
+def test_scd2_history_laws(spark):
+    """SCD2 invariants: exactly one current row per key; non-current rows
+    are closed (valid_to set) and abut the succeeding version
+    (valid_to == next valid_from); no-op changes created no version
+    (custkey % 5 == 0 customers already in the target segment and not
+    % 7 == 0 stay single-row)."""
+    rows = QUERIES["merge_scd2"](spark, SF_DIR).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    assert by_key
+    saw_noop = saw_two = False
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in vs if r["is_current"]) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert not a["is_current"] and a["valid_to"] == b["valid_from"]
+        if len(vs) == 1 and k % 5 == 0 and k % 7 != 0:
+            assert vs[0]["c_mktsegment"] == "MACHINERY"
+            saw_noop = True
+        if len(vs) == 2:
+            saw_two = True
+    assert saw_noop, "no-op change path never exercised"
+    assert saw_two, "no customer actually versioned"
