@@ -2117,3 +2117,152 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_mbits").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "dedup_lsh_recall",
+    # Truth = the declared same-bucket exact-Jaccard pair set (the only
+    # oracle-checkable ground truth); the eval is itself deterministic
+    # end to end because the LSH side is the md5-derived variant.
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_SQL},
+    mtok AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2]))) AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ), mex AS (
+      SELECT doc_id, unnest(sh) AS s FROM mtok
+    ), msig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(CAST(('0x' || substr(md5(s || '{p}'), 1, 15)) AS BIGINT)) AS h{p}" for p in range(_MD5_PERMS))}
+      FROM mex GROUP BY doc_id
+    ), mbanded AS (
+      SELECT doc_id,
+             {" || '_' || ".join(f"CAST(h{p} AS VARCHAR)" for p in range(_MD5_BAND_ROWS))} AS b0,
+             {" || '_' || ".join(f"CAST(h{p} AS VARCHAR)" for p in range(_MD5_BAND_ROWS, _MD5_PERMS))} AS b1
+      FROM msig
+    ), mcand AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM mbanded x JOIN mbanded y ON x.b0 = y.b0 AND x.doc_id < y.doc_id
+      UNION
+      SELECT x.doc_id, y.doc_id
+      FROM mbanded x JOIN mbanded y ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+    ), truth AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+    ), verified AS (
+      SELECT c.a, c.b FROM mcand c
+      JOIN mtok ta ON ta.doc_id = c.a
+      JOIN mtok tb ON tb.doc_id = c.b
+      WHERE 2 * len(list_intersect(ta.sh, tb.sh))
+            >= len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))
+    ), counts AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+             (SELECT COUNT(*) FROM mcand) AS n_candidates,
+             (SELECT COUNT(*) FROM mcand c JOIN truth t
+               ON c.a = t.a AND c.b = t.b) AS n_hits,
+             (SELECT COUNT(*) FROM verified) AS n_verified
+    )
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_verified AS BIGINT) AS n_verified,
+           CAST(CASE WHEN n_truth = 0 THEN 1000
+                ELSE (n_hits * 1000) // n_truth END AS BIGINT)
+             AS recall_permille,
+           CAST(CASE WHEN n_candidates = 0 THEN 1000
+                ELSE (n_verified * 1000) // n_candidates END AS BIGINT)
+             AS efficiency_permille
+    FROM counts
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline EVALUATION: measure the md5-MinHash LSH candidate
+    generator against the exact near-dup pair set — the
+    measure-don't-guess step every production dedup rollout runs before
+    trusting banded LSH at corpus scale.  Reports candidate RECALL vs
+    the exact truth set (`dedup_ngram_jaccard`'s declared same-bucket
+    Jaccard ≥ 0.5 pairs) and candidate EFFICIENCY (fraction of
+    candidates that survive exact verification — the wasted-verify-work
+    metric); 2 bands × 4 rows at J = 0.5 gives pair-catch probability
+    1 − (1 − 0.5⁴)² ≈ 12% per band pattern, so the measured recall is
+    the empirical check that banding parameters fit the corpus's
+    similarity profile, not a theoretical hope.  Both pipelines are
+    deterministic (md5 hashing, integer Jaccard), so the whole
+    evaluation — counts AND ratios — is oracle-proven.
+
+    Scale notes: the truth side reuses `ngram_jaccard_pairs`' prefix
+    filter, the LSH side the band equi-join — no all-pairs path; the
+    hit join is (candidate ∩ truth)-sized; the four counts ride as
+    1-row broadcast frames (allowlisted BNL, cf. q22)."""
+    d = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(d).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    tok = d.select("doc_id", _shingles(F.col("text")).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    ex = tok.select("doc_id", F.explode("sh").alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(_md5_hash(F.col("s"), p)).alias(f"h{p}")
+            for p in range(_MD5_PERMS)
+        ]
+    )
+    b0 = F.concat_ws("_", *[F.col(f"h{p}") for p in range(_MD5_BAND_ROWS)])
+    b1 = F.concat_ws(
+        "_", *[F.col(f"h{p}") for p in range(_MD5_BAND_ROWS, _MD5_PERMS)]
+    )
+    banded = stage(sig.select("doc_id", b0.alias("b0"), b1.alias("b1")))
+    x = banded.select(
+        F.col("doc_id").alias("a"),
+        F.col("b0").alias("xb0"),
+        F.col("b1").alias("xb1"),
+    )
+    y = banded.select(
+        F.col("doc_id").alias("b"),
+        F.col("b0").alias("yb0"),
+        F.col("b1").alias("yb1"),
+    )
+    cand = stage(
+        x.join(y, (F.col("xb0") == F.col("yb0")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .union(
+            x.join(
+                y, (F.col("xb1") == F.col("yb1")) & (F.col("a") < F.col("b"))
+            ).select("a", "b")
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    tb = tok.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    verified = cand.join(ta, "a").join(tb, "b").where(2 * inter >= union)
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_hits = cand.join(truth, ["a", "b"]).agg(F.count("*").alias("n_hits"))
+    n_ver = verified.agg(F.count("*").alias("n_verified"))
+    return (
+        F.broadcast(n_truth)
+        .join(F.broadcast(n_cand))
+        .join(F.broadcast(n_hits))
+        .join(F.broadcast(n_ver))
+        .select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("n_verified").cast("long").alias("n_verified"),
+            F.when(F.col("n_truth") == 0, F.lit(1000))
+            .otherwise(F.expr("(n_hits * 1000) div n_truth"))
+            .cast("long")
+            .alias("recall_permille"),
+            F.when(F.col("n_candidates") == 0, F.lit(1000))
+            .otherwise(F.expr("(n_verified * 1000) div n_candidates"))
+            .cast("long")
+            .alias("efficiency_permille"),
+        )
+    )

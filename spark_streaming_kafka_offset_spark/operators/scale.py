@@ -1226,3 +1226,127 @@ def rollup_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "week_id")
     )
+
+
+_KMV_K = 64
+
+
+@register(
+    "agg_kmv_bottomk",
+    # Deterministic by construction: the md5-derived 60-bit hash is the
+    # SAME function on both engines (dedup_minhash_md5's recipe), so the
+    # bottom-k multiset, the k-th minimum, and therefore the ESTIMATE
+    # are bit-identical — a sketch whose full pipeline is oracle-proven,
+    # not just error-bounded.  Ties at the k boundary keep the multiset
+    # of hash values identical regardless of row_number tie order.
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM du
+    ), rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM h
+    ), k AS (
+      SELECT event_type, MAX(h) AS u_k, COUNT(*) AS n_k,
+             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h))
+               AS bottomk_md5
+      FROM rk WHERE rk <= {_KMV_K} GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact FROM du
+      GROUP BY event_type
+    ), est AS (
+      SELECT e.event_type, e.n_exact,
+             CAST(CASE WHEN k.n_k < {_KMV_K} THEN k.n_k
+                  ELSE floor(({_KMV_K} - 1.0) * 1152921504606846976.0
+                             / k.u_k) END AS BIGINT) AS kmv_est,
+             k.bottomk_md5
+      FROM ex e JOIN k ON e.event_type = k.event_type
+    )
+    SELECT event_type, n_exact, kmv_est,
+           CAST((abs(kmv_est - n_exact) * 1000) // n_exact AS BIGINT)
+             AS err_permille,
+           bottomk_md5
+    FROM est ORDER BY event_type
+    """,
+)
+def agg_kmv_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) bottom-k sketch per event type — ONE
+    mergeable state that is simultaneously (a) a uniform distinct-user
+    SAMPLE (hash-rank sampling: the k smallest hashes are a uniform
+    draw from the distinct universe — the deterministic eval-set
+    constructor no `rand()` sample can give you) and (b) a distinct
+    estimator: n̂ = (k−1)/U₍ₖ₎ (Bar-Yossef et al. 2002), the estimator
+    family Theta sketches build on.  Completes the distinct toolbox:
+    exact-dense `rollup_bitmap_distinct`, approx-sparse `rollup_hll`,
+    and here sample+estimate in one pass.
+
+    The 60-bit hash is md5-derived identically on both engines, so
+    unlike HLL the WHOLE sketch is oracle-proven: bottom-k multiset
+    (certified by an order-fixed md5 digest), k-th minimum, estimate
+    and per-mille error all hash-match.  Sub-k groups fall back to the
+    exact count (n̂ = n when n < k), exercised nowhere on this fixture
+    but guarded on both sides.
+
+    Scale notes: the only fact-sized work is the (type, user) distinct
+    collapse; ranking runs on the distinct-user frame partitioned by
+    type.  At 100 TB replace the rank window with the mergeable
+    formulation the sketch is defined by — per-partition bottom-k
+    (already ≤ k·partitions rows) re-minned at final — same numbers,
+    no global sort; the window form here keeps the demo within pure
+    DataFrame ops."""
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = du.select("event_type", h.alias("h"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = hashed.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= _KMV_K
+    )
+    k = topk.groupBy("event_type").agg(
+        F.max("h").alias("u_k"),
+        F.count("*").alias("n_k"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("h")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("bottomk_md5"),
+    )
+    ex = du.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    est = ex.join(k, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.when(F.col("n_k") < _KMV_K, F.col("n_k"))
+        .otherwise(
+            F.floor(
+                F.lit(float(_KMV_K - 1)) * 1152921504606846976.0 / F.col("u_k")
+            )
+        )
+        .cast("long")
+        .alias("kmv_est"),
+        "bottomk_md5",
+    )
+    return est.select(
+        "event_type",
+        "n_exact",
+        "kmv_est",
+        F.expr("(abs(kmv_est - n_exact) * 1000) div n_exact")
+        .cast("long")
+        .alias("err_permille"),
+        "bottomk_md5",
+    ).orderBy("event_type")

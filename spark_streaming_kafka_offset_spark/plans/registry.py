@@ -195,6 +195,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_dlq_split",
     "rollup_bitmap_distinct",
     "merge_scd2",
+    "agg_kmv_bottomk",
+    "dedup_lsh_recall",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

@@ -254,6 +254,7 @@ _BNL_ALLOWED = {
     "events_funnel_windowed",  # broadcast 1-row stage-count scalar frames
     "sim_topk_pq",       # broadcast m·ksub=256-row codebook + query LUT table
     "rollup_hll_intersect",  # broadcast |types|-row sketch frame pair grid
+    "dedup_lsh_recall",  # broadcast 1-row count scalar frames (eval report)
 }
 
 
