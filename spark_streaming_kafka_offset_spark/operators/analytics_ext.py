@@ -2113,3 +2113,405 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), flagged AS (
+      SELECT user_id, day,
+             CASE WHEN day - LAG(day) OVER
+                    (PARTITION BY user_id ORDER BY day) = 1
+                  THEN 0 ELSE 1 END AS new_streak
+      FROM ud
+    ), islands AS (
+      SELECT user_id, day,
+             SUM(new_streak) OVER (PARTITION BY user_id ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS streak_id
+      FROM flagged
+    ), streaks AS (
+      SELECT user_id, streak_id,
+             MIN(day) AS streak_start,
+             CAST(COUNT(*) AS BIGINT) AS streak_len
+      FROM islands GROUP BY user_id, streak_id
+    )
+    SELECT user_id,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+           MIN(CASE WHEN streak_len = (SELECT MAX(s2.streak_len)
+                 FROM streaks s2 WHERE s2.user_id = streaks.user_id)
+               THEN streak_start END) AS longest_start
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (gaps-and-islands) —
+    the engagement metric product teams actually track (current/longest
+    streak, Duolingo-style), and the canonical gaps-and-islands
+    exercise: `events_rolling_active` uses the same island merge
+    internally for interval coverage; this op surfaces the islands
+    themselves.  Ties on longest streak resolve to the EARLIEST start
+    (deterministic both engines).
+
+    Scale notes: the user-day dedup is the only fact-sized aggregate;
+    the lag + running-sum island assignment runs per user on the
+    deduped day frame (one user_id-keyed shuffle shared by both
+    windows); streak and user rollups are progressively smaller.  No
+    cross-user window, no global sort before the output ORDER BY."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = ud.withColumn(
+        "new_streak",
+        F.when(
+            F.datediff("day", F.lag("day").over(w)) == 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "streak_id",
+        F.sum("new_streak").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    streaks = islands.groupBy("user_id", "streak_id").agg(
+        F.min("day").alias("streak_start"),
+        F.count("*").cast("long").alias("streak_len"),
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("streak_len").cast("long").alias("n_active_days"),
+            F.count("*").cast("long").alias("n_streaks"),
+            F.max("streak_len").cast("long").alias("longest_streak"),
+            F.min_by(
+                F.struct("streak_start"), F.struct(-F.col("streak_len"), F.col("streak_start"))
+            )["streak_start"].alias("longest_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "cohort_ltv",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey,
+             (EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1) AS month_id,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS price
+      FROM orders
+    ), firstm AS (
+      SELECT o_custkey, MIN(month_id) AS cohort_m FROM om GROUP BY o_custkey
+    ), csize AS (
+      SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM firstm GROUP BY cohort_m
+    ), rev AS (
+      SELECT f.cohort_m, om.month_id - f.cohort_m AS age_months,
+             SUM(om.price) AS rev
+      FROM om JOIN firstm f ON om.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT cohort_m, age_months,
+             SUM(rev) OVER (PARTITION BY cohort_m ORDER BY age_months
+               ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM rev
+    )
+    SELECT make_date(CAST(c.cohort_m // 12 AS INT),
+                     CAST(c.cohort_m % 12 + 1 AS INT), 1) AS cohort_month,
+           CAST(c.age_months AS BIGINT) AS age_months,
+           s.n_customers,
+           CAST((2 * CAST(c.cum_rev * 100 AS BIGINT) + s.n_customers)
+                // (2 * s.n_customers) AS DOUBLE) / 100.0
+             AS ltv_per_customer
+    FROM cum c JOIN csize s USING (cohort_m)
+    ORDER BY cohort_month, age_months
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative revenue per customer by
+    acquisition-month cohort and months-since-acquisition — the LTV
+    companion to `cohort_retention` (that one counts who comes back;
+    this one integrates what they spend).  Month arithmetic is integer
+    month_id = year·12 + month − 1 on both engines (calendar FIELDS of
+    a date are engine-unambiguous; month DIFFERENCES are not, cf.
+    orders_seasonality's dow lesson), and revenue is exact DECIMAL
+    through the cumulative window, divided and rounded only at the
+    surface (`davg2` discipline).
+
+    Scale notes: one orders scan builds (cust, month, price); the first-
+    order reduction and the (cohort, age) rollup are partial+final
+    aggs; the cumulative window runs per cohort on the |cohorts|×|ages|
+    rollup, never on facts; cohort sizes broadcast-join back."""
+    o = load_table(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+            "month_id"
+        ),
+        dec2("o_totalprice", 14).alias("price"),
+    )
+    firstm = om.groupBy("o_custkey").agg(F.min("month_id").alias("cohort_m"))
+    csize = firstm.groupBy("cohort_m").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+    rev = (
+        om.join(firstm, "o_custkey")
+        .groupBy(
+            "cohort_m", (F.col("month_id") - F.col("cohort_m")).alias("age_months")
+        )
+        .agg(F.sum("price").alias("rev"))
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.withColumn("cum_rev", F.sum("rev").over(w))
+    return (
+        cum.join(F.broadcast(csize), "cohort_m")
+        .select(
+            F.make_date(
+                F.expr("cohort_m div 12"), F.col("cohort_m") % 12 + 1, F.lit(1)
+            ).alias("cohort_month"),
+            F.col("age_months").cast("long").alias("age_months"),
+            "n_customers",
+            # Integer-cents HALF-UP: small cohorts make the decimal/count
+            # quotient land EXACTLY on .xx5 boundaries, where Spark's
+            # round(double) and DuckDB's diverge (observed here: ±0.01
+            # both directions at n=2 and n=6).  floor((2a+b)/(2b)) cents
+            # is engine-exact (events_changepoint's lesson).
+            (
+                F.expr(
+                    "(2 * cast(cum_rev * 100 as bigint) + n_customers)"
+                    " div (2 * n_customers)"
+                ).cast("double")
+                / 100.0
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+@register(
+    "events_ab_lift",
+    # Float discipline (agg_corr_exact's recipe): all counts integer;
+    # the z-score's CAST → √ → ÷ tail is ONE shared expression shape
+    # over exact integers on both engines, rounded at 4 decimals.
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+               AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), v AS (
+      SELECT CAST(SUM(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 'control' THEN converted ELSE 0 END)
+               AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 'treatment' THEN converted ELSE 0
+               END) AS BIGINT) AS c_b
+      FROM assign
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CAST((c_a * 1000) // n_a AS BIGINT) AS conv_a_permille,
+           CAST((c_b * 1000) // n_b AS BIGINT) AS conv_b_permille,
+           CAST(CASE WHEN c_a = 0 THEN 0
+                ELSE ((c_b * n_a - c_a * n_b) * 1000) // (c_a * n_b) END
+             AS BIGINT) AS lift_permille,
+           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+                ELSE ROUND(
+             (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+             / sqrt(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
+                    * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) END AS z_score
+    FROM v
+    """,
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic hash-bucket assignment
+    (user_id parity — production uses a salted hash, same shape),
+    per-variant conversion (user made a high-value purchase, value ≥
+    150 — every fixture user purchases *something*, so plain
+    any-purchase is degenerate p=1 and the pooled z divides by zero;
+    observed, hence the threshold AND the all/none guard on both
+    sides), relative lift, and the two-proportion pooled z-score — the
+    decision row an experimentation platform emits.  Lift is exact
+    integer per-mille arithmetic; only the z-score touches doubles,
+    through one shared CAST→√→÷ expression tree over exact integer
+    counts (`agg_corr_exact`'s float discipline).
+
+    Scale notes: ONE fact pass reduces to per-user (variant, converted)
+    — partial+final agg on user_id; the experiment readout is a second
+    agg to a single row.  No window, no join; at 100 TB this is two
+    hash aggregates and a scalar."""
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, "control").otherwise("treatment"),
+    )
+    v = assign.agg(
+        F.sum(F.when(F.col("variant") == "control", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "control", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("variant") == "treatment", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(
+            F.when(F.col("variant") == "treatment", F.col("converted")).otherwise(0)
+        )
+        .cast("long")
+        .alias("c_b"),
+    )
+    p_pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (
+        F.col("c_b").cast("double") / F.col("n_b")
+        - F.col("c_a").cast("double") / F.col("n_a")
+    ) / F.sqrt(
+        p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return v.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.expr("(c_a * 1000) div n_a").cast("long").alias("conv_a_permille"),
+        F.expr("(c_b * 1000) div n_b").cast("long").alias("conv_b_permille"),
+        F.when(F.col("c_a") == 0, F.lit(0))
+        .otherwise(F.expr("((c_b * n_a - c_a * n_b) * 1000) div (c_a * n_b)"))
+        .cast("long")
+        .alias("lift_permille"),
+        F.when(
+            (F.col("c_a") + F.col("c_b") == 0)
+            | (F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")),
+            F.lit(0.0),
+        )
+        .otherwise(F.round(z, 4))
+        .alias("z_score"),
+    )
+
+
+@register(
+    "events_attribution",
+    # Tie discipline: the union carries (epoch, side, event_id) as the
+    # window order — a TOTAL order (event_id unique), so "the touch
+    # before this purchase" is deterministic on both engines even when
+    # several events share a second; same-second touches sort BEFORE
+    # the purchase (side 0 < 1) — the declared semantics.
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_type, value,
+             (epoch_us(ts) // 1000000) AS ep,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+             event_id
+      FROM events
+    ), attrib AS (
+      SELECT user_id, event_type, value, side,
+             last_value(CASE WHEN side = 0 THEN event_type END IGNORE NULLS)
+               OVER w AS last_touch,
+             first_value(CASE WHEN side = 0 THEN event_type END IGNORE NULLS)
+               OVER w AS first_touch
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ep, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), p AS (
+      SELECT COALESCE(last_touch, 'none') AS last_touch,
+             COALESCE(first_touch, 'none') AS first_touch,
+             CAST(value AS DECIMAL(14,2)) AS rev
+      FROM attrib WHERE side = 1
+    )
+    SELECT model, channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM (
+      SELECT 'last_touch' AS model, last_touch AS channel, rev FROM p
+      UNION ALL
+      SELECT 'first_touch', first_touch, rev FROM p
+    )
+    GROUP BY model, channel
+    ORDER BY model, channel
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: credit each purchase's revenue to a channel
+    under FIRST-TOUCH (the user's first-ever non-purchase event type)
+    and LAST-TOUCH (the most recent one before the purchase) models —
+    the two baseline models every attribution system ships, reported
+    side by side for model comparison.  Purchases with no prior touch
+    credit 'none'.
+
+    Built on the SAME single-shuffle union trick as `join_asof`: touches
+    and purchases union into one frame ordered (epoch, side, event_id)
+    per user; one window pass computes both the running last and the
+    running first non-purchase type with IGNORE NULLS frames — no self-
+    join, no per-purchase probe.
+
+    Scale notes: one user_id-keyed shuffle carries the whole
+    computation; the attribution rollup is (model × channel)-sized.
+    Revenue sums are exact DECIMAL (`dec2`), cast to double only at the
+    surface."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        epoch_seconds("ts").alias("ep"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("side"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("side") == 0, F.col("event_type"))
+    attrib = u.select(
+        "side",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+    ).where(F.col("side") == 1)
+    p = attrib.select(
+        F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+        dec2("value", 14).alias("rev"),
+    )
+    stacked = p.select(
+        F.lit("last_touch").alias("model"),
+        F.col("last_touch").alias("channel"),
+        "rev",
+    ).unionAll(
+        p.select(
+            F.lit("first_touch").alias("model"),
+            F.col("first_touch").alias("channel"),
+            "rev",
+        )
+    )
+    return (
+        stacked.groupBy("model", "channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("model", "channel")
+    )

@@ -197,6 +197,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "merge_scd2",
     "agg_kmv_bottomk",
     "dedup_lsh_recall",
+    "events_activity_streaks",
+    "cohort_ltv",
+    "events_ab_lift",
+    "events_attribution",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",
