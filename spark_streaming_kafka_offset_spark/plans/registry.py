@@ -201,6 +201,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cohort_ltv",
     "events_ab_lift",
     "events_attribution",
+    "stream_offset_gap_audit",
+    "stream_backfill_stitch",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

@@ -850,3 +850,63 @@ def stream_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_rows"))
         .orderBy("route", "reason")
     )
+
+
+@register("stream_backfill_stitch")
+def stream_backfill_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch backfill + streaming forward-fill stitched at an offset
+    cutover — the Kappa-architecture bootstrap every offset-managed
+    pipeline [K] performs when it starts consuming a topic that also
+    has historical data in the lake: one BATCH pass over history up to
+    cutover offset C, a STREAM from C forward, and a stitch that must
+    be exactly the full-history answer (hours spanning the cutover are
+    completed by re-aggregating partial states, which is why the rollup
+    carries decomposable counts, not finished ratios).
+
+    The cutover here is the event_id range boundary after the first two
+    of four range-staged chunks (a true high-watermark, cf.
+    `_range_chunked_stream_dir`); the stream side reads ONLY the
+    post-cutover files and still goes through a real micro-batch
+    pipeline.  The pytest twin asserts the stitched hourly rollup is
+    row-identical to the one-shot batch rollup over the whole table —
+    the no-seam guarantee that makes backfill+stream swaps safe.
+
+    Scale notes: history is one batch scan with the cutover as a
+    pushed-down id filter; the stream carries only post-cutover data;
+    the stitch re-aggregates two (hour × type)-sized partials — never
+    facts.  At 100 TB the batch side reads the lake, the stream side
+    Kafka-from-offset-C, and the stitch is this exact merge."""
+    import os
+    import shutil
+
+    from .offsets import _range_chunked_stream_dir
+
+    chunks = _range_chunked_stream_dir(spark, sf_dir, n_chunks=4)
+    names = sorted(os.listdir(chunks))
+    cutover = (
+        spark.read.parquet(*[os.path.join(chunks, n) for n in names[:2]])
+        .agg(F.max("event_id"))
+        .first()[0]
+    )
+    hourly = lambda df: df.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+
+    batch_part = hourly(
+        load_table(spark, sf_dir, "events").where(F.col("event_id") <= cutover)
+    )
+    fwd_dir = scratch_path("sskos_fwd_")
+    for n in names[2:]:
+        shutil.copytree(os.path.join(chunks, n), os.path.join(fwd_dir, n))
+    stream_part = hourly(
+        read_event_stream(spark, fwd_dir, max_files_per_trigger=1)
+    )
+    streamed = run_to_completion(
+        stream_part, "backfill_fwd", "complete", checkpoint=scratch_path("ckpt_bf_")
+    )
+    return (
+        batch_part.unionAll(streamed.select("hour", "event_type", "n"))
+        .groupBy("hour", "event_type")
+        .agg(F.sum("n").cast("long").alias("n_events"))
+        .orderBy("hour", "event_type")
+    )

@@ -292,3 +292,70 @@ def stream_offset_rewind(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(phase("replayed", replay.read_sink(spark)))
         .withColumn("resume_offset", F.lit(resume_offset))
     )
+
+
+def audit_ledger_contiguity(ledger: DataFrame, scenario: str) -> DataFrame:
+    """Offset-range contiguity audit over an audit ledger — shared by
+    `stream_offset_gap_audit`'s clean and damaged scenarios (the shared
+    function is the contract, cf. streaming/core.dlq_reason)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("group", "source").orderBy("batch_id")
+    prev = F.lag("until_event_id").over(w)
+    withprev = ledger.select(
+        "batch_id", "min_event_id", "until_event_id", prev.alias("prev_until")
+    )
+    return withprev.select(
+        F.lit(scenario).alias("scenario"),
+        "batch_id",
+        "min_event_id",
+        "until_event_id",
+        F.when(F.col("prev_until").isNull(), F.lit("start"))
+        .when(F.col("min_event_id") == F.col("prev_until") + 1, F.lit("contiguous"))
+        .when(F.col("min_event_id") > F.col("prev_until") + 1, F.lit("gap"))
+        .otherwise(F.lit("overlap"))
+        .alias("status"),
+        F.when(
+            F.col("min_event_id") > F.col("prev_until") + 1,
+            F.col("min_event_id") - F.col("prev_until") - 1,
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("missing_rows"),
+    )
+
+
+@register("stream_offset_gap_audit")
+def stream_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-range INTEGRITY audit — the consistency check a
+    manually-offset-managed pipeline [K] must run on its commit store:
+    consecutive committed ranges per (group, source) must abut exactly
+    (min == prev_until + 1); a hole means a batch's output was lost
+    after its offsets were committed (the at-most-once failure), an
+    overlap means offsets regressed (the duplicate-delivery failure).
+    Kafka's own tooling cannot see this — it knows positions, not the
+    ranges your sink actually received; the audit ledger can.
+
+    Runs the range-chunked stream through the ledgered sink once, then
+    audits the ledger TWICE through the shared contiguity function:
+    the clean ledger (expected all-contiguous) and a damaged copy with
+    batch 2's commit record dropped — a simulated lost commit — which
+    must surface as exactly one 'gap' row carrying the missing-row
+    count.  Detection is proven, not assumed (pytest pins both
+    scenarios).
+
+    Scale notes: the ledger is one row per (group, source, batch);
+    the audit is a lag window over that tiny frame — zero fact-table
+    cost, run-anytime monitoring."""
+    stream_dir = _range_chunked_stream_dir(spark, sf_dir, n_chunks=4)
+    ledger = run_ledgered_stream(
+        spark,
+        stream_dir,
+        scratch_path("sskos_gapaudit_"),
+        checkpoint=scratch_path("ckpt_gap_"),
+    ).read_ledger(spark)
+    clean = audit_ledger_contiguity(ledger, "clean")
+    damaged = audit_ledger_contiguity(
+        ledger.where(F.col("batch_id") != 2), "lost_commit"
+    )
+    return clean.unionAll(damaged).orderBy("scenario", "batch_id")

@@ -788,3 +788,39 @@ def test_stream_dlq_split_batch_equivalence(spark):
     assert sum(out.values()) == _batch_events(spark).count()
     assert out.get(("dlq", "malformed_props"), 0) > 0
     assert out.get(("dlq", "negative_value"), 0) > 0
+
+
+def test_offset_gap_audit_detects_lost_commit(spark):
+    """Clean ledger: batch 0 'start', rest 'contiguous', zero missing.
+    Damaged ledger (batch 2's commit dropped): exactly one 'gap' row at
+    batch 3 whose missing_rows equals batch 2's committed range."""
+    rows = QUERIES["stream_offset_gap_audit"](spark, SF_DIR).collect()
+    clean = [r for r in rows if r["scenario"] == "clean"]
+    damaged = [r for r in rows if r["scenario"] == "lost_commit"]
+    assert [r["status"] for r in sorted(clean, key=lambda r: r["batch_id"])] == [
+        "start", "contiguous", "contiguous", "contiguous"
+    ]
+    assert all(r["missing_rows"] == 0 for r in clean)
+    gaps = [r for r in damaged if r["status"] == "gap"]
+    assert len(gaps) == 1 and gaps[0]["batch_id"] == 3
+    b2 = next(r for r in clean if r["batch_id"] == 2)
+    assert gaps[0]["missing_rows"] == b2["until_event_id"] - b2["min_event_id"] + 1
+    assert all(r["status"] in ("start", "contiguous") for r in damaged if r["status"] != "gap")
+
+
+def test_backfill_stitch_has_no_seam(spark):
+    """The stitched backfill+stream rollup must be row-identical to the
+    one-shot batch rollup over the full table — hours spanning the
+    cutover included."""
+    got = {
+        (r["hour"], r["event_type"]): r["n_events"]
+        for r in QUERIES["stream_backfill_stitch"](spark, SF_DIR).collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in _batch_events(spark)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
