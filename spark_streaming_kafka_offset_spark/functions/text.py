@@ -2266,3 +2266,112 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("efficiency_permille"),
         )
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3
+    ), grams AS (
+      SELECT doc_id, lang, unnest(list_transform(
+               generate_series(1, length(text) - 2),
+               i -> substr(text, i, 3))) AS g
+      FROM d
+    ), counts AS (
+      SELECT lang AS plang, g, COUNT(*) AS n FROM grams GROUP BY 1, 2
+    ), profile AS (
+      SELECT plang, g FROM (
+        SELECT plang, g,
+               row_number() OVER (PARTITION BY plang
+                                  ORDER BY n DESC, g) AS rn
+        FROM counts
+      ) WHERE rn <= 10
+    ), hits AS (
+      SELECT gr.doc_id, gr.lang, p.plang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM grams gr JOIN profile p ON gr.g = p.g
+      GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT doc_id, lang, plang AS pred_lang FROM (
+        SELECT doc_id, lang, plang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, plang) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    ), labelled AS (
+      SELECT d.doc_id, d.lang,
+             COALESCE(p.pred_lang, 'unknown') AS pred_lang
+      FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id
+    )
+    SELECT lang AS true_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM labelled GROUP BY 1, 2
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass language identification + its honest evaluation in one
+    op: train Cavnar–Trenkle-style per-language profiles (the top-10
+    char trigrams `char_ngram_profile` computes) on the corpus, classify
+    every document by which language's profile its trigrams hit most
+    (ties → lexicographically first language; no hits → 'unknown'), and
+    report the CONFUSION MATRIX against the labeled ``lang`` column —
+    the eval-first discipline of `dedup_lsh_recall` applied to the
+    model-based langid (the binary `text_langid` stays the cheap
+    rule-based gate).
+
+    All scoring is integer trigram-occurrence counting — no floats
+    anywhere, so the learned profiles, the per-doc argmax and the
+    matrix are engine-exact.
+
+    Scale notes: profiles are (lang × 10) rows — broadcast to the
+    trigram stream; the per-(doc, lang) hit count collapses in the
+    first partial aggregate; the argmax window runs on the
+    (docs × langs) hit frame, partitioned by doc; the matrix is
+    |langs|²-sized.  Two passes over text (train + score), same as
+    `text_lm_perplexity`."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 3)
+        .select("doc_id", "lang", "text")
+    )
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy(
+        F.col("lang").alias("plang"), "g"
+    ).agg(F.count("*").alias("n"))
+    wprof = Window.partitionBy("plang").orderBy(F.col("n").desc(), "g")
+    profile = (
+        counts.withColumn("rn", F.row_number().over(wprof))
+        .where(F.col("rn") <= 10)
+        .select("plang", "g")
+    )
+    hits = (
+        grams.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count("*").alias("n"))
+    )
+    wpred = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), "plang")
+    pred = (
+        hits.withColumn("rn", F.row_number().over(wpred))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("pred_lang"))
+    )
+    labelled = d.join(pred, "doc_id", "left").select(
+        "lang", F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang")
+    )
+    return (
+        labelled.groupBy(
+            F.col("lang").alias("true_lang"), "pred_lang"
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -279,3 +279,122 @@ def data_quality_rules(
         .unionByName(nchars_rule)
         .unionByName(acctbal_rule)
     )
+
+
+_SAMPLE_MOD = 10  #: 1-in-10 deterministic hash sample
+
+
+@register(
+    "analyze_sampled_stats",
+    # One SELECT per profiled column, unioned — same shape as
+    # analyze_table_stats.  The sample predicate is the md5-derived
+    # integer (dedup_minhash_md5's recipe) mod 10 == 0: deterministic,
+    # key-uncorrelated, identical row set on both engines — so the
+    # sampled estimates (not just the exact side) are oracle-proven.
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(ex.n AS BIGINT) AS n_exact,
+           CAST(sa.n * {10} AS BIGINT) AS n_est,
+           CAST(ex.ndv AS BIGINT) AS ndv_exact,
+           CAST(sa.ndv AS BIGINT) AS ndv_sample,
+           CAST((2 * CAST(ex.s * 100 AS BIGINT) + ex.n) // (2 * ex.n)
+                AS DOUBLE) / 100.0 AS avg_exact,
+           CAST((2 * CAST(sa.s * 100 AS BIGINT) + sa.n) // (2 * sa.n)
+                AS DOUBLE) / 100.0 AS avg_est,
+           CAST((abs(sa.n * {10} - ex.n) * 1000) // ex.n AS BIGINT)
+             AS rowcount_err_permille
+    FROM (
+      SELECT COUNT(*) AS n, COUNT(DISTINCT {c}) AS ndv,
+             SUM(CAST({c} AS DECIMAL(14,2))) AS s
+      FROM lineitem
+    ) ex, (
+      SELECT COUNT(*) AS n, COUNT(DISTINCT {c}) AS ndv,
+             SUM(CAST({c} AS DECIMAL(14,2))) AS s
+      FROM lineitem
+      WHERE CAST(('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber
+                    AS VARCHAR)), 1, 15)) AS BIGINT) % {10} = 0
+    ) sa
+    """
+        for c in ("l_quantity", "l_extendedprice")
+    ),
+)
+def analyze_sampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled ANALYZE — how table statistics are actually collected at
+    100 TB: a deterministic 1-in-10 HASH sample (never `rand()`:
+    retried tasks and repeat runs must see the same rows; the md5 of
+    the row key is uncorrelated with any data column) scanned instead
+    of the full table, with the full-scan truth computed alongside and
+    error columns quantifying what the optimizer would really see.
+    `analyze_table_stats` is the exact ANALYZE; this is the one you can
+    afford nightly.
+
+    Sampled NDV is reported as the raw sample NDV (the input to
+    Chao-style estimators, which are deliberately out of scope — no
+    randomness, no model, every number exact); row count scales by the
+    sampling factor; averages are exact DECIMAL sums with integer-cents
+    HALF-UP division (`cohort_ltv`'s boundary lesson).
+
+    Scale notes: the sample predicate is a scan-side codegen'd hash —
+    pushdown-friendly and partition-local (no shuffle to sample); both
+    profiles are single partial+final aggregates; at 100 TB you run
+    ONLY the sampled branch — the exact branch exists here to make the
+    error measurable, same eval-first posture as `dedup_lsh_recall`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("string")
+    hsh = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    sampled = li.where(hsh % _SAMPLE_MOD == 0)
+
+    def profile(df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n"),
+            F.countDistinct(col).alias("ndv"),
+            F.sum(F.col(col).cast("decimal(14,2)")).alias("s"),
+        )
+
+    outs = []
+    for c in ("l_quantity", "l_extendedprice"):
+        ex = profile(li, c)
+        sa = profile(sampled, c)
+        outs.append(
+            F.broadcast(
+                ex.select(
+                    F.col("n").alias("xn"),
+                    F.col("ndv").alias("xndv"),
+                    F.col("s").alias("xs"),
+                )
+            )
+            .join(
+                F.broadcast(
+                    sa.select(
+                        F.col("n").alias("sn"),
+                        F.col("ndv").alias("sndv"),
+                        F.col("s").alias("ss"),
+                    )
+                )
+            )
+            .select(
+                F.lit(c).alias("column_name"),
+                F.col("xn").cast("long").alias("n_exact"),
+                (F.col("sn") * _SAMPLE_MOD).cast("long").alias("n_est"),
+                F.col("xndv").cast("long").alias("ndv_exact"),
+                F.col("sndv").cast("long").alias("ndv_sample"),
+                (
+                    F.expr("(2 * cast(xs * 100 as bigint) + xn) div (2 * xn)")
+                    .cast("double")
+                    / 100.0
+                ).alias("avg_exact"),
+                (
+                    F.expr("(2 * cast(ss * 100 as bigint) + sn) div (2 * sn)")
+                    .cast("double")
+                    / 100.0
+                ).alias("avg_est"),
+                F.expr(f"(abs(sn * {_SAMPLE_MOD} - xn) * 1000) div xn")
+                .cast("long")
+                .alias("rowcount_err_permille"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -203,6 +203,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_attribution",
     "stream_offset_gap_audit",
     "stream_backfill_stitch",
+    "text_langid_confusion",
+    "analyze_sampled_stats",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

@@ -255,6 +255,7 @@ _BNL_ALLOWED = {
     "sim_topk_pq",       # broadcast m·ksub=256-row codebook + query LUT table
     "rollup_hll_intersect",  # broadcast |types|-row sketch frame pair grid
     "dedup_lsh_recall",  # broadcast 1-row count scalar frames (eval report)
+    "analyze_sampled_stats",  # broadcast 1-row exact/sampled profile frames
 }
 
 
