@@ -567,3 +567,36 @@ def test_backlog_sweep_single_fact_agg(spark):
     plan = executed_plan(QUERIES["orders_backlog_sweep"](spark, SF_DIR))
     assert "HashAggregate" in plan and "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lm_perplexity_broadcasts_model(spark):
+    """The scoring join must broadcast the |alphabet|²-bounded model
+    onto the token stream — a shuffled scoring join would re-partition
+    the corpus by bigram at 100 TB."""
+    plan = executed_plan(QUERIES["text_lm_perplexity"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pattern_match_single_keyed_shuffle(spark):
+    """Symbol-string construction is ONE groupBy(user) — no window, no
+    extra exchanges: exactly one hashpartitioning on user_id feeds the
+    sequence aggregate."""
+    plan = executed_plan(QUERIES["events_pattern_match"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_langid_confusion_broadcasts_profiles(spark):
+    """Learned profiles (|langs|×10 rows) broadcast to the trigram
+    stream; the scoring join must not shuffle the corpus by gram."""
+    plan = executed_plan(QUERIES["text_langid_confusion"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bitmap_distinct_is_pure_partial_final_aggs(spark):
+    """Bitmap rollup = three hash aggregates (day words, week words,
+    popcount sum) with map-side partials — no window, no join, no sort
+    before the output ordering."""
+    plan = executed_plan(QUERIES["rollup_bitmap_distinct"](spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
