@@ -2375,3 +2375,160 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+_ADMIT_DUP_TEXT = (
+    "the quick brown fox jumps over the lazy dog and then runs to the "
+    "edge of the wide green field where a river bends to the north and "
+    "the morning light settles in the tall grass near the old stone "
+    "bridge that marks the end of the village road"
+)
+# Carries stopwords on purpose: with none, the language gate would claim
+# these docs before the repetition gate ever saw them (observed — the
+# 'repetitive' reason vanished from the funnel).
+_ADMIT_SPAM_TEXT = ("the spam of ham " * 50).strip()
+
+
+@register(
+    "corpus_admission_pipeline",
+    # Stage order IS the scale design: cheap scan-side gates first
+    # (length, langid, repetition — zero shuffles), content-hash dedup
+    # LAST so the only corpus-wide shuffle prices in just the survivors.
+    # Fixture carries no duplicates and max natural repetition 0.07
+    # (measured), so the damage injection below makes 'duplicate' and
+    # 'repetitive' real, not vacuous.
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN '{_ADMIT_DUP_TEXT}'
+                  WHEN doc_id % 19 = 0 THEN '{_ADMIT_SPAM_TEXT}'
+                  ELSE text END AS text
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','a','of','and','to','in','is')))
+                  AS DOUBLE) / len(string_split(text, ' ')) AS en_score,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               1.0 - CAST(len(list_distinct(list_transform(
+                     range(1, len(string_split(text, ' ')) - 1),
+                     i -> string_split(text, ' ')[i] || ' ' ||
+                          string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2]))) AS DOUBLE)
+                   / (len(string_split(text, ' ')) - 2)
+             ELSE 0.0 END AS rep_frac
+      FROM raw
+    ), gated AS (
+      SELECT doc_id, text,
+             CASE WHEN n_chars < 200 THEN 'too_short'
+                  WHEN en_score < 0.02 THEN 'lang_filtered'
+                  WHEN rep_frac > 0.25 THEN 'repetitive'
+             END AS early_reason
+      FROM feat
+    ), hashed AS (
+      SELECT doc_id,
+             sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+      FROM gated WHERE early_reason IS NULL
+    ), keep AS (
+      SELECT h, MIN(doc_id) AS keeper FROM hashed GROUP BY h
+    ), final AS (
+      SELECT g.doc_id,
+             COALESCE(g.early_reason,
+                      CASE WHEN hd.doc_id = k.keeper THEN 'admitted'
+                           ELSE 'duplicate' END) AS reason
+      FROM gated g
+      LEFT JOIN hashed hd ON g.doc_id = hd.doc_id
+      LEFT JOIN keep k ON hd.h = k.h
+    )
+    SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM final GROUP BY reason
+    ORDER BY reason
+    """,
+)
+def corpus_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus ADMISSION gate — the composition the individual
+    quality ops exist for, run as one pipeline with per-stage reject
+    accounting: length gate → language gate (stopword-rate langid) →
+    repetition gate (duplicate-shingle fraction) → content-hash dedup →
+    admitted.  First failing stage claims the document (triage
+    precedence), and the output is the funnel report every ingestion
+    run ships to its dashboard.
+
+    STAGE ORDER IS THE SCALE DESIGN: the three cheap gates are pure
+    scan-side expressions (no shuffle, pushdown-friendly), and the only
+    corpus-wide shuffle — dedup's hash groupBy — prices in just the
+    survivors; running dedup first would shuffle the rejects too.
+
+    The fixture is clean of duplicates and heavy repetition (measured:
+    500/500 distinct hashes, max natural rep_frac 0.07), so docs
+    ≡ 0 (mod 17) are rewritten to one shared template (exact-duplicate
+    path: first doc_id admitted, rest rejected) and ≡ 0 (mod 19) to a
+    50× repeated phrase (repetition path) — both paths proven, the
+    damage deterministic on both engines.
+
+    Scale notes: one scan computes every gate feature; dedup is
+    min-per-hash on the survivor set (`dedup_exact`'s plan); the
+    funnel report is |reasons|-sized."""
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, F.lit(_ADMIT_DUP_TEXT))
+        .when(F.col("doc_id") % 19 == 0, F.lit(_ADMIT_SPAM_TEXT))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = F.split("text", " ")
+    stop = F.array(
+        *[F.lit(s) for s in ["the", "a", "of", "and", "to", "in", "is"]]
+    )
+    en_score = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast(
+        "double"
+    ) / F.size(toks)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+    rep_frac = F.when(
+        F.size(toks) >= 3,
+        1.0 - F.size(shingles).cast("double") / (F.size(toks) - 2),
+    ).otherwise(F.lit(0.0))
+    gated = raw.select(
+        "doc_id",
+        "text",
+        F.when(F.length("text") < 200, "too_short")
+        .when(en_score < 0.02, "lang_filtered")
+        .when(rep_frac > 0.25, "repetitive")
+        .alias("early_reason"),
+    )
+    hashed = gated.where(F.col("early_reason").isNull()).select(
+        "doc_id",
+        F.sha2(
+            F.regexp_replace(F.lower("text"), r"\s+", " "), 256
+        ).alias("h"),
+    )
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    final = (
+        gated.join(hashed, "doc_id", "left")
+        .join(keep, "h", "left")
+        .select(
+            F.coalesce(
+                "early_reason",
+                F.when(F.col("doc_id") == F.col("keeper"), "admitted").otherwise(
+                    "duplicate"
+                ),
+            ).alias("reason")
+        )
+    )
+    return (
+        final.groupBy("reason")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("reason")
+    )

@@ -205,6 +205,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_backfill_stitch",
     "text_langid_confusion",
     "analyze_sampled_stats",
+    "corpus_admission_pipeline",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

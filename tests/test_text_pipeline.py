@@ -73,3 +73,19 @@ def test_lm_perplexity_surprisal_bounds(spark):
     # The list is the argmax-20: sorted by surprisal, deterministic ties.
     pairs = [(r["avg_mbits"], r["doc_id"]) for r in rows]
     assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_admission_funnel_conserves_and_exercises_every_stage(spark):
+    """The funnel partitions the corpus exactly (Σ n_docs == |documents|)
+    and every reason — including the two damage-injected ones — is
+    non-vacuous."""
+    rows = {
+        r["reason"]: r["n_docs"]
+        for r in QUERIES["corpus_admission_pipeline"](spark, SF_DIR).collect()
+    }
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(rows.values()) == total
+    assert set(rows) == {
+        "admitted", "duplicate", "lang_filtered", "repetitive", "too_short"
+    }
+    assert all(v > 0 for v in rows.values())
