@@ -330,3 +330,119 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         coord(comps[0]).alias("pc1_e5"),
         coord(comps[1]).alias("pc2_e5"),
     ).orderBy("vec_id")
+
+
+_KM_K = 4
+_KM_ITERS = 3
+
+
+def _oracle_kmeans() -> str:
+    """Unroll the Lloyd iterations as chained CTEs — same codegen-twin
+    discipline as graph_pagerank/graph_shortest_paths: iteration count
+    and arithmetic agree with the Spark loop by construction."""
+    steps = []
+    prev = "c0"
+    for it in range(1, _KM_ITERS + 1):
+        steps.append(
+            f"""a{it} AS (
+        SELECT f.vec_id, f.f1, f.f2, c.cluster,
+               row_number() OVER (PARTITION BY f.vec_id ORDER BY
+                 (f.f1 - c.c1) * (f.f1 - c.c1)
+                 + (f.f2 - c.c2) * (f.f2 - c.c2), c.cluster) AS rn
+        FROM feats f CROSS JOIN {prev} c
+    ), c{it} AS (
+        SELECT cluster,
+               (2 * SUM(f1) + COUNT(*)) // (2 * COUNT(*)) AS c1,
+               (2 * SUM(f2) + COUNT(*)) // (2 * COUNT(*)) AS c2,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM a{it} WHERE rn = 1 GROUP BY cluster
+    )"""
+        )
+        prev = f"c{it}"
+    return f"""
+    WITH feats AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 100000) AS BIGINT)
+               AS f1,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 100000) AS BIGINT)
+               AS f2
+      FROM embeddings
+    ), c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1
+               AS cluster,
+             f1 AS c1, f2 AS c2
+      FROM feats ORDER BY vec_id LIMIT {_KM_K}
+    ), {", ".join(steps)}
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(c1 AS BIGINT) AS c1_e5, CAST(c2 AS BIGINT) AS c2_e5,
+           n_members
+    FROM c{_KM_ITERS} ORDER BY cluster
+    """
+
+
+@register("kmeans_lloyd_exact", oracle=_oracle_kmeans())
+def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means as a driver-coordinated DataFrame loop (k=4, 3
+    fixed iterations, first-k-points init) — the iterative-ML sibling
+    of `graph_pagerank`, and the algorithm `sim_topk_ivf`/`sim_topk_pq`
+    delegate to MLlib; here it is EXACT and oracle-proven: features are
+    the first two embedding coordinates floored into integer 1e-5
+    units, centroid updates are integer HALF-UP means, and assignment
+    argmin runs on integer squared distances with ties to the lowest
+    cluster id — every number in every iteration is integer arithmetic,
+    so the unrolled DuckDB twin matches bit-for-bit (the float-free
+    formulation of the module's discipline taken to its conclusion).
+
+    Scale notes: per iteration, assignment is ONE broadcast of the k-row
+    centroid frame against the feature scan (k·n integer ops, no
+    shuffle) and the update is one partial+final agg keyed on cluster;
+    the k-row argmax/centroid pull per round is the driver-coordinated
+    merge decision, same posture as pagerank's rank frame.  2-D
+    features keep the oracle writable; the Spark loop is
+    dimension-generic (swap the two columns for an array fold)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") * 100000)
+        .cast("long")
+        .alias("f1"),
+        F.floor(F.element_at("embedding", 2).cast("double") * 100000)
+        .cast("long")
+        .alias("f2"),
+    )
+    init = (
+        feats.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("long")
+            .alias("cluster"),
+            F.col("f1").alias("c1"),
+            F.col("f2").alias("c2"),
+        )
+    )
+    cents = init
+    for _ in range(_KM_ITERS):
+        joined = feats.crossJoin(F.broadcast(cents.select("cluster", "c1", "c2")))
+        dist = (F.col("f1") - F.col("c1")) * (F.col("f1") - F.col("c1")) + (
+            F.col("f2") - F.col("c2")
+        ) * (F.col("f2") - F.col("c2"))
+        wv = Window.partitionBy("vec_id").orderBy(dist.alias("d"), "cluster")
+        assigned = (
+            joined.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "f1", "f2", "cluster")
+        )
+        cents = assigned.groupBy("cluster").agg(
+            F.expr("(2 * sum(f1) + count(*)) div (2 * count(*))").alias("c1"),
+            F.expr("(2 * sum(f2) + count(*)) div (2 * count(*))").alias("c2"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+    return cents.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("c1").cast("long").alias("c1_e5"),
+        F.col("c2").cast("long").alias("c2_e5"),
+        "n_members",
+    ).orderBy("cluster")

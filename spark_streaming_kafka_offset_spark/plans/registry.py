@@ -206,6 +206,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_langid_confusion",
     "analyze_sampled_stats",
     "corpus_admission_pipeline",
+    "kmeans_lloyd_exact",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

@@ -256,6 +256,7 @@ _BNL_ALLOWED = {
     "rollup_hll_intersect",  # broadcast |types|-row sketch frame pair grid
     "dedup_lsh_recall",  # broadcast 1-row count scalar frames (eval report)
     "analyze_sampled_stats",  # broadcast 1-row exact/sampled profile frames
+    "kmeans_lloyd_exact",  # broadcast k=4 centroid frame per Lloyd iteration
 }
 
 
