@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..common import dsum2
+from ..common import dec2, dsum2
 from ..plans.registry import register
 from ..session import load_table
 
@@ -367,4 +367,144 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         unchanged.unionAll(closed)
         .unionAll(fresh)
         .orderBy("c_custkey", "valid_from")
+    )
+
+
+@register(
+    "join_temporal_dim",
+    # The as-of condition reuses merge_scd2's deterministically-derived
+    # history (same change batch, eff date 1998-01-01 sits mid-range of
+    # o_orderdate, so BOTH versions of changed customers get traffic —
+    # the comparison is non-vacuous by construction).
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS new_seg,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS new_bal,
+             c_mktsegment, c_acctbal
+      FROM customer
+      WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+    ), real_changes AS (
+      SELECT * FROM changes
+      WHERE new_seg <> c_mktsegment OR new_bal <> c_acctbal
+    ), hist AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             DATE '1992-01-01' AS valid_from, DATE '9999-12-31' AS valid_to
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM real_changes r
+                        WHERE r.c_custkey = c.c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, DATE '1992-01-01', DATE '1998-01-01'
+      FROM real_changes
+      UNION ALL
+      SELECT c_custkey, new_seg, DATE '1998-01-01', DATE '9999-12-31'
+      FROM real_changes
+    ), cur AS (
+      SELECT c_custkey, c_mktsegment AS cur_seg FROM hist
+      WHERE valid_to = DATE '9999-12-31'
+    ), joined AS (
+      SELECT h.c_mktsegment AS asof_seg, cu.cur_seg,
+             CAST(o.o_totalprice AS DECIMAL(14,2)) AS price
+      FROM orders o
+      JOIN hist h ON o.o_custkey = h.c_custkey
+        AND o.o_orderdate >= h.valid_from AND o.o_orderdate < h.valid_to
+      JOIN cur cu ON o.o_custkey = cu.c_custkey
+    )
+    SELECT asof_seg, cur_seg,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS revenue
+    FROM joined GROUP BY asof_seg, cur_seg
+    ORDER BY asof_seg, cur_seg
+    """,
+)
+def join_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-correct dimension enrichment — the query SCD2 history
+    exists to answer: join each order to the customer segment that was
+    TRUE ON ITS ORDER DATE (valid_from ≤ date < valid_to containment),
+    next to the segment that is true NOW.  Where the two columns
+    disagree, a current-state join would have silently misattributed
+    revenue — the matrix's off-diagonal cells ARE the misattribution a
+    type-1 dimension causes, quantified.
+
+    Scale notes: dimension history is at most versions-per-key rows —
+    broadcast class; the temporal condition is an equi-join on the
+    customer key with the interval containment as a residual filter
+    (each order matches EXACTLY one version, so no row explosion); at
+    100 TB this is the standard Delta/Iceberg SCD2 lookup plan.  The
+    rollup is |segments|²-sized."""
+    eff = F.lit("1998-01-01").cast("date")
+    origin = F.lit("1992-01-01").cast("date")
+    forever = F.lit("9999-12-31").cast("date")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    changes = c.where(
+        (F.col("c_custkey") % 5 == 0) | (F.col("c_custkey") % 7 == 0)
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("MACHINERY"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("new_seg"),
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("new_bal"),
+    )
+    real = changes.where(
+        (F.col("new_seg") != F.col("c_mktsegment"))
+        | (F.col("new_bal") != F.col("c_acctbal"))
+    )
+    hist = (
+        c.join(real.select("c_custkey"), "c_custkey", "left_anti")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            origin.alias("valid_from"),
+            forever.alias("valid_to"),
+        )
+        .unionAll(
+            real.select(
+                "c_custkey",
+                "c_mktsegment",
+                origin.alias("valid_from"),
+                eff.alias("valid_to"),
+            )
+        )
+        .unionAll(
+            real.select(
+                "c_custkey",
+                F.col("new_seg").alias("c_mktsegment"),
+                eff.alias("valid_from"),
+                forever.alias("valid_to"),
+            )
+        )
+    )
+    cur = hist.where(F.col("valid_to") == forever).select(
+        "c_custkey", F.col("c_mktsegment").alias("cur_seg")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    joined = (
+        o.join(
+            F.broadcast(hist),
+            (o.o_custkey == hist.c_custkey)
+            & (o.o_orderdate >= hist.valid_from)
+            & (o.o_orderdate < hist.valid_to),
+        )
+        .select(
+            F.col("c_mktsegment").alias("asof_seg"),
+            "o_custkey",
+            dec2("o_totalprice", 14).alias("price"),
+        )
+        .join(F.broadcast(cur), F.col("o_custkey") == cur.c_custkey)
+    )
+    return (
+        joined.groupBy("asof_seg", "cur_seg")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .orderBy("asof_seg", "cur_seg")
     )

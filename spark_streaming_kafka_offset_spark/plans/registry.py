@@ -207,6 +207,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "analyze_sampled_stats",
     "corpus_admission_pipeline",
     "kmeans_lloyd_exact",
+    "join_temporal_dim",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

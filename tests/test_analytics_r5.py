@@ -133,3 +133,15 @@ def test_scd2_history_laws(spark):
             saw_two = True
     assert saw_noop, "no-op change path never exercised"
     assert saw_two, "no customer actually versioned"
+
+
+def test_temporal_dim_misattribution_is_real(spark):
+    """The as-of × current segment matrix must have off-diagonal mass
+    (orders placed before the 1998 rewrite under the OLD segment) — and
+    total orders must equal the orders table (each order matches exactly
+    one dimension version)."""
+    rows = QUERIES["join_temporal_dim"](spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == total
+    off_diag = [r for r in rows if r["asof_seg"] != r["cur_seg"]]
+    assert off_diag and sum(r["n_orders"] for r in off_diag) > 0
