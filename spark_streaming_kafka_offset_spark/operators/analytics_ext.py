@@ -2515,3 +2515,169 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "channel")
     )
+
+
+@register(
+    "audience_overlap_exact",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), pair_inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY 1
+    )
+    SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_inter,
+           CAST((p.n_inter * 1000) // (sa.n + sb.n - p.n_inter) AS BIGINT)
+             AS jaccard_permille
+    FROM pair_inter p
+    JOIN sizes sa ON p.type_a = sa.event_type
+    JOIN sizes sb ON p.type_b = sb.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def audience_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience overlap per event-type pair — the ground truth
+    `rollup_hll_intersect` estimates: |A∩B|, both audience sizes, and
+    integer per-mille Jaccard.  Where the HLL version answers the
+    question without co-shuffling the user sets, this one pays the
+    user-keyed shuffle to be exact — the two ops together are the
+    estimate-plus-truth pairing the sketch's error bound is measured
+    against (`dedup_lsh_recall`'s eval-first posture applied to set
+    sketches).
+
+    Scale notes: the (type, user) distinct collapse is the only
+    fact-sized agg; the pair intersection is a self-join keyed on
+    user_id — each user contributes C(types-with-user, 2) ≤ C(|types|,
+    2) pair rows, so the join output is bounded by |users|·|types|²/2,
+    NOT |events|²; per-pair counts collapse map-side.  At a 100 TB
+    event log you run the HLL op daily and this exact one as the
+    periodic calibration."""
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    pair_inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sizes = du.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pair_inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.expr("(n_inter * 1000) div (n_a + n_b - n_inter)")
+            .cast("long")
+            .alias("jaccard_permille"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "orders_duplicate_payments",
+    # The fixture's synthetic amounts are near-unique per customer
+    # (measured: ZERO natural same-amount-within-30d pairs), so replayed
+    # transactions are injected deterministically: every o_orderkey ≡ 0
+    # (mod 97) gains a twin at key+10M, 7 days later, same amount —
+    # detection proven, not assumed.
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+             o_orderdate + INTERVAL 7 DAY
+      FROM orders WHERE o_orderkey % 97 = 0
+    ), cand AS (
+      SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+             a.o_custkey, a.o_totalprice,
+             date_diff('day', a.o_orderdate, b.o_orderdate) AS gap_days
+      FROM base a JOIN base b
+        ON a.o_custkey = b.o_custkey
+       AND a.o_totalprice = b.o_totalprice
+       AND a.o_orderkey < b.o_orderkey
+      WHERE abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 30
+    )
+    SELECT o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS amount,
+           key_a, key_b,
+           CAST(gap_days AS BIGINT) AS gap_days
+    FROM cand
+    ORDER BY o_custkey, key_a, key_b
+    """,
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection: order pairs from the same customer
+    with the IDENTICAL amount within 30 days — the double-charge /
+    replayed-transaction audit every payments system runs (and a
+    dedup-family member over relational facts rather than text:
+    equality blocking on (customer, amount), verification on the time
+    window).
+
+    Scale notes: the self-join keys on (custkey, totalprice) — an
+    EQUI-join whose blocking is exactly the fraud signature, so
+    candidate pairs are per-(customer, amount) group sized, never a
+    time-range cross product; the ±30-day check is a residual filter
+    on the matched pairs.  Skew note: a hot (cust, amount) pair would
+    salt like `join_skew_salted`; amounts at 2-decimal granularity
+    make big groups rare."""
+    raw = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    o = raw.unionAll(
+        raw.where(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+            (F.col("o_orderdate") + F.expr("INTERVAL '7' DAY")).alias(
+                "o_orderdate"
+            ),
+        )
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("key_a"),
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("date_a"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_custkey").alias("cust_b"),
+        F.col("o_totalprice").alias("price_b"),
+        F.col("o_orderdate").alias("date_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("o_custkey") == F.col("cust_b"))
+            & (F.col("o_totalprice") == F.col("price_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .where(
+            F.abs(F.datediff("date_b", "date_a")) <= 30
+        )
+        .select(
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("amount"),
+            "key_a",
+            "key_b",
+            F.datediff("date_b", "date_a").cast("long").alias("gap_days"),
+        )
+        .orderBy("o_custkey", "key_a", "key_b")
+    )

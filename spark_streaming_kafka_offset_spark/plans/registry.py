@@ -208,6 +208,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_admission_pipeline",
     "kmeans_lloyd_exact",
     "join_temporal_dim",
+    "audience_overlap_exact",
+    "orders_duplicate_payments",
+    "graph_kcore",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",
