@@ -446,3 +446,81 @@ def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c2").cast("long").alias("c2_e5"),
         "n_members",
     ).orderBy("cluster")
+
+
+@register("embed_outliers_mahalanobis")  # rows-only: matrix inverse has no SQL twin
+def embed_outliers_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scoring by Mahalanobis distance — the
+    covariance-aware QA gate that catches vectors `embed_norm_stats`
+    cannot (a vector can have a perfectly normal norm while sitting far
+    outside the data's correlation structure; Mahalanobis whitens by
+    Σ⁻¹ so every direction counts at its own scale).  Reports the 20
+    most anomalous vectors with their squared distances in integer 1e-3
+    units.
+
+    Same moments-first distribution as `embed_pca_project`: ONE Arrow
+    `mapInPandas` pass emits mergeable (n, Σx, ΣxxT) rows, the driver
+    forms Σ + εI (ridge for numerical safety) and inverts the d×d
+    matrix — O(d³) independent of corpus size — then the quadratic form
+    (x−μ)ᵀ Σ⁻¹ (x−μ) goes back JVM-side: d dot-products per vector via
+    `zip_with`+`aggregate` folds over literal precision-matrix rows,
+    inside codegen, no second Python hop.
+
+    The pytest twin recomputes distances with numpy at full precision
+    and asserts the top-20 set and quantized distances agree."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    dim = int(e.select(F.size("embedding")).first()[0])
+
+    def moments(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {"n": [len(m)], "s": [m.sum(axis=0)], "g": [(m.T @ m).ravel()]}
+            )
+
+    parts = e.select("embedding").mapInPandas(
+        moments, "n long, s array<double>, g array<double>"
+    ).toPandas()
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    g = np.sum(np.stack(parts["g"].to_numpy()), axis=0).reshape(dim, dim)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu) + 1e-6 * np.eye(dim)
+    prec = np.linalg.inv(cov)
+
+    # (x−μ)ᵀP(x−μ) = xᵀPx − 2(Pμ)ᵀx + μᵀPμ: one fold per precision row
+    # for the quadratic term, one fold for the linear term, a constant.
+    pmu = prec @ mu
+    const = float(mu @ prec @ mu)
+    lin_arr = F.array(*[F.lit(float(v)) for v in pmu])
+    lin = F.aggregate(
+        F.zip_with("embedding", lin_arr, lambda x, c: x.cast("double") * c),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    quad = F.lit(0.0)
+    for i in range(dim):
+        row_arr = F.array(*[F.lit(float(v)) for v in prec[i]])
+        row_dot = F.aggregate(
+            F.zip_with("embedding", row_arr, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        quad = quad + F.element_at("embedding", i + 1).cast("double") * row_dot
+    d2 = quad - 2.0 * lin + F.lit(const)
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.floor(d2 * 1000).cast("long").alias("maha_d2_e3"),
+        )
+        .orderBy(F.col("maha_d2_e3").desc(), "vec_id")
+        .limit(20)
+    )

@@ -211,6 +211,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "audience_overlap_exact",
     "orders_duplicate_payments",
     "graph_kcore",
+    "embed_outliers_mahalanobis",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

@@ -145,3 +145,29 @@ def test_temporal_dim_misattribution_is_real(spark):
     assert sum(r["n_orders"] for r in rows) == total
     off_diag = [r for r in rows if r["asof_seg"] != r["cur_seg"]]
     assert off_diag and sum(r["n_orders"] for r in off_diag) > 0
+
+
+def test_mahalanobis_outliers_match_numpy(spark):
+    """Top-20 Mahalanobis outliers from the moments-first distributed
+    computation must match full-precision numpy (same ridge, same
+    quantization) — set equality on vec_ids and ±1-quantum distance
+    agreement."""
+    import pandas as pd
+
+    rows = QUERIES["embed_outliers_mahalanobis"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values("vec_id")
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mu = m.mean(axis=0)
+    cov = np.cov(m, rowvar=False, bias=True) + 1e-6 * np.eye(m.shape[1])
+    prec = np.linalg.inv(cov)
+    diff = m - mu
+    d2 = np.einsum("ij,jk,ik->i", diff, prec, diff)
+    want = sorted(
+        zip(np.floor(d2 * 1000).astype(int), emb["vec_id"]),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = [(r["maha_d2_e3"], r["vec_id"]) for r in rows]
+    assert {v for _, v in got} == {v for _, v in want}
+    for (gd, gv), (wd, wv) in zip(got, want):
+        assert abs(gd - wd) <= 1
