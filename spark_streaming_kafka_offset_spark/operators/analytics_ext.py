@@ -2681,3 +2681,106 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "key_a", "key_b")
     )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS custkey, c_custkey // 10 AS ancestor, 1 AS depth
+      FROM customer WHERE c_custkey // 10 > 0
+      UNION ALL
+      SELECT ch.custkey, ch.ancestor // 10, ch.depth + 1
+      FROM chain ch WHERE ch.ancestor // 10 > 0
+    )
+    SELECT CAST(custkey AS BIGINT) AS custkey,
+           CAST(ancestor AS BIGINT) AS ancestor,
+           CAST(depth AS BIGINT) AS depth
+    FROM chain
+    ORDER BY custkey, depth
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE — transitive ancestor closure over a derived
+    referral hierarchy (parent = custkey div 10, a decimal-trie tree),
+    run through Spark's OWN ``WITH RECURSIVE`` (new in Spark 4.0 —
+    before it, this shape needed the driver-coordinated loops
+    `dedup_clusters`/`graph_shortest_paths` use).  Each customer yields
+    its full ancestor chain with depth; both engines execute the
+    IDENTICAL recursive SQL, so this is the rare op whose Spark text and
+    oracle text are one string — the capability parity check itself.
+
+    Scale notes: Spark plans the recursion as an iterative union-loop
+    (one join per level against the previous frontier, same physical
+    shape as the hand-rolled BFS); depth is bounded by key magnitude
+    (log₁₀) so the loop terminates in ~4 rounds here.  For unbounded
+    real hierarchies the driver-loop form with `stage()` lineage
+    truncation remains the 100 TB posture; this op pins the SQL-surface
+    capability."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS custkey, c_custkey div 10 AS ancestor,
+                 1 AS depth
+          FROM customer WHERE c_custkey div 10 > 0
+          UNION ALL
+          SELECT ch.custkey, ch.ancestor div 10, ch.depth + 1
+          FROM chain ch WHERE ch.ancestor div 10 > 0
+        )
+        SELECT CAST(custkey AS BIGINT) AS custkey,
+               CAST(ancestor AS BIGINT) AS ancestor,
+               CAST(depth AS BIGINT) AS depth
+        FROM chain
+        ORDER BY custkey, depth
+        """
+    )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER)
+             AS missing_int,
+           (json_extract_string(props, '$.k') IS NULL) AS k_is_null
+    FROM events
+    WHERE event_id % 50 = 0
+    ORDER BY event_id
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT scalar surface (Spark 4): ``parse_json`` once into a
+    VARIANT value, then typed ``variant_get`` extractions — the
+    semi-structured column type Snowflake/Databricks users expect,
+    superseding per-access ``get_json_object`` re-parsing (`fn_json`
+    keeps the classic surface).  Missing paths return NULL under typed
+    extraction; the oracle mirrors with DuckDB's JSON extraction — the
+    hash match pins that VARIANT's typed-access semantics equal
+    classic JSON semantics on this data.
+
+    Scale notes: parse ONCE per row, extract many — at 100 TB the
+    VARIANT binary encoding also shreds into columnar storage
+    (Parquet variant shredding), making path access scan-prunable;
+    everything here is scan-side codegen, zero shuffles."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 50 == 0)
+    return (
+        e.select(
+            "event_id",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias(
+                "k_int"
+            ),
+            F.expr("variant_get(parse_json(props), '$.k', 'string')").alias(
+                "k_str"
+            ),
+            F.expr(
+                "variant_get(parse_json(props), '$.missing', 'int')"
+            ).alias("missing_int"),
+            F.expr("variant_get(parse_json(props), '$.k', 'int')")
+            .isNull()
+            .alias("k_is_null"),
+        )
+        .orderBy("event_id")
+    )

@@ -212,6 +212,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_duplicate_payments",
     "graph_kcore",
     "embed_outliers_mahalanobis",
+    "sql_recursive_cte",
+    "fn_variant",
+    "source_python_datasource",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

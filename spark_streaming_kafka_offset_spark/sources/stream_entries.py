@@ -111,3 +111,93 @@ def sink_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT count(*) AS n_users, sum(n) AS n_events FROM sink_memory_demo"
     )
+
+
+@register("source_python_datasource")
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through the Spark 4 PYTHON DATA SOURCE API
+    (`pyspark.sql.datasource.DataSource`) — the pluggable-source
+    mechanism a real Kafka-offset connector registers through when no
+    JVM jar is available [K].  The source reads the events parquet via
+    pyarrow with (a) one InputPartition PER FILE (the Kafka
+    partition→split mapping), (b) a `start_offset` option gating rows
+    by event_id — the startingOffsets seek — and (c) column projection
+    honored at the reader.  The demo query counts per (split, type) so
+    the partition mapping itself is visible in the output.
+
+    Scale notes: partition planning happens driver-side from the file
+    listing (metadata only); each split streams Arrow batches —
+    `read()` yields pyarrow RecordBatches, never Python rows; the
+    offset gate applies within the reader so filtered rows never cross
+    the Arrow boundary.  Registered rows-only: the source itself is
+    runtime plumbing (its EQUALITY to a direct gated read is the
+    pytest contract)."""
+    import glob as _glob
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+    from pyspark.sql.types import StructType
+
+    class _EventsFileSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sskos_events_files"
+
+        def schema(self) -> str:
+            return (
+                "split int, event_id long, user_id long, event_type string"
+            )
+
+        def reader(self, schema: StructType) -> DataSourceReader:
+            return _EventsFileReader(self.options)
+
+    class _EventsFileReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.start_offset = int(options.get("start_offset", "0"))
+
+        def partitions(self):
+            files = sorted(_glob.glob(self.path + "/chunk=*/*.parquet"))
+            return [InputPartition((i, f)) for i, f in enumerate(files)]
+
+        def read(self, partition):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            idx, fname = partition.value
+            t = pq.read_table(
+                fname, columns=["event_id", "user_id", "event_type"]
+            )
+            t = t.filter(pc.field("event_id") >= self.start_offset)
+            t = t.add_column(
+                0, "split", pa.array([idx] * len(t), type=pa.int32())
+            )
+            yield from t.to_batches()
+
+    spark.dataSource.register(_EventsFileSource)
+    from ..streaming.offsets import _range_chunked_stream_dir
+
+    stream_dir = _range_chunked_stream_dir(spark, sf_dir, n_chunks=4)
+    head = load_table(spark, sf_dir, "events").agg(
+        F.max("event_id")
+    ).first()[0]
+    start = int(head) // 4 + 1  # seek past the first committed range
+    df = (
+        spark.read.format("sskos_events_files")
+        .option("path", stream_dir)
+        .option("start_offset", str(start))
+        .load()
+    )
+    return (
+        df.groupBy("split", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("event_id").cast("long").alias("min_id"),
+            F.max("event_id").cast("long").alias("max_id"),
+        )
+        .orderBy("split", "event_type")
+    )

@@ -48,3 +48,35 @@ def test_txn_maintenance_incremental_and_compaction(spark):
     assert out["files_pre_compact"] == 6
     assert out["files_post_compact"] == 1
     assert out["time_travel_v1_rows"] == n_all
+
+
+def test_python_datasource_matches_direct_gated_read(spark):
+    """The custom Python DataSource (per-file splits + offset gate +
+    projection) must produce exactly the rows of a direct parquet read
+    gated the same way, and its split column must reflect the file
+    layout (4 range chunks => splits 0-3 with only post-offset splits
+    populated)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_offset_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["source_python_datasource"](spark, SF_DIR).collect()
+    e = load_table(spark, SF_DIR, "events")
+    head = e.agg(F.max("event_id")).first()[0]
+    start = int(head) // 4 + 1
+    want = {
+        r["event_type"]: r["n"]
+        for r in e.where(F.col("event_id") >= start)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {}
+    for r in rows:
+        got[r["event_type"]] = got.get(r["event_type"], 0) + r["n_rows"]
+        assert r["min_id"] >= start
+    assert got == want
+    splits = {r["split"] for r in rows}
+    assert splits <= {0, 1, 2, 3} and len(splits) >= 3
