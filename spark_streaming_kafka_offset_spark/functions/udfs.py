@@ -128,3 +128,42 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.pos ORDER BY t.pos
         """
     )
+
+
+@register("udf_arrow_native")
+def udf_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the lowest-overhead Python extension point
+    (pyarrow RecordBatch in, RecordBatch out; no pandas conversion on
+    either side), completing the §2.11 ladder: row-UDF → pandas UDF →
+    applyInPandas → UDTF → Arrow-native here.  The batch function
+    length-buckets documents with pyarrow.compute kernels (C++ inside
+    Python — no per-row interpreter work), then Spark aggregates.
+
+    The pytest twin asserts equality with the pure-JVM formulation of
+    the same bucketing — the extension point adds a capability surface,
+    never a semantics fork.
+
+    Scale notes: Arrow round-trip cost is per-BATCH, and compute
+    kernels are vectorized C++; this is the right hop when pandas
+    semantics (index, NaN coercion) are unwanted overhead.  Still the
+    slow path vs built-ins — used here on a projected 2-column frame."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def bucketize(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            n = pc.utf8_length(t["text"])
+            bucket = pc.multiply(pc.floor(pc.divide(n, 100)), 100)
+            yield pa.RecordBatch.from_arrays(
+                [t["doc_id"].combine_chunks(), bucket.combine_chunks().cast(pa.int64())],
+                names=["doc_id", "len_bucket"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = d.mapInArrow(bucketize, "doc_id long, len_bucket long")
+    return (
+        out.groupBy("len_bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("len_bucket")
+    )

@@ -398,3 +398,49 @@ def analyze_sampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+@register("scan_observed_metrics")
+def scan_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-attached metrics via the `Observation` API — production
+    Spark's free lunch: named aggregates computed DURING a query's own
+    execution (piggybacked on the existing scan, no second pass, no
+    cache), the mechanism behind data-quality monitors that must not
+    double the pipeline's I/O.  The observed frame runs the normal
+    revenue rollup; the observation simultaneously records row count,
+    null count and value bounds, and the op returns metric rows
+    alongside the rollup's own totals for cross-checking — the pytest
+    asserts observed row count == the rollup's summed counts (the
+    no-second-pass numbers are REAL numbers).
+
+    Scale notes: observation aggregates ride the same whole-stage
+    codegen as the query — zero extra scans at any scale; metrics
+    arrive driver-side as one row of scalars."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("obs_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("obs_null_qty"),
+        F.min("l_quantity").alias("obs_min_qty"),
+        F.max("l_quantity").alias("obs_max_qty"),
+    )
+    rollup = (
+        observed.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .collect()  # materialize so the observation fires
+    )
+    m = obs.get
+    rows = [
+        ("obs_rows", float(m["obs_rows"])),
+        ("obs_null_qty", float(m["obs_null_qty"])),
+        ("obs_min_qty", float(m["obs_min_qty"])),
+        ("obs_max_qty", float(m["obs_max_qty"])),
+        ("rollup_total_rows", float(sum(r["n"] for r in rollup))),
+        ("rollup_groups", float(len(rollup))),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double").orderBy(
+        "metric"
+    )

@@ -215,6 +215,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_recursive_cte",
     "fn_variant",
     "source_python_datasource",
+    "udf_arrow_native",
+    "scan_observed_metrics",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",
