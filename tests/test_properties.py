@@ -1417,3 +1417,52 @@ def test_bpe_encode_matches_reference_implementation(spark):
         n_tokens = sum(len(seqs[w]) if len(w) >= 2 else 1 for w in ws)
         want[doc_id] = (n_words, n_tokens, n_tokens * 1000 // n_words)
     assert got == want
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=80
+    ),
+    cut=st.integers(min_value=0, max_value=80),
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bitmap_distinct_merge_law(ids, cut):
+    """The 62-bit word encoding behind rollup_bitmap_distinct is a
+    mergeable exact-distinct state: popcount(OR of per-part words) ==
+    |distinct ids| for ANY id multiset and ANY two-way partitioning —
+    pure-python twin of the word algebra (word = id//62, bit = id%62)."""
+    def words(part):
+        w: dict[int, int] = {}
+        for i in part:
+            w[i // 62] = w.get(i // 62, 0) | (1 << (i % 62))
+        return w
+
+    c = min(cut, len(ids))
+    w1, w2 = words(ids[:c]), words(ids[c:])
+    merged = dict(w1)
+    for k, v in w2.items():
+        merged[k] = merged.get(k, 0) | v
+    popcount = sum(bin(v).count("1") for v in merged.values())
+    assert popcount == len(set(ids))
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10_000_000),
+        min_size=1,
+        max_size=200,
+    ),
+    cut=st.integers(min_value=0, max_value=200),
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_kmv_bottomk_merge_law(vals, cut):
+    """KMV's bottom-k multiset is mergeable: bottom_k(bottom_k(A) ∪
+    bottom_k(B)) == bottom_k(A ∪ B) for any split — the property that
+    lets agg_kmv_bottomk swap its rank window for per-partition
+    bottom-k at 100 TB without changing a single output number."""
+    K = 16
+    c = min(cut, len(vals))
+    a, b = sorted(vals[:c])[:K], sorted(vals[c:])[:K]
+    merged = sorted(a + b)[:K]
+    direct = sorted(vals)[:K]
+    assert merged == direct
