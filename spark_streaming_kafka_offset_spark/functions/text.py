@@ -2199,8 +2199,12 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit join is (candidate ∩ truth)-sized; the four counts ride as
     1-row broadcast frames (allowlisted BNL, cf. q22)."""
     d = load_table(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(d).select(
-        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    # staged: consumed twice (n_truth count + hit join) — without it the
+    # whole prefix-filter pipeline re-runs per consumer.
+    truth = stage(
+        ngram_jaccard_pairs(d).select(
+            F.col("id_a").alias("a"), F.col("id_b").alias("b")
+        )
     )
     tok = d.select("doc_id", _shingles(F.col("text")).alias("sh")).where(
         F.size("sh") > 0

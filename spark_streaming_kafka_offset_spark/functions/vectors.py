@@ -412,18 +412,14 @@ def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("f2"),
     )
-    init = (
-        feats.orderBy("vec_id")
-        .limit(_KM_K)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
-            .cast("long")
-            .alias("cluster"),
-            F.col("f1").alias("c1"),
-            F.col("f2").alias("c2"),
-        )
+    # k-row driver pull for init (same class as the per-round centroid
+    # pull) — a global row_number window here would plan a needless
+    # single-partition sort and fire WindowExec's warning.
+    seed = feats.orderBy("vec_id").limit(_KM_K).collect()
+    cents = spark.createDataFrame(
+        [(i, r["f1"], r["f2"]) for i, r in enumerate(seed)],
+        "cluster long, c1 long, c2 long",
     )
-    cents = init
     for _ in range(_KM_ITERS):
         joined = feats.crossJoin(F.broadcast(cents.select("cluster", "c1", "c2")))
         dist = (F.col("f1") - F.col("c1")) * (F.col("f1") - F.col("c1")) + (
