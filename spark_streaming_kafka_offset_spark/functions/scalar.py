@@ -419,3 +419,80 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(eid.cast("long")).alias("popcount"),
         F.shiftleft(eid, 2).alias("shifted"),
     )
+
+
+@register(
+    "fn_hof",
+    # Array outputs aren't driver-canonicalizable (lists are unhashable
+    # in the pandas canon — observed), so every lambda's result is
+    # flattened to scalar evidence: sums, booleans, and a CSV string.
+    # The filtered list is never empty by construction (the i=3 element
+    # (k%10)·3 is always divisible by 3), so DuckDB's NULL-on-empty
+    # string_agg vs Spark's ''-on-empty concat_ws divergence is
+    # unreachable here.
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             list_transform(range(1, 6),
+                            i -> (o_orderkey % 10) * i) AS xs
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderkey,
+           CAST(list_sum(list_transform(xs, x -> x * 2)) AS BIGINT)
+             AS doubled_sum,
+           list_aggr(list_transform(list_filter(xs, x -> x % 3 = 0),
+                     x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS div3_csv,
+           list_bool_or(list_transform(xs, x -> x > 20)) AS any_gt20,
+           list_bool_and(list_transform(xs, x -> x >= 0)) AS all_nonneg,
+           CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT)
+             AS sumsq,
+           CAST(list_sum(list_transform(range(1, 6),
+                  i -> xs[i] * xs[6 - i])) AS BIGINT) AS dot_rev
+    FROM t ORDER BY o_orderkey
+    """,
+)
+def fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function surface — the lambda algebra over array
+    columns (`transform` / `filter` / `exists` / `forall` / `aggregate`
+    / `zip_with`) that keeps per-element logic inside codegen where
+    row-at-a-time UDFs would fall out of it; the building blocks the
+    similarity and vector modules lean on, demonstrated as first-class
+    §2.8 surface.  The test array derives deterministically from the
+    order key, so every lambda's output is oracle-checkable; DuckDB
+    mirrors with its list_* combinators (fold spelled as
+    transform+sum — same element order, exact integers).
+
+    Scale notes: zero shuffles — pure scan-side expression work; all
+    integer arithmetic."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    xs = F.transform(
+        F.sequence(F.lit(1), F.lit(5)),
+        lambda i: (F.col("o_orderkey") % 10) * i,
+    )
+    t = o.select("o_orderkey", xs.alias("xs"))
+    rev = F.reverse("xs")
+    return t.select(
+        "o_orderkey",
+        F.aggregate(
+            F.transform("xs", lambda x: x * 2),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("doubled_sum"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.filter("xs", lambda x: x % 3 == 0),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("div3_csv"),
+        F.exists("xs", lambda x: x > 20).alias("any_gt20"),
+        F.forall("xs", lambda x: x >= 0).alias("all_nonneg"),
+        F.aggregate(
+            "xs", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("sumsq"),
+        F.aggregate(
+            F.zip_with("xs", rev, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dot_rev"),
+    ).orderBy("o_orderkey")

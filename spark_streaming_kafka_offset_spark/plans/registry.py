@@ -217,6 +217,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "source_python_datasource",
     "udf_arrow_native",
     "scan_observed_metrics",
+    "fn_hof",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",
