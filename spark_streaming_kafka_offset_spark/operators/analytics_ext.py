@@ -2784,3 +2784,169 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    # Cross-algorithm oracle (events_rolling_active's discipline): the
+    # engine computes MAU by interval-merge sweep; the oracle computes
+    # the SAME numbers the O(days·users) direct way.
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), grid AS (
+      SELECT UNNEST(generate_series((SELECT MIN(day) FROM ud),
+                                    (SELECT MAX(day) FROM ud),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ), mau AS (
+      SELECT g.day,
+             CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau30
+      FROM grid g JOIN ud u
+        ON u.day BETWEEN g.day - 29 AND g.day
+      GROUP BY g.day
+    )
+    SELECT g.day,
+           COALESCE(d.dau, 0) AS dau,
+           m.mau30,
+           CAST((COALESCE(d.dau, 0) * 1000) // m.mau30 AS BIGINT)
+             AS stickiness_permille
+    FROM grid g
+    LEFT JOIN dau d ON g.day = d.day
+    JOIN mau m ON g.day = m.day
+    ORDER BY g.day
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar day with an EXACT 30-day rolling
+    MAU — the engagement ratio every growth dashboard headlines —
+    computed WITHOUT count-distinct-over-window: each user's active
+    days become [day, day+29] coverage intervals, per-user overlapping
+    intervals merge (gap > 29 days starts a new one), and a +1/−1
+    boundary sweep with one cumulative sum yields MAU for every day —
+    `events_rolling_active`'s interval-merge generalized from 7 to 30
+    days, with the ratio reported in integer per-mille.
+
+    Scale notes: user-day dedup is the only fact-sized agg; each user
+    contributes O(#activity-islands) boundary rows, not O(#days); the
+    sweep cumsum runs on the calendar-sized rollup.  The oracle
+    deliberately recomputes MAU the direct O(days·users) way — two
+    algorithms, one hash."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    wlag = Window.partitionBy("user_id").orderBy("day")
+    grp = ud.withColumn(
+        "new_iv",
+        F.when(F.datediff("day", F.lag("day").over(wlag)) > 29, 1).otherwise(0),
+    ).withColumn(
+        "iv_id",
+        F.sum("new_iv").over(
+            wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = grp.groupBy("user_id", "iv_id").agg(
+        F.min("day").alias("s"), F.date_add(F.max("day"), 29).alias("e")
+    )
+    deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    sweep = deltas.groupBy("day").agg(F.sum("d").alias("net"))
+    bounds = ud.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day")
+    )
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    wsweep = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(sweep, "day", "left")
+        .join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.sum(F.coalesce("net", F.lit(0)))
+            .over(wsweep)
+            .cast("long")
+            .alias("mau30"),
+        )
+        .select(
+            "day",
+            "dau",
+            "mau30",
+            F.expr("(dau * 1000) div mau30").cast("long").alias(
+                "stickiness_permille"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "lineitem_vwap_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT (EXTRACT(year FROM l_shipdate) * 12
+              + EXTRACT(month FROM l_shipdate) - 1) AS month_id,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,4))
+               AS pq,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+               AS q
+      FROM lineitem GROUP BY 1
+    )
+    SELECT make_date(CAST(month_id // 12 AS INT),
+                     CAST(month_id % 12 + 1 AS INT), 1) AS ship_month,
+           CAST(q AS DOUBLE) AS total_qty,
+           CAST((2 * CAST(pq * 100 AS HUGEINT)
+                 + CAST(q * 100 AS HUGEINT))
+                // (2 * CAST(q * 100 AS HUGEINT)) AS DOUBLE) / 100.0
+             AS vwap
+    FROM m ORDER BY ship_month
+    """,
+)
+def lineitem_vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per ship month — the VWAP shape
+    every market/pricing pipeline computes: Σ(price·qty)/Σ(qty) with
+    BOTH sums exact DECIMAL (price×qty products widen to DECIMAL(38,4)
+    — order-independent integer arithmetic at any partitioning), and
+    the division done as integer-cents HALF-UP (`cohort_ltv`'s .xx5
+    lesson; the ratio of two exact decimals reliably lands on rounding
+    boundaries).  `agg_hash` averages a column; this weights one exact
+    decimal by another — the step from AVG to VWAP is exactly where
+    float aggregation breaks cross-engine.
+
+    Scale notes: one partial+final hash aggregate; month arithmetic is
+    integer month_id on both sides (no engine calendar); output is
+    months-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("month_id")
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(12,2)")
+        )
+        .cast("decimal(38,4)")
+        .alias("pq"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("q"),
+    )
+    return m.select(
+        F.make_date(
+            F.expr("month_id div 12"), F.col("month_id") % 12 + 1, F.lit(1)
+        ).alias("ship_month"),
+        F.col("q").cast("double").alias("total_qty"),
+        (
+            F.expr(
+                "(2 * cast(pq * 100 as decimal(38,0))"
+                " + cast(q * 100 as decimal(38,0)))"
+                " div (2 * cast(q * 100 as decimal(38,0)))"
+            ).cast("double")
+            / 100.0
+        ).alias("vwap"),
+    ).orderBy("ship_month")

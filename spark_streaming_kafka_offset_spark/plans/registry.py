@@ -218,6 +218,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "udf_arrow_native",
     "scan_observed_metrics",
     "fn_hof",
+    "events_dau_mau_stickiness",
+    "lineitem_vwap_monthly",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",
