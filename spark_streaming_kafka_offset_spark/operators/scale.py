@@ -1350,3 +1350,47 @@ def agg_kmv_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("err_permille"),
         "bottomk_md5",
     ).orderBy("event_type")
+
+
+@register("scan_cached_reuse")
+def scan_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cache reuse — the interactive-analytics pattern distinct
+    from `stage()`'s lineage truncation: one filtered projection is
+    persisted, consumed by TWO different aggregations (by return flag,
+    by month), and unpersisted — the second consumer must hit
+    InMemoryTableScan, not re-read parquet (plan-asserted in
+    tests/test_plans.py).  Output stitches both rollups with a source
+    tag so the reuse is visible in the result.
+
+    Scale notes: caching pays when (re-scan cost × consumers) exceeds
+    memory-pressure cost — right for a pruned slice feeding a dashboard
+    fan-out, wrong for a one-pass pipeline (which is why the engine's
+    iterative loops use `stage()`/localCheckpoint instead: truncation
+    without cross-job retention).  MEMORY_AND_DISK default spills
+    rather than recomputes; unpersist is explicit because a 100 TB
+    cluster's block manager is a shared resource -- and because the
+    returned frame must not depend on the released cache, the stitched
+    ROLLUP-sized result (flags + months ~= 90 rows) is materialized
+    before the unpersist."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 25)
+        .select("l_returnflag", "l_shipdate", dec2("l_extendedprice", 14).alias("p"))
+    )
+    li.persist()
+    try:
+        by_flag = li.groupBy(F.col("l_returnflag").alias("k")).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("p").cast("double").alias("revenue"),
+        ).select(F.lit("by_flag").alias("rollup"), "k", "n_rows", "revenue")
+        by_month = li.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("k")
+        ).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("p").cast("double").alias("revenue"),
+        ).select(F.lit("by_month").alias("rollup"), "k", "n_rows", "revenue")
+        out = by_flag.unionAll(by_month).orderBy("rollup", "k")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        li.unpersist()
+    return out

@@ -220,6 +220,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_hof",
     "events_dau_mau_stickiness",
     "lineitem_vwap_monthly",
+    "scan_cached_reuse",
     # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
     # evidence in the registry, so lowest re-proof priority).
     "agg_mode",

@@ -601,3 +601,26 @@ def test_bitmap_distinct_is_pure_partial_final_aggs(spark):
     assert "HashAggregate" in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_cached_reuse_hits_memory_scan(spark):
+    """The second consumer of the persisted slice must read
+    InMemoryTableScan — a parquet re-read would mean the cache was
+    planned around."""
+    from spark_streaming_kafka_offset_spark.session import load_table
+    from spark_streaming_kafka_offset_spark.common import dec2
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .where(F.col("l_quantity") >= 25)
+        .select("l_returnflag", "l_shipdate", dec2("l_extendedprice", 14).alias("p"))
+    )
+    li.persist()
+    try:
+        li.groupBy("l_returnflag").count().collect()  # warm the cache
+        plan = executed_plan(
+            li.groupBy(F.date_format("l_shipdate", "yyyy-MM")).count()
+        )
+        assert "InMemoryTableScan" in plan
+    finally:
+        li.unpersist()
