@@ -427,14 +427,19 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the pandas canon — observed), so every lambda's result is
     # flattened to scalar evidence: sums, booleans, and a CSV string.
     # The filtered list is never empty by construction (the i=3 element
-    # (k%10)·3 is always divisible by 3), so DuckDB's NULL-on-empty
+    # 3·base is always divisible by 3), so DuckDB's NULL-on-empty
     # string_agg vs Spark's ''-on-empty concat_ws divergence is
-    # unreachable here.
+    # unreachable here.  The base is (k//100)%9+1, NOT k%10 — the row
+    # filter k%100=0 forces k%10=0, which would make every element 0 and
+    # every lambda output a constant (ADVICE r5: a vacuous oracle that a
+    # broken HOF engine would still pass).  base∈[1,9] varies per row, so
+    # transform/filter/exists/forall/aggregate/zip_with are all exercised
+    # on non-degenerate values (any_gt20 flips at base≥5).
     oracle="""
     WITH t AS (
       SELECT o_orderkey,
              list_transform(range(1, 6),
-                            i -> (o_orderkey % 10) * i) AS xs
+                            i -> ((o_orderkey // 100) % 9 + 1) * i) AS xs
       FROM orders WHERE o_orderkey % 100 = 0
     )
     SELECT o_orderkey,
@@ -458,17 +463,18 @@ def fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-at-a-time UDFs would fall out of it; the building blocks the
     similarity and vector modules lean on, demonstrated as first-class
     §2.8 surface.  The test array derives deterministically from the
-    order key, so every lambda's output is oracle-checkable; DuckDB
-    mirrors with its list_* combinators (fold spelled as
-    transform+sum — same element order, exact integers).
+    order key — base (k//100)%9+1 ∈ [1,9], deliberately coprime with
+    the k%100=0 row filter so element values VARY per row (ADVICE r5
+    fixed the earlier k%10 base, which the filter forced to 0 on every
+    row, making all lambda outputs constants); DuckDB mirrors with its
+    list_* combinators (fold spelled as transform+sum — same element
+    order, exact integers).
 
     Scale notes: zero shuffles — pure scan-side expression work; all
     integer arithmetic."""
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
-    xs = F.transform(
-        F.sequence(F.lit(1), F.lit(5)),
-        lambda i: (F.col("o_orderkey") % 10) * i,
-    )
+    base = (F.col("o_orderkey") / F.lit(100)).cast("long") % 9 + 1
+    xs = F.transform(F.sequence(F.lit(1), F.lit(5)), lambda i: base * i)
     t = o.select("o_orderkey", xs.alias("xs"))
     rev = F.reverse("xs")
     return t.select(

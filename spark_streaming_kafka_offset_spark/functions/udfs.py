@@ -28,7 +28,11 @@ from ..plans.registry import register
 from ..session import load_table
 
 
-@udf(returnType=StringType())
+# useArrow pinned False: this row is the DELIBERATE pickle-serialized
+# slow path (the ladder's bottom rung), and leaving it None makes
+# pyspark try eval-type inference from the hints, which fails and
+# prints an import-time UserWarning on every driver run (VERDICT r5 #5).
+@udf(returnType=StringType(), useArrow=False)
 def _priority_bucket(priority: str) -> str:
     """Row-at-a-time demo: '1-URGENT' → 'hot', others → 'cold'."""
     if priority is None:

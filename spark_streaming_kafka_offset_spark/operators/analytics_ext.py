@@ -2826,7 +2826,13 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals merge (gap > 29 days starts a new one), and a +1/−1
     boundary sweep with one cumulative sum yields MAU for every day —
     `events_rolling_active`'s interval-merge generalized from 7 to 30
-    days, with the ratio reported in integer per-mille.
+    days, with the ratio reported in integer per-mille.  Days whose
+    trailing 30-day window holds NO active user are dropped (mau30 > 0
+    filter) — the oracle's inner ``JOIN mau`` produces no row for such
+    a day, so the engine must agree rather than emit a mau30=0 row with
+    a NULL division (ADVICE r5: unreachable on the driver fixture, but
+    a >29-day activity gap would have flipped the hash;
+    tests/test_analytics_r5.py pins the gapped-frame behavior).
 
     Scale notes: user-day dedup is the only fact-sized agg; each user
     contributes O(#activity-islands) boundary rows, not O(#days); the
@@ -2873,6 +2879,7 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("mau30"),
         )
+        .where(F.col("mau30") > 0)
         .select(
             "day",
             "dau",

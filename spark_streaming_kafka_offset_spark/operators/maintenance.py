@@ -288,21 +288,23 @@ _SAMPLE_MOD = 10  #: 1-in-10 deterministic hash sample
     "analyze_sampled_stats",
     # One SELECT per profiled column, unioned — same shape as
     # analyze_table_stats.  The sample predicate is the md5-derived
-    # integer (dedup_minhash_md5's recipe) mod 10 == 0: deterministic,
+    # integer (dedup_minhash_md5's recipe) mod _SAMPLE_MOD == 0 (ADVICE
+    # r5: interpolate the constant, never hardcode it, so changing
+    # _SAMPLE_MOD can't desynchronize the two engines): deterministic,
     # key-uncorrelated, identical row set on both engines — so the
     # sampled estimates (not just the exact side) are oracle-proven.
     oracle=" UNION ALL ".join(
         f"""
     SELECT '{c}' AS column_name,
            CAST(ex.n AS BIGINT) AS n_exact,
-           CAST(sa.n * {10} AS BIGINT) AS n_est,
+           CAST(sa.n * {_SAMPLE_MOD} AS BIGINT) AS n_est,
            CAST(ex.ndv AS BIGINT) AS ndv_exact,
            CAST(sa.ndv AS BIGINT) AS ndv_sample,
            CAST((2 * CAST(ex.s * 100 AS BIGINT) + ex.n) // (2 * ex.n)
                 AS DOUBLE) / 100.0 AS avg_exact,
            CAST((2 * CAST(sa.s * 100 AS BIGINT) + sa.n) // (2 * sa.n)
                 AS DOUBLE) / 100.0 AS avg_est,
-           CAST((abs(sa.n * {10} - ex.n) * 1000) // ex.n AS BIGINT)
+           CAST((abs(sa.n * {_SAMPLE_MOD} - ex.n) * 1000) // ex.n AS BIGINT)
              AS rowcount_err_permille
     FROM (
       SELECT COUNT(*) AS n, COUNT(DISTINCT {c}) AS ndv,
@@ -313,7 +315,7 @@ _SAMPLE_MOD = 10  #: 1-in-10 deterministic hash sample
              SUM(CAST({c} AS DECIMAL(14,2))) AS s
       FROM lineitem
       WHERE CAST(('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber
-                    AS VARCHAR)), 1, 15)) AS BIGINT) % {10} = 0
+                    AS VARCHAR)), 1, 15)) AS BIGINT) % {_SAMPLE_MOD} = 0
     ) sa
     """
         for c in ("l_quantity", "l_extendedprice")

@@ -171,3 +171,46 @@ def test_mahalanobis_outliers_match_numpy(spark):
     assert {v for _, v in got} == {v for _, v in want}
     for (gd, gv), (wd, wv) in zip(got, want):
         assert abs(gd - wd) <= 1
+
+
+def test_dau_mau_gapped_frame_parity(spark, tmp_path):
+    """ADVICE r5: a calendar day whose trailing 30-day window holds no
+    active user must be DROPPED by both engines (the oracle's inner
+    JOIN produces no row; the engine filters mau30 > 0).  The driver
+    fixture has no >29-day gap, so this synthetic frame is the only
+    place the branch executes — both engines run on it and the canon
+    frames must agree, with the gap days verifiably absent."""
+    import duckdb
+    import pandas as pd
+
+    from spark_streaming_kafka_offset_spark.plans.registry import ORACLE_SQL
+    from tools.driver_canon import canon_frame
+
+    # user 1 active Jan 1-3, then silent 40 days, active again Feb 15;
+    # user 2 only on Jan 2.  Days Feb 2..Feb 14 have an empty 30-day
+    # window (last activity Jan 3 + 29 = Feb 1) -> must vanish.
+    days = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-02-15"]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(5),
+            "ts": pd.to_datetime(days + ["2024-01-02"]),
+            "user_id": [1, 1, 1, 1, 2],
+            "event_type": ["view"] * 5,
+            "value": [1.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    out = QUERIES["events_dau_mau_stickiness"](spark, str(tmp_path))
+    spark_pdf = out.toPandas()
+    got_days = {str(d) for d in spark_pdf["day"]}
+    assert "2024-02-02" not in got_days and "2024-02-14" not in got_days
+    assert "2024-02-01" in got_days and "2024-02-15" in got_days
+    assert (spark_pdf["mau30"] > 0).all()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    oracle_pdf = con.execute(ORACLE_SQL["events_dau_mau_stickiness"]).df()
+    assert canon_frame(spark_pdf) == canon_frame(oracle_pdf)
