@@ -41,197 +41,159 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 #: keys are exactly the first 50 registration-order keys), so ordering IS
 #: evidence policy — it gets ROTATED each round so that, across rounds,
 #: every oracle-backed key accumulates at least one hard driver-green row.
-#: tests/test_registry.py locks the invariants (full coverage, no dups,
-#: first-50 all oracle-backed).
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Window policy (r5): the driver checks the FIRST 50 keys only.
-    # r2/r3/r4 each hash-proved a 50-key window (all 50/50 green —
-    # CORRECTNESS_r02/r03/r04.json); r2 ∪ r3 ∪ r4 hard-covers 123 of the
-    # registry's 134 oracle pairs.  This window (VERDICT r4 #1/#2):
-    # slots 1-11 are the ONLY oracle keys with no hard driver row in any
-    # round (registered mid-r4 after that window was sealed; all 11
-    # re-verified through the driver-identical local canon by the r4
-    # judge) — green rows here mean EVERY oracle pair in the registry
-    # has a hard CORRECTNESS row across r2 ∪ r3 ∪ r4 ∪ r5.  Slots 12-50
-    # re-prove the keys with the OLDEST evidence: the 23 keys whose only
-    # hard row is r2, then 16 r3-only keys (TPC-H shapes and pipeline
-    # ops first, per VERDICT r4 #2).  Keys displaced out of the window
-    # stay registered and locally parity-tested through the
-    # driver-identical canon (tests/test_parity.py).
-    #
-    # Slots 1-11: mid-r4 additions — no hard driver row yet.
-    "join_asof_tolerance",
-    "char_ngram_profile",
-    "data_quality_rules",
-    "rollup_stats",
-    "events_markov_transitions",
-    "orders_rfm_segments",
-    "fn_bitwise",
-    "scan_manifest_pruned",
-    "scan_zorder_pruned",
-    "dedup_incremental_merge",
-    "events_funnel_windowed",
-    # Slots 12-34: r2-only greens (newest hard row is CORRECTNESS_r02) —
-    # three rounds stale, oldest evidence in the registry.
-    "fn_string",
-    "fn_date",
-    "events_funnel",
-    "join_right",
-    "join_full",
-    "join_theta_range",
-    "join_cross",
-    "join_interval",
-    "agg_stats",
-    "win_lag_lead",
-    "win_frame_running",
-    "limit_topk",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "fn_math",
-    "fn_case",
-    "fn_array",
-    "fn_cast",
-    "text_stats",
-    "text_tokens",
-    "dedup_shingle",
-    "dedup_embed_cosine",
-    # Slots 35-50: r3-only greens — TPC-H query shapes and pipeline ops
-    # first (VERDICT r4 #2), then the remaining relational/scalar keys.
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_volume_flows",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q18_big_orders",
-    "split_hash",
-    "latest_by_key",
-    "sessionize_batch",
-    "sample_stratified",
-    "merge_upsert",
-    "agg_cube",
-    "win_distribution",
-    "sub_correlated",
-    "fn_null",
-    "fn_fuzzy",
-    # --- window boundary (50) ---
-    # r3-only greens displaced below the window this round; their r3
-    # rows stay the newest-but-one evidence tier (two rounds stale max
-    # after r5 — within the VERDICT r4 #2 freshness target).
-    "join_skew_salted",
-    "join_bucketed",
-    "rollup_time",
-    "scan_partition_pruned",
-    "pivot_wide",
-    "unpivot_long",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "q5_local_supplier",
-    "q10_returned_items",
-    "fn_array_ops",
-    "set_union_all",
-    "multimodal_meta",
-    "join_asof_fwd",
-    "pack_sequences",
-    "chunk_documents",
-    "sample_weighted",
-    "resample_locf",
-    "vocab_topk",
-    "text_bigram_pmi",
-    "pipeline_corpus_shards",
-    "text_repetition",
-    "contamination_check",
-    "scan_schema_evolution",
-    "scan_dynamic_pruning",
-    "scan_corrupt_tolerant",
-    "cohort_retention",
-    "embed_norm_stats",
-    "events_outliers",
-    "snapshot_diff",
-    "win_moving_avg",
-    # r5 mid-round additions (registered AFTER the r5 window sealed; no
-    # hard driver row yet — these head the r6 rotation queue, slots 1-N).
-    "scan_bloom_prepass",
-    "text_pii_redact",
-    "text_normalize",
-    "text_entropy",
-    "graph_pagerank",
-    "orders_abc_pareto",
-    "events_ewma",
-    "sim_topk_pq",
-    "events_anomaly_mad",
-    "orders_seasonality",
-    "resample_interp",
-    "table_skew_stats",
-    "agg_histogram",
-    "agg_corr_exact",
-    "join_asof_nearest",
-    "dedup_containment",
-    "graph_degree_stats",
-    "graph_triangle_count",
-    "events_changepoint",
-    "agg_moments_exact",
-    "multimodal_dedup_phash",
-    "orders_basket_affinity",
-    "embed_quantize_int8",
-    "scan_agg_pushdown",
-    "text_dedup_paragraph",
-    "events_top_paths",
+#: Freshness rule (VERDICT r4 #2 / r5 #8, codified in
+#: tests/test_registry.py): the window must always hold the oracle keys
+#: with the OLDEST newest-hard-row (never-proven keys first), with any
+#: arithmetic overflow named explicitly in DEFERRED_R7 so the next
+#: round's queue is derivable from the CORRECTNESS ledgers alone.
+#: Keys named OUT of the r6 window (arithmetic: 53 never-proven oracle
+#: pairs, 50 slots — VERDICT r5 #1 requires the deferrals be explicit so
+#: the r7 queue is pre-sealed).  These three are the lowest-algorithmic-
+#: risk of the 53: the multiset set-ops are single-operator composites
+#: over aligned projections and text_normalize is pure scalar string
+#: functions; all are green in the driver-identical local canon
+#: (tests/test_parity.py) and MUST head the r7 window.
+DEFERRED_R7: tuple[str, ...] = (
     "set_intersect_all",
     "set_except_all",
-    "orders_backlog_sweep",
-    "events_rolling_active",
-    "bpe_train_iterative",
-    "rollup_hll_intersect",
-    "stream_autoscale_signal",
+    "text_normalize",
+)
+
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # ---- Window policy (r6): the driver checks the FIRST 50 keys only.
+    # r2-r5 each hash-proved a 50-key window (all green); their union
+    # hard-covers 134 of the 187 oracle pairs.  This window holds 50 of
+    # the 53 r5-registered pairs that have NO hard driver row yet (the
+    # other 3 are DEFERRED_R7 above), ordered riskiest-twin first
+    # (VERDICT r5 #1): iterative-algorithm twins (graph family, Lloyd
+    # k-means, recursive CTE), bitmap/KMV mergeable sketches, SCD2 pair,
+    # then the eval-first and analytics families.  Green rows here mean
+    # 184/187 oracle pairs have a hard CORRECTNESS row across r2..r6.
+    # tests/test_registry.py::test_window_targets_stalest_oracle_keys
+    # derives this policy from the CORRECTNESS ledgers and fails if the
+    # window ever omits a stalest-tier key not named in DEFERRED_R7.
     "graph_shortest_paths",
-    "events_pattern_match",
-    "text_lm_perplexity",
-    "bpe_encode_corpus",
-    "embed_pca_project",
-    "stream_dlq_split",
+    "kmeans_lloyd_exact",
     "rollup_bitmap_distinct",
+    "events_dau_mau_stickiness",
+    "sql_recursive_cte",
+    "fn_variant",
     "merge_scd2",
+    "join_temporal_dim",
     "agg_kmv_bottomk",
     "dedup_lsh_recall",
+    "graph_pagerank",
+    "graph_kcore",
+    "graph_triangle_count",
+    "graph_degree_stats",
+    "analyze_sampled_stats",
+    "fn_hof",
+    "corpus_admission_pipeline",
+    "table_skew_stats",
+    "resample_interp",
+    "join_asof_nearest",
+    "multimodal_dedup_phash",
+    "dedup_containment",
+    "text_dedup_paragraph",
+    "text_lm_perplexity",
+    "text_langid_confusion",
+    "text_pii_redact",
+    "text_entropy",
+    "embed_quantize_int8",
+    "agg_histogram",
+    "agg_corr_exact",
+    "agg_moments_exact",
+    "orders_abc_pareto",
+    "events_ewma",
+    "events_anomaly_mad",
+    "orders_seasonality",
+    "events_changepoint",
+    "orders_basket_affinity",
+    "events_top_paths",
+    "orders_backlog_sweep",
+    "events_rolling_active",
+    "events_pattern_match",
     "events_activity_streaks",
     "cohort_ltv",
     "events_ab_lift",
     "events_attribution",
-    "stream_offset_gap_audit",
-    "stream_backfill_stitch",
-    "text_langid_confusion",
-    "analyze_sampled_stats",
-    "corpus_admission_pipeline",
-    "kmeans_lloyd_exact",
-    "join_temporal_dim",
     "audience_overlap_exact",
     "orders_duplicate_payments",
-    "graph_kcore",
-    "embed_outliers_mahalanobis",
-    "sql_recursive_cte",
-    "fn_variant",
-    "source_python_datasource",
-    "udf_arrow_native",
-    "scan_observed_metrics",
-    "fn_hof",
-    "events_dau_mau_stickiness",
     "lineitem_vwap_monthly",
-    "scan_cached_reuse",
-    # r4-window keys (CORRECTNESS_r04.json, all hash-green — freshest
-    # evidence in the registry, so lowest re-proof priority).
+    "scan_bloom_prepass",
+    "scan_agg_pushdown",
+    # --- window boundary (50) ---
+    # Deferred never-proven pairs (r7 slots 1-3; see DEFERRED_R7).
+    "set_intersect_all",
+    "set_except_all",
+    "text_normalize",
+    # Hard-proven oracle keys, stalest evidence first (r3-only tier of
+    # 34, then the r4 window, then the r5 window) — ascending newest
+    # hard row, alphabetical within a tier, so the r7+ rotation queue
+    # reads straight down this list after the deferrals.
+    # -- newest hard row: r3 --
+    "chunk_documents",
+    "cohort_retention",
+    "contamination_check",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "embed_norm_stats",
+    "events_outliers",
+    "fn_array_ops",
+    "join_asof_fwd",
+    "join_bucketed",
+    "join_skew_salted",
+    "multimodal_meta",
+    "pack_sequences",
+    "pipeline_corpus_shards",
+    "pivot_wide",
+    "q10_returned_items",
+    "q5_local_supplier",
+    "resample_locf",
+    "rollup_time",
+    "sample_weighted",
+    "scan_corrupt_tolerant",
+    "scan_dynamic_pruning",
+    "scan_partition_pruned",
+    "scan_schema_evolution",
+    "set_union_all",
+    "snapshot_diff",
+    "text_bigram_pmi",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_repetition",
+    "unpivot_long",
+    "vocab_topk",
+    "win_moving_avg",
+    # -- newest hard row: r4 --
+    "agg_collect",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_hash",
     "agg_mode",
+    "agg_percentile",
     "analyze_table_stats",
+    "bpe_merge_candidates",
+    "dedup_exact",
     "dedup_minhash_md5",
+    "distinct_rows",
     "embed_bucket_stats",
     "embed_centroids",
+    "filter_null",
+    "filter_pred",
+    "fn_json",
+    "fn_map",
     "interarrival_stats",
+    "join_anti",
+    "join_asof",
+    "join_broadcast",
+    "join_inner_hash",
+    "join_interval_bucketed",
+    "join_left",
+    "join_semi",
     "lang_balanced_sample",
-    "q8_market_share",
-    "q9_product_profit",
+    "project_expr",
     "q11_top_nations",
     "q12_priority_split",
     "q15_top_supplier",
@@ -241,39 +203,87 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q20_volume_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_customers",
-    "source_p75_gate",
-    "ts_similarity_topk",
     "q2_min_cost_supplier",
-    "join_interval_bucketed",
-    "bpe_merge_candidates",
-    "dedup_exact",
-    "text_tfidf",
-    "fn_map",
-    "agg_collect",
-    "join_asof",
-    "win_range_frame",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q9_product_profit",
     "scan_parquet",
     "scan_pruned",
-    "project_expr",
-    "agg_hash",
-    "q3_shipping_priority",
-    "filter_pred",
-    "filter_null",
-    "distinct_rows",
-    "join_inner_hash",
-    "join_broadcast",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "win_rank",
-    "topk_per_group",
-    "sort_multi",
     "sim_topk_exact",
-    "fn_json",
-    # rows-only SURVEY rows, streaming first
+    "sort_multi",
+    "source_p75_gate",
+    "text_tfidf",
+    "topk_per_group",
+    "ts_similarity_topk",
+    "win_range_frame",
+    "win_rank",
+    # -- newest hard row: r5 --
+    "agg_cube",
+    "agg_stats",
+    "char_ngram_profile",
+    "data_quality_rules",
+    "dedup_embed_cosine",
+    "dedup_incremental_merge",
+    "dedup_shingle",
+    "events_funnel",
+    "events_funnel_windowed",
+    "events_markov_transitions",
+    "fn_array",
+    "fn_bitwise",
+    "fn_case",
+    "fn_cast",
+    "fn_date",
+    "fn_fuzzy",
+    "fn_math",
+    "fn_null",
+    "fn_string",
+    "join_asof_tolerance",
+    "join_cross",
+    "join_full",
+    "join_interval",
+    "join_right",
+    "join_theta_range",
+    "latest_by_key",
+    "limit_topk",
+    "merge_upsert",
+    "orders_rfm_segments",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q18_big_orders",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_flows",
+    "rollup_stats",
+    "sample_stratified",
+    "scan_manifest_pruned",
+    "scan_zorder_pruned",
+    "sessionize_batch",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "split_hash",
+    "sub_correlated",
+    "text_stats",
+    "text_tokens",
+    "win_distribution",
+    "win_frame_running",
+    "win_lag_lead",
+    # Rows-only SURVEY rows (no DuckDB-expressible oracle), streaming
+    # first — never occupy window slots (locked by test_registry.py).
+    "sim_topk_pq",
+    "bpe_train_iterative",
+    "rollup_hll_intersect",
+    "stream_autoscale_signal",
+    "bpe_encode_corpus",
+    "embed_pca_project",
+    "stream_dlq_split",
+    "stream_offset_gap_audit",
+    "stream_backfill_stitch",
+    "embed_outliers_mahalanobis",
+    "source_python_datasource",
+    "udf_arrow_native",
+    "scan_observed_metrics",
+    "scan_cached_reuse",
     "stream_tumbling",
     "stream_sliding",
     "stream_session",

@@ -65,3 +65,45 @@ def test_survey_section2_enumerates_registry():
         f"doc-only={sorted(set(doc_keys) - set(QUERIES))}, "
         f"registry-only={sorted(set(QUERIES) - set(doc_keys))}"
     )
+
+
+def test_window_targets_stalest_oracle_keys():
+    """Freshness rule (VERDICT r4 #2 / r5 #8): the 50-slot window must
+    hold exactly the oracle keys with the OLDEST newest-hard-row in the
+    CORRECTNESS ledgers (never-proven keys count as round 0), with any
+    arithmetic overflow (more stalest-tier keys than slots) named
+    explicitly in DEFERRED_R7.  This makes every future round's queue
+    auto-derivable from the ledgers: sort oracle keys by newest hard
+    row ascending, take 50, name the spillover."""
+    import glob
+    import json
+    import os
+
+    from spark_streaming_kafka_offset_spark.plans.registry import DEFERRED_R7
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    newest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for key, row in json.load(open(path)).items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                newest[key] = max(newest.get(key, 0), rnd)
+
+    window = set(DRIVER_PRIORITY[:WINDOW])
+    assert set(DEFERRED_R7) <= set(ORACLE_SQL)
+    assert not set(DEFERRED_R7) & window, "deferred keys cannot be in-window"
+
+    outside = set(ORACLE_SQL) - window - set(DEFERRED_R7)
+    max_in = max(newest.get(k, 0) for k in window)
+    min_out = min(newest.get(k, 0) for k in outside)
+    assert max_in <= min_out, (
+        "window holds a fresher key than one left outside: "
+        f"freshest-in-window={max_in} vs stalest-outside={min_out}; "
+        f"over-fresh in-window keys="
+        f"{sorted(k for k in window if newest.get(k, 0) > min_out)}"
+    )
+    # every never-proven oracle key is accounted for: in-window or deferred
+    never = {k for k in ORACLE_SQL if k not in newest}
+    assert never <= window | set(DEFERRED_R7), sorted(
+        never - window - set(DEFERRED_R7)
+    )
