@@ -1,0 +1,167 @@
+"""Plan-audit policy + sweep — the ONE source of truth for which
+scale-hostile plan shapes are deliberately allowed (VERDICT r5 #2: the
+tool's private allowlist had drifted from the curated one in
+tests/test_plans.py and the tool exited FAILED on a green tree; both now
+import THIS module, and tests/test_plans.py::test_audit_sweep_is_clean
+runs the sweep so the tool can never silently drift again).
+
+Flags:
+  CARTESIAN   CartesianProduct anywhere
+  NLJ         BroadcastNestedLoopJoin — fine only when a tiny BOUNDED
+              side is deliberately broadcast (scalar frames, literal
+              dims, model-sized tables); every allowed key carries the
+              reviewed reason
+  SINGLE      Exchange SinglePartition feeding a non-trivial subtree —
+              a single-task bottleneck unless the exchanged frame is
+              rollup-sized (bounded by calendar days, bucket count,
+              rule count, or a 1-row scalar), which every allowed key's
+              reason states
+  PYUDF       BatchEvalPython — row-at-a-time Python in the hot path;
+              allowed only for the deliberate SURVEY §2.11 demos
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+#: key → reviewed reason a BroadcastNestedLoopJoin is acceptable.  Every
+#: side is bounded: a 1-row scalar frame, a literal dim, or a model-sized
+#: table that never grows with the corpus.
+BNL_ALLOWED: dict[str, str] = {
+    "join_cross": "the 5x5 cartesian SURVEY 2.3 demo - cartesian is the point",
+    "join_theta_range": "theta join over broadcast 25-row nation",
+    "join_interval": "broadcast 4-row period dim",
+    "fn_fuzzy": "broadcast literal name list (3 rows)",
+    "text_tfidf": "broadcast 1-row n_docs frame",
+    "text_bigram_pmi": "broadcast 1-row totals frame",
+    "sim_topk_ivf": "broadcast nlist=16 centroid table (assignment step)",
+    "q22_idle_customers": "broadcast 1-row (sum, count) scalar frame",
+    "q11_top_nations": "broadcast 1-row global-total scalar frame",
+    "q15_top_supplier": "broadcast 1-row global-MAX scalar frame",
+    "data_quality_rules": "broadcast 1-row checked/violation scalar frames",
+    "detect_hot_keys": "broadcast 1-row W-total frame onto k candidate rows",
+    "graph_triangle_count": "broadcast 1-row triangle/wedge scalar frames",
+    "orders_basket_affinity": "broadcast 1-row basket-total scalar frame",
+    "events_funnel_windowed": "broadcast 1-row stage-count scalar frames",
+    "sim_topk_pq": "broadcast m*ksub=256-row codebook + query LUT table",
+    "rollup_hll_intersect": "broadcast |types|-row sketch frame pair grid",
+    "dedup_lsh_recall": "broadcast 1-row count scalar frames (eval report)",
+    "analyze_sampled_stats": "broadcast 1-row exact/sampled profile frames",
+    "kmeans_lloyd_exact": "broadcast k=4 centroid frame per Lloyd iteration",
+}
+
+#: key → reviewed reason an Exchange SinglePartition is acceptable.  The
+#: exchanged frame is rollup-sized — bounded by the calendar, a bucket /
+#: rule / class count, or literally one row — never corpus-sized.
+SINGLE_ALLOWED: dict[str, str] = {
+    "sort_multi": "numPartitions-row per-partition-offsets frame "
+    "(range-partitioned dense-index recipe), not data",
+    "graph_shortest_paths": "1-row frontier-count termination check per "
+    "BFS round; vertex/edge frames stay hash-partitioned",
+    "events_dau_mau_stickiness": "boundary-sweep cumsum over the "
+    "calendar-sized (days) delta rollup",
+    "events_rolling_active": "same interval-merge sweep: calendar-sized "
+    "delta rollup cumsum",
+    "orders_backlog_sweep": "open/close boundary sweep over the "
+    "calendar-sized rollup",
+    "dedup_lsh_recall": "1-row truth/candidate count frames of the "
+    "recall report",
+    "graph_triangle_count": "1-row triangle and wedge total frames",
+    "analyze_sampled_stats": "1-row exact and sampled profile frames",
+    "analyze_table_stats": "1-row per-column profile frames (union of "
+    "scalars)",
+    "table_skew_stats": "rank window over the distinct-key rollup "
+    "(default path; scale_twopass=True range-partitions the rank)",
+    "agg_histogram": "share window over the <=12-bucket rollup",
+    "orders_abc_pareto": "cumulative-share window over the per-customer "
+    "spend rollup (customer-dim-sized, the documented posture)",
+    "orders_seasonality": "share window over the <=7-row weekday rollup",
+    "orders_basket_affinity": "rank over the pair-combination rollup",
+    "events_ab_lift": "2-row per-arm conversion frame + 1-row z-stat",
+    "q6_forecast_revenue": "1-row global aggregate result",
+    "q14_promo_share": "1-row promo/total conditional-agg result",
+    "q17_small_quantity": "1-row global avg-quantity scalar and result",
+    "q19_disjunctive_pred": "1-row disjunctive-predicate agg result",
+    "q11_top_nations": "value rollup is nation-sized (25); threshold "
+    "scalar is 1 row",
+    "q15_top_supplier": "1-row global-MAX revenue scalar",
+    "q22_idle_customers": "1-row global acctbal average scalar",
+    "text_tfidf": "1-row corpus n_docs frame",
+    "data_quality_rules": "rule-count-sized violation summary frames",
+    "events_funnel": "1-row three-stage funnel counts",
+    "events_funnel_windowed": "1-row windowed stage-count frames",
+    "orders_rfm_segments": "global NTILE windows on the customer-sized "
+    "rollup (default; scale_boundaries=True broadcasts approx quantiles)",
+    "scan_zorder_pruned": "1-row final aggregate over the pruned scan",
+    "detect_hot_keys": "k-candidate heavy-hitter frame + 1-row W total",
+}
+
+#: key → reason a CartesianProduct is the operator's very semantics.
+CARTESIAN_ALLOWED: dict[str, str] = {
+    "join_cross": "the operator IS a cross join (5x5 dims)",
+}
+
+#: key → reason row-at-a-time Python is deliberate (SURVEY §2.11 demos).
+PYUDF_ALLOWED: dict[str, str] = {
+    "udf_python": "deliberate row-UDF demo (SURVEY 2.11)",
+    "udtf_python": "deliberate UDTF demo (SURVEY 2.11)",
+}
+
+_ALLOW: dict[str, dict[str, str]] = {
+    "CARTESIAN": CARTESIAN_ALLOWED,
+    "NLJ": BNL_ALLOWED,
+    "SINGLE": SINGLE_ALLOWED,
+    "PYUDF": PYUDF_ALLOWED,
+}
+
+#: prefixes excluded from the plan sweep: streaming/write entries execute
+#: rather than expose a comparable batch plan; pandas grouped-map and
+#: multimodal entries are Arrow exchanges by design.
+SKIP_PREFIXES: tuple[str, ...] = ("stream_", "source_", "sink_", "udaf", "multimodal")
+
+
+def plan_flags(plan: str) -> list[str]:
+    """Scale-hostile shapes present in one executed-plan string."""
+    flags = []
+    if "CartesianProduct" in plan:
+        flags.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.append("NLJ")
+    if "Exchange SinglePartition" in plan and "TakeOrderedAndProject" not in plan:
+        flags.append("SINGLE")
+    if "BatchEvalPython" in plan:
+        flags.append("PYUDF")
+    return flags
+
+
+def audit_plans(
+    spark,
+    sf_dir: str,
+    keys: Iterable[str] | None = None,
+    report: Callable[[str], None] | None = None,
+) -> list[tuple[str, str]]:
+    """Sweep every registered batch query's executed plan; return the
+    (key, flag) pairs NOT covered by the allowlists ("ERR" flag when the
+    plan could not be built).  Empty list == clean tree."""
+    from .registry import QUERIES, ordered_queries
+
+    say = report or (lambda _line: None)
+    qs = ordered_queries() if keys is None else {k: QUERIES[k] for k in keys}
+    unexplained: list[tuple[str, str]] = []
+    for key, fn in qs.items():
+        if key.startswith(SKIP_PREFIXES):
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 - audit must report, not die
+            say(f"ERR   {key}: {type(e).__name__}: {e}")
+            unexplained.append((key, "ERR"))
+            continue
+        for flag in plan_flags(plan):
+            reason = _ALLOW[flag].get(key)
+            if reason:
+                say(f"ok    {key}: {flag} allowed ({reason})")
+            else:
+                say(f"FLAG  {key}: {flag}")
+                unexplained.append((key, flag))
+    return unexplained

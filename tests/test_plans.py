@@ -232,32 +232,14 @@ def test_pack_sequences_single_window_shuffle(spark):
     assert "RunningWindowFunction" in plan or "Window" in plan
 
 
-#: Queries allowed a BroadcastNestedLoopJoin — each broadcasts a
-#: provably tiny side (1-row totals frame, literal dim, nlist-sized
-#: centroid table) or IS the §2 cartesian demo.  Everything else must
-#: plan equi joins only.
-_BNL_ALLOWED = {
-    "join_cross",        # the 5×5 cartesian §2 demo — cartesian is the point
-    "join_theta_range",  # broadcast range-bucket dim (literal, tiny)
-    "join_interval",     # broadcast 4-row period dim
-    "fn_fuzzy",          # broadcast literal name list
-    "text_tfidf",        # broadcast 1-row n_docs frame
-    "text_bigram_pmi",   # broadcast 1-row totals frame
-    "sim_topk_ivf",      # broadcast nlist=16 centroid table (assignment)
-    "q22_idle_customers",  # broadcast 1-row (sum, count) scalar frame
-    "q11_top_nations",   # broadcast 1-row global-total scalar frame
-    "q15_top_supplier",  # broadcast 1-row global-MAX scalar frame
-    "data_quality_rules",  # broadcast 1-row checked/violation scalar frames
-    "detect_hot_keys",   # broadcast 1-row W-total frame onto k candidate rows
-    "graph_triangle_count",  # broadcast 1-row triangle/wedge scalar frames
-    "orders_basket_affinity",  # broadcast 1-row basket-total scalar frame
-    "events_funnel_windowed",  # broadcast 1-row stage-count scalar frames
-    "sim_topk_pq",       # broadcast m·ksub=256-row codebook + query LUT table
-    "rollup_hll_intersect",  # broadcast |types|-row sketch frame pair grid
-    "dedup_lsh_recall",  # broadcast 1-row count scalar frames (eval report)
-    "analyze_sampled_stats",  # broadcast 1-row exact/sampled profile frames
-    "kmeans_lloyd_exact",  # broadcast k=4 centroid frame per Lloyd iteration
-}
+#: The curated BNL allowlist now lives in plans/audit.py (one source of
+#: truth shared with tools/audit_plans.py — VERDICT r5 #2); this module
+#: keeps the name for its own assertion below.
+from spark_streaming_kafka_offset_spark.plans.audit import (  # noqa: E402
+    BNL_ALLOWED as _BNL_REASONS,
+)
+
+_BNL_ALLOWED = frozenset(_BNL_REASONS)
 
 
 def test_no_unexpected_cartesian_or_bnl_anywhere(spark):
@@ -624,3 +606,16 @@ def test_cached_reuse_hits_memory_scan(spark):
         assert "InMemoryTableScan" in plan
     finally:
         li.unpersist()
+
+
+def test_audit_sweep_is_clean(spark):
+    """Run the SAME plan sweep `tools/audit_plans.py` ships (shared
+    policy module) over every batch query: zero unexplained
+    CARTESIAN/NLJ/SINGLE/PYUDF flags.  This is the drift-proofing from
+    VERDICT r5 #2 — a new operator with an unjustified single-partition
+    exchange or nested-loop join fails HERE, and an allowlist edit that
+    the tool would reject fails here too, because they are one list."""
+    from spark_streaming_kafka_offset_spark.plans.audit import audit_plans
+
+    unexplained = audit_plans(spark, SF_DIR)
+    assert not unexplained, unexplained
