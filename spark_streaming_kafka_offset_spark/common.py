@@ -143,3 +143,45 @@ def scratch_path(prefix: str) -> str:
         _SCRATCH_ROOTS[base] = root
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     return tempfile.mkdtemp(dir=root, prefix=prefix)
+
+
+def global_row_number(
+    df, keys, out_col: str = "row_num", num_ranges: int = 8
+):
+    """Scale-safe global ROW_NUMBER over ``keys`` — the distributed
+    dense-index recipe (zipWithIndex semantics over DataFrames), shared
+    by ``sort_multi`` and ``table_skew_stats(scale_twopass=True)``.
+
+    An unpartitioned ``row_number`` window collapses the whole frame to
+    ONE task; instead: range-partition on the sort keys (parallel sort,
+    sampled boundaries), rank locally per partition, then offset each
+    partition by the cumulative sizes of the earlier ranges.  The
+    offsets frame is numPartitions rows — broadcast back, never a
+    shuffle of the data.  ``keys`` must be a total order (include a
+    tiebreaker column) or ranks are nondeterministic.
+    """
+    from pyspark.sql.window import Window
+
+    ranked = (
+        df.repartitionByRange(num_ranges, *keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local_pos",
+            F.row_number().over(Window.partitionBy("_pid").orderBy(*keys)),
+        )
+    )
+    sizes = ranked.groupBy("_pid").agg(F.count("*").alias("_n"))
+    offsets = sizes.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_offset")
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local_pos") + F.col("_offset"))
+        .drop("_pid", "_local_pos", "_offset")
+    )

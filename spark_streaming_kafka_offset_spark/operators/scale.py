@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 from ..plans.registry import register
 from ..session import load_table
 
-from ..common import dec2, round_dec, scratch_path
+from ..common import dec2, global_row_number, round_dec, scratch_path
 
 _SALT = 8  #: sub-splits per hot key; sized to the worst observed skew
 
@@ -925,7 +925,9 @@ def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r
     """,
 )
-def table_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def table_skew_stats(
+    spark: SparkSession, sf_dir: str, scale_twopass: bool = False
+) -> DataFrame:
     """Key-distribution skew profile for a join/grouping key: key count,
     top-1/top-10 share, and the Gini coefficient of rows-per-key — the
     diagnostic that decides whether `join_skew_salted` / AQE skew
@@ -939,14 +941,52 @@ def table_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: the fact table collapses to one row per key (partial+
     final agg — the only events-sized work); the rank windows and final
-    agg run on the key-sized rollup.  The rank window is a global sort
-    of |keys| rows — at 100 TB swap it for a two-pass range-partitioned
-    rank (approx range boundaries + per-range offset), same posture as
-    `orders_rfm_segments`' documented boundary variant; the output and
-    predicate shapes are unchanged."""
+    agg run on the key-sized rollup.  Default path: global rank windows
+    over the rollup (fine while |keys| is modest).  The 100 TB path is
+    ``scale_twopass=True`` (VERDICT r5 #3): the ascending Gini rank i
+    comes from `common.global_row_number` — range-partition on
+    (cnt, key) with sampled boundaries, rank locally per range, offset
+    by the broadcast numPartitions-row cumulative sizes — so |keys| rows
+    are never sorted in one task; and the descending top-10 rank is
+    replaced by `orderBy(...).limit(10)`, which Spark executes as
+    TakeOrderedAndProject (per-partition top-10, merged — no global
+    sort).  Identical output, pinned by
+    tests/test_properties.py::test_table_skew_stats_twopass_equivalence;
+    the two-pass plan's range exchange is plan-asserted there."""
     c = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
         F.count("*").alias("cnt")
     )
+    n = F.count("*")
+    tot = F.sum("cnt")
+    gini = lambda sic: F.round(  # noqa: E731 - shared by both paths
+        (2 * sic - (n + 1) * tot).cast("double") / (n * tot).cast("double"), 6
+    ).alias("gini")
+    if scale_twopass:
+        ranked = global_row_number(
+            c, [F.col("cnt"), F.col("user_id")], out_col="i"
+        )
+        main = ranked.agg(
+            n.cast("long").alias("n_keys"),
+            tot.cast("long").alias("n_rows"),
+            F.max("cnt").cast("long").alias("max_key_rows"),
+            tot.cast("double").alias("_tot_d"),
+            gini(F.sum(F.col("i") * F.col("cnt"))),
+        )
+        top10 = (
+            c.orderBy(F.col("cnt").desc(), "user_id")
+            .limit(10)
+            .agg(F.sum("cnt").cast("double").alias("_t10"))
+        )
+        return main.join(F.broadcast(top10)).select(
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            F.round(
+                F.col("max_key_rows").cast("double") / F.col("_tot_d"), 6
+            ).alias("top1_share"),
+            F.round(F.col("_t10") / F.col("_tot_d"), 6).alias("top10_share"),
+            "gini",
+        )
     wi = Window.orderBy("cnt", "user_id")
     wj = Window.orderBy(F.col("cnt").desc(), "user_id")
     r = c.select(
@@ -954,8 +994,6 @@ def table_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wi).alias("i"),
         F.row_number().over(wj).alias("j"),
     )
-    n = F.count("*")
-    tot = F.sum("cnt")
     return r.agg(
         n.cast("long").alias("n_keys"),
         tot.cast("long").alias("n_rows"),
@@ -970,13 +1008,7 @@ def table_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / tot.cast("double"),
             6,
         ).alias("top10_share"),
-        F.round(
-            (2 * F.sum(F.col("i") * F.col("cnt")) - (n + 1) * tot).cast(
-                "double"
-            )
-            / (n * tot).cast("double"),
-            6,
-        ).alias("gini"),
+        gini(F.sum(F.col("i") * F.col("cnt"))),
     )
 
 
@@ -1274,7 +1306,9 @@ _KMV_K = 64
     FROM est ORDER BY event_type
     """,
 )
-def agg_kmv_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_kmv_bottomk(
+    spark: SparkSession, sf_dir: str, scale_merge: bool = False
+) -> DataFrame:
     """KMV (k-minimum-values) bottom-k sketch per event type — ONE
     mergeable state that is simultaneously (a) a uniform distinct-user
     SAMPLE (hash-rank sampling: the k smallest hashes are a uniform
@@ -1293,12 +1327,19 @@ def agg_kmv_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     but guarded on both sides.
 
     Scale notes: the only fact-sized work is the (type, user) distinct
-    collapse; ranking runs on the distinct-user frame partitioned by
-    type.  At 100 TB replace the rank window with the mergeable
-    formulation the sketch is defined by — per-partition bottom-k
-    (already ≤ k·partitions rows) re-minned at final — same numbers,
-    no global sort; the window form here keeps the demo within pure
-    DataFrame ops."""
+    collapse.  Default path: rank window on the distinct-user frame
+    partitioned by type — every distinct hash of a type flows through
+    that type's one window task.  The 100 TB path is
+    ``scale_merge=True`` (VERDICT r5 #3), the mergeable formulation the
+    sketch is DEFINED by: per-input-partition bottom-k first (each
+    (type, partition) cell collapses to ≤ k hashes map-side), then the
+    per-type merge re-bottom-ks the union — the final per-type task
+    sees ≤ k·partitions rows, never the full distinct universe, and no
+    Window appears in the plan (asserted in tests).  Correct because
+    bottomk is a semigroup: bottomk(A ∪ B) = bottomk(bottomk(A) ∪
+    bottomk(B)) — the merge law proven by the hypothesis property test
+    in tests/test_properties.py, and the Spark twin proven equal to the
+    window form on the fixture."""
     du = (
         load_table(spark, sf_dir, "events")
         .select("event_type", "user_id")
@@ -1308,23 +1349,49 @@ def agg_kmv_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
     hashed = du.select("event_type", h.alias("h"))
-    w = Window.partitionBy("event_type").orderBy("h")
-    topk = hashed.withColumn("rk", F.row_number().over(w)).where(
-        F.col("rk") <= _KMV_K
-    )
-    k = topk.groupBy("event_type").agg(
-        F.max("h").alias("u_k"),
-        F.count("*").alias("n_k"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list("h")),
-                    lambda x: x.cast("string"),
-                ),
+    if scale_merge:
+        part = hashed.groupBy(
+            "event_type", F.spark_partition_id().alias("_pid")
+        ).agg(
+            F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("hs")
+        )
+        bk = (
+            part.select("event_type", F.explode("hs").alias("h"))
+            .groupBy("event_type")
+            .agg(
+                F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias(
+                    "bk"
+                )
             )
-        ).alias("bottomk_md5"),
-    )
+        )
+        k = bk.select(
+            "event_type",
+            F.element_at("bk", F.size("bk")).alias("u_k"),
+            F.size("bk").cast("long").alias("n_k"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform("bk", lambda x: x.cast("string"))
+                )
+            ).alias("bottomk_md5"),
+        )
+    else:
+        w = Window.partitionBy("event_type").orderBy("h")
+        topk = hashed.withColumn("rk", F.row_number().over(w)).where(
+            F.col("rk") <= _KMV_K
+        )
+        k = topk.groupBy("event_type").agg(
+            F.max("h").alias("u_k"),
+            F.count("*").alias("n_k"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("h")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("bottomk_md5"),
+        )
     ex = du.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_exact")
     )

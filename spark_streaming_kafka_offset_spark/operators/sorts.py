@@ -9,8 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from ..common import global_row_number
 from ..plans.registry import register
 from ..session import load_table
 
@@ -31,9 +31,9 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, which collapsed to ONE task): range-partition sort on the keys
     (``orderBy`` → RangePartitioning, parallel), then per-partition local
     ranks offset by the cumulative sizes of earlier ranges.  Partition
-    sizes are one tiny driver-side array (numPartitions ints), not data.
-    This is the standard distributed dense-index recipe (zipWithIndex
-    semantics expressed over DataFrames).
+    sizes are one tiny broadcast frame (numPartitions rows), not data.
+    The recipe lives in ``common.global_row_number`` (shared with
+    ``table_skew_stats``'s two-pass Gini rank).
     """
     s = load_table(spark, sf_dir, "supplier")
     keys = [
@@ -41,35 +41,15 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").desc(),
         F.col("s_suppkey"),
     ]
-    ranked = (
-        s.select("s_nationkey", "s_acctbal", "s_name", "s_suppkey")
-        .repartitionByRange(8, *keys)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_local_pos",
-            F.row_number().over(Window.partitionBy("_pid").orderBy(*keys)),
-        )
-    )
-    # Offsets: one row per partition — broadcast-joined, never a shuffle of
-    # the data itself.  At 100 TB this is numPartitions rows on the driver.
-    sizes = ranked.groupBy("_pid").agg(F.count("*").alias("_n"))
-    offsets = sizes.withColumn(
-        "_offset",
-        F.coalesce(
-            F.sum("_n").over(
-                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("_pid", "_offset")
-    return (
-        ranked.join(F.broadcast(offsets), "_pid")
-        .select(
-            "s_nationkey",
-            "s_acctbal",
-            "s_name",
-            (F.col("_local_pos") + F.col("_offset")).cast("int").alias("sort_pos"),
-        )
+    return global_row_number(
+        s.select("s_nationkey", "s_acctbal", "s_name", "s_suppkey"),
+        keys,
+        out_col="_pos",
+    ).select(
+        "s_nationkey",
+        "s_acctbal",
+        "s_name",
+        F.col("_pos").cast("int").alias("sort_pos"),
     )
 
 

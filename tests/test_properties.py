@@ -1466,3 +1466,66 @@ def test_kmv_bottomk_merge_law(vals, cut):
     merged = sorted(a + b)[:K]
     direct = sorted(vals)[:K]
     assert merged == direct
+
+
+@_SETTINGS
+@given(
+    parts=st.lists(
+        st.lists(st.integers(min_value=0, max_value=40), max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_kmv_bottomk_merge_law(parts, k):
+    """The semigroup law `agg_kmv_bottomk(scale_merge=True)` relies on:
+    bottomk(A1 ∪ … ∪ An) == bottomk(bottomk(A1) ∪ … ∪ bottomk(An)) for
+    ANY partitioning of the multiset — so per-partition bottom-k states
+    merge without error, in any tree shape (multiset semantics:
+    duplicates preserved, same as the engine's collect_list+slice)."""
+    direct = sorted(x for p in parts for x in p)[:k]
+    merged = sorted(x for p in parts for x in sorted(p)[:k])[:k]
+    assert direct == merged
+
+
+def test_kmv_scale_merge_path_equals_window_path(spark):
+    """`agg_kmv_bottomk(scale_merge=True)` (per-partition bottom-k,
+    mergeable — the 100 TB form) must return the SAME sketch as the
+    default window form on the fixture: identical estimates AND
+    identical order-fixed bottom-k md5 digests (the whole state, not
+    just the estimate).  Its plan must contain no Window (no per-type
+    global sort) and the map-side partial aggregate that bounds
+    per-partition state."""
+    from spark_streaming_kafka_offset_spark.operators.scale import (
+        agg_kmv_bottomk,
+    )
+
+    base = agg_kmv_bottomk(spark, SF_DIR).collect()
+    merged_df = agg_kmv_bottomk(spark, SF_DIR, scale_merge=True)
+    merged = merged_df.collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, merged))
+    plan = merged_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_table_skew_stats_twopass_equivalence(spark):
+    """`table_skew_stats(scale_twopass=True)` (range-partitioned Gini
+    rank via common.global_row_number + TakeOrderedAndProject top-10 —
+    the 100 TB form) must return the IDENTICAL row as the default
+    global-window form, and its plan must show the parallel machinery:
+    a RangePartitioning exchange, a TakeOrderedAndProject for the
+    top-10, and NO unpartitioned data-sized window (the only window
+    left runs on the numPartitions-row offsets frame)."""
+    from spark_streaming_kafka_offset_spark.operators.scale import (
+        table_skew_stats,
+    )
+
+    base = table_skew_stats(spark, SF_DIR).collect()
+    two_df = table_skew_stats(spark, SF_DIR, scale_twopass=True)
+    two = two_df.collect()
+    assert len(base) == len(two) == 1
+    assert base[0].asDict() == two[0].asDict()
+    plan = two_df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "TakeOrderedAndProject" in plan
+    assert "_pid" in plan  # per-range local rank, not a global sort
