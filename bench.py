@@ -77,6 +77,24 @@ HEADLINE = [
     "stream_tumbling",
 ]
 
+#: B-set (VERDICT r5 #7): the expensive r5-era operators nobody timed
+#: round-over-round — iterative graph algorithms, BPE training, bitmap /
+#: KMV sketch rollups, the staged admission funnel, banded media dedup,
+#: and the interval-sweep MAU.  Timed in the SAME runs and carried in the
+#: JSON as ``bset``/``bset_total`` so regressions in new ops surface by
+#: the next round; the headline list above stays FIXED for
+#: like-for-like vs BASELINE.md (never merge the two).
+BSET = [
+    "graph_pagerank",
+    "graph_kcore",
+    "bpe_train_iterative",
+    "rollup_bitmap_distinct",
+    "corpus_admission_pipeline",
+    "multimodal_dedup_phash",
+    "agg_kmv_bottomk",
+    "events_dau_mau_stickiness",
+]
+
 
 def single_run() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -102,12 +120,21 @@ def single_run() -> dict:
         timings[key] = round(time.monotonic() - t0, 3)
         print(f"# {key}: {timings[key]:.3f}s ({n} rows)", file=sys.stderr)
 
+    bset: dict[str, float] = {}
+    for key in BSET:
+        t0 = time.monotonic()
+        n = len(queries[key](spark, sf_dir).collect())
+        bset[key] = round(time.monotonic() - t0, 3)
+        print(f"# bset {key}: {bset[key]:.3f}s ({n} rows)", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "bset": bset,
+        "bset_total": round(sum(bset.values()), 3),
         "sf": sf,
         "env": cpu_fingerprint(),
     }
