@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..common import stage
 from ..plans.registry import register
 from ..session import load_table
 
@@ -328,7 +329,18 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join is band-bucketed, never all-pairs; verify touches
     candidate pairs only.  Signatures are 8 B/doc — corpus-sized, never
     broadcast (same policy as dedup_simhash)."""
-    m = media_table(spark, sf_dir)
+    # Amplification-aware repartition: the per-doc gram explode fans
+    # 5k docs into ~880k feature rows at sf0.1, but the small source
+    # parquet reads as ONE split, so without this the whole
+    # explode+md5+sign-sum stage ran in one task (B-set bench: the
+    # signature build alone was 3.6 s single-task; ~0.5 s spread).  At
+    # 100 TB the scan has many splits anyway, but row-count-based
+    # splits are still wrong when the EXPLODED size is the work unit —
+    # spreading by doc_id keeps the later groupBy(doc_id) co-partitioned
+    # (no second exchange).
+    m = media_table(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     n = F.length("payload")
     grams = m.where(n >= 4).select(
         "doc_id",
@@ -341,21 +353,32 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = grams.select("doc_id", F.explode("gs").alias("g"))
     h = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+    # Branch-free sign-sum: sum over grams of ±1 for bit j equals
+    # 2·cnt_j − n (cnt_j = grams with bit j set), so the sign test
+    # b_j > 0 is 2·cnt_j > n — 60 shift/and/sum expressions with no
+    # per-gram conditional (measured vs the when(±1) form on the B-set).
     bits = ex.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        F.count("*").alias("n_g"),
         *[
-            F.sum(
-                F.when(F.shiftright("h", j).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
+            F.sum(F.shiftright("h", j).bitwiseAND(1)).alias(f"c{j}")
             for j in range(60)
-        ]
+        ],
     )
     sig_expr = None
     for j in range(60):
         term = F.shiftleft(
-            F.when(F.col(f"b{j}") > 0, 1).otherwise(0).cast("long"), j
+            F.when(2 * F.col(f"c{j}") > F.col("n_g"), 1)
+            .otherwise(0)
+            .cast("long"),
+            j,
         )
         sig_expr = term if sig_expr is None else sig_expr + term
-    sig = bits.select("doc_id", sig_expr.alias("sig"))
+    # stage(): the signature table feeds FOUR consumers (both sides of
+    # the band self-join and both verify lookups); without it Catalyst
+    # inlines the explode+md5+60-sign-sum subtree into every consumer —
+    # the B-set bench surfaced the recompute at 7.1 s wall at sf0.1.
+    # Same posture as dedup_minhash's shingle stage.
+    sig = stage(bits.select("doc_id", sig_expr.alias("sig")))
     bands = sig.select(
         "doc_id",
         F.posexplode(

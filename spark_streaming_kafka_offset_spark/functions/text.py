@@ -2472,10 +2472,30 @@ def corpus_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     50× repeated phrase (repetition path) — both paths proven, the
     damage deterministic on both engines.
 
-    Scale notes: one scan computes every gate feature; dedup is
-    min-per-hash on the survivor set (`dedup_exact`'s plan); the
-    funnel report is |reasons|-sized."""
-    raw = load_table(spark, sf_dir, "documents").select(
+    Scale notes: ONE scan computes every gate feature and the survivor
+    content hash; rejects get a synthetic unique key so the whole frame
+    flows through ONE hash shuffle whose map-side partial aggregate
+    collapses each group to (n, reason) before the exchange — the
+    shuffle carries distinct-hash-sized state, never documents.  Group
+    accounting (admitted=1, duplicate=n−1 per survivor group) replaces
+    the r5 join-back, which re-evaluated the shingle-gate scan THREE
+    times (gated fed `hashed` twice through two joins, plus itself —
+    the B-set bench surfaced it at 12.2 s; this form is one scan —
+    plan-verified single occurrence of the shingle transform — and,
+    with the conditional single-split spread below, measured ~1.0 s at
+    sf0.1).  The funnel report is |reasons|-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    # The gate expressions are the dominant cost (token HOFs per doc)
+    # and are embarrassingly parallel — but the fixture parquet is ONE
+    # split, so without spreading, the entire gate scan ran in a single
+    # task (B-set bench).  The repartition is CONDITIONAL on observed
+    # scan parallelism: a production many-split scan skips it (a
+    # corpus-wide text shuffle at 100 TB would be a real cost; here it
+    # moves a few MB once).
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, par // 2):
+        docs = docs.repartition(par, "doc_id")
+    raw = docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 17 == 0, F.lit(_ADMIT_DUP_TEXT))
         .when(F.col("doc_id") % 19 == 0, F.lit(_ADMIT_SPAM_TEXT))
@@ -2512,27 +2532,54 @@ def corpus_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(rep_frac > 0.25, "repetitive")
         .alias("early_reason"),
     )
-    hashed = gated.where(F.col("early_reason").isNull()).select(
+    # One pass: survivors key on the content hash; rejects key on a
+    # per-doc synthetic token (never a shared null/hot key) so every
+    # group is either one survivor-hash class or one reject.
+    keyed = gated.select(
         "doc_id",
-        F.sha2(
-            F.regexp_replace(F.lower("text"), r"\s+", " "), 256
-        ).alias("h"),
-    )
-    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
-    final = (
-        gated.join(hashed, "doc_id", "left")
-        .join(keep, "h", "left")
-        .select(
-            F.coalesce(
-                "early_reason",
-                F.when(F.col("doc_id") == F.col("keeper"), "admitted").otherwise(
-                    "duplicate"
-                ),
-            ).alias("reason")
+        "early_reason",
+        F.when(
+            F.col("early_reason").isNull(),
+            F.sha2(F.regexp_replace(F.lower("text"), r"\s+", " "), 256),
         )
+        .otherwise(F.concat(F.lit("r:"), F.col("doc_id").cast("string")))
+        .alias("h_eff"),
     )
+    # Partial+final agg: each group collapses to (n, reason) map-side.
+    # min(early_reason) is NULL exactly for survivor-hash groups (all
+    # members passed the gates; reject keys are singletons).
+    g = keyed.groupBy("h_eff").agg(
+        F.count("*").alias("n"), F.min("early_reason").alias("er")
+    )
+    # Group-level funnel accounting — no join back to the corpus:
+    # a reject group contributes (reason, n); a survivor-hash group
+    # contributes one admitted (min doc_id) and n−1 duplicates.
+    rc = g.select(
+        F.explode(
+            F.when(
+                F.col("er").isNotNull(),
+                F.array(
+                    F.struct(
+                        F.col("er").alias("reason"),
+                        F.col("n").cast("long").alias("cnt"),
+                    )
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(
+                        F.lit("admitted").alias("reason"),
+                        F.lit(1).cast("long").alias("cnt"),
+                    ),
+                    F.struct(
+                        F.lit("duplicate").alias("reason"),
+                        (F.col("n") - 1).cast("long").alias("cnt"),
+                    ),
+                )
+            )
+        ).alias("rc")
+    ).where(F.col("rc.cnt") > 0)
     return (
-        final.groupBy("reason")
-        .agg(F.count("*").cast("long").alias("n_docs"))
+        rc.groupBy(F.col("rc.reason").alias("reason"))
+        .agg(F.sum("rc.cnt").cast("long").alias("n_docs"))
         .orderBy("reason")
     )
