@@ -1,0 +1,180 @@
+"""sf1 stress sweep (VERDICT r5 #4): run the shuffle-heaviest operators
+once at sf1 (6M-row lineitem, 10x the bench fixture; tools/gen_sf1.py)
+and record wall-clock plus the worst per-stage task skew, so "would
+survive 10x" claims become executions.
+
+Per query the sweep records:
+
+* ``wall_sec`` — plan build + execute + collect (same method as bench.py)
+* ``rows`` — result size
+* ``skew`` — over all stages the query ran: the stage with the worst
+  max/median task-duration ratio (its ratio, max task ms, task count).
+  Read from Spark's own REST status API (the UI server is enabled for
+  this session only) — the same numbers the Spark UI's task summary
+  shows.  A ratio near 1 means even tasks; a big ratio on a many-task
+  stage is real key skew; single-digit-task stages are rollup-sized by
+  design and reported but not skew (nothing to balance on 3 tasks).
+
+Output: one JSON line, plus BENCH_sf1.json sidecar; the table in
+BASELINE.md is derived from it.  sf0.1 wall for the same op (from the
+same session, for the growth ratio) is measured right before each sf1
+run so the 10x-growth factor is same-JVM, same-day, same-host.
+
+Usage: python tools/stress_sf1.py [sf1_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, ".")
+
+STRESS_SET = [
+    "graph_pagerank",
+    "bpe_train_iterative",
+    "dedup_minhash",
+    "audience_overlap_exact",
+    "kmeans_lloyd_exact",
+    "q18_big_orders",
+    "q21_waiting_suppliers",
+    "sessionize_batch",
+    "events_rolling_active",
+    "dedup_exact",
+    "corpus_admission_pipeline",
+    "multimodal_dedup_phash",
+]
+
+
+def _rest(url: str):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.load(r)
+
+
+class SkewReader:
+    """Worst-stage task-skew via the Spark REST status API."""
+
+    def __init__(self, spark):
+        self.base = None
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            app_id = spark.sparkContext.applicationId
+            if ui:
+                self.base = f"{ui}/api/v1/applications/{app_id}"
+        except Exception:
+            pass
+
+    def seen_stages(self) -> set[int]:
+        if not self.base:
+            return set()
+        try:
+            return {
+                s["stageId"] for s in _rest(f"{self.base}/stages?status=complete")
+            }
+        except Exception:
+            return set()
+
+    def worst_skew(self, before: set[int]) -> dict | None:
+        if self.base is None:
+            return None
+        worst = None
+        try:
+            for s in _rest(f"{self.base}/stages?status=complete"):
+                if s["stageId"] in before or s["numCompleteTasks"] < 2:
+                    continue
+                q = _rest(
+                    f"{self.base}/stages/{s['stageId']}/{s['attemptId']}/"
+                    "taskSummary?quantiles=0.5,1.0"
+                )
+                med, mx = q["duration"][0], q["duration"][1]
+                ratio = round(mx / med, 2) if med > 0 else float(mx > 0)
+                cand = {
+                    "stage": s["stageId"],
+                    "tasks": s["numCompleteTasks"],
+                    "max_task_ms": round(mx),
+                    "max_over_median": ratio,
+                }
+                if worst is None or cand["max_over_median"] > worst["max_over_median"]:
+                    worst = cand
+        except Exception:
+            return None
+        return worst
+
+
+def main() -> int:
+    sf1_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SSKOS_SF1_DIR", "/root/repo/.scratch/sf1")
+    )
+    if not os.path.exists(f"{sf1_dir}/lineitem.parquet"):
+        raise SystemExit(f"run tools/gen_sf1.py first ({sf1_dir} missing)")
+
+    import os as _os
+
+    _os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
+    from pyspark.sql import SparkSession
+
+    from spark_streaming_kafka_offset_spark import session as S
+    import __spark_entry__ as entrymod
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sskos-stress-sf1")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "true")  # REST status API for skew
+        .config("spark.ui.port", "4049")
+        .config("spark.sql.ansi.enabled", "true")
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"],
+        )
+        .getOrCreate()
+    )
+    S.ensure_configs(spark)
+    queries = entrymod.queries()
+    skew = SkewReader(spark)
+
+    queries["agg_hash"](spark, sf1_dir).collect()  # warm-up
+    out: dict[str, dict] = {}
+    for key in STRESS_SET:
+        t0 = time.monotonic()
+        n01 = len(queries[key](spark, "/root/testdata/sf0.1").collect())
+        w01 = round(time.monotonic() - t0, 2)
+        before = skew.seen_stages()
+        t0 = time.monotonic()
+        n = len(queries[key](spark, sf1_dir).collect())
+        wall = round(time.monotonic() - t0, 2)
+        rec = {
+            "wall_sec": wall,
+            "rows": n,
+            "sf01_wall_sec": w01,
+            "sf01_rows": n01,
+            "growth_10x": round(wall / w01, 2) if w01 > 0 else None,
+            "skew": skew.worst_skew(before),
+        }
+        out[key] = rec
+        print(f"# {key}: sf1 {wall}s ({n} rows), sf0.1 {w01}s, "
+              f"growth {rec['growth_10x']}x, skew {rec['skew']}",
+              file=sys.stderr)
+
+    payload = {
+        "metric": "sf1_stress_sweep",
+        "sf1_dir": sf1_dir,
+        "unit": "sec",
+        "queries": out,
+        "total_sf1_wall": round(sum(r["wall_sec"] for r in out.values()), 2),
+    }
+    print(json.dumps(payload))
+    with open("BENCH_sf1.json", "w") as f:
+        json.dump(payload, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
