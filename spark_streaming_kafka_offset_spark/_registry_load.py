@@ -7,6 +7,7 @@ driver's ``queries()`` always reflects exactly what is implemented.
 from __future__ import annotations
 
 from .functions import (  # noqa: F401
+    curation,
     multimodal,
     scalar,
     similarity,
@@ -29,6 +30,7 @@ from .operators import (  # noqa: F401
     scale,
     setops,
     sorts,
+    statistics,
     windows,
 )
 from .sources import batch, stream_entries, txnlog  # noqa: F401

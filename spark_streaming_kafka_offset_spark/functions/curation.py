@@ -1,0 +1,380 @@
+"""Corpus-curation operators (r6 batch) — §2.18.
+
+The data-engineering layer of a training-data pipeline that sits ABOVE
+the per-document quality signals (functions/text.py): URL
+canonicalization + URL-level dedup, per-source token budgeting, mixture
+planning across languages, corpus-level n-gram novelty, and blocked
+entity resolution.  Everything is deterministic integer/regex work so
+every operator carries a DuckDB oracle twin.
+
+Reference parity [K]: no citation into /root/reference possible (mirror
+empty, SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import register
+from ..session import load_table
+
+#: Derived-URL recipe shared by both engines (the fixtures carry no URL
+#: column, so the op derives one deterministically from (source, doc_id)
+#: and then proves the PARSING path: scheme strip, www strip, tracking-
+#: param removal, canonical dedup).  Kept as one module constant so the
+#: Spark and DuckDB sides can never drift.
+_URL_SQL = (
+    "concat('https://', CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END, "
+    "source, '.example.com/p/', CAST(doc_id % 50 AS STRING), "
+    "'?utm_source=feed&id=', CAST(doc_id % 97 AS STRING), "
+    "CASE WHEN doc_id % 2 = 0 THEN '&ref=tw' ELSE '' END)"
+)
+_URL_DUCK = (
+    "concat('https://', CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END, "
+    "source, '.example.com/p/', CAST(doc_id % 50 AS VARCHAR), "
+    "'?utm_source=feed&id=', CAST(doc_id % 97 AS VARCHAR), "
+    "CASE WHEN doc_id % 2 = 0 THEN '&ref=tw' ELSE '' END)"
+)
+
+
+@register(
+    "text_url_canonicalize",
+    # Host/path/query parsing via the RE2-and-Java-regex common subset
+    # (no lookarounds, no backrefs); tracking params (utm_*, ref)
+    # removed by rebuilding the query from the kept params only.
+    oracle=f"""
+    WITH urls AS (
+        SELECT doc_id, {_URL_DUCK} AS url FROM documents
+    ), parsed AS (
+        SELECT doc_id, url,
+               lower(regexp_replace(
+                   regexp_extract(url, 'https?://([^/]+)', 1),
+                   '^www\\.', '')) AS host,
+               regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1) AS path,
+               regexp_extract(url, 'id=([0-9]+)', 1) AS kept_id
+        FROM urls
+    ), canon AS (
+        SELECT doc_id, url, host, path,
+               concat(host, path, '?id=', kept_id) AS canon_url
+        FROM parsed
+    )
+    SELECT doc_id, url, host, path, canon_url,
+           CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT)
+               AS canon_group_size
+    FROM canon
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-group sizing — the first gate of
+    any web-scale crawl pipeline: strip scheme and ``www.``, lowercase
+    the host, drop tracking parameters (``utm_*``, ``ref``), keep the
+    identifying ones, then size each canonical group (group size > 1 =
+    URL-level duplicates to collapse before any content hashing runs).
+
+    Scale notes: parsing is per-row scan-side regex (whole-stage
+    codegen, no UDF); the only shuffle is the canonical-group count —
+    keyed on the canonical URL, the same partitioning a downstream
+    ``dedup_exact`` collapse would reuse.  The derived-URL recipe is a
+    shared module constant so both engines parse identical inputs."""
+    d = load_table(spark, sf_dir, "documents")
+    urls = d.select("doc_id", F.expr(_URL_SQL).alias("url"))
+    parsed = urls.select(
+        "doc_id",
+        "url",
+        F.lower(
+            F.regexp_replace(
+                F.regexp_extract("url", r"https?://([^/]+)", 1), r"^www\.", ""
+            )
+        ).alias("host"),
+        F.regexp_extract("url", r"https?://[^/]+(/[^?#]*)", 1).alias("path"),
+        F.regexp_extract("url", r"id=([0-9]+)", 1).alias("kept_id"),
+    )
+    canon = parsed.select(
+        "doc_id",
+        "url",
+        "host",
+        "path",
+        F.concat(F.col("host"), F.col("path"), F.lit("?id="), F.col("kept_id")).alias(
+            "canon_url"
+        ),
+    )
+    return canon.select(
+        "doc_id",
+        "url",
+        "host",
+        "path",
+        "canon_url",
+        F.count("*")
+        .over(Window.partitionBy("canon_url"))
+        .cast("long")
+        .alias("canon_group_size"),
+    )
+
+
+@register(
+    "corpus_token_budget",
+    # Greedy budget admission: per source, admit docs in (tokens DESC,
+    # doc_id) order while the running token total stays <= 150.  The
+    # cumsum is integer, the order is total, so the admitted set is
+    # deterministic in both engines.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, source, tokens,
+               SUM(tokens) OVER (PARTITION BY source
+                                 ORDER BY tokens DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cum <= 150 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_admitted,
+           CAST(SUM(CASE WHEN cum <= 150 THEN tokens ELSE 0 END) AS BIGINT)
+               AS admitted_tokens,
+           CAST(SUM(tokens) AS BIGINT) AS avail_tokens
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget admission: order documents by token count
+    (quality proxy; any score column slots in), admit greedily while the
+    per-source running total stays inside the budget — how a pretraining
+    mix caps over-represented sources at a fixed token allowance.
+
+    Scale notes: ONE shuffle on the source key; the cumsum window is
+    partitioned by source (never global).  A skewed mega-source makes
+    one partition hot — the mitigation is the documented two-pass
+    range-partitioned rank (``common.global_row_number``) within that
+    source, or pre-capping with ``detect_hot_keys``.  Token counting is
+    scan-side ``size(split(..))`` — no UDF, no materialized token
+    arrays past the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("tokens").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = toks.withColumn("cum", F.sum("tokens").over(w))
+    admitted = F.col("cum") <= 150
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(admitted, 1).otherwise(0)).cast("long").alias("n_admitted"),
+            F.sum(F.when(admitted, F.col("tokens")).otherwise(0))
+            .cast("long")
+            .alias("admitted_tokens"),
+            F.sum("tokens").cast("long").alias("avail_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "corpus_mixture_plan",
+    # Uniform-target mixture: the bottleneck language (min available
+    # tokens) sets the per-language sampling weight L/avail, carried as
+    # integer parts-per-million so expected token counts stay in exact
+    # integer arithmetic end-to-end.
+    oracle="""
+    WITH avail AS (
+        SELECT lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS avail_tokens
+        FROM documents GROUP BY lang
+    ), floor_lang AS (
+        SELECT lang, avail_tokens,
+               MIN(avail_tokens) OVER () AS target_tokens
+        FROM avail
+    )
+    SELECT lang, avail_tokens,
+           CAST(target_tokens AS BIGINT) AS target_tokens,
+           CAST(target_tokens * 1000000 // avail_tokens AS BIGINT)
+               AS weight_ppm,
+           CAST(avail_tokens * (target_tokens * 1000000 // avail_tokens)
+                // 1000000 AS BIGINT) AS expected_tokens
+    FROM floor_lang
+    ORDER BY lang
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture plan for a uniform target: the scarcest language
+    is the bottleneck, every other language gets a down-sampling weight
+    of target/available (parts-per-million integer), and the expected
+    post-sampling token count is reported per language — the planning
+    step before ``lang_balanced_sample`` executes the draw.
+
+    Scale notes: the corpus collapses to ONE |langs|-row rollup in a
+    single hash aggregate; the global-min window runs on that rollup
+    (allowlisted single-partition exchange of ~5 rows).  Weights are
+    ppm integers via `div` — both engines agree exactly, no float
+    fraction ever decides a token count."""
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail_tokens")
+    )
+    floor_lang = avail.withColumn(
+        "target_tokens", F.min("avail_tokens").over(Window.partitionBy())
+    )
+    return floor_lang.select(
+        "lang",
+        "avail_tokens",
+        F.col("target_tokens").cast("long").alias("target_tokens"),
+        F.expr("target_tokens * 1000000 div avail_tokens").alias("weight_ppm"),
+        F.expr(
+            "avail_tokens * (target_tokens * 1000000 div avail_tokens) div 1000000"
+        ).alias("expected_tokens"),
+    ).orderBy("lang")
+
+
+@register(
+    "text_ngram_novelty",
+    # Novelty = share of a doc's DISTINCT word trigrams appearing in no
+    # other document (corpus df == 1).  Distinct-within-doc first, so a
+    # doc repeating its own trigram cannot inflate the df.
+    oracle="""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, g
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS g
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        )
+    ), df AS (
+        SELECT g, COUNT(*) AS n_docs_with FROM grams GROUP BY g
+    )
+    SELECT grams.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.n_docs_with = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           ROUND(CAST(SUM(CASE WHEN df.n_docs_with = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM grams JOIN df ON grams.g = df.g
+    GROUP BY grams.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word trigrams that appear in NO other document — the
+    flip side of ``contamination_check``/``text_repetition``: high
+    novelty marks fresh content worth keeping, near-zero novelty marks
+    boilerplate assembled from corpus-common phrases.
+
+    Scale notes: trigrams shuffle once keyed on the gram for the
+    document-frequency count, then once back on doc_id for the rollup —
+    the same two-shuffle posture as text_tfidf.  At 100 TB the gram key
+    should travel as a 64-bit hash (xxhash64) instead of the string;
+    kept as the string here so the oracle twin stays expressible.  The
+    within-doc DISTINCT collapses repeated phrases map-side before the
+    first shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = (
+        d.where(F.size(w) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 3), "
+                    "i -> concat(split(text, ' ')[i], ' ', "
+                    "split(text, ' ')[i+1], ' ', split(text, ' ')[i+2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    df = grams.groupBy("g").agg(F.count("*").alias("n_docs_with"))
+    return (
+        grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs_with") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+            F.round(
+                F.sum(F.when(F.col("n_docs_with") == 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "entity_resolution_blocked",
+    # Blocked fuzzy matching: block on the head noun (the second token
+    # of 'adjective noun' part names), pair within a block only, match
+    # at levenshtein <= 4 with a canonical a < b ordering.
+    oracle="""
+    WITH names AS (
+        SELECT DISTINCT p_name,
+               string_split(p_name, ' ')[2] AS block_key
+        FROM part
+    )
+    SELECT a.block_key,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+    FROM names a JOIN names b
+      ON a.block_key = b.block_key AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY a.block_key, name_a, name_b
+    """,
+)
+def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution over product names: candidate pairs
+    are generated ONLY within a blocking key (the head noun), then
+    scored with edit distance — the classic record-linkage shape
+    (Fellegi-Sunter blocking) that turns an O(n^2) name comparison
+    into per-block work.
+
+    Scale notes: the self-join is an equi-join on the block key — no
+    cartesian anywhere (plan-audited engine-wide).  Block-size skew is
+    THE production risk: a degenerate key ('widget') quadratically
+    dominates — at 100 TB, cap or salt hot blocks first
+    (``detect_hot_keys``) or refine the key (noun + first adjective
+    char).  Distinct-names-first collapses the corpus to the entity
+    vocabulary before any pairing."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(
+        "p_name", F.split("p_name", " ").getItem(1).alias("block_key")
+    ).distinct()
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4)
+        .select(
+            F.col("a.block_key").alias("block_key"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("lev"),
+        )
+        .orderBy("block_key", "name_a", "name_b")
+    )

@@ -502,3 +502,47 @@ def fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         ).alias("dot_rev"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_regexp",
+    # The regex family on the RE2 ∩ java.util.regex common subset
+    # (character classes, quantifiers, anchors — no lookaround, no
+    # backrefs, which RE2 rejects).  DuckDB's regexp_replace is
+    # first-match-only by default — the 'g' flag is mandatory to match
+    # Spark's replace-all semantics (classic cross-engine trap).
+    oracle="""
+    SELECT doc_id,
+           COALESCE(array_to_string(
+               regexp_extract_all(text, '\\b[a-z]{6,}\\b'), ','), '')
+               AS long_words,
+           CAST(len(regexp_extract_all(text, 'ba[a-z]+')) AS BIGINT)
+               AS n_ba_words,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(regexp_matches(text, '^the\\b') AS BOOLEAN) AS starts_the
+    FROM documents
+    WHERE doc_id % 7 = 2
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: extract-all (serialized — no array columns
+    in driver results), match counting, global replace, and anchored
+    match — all JVM-side codegen'd expressions, zero UDFs.
+
+    Scale notes: per-row scan-side work that pushes the doc_id filter
+    into the parquet scan; regex evaluation is the dominant cost and
+    stays inside whole-stage codegen.  Patterns are restricted to the
+    RE2/Java common subset so both engines compile identical automata
+    semantics."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 2)
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.expr(r"regexp_extract_all(text, '\\b([a-z]{6,})\\b', 0)"), ","
+        ).alias("long_words"),
+        F.size(F.expr(r"regexp_extract_all(text, '(ba[a-z]+)', 0)"))
+        .cast("long")
+        .alias("n_ba_words"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+        F.col("text").rlike(r"^the\b").alias("starts_the"),
+    )

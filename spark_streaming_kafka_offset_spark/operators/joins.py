@@ -614,3 +614,101 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("forward")
         .alias("direction"),
     )
+
+
+@register(
+    "join_geo_grid",
+    # Derived integer centi-degree coordinates (the fixtures carry no
+    # geo columns; the recipe is a shared constant of both engines) and
+    # a pure-integer distance predicate: dlat^2 + dlon^2 <= 100^2
+    # centi-degrees^2 (a 1-degree radius).  The oracle states the
+    # SEMANTICS as the naive cross-filter; the engine side must produce
+    # the same rows from grid-bucketed candidates only.
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               CAST((c_custkey * 7919) % 12001 - 6000 AS BIGINT) AS lat,
+               CAST((c_custkey * 104729) % 36001 - 18000 AS BIGINT) AS lon
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey,
+               CAST((s_suppkey * 7919) % 12001 - 6000 AS BIGINT) AS lat,
+               CAST((s_suppkey * 104729) % 36001 - 18000 AS BIGINT) AS lon
+        FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST((c.lat - s.lat)*(c.lat - s.lat)
+                + (c.lon - s.lon)*(c.lon - s.lon) AS BIGINT) AS dist2_e4
+    FROM c JOIN s
+      ON (c.lat - s.lat)*(c.lat - s.lat)
+         + (c.lon - s.lon)*(c.lon - s.lon) <= 10000
+    """,
+)
+def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial distance join: customers within 1 degree of
+    a supplier.  The scale pattern is the point: bucket both sides into
+    radius-sized grid cells, replicate the SMALLER side into its 3x3
+    cell neighborhood, equi-join on the cell id, then apply the exact
+    distance predicate — the standard turn-a-distance-join-into-an-
+    equi-join recipe (same family as ``join_interval_bucketed`` for
+    time ranges).
+
+    Scale notes: no cartesian anywhere — the only join is a hash join
+    on (cell_lat, cell_lon); the 9x replication lands on the supplier
+    (dim) side, never the customer (fact) side.  Cell ids come from
+    integer `div` after a +18000 shift (truncation toward zero would
+    make cell 0 double-width at the sign boundary — the classic
+    geohash-at-the-equator bug, avoided in integer space).  Skewed
+    cells (urban clustering in real data) are the documented risk:
+    cap/salt hot cells via ``detect_hot_keys``; with the coprime
+    multiplier recipe here the spread is uniform by construction."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 12001 - 6000).alias("lat"),
+        ((F.col("c_custkey") * 104729) % 36001 - 18000).alias("lon"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 7919) % 12001 - 6000).alias("lat"),
+        ((F.col("s_suppkey") * 104729) % 36001 - 18000).alias("lon"),
+    )
+    # Cell = radius-sized square; +18000 shift keeps the div operand
+    # non-negative so integer division == floor division.
+    c_cells = c.select(
+        "c_custkey",
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+        F.expr("(lat + 18000) div 100").alias("cell_lat"),
+        F.expr("(lon + 18000) div 100").alias("cell_lon"),
+    )
+    off = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+    s_cells = (
+        s.select(
+            "s_suppkey",
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+            F.expr("(lat + 18000) div 100").alias("s_cell_lat0"),
+            F.expr("(lon + 18000) div 100").alias("s_cell_lon0"),
+        )
+        .withColumn("dx", off)
+        .withColumn("dy", off)
+        .select(
+            "s_suppkey",
+            "s_lat",
+            "s_lon",
+            (F.col("s_cell_lat0") + F.col("dx")).alias("cell_lat"),
+            (F.col("s_cell_lon0") + F.col("dy")).alias("cell_lon"),
+        )
+    )
+    dist2 = (F.col("c_lat") - F.col("s_lat")) * (F.col("c_lat") - F.col("s_lat")) + (
+        F.col("c_lon") - F.col("s_lon")
+    ) * (F.col("c_lon") - F.col("s_lon"))
+    return (
+        c_cells.join(s_cells, ["cell_lat", "cell_lon"])
+        .where(dist2 <= 10000)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            dist2.cast("long").alias("dist2_e4"),
+        )
+    )

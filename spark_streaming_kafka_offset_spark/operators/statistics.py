@@ -1,0 +1,437 @@
+"""Exact statistical analytics (r6 batch) — §2.18.
+
+Five shapes a warehouse user reaches for weekly — independence testing,
+distribution entropy, robust (trimmed/winsorized) means, autocorrelation,
+and year-over-year revenue decomposition — each with a DuckDB oracle twin
+and the engine-wide exactness discipline: every value that decides a row
+or lands in the output is either pure integer arithmetic or ONE IEEE
+division of identical integers (optionally rounded), never an
+order-dependent float accumulation.
+
+Reference parity [K]: no citation into /root/reference possible (mirror
+empty, SURVEY.md §0); these are the analytics a Spark-first engine adds
+beyond the reference's per-batch reduceByKey surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import register
+from ..session import load_table
+
+
+@register(
+    "agg_chisq_independence",
+    # Per-cell chi-square contributions: (N*O - r*c)^2 / (N*r*c).  Both
+    # numerator and denominator are exact BIGINT products (N ~ 1.5e4 at
+    # sf0.01, so (N*O - r*c)^2 <= ~2e15 < 2^53 — exact as doubles), so
+    # the contribution is ONE IEEE division of identical integers on
+    # both engines; ROUND(.,6) is then deterministic.  No cross-cell
+    # float sum anywhere: the 25-cell total is driver-trivial.
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS obs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_orderpriority
+    ), tot AS (
+        SELECT c_mktsegment, o_orderpriority, obs,
+               SUM(obs) OVER (PARTITION BY c_mktsegment) AS row_total,
+               SUM(obs) OVER (PARTITION BY o_orderpriority) AS col_total,
+               SUM(obs) OVER () AS grand_total
+        FROM cells
+    )
+    SELECT c_mktsegment, o_orderpriority,
+           CAST(obs AS BIGINT) AS obs,
+           CAST(row_total AS BIGINT) AS row_total,
+           CAST(col_total AS BIGINT) AS col_total,
+           ROUND(
+             CAST((grand_total*obs - row_total*col_total)
+                  * (grand_total*obs - row_total*col_total) AS DOUBLE)
+             / CAST(grand_total*row_total*col_total AS DOUBLE), 6
+           ) AS chisq_contrib
+    FROM tot
+    """,
+)
+def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer market segment
+    and order priority: the 5x5 contingency table with per-cell
+    (O-E)^2/E contributions in the integer-rearranged form
+    (N*O - r*c)^2 / (N*r*c), which never materializes the fractional
+    expected count.
+
+    Scale notes: the only corpus-sized work is the fact-dim join and ONE
+    hash aggregate down to |segments| x |priorities| cells; the
+    marginal-total windows run on that 25-row rollup (the global-total
+    window is an allowlisted single-partition exchange of 25 rows).  The
+    final statistic is a sum of 25 printed values — driver-trivial, and
+    deliberately NOT emitted as a float sum (order-dependent)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("obs"))
+    )
+    w_row = Window.partitionBy("c_mktsegment")
+    w_col = Window.partitionBy("o_orderpriority")
+    w_all = Window.partitionBy()
+    tot = cells.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "obs",
+        F.sum("obs").over(w_row).alias("row_total"),
+        F.sum("obs").over(w_col).alias("col_total"),
+        F.sum("obs").over(w_all).alias("grand_total"),
+    )
+    dev = F.col("grand_total") * F.col("obs") - F.col("row_total") * F.col("col_total")
+    return tot.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        F.col("obs").cast("long").alias("obs"),
+        F.col("row_total").cast("long").alias("row_total"),
+        F.col("col_total").cast("long").alias("col_total"),
+        F.round(
+            (dev * dev).cast("double")
+            / (F.col("grand_total") * F.col("row_total") * F.col("col_total")).cast(
+                "double"
+            ),
+            6,
+        ).alias("chisq_contrib"),
+    )
+
+
+@register(
+    "agg_entropy_categorical",
+    # Same log discipline as text_entropy (proven r5): H over integer
+    # counts via ln(n) - sum(c*ln c)/n, ROUND 4 absorbing last-ulp libm
+    # drift.  The per-day sum spans <=5 event types — the float
+    # accumulation is bounded-cardinality, not corpus-sized.
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+        FROM events GROUP BY day, event_type
+    )
+    SELECT day,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 4) AS entropy_nats
+    FROM counts
+    GROUP BY day
+    """,
+)
+def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Shannon entropy of the event-type mix — the categorical
+    companion to ``text_entropy`` (token distributions): a collapsed
+    event mix (entropy -> 0) is the classic instrumentation-outage
+    signal, a jump toward ln(|types|) flags bot traffic.
+
+    Scale notes: two hash aggregates, both keyed on the day (the second
+    reuses the first's partitioning — one shuffle total); the per-day
+    type map never exceeds |event_types| rows.  H computed from integer
+    counts only, same engine-agnostic form as text_entropy."""
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.select(F.col("ts").cast("date").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("day").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c"),
+            4,
+        ).alias("entropy_nats"),
+    )
+
+
+@register(
+    "agg_trimmed_winsorized",
+    # Robust means in pure integer cents: k = n//10 rows trimmed per
+    # tail; the trimmed mean is half-up integer division (2s+n)//(2n)
+    # (win_moving_avg's boundary-proof recipe); the winsorized mean
+    # re-adds k copies of each boundary value.  Total order
+    # (price, orderkey) makes every rank — and therefore every output —
+    # deterministic in both engines.
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ), marked AS (
+        SELECT o_orderpriority, cents, rn, n, n // 10 AS k FROM ranked
+    ), agg AS (
+        SELECT o_orderpriority,
+               ANY_VALUE(n) AS n, ANY_VALUE(k) AS k,
+               SUM(CASE WHEN rn > k AND rn <= n - k THEN cents END) AS mid_sum,
+               SUM(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END) AS mid_n,
+               MAX(CASE WHEN rn = k + 1 THEN cents END) AS lo_cents,
+               MAX(CASE WHEN rn = n - k THEN cents END) AS hi_cents
+        FROM marked GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           CAST((2*mid_sum + mid_n) // (2*mid_n) AS BIGINT)
+               AS trimmed_mean_cents,
+           CAST((2*(mid_sum + k*lo_cents + k*hi_cents) + n) // (2*n) AS BIGINT)
+               AS winsor_mean_cents
+    FROM agg
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and winsorized mean order value per priority — the
+    robust location estimates that survive the price outliers a plain
+    AVG drowns in.
+
+    Scale notes: one shuffle on the priority key; the rank window is
+    partitioned (never a global sort).  At 100 TB the same plan holds
+    per group — for a single giant group use the two-pass
+    range-partitioned rank (``common.global_row_number``) exactly as
+    ``table_skew_stats(scale_twopass=True)`` does.  All output values
+    are integer cents via half-up division — no float mean anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.row_number()
+        .over(wp.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    ).withColumn("k", F.expr("n div 10"))
+    mid = (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+    agg = ranked.groupBy("o_orderpriority").agg(
+        F.any_value("n").alias("n"),
+        F.any_value("k").alias("k"),
+        F.sum(F.when(mid, F.col("cents"))).alias("mid_sum"),
+        F.sum(F.when(mid, 1).otherwise(0)).alias("mid_n"),
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("cents"))).alias(
+            "lo_cents"
+        ),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("cents"))).alias(
+            "hi_cents"
+        ),
+    )
+    # `div` (integral division), NEVER floor(a/b): the latter routes two
+    # exact longs through ONE double quotient, which can round up across
+    # an integer boundary and mis-floor — div stays in integer space.
+    return agg.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.expr("(2*mid_sum + mid_n) div (2*mid_n)").alias("trimmed_mean_cents"),
+        F.expr(
+            "(2*(mid_sum + k*lo_cents + k*hi_cents) + n) div (2*n)"
+        ).alias("winsor_mean_cents"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "events_acf",
+    # Exact integer ACF: with S = sum(x), n = #days, multiplying the
+    # deviations through by n turns (x_t - S/n) into the integer
+    # (n*x_t - S), so numerator and denominator are exact BIGINT sums
+    # and the correlation is ONE IEEE division of identical integers.
+    oracle="""
+    WITH days AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+               COUNT(*) AS x
+        FROM events GROUP BY di
+    ), tot AS (
+        SELECT di, x, SUM(x) OVER () AS s, COUNT(*) OVER () AS n FROM days
+    ), lags AS (
+        SELECT CAST(k AS BIGINT) AS lag FROM UNNEST([1,2,3,4,5,6,7]) AS t(k)
+    ), num AS (
+        SELECT l.lag,
+               SUM((t1.n*t1.x - t1.s) * (t2.n*t2.x - t2.s)) AS num_int,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM lags l
+        JOIN tot t1 ON TRUE
+        JOIN tot t2 ON t2.di = t1.di - l.lag
+        GROUP BY l.lag
+    ), den AS (
+        SELECT SUM((n*x - s)*(n*x - s)) AS den_int FROM tot
+    )
+    SELECT num.lag, num.n_terms,
+           ROUND(CAST(num.num_int AS DOUBLE) / CAST(den.den_int AS DOUBLE), 6)
+               AS acf
+    FROM num, den
+    ORDER BY num.lag
+    """,
+)
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event count at lags 1..7 — the
+    weekly-seasonality detector (a spike at lag 7 = weekday pattern)
+    that feeds capacity planning and anomaly baselines.
+
+    Scale notes: the corpus collapses to ONE calendar-sized frame
+    (|days| rows) in a single hash aggregate; everything after — the
+    global-moment window, the 7-lag self-join — runs on that rollup
+    (allowlisted single-partition exchange, bounded by the calendar).
+    The lag join is an integer equi-join on the day index, never a
+    range scan.  Numerator/denominator are exact integer sums, so both
+    engines print bit-identical correlations at 6 decimals."""
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.select(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("di")
+        )
+        .groupBy("di")
+        .agg(F.count("*").alias("x"))
+    )
+    w_all = Window.partitionBy()
+    tot = days.select(
+        "di",
+        "x",
+        F.sum("x").over(w_all).alias("s"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    dev = lambda: (F.col("n") * F.col("x") - F.col("s"))  # noqa: E731
+    den = tot.select(F.sum(dev() * dev()).alias("den_int"))
+    t1 = tot.select(
+        "di", (F.col("n") * F.col("x") - F.col("s")).alias("d1")
+    ).withColumn("lag", F.explode(F.array(*[F.lit(k) for k in range(1, 8)])))
+    t2 = tot.select(
+        F.col("di").alias("di2"),
+        (F.col("n") * F.col("x") - F.col("s")).alias("d2"),
+    )
+    num = (
+        t1.join(t2, t1.di - t1.lag == t2.di2)
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("d1") * F.col("d2")).alias("num_int"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+    )
+    return (
+        num.join(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_terms",
+            F.round(
+                F.col("num_int").cast("double") / F.col("den_int").cast("double"), 6
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "revenue_bridge_yoy",
+    # Price/volume decomposition with floor division of exact integers:
+    # price_effect = rev2 - q2*rev1//q1, volume_effect =
+    # (q2-q1)*rev1//q1; the q*rev products are HUGEINT/DECIMAL(38,0)
+    # (q*rev ~ 1e17 at sf1 — past 2^53, so 64-bit-float products are
+    # NOT exact; hence the wide-integer discipline), and x // y == div
+    # for the positive operands here.  residual_cents absorbs the two
+    # floor remainders, so the identity delta = price + volume +
+    # residual holds exactly.
+    oracle="""
+    WITH fact AS (
+        SELECT p.p_brand,
+               CAST(strftime(o.o_orderdate, '%Y') AS INTEGER) AS yr,
+               CAST(ROUND(l.l_quantity, 0) AS BIGINT) AS q,
+               CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    ), pivoted AS (
+        SELECT p_brand,
+               SUM(CASE WHEN yr = 1996 THEN q ELSE 0 END) AS q1,
+               SUM(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS rev1,
+               SUM(CASE WHEN yr = 1997 THEN q ELSE 0 END) AS q2,
+               SUM(CASE WHEN yr = 1997 THEN cents ELSE 0 END) AS rev2
+        FROM fact GROUP BY p_brand
+    ), effects AS (
+        SELECT p_brand, q1, rev1, q2, rev2,
+               rev2 - rev1 AS delta_cents,
+               CAST(rev2 - q2::HUGEINT * rev1 // q1 AS BIGINT)
+                   AS price_effect_cents,
+               CAST((q2 - q1)::HUGEINT * rev1 // q1 AS BIGINT)
+                   AS volume_effect_cents
+        FROM pivoted WHERE q1 > 0 AND q2 > 0
+    )
+    SELECT p_brand,
+           CAST(q1 AS BIGINT) AS q1, CAST(rev1 AS BIGINT) AS rev1,
+           CAST(q2 AS BIGINT) AS q2, CAST(rev2 AS BIGINT) AS rev2,
+           CAST(delta_cents AS BIGINT) AS delta_cents,
+           price_effect_cents, volume_effect_cents,
+           CAST(delta_cents - price_effect_cents - volume_effect_cents
+                AS BIGINT) AS residual_cents
+    FROM effects
+    ORDER BY p_brand
+    """,
+)
+def revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge per brand (1996 -> 1997): splits the
+    revenue delta into a price effect (q2*(p2-p1)) and a volume effect
+    ((q2-q1)*p1) without ever materializing the fractional unit price —
+    the FP&A waterfall chart as one query.
+
+    Scale notes: ONE pass over the fact table (both years in a single
+    scan, pushed date range), conditional aggregation pivots the years
+    inside a single hash aggregate — no self-join of two year-filtered
+    scans, no second shuffle.  The part dim join is broadcast-able; the
+    orders join shuffles on the order key once.  Effect arithmetic runs
+    on brand-level totals in DECIMAL(38,0) — exact past the 2^53 float
+    cliff that sf1-scale cent*quantity products already cross."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    fact = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.year("o_orderdate").alias("yr"),
+            F.round("l_quantity").cast("long").alias("q"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    piv = fact.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("yr") == 1996, F.col("q")).otherwise(0)).alias("q1"),
+        F.sum(F.when(F.col("yr") == 1996, F.col("cents")).otherwise(0)).alias("rev1"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("q")).otherwise(0)).alias("q2"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("cents")).otherwise(0)).alias("rev2"),
+    )
+    eff = piv.where((F.col("q1") > 0) & (F.col("q2") > 0)).select(
+        "p_brand",
+        "q1",
+        "rev1",
+        "q2",
+        "rev2",
+        (F.col("rev2") - F.col("rev1")).alias("delta_cents"),
+        (
+            F.col("rev2")
+            - F.expr(
+                "CAST(CAST(q2 AS DECIMAL(38,0)) * CAST(rev1 AS DECIMAL(38,0)) "
+                "div q1 AS BIGINT)"
+            )
+        ).alias("price_effect_cents"),
+        F.expr(
+            "CAST(CAST(q2 - q1 AS DECIMAL(38,0)) * CAST(rev1 AS DECIMAL(38,0)) "
+            "div q1 AS BIGINT)"
+        ).alias("volume_effect_cents"),
+    )
+    return eff.select(
+        "*",
+        (
+            F.col("delta_cents")
+            - F.col("price_effect_cents")
+            - F.col("volume_effect_cents")
+        ).alias("residual_cents"),
+    ).orderBy("p_brand")

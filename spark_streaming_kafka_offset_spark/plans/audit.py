@@ -48,6 +48,7 @@ BNL_ALLOWED: dict[str, str] = {
     "dedup_lsh_recall": "broadcast 1-row count scalar frames (eval report)",
     "analyze_sampled_stats": "broadcast 1-row exact/sampled profile frames",
     "kmeans_lloyd_exact": "broadcast k=4 centroid frame per Lloyd iteration",
+    "events_acf": "broadcast 1-row denominator (global variance) scalar frame",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The
@@ -94,6 +95,12 @@ SINGLE_ALLOWED: dict[str, str] = {
     "rollup (default; scale_boundaries=True broadcasts approx quantiles)",
     "scan_zorder_pruned": "1-row final aggregate over the pruned scan",
     "detect_hot_keys": "k-candidate heavy-hitter frame + 1-row W total",
+    "agg_chisq_independence": "grand-total window over the |segments| x "
+    "|priorities| (25-row) contingency rollup",
+    "events_acf": "global-moment window + lag self-join over the "
+    "calendar-sized daily-count rollup",
+    "corpus_mixture_plan": "global-min window over the |langs|-row "
+    "availability rollup",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

@@ -57,6 +57,25 @@ DEFERRED_R7: tuple[str, ...] = (
     "set_intersect_all",
     "set_except_all",
     "text_normalize",
+    # r6-registered oracle pairs (statistics + curation batches).  The r6
+    # window was already sealed on the 50 r5-era never-proven pairs when
+    # these were built, so they join the r7 queue: never-proven keys are
+    # accounted for as window ∪ DEFERRED_R7 (freshness rule,
+    # tests/test_registry.py) and all are green in the driver-identical
+    # local canon (tests/test_parity.py).
+    "agg_chisq_independence",
+    "agg_entropy_categorical",
+    "agg_trimmed_winsorized",
+    "events_acf",
+    "revenue_bridge_yoy",
+    "text_url_canonicalize",
+    "corpus_token_budget",
+    "corpus_mixture_plan",
+    "text_ngram_novelty",
+    "entity_resolution_blocked",
+    "join_geo_grid",
+    "graph_common_neighbors",
+    "fn_regexp",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -123,10 +142,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_bloom_prepass",
     "scan_agg_pushdown",
     # --- window boundary (50) ---
-    # Deferred never-proven pairs (r7 slots 1-3; see DEFERRED_R7).
+    # Deferred never-proven pairs (r7 queue head; see DEFERRED_R7).
     "set_intersect_all",
     "set_except_all",
     "text_normalize",
+    "agg_chisq_independence",
+    "agg_entropy_categorical",
+    "agg_trimmed_winsorized",
+    "events_acf",
+    "revenue_bridge_yoy",
+    "text_url_canonicalize",
+    "corpus_token_budget",
+    "corpus_mixture_plan",
+    "text_ngram_novelty",
+    "entity_resolution_blocked",
+    "join_geo_grid",
+    "graph_common_neighbors",
+    "fn_regexp",
     # Hard-proven oracle keys, stalest evidence first (r3-only tier of
     # 34, then the r4 window, then the r5 window) — ascending newest
     # hard row, alphabetical within a tier, so the r7+ rotation queue
@@ -292,6 +324,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stateful",
     "stream_static_join",
     "stream_stream_join",
+    "stream_left_outer_join",
     "stream_offset_ledger",
     "stream_offset_lag_monitor",
     "stream_offset_rewind",

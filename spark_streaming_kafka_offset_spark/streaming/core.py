@@ -381,6 +381,62 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("purchase_id", "click_id")
 
 
+@register("stream_left_outer_join")
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ stream LEFT OUTER with event-time bounds: every purchase
+    emits — joined to same-user clicks from the preceding hour when they
+    exist, null-padded otherwise.  The semantics trap this operator
+    exists to demonstrate: the null-padded row for an unmatched purchase
+    is emitted only once the watermark passes the point where a matching
+    click could still arrive — until then the row sits in state, so a
+    live stream's outer results TRAIL the inner results by the watermark
+    delay, and rows newer than the final watermark when a bounded run
+    ends never emit their null form at all
+    (tests/test_streaming.py::test_stream_left_outer_join_semantics
+    pins both halves of that contract).
+
+    Scale notes: identical state posture to ``stream_stream_join`` —
+    both sides watermarked, the time-range condition bounds state
+    eviction; LEFT OUTER adds only the per-row matched bit to state.
+    State is hash-partitioned on the join key (user), sized by
+    ``state_partitions``."""
+    stream_dir = stage_stream_dir(spark, sf_dir)
+    clicks = (
+        read_event_stream(spark, stream_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        read_event_stream(spark, stream_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
+    out = run_to_completion(
+        joined,
+        "stream_left_outer_join",
+        "append",
+        checkpoint=scratch_path("ckpt_"),
+    )
+    return out.orderBy("purchase_id", "click_id")
+
+
 @register("stream_rate_limit")
 def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backpressure: maxFilesPerTrigger=1 (the file-source analogue of

@@ -434,6 +434,69 @@ def test_stream_stream_join_equals_batch_join(spark):
     assert streamed == batch
 
 
+def test_stream_left_outer_join_semantics(spark):
+    """Left-outer stream-stream join contract, both halves:
+    (a) the matched rows are EXACTLY the batch inner join (outer-ness
+    may never add or drop a legitimate match), and (b) null-padded rows
+    appear only for batch-unmatched purchases, with every unmatched
+    purchase comfortably older than the final watermark guaranteed to
+    have emitted — and rows can trail: purchases newer than the final
+    watermark may legitimately never emit their null form in a bounded
+    run (the documented outer-join trailing semantics)."""
+    import datetime as _dt
+
+    rows = QUERIES["stream_left_outer_join"](spark, SF_DIR).collect()
+    matched = sorted(
+        (r["purchase_id"], r["click_id"]) for r in rows if r["click_id"] is not None
+    )
+    null_ids = {r["purchase_id"] for r in rows if r["click_id"] is None}
+
+    e = _batch_events(spark)
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    batch_inner = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(clicks, cond, "inner").collect()
+    )
+    assert matched == batch_inner
+
+    batch_unmatched = {
+        r["purchase_id"]: r["purchase_ts"]
+        for r in purchases.join(clicks, cond, "left_outer")
+        .where(F.col("click_id").isNull())
+        .collect()
+    }
+    assert null_ids <= set(batch_unmatched)
+    # Final global watermark = min(source max ts) - 30 min; a purchase
+    # can emit its null form once the watermark passes purchase_ts.
+    # Use an extra hour of slack so the assertion never races eviction
+    # bookkeeping.
+    maxes = e.groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    final_wm = min(
+        r["m"] for r in maxes if r["event_type"] in ("click", "purchase")
+    ) - _dt.timedelta(minutes=30)
+    must_emit = {
+        pid
+        for pid, ts in batch_unmatched.items()
+        if ts < final_wm - _dt.timedelta(hours=1)
+    }
+    assert must_emit, "fixture should leave old unmatched purchases"
+    assert must_emit <= null_ids
+
+
 def test_stream_pack_shards_equals_batch_packing(spark):
     """Incremental stateful packing over the ordered document stream
     must converge to exactly the batch pack_sequences answer — shard
