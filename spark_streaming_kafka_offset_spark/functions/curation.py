@@ -25,16 +25,23 @@ from ..session import load_table
 #: and then proves the PARSING path: scheme strip, www strip, tracking-
 #: param removal, canonical dedup).  Kept as one module constant so the
 #: Spark and DuckDB sides can never drift.
+#: Path/id moduli (35, 4) are chosen so canonical collisions actually
+#: occur: canon = (source, doc_id%35, doc_id%4) repeats with period
+#: lcm(20, 35, 4) = 140 under the fixtures' 20-source doc_id cycle, so
+#: docs {d, d+140, d+280, ...} collapse to one canonical URL while their
+#: raw urls still differ in the www/tracking decorations — without this
+#: alignment every canonical group had size 1 and the dedup semantics
+#: were vacuous (audited at sf0.01).
 _URL_SQL = (
     "concat('https://', CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END, "
-    "source, '.example.com/p/', CAST(doc_id % 50 AS STRING), "
-    "'?utm_source=feed&id=', CAST(doc_id % 97 AS STRING), "
+    "source, '.example.com/p/', CAST(doc_id % 35 AS STRING), "
+    "'?utm_source=feed&id=', CAST(doc_id % 4 AS STRING), "
     "CASE WHEN doc_id % 2 = 0 THEN '&ref=tw' ELSE '' END)"
 )
 _URL_DUCK = (
     "concat('https://', CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END, "
-    "source, '.example.com/p/', CAST(doc_id % 50 AS VARCHAR), "
-    "'?utm_source=feed&id=', CAST(doc_id % 97 AS VARCHAR), "
+    "source, '.example.com/p/', CAST(doc_id % 35 AS VARCHAR), "
+    "'?utm_source=feed&id=', CAST(doc_id % 4 AS VARCHAR), "
     "CASE WHEN doc_id % 2 = 0 THEN '&ref=tw' ELSE '' END)"
 )
 

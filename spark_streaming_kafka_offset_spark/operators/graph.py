@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..common import epoch_seconds
 from ..plans.registry import register
 from ..session import load_table
 
@@ -553,78 +554,89 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_common_neighbors",
-    # Link prediction on the user/active-day bipartite graph: Jaccard
-    # similarity of two users' active-day sets, candidates generated
-    # ONLY through shared days (an equi-join on the day — a pair with
-    # zero common days never materializes).  All-integer: |A∩B| from the
-    # pair count, |A|,|B| from per-user day degrees; jaccard is ONE IEEE
-    # division of identical integers.
+    # Link prediction on the user/10-minute-activity-slot bipartite
+    # graph: Jaccard similarity of two users' active-slot sets,
+    # candidates generated ONLY through shared slots (an equi-join on
+    # the slot — a pair with zero common slots never materializes).
+    # Slot granularity matters for non-vacuity: at day granularity
+    # EVERY user pair in the fixtures overlaps >= 3 and the min-support
+    # filter prunes nothing (audited); 10-minute slots give a mean
+    # overlap of ~1, so support >= 3 keeps a discriminative minority.
+    # All-integer: |A∩B| from the pair count, |A|,|B| from per-user
+    # slot degrees; jaccard is ONE IEEE division of identical integers.
     oracle="""
     WITH active AS (
-        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 600000000 AS BIGINT) AS slot
+        FROM events
     ), deg AS (
-        SELECT user_id, COUNT(*) AS days FROM active GROUP BY user_id
+        SELECT user_id, COUNT(*) AS slots FROM active GROUP BY user_id
     ), pairs AS (
         SELECT a.user_id AS user_a, b.user_id AS user_b,
-               COUNT(*) AS common_days
+               COUNT(*) AS common_slots
         FROM active a JOIN active b
-          ON a.day = b.day AND a.user_id < b.user_id
+          ON a.slot = b.slot AND a.user_id < b.user_id
         GROUP BY a.user_id, b.user_id
     )
     SELECT p.user_a, p.user_b,
-           CAST(p.common_days AS BIGINT) AS common_days,
-           CAST(da.days AS BIGINT) AS days_a,
-           CAST(db.days AS BIGINT) AS days_b,
-           ROUND(CAST(p.common_days AS DOUBLE)
-                 / CAST(da.days + db.days - p.common_days AS DOUBLE), 6)
+           CAST(p.common_slots AS BIGINT) AS common_slots,
+           CAST(da.slots AS BIGINT) AS slots_a,
+           CAST(db.slots AS BIGINT) AS slots_b,
+           ROUND(CAST(p.common_slots AS DOUBLE)
+                 / CAST(da.slots + db.slots - p.common_slots AS DOUBLE), 6)
                AS jaccard
     FROM pairs p
     JOIN deg da ON p.user_a = da.user_id
     JOIN deg db ON p.user_b = db.user_id
-    WHERE p.common_days >= 3
+    WHERE p.common_slots >= 3
     """,
 )
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Common-neighbor / Jaccard link prediction over the user-day
-    co-activity graph: users whose active-day sets overlap are likely
-    the same household/bot cluster — the classic similarity edge for
-    entity linking and recommendation candidate generation.
+    """Common-neighbor / Jaccard link prediction over the user co-activity
+    graph (shared 10-minute activity slots): users repeatedly active in
+    the same narrow windows are likely the same household/bot cluster —
+    the classic similarity edge for entity linking and recommendation
+    candidate generation.
 
-    Scale notes: the candidate pairs come from an equi-join on the day
-    key, so the work is sum-over-days of (active users that day choose
-    2) — bounded by per-day activity, never |users|^2.  A viral day
+    Scale notes: the candidate pairs come from an equi-join on the slot
+    key, so the work is sum-over-slots of (active users that slot choose
+    2) — bounded by per-slot activity, never |users|^2.  A viral slot
     (huge per-key fanout) is the documented skew risk: cap or sample
-    hyper-active days first (same posture as
+    hyper-active slots first (same posture as
     ``entity_resolution_blocked``'s hot blocks).  The degree join is a
-    user-dim-sized broadcast; the min-support filter (>= 3 shared days)
+    user-dim-sized broadcast; the min-support filter (>= 3 shared slots)
     prices the output down before it."""
     e = load_table(spark, sf_dir, "events")
-    active = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
-    deg = active.groupBy("user_id").agg(F.count("*").alias("days"))
-    a = active.select(F.col("user_id").alias("user_a"), "day")
-    b = active.select(F.col("user_id").alias("user_b"), F.col("day").alias("day_b"))
-    pairs = (
-        a.join(b, (a.day == b.day_b) & (a.user_a < b.user_b))
-        .groupBy("user_a", "user_b")
-        .agg(F.count("*").alias("common_days"))
-        .where(F.col("common_days") >= 3)
+    active = (
+        e.select("user_id", epoch_seconds("ts").alias("sec"))
+        .select("user_id", F.expr("sec div 600").alias("slot"))
+        .distinct()
     )
-    da = deg.select(F.col("user_id").alias("ua"), F.col("days").alias("days_a"))
-    db = deg.select(F.col("user_id").alias("ub"), F.col("days").alias("days_b"))
+    deg = active.groupBy("user_id").agg(F.count("*").alias("slots"))
+    a = active.select(F.col("user_id").alias("user_a"), "slot")
+    b = active.select(F.col("user_id").alias("user_b"), F.col("slot").alias("slot_b"))
+    pairs = (
+        a.join(b, (a.slot == b.slot_b) & (a.user_a < b.user_b))
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("common_slots"))
+        .where(F.col("common_slots") >= 3)
+    )
+    da = deg.select(F.col("user_id").alias("ua"), F.col("slots").alias("slots_a"))
+    db = deg.select(F.col("user_id").alias("ub"), F.col("slots").alias("slots_b"))
     return (
         pairs.join(F.broadcast(da), pairs.user_a == da.ua)
         .join(F.broadcast(db), pairs.user_b == db.ub)
         .select(
             "user_a",
             "user_b",
-            F.col("common_days").cast("long").alias("common_days"),
-            F.col("days_a").cast("long").alias("days_a"),
-            F.col("days_b").cast("long").alias("days_b"),
+            F.col("common_slots").cast("long").alias("common_slots"),
+            F.col("slots_a").cast("long").alias("slots_a"),
+            F.col("slots_b").cast("long").alias("slots_b"),
             F.round(
-                F.col("common_days").cast("double")
-                / (F.col("days_a") + F.col("days_b") - F.col("common_days")).cast(
-                    "double"
-                ),
+                F.col("common_slots").cast("double")
+                / (
+                    F.col("slots_a") + F.col("slots_b") - F.col("common_slots")
+                ).cast("double"),
                 6,
             ).alias("jaccard"),
         )

@@ -632,8 +632,10 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
     ), s AS (
         SELECT s_suppkey,
-               CAST((s_suppkey * 7919) % 12001 - 6000 AS BIGINT) AS lat,
-               CAST((s_suppkey * 104729) % 36001 - 18000 AS BIGINT) AS lon
+               CAST((s_suppkey * 7919 + 37 + s_suppkey % 31) % 12001 - 6000
+                    AS BIGINT) AS lat,
+               CAST((s_suppkey * 104729 + 53 + s_suppkey % 47) % 36001 - 18000
+                    AS BIGINT) AS lon
         FROM supplier
     )
     SELECT c.c_custkey, s.s_suppkey,
@@ -667,10 +669,22 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") * 7919) % 12001 - 6000).alias("lat"),
         ((F.col("c_custkey") * 104729) % 36001 - 18000).alias("lon"),
     )
+    # The supplier side carries a key-dependent jitter (37 + k%31,
+    # 53 + k%47) so matched distances VARY and some near pairs exceed
+    # the radius — without it every match would be an exact-identity
+    # collision at distance 0 and neither the predicate nor the
+    # neighbor-cell logic would be exercised (vacuity audited at
+    # sf0.01: dist2 spans many values, both match and near-miss exist).
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
-        ((F.col("s_suppkey") * 7919) % 12001 - 6000).alias("lat"),
-        ((F.col("s_suppkey") * 104729) % 36001 - 18000).alias("lon"),
+        (
+            (F.col("s_suppkey") * 7919 + 37 + F.col("s_suppkey") % 31) % 12001
+            - 6000
+        ).alias("lat"),
+        (
+            (F.col("s_suppkey") * 104729 + 53 + F.col("s_suppkey") % 47) % 36001
+            - 18000
+        ).alias("lon"),
     )
     # Cell = radius-sized square; +18000 shift keeps the div operand
     # non-negative so integer division == floor division.
