@@ -385,3 +385,68 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_key", "name_a", "name_b")
     )
+
+
+@register(
+    "docs_curriculum_order",
+    # Deterministic curriculum position WITHOUT a global sort: rank
+    # within language (partitioned window), then interleave across
+    # languages arithmetically — pos = (rank-1)*|langs| + lang_index.
+    # Positions are collision-free by construction (pos mod |langs|
+    # recovers the language).
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id) AS rank_in_lang
+        FROM documents
+    ), langs AS (
+        SELECT lang AS l,
+               ROW_NUMBER() OVER (ORDER BY lang) - 1 AS lang_index,
+               COUNT(*) OVER () AS n_langs
+        FROM (SELECT DISTINCT lang FROM documents)
+    )
+    SELECT r.doc_id, r.lang,
+           CAST(r.rank_in_lang AS BIGINT) AS rank_in_lang,
+           CAST((r.rank_in_lang - 1) * langs.n_langs + langs.lang_index
+                AS BIGINT) AS curriculum_pos
+    FROM ranked r JOIN langs ON r.lang = langs.l
+    """,
+)
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: documents ranked by a quality
+    proxy (length) within each language, then round-robin interleaved
+    across languages into one global position — every language's best
+    docs lead, no language starves, and the schedule is reproducible
+    run-to-run.
+
+    Scale notes: the global total order is computed WITHOUT a global
+    sort — the only corpus-sized operations are the per-language rank
+    window (partitioned shuffle) and a broadcast join against the
+    |langs|-row index frame; the interleave is pure arithmetic.  This
+    is the scale-safe alternative to `ORDER BY quality` over the whole
+    corpus (a single-task sort at 100 TB; cf. common.global_row_number
+    when a true dense global rank is required)."""
+    d = load_table(spark, sf_dir, "documents")
+    wr = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(wr).alias("rank_in_lang")
+    )
+    wl = Window.orderBy("lang")
+    langs = (
+        d.select("lang")
+        .distinct()
+        .select(
+            F.col("lang").alias("l"),
+            (F.row_number().over(wl) - 1).alias("lang_index"),
+            F.count("*").over(Window.partitionBy()).alias("n_langs"),
+        )
+    )
+    return ranked.join(F.broadcast(langs), ranked.lang == langs.l).select(
+        "doc_id",
+        "lang",
+        F.col("rank_in_lang").cast("long").alias("rank_in_lang"),
+        ((F.col("rank_in_lang") - 1) * F.col("n_langs") + F.col("lang_index"))
+        .cast("long")
+        .alias("curriculum_pos"),
+    )

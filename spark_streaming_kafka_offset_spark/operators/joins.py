@@ -726,3 +726,42 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist2.cast("long").alias("dist2_e4"),
         )
     )
+
+
+@register(
+    "join_lateral_topk",
+    # True correlated LATERAL subquery with ORDER BY + LIMIT — the SQL
+    # surface form of per-group top-k (Spark 3.2+/4 LATERAL join;
+    # Catalyst rewrites it to the same windowed plan topk_per_group
+    # declares directly).  Identical SQL shape runs on both engines.
+    oracle="""
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL join: for every nation, its top-2 customers by account
+    balance via a correlated subquery with ORDER BY + LIMIT — the SQL
+    surface users reach for before they learn the window-function
+    rewrite (``topk_per_group``).
+
+    Scale notes: Catalyst decorrelates the lateral subquery into a
+    partitioned rank — NOT a per-outer-row re-execution; the executed
+    plan is the same shuffle-on-nationkey + bounded window shape as
+    topk_per_group, so the 100 TB posture is inherited.  Total-order
+    tiebreak (c_custkey) keeps the LIMIT deterministic on both
+    engines."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n JOIN LATERAL (
+            SELECT c_name, c_acctbal FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        """
+    )

@@ -446,3 +446,102 @@ def scan_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, value double").orderBy(
         "metric"
     )
+
+
+@register(
+    "table_partition_advisor",
+    # Candidate partition keys profiled with exact ndv / row counts and
+    # the max single-partition share in integer ppm; the verdict is a
+    # threshold CASE over those integers — no float ever decides a row.
+    oracle="""
+    WITH profiles AS (
+        SELECT 'l_returnflag' AS candidate,
+               CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS ndv,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM lineitem
+                     GROUP BY l_returnflag)) * 1000000 // COUNT(*) AS BIGINT)
+                   AS max_share_ppm
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus',
+               CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM lineitem
+                     GROUP BY l_linestatus)) * 1000000 // COUNT(*) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'ship_month',
+               CAST(COUNT(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM lineitem
+                     GROUP BY date_trunc('month', l_shipdate))) * 1000000
+                    // COUNT(*) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey',
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM lineitem
+                     GROUP BY l_suppkey)) * 1000000 // COUNT(*) AS BIGINT)
+        FROM lineitem
+    )
+    SELECT candidate, ndv, n_rows, max_share_ppm,
+           CASE WHEN ndv < 8 THEN 'too_coarse'
+                WHEN ndv * 50 > n_rows THEN 'too_fine'
+                WHEN max_share_ppm > 500000 THEN 'skewed'
+                ELSE 'ok' END AS verdict
+    FROM profiles
+    ORDER BY candidate
+    """,
+)
+def table_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key advisor for the fact table: profiles each candidate
+    column (exact ndv, row count, max single-partition share in ppm) and
+    issues a threshold verdict — `too_coarse` (< 8 partitions can't
+    parallelize), `too_fine` (avg partition under 50 rows → small-file
+    explosion), `skewed` (one partition above 50%), else `ok`.  The
+    decision table behind `PARTITIONED BY` choices and
+    `repartition()`/bucketing advice.
+
+    Scale notes: one aggregate pass per candidate (each a scan +
+    bounded-rollup max — the per-candidate profile frames are the
+    allowlisted 1-row exchanges, same class as analyze_table_stats).
+    At 100 TB swap exact ndv for approx_count_distinct and profile a
+    hash sample (`analyze_sampled_stats` is exactly that machinery) —
+    the verdict thresholds are ppm integers either way, so the advisor
+    stays engine-deterministic."""
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def profile(name: str, col):
+        grp = l.groupBy(col.alias("k")).agg(F.count("*").alias("c"))
+        return (
+            grp.agg(
+                F.count("*").cast("long").alias("ndv"),
+                F.sum("c").cast("long").alias("n_rows"),
+                F.max("c").cast("long").alias("max_c"),
+            )
+            .select(
+                F.lit(name).alias("candidate"),
+                "ndv",
+                "n_rows",
+                F.expr("max_c * 1000000 div n_rows").alias("max_share_ppm"),
+            )
+        )
+
+    profiles = (
+        profile("l_returnflag", F.col("l_returnflag"))
+        .unionByName(profile("l_linestatus", F.col("l_linestatus")))
+        .unionByName(profile("ship_month", F.date_trunc("month", "l_shipdate")))
+        .unionByName(profile("l_suppkey", F.col("l_suppkey")))
+    )
+    return profiles.select(
+        "candidate",
+        "ndv",
+        "n_rows",
+        "max_share_ppm",
+        F.when(F.col("ndv") < 8, "too_coarse")
+        .when(F.col("ndv") * 50 > F.col("n_rows"), "too_fine")
+        .when(F.col("max_share_ppm") > 500000, "skewed")
+        .otherwise("ok")
+        .alias("verdict"),
+    ).orderBy("candidate")

@@ -435,3 +435,251 @@ def revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("volume_effect_cents")
         ).alias("residual_cents"),
     ).orderBy("p_brand")
+
+
+def _holt_coeffs(alpha: float = 0.5, beta: float = 0.3, k: int = 20):
+    """Impulse-response coefficients of Holt's linear method, truncated
+    at K lags: s_T = (l_T, b_T) = sum_k M^k (alpha, alpha*beta) x_{T-k}
+    with M = [[1-a, 1-a], [-a*b, 1-a*b]].  Returned as e12-scaled
+    INTEGER literals so both engines sum exact BIGINTs — a 20-term
+    float dot product is order-dependent across engines; an integer one
+    is not.  The K-truncation (dropping the initial-condition tail,
+    |eigen(M)| < 1) is part of the operator's definition, identical on
+    both sides by construction."""
+    lu, lv = [], []
+    u, v = alpha, alpha * beta
+    for _ in range(k):
+        lu.append(round(u * 1_000_000_000_000))
+        lv.append(round(v * 1_000_000_000_000))
+        u, v = (1 - alpha) * u + (1 - alpha) * v, -alpha * beta * u + (1 - alpha * beta) * v
+    return lu, lv
+
+
+_HOLT_LU, _HOLT_LV = _holt_coeffs()
+
+
+def _holt_oracle() -> str:
+    coeff_rows = ", ".join(
+        f"({k}, {lu}, {lv})" for k, (lu, lv) in enumerate(zip(_HOLT_LU, _HOLT_LV))
+    )
+    return f"""
+    WITH days AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY di
+    ), anchored AS (
+        SELECT di, x, MAX(di) OVER () AS maxdi FROM days
+    ), coeffs(k, lu_e12, lv_e12) AS (
+        VALUES {coeff_rows}
+    ), state AS (
+        SELECT SUM(c.lu_e12 * a.x) AS l_e12, SUM(c.lv_e12 * a.x) AS b_e12
+        FROM anchored a JOIN coeffs c ON a.maxdi - a.di = c.k
+    ), horizons AS (
+        SELECT CAST(h AS BIGINT) AS horizon FROM UNNEST([1,2,3,4,5,6,7]) AS t(h)
+    )
+    SELECT h.horizon,
+           ROUND(CAST(s.l_e12 AS DOUBLE) / 1e12, 6) AS level_now,
+           ROUND(CAST(s.b_e12 AS DOUBLE) / 1e12, 6) AS trend_now,
+           ROUND(CAST(s.l_e12 + h.horizon * s.b_e12 AS DOUBLE) / 1e12, 6)
+               AS forecast
+    FROM horizons h, state s
+    ORDER BY h.horizon
+    """
+
+
+@register("events_holt_forecast", oracle=_holt_oracle())
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential-smoothing forecast of the daily event
+    count, horizons 1..7: level + trend state as a truncated linear
+    filter of the last 20 daily counts (coefficients precomputed from
+    the (alpha=0.5, beta=0.3) recursion's impulse response), forecast =
+    level + h*trend.
+
+    Scale notes: the corpus collapses to the calendar-sized daily
+    rollup in ONE hash aggregate; the filter is a 20-row coefficient
+    join + sum on that rollup (allowlisted single-partition exchanges
+    only on calendar-sized frames).  All dot products are e12-scaled
+    BIGINT sums — exact in any accumulation order — with ONE final
+    division per output; a float coefficient sum would be
+    order-dependent across engines."""
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.select(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("di")
+        )
+        .groupBy("di")
+        .agg(F.count("*").alias("x"))
+    )
+    anchored = days.withColumn("maxdi", F.max("di").over(Window.partitionBy()))
+    coeffs = spark.createDataFrame(
+        [(k, lu, lv) for k, (lu, lv) in enumerate(zip(_HOLT_LU, _HOLT_LV))],
+        "k long, lu_e12 long, lv_e12 long",
+    )
+    state = (
+        anchored.join(F.broadcast(coeffs), anchored.maxdi - anchored.di == coeffs.k)
+        .agg(
+            F.sum(F.col("lu_e12") * F.col("x")).alias("l_e12"),
+            F.sum(F.col("lv_e12") * F.col("x")).alias("b_e12"),
+        )
+    )
+    horizons = spark.range(1, 8).select(F.col("id").alias("horizon"))
+    return (
+        horizons.join(F.broadcast(state))
+        .select(
+            "horizon",
+            F.round(F.col("l_e12").cast("double") / 1e12, 6).alias("level_now"),
+            F.round(F.col("b_e12").cast("double") / 1e12, 6).alias("trend_now"),
+            F.round(
+                (F.col("l_e12") + F.col("horizon") * F.col("b_e12")).cast("double")
+                / 1e12,
+                6,
+            ).alias("forecast"),
+        )
+        .orderBy("horizon")
+    )
+
+
+@register(
+    "agg_theilsen_trend",
+    # Theil-Sen estimator: median of all pairwise slopes of (day,
+    # daily-revenue-cents).  Slopes are IEEE divisions of identical
+    # integers; the median (exact interpolated, = Spark `percentile`)
+    # selects/averages over the identical multiset — deterministic.
+    # The pair generation is an inequality self-join ON THE CALENDAR
+    # ROLLUP (~30 rows -> ~435 pairs), never on the corpus.
+    oracle="""
+    WITH days AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS di,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-03-01'
+        GROUP BY di
+    ), pairs AS (
+        SELECT CAST(b.cents - a.cents AS DOUBLE)
+               / CAST(b.di - a.di AS DOUBLE) AS slope
+        FROM days a JOIN days b ON b.di > a.di
+    )
+    SELECT CAST((SELECT COUNT(*) FROM days) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(slope, 0.5), 6) AS sen_slope
+    FROM pairs
+    """,
+)
+def agg_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue (Jan-Feb 1997):
+    the median of all pairwise slopes — up to ~29% of outlier days
+    cannot move it, unlike the OLS fit `q6_forecast_revenue` applies.
+
+    Scale notes: the O(n^2) pair generation is the textbook objection,
+    and the answer is that n is the CALENDAR, not the corpus: the fact
+    table collapses to <=59 daily rows in one hash aggregate and the
+    ~1.7k pairs live on that rollup (allowlisted bounded-domain BNL,
+    same class as the HLL pair grid).  Day revenues are exact integer
+    cents; each slope is one IEEE division; the median is the exact
+    interpolated percentile both engines implement identically."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-03-01")
+    )
+    days = (
+        o.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("di"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").alias("cents"))
+    )
+    a = days.select(F.col("di").alias("di_a"), F.col("cents").alias("c_a"))
+    b = days.select(F.col("di").alias("di_b"), F.col("cents").alias("c_b"))
+    pairs = a.join(F.broadcast(b), F.col("di_b") > F.col("di_a")).select(
+        (
+            (F.col("c_b") - F.col("c_a")).cast("double")
+            / (F.col("di_b") - F.col("di_a")).cast("double")
+        ).alias("slope")
+    )
+    n_days = days.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        pairs.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.percentile("slope", 0.5), 6).alias("sen_slope"),
+        )
+        .join(F.broadcast(n_days))
+        .select("n_days", "n_pairs", "sen_slope")
+    )
+
+
+@register(
+    "orders_hazard_table",
+    # Discrete-time hazard: tenure in integer months (year*12 + month
+    # arithmetic — no float date math), d_m = customers whose lifetime
+    # is exactly m, n_m = suffix sum (at risk), hazard = d/n as ONE
+    # integer division per row.  No cumulative survival product — a
+    # float product/exp-ln chain would be engine-divergent; the hazard
+    # table IS the estimator's sufficient statistic.
+    oracle="""
+    WITH life AS (
+        SELECT o_custkey,
+               CAST(MAX(year(o_orderdate)*12 + month(o_orderdate))
+                    - MIN(year(o_orderdate)*12 + month(o_orderdate))
+                    AS BIGINT) AS lifetime_m
+        FROM orders GROUP BY o_custkey
+    ), counts AS (
+        SELECT lifetime_m, CAST(COUNT(*) AS BIGINT) AS d
+        FROM life GROUP BY lifetime_m
+    ), hazard AS (
+        SELECT lifetime_m AS tenure_m, d,
+               SUM(d) OVER (ORDER BY lifetime_m DESC
+                            ROWS UNBOUNDED PRECEDING) AS n_at_risk
+        FROM counts
+    )
+    SELECT tenure_m, d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           ROUND(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6) AS hazard
+    FROM hazard
+    ORDER BY tenure_m
+    """,
+)
+def orders_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard by customer tenure month: of the
+    customers who survived to month m, what fraction churned exactly
+    there (last order m months after their first).  The life-table
+    view of retention that cohort_retention's calendar matrix cannot
+    give directly.
+
+    Scale notes: the corpus collapses to one row per customer (hash
+    agg on the natural o_custkey partitioning), then to the
+    <=|months| lifetime rollup; the suffix-sum window runs on that
+    rollup (allowlisted single-partition exchange, months-bounded).
+    Integer month arithmetic and one division per output row — no
+    cumulative float survival product (deliberately: that chain is
+    accumulation-order-dependent across engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    life = o.groupBy("o_custkey").agg(
+        (F.max(ym) - F.min(ym)).cast("long").alias("lifetime_m")
+    )
+    counts = life.groupBy("lifetime_m").agg(F.count("*").cast("long").alias("d"))
+    w = (
+        Window.orderBy(F.col("lifetime_m").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hazard = counts.select(
+        F.col("lifetime_m").alias("tenure_m"),
+        "d",
+        F.sum("d").over(w).cast("long").alias("n_at_risk"),
+    )
+    return hazard.select(
+        "tenure_m",
+        "d",
+        "n_at_risk",
+        F.round(F.col("d").cast("double") / F.col("n_at_risk").cast("double"), 6).alias(
+            "hazard"
+        ),
+    ).orderBy("tenure_m")

@@ -49,6 +49,10 @@ BNL_ALLOWED: dict[str, str] = {
     "analyze_sampled_stats": "broadcast 1-row exact/sampled profile frames",
     "kmeans_lloyd_exact": "broadcast k=4 centroid frame per Lloyd iteration",
     "events_acf": "broadcast 1-row denominator (global variance) scalar frame",
+    "events_holt_forecast": "broadcast 1-row (level, trend) state frame "
+    "onto the 7-row horizon frame",
+    "agg_theilsen_trend": "calendar-rollup pair grid (<=59 days -> ~1.7k "
+    "slopes) + broadcast 1-row n_days frame",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The
@@ -101,6 +105,16 @@ SINGLE_ALLOWED: dict[str, str] = {
     "calendar-sized daily-count rollup",
     "corpus_mixture_plan": "global-min window over the |langs|-row "
     "availability rollup",
+    "events_holt_forecast": "global-max anchor window + state aggregate "
+    "over the calendar-sized daily rollup",
+    "agg_theilsen_trend": "1-row median-of-slopes aggregate over the "
+    "calendar-bounded pair rollup",
+    "orders_hazard_table": "suffix-sum window over the <=|months| "
+    "lifetime rollup",
+    "table_partition_advisor": "per-candidate 1-row profile frames "
+    "(union of bounded-rollup maxima)",
+    "docs_curriculum_order": "rank window over the |langs|-row distinct "
+    "frame (the corpus-sized rank is lang-partitioned)",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

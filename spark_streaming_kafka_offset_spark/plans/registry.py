@@ -76,6 +76,12 @@ DEFERRED_R7: tuple[str, ...] = (
     "join_geo_grid",
     "graph_common_neighbors",
     "fn_regexp",
+    "events_holt_forecast",
+    "agg_theilsen_trend",
+    "orders_hazard_table",
+    "table_partition_advisor",
+    "join_lateral_topk",
+    "docs_curriculum_order",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -159,6 +165,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_geo_grid",
     "graph_common_neighbors",
     "fn_regexp",
+    "events_holt_forecast",
+    "agg_theilsen_trend",
+    "orders_hazard_table",
+    "table_partition_advisor",
+    "join_lateral_topk",
+    "docs_curriculum_order",
     # Hard-proven oracle keys, stalest evidence first (r3-only tier of
     # 34, then the r4 window, then the r5 window) — ascending newest
     # hard row, alphabetical within a tier, so the r7+ rotation queue
