@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..common import epoch_seconds
 from ..plans.registry import register
 from ..session import load_table
 
@@ -683,3 +684,336 @@ def orders_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hazard"
         ),
     ).orderBy("tenure_m")
+
+
+@register(
+    "events_stl_decompose",
+    # STL-lite additive decomposition in 7x-scaled integers: trend_x7 =
+    # centered 7-day sum (only full windows emit), detrended_x7 =
+    # 7*x - trend_x7 (exact BIGINT), per-weekday seasonal = ONE rounded
+    # division of integer sums, residual = integer minus that rounded
+    # double (deterministic once the seasonal is).
+    oracle="""
+    WITH days AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY di
+    ), windowed AS (
+        SELECT di, x,
+               SUM(x) OVER w AS trend_x7,
+               COUNT(*) OVER w AS w_n
+        FROM days
+        WINDOW w AS (ORDER BY di ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), full_days AS (
+        SELECT di, x, CAST(trend_x7 AS BIGINT) AS trend_x7,
+               7*x - trend_x7 AS detrended_x7, di % 7 AS dow
+        FROM windowed WHERE w_n = 7
+    ), seasonal AS (
+        SELECT dow,
+               ROUND(CAST(SUM(detrended_x7) AS DOUBLE) / COUNT(*), 4)
+                   AS seasonal_x7
+        FROM full_days GROUP BY dow
+    )
+    SELECT f.di, f.x, f.trend_x7, CAST(f.dow AS BIGINT) AS dow,
+           s.seasonal_x7,
+           ROUND(f.detrended_x7 - s.seasonal_x7, 4) AS resid_x7
+    FROM full_days f JOIN seasonal s ON f.dow = s.dow
+    ORDER BY f.di
+    """,
+)
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of the daily event series:
+    trend (centered 7-day moving sum), weekday seasonal (mean of the
+    detrended values per day-of-week), residual — the
+    trend/seasonality/noise split behind anomaly baselining, here with
+    every component either an exact integer (scaled by 7 to avoid the
+    /7 fraction) or one rounded division.
+
+    Scale notes: the corpus collapses to the calendar-sized daily
+    rollup in one hash aggregate; the centered window, the 7-row
+    seasonal rollup and the final join all run on calendar-bounded
+    frames (allowlisted single-partition exchanges).  Edge days without
+    a full 7-day window are excluded rather than padded — a partial
+    window would make the trend a different estimator at the margins on
+    the two engines."""
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.select(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("di")
+        )
+        .groupBy("di")
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.orderBy("di").rowsBetween(-3, 3)
+    full_days = (
+        days.select(
+            "di",
+            "x",
+            F.sum("x").over(w).alias("trend_x7"),
+            F.count("*").over(w).alias("w_n"),
+        )
+        .where(F.col("w_n") == 7)
+        .select(
+            "di",
+            "x",
+            F.col("trend_x7").cast("long").alias("trend_x7"),
+            (7 * F.col("x") - F.col("trend_x7")).alias("detrended_x7"),
+            (F.col("di") % 7).alias("dow"),
+        )
+    )
+    seasonal = full_days.groupBy("dow").agg(
+        F.round(
+            F.sum("detrended_x7").cast("double") / F.count("*"), 4
+        ).alias("seasonal_x7")
+    )
+    return (
+        full_days.join(F.broadcast(seasonal), "dow")
+        .select(
+            "di",
+            "x",
+            "trend_x7",
+            F.col("dow").cast("long").alias("dow"),
+            "seasonal_x7",
+            F.round(F.col("detrended_x7") - F.col("seasonal_x7"), 4).alias(
+                "resid_x7"
+            ),
+        )
+        .orderBy("di")
+    )
+
+
+@register(
+    "events_user_lifecycle",
+    # Growth-accounting states on the user x week grid: new (first
+    # active week), retained (active now and last week), resurrected
+    # (active now, inactive last week, active before), churned
+    # (inactive now, active last week).  'Active' = >= 2 purchases that
+    # week — the raw any-event definition was vacuous (every user
+    # active every week, so churned/resurrected never occurred;
+    # audited at sf0.001 and sf0.01 — the purchase>=2 rate is ~72% at
+    # both, leaving real gaps).  The grid is users x |weeks| — a
+    # bounded calendar multiplier, generated by a broadcast cross
+    # join, with lag windows per user.  All-integer state logic.
+    oracle="""
+    WITH active AS (
+        SELECT user_id,
+               CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT)
+                   AS wk
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, wk
+        HAVING COUNT(*) >= 2
+    ), weeks AS (
+        SELECT DISTINCT wk FROM active
+    ), users AS (
+        SELECT DISTINCT user_id FROM active
+    ), grid AS (
+        SELECT u.user_id, w.wk,
+               CASE WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END AS act
+        FROM users u CROSS JOIN weeks w
+        LEFT JOIN active a ON a.user_id = u.user_id AND a.wk = w.wk
+    ), lagged AS (
+        SELECT user_id, wk, act,
+               LAG(act) OVER (PARTITION BY user_id ORDER BY wk) AS prev_act,
+               SUM(act) OVER (PARTITION BY user_id ORDER BY wk
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prior_weeks
+    FROM grid
+    ), states AS (
+        SELECT wk,
+               CASE WHEN act = 1 AND COALESCE(prior_weeks, 0) = 0 THEN 'new'
+                    WHEN act = 1 AND prev_act = 1 THEN 'retained'
+                    WHEN act = 1 THEN 'resurrected'
+                    WHEN act = 0 AND prev_act = 1 THEN 'churned'
+                    ELSE 'inactive' END AS state
+        FROM lagged
+    )
+    SELECT wk, state, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM states
+    WHERE state <> 'inactive'
+    GROUP BY wk, state
+    ORDER BY wk, state
+    """,
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every user is NEW in their first
+    active week, RETAINED when active in consecutive weeks, RESURRECTED
+    when returning after a gap, CHURNED the week after going quiet —
+    the new/retained/resurrected/churned ledger product teams reconcile
+    DAU/MAU against.
+
+    Scale notes: activity collapses to the distinct user-week frame
+    first (one hash aggregate); the dense grid is that frame crossed
+    with the |weeks|-row calendar (a broadcast of weeks — a bounded
+    calendar multiplier, NOT a corpus cross join), and the state logic
+    is two lag-family windows per user partition.  Counting only
+    emitted states keeps the output |weeks| x 4."""
+    e = load_table(spark, sf_dir, "events")
+    active = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7 AS LONG)"
+            ).alias("wk"),
+        )
+        .groupBy("user_id", "wk")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("user_id", "wk")
+    )
+    weeks = active.select("wk").distinct()
+    users = active.select("user_id").distinct()
+    grid = (
+        users.join(F.broadcast(weeks))
+        .join(
+            active.withColumn("act1", F.lit(1)),
+            ["user_id", "wk"],
+            "left",
+        )
+        .select("user_id", "wk", F.coalesce("act1", F.lit(0)).alias("act"))
+    )
+    wlag = Window.partitionBy("user_id").orderBy("wk")
+    wprior = wlag.rowsBetween(Window.unboundedPreceding, -1)
+    lagged = grid.select(
+        "user_id",
+        "wk",
+        "act",
+        F.lag("act").over(wlag).alias("prev_act"),
+        F.sum("act").over(wprior).alias("prior_weeks"),
+    )
+    states = lagged.select(
+        "wk",
+        F.when(
+            (F.col("act") == 1) & (F.coalesce(F.col("prior_weeks"), F.lit(0)) == 0),
+            "new",
+        )
+        .when((F.col("act") == 1) & (F.col("prev_act") == 1), "retained")
+        .when(F.col("act") == 1, "resurrected")
+        .when((F.col("act") == 0) & (F.col("prev_act") == 1), "churned")
+        .otherwise("inactive")
+        .alias("state"),
+    )
+    return (
+        states.where(F.col("state") != "inactive")
+        .groupBy("wk", "state")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("wk", "state")
+    )
+
+
+@register(
+    "events_bot_score",
+    # Rule-based bot scoring: burstiness (max events in any 10-minute
+    # slot), night share (integer ppm), type entropy (ROUND 4, the
+    # text_entropy log discipline).  The score is integer rule points
+    # over those deterministic values, the verdict a threshold CASE —
+    # nothing fuzzy decides a row.  Thresholds (burst >= 2, night >
+    # 0.3, entropy < 1.58) sit INSIDE the fixture distributions so
+    # every rule fires in both directions at sf0.001 and sf0.01
+    # (audited: burst 7/15 & 55/150, night 2/15 & 17/150, entropy
+    # straddles its 1.545-1.607 range) — a threshold outside the data
+    # is a dead rule the oracle can't catch.
+    oracle="""
+    WITH slots AS (
+        SELECT user_id, epoch_us(ts) // 600000000 AS slot, COUNT(*) AS c
+        FROM events GROUP BY user_id, slot
+    ), burst AS (
+        SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_burst FROM slots
+        GROUP BY user_id
+    ), base AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS night_ppm
+        FROM events GROUP BY user_id
+    ), types AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ), ent AS (
+        SELECT user_id,
+               ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                     - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 4)
+                   AS type_entropy
+        FROM types GROUP BY user_id
+    ), scored AS (
+        SELECT b.user_id, base.n_events, b.max_burst, base.night_ppm,
+               ent.type_entropy,
+               CAST((CASE WHEN b.max_burst >= 2 THEN 2 ELSE 0 END)
+                    + (CASE WHEN base.night_ppm > 300000 THEN 1 ELSE 0 END)
+                    + (CASE WHEN ent.type_entropy < 1.58 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS score
+        FROM burst b
+        JOIN base ON b.user_id = base.user_id
+        JOIN ent ON b.user_id = ent.user_id
+    )
+    SELECT user_id, n_events, max_burst, night_ppm, type_entropy, score,
+           CASE WHEN score >= 3 THEN 'likely_bot'
+                WHEN score >= 1 THEN 'suspect'
+                ELSE 'human' END AS verdict
+    FROM scored
+    ORDER BY user_id
+    """,
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot/abuse scoring per user: burstiness (max events in
+    any 10-minute slot), night-time share, and event-type entropy
+    combine into integer rule points and a threshold verdict — the
+    deterministic first-pass filter that runs BEFORE any learned abuse
+    model sees the data.
+
+    Scale notes: three user-keyed aggregates (slot counts reuse the
+    (user, slot) partial aggregation; night share is a conditional agg
+    inside the base pass) joined on the user key — all frames are
+    user-dim sized, shuffled once on user_id.  Thresholds compare
+    integers or the 4-decimal entropy BOTH engines computed identically
+    — no raw-float boundary decides a verdict."""
+    e = load_table(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    slots = (
+        e.select("user_id", sec.alias("s"))
+        .select("user_id", F.expr("s div 600").alias("slot"))
+        .groupBy("user_id", "slot")
+        .agg(F.count("*").alias("c"))
+    )
+    burst = slots.groupBy("user_id").agg(F.max("c").cast("long").alias("max_burst"))
+    base = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(SUM(CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END) * 1000000 "
+            "div COUNT(*) AS LONG)"
+        ).alias("night_ppm"),
+    )
+    types = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    ent = types.groupBy("user_id").agg(
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c"),
+            4,
+        ).alias("type_entropy")
+    )
+    scored = (
+        burst.join(base, "user_id")
+        .join(ent, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "max_burst",
+            "night_ppm",
+            "type_entropy",
+            (
+                F.when(F.col("max_burst") >= 2, 2).otherwise(0)
+                + F.when(F.col("night_ppm") > 300000, 1).otherwise(0)
+                + F.when(F.col("type_entropy") < 1.58, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    return scored.select(
+        "*",
+        F.when(F.col("score") >= 3, "likely_bot")
+        .when(F.col("score") >= 1, "suspect")
+        .otherwise("human")
+        .alias("verdict"),
+    ).orderBy("user_id")

@@ -53,6 +53,8 @@ BNL_ALLOWED: dict[str, str] = {
     "onto the 7-row horizon frame",
     "agg_theilsen_trend": "calendar-rollup pair grid (<=59 days -> ~1.7k "
     "slopes) + broadcast 1-row n_days frame",
+    "events_user_lifecycle": "broadcast |weeks|-row calendar frame cross "
+    "onto the user dim (the bounded grid generator)",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The
@@ -115,6 +117,8 @@ SINGLE_ALLOWED: dict[str, str] = {
     "(union of bounded-rollup maxima)",
     "docs_curriculum_order": "rank window over the |langs|-row distinct "
     "frame (the corpus-sized rank is lang-partitioned)",
+    "events_stl_decompose": "centered trend window over the "
+    "calendar-sized daily rollup",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

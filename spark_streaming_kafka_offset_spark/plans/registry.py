@@ -82,6 +82,9 @@ DEFERRED_R7: tuple[str, ...] = (
     "table_partition_advisor",
     "join_lateral_topk",
     "docs_curriculum_order",
+    "events_stl_decompose",
+    "events_user_lifecycle",
+    "events_bot_score",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -171,6 +174,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "table_partition_advisor",
     "join_lateral_topk",
     "docs_curriculum_order",
+    "events_stl_decompose",
+    "events_user_lifecycle",
+    "events_bot_score",
     # Hard-proven oracle keys, stalest evidence first (r3-only tier of
     # 34, then the r4 window, then the r5 window) — ascending newest
     # hard row, alphabetical within a tier, so the r7+ rotation queue
@@ -337,6 +343,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_static_join",
     "stream_stream_join",
     "stream_left_outer_join",
+    "stream_scd2_apply",
     "stream_offset_ledger",
     "stream_offset_lag_monitor",
     "stream_offset_rewind",

@@ -437,6 +437,128 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("purchase_id", "click_id")
 
 
+@register("stream_scd2_apply")
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance — the incremental twin of the batch
+    ``merge_scd2`` (operators/pipeline.py): a CDC stream of dimension
+    changes arrives in micro-batches and each batch closes the current
+    version / inserts the new one against a persistent history store,
+    with change detection against the STORE's current row (not the
+    batch's own before-image — the store is the source of truth once
+    the stream is live).
+
+    Exactly-once: the store is versioned by batch_id (v{id+1} derives
+    from v{id}), so a replayed batch rebuilds its own version instead
+    of double-closing rows — the offset-ledger idempotence recipe.  At
+    scale the store is a MERGE INTO target behind ``sink_txn_log``'s
+    REPLACE commit; history rows are only ever produced by projection.
+
+    The equivalence test (tests/test_streaming.py) asserts the final
+    history is row-identical to the one-shot batch ``merge_scd2`` —
+    valid because the change chunks partition the keys, so incremental
+    application cannot interleave versions of one key."""
+    eff = F.lit("1998-01-01").cast("date")
+    origin = F.lit("1992-01-01").cast("date")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    changes = c.where(
+        (F.col("c_custkey") % 5 == 0) | (F.col("c_custkey") % 7 == 0)
+    ).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("MACHINERY"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("new_seg"),
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("new_bal"),
+    )
+    # Stage the CDC batch as 3 key-partitioned chunk files -> 3
+    # micro-batches under maxFilesPerTrigger=1.
+    cdc_dir = scratch_path("scd2_cdc_")
+    for m in range(3):
+        changes.where(F.col("c_custkey") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(cdc_dir)
+    store = scratch_path("scd2_store_")
+    c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        origin.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ).write.parquet(f"{store}/v0")
+
+    def _latest(before: int | None = None) -> str:
+        vs = sorted(
+            int(d[1:]) for d in os.listdir(store) if d.startswith("v")
+        )
+        if before is not None:
+            vs = [v for v in vs if v < before]
+        return f"{store}/v{vs[-1]}"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hist = spark.read.parquet(_latest(before=batch_id + 1))
+        cur = hist.where(F.col("is_current"))
+        # Change detection against the store's current row; no-op
+        # changes must not create a version (the merge_scd2 contract).
+        real = (
+            batch_df.alias("b")
+            .join(cur.alias("h"), "c_custkey")
+            .where(
+                (F.col("b.new_seg") != F.col("h.c_mktsegment"))
+                | (F.col("b.new_bal") != F.col("h.c_acctbal"))
+            )
+            .select(
+                "c_custkey",
+                F.col("h.c_mktsegment").alias("old_seg"),
+                F.col("h.c_acctbal").alias("old_bal"),
+                F.col("h.valid_from").alias("old_from"),
+                "b.new_seg",
+                "b.new_bal",
+            )
+        )
+        untouched = hist.join(real.select("c_custkey"), "c_custkey", "left_anti")
+        closed = real.select(
+            "c_custkey",
+            F.col("old_seg").alias("c_mktsegment"),
+            F.col("old_bal").alias("c_acctbal"),
+            F.col("old_from").alias("valid_from"),
+            eff.alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+        fresh = real.select(
+            "c_custkey",
+            F.col("new_seg").alias("c_mktsegment"),
+            F.col("new_bal").alias("c_acctbal"),
+            eff.alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        out = untouched.select(
+            "c_custkey", "c_mktsegment", "c_acctbal",
+            "valid_from", "valid_to", "is_current",
+        )
+        out.unionByName(closed).unionByName(fresh).write.mode(
+            "overwrite"
+        ).parquet(f"{store}/v{batch_id + 1}")
+
+    src = (
+        spark.readStream.schema("c_custkey long, new_seg string, new_bal double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(cdc_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch_path("ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(_latest()).orderBy("c_custkey", "valid_from")
+
+
 @register("stream_rate_limit")
 def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backpressure: maxFilesPerTrigger=1 (the file-source analogue of

@@ -497,6 +497,20 @@ def test_stream_left_outer_join_semantics(spark):
     assert must_emit <= null_ids
 
 
+def test_stream_scd2_apply_equals_batch_merge(spark):
+    """Incremental SCD2 maintenance over a chunked CDC stream must
+    converge to exactly the one-shot batch merge_scd2 history — closing
+    dates, no-op suppression, and version rows may not drift when the
+    same changes arrive across micro-batches (valid because the chunks
+    partition the keys)."""
+    streamed = sorted(
+        map(tuple, QUERIES["stream_scd2_apply"](spark, SF_DIR).collect())
+    )
+    batch = sorted(map(tuple, QUERIES["merge_scd2"](spark, SF_DIR).collect()))
+    assert len(streamed) > 0
+    assert streamed == batch
+
+
 def test_stream_pack_shards_equals_batch_packing(spark):
     """Incremental stateful packing over the ordered document stream
     must converge to exactly the batch pack_sequences answer — shard
