@@ -619,3 +619,64 @@ def test_audit_sweep_is_clean(spark):
 
     unexplained = audit_plans(spark, SF_DIR)
     assert not unexplained, unexplained
+
+
+def test_geo_grid_join_is_hash_equi_join(spark):
+    """The spatial join must run as a hash equi-join on the cell id —
+    never a cartesian or nested loop over customer x supplier — and the
+    distance predicate must remain as a post-join filter."""
+    df = QUERIES["join_geo_grid"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cell_lat" in plan  # joined on the grid cell, not the coords
+
+
+def test_common_neighbors_pairs_via_slot_join(spark):
+    """Candidate pairs must come from the slot equi-join (bounded by
+    per-slot activity), never an all-pairs user join."""
+    df = QUERIES["graph_common_neighbors"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_entity_resolution_joins_on_block_key(spark):
+    """Within-block pairing only: the self-join must key on block_key
+    (equi) with the name inequality and edit distance as residual
+    filters — blocking is the scale design, not an optimization."""
+    df = QUERIES["entity_resolution_blocked"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "block_key" in plan
+
+
+def test_curriculum_order_has_no_global_sort_of_corpus(spark):
+    """The curriculum position must be computed from a lang-partitioned
+    rank + arithmetic interleave — the ONLY single-partition exchange
+    allowed is the |langs|-row index frame, never the documents."""
+    df = QUERIES["docs_curriculum_order"](spark, SF_DIR)
+    plan = executed_plan(df)
+    # The corpus-side rank is partitioned: hashpartitioning on lang.
+    assert "hashpartitioning(lang" in plan
+    # No global ORDER BY of the documents anywhere in the final plan.
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """The LATERAL ORDER BY+LIMIT subquery must decorrelate into a
+    partitioned rank/limit plan — per-outer-row re-execution would be
+    O(|nation|) scans and a cartesian would be worse."""
+    df = QUERIES["join_lateral_topk"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan or "Limit" in plan
+
+
+def test_revenue_bridge_single_fact_pass(spark):
+    """Both years must come from ONE scan of lineitem (conditional-agg
+    pivot), not a self-join of two year-filtered scans."""
+    df = QUERIES["revenue_bridge_yoy"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") <= 3  # lineitem + orders + part, once each

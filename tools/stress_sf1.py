@@ -46,6 +46,11 @@ STRESS_SET = [
     "dedup_exact",
     "corpus_admission_pipeline",
     "multimodal_dedup_phash",
+    # r6 additions: the two shuffle-heaviest of the new batch — the
+    # 10-min-slot pair join (fanout = sum-over-slots of C(active, 2))
+    # and the trigram two-shuffle novelty op.
+    "graph_common_neighbors",
+    "text_ngram_novelty",
 ]
 
 
