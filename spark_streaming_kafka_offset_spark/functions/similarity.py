@@ -510,3 +510,120 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("query_id", F.col("cosine").desc())
     )
+
+
+@register(
+    "embed_matryoshka_eval",
+    # Matryoshka-truncation evaluation: does ranking by the FIRST 16 of
+    # 64 dims reproduce the full-dim top-3?  Both rankings use the
+    # proven sim_topk_exact determinism recipe (floor-truncate at 1e-5,
+    # neighbor-id tiebreak, within-label blocking); the overlap count
+    # and recall are then pure integer arithmetic.
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 25 = 0
+    ), pairs AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               floor(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))
+                     * 100000) / 100000 AS cos_full,
+               floor(list_dot_product(CAST(q.embedding[1:16] AS DOUBLE[]),
+                                      CAST(e.embedding[1:16] AS DOUBLE[]))
+                     * 100000) / 100000 AS cos_trunc
+        FROM q JOIN embeddings e
+          ON q.label = e.label AND q.vec_id <> e.vec_id
+    ), truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_full DESC, neighbor_id) AS rn
+            FROM pairs) WHERE rn <= 3
+    ), approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_trunc DESC, neighbor_id) AS rn
+            FROM pairs) WHERE rn <= 3
+    )
+    SELECT t.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_overlap,
+           ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / 3.0, 6) AS recall_at_3
+    FROM truth t
+    LEFT JOIN approx a
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+    GROUP BY t.query_id
+    ORDER BY t.query_id
+    """,
+)
+def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension retrieval evaluation: per query,
+    how much of the exact 64-dim cosine top-3 survives when ranking by
+    only the first 16 dimensions — the measurement behind the
+    "truncate MRL embeddings to cut index cost" decision, done
+    EXACTLY (both rankings brute-force within the label block) so the
+    answer is an eval, not an estimate.
+
+    Scale notes: one blocked pair join (label equi-join — the
+    sim_topk_exact posture, never cartesian) scores BOTH similarities
+    in a single pass (the truncated dot is a prefix of the full one;
+    no second join); the two rank windows share the pair frame and
+    partition by query.  The fixtures' vectors are near-uniform — the
+    adversarial case for truncation — so low recall here is the
+    honest floor; real MRL-trained embeddings concentrate information
+    in the prefix and score far higher with the same plan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    pairs = (
+        q.join(e, (F.col("q_label") == F.col("label")))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.floor(dot(F.col("q_emb"), F.col("embedding")) * 100000) / 100000
+            ).alias("cos_full"),
+            (
+                F.floor(
+                    dot(F.slice(F.col("q_emb"), 1, 16), F.slice(F.col("embedding"), 1, 16))
+                    * 100000
+                )
+                / 100000
+            ).alias("cos_trunc"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id")
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.col("cos_trunc").desc(), F.col("neighbor_id")
+    )
+    truth = (
+        pairs.withColumn("rn", F.row_number().over(w_full))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    approx = (
+        pairs.withColumn("rn", F.row_number().over(w_trunc))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+        )
+    )
+    return (
+        truth.join(
+            approx,
+            (truth.query_id == approx.a_qid)
+            & (truth.neighbor_id == approx.a_nid),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_nid").cast("long").alias("n_overlap"),
+            F.round(F.count("a_nid").cast("double") / 3.0, 6).alias("recall_at_3"),
+        )
+        .orderBy("query_id")
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..common import epoch_seconds
 from ..plans.registry import register
@@ -565,10 +566,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # All-integer: |A∩B| from the pair count, |A|,|B| from per-user
     # slot degrees; jaccard is ONE IEEE division of identical integers.
     oracle="""
-    WITH active AS (
+    WITH active0 AS (
         SELECT DISTINCT user_id,
                CAST(epoch_us(ts) // 600000000 AS BIGINT) AS slot
         FROM events
+    ), capped AS (
+        SELECT user_id, slot,
+               ROW_NUMBER() OVER (
+                   PARTITION BY slot
+                   ORDER BY (user_id * 1103515245 + slot * 12345)
+                            % 2147483648, user_id) AS rn
+        FROM active0
+    ), active AS (
+        SELECT user_id, slot FROM capped WHERE rn <= 50
     ), deg AS (
         SELECT user_id, COUNT(*) AS slots FROM active GROUP BY user_id
     ), pairs AS (
@@ -600,17 +610,41 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: the candidate pairs come from an equi-join on the slot
     key, so the work is sum-over-slots of (active users that slot choose
-    2) — bounded by per-slot activity, never |users|^2.  A viral slot
-    (huge per-key fanout) is the documented skew risk: cap or sample
-    hyper-active slots first (same posture as
-    ``entity_resolution_blocked``'s hot blocks).  The degree join is a
-    user-dim-sized broadcast; the min-support filter (>= 3 shared slots)
-    prices the output down before it."""
+    2).  That sum is quadratic in per-slot DENSITY, so hyper-active
+    slots (> 50 users) are dropped before pairing — the measured 35x
+    wall blowup at the 10x-denser sf1 stress fixture collapses to
+    bounded per-slot work, and an everyone-co-occurs slot carries no
+    similarity signal anyway (PMI -> 0).  Degrees are computed on the
+    CAPPED activity so the Jaccard denominator matches the candidate
+    universe.  The degree join is a user-dim-sized broadcast; the
+    min-support filter (>= 3 shared slots) prices the output down
+    before it."""
     e = load_table(spark, sf_dir, "events")
-    active = (
+    active0 = (
         e.select("user_id", epoch_seconds("ts").alias("sec"))
         .select("user_id", F.expr("sec div 600").alias("slot"))
         .distinct()
+    )
+    # Hot-slot cap: keep at most 50 hash-ranked users per slot BEFORE
+    # pairing.  The pair fanout is sum-over-slots of C(active, 2) —
+    # quadratic in per-slot DENSITY — and the r6 sf1 stress sweep
+    # measured the uncapped op at 35x wall for 10x data (the synthetic
+    # 10x corpus is 10x denser per slot, the worst case).  SAMPLING the
+    # slot (multiplicative-hash rank, slot-salted so different slots
+    # keep different users) bounds per-slot work at C(50,2) while dense
+    # slots still contribute signal — the first cut (dropping dense
+    # slots outright) measured 9s at sf1 but returned 0 rows: a cliff,
+    # not a valve.  Under the driver fixtures (<= ~3 active/slot at
+    # sf0.01) the cap never bites; the oracle mirrors it verbatim so
+    # parity covers the capped definition.
+    wslot = Window.partitionBy("slot").orderBy(
+        (F.col("user_id") * 1103515245 + F.col("slot") * 12345) % 2147483648,
+        "user_id",
+    )
+    active = (
+        active0.withColumn("rn", F.row_number().over(wslot))
+        .where(F.col("rn") <= 50)
+        .select("user_id", "slot")
     )
     deg = active.groupBy("user_id").agg(F.count("*").alias("slots"))
     a = active.select(F.col("user_id").alias("user_a"), "slot")

@@ -85,6 +85,7 @@ DEFERRED_R7: tuple[str, ...] = (
     "events_stl_decompose",
     "events_user_lifecycle",
     "events_bot_score",
+    "embed_matryoshka_eval",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -177,6 +178,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_stl_decompose",
     "events_user_lifecycle",
     "events_bot_score",
+    "embed_matryoshka_eval",
     # Hard-proven oracle keys, stalest evidence first (r3-only tier of
     # 34, then the r4 window, then the r5 window) — ascending newest
     # hard row, alphabetical within a tier, so the r7+ rotation queue
