@@ -294,23 +294,34 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     first shuffle."""
     d = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
+    # Split ONCE into a named column: the inline form re-evaluated
+    # split(text) four times per row (sequence bound + three lambda
+    # accesses) — measured in the r6 sf1 sweep as part of a 7.6x
+    # growth.  Grams then travel as 64-bit xxhash64 keys through the
+    # df shuffle and join (8 bytes vs ~20-char strings); the output
+    # depends only on COUNTS per gram, so hashing the key cannot
+    # change results short of a 64-bit collision (~1e-12 at 1e5
+    # distinct grams — and a collision would be deterministic, not
+    # flaky; the oracle keeps the string key as the semantic
+    # definition).
     grams = (
         d.where(F.size(w) >= 3)
+        .select("doc_id", w.alias("w"))
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(split(text, ' ')) - 3), "
-                    "i -> concat(split(text, ' ')[i], ' ', "
-                    "split(text, ' ')[i+1], ' ', split(text, ' ')[i+2]))"
+                    "transform(sequence(0, size(w) - 3), "
+                    "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
                 )
             ).alias("g"),
         )
+        .select("doc_id", F.xxhash64("g").alias("gh"))
         .distinct()
     )
-    df = grams.groupBy("g").agg(F.count("*").alias("n_docs_with"))
+    df = grams.groupBy("gh").agg(F.count("*").alias("n_docs_with"))
     return (
-        grams.join(df, "g")
+        grams.join(df, "gh")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),

@@ -1017,3 +1017,211 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("human")
         .alias("verdict"),
     ).orderBy("user_id")
+
+
+@register(
+    "agg_weighted_median",
+    # Exact lower weighted median: sort by value, take the first row
+    # where 2*cumulative_weight >= total_weight.  Weights are integer
+    # quantities, values integer cents, the defining comparison is
+    # integer — no percentile interpolation, no float boundary.
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), ranked AS (
+        SELECT l_returnflag, cents, q,
+               SUM(q) OVER (PARTITION BY l_returnflag
+                            ORDER BY cents, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(q) OVER (PARTITION BY l_returnflag) AS total
+        FROM w
+    )
+    SELECT l_returnflag,
+           CAST(ANY_VALUE(total) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2*cum >= total THEN cents END) AS BIGINT)
+               AS weighted_median_cents
+    FROM ranked
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag — the
+    robust "typical traded price" that ``agg_percentile``'s unweighted
+    interpolation cannot give (a 1-unit luxury line counts the same as
+    a 50-unit staple there).
+
+    Scale notes: one shuffle on the flag key; the rank/cumsum windows
+    are flag-partitioned.  Three giant groups means three fat window
+    tasks at 100 TB — the documented giant-group remedy is the
+    two-pass range-partitioned rank (``common.global_row_number``)
+    within each flag, exactly as ``agg_trimmed_winsorized`` notes.
+    The median row is picked by an integer 2*cum >= total comparison
+    with a total (cents, orderkey, linenumber) order — deterministic
+    in both engines, no interpolation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = l.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round("l_quantity").cast("long").alias("q"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wp = Window.partitionBy("l_returnflag")
+    ranked = w.select(
+        "l_returnflag",
+        "cents",
+        "q",
+        F.sum("q")
+        .over(
+            wp.orderBy("cents", "l_orderkey", "l_linenumber").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("q").over(wp).alias("total"),
+    )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.any_value("total").cast("long").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("total"), F.col("cents"))
+            )
+            .cast("long")
+            .alias("weighted_median_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "orders_ontime_ship_rate",
+    # On-time = the order's LAST line shipped within 30 days of the
+    # order date.  Month keys and day differences are integer date
+    # arithmetic; the rate is integer ppm via `div`.
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey,
+               CAST(strftime(o.o_orderdate, '%Y-%m') AS VARCHAR) AS order_month,
+               CASE WHEN MAX(CAST(l.l_shipdate AS DATE))
+                         <= CAST(o.o_orderdate AS DATE) + 30
+                    THEN 1 ELSE 0 END AS ontime
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    )
+    SELECT order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(ontime) AS BIGINT) AS n_ontime,
+           CAST(SUM(ontime) * 1000000 // COUNT(*) AS BIGINT) AS ontime_ppm
+    FROM per_order
+    GROUP BY order_month
+    ORDER BY order_month
+    """,
+)
+def orders_ontime_ship_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly on-time shipping rate: the share of orders whose LAST
+    lineitem shipped within 30 days of the order date — the OTIF-style
+    fulfillment KPI (the fixtures carry no committed-quantity column,
+    so the in-full leg is the all-lines-shipped tautology and the
+    operator reports the on-time leg).
+
+    Scale notes: the per-order MAX collapses the fact table on its
+    natural orderkey partitioning (one shuffle shared with the join),
+    then the month rollup is calendar-sized.  All comparisons are
+    integer date arithmetic; the rate is ppm via `div`."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.when(
+                F.max(F.col("l_shipdate").cast("date"))
+                <= F.date_add(F.col("o_orderdate").cast("date"), 30),
+                1,
+            )
+            .otherwise(0)
+            .alias("ontime")
+        )
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "ontime",
+        )
+    )
+    return (
+        per_order.groupBy("order_month")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("ontime").cast("long").alias("n_ontime"),
+            F.expr("SUM(ontime) * 1000000 div COUNT(*)").alias("ontime_ppm"),
+        )
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "supplier_hhi_concentration",
+    # Herfindahl-Hirschman concentration of supplier quantity share per
+    # brand, in scale-independent integer arithmetic: per-supplier
+    # share in ppm first (bounded 1e6 regardless of corpus size), then
+    # HHI = sum(share_ppm^2) div 1e6 — never a q^2 product that crosses
+    # BIGINT at large scale.
+    oracle="""
+    WITH per_supp AS (
+        SELECT p.p_brand, l.l_suppkey,
+               CAST(SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, l.l_suppkey
+    ), shares AS (
+        SELECT p_brand, l_suppkey,
+               q * 1000000 // SUM(q) OVER (PARTITION BY p_brand) AS share_ppm
+        FROM per_supp
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+           CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
+    FROM shares
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per brand — the Herfindahl-Hirschman
+    index of quantity share (10000+ HHI-ppm ~ a monopolized brand,
+    ~1/n for even splits) plus the top-supplier share: the
+    supply-chain-risk readout behind single-source alerts.
+
+    Scale notes: one fact-side hash aggregate to (brand, supplier),
+    share windows partitioned by brand on that rollup; shares are
+    floored ppm integers FIRST so the squared term is bounded by 1e12
+    regardless of corpus size (a raw q^2 formulation crosses BIGINT at
+    ~sf10 — same 2^53/overflow discipline as revenue_bridge_yoy)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_supp = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("q"))
+    )
+    shares = per_supp.select(
+        "p_brand",
+        "l_suppkey",
+        F.expr(
+            "q * 1000000 div SUM(q) OVER (PARTITION BY p_brand)"
+        ).alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.expr("SUM(share_ppm * share_ppm) div 1000000").alias("hhi_ppm"),
+            F.max("share_ppm").cast("long").alias("top_share_ppm"),
+        )
+        .orderBy("p_brand")
+    )

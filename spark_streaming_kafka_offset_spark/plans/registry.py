@@ -86,6 +86,9 @@ DEFERRED_R7: tuple[str, ...] = (
     "events_user_lifecycle",
     "events_bot_score",
     "embed_matryoshka_eval",
+    "agg_weighted_median",
+    "orders_ontime_ship_rate",
+    "supplier_hhi_concentration",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -179,6 +182,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_user_lifecycle",
     "events_bot_score",
     "embed_matryoshka_eval",
+    "agg_weighted_median",
+    "orders_ontime_ship_rate",
+    "supplier_hhi_concentration",
     # Hard-proven oracle keys, stalest evidence first (r3-only tier of
     # 34, then the r4 window, then the r5 window) — ascending newest
     # hard row, alphabetical within a tier, so the r7+ rotation queue
