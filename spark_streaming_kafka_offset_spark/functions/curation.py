@@ -461,3 +461,104 @@ def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("curriculum_pos"),
     )
+
+
+@register(
+    "corpus_source_similarity",
+    # Source-level vocabulary Jaccard: candidates via the gram
+    # equi-join (per-gram source lists are bounded by |sources|), the
+    # same candidate-generation posture as graph_common_neighbors with
+    # the roles swapped (shared vocabulary instead of shared time).
+    oracle="""
+    WITH grams AS (
+        SELECT DISTINCT source, g
+        FROM (
+            SELECT source,
+                   unnest(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS g
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        )
+    ), deg AS (
+        SELECT source, COUNT(*) AS n_grams FROM grams GROUP BY source
+    ), pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared
+        FROM grams a JOIN grams b
+          ON a.g = b.g AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST(da.n_grams AS BIGINT) AS grams_a,
+           CAST(db.n_grams AS BIGINT) AS grams_b,
+           ROUND(CAST(p.n_shared AS DOUBLE)
+                 / CAST(da.n_grams + db.n_grams - p.n_shared AS DOUBLE), 6)
+               AS jaccard
+    FROM pairs p
+    JOIN deg da ON p.source_a = da.source
+    JOIN deg db ON p.source_b = db.source
+    """,
+)
+def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source similarity by shared trigram vocabulary — the
+    corpus-cartography readout behind "these two crawls are the same
+    site" / "this source is a mirror" decisions, upstream of any
+    per-document dedup.
+
+    Scale notes: the corpus collapses to the DISTINCT (source, gram)
+    frame first (grams travel as xxhash64 keys — the
+    text_ngram_novelty fix); pair candidates come from the gram
+    equi-join whose fanout is sum-over-grams of C(sources-with-gram, 2)
+    — bounded by |sources|^2 per gram, never |docs|^2.  A
+    universally-shared gram is the hot key; with 20 sources the worst
+    per-gram fanout is C(20,2)=190, constant.  The degree join is a
+    |sources|-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = (
+        d.where(F.size(w) >= 3)
+        .select("source", w.alias("w"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3), "
+                    "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+                )
+            ).alias("g"),
+        )
+        .select("source", F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    deg = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col("source").alias("source_a"), "gh")
+    b = grams.select(F.col("source").alias("source_b"), F.col("gh").alias("gh_b"))
+    pairs = (
+        a.join(b, (a.gh == b.gh_b) & (a.source_a < b.source_b))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    da = deg.select(F.col("source").alias("sa"), F.col("n_grams").alias("grams_a"))
+    db = deg.select(F.col("source").alias("sb"), F.col("n_grams").alias("grams_b"))
+    return (
+        pairs.join(F.broadcast(da), pairs.source_a == da.sa)
+        .join(F.broadcast(db), pairs.source_b == db.sb)
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("grams_a").cast("long").alias("grams_a"),
+            F.col("grams_b").cast("long").alias("grams_b"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -546,3 +546,47 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
         F.col("text").rlike(r"^the\b").alias("starts_the"),
     )
+
+
+@register(
+    "fn_date_trunc_iso",
+    # The ISO-calendar minefield, pinned: both engines agree on ISO
+    # week-of-year, ISO week-year (Spark extract(YEAROFWEEK) = DuckDB
+    # isoyear — probed: 1993-01-01 -> 1992/W53 both), and Monday
+    # date_trunc('week'); day-of-week does NOT agree natively (Spark
+    # dayofweek is 1=Sunday, DuckDB isodow is 1=Monday) and is aligned
+    # here by the (dow+5)%7+1 rebase on the Spark side.
+    oracle="""
+    SELECT o_orderkey,
+           CAST(isoyear(o_orderdate) AS INTEGER) AS iso_year,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+    FROM orders
+    WHERE o_orderkey % 13 = 4
+    """,
+)
+def fn_date_trunc_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-calendar scalar family: ISO week/week-year (the year a week
+    BELONGS to, not the year its days fall in — 1993-01-01 is 1992-W53),
+    Monday-anchored week truncation, ISO day-of-week, and quarter
+    truncation — the date bucketing every weekly-reporting pipeline
+    gets subtly wrong once a year.
+
+    Scale notes: pure scan-side expressions inside whole-stage codegen
+    with the key filter pushed to parquet; zero shuffles.  The
+    Spark-side ISO day-of-week is derived as ((dayofweek+5) mod 7)+1
+    because the native functions disagree across engines (1=Sunday vs
+    1=Monday) — the alignment is the operator's documentation."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 13 == 4)
+    return o.select(
+        "o_orderkey",
+        F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("int").alias("iso_year"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+        (((F.dayofweek("o_orderdate") + 5) % 7) + 1).cast("int").alias("iso_dow"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
+    )

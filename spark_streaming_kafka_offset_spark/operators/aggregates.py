@@ -454,3 +454,50 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_histogram_2d",
+    # 2D heatmap grid: $50k price bands x 2-point discount bands, both
+    # integer `div` bucket ids, counts + exact DECIMAL revenue per
+    # cell.  The grid is bounded by the value domains (~12 x 6 cells),
+    # not the data.
+    oracle="""
+    SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) // 5000000
+               AS price_band,
+           CAST(ROUND(l_discount * 100, 0) AS BIGINT) // 2 AS disc_band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY price_band, disc_band
+    ORDER BY price_band, disc_band
+    """,
+)
+def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D histogram (price band x discount band) of lineitems — the
+    heatmap behind pricing analysis, as one hash aggregate over integer
+    bucket ids (the 1D sibling is ``agg_histogram``).
+
+    Scale notes: bucket ids are computed scan-side via integer `div`
+    (never a float floor), so this is ONE partial+final hash aggregate
+    whose group count is bounded by the value domains (~70 cells) —
+    near-zero shuffle regardless of corpus size."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            F.expr(
+                "CAST(ROUND(l_extendedprice * 100, 0) AS LONG) div 5000000"
+            ).alias("price_band"),
+            F.expr("CAST(ROUND(l_discount * 100, 0) AS LONG) div 2").alias(
+                "disc_band"
+            ),
+            dec2("l_extendedprice", 14).alias("price_dec"),
+        )
+        .groupBy("price_band", "disc_band")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            round_dec(F.sum("price_dec"), 2).alias("revenue"),
+        )
+        .orderBy("price_band", "disc_band")
+    )

@@ -1225,3 +1225,74 @@ def supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "lineitem_gmv_waterfall",
+    # TPC-H Q1-grade decimal discipline applied to the finance
+    # waterfall: gross -> discount -> net -> tax -> charged, every rung
+    # an exact DECIMAL product/sum (ext DECIMAL(14,2) x disc/tax
+    # DECIMAL(4,2) stays exact; both engines' decimal multiplication is
+    # integer arithmetic), rounded to cents only at the output.
+    oracle="""
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS gross,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * CAST(l.l_discount AS DECIMAL(4,2))), 2)
+                AS DOUBLE) AS discount_amt,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS net,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                          * CAST(l.l_tax AS DECIMAL(4,2))), 2)
+                AS DOUBLE) AS tax_amt,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                          * (1 + CAST(l.l_tax AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS charged
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY order_month
+    ORDER BY order_month
+    """,
+)
+def lineitem_gmv_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue waterfall: gross book value, discount given, net
+    revenue, tax collected, total charged — the finance bridge from
+    list price to cash, with the exact-decimal arithmetic Q1 demands
+    (a double formulation drifts in the last cent across partial-
+    aggregation orders; DECIMAL products/sums are exact in both
+    engines in ANY order).
+
+    Scale notes: one fact join on the order key (shared with the
+    month derivation), one hash aggregate to the calendar-month
+    rollup; all five measures are partial-aggregable decimal sums in
+    a single pass — no second scan per rung of the waterfall."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ext = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            ext.alias("ext"),
+            (ext * disc).alias("disc_amt"),
+            (ext * (F.lit(1) - disc)).alias("net_amt"),
+            (ext * (F.lit(1) - disc) * tax).alias("tax_amt"),
+            (ext * (F.lit(1) - disc) * (F.lit(1) + tax)).alias("charged_amt"),
+        )
+        .groupBy("order_month")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(F.sum("ext"), 2).cast("double").alias("gross"),
+            F.round(F.sum("disc_amt"), 2).cast("double").alias("discount_amt"),
+            F.round(F.sum("net_amt"), 2).cast("double").alias("net"),
+            F.round(F.sum("tax_amt"), 2).cast("double").alias("tax_amt"),
+            F.round(F.sum("charged_amt"), 2).cast("double").alias("charged"),
+        )
+        .orderBy("order_month")
+    )

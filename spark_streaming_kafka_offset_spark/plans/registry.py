@@ -89,6 +89,10 @@ DEFERRED_R7: tuple[str, ...] = (
     "agg_weighted_median",
     "orders_ontime_ship_rate",
     "supplier_hhi_concentration",
+    "fn_date_trunc_iso",
+    "agg_histogram_2d",
+    "corpus_source_similarity",
+    "lineitem_gmv_waterfall",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -185,6 +189,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_weighted_median",
     "orders_ontime_ship_rate",
     "supplier_hhi_concentration",
+    "fn_date_trunc_iso",
+    "agg_histogram_2d",
+    "corpus_source_similarity",
+    "lineitem_gmv_waterfall",
     # Hard-proven oracle keys, stalest evidence first (r3-only tier of
     # 34, then the r4 window, then the r5 window) — ascending newest
     # hard row, alphabetical within a tier, so the r7+ rotation queue
