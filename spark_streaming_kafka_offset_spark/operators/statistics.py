@@ -26,12 +26,15 @@ from ..session import load_table
 
 @register(
     "agg_chisq_independence",
-    # Per-cell chi-square contributions: (N*O - r*c)^2 / (N*r*c).  Both
-    # numerator and denominator are exact BIGINT products (N ~ 1.5e4 at
-    # sf0.01, so (N*O - r*c)^2 <= ~2e15 < 2^53 — exact as doubles), so
-    # the contribution is ONE IEEE division of identical integers on
-    # both engines; ROUND(.,6) is then deterministic.  No cross-cell
-    # float sum anywhere: the 25-cell total is driver-trivial.
+    # Per-cell chi-square contributions: (N*O - r*c)^2 / (N*r*c), with
+    # the squared deviation carried as HUGEINT/DECIMAL(38,0): dev can
+    # reach ~N^2/|cells|, so dev^2 crosses BIGINT at ~sf1 (8e21 at
+    # N=1.5e6) — under the session's ANSI mode that is a runtime error,
+    # not a wrong answer, but the wide-integer form removes the cliff.
+    # Both engines then cast the IDENTICAL integer to double (rounding
+    # identically past 2^53) and perform ONE IEEE division; ROUND(.,6)
+    # is deterministic.  No cross-cell float sum anywhere: the 25-cell
+    # total is driver-trivial.
     oracle="""
     WITH cells AS (
         SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS obs
@@ -49,9 +52,9 @@ from ..session import load_table
            CAST(row_total AS BIGINT) AS row_total,
            CAST(col_total AS BIGINT) AS col_total,
            ROUND(
-             CAST((grand_total*obs - row_total*col_total)
+             CAST((grand_total*obs - row_total*col_total)::HUGEINT
                   * (grand_total*obs - row_total*col_total) AS DOUBLE)
-             / CAST(grand_total*row_total*col_total AS DOUBLE), 6
+             / CAST(grand_total::HUGEINT*row_total*col_total AS DOUBLE), 6
            ) AS chisq_contrib
     FROM tot
     """,
@@ -87,20 +90,23 @@ def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("obs").over(w_col).alias("col_total"),
         F.sum("obs").over(w_all).alias("grand_total"),
     )
-    dev = F.col("grand_total") * F.col("obs") - F.col("row_total") * F.col("col_total")
+    dev = (
+        F.col("grand_total") * F.col("obs") - F.col("row_total") * F.col("col_total")
+    ).cast("decimal(38,0)")
+    den = (
+        F.col("grand_total").cast("decimal(38,0)")
+        * F.col("row_total")
+        * F.col("col_total")
+    )
     return tot.select(
         "c_mktsegment",
         "o_orderpriority",
         F.col("obs").cast("long").alias("obs"),
         F.col("row_total").cast("long").alias("row_total"),
         F.col("col_total").cast("long").alias("col_total"),
-        F.round(
-            (dev * dev).cast("double")
-            / (F.col("grand_total") * F.col("row_total") * F.col("col_total")).cast(
-                "double"
-            ),
-            6,
-        ).alias("chisq_contrib"),
+        F.round((dev * dev).cast("double") / den.cast("double"), 6).alias(
+            "chisq_contrib"
+        ),
     )
 
 

@@ -46,13 +46,16 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 #: with the OLDEST newest-hard-row (never-proven keys first), with any
 #: arithmetic overflow named explicitly in DEFERRED_R7 so the next
 #: round's queue is derivable from the CORRECTNESS ledgers alone.
-#: Keys named OUT of the r6 window (arithmetic: 53 never-proven oracle
-#: pairs, 50 slots — VERDICT r5 #1 requires the deferrals be explicit so
-#: the r7 queue is pre-sealed).  These three are the lowest-algorithmic-
-#: risk of the 53: the multiset set-ops are single-operator composites
-#: over aligned projections and text_normalize is pure scalar string
-#: functions; all are green in the driver-identical local canon
-#: (tests/test_parity.py) and MUST head the r7 window.
+#: Never-proven oracle keys OUTSIDE the r6 window — they MUST head the
+#: r7 window (33 total: 50 slots leave room for 17 stalest-r3 reproofs).
+#: First three are the r5 spillover (arithmetic: 53 never-proven pairs,
+#: 50 slots — these were the lowest-algorithmic-risk of the 53: the
+#: multiset set-ops are single-operator composites over aligned
+#: projections, text_normalize pure scalar string functions); the rest
+#: are the 30 r6-registered §2.18 pairs, built AFTER the r6 window was
+#: sealed.  All 33 are green in the driver-identical local canon at
+#: sf0.001, sf0.01 AND (r6 keys) sf0.1 (tests/test_parity.py,
+#: tools/check_parity.py).
 DEFERRED_R7: tuple[str, ...] = (
     "set_intersect_all",
     "set_except_all",
