@@ -590,3 +590,80 @@ def fn_date_trunc_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").cast("int").alias("qtr"),
         F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
     )
+
+
+@register(
+    "fn_binary_codec",
+    # Payload codec family over the Kafka-record pattern [K]: base64
+    # round-trip and hex of the serialized record.  DuckDB's
+    # from_base64 returns BLOB (rendered as bytes), so the round-trip
+    # is re-decoded to text on both sides; hex output is uppercased to
+    # one casing (Spark hex() is uppercase, DuckDB hex() is uppercase
+    # too — pinned explicitly anyway).
+    oracle="""
+    SELECT o_orderkey,
+           base64(CAST(o_orderpriority AS BLOB)) AS b64,
+           CAST(from_base64(base64(CAST(o_orderpriority AS BLOB))) AS VARCHAR)
+               AS roundtrip,
+           upper(hex(CAST(o_orderstatus AS BLOB))) AS status_hex,
+           length(base64(CAST(o_orderpriority AS BLOB))) AS b64_len
+    FROM orders
+    WHERE o_orderkey % 17 = 3
+    """,
+)
+def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec scalar family: base64 encode / decode round-trip
+    and hex rendering of string payloads — the serialization surface of
+    the reference's Kafka record path [K] (opaque payload bytes in,
+    printable encodings out), all JVM-side codegen'd expressions.
+
+    Scale notes: pure scan-side work with the key filter pushed to
+    parquet; zero shuffles, zero UDFs."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 17 == 3)
+    p = F.col("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.base64(p.cast("binary")).alias("b64"),
+        F.unbase64(F.base64(p.cast("binary"))).cast("string").alias("roundtrip"),
+        F.upper(F.hex(F.col("o_orderstatus").cast("binary"))).alias("status_hex"),
+        F.length(F.base64(p.cast("binary"))).alias("b64_len"),
+    )
+
+
+@register(
+    "fn_hash_digests",
+    # Content-digest family: md5 and sha256 hex digests agree across
+    # engines byte-for-byte (both lowercase hex of the same UTF-8
+    # input), which is exactly why the engine's dedup/quantization ops
+    # use md5 as their portable certified-hash primitive.
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           substr(md5(text), 1, 8) AS md5_prefix,
+           md5(concat(source, '|', text)) AS salted_md5
+    FROM documents
+    WHERE doc_id % 11 = 5
+    """,
+)
+def fn_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest scalar family: md5 / sha256 hex digests and
+    a salted variant — the content-addressing primitive behind
+    ``dedup_exact``'s collapse keys, ``embed_quantize_int8``'s code
+    certificates and ``multimodal_dedup_phash``'s signatures, exposed
+    as a first-class surface (the portable-across-engines property IS
+    the feature: any system can re-derive and verify the keys).
+
+    Scale notes: scan-side digest evaluation inside codegen; digests
+    shuffle as fixed-width strings (or should be truncated/cast to
+    BIGINT for shuffle keys, as the dedup ops do)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 5)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.substring(F.md5("text"), 1, 8).alias("md5_prefix"),
+        F.md5(F.concat(F.col("source"), F.lit("|"), F.col("text"))).alias(
+            "salted_md5"
+        ),
+    )
