@@ -98,3 +98,70 @@ def test_bot_score_rules_all_fire_both_directions(spark):
     assert {r["night_ppm"] > 300000 for r in rows} == {True, False}
     assert {r["type_entropy"] < 1.58 for r in rows} == {True, False}
     assert len({r["verdict"] for r in rows}) >= 2
+
+
+def test_common_neighbors_cap_bounds_dense_slots(spark):
+    """The hot-slot cap is the 100 TB valve (sf1 measured 35x wall
+    without it): on a synthetic frame with one 200-user slot, at most
+    50 users may survive into pairing — and sparse slots must pass
+    through untouched."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [(i, base, i, "click", 1.0, "{}") for i in range(200)]  # dense slot
+    rows += [
+        (1000 + i, base + dt.timedelta(hours=2), i, "click", 1.0, "{}")
+        for i in range(10)  # sparse slot
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cap_syn_")
+    events.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = QUERIES["graph_common_neighbors"](spark, d)
+    # Pairs require >= 3 common slots; this frame has 1-slot overlaps
+    # only, so the OUTPUT is empty — the cap property is asserted on
+    # the op's internal invariant instead: re-derive the capped active
+    # frame exactly as the operator does and check the bound.
+    from spark_streaming_kafka_offset_spark.common import epoch_seconds
+    from pyspark.sql.window import Window as W
+
+    e = spark.read.parquet(f"{d}/events.parquet")
+    active0 = (
+        e.select("user_id", epoch_seconds("ts").alias("sec"))
+        .select("user_id", F.expr("sec div 600").alias("slot"))
+        .distinct()
+    )
+    wslot = W.partitionBy("slot").orderBy(
+        (F.col("user_id") * 1103515245 + F.col("slot") * 12345) % 2147483648,
+        "user_id",
+    )
+    capped = (
+        active0.withColumn("rn", F.row_number().over(wslot))
+        .where(F.col("rn") <= 50)
+        .groupBy("slot")
+        .count()
+        .collect()
+    )
+    sizes = sorted(r["count"] for r in capped)
+    assert sizes == [10, 50], sizes  # dense slot capped, sparse intact
+    out.collect()  # and the full operator still runs on the frame
+
+
+def test_ngram_novelty_trigram_lambda_reuses_split(spark):
+    """The r6 sf1 fix: the trigram transform lambda must reference the
+    pre-split array column, never re-evaluate split(text) per element
+    (the inline form re-split 4x per row and cost 35 s at sf1), and
+    gram keys must shuffle as xxhash64 longs, not raw strings.  The
+    only split occurrences left are the single array projection and
+    the pushed-down size filter — one per scan branch."""
+    df = QUERIES["text_ngram_novelty"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.split("\n"):
+        if "Generate explode" in line:
+            assert "split(" not in line, line
+    assert "xxhash64" in plan
