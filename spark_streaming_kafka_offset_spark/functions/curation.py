@@ -562,3 +562,80 @@ def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "corpus_heaps_curve",
+    # Vocabulary-growth (Heaps'-law) curve via the first-seen collapse:
+    # each distinct trigram contributes at its MIN doc position (a
+    # mergeable aggregate — never a running distinct over the corpus),
+    # bucketed by 50-doc corpus position; the cumulative curve is a
+    # window over the position rollup.
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) AS g
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ), first_seen AS (
+        SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    ), buckets AS (
+        SELECT first_doc // 50 AS pos_bucket,
+               CAST(COUNT(*) AS BIGINT) AS new_types
+        FROM first_seen GROUP BY pos_bucket
+    )
+    SELECT CAST(pos_bucket AS BIGINT) AS pos_bucket, new_types,
+           CAST(SUM(new_types) OVER (ORDER BY pos_bucket
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_types
+    FROM buckets
+    ORDER BY pos_bucket
+    """,
+)
+def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law): how many NEW trigram types
+    each 50-document slice of the corpus contributes, plus the
+    cumulative type count — the saturation readout behind "is more of
+    this source still adding new content?" dedup/acquisition decisions
+    (a flattening curve = the source is mined out).
+
+    Scale notes: the running-distinct trap is avoided by the first-seen
+    collapse — MIN(doc_id) per gram is a mergeable aggregate on the
+    gram key (grams travel as xxhash64 longs), the bucket rollup is
+    corpus-position-sized, and the cumsum window runs on that rollup
+    (allowlisted single-partition exchange).  Same pattern as
+    `events_new_users_daily` for users."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = (
+        d.where(F.size(w) >= 3)
+        .select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3), "
+                    "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.xxhash64("g").alias("gh"))
+    )
+    first_seen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    buckets = (
+        first_seen.select(F.expr("first_doc div 50").alias("pos_bucket"))
+        .groupBy("pos_bucket")
+        .agg(F.count("*").cast("long").alias("new_types"))
+    )
+    win = Window.orderBy("pos_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return buckets.select(
+        F.col("pos_bucket").cast("long").alias("pos_bucket"),
+        "new_types",
+        F.sum("new_types").over(win).cast("long").alias("cum_types"),
+    ).orderBy("pos_bucket")

@@ -501,3 +501,67 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_band", "disc_band")
     )
+
+
+@register(
+    "agg_share_of_total_nested",
+    # Two-level share-of-total: nation revenue as ppm of its region and
+    # of the grand total, both from integer cents on the nation-sized
+    # rollup (region window partitioned, global window an allowlisted
+    # single-partition exchange of <=25 rows).
+    oracle="""
+    WITH nat AS (
+        SELECT r.r_name, n.n_name,
+               SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT r_name, n_name,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY r_name)
+                AS BIGINT) AS share_of_region_ppm,
+           CAST(cents * 1000000 // SUM(cents) OVER () AS BIGINT)
+               AS share_of_total_ppm
+    FROM nat
+    ORDER BY r_name, n_name
+    """,
+)
+def agg_share_of_total_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested share-of-total: each nation's revenue as a share of its
+    region AND of the world — the two-level contribution view every
+    BI drill-down renders, with both shares as floored ppm integers.
+
+    Scale notes: the fact table aggregates ONCE to the nation-sized
+    rollup (dims broadcast); both share windows run on that <=25-row
+    frame.  Shares are integer `div` of exact cent sums — deterministic
+    and overflow-safe (cents*1e6 <= ~1e19 needs the wide form at sf10+,
+    so the multiplication is DECIMAL(38,0) on both sides)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    return nat.select(
+        "r_name",
+        "n_name",
+        F.col("cents").cast("long").alias("revenue_cents"),
+        F.expr(
+            "CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 div "
+            "SUM(cents) OVER (PARTITION BY r_name) AS LONG)"
+        ).alias("share_of_region_ppm"),
+        F.expr(
+            "CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 div "
+            "SUM(cents) OVER () AS LONG)"
+        ).alias("share_of_total_ppm"),
+    ).orderBy("r_name", "n_name")

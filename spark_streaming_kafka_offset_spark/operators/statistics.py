@@ -1302,3 +1302,190 @@ def lineitem_gmv_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+@register(
+    "events_new_users_daily",
+    # Activation accounting without count-distinct windows: each user
+    # collapses to their FIRST-PURCHASE day (min aggregate — mergeable,
+    # scale-safe), activation counts are a calendar rollup, and the
+    # cumulative curve is a window over that rollup.  First-ANY-event
+    # was the original definition and was near-vacuous on the fixtures
+    # (every user active within the first 2 days -> a 2-point curve);
+    # first purchase spreads activations across ~11 days at sf0.01.
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ), daily AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_users
+    FROM daily
+    ORDER BY day
+    """,
+)
+def events_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user ACTIVATION (first purchase) and the cumulative
+    activated-user curve — the growth chart every dashboard opens
+    with, computed the scale-safe way: first-purchase day is a MIN
+    aggregate per user (mergeable, partial-aggregable — never a
+    count-distinct window over history).
+
+    Scale notes: one hash aggregate user->first_day (on the natural
+    user partitioning), one calendar rollup, and the cumsum window
+    runs on that |days|-row rollup (allowlisted single-partition
+    exchange).  This is the same first-seen collapse
+    `corpus_heaps_curve` applies to vocabulary growth."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("day"))
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day")
+
+
+@register(
+    "orders_rfm_migration",
+    # Segment-migration matrix between two halves of the order history:
+    # per customer per period an integer order count -> a CASE tier,
+    # FULL OUTER join of the periods (absent = 'none'), matrix counts.
+    # Everything integer; the tier thresholds sit inside the fixture
+    # distribution (counts 1 / 2-4 / 5+ all occur in both halves).
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey, COUNT(*) AS n FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-07-01' GROUP BY o_custkey
+    ), b AS (
+        SELECT o_custkey, COUNT(*) AS n FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-07-01' GROUP BY o_custkey
+    ), tiers AS (
+        SELECT COALESCE(a.o_custkey, b.o_custkey) AS cust,
+               CASE WHEN a.n IS NULL THEN 'none'
+                    WHEN a.n >= 5 THEN 'high'
+                    WHEN a.n >= 2 THEN 'mid' ELSE 'low' END AS tier_a,
+               CASE WHEN b.n IS NULL THEN 'none'
+                    WHEN b.n >= 5 THEN 'high'
+                    WHEN b.n >= 2 THEN 'mid' ELSE 'low' END AS tier_b
+        FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+    )
+    SELECT tier_a, tier_b, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM tiers
+    GROUP BY tier_a, tier_b
+    ORDER BY tier_a, tier_b
+    """,
+)
+def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-tier migration matrix between the first and second
+    half of the order history: which customers moved low->high,
+    went quiet ('none'), or appeared new — the CRM transition readout
+    that a point-in-time `orders_rfm_segments` cannot show.
+
+    Scale notes: two period-filtered aggregates over the same scan
+    family (Catalyst plans each with the pushed date filter), a FULL
+    OUTER join on the customer key (customer-dim sized), and a 16-cell
+    matrix rollup.  All tier logic is integer CASE — no percentile
+    boundaries to diverge on."""
+    o = load_table(spark, sf_dir, "orders")
+    a = (
+        o.where(F.col("o_orderdate") < "1998-07-01")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        o.where(F.col("o_orderdate") >= "1998-07-01")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_b"))
+        .withColumnRenamed("o_custkey", "custkey_b")
+    )
+
+    def tier(col):
+        return (
+            F.when(F.col(col).isNull(), "none")
+            .when(F.col(col) >= 5, "high")
+            .when(F.col(col) >= 2, "mid")
+            .otherwise("low")
+        )
+
+    tiers = a.join(b, a.o_custkey == b.custkey_b, "full").select(
+        tier("n_a").alias("tier_a"), tier("n_b").alias("tier_b")
+    )
+    return (
+        tiers.groupBy("tier_a", "tier_b")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("tier_a", "tier_b")
+    )
+
+
+@register(
+    "orders_ship_delay_histogram",
+    # Order-to-ship latency distribution in whole-week buckets: the
+    # delay is integer date arithmetic, the bucket id integer `div`,
+    # the share ppm integer division — the fulfillment-latency SLA
+    # readout as one join + one domain-bounded aggregate.
+    oracle="""
+    WITH delays AS (
+        SELECT CAST(CAST(l.l_shipdate AS DATE)
+                    - CAST(o.o_orderdate AS DATE) AS BIGINT) // 7
+                   AS delay_weeks
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT delay_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT)
+               AS share_ppm
+    FROM delays
+    GROUP BY delay_weeks
+    ORDER BY delay_weeks
+    """,
+)
+def orders_ship_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay distribution in whole weeks — the
+    fulfillment-latency histogram behind SLA targets, sibling of
+    `orders_ontime_ship_rate` (that op asks "within 30 days?"; this one
+    shows the whole shape).
+
+    Scale notes: one fact join on the order key, one hash aggregate to
+    the domain-bounded week buckets; the share window runs on that
+    bucket rollup (allowlisted single-partition exchange of a
+    domain-bounded frame).  Delay and bucket are integer date
+    arithmetic and `div` — no float ever decides a bucket."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    delays = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.expr(
+                "CAST(datediff(CAST(l_shipdate AS DATE), "
+                "CAST(o_orderdate AS DATE)) AS LONG) div 7"
+            ).alias("delay_weeks")
+        )
+    )
+    counts = delays.groupBy("delay_weeks").agg(
+        F.count("*").cast("long").alias("n_lines")
+    )
+    w_all = Window.partitionBy()
+    return counts.select(
+        "delay_weeks",
+        "n_lines",
+        F.expr("n_lines * 1000000").alias("_num"),
+        F.sum("n_lines").over(w_all).alias("_tot"),
+    ).select(
+        "delay_weeks",
+        "n_lines",
+        F.expr("_num div _tot").alias("share_ppm"),
+    ).orderBy("delay_weeks")

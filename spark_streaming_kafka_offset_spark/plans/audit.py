@@ -119,6 +119,14 @@ SINGLE_ALLOWED: dict[str, str] = {
     "frame (the corpus-sized rank is lang-partitioned)",
     "events_stl_decompose": "centered trend window over the "
     "calendar-sized daily rollup",
+    "events_new_users_daily": "cumsum window over the calendar-sized "
+    "new-user rollup",
+    "orders_ship_delay_histogram": "share window over the "
+    "calendar-span-bounded week-bucket rollup",
+    "corpus_heaps_curve": "cumsum window over the corpus-position "
+    "bucket rollup",
+    "agg_share_of_total_nested": "global share window over the "
+    "<=25-row nation rollup",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

@@ -47,13 +47,13 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 #: arithmetic overflow named explicitly in DEFERRED_R7 so the next
 #: round's queue is derivable from the CORRECTNESS ledgers alone.
 #: Never-proven oracle keys OUTSIDE the r6 window — they MUST head the
-#: r7 window (35 total: 50 slots leave room for 15 stalest-r3 reproofs).
+#: r7 window (40 total: 50 slots leave room for 10 stalest-r3 reproofs).
 #: First three are the r5 spillover (arithmetic: 53 never-proven pairs,
 #: 50 slots — these were the lowest-algorithmic-risk of the 53: the
 #: multiset set-ops are single-operator composites over aligned
 #: projections, text_normalize pure scalar string functions); the rest
-#: are the 32 r6-registered §2.18 pairs, built AFTER the r6 window was
-#: sealed.  All 35 are green in the driver-identical local canon at
+#: are the 37 r6-registered §2.18 pairs, built AFTER the r6 window was
+#: sealed.  All 40 are green in the driver-identical local canon at
 #: sf0.001, sf0.01 AND (r6 keys) sf0.1 (tests/test_parity.py,
 #: tools/check_parity.py).
 DEFERRED_R7: tuple[str, ...] = (
@@ -98,6 +98,11 @@ DEFERRED_R7: tuple[str, ...] = (
     "lineitem_gmv_waterfall",
     "fn_binary_codec",
     "fn_hash_digests",
+    "events_new_users_daily",
+    "orders_rfm_migration",
+    "orders_ship_delay_histogram",
+    "corpus_heaps_curve",
+    "agg_share_of_total_nested",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -200,6 +205,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lineitem_gmv_waterfall",
     "fn_binary_codec",
     "fn_hash_digests",
+    "events_new_users_daily",
+    "orders_rfm_migration",
+    "orders_ship_delay_histogram",
+    "corpus_heaps_curve",
+    "agg_share_of_total_nested",
     # Hard-proven oracle keys, stalest evidence first (r3-only tier of
     # 34, then the r4 window, then the r5 window) — ascending newest
     # hard row, alphabetical within a tier, so the r7+ rotation queue
