@@ -377,6 +377,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stream_join",
     "stream_left_outer_join",
     "stream_scd2_apply",
+    "stream_multi_topic_union",
     "stream_offset_ledger",
     "stream_offset_lag_monitor",
     "stream_offset_rewind",

@@ -437,6 +437,72 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("purchase_id", "click_id")
 
 
+@register("stream_multi_topic_union")
+def stream_multi_topic_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-topic consumption [K]: two independently-staged streams
+    (the file stand-ins for a Kafka multi-topic ``subscribe`` —
+    'interactions' = click/view, 'transactions' = purchase/signup/
+    error) are read as SEPARATE sources, tagged with their topic (the
+    analogue of Kafka's ``topic`` metadata column), unioned, and
+    aggregated in one windowed query — the consume-many-topics-into-
+    one-pipeline shape the reference's subscribe list enables.
+
+    Scale notes: a streaming union is plan-level — each source keeps
+    its own offsets/files progress in the ONE checkpoint, micro-batches
+    draw from both sources, and the post-union aggregate state is
+    keyed on (window, topic, type) exactly as a single-source agg
+    would be.  Batch-equivalence is pinned in tests/test_streaming.py:
+    the unioned streaming result must equal the one-shot batch
+    aggregate over the same rows."""
+    base_dir = stage_stream_dir(spark, sf_dir)
+    topics = scratch_path("topics_")
+    batch = spark.read.parquet(base_dir)
+    batch.where(F.col("event_type").isin("click", "view")).write.mode(
+        "overwrite"
+    ).parquet(f"{topics}/interactions")
+    batch.where(~F.col("event_type").isin("click", "view")).write.mode(
+        "overwrite"
+    ).parquet(f"{topics}/transactions")
+
+    def topic_stream(name: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .parquet(f"{topics}/{name}")
+            .withColumn("topic", F.lit(name))
+        )
+
+    unioned = topic_stream("interactions").unionByName(
+        topic_stream("transactions")
+    )
+    # Complete mode, no watermark: a bounded backfill run must emit the
+    # FINAL day too, and in append mode a window only closes once the
+    # watermark passes its end — the last day would trail forever (the
+    # same semantics stream_left_outer_join pins for outer joins).  A
+    # production always-on variant flips to append + watermark and
+    # accepts the trailing window; complete keeps all window state
+    # (fine for the day-grain rollup, wrong for unbounded keys).
+    agg = (
+        unioned.groupBy(
+            F.window("ts", "1 day").alias("w"), F.col("topic"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("day_start"),
+            "topic",
+            "event_type",
+            "n",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+    )
+    out = run_to_completion(
+        agg,
+        "stream_multi_topic_union",
+        "complete",
+        checkpoint=scratch_path("ckpt_"),
+    )
+    return out.orderBy("day_start", "topic", "event_type")
+
+
 @register("stream_scd2_apply")
 def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SCD2 maintenance — the incremental twin of the batch

@@ -497,6 +497,40 @@ def test_stream_left_outer_join_semantics(spark):
     assert must_emit <= null_ids
 
 
+def test_stream_multi_topic_union_equals_batch(spark):
+    """The two-topic streaming union must aggregate to exactly the
+    one-shot batch answer over the same rows — per-source progress in
+    one checkpoint may not drop or double-read either topic."""
+    streamed = sorted(
+        map(tuple, QUERIES["stream_multi_topic_union"](spark, SF_DIR).collect())
+    )
+    e = _batch_events(spark)
+    topic = F.when(
+        F.col("event_type").isin("click", "view"), "interactions"
+    ).otherwise("transactions")
+    batch = sorted(
+        map(
+            tuple,
+            e.groupBy(
+                F.window("ts", "1 day").alias("w"),
+                topic.alias("topic"),
+                F.col("event_type"),
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .select(
+                F.col("w.start").alias("day_start"),
+                "topic",
+                "event_type",
+                "n",
+                F.round("sum_value", 2).alias("sum_value"),
+            )
+            .collect(),
+        )
+    )
+    assert len(streamed) > 0
+    assert streamed == batch
+
+
 def test_stream_scd2_apply_equals_batch_merge(spark):
     """Incremental SCD2 maintenance over a chunked CDC stream must
     converge to exactly the one-shot batch merge_scd2 history — closing
