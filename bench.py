@@ -48,9 +48,30 @@ def cpu_fingerprint() -> dict[str, object]:
     h = hashlib.sha256()
     for _ in range(256):
         h.update(buf)
+    single = round(time.monotonic() - t0, 4)
+
+    # All-cores token (VERDICT r6 #2): the single-core number cannot see
+    # multi-core co-tenancy — r6 recorded the FASTEST cpu_sec of any
+    # round next to the SLOWEST wall.  Fixed parallel work: 32 threads ×
+    # 64 sha256 passes over 1 MiB each (hashlib releases the GIL for
+    # buffers this large, so threads genuinely occupy cores).  On an
+    # idle 32-vCPU host this is ≈8× the single-core token's work per
+    # core and should land near ``cpu_sec``×0.25×32/32; a co-tenant
+    # machine inflates it roughly in proportion to stolen cores.
+    import concurrent.futures
+
+    def _hash_pass() -> None:
+        hh = hashlib.sha256()
+        for _ in range(64):
+            hh.update(buf)
+
+    t1 = time.monotonic()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=32) as ex:
+        list(ex.map(lambda _: _hash_pass(), range(32)))
     return {
         "uname": f"{platform.system()} {platform.release()} {platform.machine()}",
-        "cpu_sec": round(time.monotonic() - t0, 4),
+        "cpu_sec": single,
+        "cpu_allcores_sec": round(time.monotonic() - t1, 4),
     }
 
 #: Headline set: one per operator family, weighted toward the plans that
@@ -93,6 +114,11 @@ BSET = [
     "multimodal_dedup_phash",
     "agg_kmv_bottomk",
     "events_dau_mau_stickiness",
+    # r6 sf1-sweep fixes (VERDICT r6 #7): keep the repaired code paths
+    # visible round-over-round so a fanout regression shows up here
+    # before the next sf1 sweep.
+    "graph_common_neighbors",
+    "text_ngram_novelty",
 ]
 
 

@@ -44,132 +44,29 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 #: Freshness rule (VERDICT r4 #2 / r5 #8, codified in
 #: tests/test_registry.py): the window must always hold the oracle keys
 #: with the OLDEST newest-hard-row (never-proven keys first), with any
-#: arithmetic overflow named explicitly in DEFERRED_R7 so the next
+#: arithmetic overflow named explicitly in DEFERRED_R8 so the next
 #: round's queue is derivable from the CORRECTNESS ledgers alone.
-#: Never-proven oracle keys OUTSIDE the r6 window — they MUST head the
-#: r7 window (40 total: 50 slots leave room for 10 stalest-r3 reproofs).
-#: First three are the r5 spillover (arithmetic: 53 never-proven pairs,
-#: 50 slots — these were the lowest-algorithmic-risk of the 53: the
-#: multiset set-ops are single-operator composites over aligned
-#: projections, text_normalize pure scalar string functions); the rest
-#: are the 37 r6-registered §2.18 pairs, built AFTER the r6 window was
-#: sealed.  All 40 are green in the driver-identical local canon at
-#: sf0.001, sf0.01 AND (r6 keys) sf0.1 (tests/test_parity.py,
-#: tools/check_parity.py).
-DEFERRED_R7: tuple[str, ...] = (
-    "set_intersect_all",
-    "set_except_all",
-    "text_normalize",
-    # r6-registered oracle pairs (statistics + curation batches).  The r6
-    # window was already sealed on the 50 r5-era never-proven pairs when
-    # these were built, so they join the r7 queue: never-proven keys are
-    # accounted for as window ∪ DEFERRED_R7 (freshness rule,
-    # tests/test_registry.py) and all are green in the driver-identical
-    # local canon (tests/test_parity.py).
-    "agg_chisq_independence",
-    "agg_entropy_categorical",
-    "agg_trimmed_winsorized",
-    "events_acf",
-    "revenue_bridge_yoy",
-    "text_url_canonicalize",
-    "corpus_token_budget",
-    "corpus_mixture_plan",
-    "text_ngram_novelty",
-    "entity_resolution_blocked",
-    "join_geo_grid",
-    "graph_common_neighbors",
-    "fn_regexp",
-    "events_holt_forecast",
-    "agg_theilsen_trend",
-    "orders_hazard_table",
-    "table_partition_advisor",
-    "join_lateral_topk",
-    "docs_curriculum_order",
-    "events_stl_decompose",
-    "events_user_lifecycle",
-    "events_bot_score",
-    "embed_matryoshka_eval",
-    "agg_weighted_median",
-    "orders_ontime_ship_rate",
-    "supplier_hhi_concentration",
-    "fn_date_trunc_iso",
-    "agg_histogram_2d",
-    "corpus_source_similarity",
-    "lineitem_gmv_waterfall",
-    "fn_binary_codec",
-    "fn_hash_digests",
-    "events_new_users_daily",
-    "orders_rfm_migration",
-    "orders_ship_delay_histogram",
-    "corpus_heaps_curve",
-    "agg_share_of_total_nested",
-)
+#: Oracle keys registered DURING round 7, after the r7 window below was
+#: sealed — they head the r8 window (freshness rule: never-proven keys
+#: are accounted for as window ∪ DEFERRED_R8, tests/test_registry.py).
+#: Empty at r7 window-seal time; new r7 oracle registrations append here
+#: AND to DRIVER_PRIORITY just after the window boundary.
+DEFERRED_R8: tuple[str, ...] = ()
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Window policy (r6): the driver checks the FIRST 50 keys only.
-    # r2-r5 each hash-proved a 50-key window (all green); their union
-    # hard-covers 134 of the 187 oracle pairs.  This window holds 50 of
-    # the 53 r5-registered pairs that have NO hard driver row yet (the
-    # other 3 are DEFERRED_R7 above), ordered riskiest-twin first
-    # (VERDICT r5 #1): iterative-algorithm twins (graph family, Lloyd
-    # k-means, recursive CTE), bitmap/KMV mergeable sketches, SCD2 pair,
-    # then the eval-first and analytics families.  Green rows here mean
-    # 184/187 oracle pairs have a hard CORRECTNESS row across r2..r6.
+    # ---- Window policy (r7): the driver checks the FIRST 50 keys only.
+    # r2-r6 each hash-proved a 50-key window (all green); their union
+    # hard-covers 184 of the 224 oracle pairs.  This window holds the
+    # 40 never-proven pairs carried in r6's DEFERRED_R7 (3 r5 spillovers
+    # + the 37 r6-registered §2.18 pairs, in the exact order DEFERRED_R7
+    # named them) plus the 10 alphabetically-first keys of the stalest
+    # hard-proven tier (newest hard row = r3).  Green rows here mean
+    # EVERY oracle pair registered through r6 has a hard CORRECTNESS row
+    # across r2..r7 — the first round where that is true.
     # tests/test_registry.py::test_window_targets_stalest_oracle_keys
     # derives this policy from the CORRECTNESS ledgers and fails if the
-    # window ever omits a stalest-tier key not named in DEFERRED_R7.
-    "graph_shortest_paths",
-    "kmeans_lloyd_exact",
-    "rollup_bitmap_distinct",
-    "events_dau_mau_stickiness",
-    "sql_recursive_cte",
-    "fn_variant",
-    "merge_scd2",
-    "join_temporal_dim",
-    "agg_kmv_bottomk",
-    "dedup_lsh_recall",
-    "graph_pagerank",
-    "graph_kcore",
-    "graph_triangle_count",
-    "graph_degree_stats",
-    "analyze_sampled_stats",
-    "fn_hof",
-    "corpus_admission_pipeline",
-    "table_skew_stats",
-    "resample_interp",
-    "join_asof_nearest",
-    "multimodal_dedup_phash",
-    "dedup_containment",
-    "text_dedup_paragraph",
-    "text_lm_perplexity",
-    "text_langid_confusion",
-    "text_pii_redact",
-    "text_entropy",
-    "embed_quantize_int8",
-    "agg_histogram",
-    "agg_corr_exact",
-    "agg_moments_exact",
-    "orders_abc_pareto",
-    "events_ewma",
-    "events_anomaly_mad",
-    "orders_seasonality",
-    "events_changepoint",
-    "orders_basket_affinity",
-    "events_top_paths",
-    "orders_backlog_sweep",
-    "events_rolling_active",
-    "events_pattern_match",
-    "events_activity_streaks",
-    "cohort_ltv",
-    "events_ab_lift",
-    "events_attribution",
-    "audience_overlap_exact",
-    "orders_duplicate_payments",
-    "lineitem_vwap_monthly",
-    "scan_bloom_prepass",
-    "scan_agg_pushdown",
-    # --- window boundary (50) ---
-    # Deferred never-proven pairs (r7 queue head; see DEFERRED_R7).
+    # window ever omits a stalest-tier key not named in DEFERRED_R8.
+    # -- never-proven tier (r6 DEFERRED_R7, order preserved) --
     "set_intersect_all",
     "set_except_all",
     "text_normalize",
@@ -210,11 +107,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_ship_delay_histogram",
     "corpus_heaps_curve",
     "agg_share_of_total_nested",
-    # Hard-proven oracle keys, stalest evidence first (r3-only tier of
-    # 34, then the r4 window, then the r5 window) — ascending newest
-    # hard row, alphabetical within a tier, so the r7+ rotation queue
-    # reads straight down this list after the deferrals.
-    # -- newest hard row: r3 --
+    # -- stalest hard-proven tier (newest hard row: r3; first 10 of 34
+    #    alphabetically — all 34 are equally stale, so any 10 satisfy
+    #    the freshness rule; alphabetical-first keeps it derivable) --
     "chunk_documents",
     "cohort_retention",
     "contamination_check",
@@ -225,6 +120,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_array_ops",
     "join_asof_fwd",
     "join_bucketed",
+    # --- window boundary (50) ---
+    # Oracle keys registered during r7, after the window seal, are
+    # appended HERE (and to DEFERRED_R8) — the r8 queue head.
+    # Hard-proven oracle keys, stalest evidence first — ascending newest
+    # hard row, alphabetical within a tier, so the r8+ rotation queue
+    # reads straight down this list after the deferrals.  After the r7
+    # window proves its 10 r3-era keys, the stalest tier is the 24
+    # remaining r3-era keys below, then the r4 window of 50, then r5,
+    # then the r6 window of 50 — that IS the derived r8 queue (VERDICT
+    # r6 #8): DEFERRED_R8 ∪ the next 30 keys in this list.
+    # -- newest hard row: r3 (24 remaining) --
     "join_skew_salted",
     "multimodal_meta",
     "pack_sequences",
@@ -351,6 +257,57 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "win_distribution",
     "win_frame_running",
     "win_lag_lead",
+    # -- newest hard row: r6 (the r6 window, alphabetical) --
+    "agg_corr_exact",
+    "agg_histogram",
+    "agg_kmv_bottomk",
+    "agg_moments_exact",
+    "analyze_sampled_stats",
+    "audience_overlap_exact",
+    "cohort_ltv",
+    "corpus_admission_pipeline",
+    "dedup_containment",
+    "dedup_lsh_recall",
+    "embed_quantize_int8",
+    "events_ab_lift",
+    "events_activity_streaks",
+    "events_anomaly_mad",
+    "events_attribution",
+    "events_changepoint",
+    "events_dau_mau_stickiness",
+    "events_ewma",
+    "events_pattern_match",
+    "events_rolling_active",
+    "events_top_paths",
+    "fn_hof",
+    "fn_variant",
+    "graph_degree_stats",
+    "graph_kcore",
+    "graph_pagerank",
+    "graph_shortest_paths",
+    "graph_triangle_count",
+    "join_asof_nearest",
+    "join_temporal_dim",
+    "kmeans_lloyd_exact",
+    "lineitem_vwap_monthly",
+    "merge_scd2",
+    "multimodal_dedup_phash",
+    "orders_abc_pareto",
+    "orders_backlog_sweep",
+    "orders_basket_affinity",
+    "orders_duplicate_payments",
+    "orders_seasonality",
+    "resample_interp",
+    "rollup_bitmap_distinct",
+    "scan_agg_pushdown",
+    "scan_bloom_prepass",
+    "sql_recursive_cte",
+    "table_skew_stats",
+    "text_dedup_paragraph",
+    "text_entropy",
+    "text_langid_confusion",
+    "text_lm_perplexity",
+    "text_pii_redact",
     # Rows-only SURVEY rows (no DuckDB-expressible oracle), streaming
     # first — never occupy window slots (locked by test_registry.py).
     "sim_topk_pq",

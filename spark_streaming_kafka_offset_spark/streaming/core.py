@@ -437,6 +437,19 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("purchase_id", "click_id")
 
 
+def topic_route_predicates() -> tuple:
+    """Exhaustive, null-safe topic routing for the multi-topic split
+    (ADVICE r6): a bare ``~isin(...)`` evaluates NULL for a NULL
+    event_type and the row would vanish from BOTH topics, silently
+    diverging from the batch twin's when(...).otherwise('transactions')
+    which maps NULL to 'transactions'.  coalesce(¬interaction, True)
+    sends the NULL/unknown tail to 'transactions', so the two
+    predicates PARTITION every input row (pinned by
+    tests/test_streaming.py::test_topic_route_predicates_partition)."""
+    is_interaction = F.col("event_type").isin("click", "view")
+    return is_interaction, F.coalesce(~is_interaction, F.lit(True))
+
+
 @register("stream_multi_topic_union")
 def stream_multi_topic_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-topic consumption [K]: two independently-staged streams
@@ -457,12 +470,13 @@ def stream_multi_topic_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_dir = stage_stream_dir(spark, sf_dir)
     topics = scratch_path("topics_")
     batch = spark.read.parquet(base_dir)
-    batch.where(F.col("event_type").isin("click", "view")).write.mode(
-        "overwrite"
-    ).parquet(f"{topics}/interactions")
-    batch.where(~F.col("event_type").isin("click", "view")).write.mode(
-        "overwrite"
-    ).parquet(f"{topics}/transactions")
+    route_interactions, route_transactions = topic_route_predicates()
+    batch.where(route_interactions).write.mode("overwrite").parquet(
+        f"{topics}/interactions"
+    )
+    batch.where(route_transactions).write.mode("overwrite").parquet(
+        f"{topics}/transactions"
+    )
 
     def topic_stream(name: str) -> DataFrame:
         return (
@@ -501,6 +515,64 @@ def stream_multi_topic_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=scratch_path("ckpt_"),
     )
     return out.orderBy("day_start", "topic", "event_type")
+
+
+def scd2_merge_batch(hist: DataFrame, batch_df: DataFrame, eff) -> DataFrame:
+    """One micro-batch of incremental SCD2 maintenance: merge a CDC
+    chunk (c_custkey, new_seg, new_bal) into the history frame,
+    closing the current version and inserting the new one for every
+    REAL change (no-op changes create no version — the merge_scd2
+    contract).  Change detection is against the STORE's current row.
+
+    Prior CLOSED versions always survive verbatim — only the current
+    row of a re-changed key is replaced (ADVICE r6: an anti-join over
+    the whole history would drop a key's earlier closed versions
+    whenever the same key changes again in a later micro-batch,
+    re-adding only the store's current row as closed — silent history
+    corruption under general CDC).  Pinned by
+    tests/test_streaming.py::test_scd2_merge_preserves_prior_versions,
+    which changes ONE key across two batches and counts 3 versions."""
+    cur = hist.where(F.col("is_current"))
+    real = (
+        batch_df.alias("b")
+        .join(cur.alias("h"), "c_custkey")
+        .where(
+            (F.col("b.new_seg") != F.col("h.c_mktsegment"))
+            | (F.col("b.new_bal") != F.col("h.c_acctbal"))
+        )
+        .select(
+            "c_custkey",
+            F.col("h.c_mktsegment").alias("old_seg"),
+            F.col("h.c_acctbal").alias("old_bal"),
+            F.col("h.valid_from").alias("old_from"),
+            "b.new_seg",
+            "b.new_bal",
+        )
+    )
+    untouched = hist.where(~F.col("is_current")).unionByName(
+        cur.join(real.select("c_custkey"), "c_custkey", "left_anti")
+    )
+    closed = real.select(
+        "c_custkey",
+        F.col("old_seg").alias("c_mktsegment"),
+        F.col("old_bal").alias("c_acctbal"),
+        F.col("old_from").alias("valid_from"),
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    fresh = real.select(
+        "c_custkey",
+        F.col("new_seg").alias("c_mktsegment"),
+        F.col("new_bal").alias("c_acctbal"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    out = untouched.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        "valid_from", "valid_to", "is_current",
+    )
+    return out.unionByName(closed).unionByName(fresh)
 
 
 @register("stream_scd2_apply")
@@ -566,47 +638,7 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         hist = spark.read.parquet(_latest(before=batch_id + 1))
-        cur = hist.where(F.col("is_current"))
-        # Change detection against the store's current row; no-op
-        # changes must not create a version (the merge_scd2 contract).
-        real = (
-            batch_df.alias("b")
-            .join(cur.alias("h"), "c_custkey")
-            .where(
-                (F.col("b.new_seg") != F.col("h.c_mktsegment"))
-                | (F.col("b.new_bal") != F.col("h.c_acctbal"))
-            )
-            .select(
-                "c_custkey",
-                F.col("h.c_mktsegment").alias("old_seg"),
-                F.col("h.c_acctbal").alias("old_bal"),
-                F.col("h.valid_from").alias("old_from"),
-                "b.new_seg",
-                "b.new_bal",
-            )
-        )
-        untouched = hist.join(real.select("c_custkey"), "c_custkey", "left_anti")
-        closed = real.select(
-            "c_custkey",
-            F.col("old_seg").alias("c_mktsegment"),
-            F.col("old_bal").alias("c_acctbal"),
-            F.col("old_from").alias("valid_from"),
-            eff.alias("valid_to"),
-            F.lit(False).alias("is_current"),
-        )
-        fresh = real.select(
-            "c_custkey",
-            F.col("new_seg").alias("c_mktsegment"),
-            F.col("new_bal").alias("c_acctbal"),
-            eff.alias("valid_from"),
-            F.lit(None).cast("date").alias("valid_to"),
-            F.lit(True).alias("is_current"),
-        )
-        out = untouched.select(
-            "c_custkey", "c_mktsegment", "c_acctbal",
-            "valid_from", "valid_to", "is_current",
-        )
-        out.unionByName(closed).unionByName(fresh).write.mode(
+        scd2_merge_batch(hist, batch_df, eff).write.mode(
             "overwrite"
         ).parquet(f"{store}/v{batch_id + 1}")
 

@@ -935,3 +935,72 @@ def test_backfill_stitch_has_no_seam(spark):
         .collect()
     }
     assert got == want
+
+
+def test_topic_route_predicates_partition(spark):
+    """ADVICE r6: the multi-topic split must route a NULL event_type to
+    'transactions' (matching the batch twin's otherwise branch), not
+    silently drop it from both topics — the two predicates must
+    PARTITION any input, nulls included."""
+    from spark_streaming_kafka_offset_spark.streaming.core import (
+        topic_route_predicates,
+    )
+
+    df = spark.createDataFrame(
+        [("click",), ("view",), ("purchase",), (None,)],
+        "event_type string",
+    )
+    inter_pred, trans_pred = topic_route_predicates()
+    inter = df.where(inter_pred)
+    trans = df.where(trans_pred)
+    assert inter.count() == 2
+    assert trans.count() == 2  # purchase AND the NULL row
+    assert inter.count() + trans.count() == df.count()
+    assert [r["event_type"] for r in trans.collect() if r["event_type"] is None] == [
+        None
+    ]
+
+
+def test_scd2_merge_preserves_prior_versions(spark):
+    """ADVICE r6: a key changed in TWO different micro-batches must keep
+    all three versions (origin closed, intermediate closed, final
+    current) — the store merge may not collapse earlier closed rows
+    when the same key changes again later."""
+    from spark_streaming_kafka_offset_spark.streaming.core import scd2_merge_batch
+
+    hist0 = spark.createDataFrame(
+        [(1, "BUILDING", 100.0, "1992-01-01", None, True)],
+        "c_custkey long, c_mktsegment string, c_acctbal double, "
+        "valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+        "is_current",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "MACHINERY", 100.0)], "c_custkey long, new_seg string, new_bal double"
+    )
+    hist1 = scd2_merge_batch(hist0, b1, F.lit("1995-01-01").cast("date"))
+    b2 = spark.createDataFrame(
+        [(1, "MACHINERY", 250.0)], "c_custkey long, new_seg string, new_bal double"
+    )
+    hist2 = scd2_merge_batch(hist1, b2, F.lit("1998-01-01").cast("date"))
+    rows = sorted(
+        hist2.collect(), key=lambda r: (str(r["valid_from"]), str(r["valid_to"]))
+    )
+    assert len(rows) == 3, [tuple(r) for r in rows]
+    # origin version closed at 1995, intermediate closed at 1998, final open
+    assert str(rows[0]["valid_from"]) == "1992-01-01"
+    assert str(rows[0]["valid_to"]) == "1995-01-01"
+    assert rows[0]["c_mktsegment"] == "BUILDING"
+    assert str(rows[1]["valid_from"]) == "1995-01-01"
+    assert str(rows[1]["valid_to"]) == "1998-01-01"
+    assert rows[1]["c_mktsegment"] == "MACHINERY" and rows[1]["c_acctbal"] == 100.0
+    assert rows[2]["is_current"] and rows[2]["c_acctbal"] == 250.0
+    assert rows[2]["valid_to"] is None
+    # idempotent no-op: re-applying b2 creates no fourth version
+    hist3 = scd2_merge_batch(hist2, b2, F.lit("1999-01-01").cast("date"))
+    assert hist3.count() == 3
