@@ -393,6 +393,23 @@ def test_kafka_option_contract(spark):
     assert opts["startingOffsets"] == per_partition
     assert opts["maxOffsetsPerTrigger"] == "50000"
 
+    # VERDICT r6 #6: the two non-list topic-selection modes.
+    pat = kafka_options("broker:9092", subscribe_pattern="events\\..*")
+    assert pat["subscribePattern"] == "events\\..*"
+    assert "subscribe" not in pat and "assign" not in pat
+    assignment = '{"events":[0,1,2],"clicks":[0]}'
+    per_part_offsets = '{"events":{"0":42,"1":17,"2":-1},"clicks":{"0":-2}}'
+    fixed = kafka_options(
+        "broker:9092", assign=assignment, starting_offsets=per_part_offsets
+    )
+    assert fixed["assign"] == assignment
+    assert fixed["startingOffsets"] == per_part_offsets
+    assert "subscribe" not in fixed and "subscribePattern" not in fixed
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_options("broker:9092", "events", subscribe_pattern="ev.*")
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_options("broker:9092")
+
     with pytest.raises(Exception, match="(?i)kafka"):
         kafka_source(spark, "broker:9092", "events")
 
@@ -1004,3 +1021,64 @@ def test_scd2_merge_preserves_prior_versions(spark):
     # idempotent no-op: re-applying b2 creates no fourth version
     hist3 = scd2_merge_batch(hist2, b2, F.lit("1999-01-01").cast("date"))
     assert hist3.count() == 3
+
+
+def test_two_topic_replay_honors_per_source_offsets(spark):
+    """VERDICT r6 #6: the per-partition startingOffsets JSON seeks each
+    topic independently.  File-source analogue: two staged topic dirs,
+    each stream gated at its OWN starting offset (event_id >= seek, the
+    exact filter a Kafka assign+startingOffsets pair produces), unioned
+    into one query — row counts must equal the batch twin under the
+    same per-source gates, i.e. neither source's seek leaks onto the
+    other."""
+    from spark_streaming_kafka_offset_spark.common import scratch_path
+    from spark_streaming_kafka_offset_spark.streaming.core import (
+        EVENT_SCHEMA,
+        run_to_completion,
+        stage_stream_dir,
+        topic_route_predicates,
+    )
+
+    base_dir = stage_stream_dir(spark, SF_DIR)
+    topics = scratch_path("replay_topics_")
+    batch = spark.read.parquet(base_dir)
+    inter_pred, trans_pred = topic_route_predicates()
+    batch.where(inter_pred).write.mode("overwrite").parquet(
+        f"{topics}/interactions"
+    )
+    batch.where(trans_pred).write.mode("overwrite").parquet(
+        f"{topics}/transactions"
+    )
+    # Per-source seeks: interactions resumes mid-stream, transactions
+    # replays from the beginning (offset 0).
+    mid = batch.where(inter_pred).agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    seeks = {"interactions": int(mid), "transactions": 0}
+
+    def seek_stream(name: str):
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .parquet(f"{topics}/{name}")
+            .where(F.col("event_id") >= seeks[name])
+            .withColumn("topic", F.lit(name))
+        )
+
+    unioned = seek_stream("interactions").unionByName(seek_stream("transactions"))
+    agg = unioned.groupBy("topic").agg(F.count("*").alias("n"))
+    out = {
+        r["topic"]: r["n"]
+        for r in run_to_completion(
+            agg,
+            "replay_per_source_offsets",
+            "complete",
+            checkpoint=scratch_path("ckpt_"),
+        ).collect()
+    }
+    want = {
+        "interactions": batch.where(inter_pred)
+        .where(F.col("event_id") >= seeks["interactions"])
+        .count(),
+        "transactions": batch.where(trans_pred).count(),
+    }
+    assert out == want
+    # the seek really dropped rows on the seeked topic only
+    assert want["interactions"] < batch.where(inter_pred).count()
