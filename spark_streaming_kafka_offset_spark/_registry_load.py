@@ -22,6 +22,7 @@ from .operators import (  # noqa: F401
     analytics_ext,
     bloom,
     graph,
+    inference,
     joins,
     maintenance,
     pipeline,

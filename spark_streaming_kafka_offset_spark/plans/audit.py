@@ -127,6 +127,19 @@ SINGLE_ALLOWED: dict[str, str] = {
     "bucket rollup",
     "agg_share_of_total_nested": "global share window over the "
     "<=25-row nation rollup",
+    "agg_ks_test": "cumulative/max windows over the <=100-row $5k "
+    "price-bucket rollup (binning bounds the ordered state)",
+    "agg_mannwhitney_u": "rank-sum cumsum over the same <=100-row "
+    "bucket rollup + 1-row statistic frame",
+    "agg_covariance_matrix": "1-row sufficient-statistics frame "
+    "(n, 4 sums, 10 cross-sums) fanned to 10 literal rows",
+    "agg_gini_lorenz": "rank/ntile windows over the customer-dim "
+    "revenue rollup (two-pass range rank documented for giant dims) "
+    "+ decile windows on the 10-row frame",
+    "events_benford_deviation": "ppm windows over the 9-row digit "
+    "rollup",
+    "events_drift_jsd": "LAG window over the calendar-sized daily-mix "
+    "rollup",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

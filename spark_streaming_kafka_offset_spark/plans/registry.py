@@ -51,7 +51,15 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 #: are accounted for as window ∪ DEFERRED_R8, tests/test_registry.py).
 #: Empty at r7 window-seal time; new r7 oracle registrations append here
 #: AND to DRIVER_PRIORITY just after the window boundary.
-DEFERRED_R8: tuple[str, ...] = ()
+DEFERRED_R8: tuple[str, ...] = (
+    # r7-registered oracle pairs (operators/inference.py — §2.19).
+    "agg_ks_test",
+    "agg_mannwhitney_u",
+    "agg_covariance_matrix",
+    "agg_gini_lorenz",
+    "events_benford_deviation",
+    "events_drift_jsd",
+)
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- Window policy (r7): the driver checks the FIRST 50 keys only.
@@ -123,6 +131,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- window boundary (50) ---
     # Oracle keys registered during r7, after the window seal, are
     # appended HERE (and to DEFERRED_R8) — the r8 queue head.
+    "agg_ks_test",
+    "agg_mannwhitney_u",
+    "agg_covariance_matrix",
+    "agg_gini_lorenz",
+    "events_benford_deviation",
+    "events_drift_jsd",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r8+ rotation queue
     # reads straight down this list after the deferrals.  After the r7
