@@ -32,6 +32,7 @@ from .operators import (  # noqa: F401
     setops,
     sorts,
     statistics,
+    sweep,
     windows,
 )
 from .sources import batch, stream_entries, txnlog  # noqa: F401

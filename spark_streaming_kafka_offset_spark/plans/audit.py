@@ -140,6 +140,12 @@ SINGLE_ALLOWED: dict[str, str] = {
     "rollup",
     "events_drift_jsd": "LAG window over the calendar-sized daily-mix "
     "rollup",
+    "orders_skyline_2d": "suffix-max RANGE window over the customer-dim "
+    "revenue rollup (suffix maxima range-partition cleanly — the "
+    "two-pass variant is the documented giant-dim path)",
+    "events_burst_hysteresis": "global min/max hour-index window (two "
+    "scalars) over the |types| x |hours| rollup; the state windows are "
+    "type-partitioned",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

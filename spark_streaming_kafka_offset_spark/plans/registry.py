@@ -59,6 +59,14 @@ DEFERRED_R8: tuple[str, ...] = (
     "agg_gini_lorenz",
     "events_benford_deviation",
     "events_drift_jsd",
+    # r7-registered oracle pairs (operators/sweep.py — §2.19).
+    "events_peak_concurrency",
+    "orders_skyline_2d",
+    "events_burst_hysteresis",
+    "customer_interpurchase_mix",
+    "events_user_day_entropy",
+    "win_percent_change",
+    "lineitem_discount_lift",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -137,6 +145,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_gini_lorenz",
     "events_benford_deviation",
     "events_drift_jsd",
+    "events_peak_concurrency",
+    "orders_skyline_2d",
+    "events_burst_hysteresis",
+    "customer_interpurchase_mix",
+    "events_user_day_entropy",
+    "win_percent_change",
+    "lineitem_discount_lift",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r8+ rotation queue
     # reads straight down this list after the deferrals.  After the r7
