@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from ..plans.registry import register
 from ..session import load_table
+from .text import _JACCARD_PAIRS_SQL
 
 #: Derived-URL recipe shared by both engines (the fixtures carry no URL
 #: column, so the op derives one deterministically from (source, doc_id)
@@ -639,3 +640,258 @@ def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_types",
         F.sum("new_types").over(win).cast("long").alias("cum_types"),
     ).orderBy("pos_bucket")
+
+
+#: Winnowing parameters: k-gram size and window width (MOSS defaults
+#: scaled to the fixture's ~300-char docs).  Guarantee: every w
+#: consecutive k-grams contribute ≥1 fingerprint (coverage), and any
+#: match of length ≥ w+k-1 shares a fingerprint.
+_WINNOW_K = 5
+_WINNOW_W = 4
+
+
+@register(
+    "docs_winnowing_fingerprint",
+    # Winnowing (MOSS) WITHOUT a stack or self-join: position p is
+    # selected iff some w-window picks it as its (rightmost) minimum,
+    # which reduces to span arithmetic over six fixed lag/lead frame
+    # minima — left extension Lext (ties extend: left neighbor >= h
+    # loses to p), right extension Rext (strict: a right tie wins over
+    # p), then ∃ℓ: max(0, w-1-Rext, w-1-(G-p)) <= min(Lext, p-1).
+    # Hashes are the md5-derived 60-bit integers both engines compute
+    # identically (dedup_minhash_md5 recipe).
+    oracle=f"""
+    WITH g0 AS (
+        SELECT doc_id,
+               unnest(generate_series(1, length(text) - {_WINNOW_K - 1})) AS pos
+        FROM documents WHERE length(text) >= {_WINNOW_K + _WINNOW_W - 1}
+    ), grams AS (
+        SELECT g0.doc_id, g0.pos,
+               CAST(('0x' || substr(md5(substr(d.text,
+                    CAST(g0.pos AS INTEGER), {_WINNOW_K})), 1, 15)) AS BIGINT)
+                   AS h,
+               length(d.text) - {_WINNOW_K - 1} AS n_grams
+        FROM g0 JOIN documents d ON g0.doc_id = d.doc_id
+    ), spans AS (
+        SELECT doc_id, pos, h, n_grams,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS ml1,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS ml2,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ml3,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS mr1,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS mr2,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS mr3
+        FROM grams
+    ), sel AS (
+        SELECT doc_id, pos, h, n_grams,
+               CASE WHEN ml3 >= h THEN 3 WHEN ml2 >= h THEN 2
+                    WHEN ml1 >= h THEN 1 ELSE 0 END AS lext,
+               CASE WHEN mr3 > h THEN 3 WHEN mr2 > h THEN 2
+                    WHEN mr1 > h THEN 1 ELSE 0 END AS rext
+        FROM spans
+    )
+    SELECT doc_id,
+           CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (
+               GREATEST(0, 3 - rext, 3 - (n_grams - pos))
+               <= LEAST(lext, pos - 1)) AS BIGINT) AS n_fps,
+           CAST(bit_xor(CASE WHEN
+               GREATEST(0, 3 - rext, 3 - (n_grams - pos))
+               <= LEAST(lext, pos - 1) THEN h END) AS BIGINT) AS fp_xor,
+           CAST(MIN(CASE WHEN
+               GREATEST(0, 3 - rext, 3 - (n_grams - pos))
+               <= LEAST(lext, pos - 1) THEN h END) AS BIGINT) AS fp_min,
+           CAST(COUNT(*) FILTER (
+               GREATEST(0, 3 - rext, 3 - (n_grams - pos))
+               <= LEAST(lext, pos - 1)) * 1000000 // MAX(n_grams) AS BIGINT)
+               AS density_ppm
+    FROM sel GROUP BY doc_id
+    """,
+)
+def docs_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    5-char k-gram, slide a w=4 window, keep each window's minimum hash
+    (rightmost on ties) — the selection with the COVERAGE guarantee
+    (every w consecutive grams yield a fingerprint, so any shared
+    substring of length ≥ w+k−1 shares a fingerprint between two
+    documents).  Emitted per doc: fingerprint count, xor/min identity,
+    and density ppm.
+
+    The selection is computed WITHOUT a per-window argmin pass, stack,
+    or self-join: position p is picked by some window iff its
+    tie-asymmetric smaller-neighbor spans allow one — left extension
+    Lext counts consecutive left neighbors ≥ h (a left tie loses to
+    p), right extension Rext counts strict > h (a right tie wins), and
+    p is selected iff max(0, w−1−Rext, w−1−(G−p)) ≤ min(Lext, p−1).
+    Six fixed-frame window minima replace the stack; the rule is
+    validated against a brute-force reference in
+    tests/test_properties.py.
+
+    Scale notes: the explode is corpus-chars-sized (the same cost class
+    as every text op here), all six windows are doc-partitioned over
+    consecutive positions (one shuffle on doc_id, then sorted frames),
+    and the output is one row per doc.  Hashes travel as 60-bit
+    integers, never gram strings.  Cite: winnowing = Schleimer, Wilkerson
+    & Aiken, SIGMOD 2003 (public paper; PAPERS.md)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _WINNOW_K + _WINNOW_W - 1
+    )
+    grams = d.select(
+        "doc_id",
+        (F.length("text") - (_WINNOW_K - 1)).alias("n_grams"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {_WINNOW_K - 1}),"
+                f" i -> substring(text, i, {_WINNOW_K}))"
+            )
+        ).alias("pos0", "g"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    spans = grams.select(
+        "doc_id",
+        "pos",
+        "h",
+        "n_grams",
+        F.min("h").over(wdoc.rowsBetween(-1, -1)).alias("ml1"),
+        F.min("h").over(wdoc.rowsBetween(-2, -1)).alias("ml2"),
+        F.min("h").over(wdoc.rowsBetween(-3, -1)).alias("ml3"),
+        F.min("h").over(wdoc.rowsBetween(1, 1)).alias("mr1"),
+        F.min("h").over(wdoc.rowsBetween(1, 2)).alias("mr2"),
+        F.min("h").over(wdoc.rowsBetween(1, 3)).alias("mr3"),
+    )
+    sel = spans.select(
+        "doc_id",
+        "pos",
+        "h",
+        "n_grams",
+        F.when(F.col("ml3") >= F.col("h"), 3)
+        .when(F.col("ml2") >= F.col("h"), 2)
+        .when(F.col("ml1") >= F.col("h"), 1)
+        .otherwise(0)
+        .alias("lext"),
+        F.when(F.col("mr3") > F.col("h"), 3)
+        .when(F.col("mr2") > F.col("h"), 2)
+        .when(F.col("mr1") > F.col("h"), 1)
+        .otherwise(0)
+        .alias("rext"),
+    )
+    picked = F.greatest(
+        F.lit(0), 3 - F.col("rext"), 3 - (F.col("n_grams") - F.col("pos"))
+    ) <= F.least(F.col("lext"), F.col("pos") - 1)
+    return sel.groupBy("doc_id").agg(
+        F.max("n_grams").cast("long").alias("n_grams"),
+        F.count(F.when(picked, 1)).cast("long").alias("n_fps"),
+        F.expr(
+            "CAST(bit_xor(CASE WHEN greatest(0, 3 - rext, 3 - (n_grams - pos))"
+            " <= least(lext, pos - 1) THEN h END) AS BIGINT)"
+        ).alias("fp_xor"),
+        F.min(F.when(picked, F.col("h"))).cast("long").alias("fp_min"),
+        F.expr(
+            "CAST(count(CASE WHEN greatest(0, 3 - rext, 3 - (n_grams - pos))"
+            " <= least(lext, pos - 1) THEN 1 END) * 1000000"
+            " div max(n_grams) AS BIGINT)"
+        ).alias("density_ppm"),
+    )
+
+
+@register(
+    "corpus_dedup_survivorship",
+    # Golden-record selection over the near-dup clusters: the oracle
+    # recomputes the clusters by recursive-CTE reachability (the
+    # dedup_clusters oracle) and picks each cluster's survivor by the
+    # deterministic (n_chars DESC, doc_id ASC) rule.
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_SQL},
+    edges AS (
+      SELECT id_a AS s, id_b AS t FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT s AS node, t AS other FROM edges
+      UNION
+      SELECT r.node, e.t FROM reach r JOIN edges e ON r.other = e.s
+    ),
+    clusters AS (
+      SELECT node AS doc_id, LEAST(node, MIN(other)) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    members AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars, d.lang, d.source,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS survivor_doc_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+               AS survivor_n_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM members GROUP BY cluster_id
+    """,
+)
+def corpus_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record) selection — the step AFTER near-dup
+    clustering that every dedup pipeline needs before it can drop rows:
+    within each Jaccard cluster (``dedup_clusters``' connected
+    components), elect the survivor by the deterministic
+    (n_chars DESC, doc_id ASC) rule and merge the cluster's lineage
+    facts (member count, total chars, distinct langs/sources) into one
+    golden row.
+
+    Scale notes: clusters come from the pointer-jumping CC (O(log d)
+    rounds, keyed shuffles only — see connected_components); the
+    member join is labels ⋈ documents on doc_id (one shuffle), the
+    survivor election a cluster-partitioned rank over member-sized
+    groups (near-dup clusters are pairs/triples), and the rollup is
+    cluster-sized.  The oracle recomputes reachability independently
+    (recursive CTE) so parity validates the CC algorithm end-to-end."""
+    from .text import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs)
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    members = labels.join(
+        docs.select("doc_id", "n_chars", "lang", "source"), "doc_id"
+    ).select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        "lang",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id")
+            )
+        )
+        .alias("rn"),
+    )
+    return members.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("survivor_doc_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+        .cast("long")
+        .alias("survivor_n_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )

@@ -67,6 +67,9 @@ DEFERRED_R8: tuple[str, ...] = (
     "events_user_day_entropy",
     "win_percent_change",
     "lineitem_discount_lift",
+    # r7-registered oracle pairs (functions/curation.py — §2.19).
+    "docs_winnowing_fingerprint",
+    "corpus_dedup_survivorship",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -152,6 +155,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_user_day_entropy",
     "win_percent_change",
     "lineitem_discount_lift",
+    "docs_winnowing_fingerprint",
+    "corpus_dedup_survivorship",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r8+ rotation queue
     # reads straight down this list after the deferrals.  After the r7

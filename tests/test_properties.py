@@ -1529,3 +1529,60 @@ def test_table_skew_stats_twopass_equivalence(spark):
     assert "rangepartitioning" in plan.lower()
     assert "TakeOrderedAndProject" in plan
     assert "_pid" in plan  # per-range local rank, not a global sort
+
+
+def _winnow_reference(text: str, k: int = 5, w: int = 4) -> set[tuple[int, int]]:
+    """Brute-force winnowing (Schleimer et al. 2003): hash all k-grams,
+    for every w-window record (min hash, RIGHTMOST position attaining
+    it); return the distinct (hash, pos) fingerprint set."""
+    import hashlib as _hl
+
+    n = len(text) - (k - 1)
+    hs = [
+        int(_hl.md5(text[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(n)
+    ]
+    fps = set()
+    for i in range(n - w + 1):
+        window = hs[i : i + w]
+        m = min(window)
+        pos = max(j for j in range(i, i + w) if hs[j] == m)
+        fps.add((hs[pos], pos + 1))  # 1-based like the operator
+    return fps
+
+
+def test_winnowing_span_rule_matches_bruteforce(spark):
+    """The stack-free span-arithmetic selection in
+    docs_winnowing_fingerprint must equal TRUE winnowing (window minima,
+    rightmost ties) — parity with DuckDB alone can't catch a shared
+    derivation bug, so this pins the semantics against brute force on
+    real fixture docs."""
+    import __spark_entry__ as entrymod
+
+    out = {
+        r["doc_id"]: r
+        for r in entrymod.queries()["docs_winnowing_fingerprint"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(60)
+        .collect()
+    }
+    checked = 0
+    for doc_id, text in docs.items():
+        if len(text) < 8 or doc_id not in out:
+            continue
+        fps = _winnow_reference(text)
+        want_n = len(fps)
+        want_xor = 0
+        for h, _ in fps:
+            want_xor ^= h
+        row = out[doc_id]
+        assert row["n_fps"] == want_n, (doc_id, row["n_fps"], want_n)
+        assert row["fp_xor"] == want_xor, doc_id
+        assert row["fp_min"] == min(h for h, _ in fps), doc_id
+        checked += 1
+    assert checked >= 40, f"only {checked} docs checked"
