@@ -667,3 +667,143 @@ def fn_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
             "salted_md5"
         ),
     )
+
+
+#: Derived-URI recipe for fn_uri_parse — richer than curation's URL
+#: (optional port, deeper path, multi-param query, optional fragment)
+#: so every parse_url part is exercised both present and absent.  One
+#: shared constant so the engines can never drift on inputs.
+_URI_SQL = (
+    "concat('https://', source, '.example.com', "
+    "CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END, "
+    "'/a/', CAST(doc_id % 7 AS STRING), '/item', "
+    "'?id=', CAST(doc_id % 100 AS STRING), '&utm_source=feed', "
+    "CASE WHEN doc_id % 3 = 0 THEN '&page=2' ELSE '' END, "
+    "CASE WHEN doc_id % 2 = 0 THEN concat('#s', CAST(doc_id % 4 AS STRING)) "
+    "ELSE '' END)"
+)
+
+_URI_DUCK = (
+    "concat('https://', source, '.example.com', "
+    "CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END, "
+    "'/a/', CAST(doc_id % 7 AS VARCHAR), '/item', "
+    "'?id=', CAST(doc_id % 100 AS VARCHAR), '&utm_source=feed', "
+    "CASE WHEN doc_id % 3 = 0 THEN '&page=2' ELSE '' END, "
+    "CASE WHEN doc_id % 2 = 0 THEN concat('#s', CAST(doc_id % 4 AS VARCHAR)) "
+    "ELSE '' END)"
+)
+
+
+@register(
+    "fn_uri_parse",
+    # Spark's parse_url (java.net.URI semantics) vs DuckDB regexes over
+    # the SAME derived URI; absent parts (fragment) are NULL on both
+    # sides (NULLIF(...,'') aligns DuckDB's empty-match convention with
+    # parse_url's NULL).  The recipe has no userinfo and always has a
+    # path+query, so the regex subset is total on its inputs.
+    oracle=f"""
+    WITH uris AS (
+        SELECT doc_id, {_URI_DUCK} AS uri FROM documents
+        WHERE doc_id % 4 < 3
+    )
+    SELECT doc_id, uri,
+           regexp_extract(uri, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(uri, '^[a-z]+://([^/?#]*)', 1) AS authority,
+           regexp_extract(uri, '^[a-z]+://([^:/?#]*)', 1) AS host,
+           regexp_extract(uri, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+           regexp_extract(uri, '\\?([^#]*)', 1) AS query,
+           NULLIF(regexp_extract(uri, '#(.*)$', 1), '') AS fragment,
+           regexp_extract(uri, '[?&]id=([^&#]*)', 1) AS param_id,
+           NULLIF(regexp_extract(uri, '[?&]page=([^&#]*)', 1), '')
+               AS param_page
+    FROM uris
+    """,
+)
+def fn_uri_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URI-parsing scalar family over ``parse_url``: protocol,
+    authority (host:port), host, path, query, fragment, and named
+    query-parameter extraction — the log-sessionization workhorse.  The
+    derived URI exercises every part both present and absent (optional
+    port, optional fragment, optional second parameter), and the DuckDB
+    twin parses the identical strings with regexes, NULLIF-aligned to
+    parse_url's NULL-for-absent convention.
+
+    Scale notes: pure scan-side expressions (parse_url compiles to one
+    java.net.URI parse per row inside codegen); zero shuffles, zero
+    UDFs.  The regex twin documents the exact public subset parsed —
+    no userinfo, mandatory path/query — so the equivalence claim is
+    scoped, not accidental."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 < 3)
+    uris = d.select("doc_id", F.expr(_URI_SQL).alias("uri"))
+    u = F.col("uri")
+    return uris.select(
+        "doc_id",
+        "uri",
+        F.parse_url(u, F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url(u, F.lit("AUTHORITY")).alias("authority"),
+        F.parse_url(u, F.lit("HOST")).alias("host"),
+        F.parse_url(u, F.lit("PATH")).alias("path"),
+        F.parse_url(u, F.lit("QUERY")).alias("query"),
+        F.parse_url(u, F.lit("REF")).alias("fragment"),
+        F.parse_url(u, F.lit("QUERY"), F.lit("id")).alias("param_id"),
+        F.parse_url(u, F.lit("QUERY"), F.lit("page")).alias("param_page"),
+    )
+
+
+@register(
+    "fn_interval_arith",
+    # Interval arithmetic minefield, pinned: DuckDB `+ INTERVAL n
+    # MONTH` end-of-month clamps exactly like Spark add_months (probed
+    # in fn_date); day intervals are exact on DATE; next-Friday has no
+    # DuckDB builtin and is derived from isodow — Spark's next_day
+    # is strictly-after semantics (Friday -> +7), mirrored by the
+    # (11 - isodow) % 7 + 1 rebase.
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE)
+               AS plus_90d,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 30 DAY AS DATE)
+               AS minus_30d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 6 MONTH AS DATE)
+               AS plus_6m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(day(last_day(CAST(o_orderdate AS DATE))) AS INTEGER)
+               AS days_in_month,
+           CAST(CAST(o_orderdate AS DATE)
+                + to_days(CAST((11 - isodow(o_orderdate)) % 7 + 1 AS INTEGER))
+                AS DATE) AS next_friday,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '2002-01-01') // 7 AS INTEGER)
+               AS full_weeks_to_2002
+    FROM orders
+    WHERE o_orderkey % 11 = 3
+    """,
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-arithmetic scalar family: day/month interval shifts
+    (with the end-of-month clamp both engines share), last-day /
+    days-in-month, strictly-next Friday, and whole-week distances —
+    the due-date / SLA arithmetic every fulfillment query leans on.
+
+    Scale notes: scan-side codegen with the key filter pushed down;
+    zero shuffles.  The dialect landmines are the documentation:
+    DuckDB has no next_day (derived via isodow: (11−isodow)%7+1 days
+    ahead reproduces Spark's strictly-after Friday), and integer week
+    distance uses truncating division on exact day counts."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 11 == 3)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_add(d, 90).alias("plus_90d"),
+        F.date_sub(d, 30).alias("minus_30d"),
+        F.add_months(d, 6).alias("plus_6m"),
+        F.last_day(d).alias("month_end"),
+        F.dayofmonth(F.last_day(d)).cast("int").alias("days_in_month"),
+        F.next_day(d, "FRI").alias("next_friday"),
+        F.expr(
+            "CAST(datediff(DATE '2002-01-01', CAST(o_orderdate AS DATE))"
+            " div 7 AS INT)"
+        ).alias("full_weeks_to_2002"),
+    )

@@ -70,6 +70,9 @@ DEFERRED_R8: tuple[str, ...] = (
     # r7-registered oracle pairs (functions/curation.py — §2.19).
     "docs_winnowing_fingerprint",
     "corpus_dedup_survivorship",
+    # r7-registered oracle pairs (functions/scalar.py — §2.19).
+    "fn_uri_parse",
+    "fn_interval_arith",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -157,6 +160,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lineitem_discount_lift",
     "docs_winnowing_fingerprint",
     "corpus_dedup_survivorship",
+    "fn_uri_parse",
+    "fn_interval_arith",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r8+ rotation queue
     # reads straight down this list after the deferrals.  After the r7
