@@ -38,7 +38,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
+#: 10x by default (sf1); $SSKOS_REPLICAS=100 builds the sf10 probe
+#: fixture (VERDICT r6 #4) with identical key-family mechanics.
+REPLICAS = int(os.environ.get("SSKOS_REPLICAS", "10"))
 
 #: key column -> key family; every column in a family shifts by the SAME
 #: offset so FK edges stay intact across tables.
@@ -111,7 +113,10 @@ def main() -> int:
             pq.write_table(src, dst)
             print(f"# {t}: single copy ({src.num_rows} rows)")
             continue
-        parts = []
+        # Stream replicas as row groups (REPLICAS=100 would need ~5 GB
+        # resident for lineitem if concatenated first).
+        writer = pq.ParquetWriter(dst, src.schema)
+        total = 0
         for r in range(REPLICAS):
             cols = []
             for name in src.schema.names:
@@ -120,10 +125,11 @@ def main() -> int:
                     delta = r * offs[KEY_FAMILIES[name]]
                     col = pc.add(col, pa.scalar(delta, type=col.type))
                 cols.append(col)
-            parts.append(pa.table(cols, schema=src.schema))
-        big = pa.concat_tables(parts)
-        pq.write_table(big, dst)
-        print(f"# {t}: {src.num_rows} -> {big.num_rows} rows")
+            part = pa.table(cols, schema=src.schema)
+            writer.write_table(part)
+            total += part.num_rows
+        writer.close()
+        print(f"# {t}: {src.num_rows} -> {total} rows")
     return 0
 
 

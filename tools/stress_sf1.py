@@ -51,6 +51,16 @@ STRESS_SET = [
     # and the trigram two-shuffle novelty op.
     "graph_common_neighbors",
     "text_ngram_novelty",
+    # r7 sweep extension (VERDICT r6 #3): the remaining r6 blocked-join
+    # shapes — the class where the r6 sweep found both fanout bugs.
+    "entity_resolution_blocked",
+    "join_geo_grid",
+    "corpus_source_similarity",
+    # r7-built heavies: the 6-window winnowing explode, the CC +
+    # survivorship pipeline, and the double-explode day sweep.
+    "docs_winnowing_fingerprint",
+    "corpus_dedup_survivorship",
+    "events_peak_concurrency",
 ]
 
 
