@@ -164,11 +164,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_interval_arith",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r8+ rotation queue
-    # reads straight down this list after the deferrals.  After the r7
-    # window proves its 10 r3-era keys, the stalest tier is the 24
-    # remaining r3-era keys below, then the r4 window of 50, then r5,
-    # then the r6 window of 50 — that IS the derived r8 queue (VERDICT
-    # r6 #8): DEFERRED_R8 ∪ the next 30 keys in this list.
+    # reads straight down this list after the deferrals.  Derived r8
+    # queue (VERDICT r6 #8 — freshness arithmetic, assuming the r7
+    # window goes 50/50 green): never-proven tier = the 17 DEFERRED_R8
+    # keys above; stalest hard tier = the 24 remaining r3-era keys
+    # below, then the r4 tier alphabetically.  r8 window = 17 + 24 +
+    # the first 9 r4-tier keys (agg_collect .. dedup_exact) = 50;
+    # tests/test_registry.py re-derives this from the ledgers, so a
+    # partial r7 ledger just shifts the split automatically.
     # -- newest hard row: r3 (24 remaining) --
     "join_skew_salted",
     "multimodal_meta",
