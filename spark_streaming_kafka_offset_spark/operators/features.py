@@ -1,0 +1,405 @@
+"""ML feature-engineering operators (r7 batch) — §2.20.
+
+The feature-preparation stage of a training pipeline, as exact
+relational queries: smoothed leave-one-out target encoding, binned
+quantile assignment, per-group min-max / z-score normalization,
+frequency-capped one-hot indexing, and a deterministic k-fold split
+balance audit.  Engine-wide exactness discipline as in
+``operators/statistics.py``: cents/ppm integers everywhere a value
+crosses an aggregation boundary; products that leave BIGINT at large
+scale go through DECIMAL(38,0) (DuckDB HUGEINT) per the
+``revenue_bridge_yoy`` recipe; the only float operations are terminal,
+written with identical association on both engines, and ROUND-absorbed.
+
+Reference parity [K]: no citation into /root/reference possible (mirror
+empty, SURVEY.md §0); the family reconstructs the feature-prep surface
+a Spark-based training-data pipeline needs (SURVEY §2.10 mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import register
+from ..session import load_table
+
+#: Target-encoding smoothing pseudo-count: the encoded value shrinks a
+#: segment's leave-one-out mean toward the global mean with the weight
+#: of ``_TE_SMOOTH`` virtual rows — the standard high-cardinality
+#: regularizer (here the cardinality is small; the ARITHMETIC is what
+#: the oracle proves).
+_TE_SMOOTH = 20
+
+#: $5,000 price buckets for quantile binning — same rationale as
+#: ``inference._KS_BUCKET_CENTS``: the per-segment cdf rollup stays
+#: ≤~100 rows at EVERY corpus size, so every ordered window below runs
+#: on a bounded frame.
+_BIN_CENTS = 500_000
+
+
+@register(
+    "feat_target_encode",
+    # Smoothed leave-one-out target encoding of c_mktsegment against
+    # order total cents: enc = (S_g - y + m*mu) / (n_g - 1 + m) with
+    # mu = S/N, carried as the exact rational
+    # ((S_g - y)*N + m*S) / ((n_g - 1 + m)*N) in DECIMAL(38,0)
+    # (numerator ~ S_g*N crosses BIGINT at ~sf1) and resolved by ONE
+    # float division, ROUND 4.
+    oracle=f"""
+    WITH fact AS (
+        SELECT o.o_orderkey, c.c_mktsegment AS seg,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), g AS (
+        SELECT seg, COUNT(*) AS n_g, SUM(y_cents) AS s_g FROM fact GROUP BY seg
+    ), tot AS (
+        SELECT seg, n_g, s_g,
+               SUM(n_g) OVER () AS n_all, SUM(s_g) OVER () AS s_all
+        FROM g
+    )
+    SELECT f.o_orderkey, f.seg, f.y_cents,
+           ROUND(CAST((t.s_g - f.y_cents)::HUGEINT * t.n_all
+                      + {_TE_SMOOTH}::HUGEINT * t.s_all AS DOUBLE)
+                 / CAST((t.n_g - 1 + {_TE_SMOOTH})::HUGEINT * t.n_all
+                        AS DOUBLE), 4) AS enc_cents
+    FROM fact f JOIN tot t ON f.seg = t.seg
+    """,
+)
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the customer market segment
+    against order-total cents, with additive smoothing toward the
+    global mean (pseudo-count 20): the leakage-safe categorical
+    encoder a tabular-ML pipeline applies before training.
+
+    Scale notes: the corpus-sized work is one fact-dim equi-join and
+    ONE hash aggregate down to the segment rollup; the global totals
+    are a window over that ≤|segments|-row frame, and the encode join
+    back to the fact is a broadcast (the rollup is dim-sized at any
+    corpus size).  The numerator cross-product (S_g − y)·N crosses
+    BIGINT around sf1, so both engines carry it as
+    DECIMAL(38,0)/HUGEINT and spend exactly ONE float division,
+    ROUND 4 (quotient ~1e7 cents, double headroom ~1e9 at that
+    magnitude — the round is far above last-ulp drift)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    fact = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y_cents"),
+    )
+    g = fact.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("y_cents").alias("s_g")
+    )
+    w_all = Window.partitionBy()
+    tot = g.select(
+        "seg",
+        "n_g",
+        "s_g",
+        F.sum("n_g").over(w_all).alias("n_all"),
+        F.sum("s_g").over(w_all).alias("s_all"),
+    )
+    return fact.join(F.broadcast(tot), "seg").select(
+        "o_orderkey",
+        "seg",
+        "y_cents",
+        F.round(
+            F.expr(
+                "CAST(CAST(s_g - y_cents AS DECIMAL(38,0)) * n_all "
+                f"     + CAST({_TE_SMOOTH} AS DECIMAL(38,0)) * s_all AS DOUBLE)"
+            )
+            / F.expr(
+                f"CAST(CAST(n_g - 1 + {_TE_SMOOTH} AS DECIMAL(38,0)) * n_all "
+                "      AS DOUBLE)"
+            ),
+            4,
+        ).alias("enc_cents"),
+    )
+
+
+@register(
+    "feat_quantile_bins",
+    # Binned decile assignment per market segment: bucket the order
+    # totals to $5k cells, cumulative-count the ≤100-row per-segment
+    # bucket rollup, and label each bucket with the decile of its LAST
+    # member row — floor((cum-1)*10 / n) in pure integer division.
+    oracle=f"""
+    WITH fact AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) // {_BIN_CENTS}
+                   AS bucket
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), b AS (
+        SELECT seg, bucket, COUNT(*) AS cnt FROM fact GROUP BY seg, bucket
+    ), cum AS (
+        SELECT seg, bucket, cnt,
+               SUM(cnt) OVER (PARTITION BY seg ORDER BY bucket) AS cum_cnt,
+               SUM(cnt) OVER (PARTITION BY seg) AS n_seg
+        FROM b
+    )
+    SELECT seg, CAST(bucket AS BIGINT) AS bucket, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cum_cnt AS BIGINT) AS cum_cnt,
+           CAST((cum_cnt - 1) * 10 // n_seg AS BIGINT) AS decile
+    FROM cum
+    """,
+)
+def feat_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning of order totals per market segment via the
+    binned-cdf recipe: $5k integer buckets, per-segment cumulative
+    counts, and the decile label of each bucket's last row —
+    ``(cum−1)·10 div n``.  The bucket→decile table IS the feature
+    (rows join to it by bucket arithmetic at apply time), so bin
+    assignment never sorts raw rows.
+
+    Scale notes: binning is the scale design (shared with
+    ``agg_ks_test``): one corpus pass into a hash aggregate bounded by
+    |segments|×~100 buckets; every ordered window runs on that rollup.
+    An exact-quantile variant would need a per-segment global sort of
+    the fact — the two-pass range-rank machinery (`table_skew_stats`)
+    exists for that; binned deciles are what a feature pipeline
+    actually ships (bin edges must be STABLE across training and
+    serving, which exact sample quantiles are not)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    fact = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(f"CAST(ROUND(o_totalprice * 100) AS BIGINT) div {_BIN_CENTS}").alias(
+            "bucket"
+        ),
+    )
+    b = fact.groupBy("seg", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.partitionBy("seg").orderBy("bucket")
+    return b.select(
+        "seg",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.sum("cnt").over(w_cum).cast("long").alias("cum_cnt"),
+    ).withColumn(
+        "decile",
+        F.expr(
+            "CAST((cum_cnt - 1) * 10 div SUM(cnt) OVER (PARTITION BY seg) AS BIGINT)"
+        ),
+    )
+
+
+@register(
+    "feat_minmax_zscore",
+    # Per-brand min-max (ppm) and z-score normalization of part retail
+    # price cents from ONE sufficient-statistics aggregate
+    # (n, min, max, Σx, Σx²); the z denominator n·(nΣx² − (Σx)²)
+    # crosses BIGINT for large groups, so both engines carry it wide
+    # and spend sqrt/division float ops on identical integers, ROUND 6.
+    oracle="""
+    WITH x AS (
+        SELECT p_partkey, p_brand,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+        FROM part
+    ), g AS (
+        SELECT p_brand, COUNT(*) AS n, MIN(cents) AS mn, MAX(cents) AS mx,
+               SUM(cents) AS sx, SUM(cents * cents) AS sxx
+        FROM x GROUP BY p_brand
+    )
+    SELECT x.p_partkey, x.p_brand, x.cents,
+           CASE WHEN g.mx > g.mn
+                THEN CAST((x.cents - g.mn) * 1000000 // (g.mx - g.mn) AS BIGINT)
+           END AS minmax_ppm,
+           CASE WHEN g.n > 1 AND g.n::HUGEINT * g.sxx > g.sx::HUGEINT * g.sx
+                THEN ROUND(CAST(g.n * x.cents - g.sx AS DOUBLE)
+                           * sqrt(CAST(g.n - 1 AS DOUBLE))
+                           / sqrt(CAST(g.n::HUGEINT
+                                       * (g.n::HUGEINT * g.sxx
+                                          - g.sx::HUGEINT * g.sx) AS DOUBLE)), 6)
+           END AS zscore
+    FROM x JOIN g ON x.p_brand = g.p_brand
+    """,
+)
+def feat_minmax_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand min-max (ppm integer) and z-score normalization of
+    part retail price — the two numeric feature scalers, computed from
+    one sufficient-statistics pass.
+
+    Scale notes: ONE hash aggregate emits (n, min, max, Σx, Σx²) per
+    brand; the normalize join back is a broadcast of that dim-sized
+    rollup, so the corpus is scanned twice and shuffled never (the
+    group stats travel, the rows do not).  z = (n·x − Σx)·√(n−1) /
+    √(n·(nΣx² − (Σx)²)) keeps every aggregation-boundary value integer;
+    nΣx² crosses BIGINT for ~100k-row groups (cents² ~1e10 each), so
+    the variance term is DECIMAL(38,0)/HUGEINT on both engines and the
+    terminal float ops are written with identical association, ROUND 6.
+    Degenerate guards: constant groups emit NULL for both features
+    (mx=mn, var=0) rather than a divide-by-zero."""
+    p = load_table(spark, sf_dir, "part")
+    x = p.select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    g = x.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.expr("cents * cents")).alias("sxx"),
+    )
+    return x.join(F.broadcast(g), "p_brand").select(
+        "p_partkey",
+        "p_brand",
+        "cents",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.expr("CAST((cents - mn) * 1000000 div (mx - mn) AS BIGINT)"),
+        ).alias("minmax_ppm"),
+        F.when(
+            F.expr(
+                "n > 1 AND CAST(n AS DECIMAL(38,0)) * sxx "
+                "> CAST(sx AS DECIMAL(38,0)) * sx"
+            ),
+            F.round(
+                F.expr("CAST(n * cents - sx AS DOUBLE)")
+                * F.sqrt(F.expr("CAST(n - 1 AS DOUBLE)"))
+                / F.sqrt(
+                    F.expr(
+                        "CAST(CAST(n AS DECIMAL(38,0)) "
+                        "     * (CAST(n AS DECIMAL(38,0)) * sxx "
+                        "        - CAST(sx AS DECIMAL(38,0)) * sx) AS DOUBLE)"
+                    )
+                ),
+                6,
+            ),
+        ).alias("zscore"),
+    )
+
+
+@register(
+    "feat_onehot_topk",
+    # Frequency-capped one-hot: rank p_type by (count DESC, type ASC)
+    # on the ≤|types|-row rollup, keep the top 5 as indices 1..5,
+    # everything else folds to OTHER (index 0); emit the index plus the
+    # six indicator columns.
+    oracle="""
+    WITH freq AS (
+        SELECT p_type, COUNT(*) AS cnt FROM part GROUP BY p_type
+    ), ranked AS (
+        SELECT p_type, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, p_type) AS rk
+        FROM freq
+    )
+    SELECT p.p_partkey, p.p_type,
+           CAST(CASE WHEN r.rk <= 5 THEN r.rk ELSE 0 END AS BIGINT) AS oh_index,
+           CAST(CASE WHEN r.rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS oh_1,
+           CAST(CASE WHEN r.rk = 2 THEN 1 ELSE 0 END AS BIGINT) AS oh_2,
+           CAST(CASE WHEN r.rk = 3 THEN 1 ELSE 0 END AS BIGINT) AS oh_3,
+           CAST(CASE WHEN r.rk = 4 THEN 1 ELSE 0 END AS BIGINT) AS oh_4,
+           CAST(CASE WHEN r.rk = 5 THEN 1 ELSE 0 END AS BIGINT) AS oh_5,
+           CAST(CASE WHEN r.rk > 5 THEN 1 ELSE 0 END AS BIGINT) AS oh_other
+    FROM part p JOIN ranked r ON p.p_type = r.p_type
+    """,
+)
+def feat_onehot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k one-hot encoding of the part type: the 5 most frequent
+    categories get stable indices 1..5 (count-desc, name-asc tiebreak
+    — deterministic across refreshes), the tail folds into OTHER.
+    Capping the vocabulary is what makes one-hot survive
+    high-cardinality columns at scale.
+
+    Scale notes: the vocabulary rank is a window over the
+    group-by-type ROLLUP (|distinct types| rows — the fixture has 6;
+    a web-scale categorical has maybe 1e6, still dim-sized), never
+    over the fact; the encode join back is a broadcast of that ranked
+    vocabulary.  One corpus-sized hash aggregate + one broadcast join
+    total."""
+    p = load_table(spark, sf_dir, "part")
+    freq = p.groupBy("p_type").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = freq.select(
+        "p_type",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("p_type")))
+        .alias("rk"),
+    )
+    out = p.join(F.broadcast(ranked), "p_type").select(
+        "p_partkey",
+        "p_type",
+        F.when(F.col("rk") <= 5, F.col("rk")).otherwise(0).cast("long").alias("oh_index"),
+        *[
+            (F.col("rk") == i).cast("long").alias(f"oh_{i}")
+            for i in range(1, 6)
+        ],
+        (F.col("rk") > 5).cast("long").alias("oh_other"),
+    )
+    return out
+
+
+@register(
+    "split_kfold_balance",
+    # Deterministic 5-fold split by md5(custkey) (engine-portable, the
+    # split_hash idiom) with the balance audit an ML pipeline runs
+    # before trusting a fold assignment: per (fold, segment) order and
+    # customer counts, revenue, and the fold's ppm share of its
+    # segment.
+    oracle="""
+    WITH f AS (
+        SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment AS seg,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 5 AS fold
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), g AS (
+        SELECT fold, seg,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               SUM(cents) AS rev_cents
+        FROM f GROUP BY fold, seg
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, seg,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(n_orders * 1000000 // SUM(n_orders) OVER (PARTITION BY seg)
+                AS BIGINT) AS share_ppm
+    FROM g
+    """,
+)
+def split_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment by hashed customer key —
+    GROUPED by customer so no customer's orders straddle folds (the
+    leakage rule) — summarized as the per-(fold, segment) balance
+    audit: counts, revenue, and each fold's ppm share of its segment.
+
+    Scale notes: fold membership is pure scan-side arithmetic
+    (md5 → BIGINT → mod; the `split_hash` portability idiom — xxhash64
+    would be faster but is not oracle-reproducible), so the split
+    never shuffles by itself; the audit is one fact-dim join + ONE
+    hash aggregate to a |folds|×|segments| rollup, with the share
+    window on that rollup.  COUNT(DISTINCT customer) rewrites to a
+    two-level aggregate (expand + partial) in Spark — bounded by the
+    rollup width, not the corpus."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    f = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 5
+        ).alias("fold"),
+    )
+    g = f.groupBy("fold", "seg").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    return g.select(
+        F.col("fold").cast("long").alias("fold"),
+        "seg",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.expr(
+            "CAST(n_orders * 1000000 div SUM(n_orders) OVER (PARTITION BY seg) "
+            "AS BIGINT)"
+        ).alias("share_ppm"),
+    )

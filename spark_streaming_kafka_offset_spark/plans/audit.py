@@ -103,6 +103,10 @@ SINGLE_ALLOWED: dict[str, str] = {
     "detect_hot_keys": "k-candidate heavy-hitter frame + 1-row W total",
     "agg_chisq_independence": "grand-total window over the |segments| x "
     "|priorities| (25-row) contingency rollup",
+    "feat_target_encode": "global-totals window over the |segments|-row "
+    "(5) encoding rollup; the fact side joins it by broadcast",
+    "feat_onehot_topk": "vocabulary rank window over the |types|-row "
+    "(6; dim-sized at any corpus) frequency rollup",
     "events_acf": "global-moment window + lag self-join over the "
     "calendar-sized daily-count rollup",
     "corpus_mixture_plan": "global-min window over the |langs|-row "

@@ -73,6 +73,12 @@ DEFERRED_R8: tuple[str, ...] = (
     # r7-registered oracle pairs (functions/scalar.py — §2.19).
     "fn_uri_parse",
     "fn_interval_arith",
+    # r7-registered oracle pairs (operators/features.py — §2.20).
+    "feat_target_encode",
+    "feat_quantile_bins",
+    "feat_minmax_zscore",
+    "feat_onehot_topk",
+    "split_kfold_balance",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -162,14 +168,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_dedup_survivorship",
     "fn_uri_parse",
     "fn_interval_arith",
+    "feat_target_encode",
+    "feat_quantile_bins",
+    "feat_minmax_zscore",
+    "feat_onehot_topk",
+    "split_kfold_balance",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r8+ rotation queue
     # reads straight down this list after the deferrals.  Derived r8
     # queue (VERDICT r6 #8 — freshness arithmetic, assuming the r7
-    # window goes 50/50 green): never-proven tier = the 17 DEFERRED_R8
+    # window goes 50/50 green): never-proven tier = the 22 DEFERRED_R8
     # keys above; stalest hard tier = the 24 remaining r3-era keys
-    # below, then the r4 tier alphabetically.  r8 window = 17 + 24 +
-    # the first 9 r4-tier keys (agg_collect .. dedup_exact) = 50;
+    # below, then the r4 tier alphabetically.  r8 window = 22 + 24 +
+    # the first 4 r4-tier keys (agg_collect .. agg_hash) = 50;
     # tests/test_registry.py re-derives this from the ledgers, so a
     # partial r7 ledger just shifts the split automatically.
     # -- newest hard row: r3 (24 remaining) --
