@@ -627,3 +627,77 @@ def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "embed_knn_graph",
+    # Blocked k-NN graph (k=3): within each label block, every vector's
+    # top-3 neighbors ranked by the FLOOR-QUANTIZED dot product (1e-5
+    # cells) with id tiebreak — quantize-then-rank makes the rank
+    # deterministic across engines (raw float ordering is last-ulp
+    # fragile; inside one cell the id order decides).
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(floor(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))
+                          * 100000) AS BIGINT) AS q_dot
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT id_a, id_b, q_dot,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                                  ORDER BY q_dot DESC, id_b) AS rk
+        FROM pairs
+    )
+    SELECT id_a, CAST(rk AS BIGINT) AS rk, id_b,
+           CAST(q_dot AS DOUBLE) / 100000 AS cosine_q
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph (k=3) over the embedding corpus, blocked by label:
+    each vector's three nearest neighbors by cosine within its block —
+    the input graph for graph-based near-dup clustering, kNN
+    classification, and UMAP-style layouts.
+
+    Scale notes: candidate generation is the label equi-join (block-
+    bounded, never all-pairs; at production scale the block key is an
+    ANN bucket — `sim_topk_ann`/`sim_topk_ivf` — exactly as
+    `dedup_embed_cosine` documents), and the per-source top-3 is a
+    window on the candidate set that Spark executes as a top-k sort
+    per key, not a full sort.  Dot products are the codegen'd
+    zip_with/aggregate fold (no UDF); ranking happens on the
+    floor-quantized integer score so the neighbor order is
+    reproducible bit-for-bit on both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(
+        b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") != F.col("id_b"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.floor(dot(F.col("emb_a"), F.col("emb_b")) * 100000)
+        .cast("long")
+        .alias("q_dot"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("q_dot").desc(), F.col("id_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select(
+            "id_a",
+            "rk",
+            "id_b",
+            (F.col("q_dot").cast("double") / 100000).alias("cosine_q"),
+        )
+    )

@@ -508,3 +508,178 @@ def join_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asof_seg", "cur_seg")
     )
+
+
+@register(
+    "cdc_net_changes",
+    # Debezium-style batch compaction: collapse each key's op sequence
+    # to ONE net change by comparing the first and last op —
+    # insert(first=I,last!=D), delete(first!=I,last=D),
+    # cancelled(first=I,last=D: created and dropped inside the batch),
+    # update(otherwise) — carrying the last row's payload.
+    oracle="""
+    WITH ops AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error' THEN 'D'
+                               ELSE 'U' END AS op,
+               CAST(ROUND(value * 100) AS BIGINT) AS val_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    ), fl AS (
+        SELECT user_id,
+               COUNT(*) AS n_ops,
+               MAX(CASE WHEN rn_a = 1 THEN op END) AS first_op,
+               MAX(CASE WHEN rn_d = 1 THEN op END) AS last_op,
+               MAX(CASE WHEN rn_d = 1 THEN val_cents END) AS last_val_cents,
+               MAX(CASE WHEN rn_d = 1 THEN ts END) AS last_ts
+        FROM ops GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_ops AS BIGINT) AS n_ops, first_op, last_op,
+           CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'cancelled'
+                WHEN first_op = 'I' THEN 'insert'
+                WHEN last_op = 'D' THEN 'delete'
+                ELSE 'update' END AS net_op,
+           last_val_cents, last_ts
+    FROM fl
+    """,
+)
+def cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-change compaction of a CDC batch: per key, the whole op
+    sequence collapses to one insert / update / delete / cancelled
+    row carrying the final payload — what a MERGE sink wants applied,
+    and the reason multi-step histories never replay downstream.
+    Events stand in for the change stream (signup→I, error→D,
+    else→U), ordered by the total (ts, event_id) order.
+
+    Scale notes: ONE shuffle on the key; both row_number directions
+    share the same window sort (Spark evaluates the desc numbering by
+    re-sorting within the already-partitioned frame), and the
+    conditional aggregate collapses to key-grain immediately — no
+    history self-join, no second shuffle.  This is the batch twin of
+    `stream_cdc_apply` (streaming/core.py), which applies the same
+    net-op classification per micro-batch."""
+    e = load_table(spark, sf_dir, "events")
+    w_a = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ops = e.select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("value") * 100).cast("long").alias("val_cents"),
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    fl = ops.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ops"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("op"))).alias("first_op"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("op"))).alias("last_op"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("val_cents"))).alias(
+            "last_val_cents"
+        ),
+        F.max(F.when(F.col("rn_d") == 1, F.col("ts"))).alias("last_ts"),
+    )
+    return fl.select(
+        "user_id",
+        "n_ops",
+        "first_op",
+        "last_op",
+        F.when(
+            (F.col("first_op") == "I") & (F.col("last_op") == "D"), "cancelled"
+        )
+        .when(F.col("first_op") == "I", "insert")
+        .when(F.col("last_op") == "D", "delete")
+        .otherwise("update")
+        .alias("net_op"),
+        "last_val_cents",
+        "last_ts",
+    )
+
+
+#: Compaction target: 16 KB of estimated file bytes per output group at
+#: the fixture's ~200 B/row estimate — scaled-down stand-in for the
+#: 128 MB small-file compaction target; the PLAN arithmetic (greedy
+#: cumulative bin-packing) is scale-free.
+_COMPACT_TARGET_BYTES = 16_384
+_EST_ROW_BYTES = 200
+
+
+@register(
+    "table_compaction_plan",
+    # Small-file compaction planner: days are the "files" of a
+    # month-partitioned orders table (est bytes = rows x 200); the plan
+    # greedily packs consecutive days into output groups of ~16 KB via
+    # cumulative-sum // target — the deterministic bin-packing every
+    # lakehouse OPTIMIZE job runs.
+    oracle=f"""
+    WITH files AS (
+        SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+               CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n_rows,
+               COUNT(*) * {_EST_ROW_BYTES} AS est_bytes
+        FROM orders GROUP BY 1, 2
+    ), packed AS (
+        SELECT month, day, n_rows, est_bytes,
+               CAST((SUM(est_bytes) OVER (PARTITION BY month ORDER BY day)
+                     - 1) // {_COMPACT_TARGET_BYTES} AS BIGINT) AS group_id
+        FROM files
+    )
+    SELECT month, day, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(est_bytes AS BIGINT) AS est_bytes, group_id,
+           CAST(SUM(est_bytes) OVER (PARTITION BY month, group_id)
+                AS BIGINT) AS group_bytes,
+           CAST(COUNT(*) OVER (PARTITION BY month, group_id)
+                AS BIGINT) AS group_files
+    FROM packed
+    """,
+)
+def table_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction (small-file OPTIMIZE) planner: per month partition,
+    pack consecutive per-day "files" into output groups of ~the target
+    size by cumulative-sum bucketing — ``(cumsum − 1) div target`` —
+    and report each group's total bytes and file count.  Greedy
+    packing over a deterministic file order is exactly what
+    lakehouse compaction jobs (Delta OPTIMIZE, Iceberg rewrite)
+    schedule; the (cumsum−1) form makes a file that lands exactly on
+    a target boundary close its group rather than open the next.
+
+    Scale notes: the file inventory is one hash aggregate to
+    (month, day) — calendar-sized, ~2.4k rows here and bounded by
+    days-retained at any corpus size; both the cumulative window and
+    the group rollup windows run partitioned by month on that
+    inventory.  A real deployment feeds per-file sizes from the
+    transaction log (`sources/txnlog.py` materializes one); the
+    planner arithmetic is identical."""
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) * _EST_ROW_BYTES).cast("long").alias("est_bytes"),
+    )
+    packed = files.withColumn(
+        "group_id",
+        F.expr(
+            f"CAST((SUM(est_bytes) OVER (PARTITION BY month ORDER BY day) - 1) "
+            f"div {_COMPACT_TARGET_BYTES} AS BIGINT)"
+        ),
+    )
+    w_grp = Window.partitionBy("month", "group_id")
+    return packed.select(
+        "month",
+        "day",
+        "n_rows",
+        "est_bytes",
+        "group_id",
+        F.sum("est_bytes").over(w_grp).cast("long").alias("group_bytes"),
+        F.count(F.lit(1)).over(w_grp).cast("long").alias("group_files"),
+    )

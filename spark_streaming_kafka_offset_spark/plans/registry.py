@@ -79,6 +79,10 @@ DEFERRED_R8: tuple[str, ...] = (
     "feat_minmax_zscore",
     "feat_onehot_topk",
     "split_kfold_balance",
+    # r7-registered oracle pairs (pipeline/similarity completions — §2.21).
+    "cdc_net_changes",
+    "table_compaction_plan",
+    "embed_knn_graph",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -173,6 +177,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "feat_minmax_zscore",
     "feat_onehot_topk",
     "split_kfold_balance",
+    "cdc_net_changes",
+    "table_compaction_plan",
+    "embed_knn_graph",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r8+ rotation queue
     # reads straight down this list after the deferrals.  Derived r8
