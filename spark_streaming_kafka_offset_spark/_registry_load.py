@@ -21,6 +21,7 @@ from .operators import (  # noqa: F401
     analytics,
     analytics_ext,
     bloom,
+    evaluation,
     features,
     graph,
     inference,

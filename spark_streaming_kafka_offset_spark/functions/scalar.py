@@ -807,3 +807,95 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div 7 AS INT)"
         ).alias("full_weeks_to_2002"),
     )
+
+
+@register(
+    "fn_geo_haversine",
+    # Geospatial scalar family: synthetic-but-deterministic coords from
+    # the `join_geo_grid` coprime recipe (0.01-degree fixed point);
+    # haversine + meridian distances ROUND to whole meters (double
+    # inputs are identical rationals, trig ulp noise is ~1e-9 m — far
+    # from the rounding boundary); bbox and grid-cell are pure integer
+    # arithmetic.
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey * 7919) % 12001 - 6000 AS lat_cdeg,
+               (c_custkey * 104729) % 36001 - 18000 AS lon_cdeg
+        FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT c_custkey,
+           CAST(lat_cdeg AS BIGINT) AS lat_cdeg,
+           CAST(lon_cdeg AS BIGINT) AS lon_cdeg,
+           CAST(ROUND(12742000.0 * asin(sqrt(
+               pow(sin(radians((CAST(lat_cdeg AS DOUBLE) / 100.0 - 51.48)
+                               / 2)), 2)
+               + cos(radians(CAST(lat_cdeg AS DOUBLE) / 100.0))
+                 * cos(radians(51.48))
+                 * pow(sin(radians(CAST(lon_cdeg AS DOUBLE) / 100.0 / 2)), 2)
+           ))) AS BIGINT) AS hav_ref_m,
+           CAST(ROUND(abs(CAST(lat_cdeg AS DOUBLE)) * 1111.949266445587)
+                AS BIGINT) AS meridian_m,
+           CAST(CASE WHEN lat_cdeg BETWEEN -1000 AND 1000
+                      AND lon_cdeg BETWEEN -2000 AND 2000
+                     THEN 1 ELSE 0 END AS INTEGER) AS in_bbox,
+           CAST((lat_cdeg + 6000) // 100 * 1000
+                + (lon_cdeg + 18000) // 100 AS BIGINT) AS cell_id
+    FROM pts
+    """,
+)
+def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial scalar family: great-circle (haversine) distance to a
+    reference point, meridian distance from the equator, bounding-box
+    membership, and the radius-sized grid-cell id — the per-row geo
+    toolkit under any spatial filter or distance join.  Coordinates are
+    the deterministic 0.01-degree fixed-point synthesis shared with
+    `join_geo_grid` (fixtures carry no geo columns).
+
+    Exactness: the fixed-point coords, bbox flag, and cell id never
+    touch floats; the two distances are ONE rounded float expression
+    each, written with identical association on both engines — inputs
+    are identical two-decimal rationals, so cross-engine libm ulp
+    differences perturb a ~1e7 m value by ~1e-9 m, nine orders from
+    the half-meter rounding boundary.  The cell id shifts operands
+    non-negative before ``div`` (the sign-boundary rule).
+
+    Scale notes: pure scan-side codegen over a pushed key filter — no
+    shuffle, no UDF; at 100 TB this is a whole-stage-codegen map over
+    the pruned scan, and the cell id feeds `join_geo_grid`'s
+    equi-join recipe."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.expr("c_custkey % 5 = 0")
+    )
+    pts = c.select(
+        "c_custkey",
+        F.expr("(c_custkey * 7919) % 12001 - 6000").alias("lat_cdeg"),
+        F.expr("(c_custkey * 104729) % 36001 - 18000").alias("lon_cdeg"),
+    )
+    return pts.select(
+        "c_custkey",
+        F.col("lat_cdeg").cast("long").alias("lat_cdeg"),
+        F.col("lon_cdeg").cast("long").alias("lon_cdeg"),
+        F.expr(
+            "CAST(ROUND(12742000.0 * asin(sqrt("
+            "pow(sin(radians((CAST(lat_cdeg AS DOUBLE) / 100.0 - 51.48)"
+            " / 2)), 2)"
+            " + cos(radians(CAST(lat_cdeg AS DOUBLE) / 100.0))"
+            " * cos(radians(51.48))"
+            " * pow(sin(radians(CAST(lon_cdeg AS DOUBLE) / 100.0 / 2)), 2)"
+            "))) AS BIGINT)"
+        ).alias("hav_ref_m"),
+        F.expr(
+            "CAST(ROUND(abs(CAST(lat_cdeg AS DOUBLE)) * 1111.949266445587)"
+            " AS BIGINT)"
+        ).alias("meridian_m"),
+        F.expr(
+            "CAST(CASE WHEN lat_cdeg BETWEEN -1000 AND 1000"
+            " AND lon_cdeg BETWEEN -2000 AND 2000"
+            " THEN 1 ELSE 0 END AS INTEGER)"
+        ).alias("in_bbox"),
+        F.expr(
+            "CAST((lat_cdeg + 6000) div 100 * 1000"
+            " + (lon_cdeg + 18000) div 100 AS BIGINT)"
+        ).alias("cell_id"),
+    )

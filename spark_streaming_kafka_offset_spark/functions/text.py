@@ -2583,3 +2583,118 @@ def corpus_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("rc.cnt").cast("long").alias("n_docs"))
         .orderBy("reason")
     )
+
+
+@register(
+    "text_readability",
+    # Flesch reading ease per doc from three regexp token counts
+    # (words \S+, sentence enders [.!?]+, vowel-group syllable proxy);
+    # the score is ONE rounded float expression over integer counts
+    # (milli-points), banded by the standard cut points.
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, lang,
+               GREATEST(1, len(regexp_extract_all(text, '\\S+')))
+                   AS n_words,
+               len(regexp_extract_all(text, '[.!?]+')) AS n_enders,
+               GREATEST(1, len(regexp_extract_all(text, '[aeiouyAEIOUY]+')))
+                   AS n_syllables
+        FROM documents
+    ), counts AS (
+        SELECT doc_id, lang, n_words, n_syllables,
+               GREATEST(n_enders, (n_words + 14) // 15, 1) AS n_sentences
+        FROM words
+    )
+    SELECT doc_id, lang,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CAST(ROUND(1000.0 * (206.835
+                - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)))
+                AS BIGINT) AS flesch_milli,
+           CASE WHEN CAST(ROUND(1000.0 * (206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)))
+                     AS BIGINT) >= 90000 THEN 'easy'
+                WHEN CAST(ROUND(1000.0 * (206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)))
+                     AS BIGINT) >= 60000 THEN 'standard'
+                WHEN CAST(ROUND(1000.0 * (206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)))
+                     AS BIGINT) >= 30000 THEN 'difficult'
+                ELSE 'very-difficult' END AS band
+    FROM counts
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score per document — the classic readability
+    gate a curation pipeline applies before admitting text to a
+    training mix (too-hard and too-degenerate both signal non-prose).
+    Words are ``\\S+`` runs, sentences are ``[.!?]+`` runs WITH a
+    fixed 15-token segmentation fallback (integer ``(words+14) div
+    15``) for terminator-free text — the fixture corpus carries no
+    punctuation at all (audited), and a real pipeline meets the same
+    case on ASR transcripts and OCR output — and syllables use the
+    vowel-group proxy (``[aeiouy]+`` runs); all counts are
+    floor-guarded to 1 so the ratios stay finite on degenerate docs.
+
+    Exactness: the three counts are integers from identical regexes
+    (patterns chosen inside the POSIX-compatible subset both regex
+    engines treat identically); the score is ONE rounded float over
+    integer ratios written with identical association on both engines
+    (milli-points), and the band is integer comparison on the rounded
+    score — no float ever crosses an aggregation or comparison
+    boundary unrounded.
+
+    Scale notes: pure scan-side row arithmetic (three regexp counts +
+    one expression) in whole-stage codegen — no shuffle, no UDF; at
+    100 TB this rides the same one-pass scan as `text_quality` and
+    feeds the same admission funnel (`corpus_admission_pipeline`)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.greatest(
+            F.lit(1), F.expr("size(regexp_extract_all(text, '\\\\S+', 0))")
+        ).alias("n_words"),
+        F.expr("size(regexp_extract_all(text, '[.!?]+', 0))").alias(
+            "n_enders"
+        ),
+        F.greatest(
+            F.lit(1),
+            F.expr("size(regexp_extract_all(text, '[aeiouyAEIOUY]+', 0))"),
+        ).alias("n_syllables"),
+    )
+    counts = words.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_syllables",
+        F.greatest(
+            F.col("n_enders"),
+            F.expr("(n_words + 14) div 15"),
+            F.lit(1),
+        ).alias("n_sentences"),
+    )
+    flesch = F.expr(
+        "CAST(ROUND(1000.0 * (206.835"
+        " - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)"
+        " - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)))"
+        " AS BIGINT)"
+    )
+    return counts.select(
+        "doc_id",
+        "lang",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        flesch.alias("flesch_milli"),
+        F.when(flesch >= 90000, "easy")
+        .when(flesch >= 60000, "standard")
+        .when(flesch >= 30000, "difficult")
+        .otherwise("very-difficult")
+        .alias("band"),
+    )

@@ -1,0 +1,327 @@
+"""Model-evaluation and privacy-compliance operators (r7 batch) — §2.22.
+
+The offline-evaluation stage of an ML pipeline and the compliance audit
+a training-data release runs, as exact relational queries: a score
+reliability/lift table, a threshold sweep of the binary confusion
+matrix, and a k-anonymity audit over quasi-identifier classes.
+Exactness discipline as in ``operators/statistics.py``: integer cents /
+ppm everywhere a value crosses an aggregation boundary; the only float
+operations are terminal and ROUND-absorbed on both engines.
+
+Reference parity [K]: no citation into /root/reference possible (mirror
+empty, SURVEY.md §0); the family reconstructs the evaluation surface a
+Spark-based training pipeline needs (SURVEY §2.10 mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import register
+from ..session import load_table
+
+#: $50 score buckets for the reliability table — the events ``value``
+#: score spans [0, ~500), so the bucket rollup is ~10 rows and bounded
+#: by the score RANGE (fixed-width rule, `feat_quantile_bins` rationale:
+#: stable edges survive retraining; bucket count never tracks corpus
+#: size).
+_RELIABILITY_BUCKET_CENTS = 5_000
+
+#: $1 buckets for the threshold sweep's score cdf — ≤ ~500 rollup rows
+#: at any corpus size (range-bounded, not corpus-bounded); every window
+#: below runs on that rollup.
+_SWEEP_BUCKET_CENTS = 100
+
+#: $1,000 account-balance bands for the k-anonymity quasi-identifier —
+#: coarse enough to be a realistic generalization level, fine enough
+#: that class sizes actually spread (audited: 1..17 at sf0.01).
+_KANON_BAND_CENTS = 100_000
+
+
+@register(
+    "eval_score_reliability",
+    # Reliability/lift table: $50 score buckets; per bucket the observed
+    # purchase rate in ppm, the mean score in cents, and the lift vs the
+    # global base rate in ppm-of-ppm — all integer divisions on integer
+    # counts, the global base rate via a window over the ~10-row rollup.
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS score_cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events
+    ), binned AS (
+        SELECT score_cents // {_RELIABILITY_BUCKET_CENTS} AS bucket,
+               COUNT(*) AS n, SUM(pos) AS n_pos,
+               SUM(score_cents) AS sum_cents
+        FROM scored GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * {_RELIABILITY_BUCKET_CENTS} AS BIGINT) AS edge_cents,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(sum_cents // n AS BIGINT) AS avg_score_cents,
+           CAST(n_pos * 1000000 // n AS BIGINT) AS obs_ppm,
+           CAST((n_pos * 1000000 // n) * 1000000
+                // (SUM(n_pos) OVER () * 1000000 // SUM(n) OVER ())
+                AS BIGINT) AS lift_ppm
+    FROM binned
+    """,
+)
+def eval_score_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score reliability / lift table: bucket the model score (events
+    ``value``, cents-quantized) into fixed $50 bins and report each
+    bin's observed positive rate (``event_type = 'purchase'``) in ppm,
+    its mean score, and its lift vs the global base rate — the
+    calibration-curve input and the campaign-targeting lift report in
+    one rollup.
+
+    Scale notes: ONE hash aggregate from the corpus to the
+    range-bounded (~10-row) bucket rollup; the global base rate is a
+    window over that rollup, never a second corpus pass.  Fixed-width
+    edges (not quantiles) are deliberate: stable bins survive corpus
+    growth, so reliability curves from different snapshots compare
+    bin-for-bin (`feat_quantile_bins` documents the same rule)."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("score_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    binned = (
+        scored.groupBy(
+            F.expr(f"score_cents div {_RELIABILITY_BUCKET_CENTS}").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").alias("n_pos"),
+            F.sum("score_cents").alias("sum_cents"),
+        )
+    )
+    return binned.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.col("bucket") * _RELIABILITY_BUCKET_CENTS)
+        .cast("long")
+        .alias("edge_cents"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.expr("sum_cents div n").cast("long").alias("avg_score_cents"),
+        F.expr("n_pos * 1000000 div n").cast("long").alias("obs_ppm"),
+        F.expr(
+            "(n_pos * 1000000 div n) * 1000000"
+            " div (SUM(n_pos) OVER () * 1000000 div SUM(n) OVER ())"
+        )
+        .cast("long")
+        .alias("lift_ppm"),
+    )
+
+
+@register(
+    "eval_confusion_thresholds",
+    # Decile threshold sweep of the binary confusion matrix: $1-bucket
+    # score cdf → decile-opening buckets (the (cum−1)*10 div T rule);
+    # per threshold TP/FP/FN/TN from ascending cumulative counts and
+    # precision/recall/F1 in ppm — integer arithmetic end to end.
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS score_cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events
+    ), buckets AS (
+        SELECT score_cents // {_SWEEP_BUCKET_CENTS} AS bucket,
+               COUNT(*) AS n, SUM(pos) AS n_pos
+        FROM scored GROUP BY 1
+    ), cum AS (
+        SELECT bucket, n, n_pos,
+               SUM(n) OVER (ORDER BY bucket) AS cum_n,
+               SUM(n_pos) OVER (ORDER BY bucket) AS cum_pos,
+               SUM(n) OVER () AS total_n,
+               SUM(n_pos) OVER () AS total_pos,
+               (SUM(n) OVER (ORDER BY bucket) - 1) * 10
+                   // SUM(n) OVER () AS decile
+        FROM buckets
+    ), openers AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY decile
+                                     ORDER BY bucket) AS rn
+        FROM cum
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(bucket * {_SWEEP_BUCKET_CENTS} AS BIGINT) AS threshold_cents,
+           CAST(total_pos - (cum_pos - n_pos) AS BIGINT) AS tp,
+           CAST((total_n - (cum_n - n)) - (total_pos - (cum_pos - n_pos))
+                AS BIGINT) AS fp,
+           CAST(cum_pos - n_pos AS BIGINT) AS fn,
+           CAST((cum_n - n) - (cum_pos - n_pos) AS BIGINT) AS tn,
+           CAST((total_pos - (cum_pos - n_pos)) * 1000000
+                // (total_n - (cum_n - n)) AS BIGINT) AS precision_ppm,
+           CAST((total_pos - (cum_pos - n_pos)) * 1000000
+                // total_pos AS BIGINT) AS recall_ppm,
+           CAST(2 * (total_pos - (cum_pos - n_pos)) * 1000000
+                // ((total_n - (cum_n - n)) + total_pos) AS BIGINT) AS f1_ppm
+    FROM openers
+    WHERE rn = 1 AND decile >= 1
+    """,
+)
+def eval_confusion_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep of the binary confusion matrix: for each decile
+    of the score distribution, classify ``score >= threshold`` as
+    positive and report TP/FP/FN/TN plus precision, recall and F1 in
+    ppm — the PR-curve / operating-point table every model report
+    carries.  The threshold of decile ``d`` is the score bucket that
+    OPENS the decile under the ``(cum−1)·10 div total`` rule (shared
+    with `feat_quantile_bins`), so both engines pick identical edges
+    without any float quantile estimate.
+
+    Scale notes: ONE corpus aggregate to the $1-bucket score cdf
+    (range-bounded ≤ ~500 rows at any corpus size — the bucket count
+    tracks the score RANGE, never the row count); every cumulative
+    window, the decile assignment, and the confusion arithmetic run on
+    that rollup.  TP at a threshold is ``total_pos − cum_pos_below``:
+    suffix counts derived from ascending cumulatives, so one window
+    ordering serves the whole sweep."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("score_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    buckets = scored.groupBy(
+        F.expr(f"score_cents div {_SWEEP_BUCKET_CENTS}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos"))
+    w_cum = Window.orderBy("bucket")
+    cum = buckets.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+        F.sum("n").over(Window.partitionBy()).alias("total_n"),
+        F.sum("n_pos").over(Window.partitionBy()).alias("total_pos"),
+    ).withColumn("decile", F.expr("(cum_n - 1) * 10 div total_n"))
+    openers = cum.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("decile").orderBy("bucket")),
+    ).where((F.col("rn") == 1) & (F.col("decile") >= 1))
+    tp = F.col("total_pos") - (F.col("cum_pos") - F.col("n_pos"))
+    pp = F.col("total_n") - (F.col("cum_n") - F.col("n"))
+    return openers.select(
+        F.col("decile").cast("long").alias("decile"),
+        (F.col("bucket") * _SWEEP_BUCKET_CENTS)
+        .cast("long")
+        .alias("threshold_cents"),
+        tp.cast("long").alias("tp"),
+        (pp - tp).cast("long").alias("fp"),
+        (F.col("cum_pos") - F.col("n_pos")).cast("long").alias("fn"),
+        ((F.col("cum_n") - F.col("n")) - (F.col("cum_pos") - F.col("n_pos")))
+        .cast("long")
+        .alias("tn"),
+        F.expr(
+            "(total_pos - (cum_pos - n_pos)) * 1000000"
+            " div (total_n - (cum_n - n))"
+        )
+        .cast("long")
+        .alias("precision_ppm"),
+        F.expr("(total_pos - (cum_pos - n_pos)) * 1000000 div total_pos")
+        .cast("long")
+        .alias("recall_ppm"),
+        F.expr(
+            "2 * (total_pos - (cum_pos - n_pos)) * 1000000"
+            " div ((total_n - (cum_n - n)) + total_pos)"
+        )
+        .cast("long")
+        .alias("f1_ppm"),
+    )
+
+
+@register(
+    "privacy_k_anonymity",
+    # k-anonymity audit: quasi-identifier = (nation, segment, $1k
+    # balance band); per (nation, k-band) the class and row counts,
+    # plus each nation's share of rows in classes below k=5 (ppm) —
+    # two stacked aggs + windows on the class rollup only.
+    oracle=f"""
+    WITH classes AS (
+        SELECT c_nationkey,
+               c_mktsegment,
+               (CAST(ROUND(c_acctbal * 100) AS BIGINT) + {_KANON_BAND_CENTS})
+                   // {_KANON_BAND_CENTS} AS bal_band,
+               COUNT(*) AS class_size
+        FROM customer
+        GROUP BY 1, 2, 3
+    ), banded AS (
+        SELECT c_nationkey,
+               CASE WHEN class_size = 1 THEN '1'
+                    WHEN class_size <= 4 THEN '2-4'
+                    WHEN class_size <= 9 THEN '5-9'
+                    ELSE '10+' END AS k_band,
+               class_size,
+               CASE WHEN class_size < 5 THEN class_size ELSE 0 END AS at_risk
+        FROM classes
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, k_band,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(MIN(class_size) AS BIGINT) AS min_class,
+           CAST(SUM(SUM(at_risk)) OVER (PARTITION BY c_nationkey) * 1000000
+                // SUM(SUM(class_size)) OVER (PARTITION BY c_nationkey)
+                AS BIGINT) AS nation_at_risk_ppm
+    FROM banded
+    GROUP BY c_nationkey, k_band
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of a would-be data release: the
+    quasi-identifier is (nation, market segment, $1,000 balance band);
+    every equivalence class's size is computed and histogrammed into
+    k-bands per nation, with each nation's share of rows living in
+    classes below k=5 (the re-identification-risk mass) in ppm — the
+    table a privacy review wants before a customer extract ships.
+
+    Scale notes: ONE hash aggregate from the corpus to the class rollup
+    (bounded by |nations|x|segments|x|bands| — QI-cardinality-sized, not
+    corpus-sized), then a second agg to the (nation, k-band) histogram;
+    the at-risk share is a nation-partitioned window over that rollup.
+    The balance band shifts by one band width before the integer div so
+    the operand stays non-negative and ``div`` equals floor division on
+    both engines (negative balances exist — the `join_geo_grid`
+    sign-boundary rule)."""
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            f"(CAST(ROUND(c_acctbal * 100) AS BIGINT) + {_KANON_BAND_CENTS})"
+            f" div {_KANON_BAND_CENTS}"
+        ).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    banded = classes.select(
+        "c_nationkey",
+        F.when(F.col("class_size") == 1, "1")
+        .when(F.col("class_size") <= 4, "2-4")
+        .when(F.col("class_size") <= 9, "5-9")
+        .otherwise("10+")
+        .alias("k_band"),
+        "class_size",
+        F.when(F.col("class_size") < 5, F.col("class_size"))
+        .otherwise(0)
+        .alias("at_risk"),
+    )
+    grouped = banded.groupBy("c_nationkey", "k_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").alias("n_rows_raw"),
+        F.min("class_size").cast("long").alias("min_class"),
+        F.sum("at_risk").alias("at_risk_rows"),
+    )
+    w_nation = Window.partitionBy("c_nationkey")
+    return grouped.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "k_band",
+        "n_classes",
+        F.col("n_rows_raw").cast("long").alias("n_rows"),
+        "min_class",
+        F.expr(
+            "SUM(at_risk_rows) OVER (PARTITION BY c_nationkey) * 1000000"
+            " div SUM(n_rows_raw) OVER (PARTITION BY c_nationkey)"
+        )
+        .cast("long")
+        .alias("nation_at_risk_ppm"),
+    )

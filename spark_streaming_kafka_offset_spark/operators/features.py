@@ -403,3 +403,120 @@ def split_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+@register(
+    "feat_woe_iv",
+    # Weight-of-evidence / information-value table: bins are
+    # (segment, priority) via the broadcast customer dim; event =
+    # order status 'F'.  Laplace +1 per bin (totals +|bins|) keeps the
+    # log finite; WoE is ONE rounded ln over exact integer products
+    # (milli-nats), IV contributions are ppm-share-diff x WoE integer
+    # products summed over the 25-row rollup.
+    oracle="""
+    WITH labeled AS (
+        SELECT c.c_mktsegment, o.o_orderpriority,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), bins AS (
+        SELECT c_mktsegment, o_orderpriority,
+               COUNT(*) AS n, SUM(bad) AS bad_n,
+               COUNT(*) - SUM(bad) AS good_n
+        FROM labeled GROUP BY 1, 2
+    ), tot AS (
+        SELECT *, SUM(good_n) OVER () AS good_tot,
+               SUM(bad_n) OVER () AS bad_tot,
+               COUNT(*) OVER () AS nb
+        FROM bins
+    ), woe AS (
+        SELECT *,
+               CAST(ROUND(1000.0 * ln(
+                   (CAST(good_n + 1 AS DOUBLE) * (bad_tot + nb))
+                   / (CAST(bad_n + 1 AS DOUBLE) * (good_tot + nb))
+               )) AS BIGINT) AS woe_mnats,
+               (good_n + 1) * 1000000 // (good_tot + nb)
+                   - (bad_n + 1) * 1000000 // (bad_tot + nb) AS share_diff_ppm
+        FROM tot
+    )
+    SELECT c_mktsegment, o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           CAST(bad_n AS BIGINT) AS bad_n,
+           CAST(good_n AS BIGINT) AS good_n,
+           woe_mnats,
+           CAST(share_diff_ppm * woe_mnats AS BIGINT) AS iv_contrib,
+           CAST(SUM(share_diff_ppm * woe_mnats) OVER () AS BIGINT) AS iv_total
+    FROM woe
+    """,
+)
+def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value: per
+    (segment, priority) bin, the WoE of the order-status-'F' event in
+    integer milli-nats and the bin's IV contribution — the classic
+    credit-scoring feature transform and its predictive-power summary.
+    Laplace smoothing (+1 per bin, +|bins| on each total) keeps the
+    log finite when a bin has no goods or no bads at small scale.
+
+    Exactness: counts stay integers through every aggregation; WoE is
+    the ONE rounded float expression per bin — an ``ln`` over exact
+    integer cross-products written with identical association on both
+    engines (the `events_user_day_entropy` milli-nat recipe); IV
+    contributions multiply two integers (ppm share diff x milli-nat
+    WoE) so the total is an exact integer sum.  The integer products
+    inside the log leave the double-exact 2^53 range only past ~1e8
+    rows per cell (documented cliff, far beyond sf10).
+
+    Scale notes: fact-dim broadcast join, ONE hash aggregate to the
+    |segments|x|priorities| (25-row) rollup; totals and the IV sum are
+    windows over that rollup.  The driver proves the arithmetic; the
+    fixture's near-uniform bins make WoE small but non-constant
+    (audited non-vacuous: milli-nat spread across bins)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    labeled = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        "c_mktsegment",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    bins = labeled.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bad").alias("bad_n"),
+        (F.count(F.lit(1)) - F.sum("bad")).alias("good_n"),
+    )
+    w_all = Window.partitionBy()
+    tot = bins.select(
+        "*",
+        F.sum("good_n").over(w_all).alias("good_tot"),
+        F.sum("bad_n").over(w_all).alias("bad_tot"),
+        F.count(F.lit(1)).over(w_all).alias("nb"),
+    )
+    woe = tot.select(
+        "*",
+        F.expr(
+            "CAST(ROUND(1000.0 * ln("
+            "(CAST(good_n + 1 AS DOUBLE) * (bad_tot + nb))"
+            " / (CAST(bad_n + 1 AS DOUBLE) * (good_tot + nb))"
+            ")) AS BIGINT)"
+        ).alias("woe_mnats"),
+        F.expr(
+            "(good_n + 1) * 1000000 div (good_tot + nb)"
+            " - (bad_n + 1) * 1000000 div (bad_tot + nb)"
+        ).alias("share_diff_ppm"),
+    )
+    return woe.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.col("bad_n").cast("long").alias("bad_n"),
+        F.col("good_n").cast("long").alias("good_n"),
+        "woe_mnats",
+        (F.col("share_diff_ppm") * F.col("woe_mnats"))
+        .cast("long")
+        .alias("iv_contrib"),
+        F.sum(F.col("share_diff_ppm") * F.col("woe_mnats"))
+        .over(w_all)
+        .cast("long")
+        .alias("iv_total"),
+    )

@@ -150,6 +150,12 @@ SINGLE_ALLOWED: dict[str, str] = {
     "events_burst_hysteresis": "global min/max hour-index window (two "
     "scalars) over the |types| x |hours| rollup; the state windows are "
     "type-partitioned",
+    "eval_score_reliability": "base-rate window over the range-bounded "
+    "(~10-row) $50 score-bucket rollup",
+    "eval_confusion_thresholds": "cumulative/decile windows over the "
+    "range-bounded (<=~500-row) $1 score-cdf rollup",
+    "feat_woe_iv": "totals + IV-sum windows over the |segments| x "
+    "|priorities| (25-row) WoE rollup",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

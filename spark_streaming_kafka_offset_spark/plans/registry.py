@@ -83,6 +83,16 @@ DEFERRED_R8: tuple[str, ...] = (
     "cdc_net_changes",
     "table_compaction_plan",
     "embed_knn_graph",
+    # r7-registered oracle pairs (evaluation/compliance — §2.22).
+    "eval_score_reliability",
+    "eval_confusion_thresholds",
+    "privacy_k_anonymity",
+    "feat_woe_iv",
+    "fn_geo_haversine",
+    # r7-registered oracle pairs (offset surface + text gate — §2.22).
+    "stream_rebalance_plan",
+    "stream_offset_commit_lag",
+    "text_readability",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -180,6 +190,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cdc_net_changes",
     "table_compaction_plan",
     "embed_knn_graph",
+    "eval_score_reliability",
+    "eval_confusion_thresholds",
+    "privacy_k_anonymity",
+    "feat_woe_iv",
+    "fn_geo_haversine",
+    "stream_rebalance_plan",
+    "stream_offset_commit_lag",
+    "text_readability",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r8+ rotation queue
     # reads straight down this list after the deferrals.  Derived r8

@@ -30,8 +30,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import register
+from ..session import load_table
 from .core import read_event_stream, stage_stream_dir
 
 from ..common import scratch_path
@@ -359,3 +361,168 @@ def stream_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ledger.where(F.col("batch_id") != 2), "lost_commit"
     )
     return clean.unionAll(damaged).orderBy("scenario", "batch_id")
+
+
+@register(
+    "stream_rebalance_plan",
+    # Kafka RangeAssignor as a query: 16 partitions (user_id % 16) to 3
+    # consumers — the first (16 % 3) consumers take ceil(16/3), the rest
+    # floor(16/3); pure integer assignment arithmetic over the
+    # partition rollup, with per-consumer load totals via windows.
+    oracle="""
+    WITH parts AS (
+        SELECT user_id % 16 AS part_id,
+               COUNT(*) AS end_offset,
+               MIN(event_id) AS earliest_id,
+               MAX(event_id) AS latest_id
+        FROM events GROUP BY 1
+    ), assigned AS (
+        SELECT *,
+               CASE WHEN part_id < ((16 // 3) + 1) * (16 % 3)
+                    THEN part_id // ((16 // 3) + 1)
+                    ELSE (16 % 3)
+                         + (part_id - ((16 // 3) + 1) * (16 % 3)) // (16 // 3)
+               END AS consumer
+        FROM parts
+    )
+    SELECT CAST(part_id AS BIGINT) AS part_id,
+           CAST(end_offset AS BIGINT) AS end_offset,
+           CAST(earliest_id AS BIGINT) AS earliest_id,
+           CAST(latest_id AS BIGINT) AS latest_id,
+           CAST(consumer AS BIGINT) AS consumer,
+           CAST(COUNT(*) OVER (PARTITION BY consumer) AS BIGINT)
+               AS consumer_parts,
+           CAST(SUM(end_offset) OVER (PARTITION BY consumer) AS BIGINT)
+               AS consumer_load
+    FROM assigned
+    """,
+)
+def stream_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-group rebalance plan: assign 16 topic partitions
+    (``user_id % 16`` stands in for the Kafka partitioner) to 3
+    consumers with the RangeAssignor rule — the first ``P % C``
+    consumers take ``ceil(P/C)`` partitions, the rest ``floor(P/C)``
+    — and report each consumer's partition count and record load.
+    This is the assignment the reference's KafkaManager observes after
+    a group rebalance [K: reconstructed from the public RangeAssignor
+    contract; mirror empty, SURVEY §0].
+
+    Scale notes: ONE hash aggregate from the event stream to the
+    |partitions|-row frame; the assignment is branch-free integer
+    arithmetic on that rollup and the load totals are
+    consumer-partitioned windows over it.  The skewed-load reading the
+    plan surfaces (consumer_load spread) is exactly why range
+    assignment degrades on hot partitions — `detect_hot_keys` is the
+    companion diagnosis."""
+    e = load_table(spark, sf_dir, "events")
+    parts = e.groupBy((F.col("user_id") % 16).alias("part_id")).agg(
+        F.count(F.lit(1)).alias("end_offset"),
+        F.min("event_id").alias("earliest_id"),
+        F.max("event_id").alias("latest_id"),
+    )
+    q, r = 16 // 3, 16 % 3
+    assigned = parts.withColumn(
+        "consumer",
+        F.when(
+            F.col("part_id") < (q + 1) * r, F.expr(f"part_id div {q + 1}")
+        ).otherwise(r + F.expr(f"(part_id - {(q + 1) * r}) div {q}")),
+    )
+    w_c = Window.partitionBy("consumer")
+    return assigned.select(
+        F.col("part_id").cast("long").alias("part_id"),
+        F.col("end_offset").cast("long").alias("end_offset"),
+        F.col("earliest_id").cast("long").alias("earliest_id"),
+        F.col("latest_id").cast("long").alias("latest_id"),
+        F.col("consumer").cast("long").alias("consumer"),
+        F.count(F.lit(1)).over(w_c).cast("long").alias("consumer_parts"),
+        F.sum("end_offset").over(w_c).cast("long").alias("consumer_load"),
+    )
+
+
+@register(
+    "stream_offset_commit_lag",
+    # Commit-lag table: committed offset = records before the freeze
+    # horizon (global max ts - 7 days, a window scalar on the 16-row
+    # partition frame); lag = end - committed, banded ok/warn/crit with
+    # ppm lag share per partition — the monitoring read every offset
+    # store owner runs.
+    oracle="""
+    WITH parts AS (
+        SELECT user_id % 16 AS part_id,
+               COUNT(*) AS end_offset,
+               SUM(CASE WHEN ts < (SELECT MAX(ts) FROM events)
+                             - to_days(CAST(6 + (user_id % 16) % 5
+                                            AS INTEGER))
+                        THEN 1 ELSE 0 END) AS committed_offset
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(part_id AS BIGINT) AS part_id,
+           CAST(6 + part_id % 5 AS BIGINT) AS commit_age_days,
+           CAST(end_offset AS BIGINT) AS end_offset,
+           CAST(committed_offset AS BIGINT) AS committed_offset,
+           CAST(end_offset - committed_offset AS BIGINT) AS lag,
+           CASE WHEN (end_offset - committed_offset) * 1000000
+                     // end_offset >= 290000 THEN 'crit'
+                WHEN (end_offset - committed_offset) * 1000000
+                     // end_offset >= 230000 THEN 'warn'
+                ELSE 'ok' END AS lag_band,
+           CAST((end_offset - committed_offset) * 1000000 // end_offset
+                AS BIGINT) AS lag_ppm
+    FROM parts
+    """,
+)
+def stream_offset_commit_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset commit-lag table: per partition, the latest (end) offset
+    vs the committed offset — the committed point is the record count
+    before a PER-PARTITION freeze horizon (``6 + part_id % 5`` days off
+    the global max timestamp), the deterministic stand-in for consumer
+    groups that progress unevenly, which is exactly what a lag monitor
+    exists to catch — with the lag banded ok/warn/crit on its ppm
+    share of the partition (relative thresholds, so the bands mean the
+    same thing at every corpus size; absolute-count thresholds went
+    monotone-dead across SFs in the first draft, caught by the
+    non-degeneracy audit).  Batch twin of `stream_offset_lag_monitor`
+    (rows-only executor): the ARITHMETIC gets a hard oracle here, the
+    ledger plumbing is proven there.
+
+    Scale notes: ONE conditional hash aggregate to the
+    |partitions|-row frame; the horizon scalar is a 1-row broadcast
+    join evaluated once, never a per-row pass.  At production scale
+    this reads the offset ledger, not the event log — identical
+    arithmetic on a frame that is partitions-sized either way."""
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max("ts").alias("mx"))
+    parts = (
+        e.join(F.broadcast(horizon))
+        .groupBy((F.col("user_id") % 16).alias("part_id"))
+        .agg(
+            F.count(F.lit(1)).alias("end_offset"),
+            F.sum(
+                F.when(
+                    F.expr(
+                        "ts < mx - make_dt_interval(6 + (user_id % 16) % 5)"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("committed_offset"),
+        )
+    )
+    lag_ppm = F.expr(
+        "(end_offset - committed_offset) * 1000000 div end_offset"
+    )
+    return parts.select(
+        F.col("part_id").cast("long").alias("part_id"),
+        (F.lit(6) + F.col("part_id") % 5).cast("long").alias(
+            "commit_age_days"
+        ),
+        F.col("end_offset").cast("long").alias("end_offset"),
+        F.col("committed_offset").cast("long").alias("committed_offset"),
+        (F.col("end_offset") - F.col("committed_offset"))
+        .cast("long")
+        .alias("lag"),
+        F.when(lag_ppm >= 290000, "crit")
+        .when(lag_ppm >= 230000, "warn")
+        .otherwise("ok")
+        .alias("lag_band"),
+        lag_ppm.cast("long").alias("lag_ppm"),
+    )

@@ -61,6 +61,13 @@ STRESS_SET = [
     "docs_winnowing_fingerprint",
     "corpus_dedup_survivorship",
     "events_peak_concurrency",
+    # r7 §2.21 heavies: the blocked all-pairs k-NN graph (candidate
+    # fanout = Σ|block|² — quadratic in block size by construction; the
+    # fixture's FIXED 10 labels are the worst case, production blocks
+    # are ANN buckets with bounded occupancy) and the double-window CDC
+    # compaction (one shuffle, two same-partition sorts).
+    "embed_knn_graph",
+    "cdc_net_changes",
 ]
 
 
