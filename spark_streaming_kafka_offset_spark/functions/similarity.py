@@ -656,7 +656,13 @@ def _knn_block(pdf):
         return pd.DataFrame(
             {"id_a": [], "rk": [], "id_b": [], "idot": []}
         ).astype({"id_a": "int64", "rk": "int64", "id_b": "int64", "idot": "int64"})
-    m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+    # float64 BLAS GEMM, still EXACT: quantized components are ≤ 1e4,
+    # so every product (≤ 1e8) and every partial sum (≤ dim·1e8 =
+    # 6.4e9) is an integer far below 2^53 — no floating step can
+    # round, regardless of BLAS blocking/FMA order.  dgemm is ~10-50x
+    # the throughput of numpy's integer matmul at the 20k-vector
+    # blocks the sf10 probe runs.
+    m = np.stack(pdf["q"].to_numpy()).astype(np.float64)
     k = min(3, n - 1)
     frames = []
     # Self-exclusion sentinel: very negative but SAFELY NEGATABLE —
@@ -669,7 +675,7 @@ def _knn_block(pdf):
     rank_pen = np.arange(n, dtype=np.int64)[None, :]
     for lo in range(0, n, _KNN_CHUNK):
         hi = min(lo + _KNN_CHUNK, n)
-        g = m[lo:hi] @ m.T  # exact int64 GEMM
+        g = (m[lo:hi] @ m.T).astype(np.int64)  # exact (see above)
         c = g * np.int64(n + 1) - rank_pen
         c[np.arange(hi - lo), np.arange(lo, hi)] = neg  # exclude self
         top = np.argpartition(-c, kth=k - 1, axis=1)[:, :k]

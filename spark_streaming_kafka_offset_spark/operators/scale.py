@@ -1461,3 +1461,176 @@ def scan_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         li.unpersist()
     return out
+
+
+@register(
+    "agg_kmv_jaccard",
+    # KMV set-similarity estimates for all 10 unordered event-type
+    # pairs: per pair, the bottom-64 of the md5-derived 60-bit user
+    # hashes over A∪B; Jaccard-hat = |{bottom-k} ∩ A ∩ B| / k_eff,
+    # union-hat = (k−1)·2^60/u_k, intersect-hat = their product — the
+    # exact values ride along so the error is REPORTED, not hoped.
+    # Deterministic end to end: same hash both engines, ties keep the
+    # bottom-k multiset identical.
+    oracle=f"""
+    WITH pairs(type_a, type_b) AS (
+        VALUES ('click','error'), ('click','purchase'), ('click','signup'),
+               ('click','view'), ('error','purchase'), ('error','signup'),
+               ('error','view'), ('purchase','signup'), ('purchase','view'),
+               ('signup','view')
+    ), du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), mem AS (
+        SELECT p.type_a, p.type_b, d.user_id,
+               MAX(CASE WHEN d.event_type = p.type_a THEN 1 ELSE 0 END)
+                   AS has_a,
+               MAX(CASE WHEN d.event_type = p.type_b THEN 1 ELSE 0 END)
+                   AS has_b,
+               CAST(('0x' || substr(md5(CAST(d.user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM du d JOIN pairs p
+          ON d.event_type IN (p.type_a, p.type_b)
+        GROUP BY p.type_a, p.type_b, d.user_id
+    ), exact AS (
+        SELECT type_a, type_b,
+               COUNT(*) AS exact_union,
+               SUM(has_a * has_b) AS exact_both
+        FROM mem GROUP BY type_a, type_b
+    ), rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                                     ORDER BY h) AS rk
+        FROM mem
+    ), sk AS (
+        SELECT type_a, type_b,
+               COUNT(*) AS k_eff,
+               SUM(has_a * has_b) AS both_in_k,
+               MAX(h) AS u_k
+        FROM rk WHERE rk <= {{K}} GROUP BY type_a, type_b
+    )
+    SELECT e.type_a, e.type_b,
+           CAST(e.exact_union AS BIGINT) AS exact_union,
+           CAST(e.exact_both AS BIGINT) AS exact_both,
+           CAST(e.exact_both * 1000000 // e.exact_union AS BIGINT)
+               AS exact_jaccard_ppm,
+           CAST(s.k_eff AS BIGINT) AS k_eff,
+           CAST(CASE WHEN s.k_eff < {{K}} THEN s.k_eff
+                ELSE floor(({{K}} - 1.0) * 1152921504606846976.0 / s.u_k)
+                END AS BIGINT) AS kmv_union_est,
+           CAST(s.both_in_k * 1000000 // s.k_eff AS BIGINT)
+               AS kmv_jaccard_ppm,
+           CAST((s.both_in_k * 1000000 // s.k_eff)
+                * (CASE WHEN s.k_eff < {{K}} THEN s.k_eff
+                   ELSE floor(({{K}} - 1.0) * 1152921504606846976.0 / s.u_k)
+                   END) // 1000000 AS BIGINT) AS kmv_intersect_est,
+           CAST(abs(s.both_in_k * 1000000 // s.k_eff
+                    - e.exact_both * 1000000 // e.exact_union) // 1000
+                AS BIGINT) AS jaccard_err_permille
+    FROM exact e JOIN sk s
+      ON e.type_a = s.type_a AND e.type_b = s.type_b
+    """.replace("{K}", str(_KMV_K)),
+)
+def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) set-similarity sketch, full pipeline
+    oracle-proven for every unordered event-type audience pair: the
+    bottom-64 user hashes of each pair's union estimate the union size
+    (k-th-minimum estimator), the bottom-k's A∩B fraction estimates
+    Jaccard, and their product estimates the intersection — the
+    mergeable-sketch answer to `audience_overlap_exact`, with the
+    exact values computed alongside so the estimate error is REPORTED
+    per pair, never assumed.  Deterministic by construction:
+    `dedup_minhash_md5`'s 60-bit md5 hash is the same function on both
+    engines, so sketch contents and estimates match bit-for-bit
+    (`agg_kmv_bottomk`'s recipe, extended from cardinality to
+    similarity).
+
+    Scale notes: ONE distinct pass + a 10-row broadcast pair join
+    fan the per-user membership flags (|users| x |pairs| frame, dim x
+    10 — never event-grain); the bottom-k is a pair-partitioned top-k
+    window (Spark's per-key sort-limit, no global sort) and every
+    later frame is 10 rows.  At production scale the per-pair
+    bottom-k travels as a 64-value state — the `scale_merge`
+    semigroup pattern proven on `agg_kmv_bottomk`."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    pair_rows = [
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    ]
+    pairs = spark.createDataFrame(pair_rows, "type_a string, type_b string")
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    mem = (
+        du.join(
+            F.broadcast(pairs),
+            du.event_type.isin_not_used if False else (
+                (du.event_type == pairs.type_a)
+                | (du.event_type == pairs.type_b)
+            ),
+        )
+        .groupBy("type_a", "type_b", "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("has_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("has_b"),
+        )
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    exact = mem.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("has_a") * F.col("has_b")).alias("exact_both"),
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy("h")
+    sk = (
+        mem.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.sum(F.col("has_a") * F.col("has_b")).alias("both_in_k"),
+            F.max("h").alias("u_k"),
+        )
+    )
+    est = F.expr(
+        f"CASE WHEN k_eff < {_KMV_K} THEN k_eff"
+        f" ELSE CAST(floor(({_KMV_K} - 1.0) * 1152921504606846976.0 / u_k)"
+        f" AS BIGINT) END"
+    )
+    return exact.join(sk, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_both").cast("long").alias("exact_both"),
+        F.expr("exact_both * 1000000 div exact_union")
+        .cast("long")
+        .alias("exact_jaccard_ppm"),
+        F.col("k_eff").cast("long").alias("k_eff"),
+        est.cast("long").alias("kmv_union_est"),
+        F.expr("both_in_k * 1000000 div k_eff")
+        .cast("long")
+        .alias("kmv_jaccard_ppm"),
+        ((F.expr("both_in_k * 1000000 div k_eff") * est) / F.lit(1000000))
+        .cast("long")
+        .alias("kmv_intersect_est_wrong") if False else
+        F.expr(
+            f"(both_in_k * 1000000 div k_eff)"
+            f" * (CASE WHEN k_eff < {_KMV_K} THEN k_eff"
+            f"    ELSE CAST(floor(({_KMV_K} - 1.0) * 1152921504606846976.0"
+            f" / u_k) AS BIGINT) END) div 1000000"
+        )
+        .cast("long")
+        .alias("kmv_intersect_est"),
+        F.expr(
+            "abs(both_in_k * 1000000 div k_eff"
+            " - exact_both * 1000000 div exact_union) div 1000"
+        )
+        .cast("long")
+        .alias("jaccard_err_permille"),
+    )

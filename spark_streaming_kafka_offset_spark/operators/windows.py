@@ -255,3 +255,74 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.expr("(2 * s + n) div (2 * n)").cast("long").alias("ma4_cents"),
     )
+
+
+@register(
+    "win_running_distinct",
+    # Running distinct count as windows: the first occurrence of each
+    # (user, type) gets flag 1 (row_number over the per-type order),
+    # the user-ordered cumsum of flags IS the running distinct count;
+    # only discovery rows (flag = 1) are emitted — the per-user
+    # type-discovery timeline.
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS event_seq
+        FROM events
+    ), cum AS (
+        SELECT user_id, ts, event_id, event_type, first_seen, event_seq,
+               SUM(first_seen) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                   AS distinct_so_far
+        FROM flagged
+    )
+    SELECT user_id, ts, event_type,
+           CAST(distinct_so_far AS BIGINT) AS nth_distinct,
+           CAST(event_seq AS BIGINT) AS events_until_discovery
+    FROM cum WHERE first_seen = 1
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-distinct-count timeline: for each user, the moments a
+    NEW event type first appears, with the running distinct-type count
+    at that moment and how many events it took to get there — the
+    feature-adoption / exploration-depth readout, and the standard
+    answer to "cumulative COUNT(DISTINCT) OVER" which no SQL engine
+    supports directly: a first-seen flag (per-key row_number = 1)
+    cumulatively summed IS the running distinct count.
+
+    Scale notes: both row_numbers and the cumsum are user-partitioned
+    windows sharing ONE hash shuffle on user_id (Spark chains them in
+    a single sort within the partition); output is |users| x |types|
+    rows max — discovery events only, never the full event stream.
+    No global window anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.row_number().over(w_type) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+        F.row_number().over(w_user).alias("event_seq"),
+    )
+    cum = flagged.withColumn(
+        "distinct_so_far", F.sum("first_seen").over(w_user)
+    )
+    return cum.where(F.col("first_seen") == 1).select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("distinct_so_far").cast("long").alias("nth_distinct"),
+        F.col("event_seq").cast("long").alias("events_until_discovery"),
+    )
