@@ -52,13 +52,18 @@ def cpu_fingerprint() -> dict[str, object]:
 
     # All-cores token (VERDICT r6 #2): the single-core number cannot see
     # multi-core co-tenancy — r6 recorded the FASTEST cpu_sec of any
-    # round next to the SLOWEST wall.  Fixed parallel work: 32 threads ×
-    # 64 sha256 passes over 1 MiB each (hashlib releases the GIL for
-    # buffers this large, so threads genuinely occupy cores).  On an
-    # idle 32-vCPU host this is ≈8× the single-core token's work per
-    # core and should land near ``cpu_sec``×0.25×32/32; a co-tenant
-    # machine inflates it roughly in proportion to stolen cores.
+    # round next to the SLOWEST wall.  Fixed parallel work PER CORE
+    # (ADVICE r7: sized to os.cpu_count(), not a hardcoded 32, and the
+    # count is recorded alongside so tokens from different-width hosts
+    # are never compared raw): one thread per core × 64 sha256 passes
+    # over 1 MiB each (hashlib releases the GIL for buffers this large,
+    # so threads genuinely occupy cores).  On an idle host this is ≈8×
+    # the single-core token's work per core and should land near
+    # ``cpu_sec``×0.25; a co-tenant machine inflates it roughly in
+    # proportion to stolen cores.
     import concurrent.futures
+
+    ncpu = os.cpu_count() or 1
 
     def _hash_pass() -> None:
         hh = hashlib.sha256()
@@ -66,12 +71,13 @@ def cpu_fingerprint() -> dict[str, object]:
             hh.update(buf)
 
     t1 = time.monotonic()
-    with concurrent.futures.ThreadPoolExecutor(max_workers=32) as ex:
-        list(ex.map(lambda _: _hash_pass(), range(32)))
+    with concurrent.futures.ThreadPoolExecutor(max_workers=ncpu) as ex:
+        list(ex.map(lambda _: _hash_pass(), range(ncpu)))
     return {
         "uname": f"{platform.system()} {platform.release()} {platform.machine()}",
         "cpu_sec": single,
         "cpu_allcores_sec": round(time.monotonic() - t1, 4),
+        "cpu_count": ncpu,
     }
 
 #: Headline set: one per operator family, weighted toward the plans that
@@ -195,6 +201,16 @@ def main() -> None:
     by_total = sorted(payloads, key=lambda p: p["value"])
     median = by_total[1]
     median["runs"] = [round(p["value"], 3) for p in by_total]
+    # Per-query median ACROSS the three runs (VERDICT r7 #8: the r4
+    # baseline recorded per-query minima, so per-query ratios computed
+    # against it are inflated by construction; this field is the
+    # median-to-median comparable).  The headline `queries` stays the
+    # median RUN's timings — the two differ when a query is noisy
+    # inside an otherwise-median run.
+    median["queries_median"] = {
+        k: sorted(p["queries"][k] for p in payloads)[1]
+        for k in median["queries"]
+    }
     median["protocol"] = "median-of-3-fresh-process"
     print(json.dumps(median))
 

@@ -1560,10 +1560,8 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     mem = (
         du.join(
             F.broadcast(pairs),
-            du.event_type.isin_not_used if False else (
-                (du.event_type == pairs.type_a)
-                | (du.event_type == pairs.type_b)
-            ),
+            (du.event_type == pairs.type_a)
+            | (du.event_type == pairs.type_b),
         )
         .groupBy("type_a", "type_b", "user_id")
         .agg(
@@ -1616,9 +1614,6 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("both_in_k * 1000000 div k_eff")
         .cast("long")
         .alias("kmv_jaccard_ppm"),
-        ((F.expr("both_in_k * 1000000 div k_eff") * est) / F.lit(1000000))
-        .cast("long")
-        .alias("kmv_intersect_est_wrong") if False else
         F.expr(
             f"(both_in_k * 1000000 div k_eff)"
             f" * (CASE WHEN k_eff < {_KMV_K} THEN k_eff"

