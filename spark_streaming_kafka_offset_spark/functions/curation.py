@@ -895,3 +895,108 @@ def corpus_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").cast("long").alias("n_langs"),
         F.countDistinct("source").cast("long").alias("n_sources"),
     )
+
+
+@register(
+    "corpus_eval_allocation",
+    # Largest-remainder (Hamilton) apportionment of a fixed 1000-doc
+    # eval budget across (lang, source) strata proportional to corpus
+    # chars: base = floor(K*w/W) exact integer; the K - sum(base)
+    # leftover seats go to the largest integer remainders K*w mod W
+    # (ties broken lang, source ascending) — sum(alloc) == K exactly,
+    # the property proportional-rounding always violates.
+    oracle="""
+    WITH s AS (
+        SELECT lang, source, COUNT(*) AS n_docs,
+               SUM(n_chars) AS w
+        FROM documents GROUP BY 1, 2
+    ), t AS (
+        SELECT *, SUM(w) OVER () AS tot,
+               1000 * w // SUM(w) OVER () AS base,
+               (1000 * w) % SUM(w) OVER () AS rem
+        FROM s
+    ), r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source)
+                   AS rem_rank,
+               1000 - SUM(base) OVER () AS leftover
+        FROM t
+    )
+    SELECT lang, source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(w AS BIGINT) AS w_chars,
+           CAST(base AS BIGINT) AS base_alloc,
+           CAST(rem_rank AS BIGINT) AS rem_rank,
+           CAST(CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS extra,
+           CAST(base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM r
+    """,
+)
+def corpus_eval_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set budget apportionment: split a FIXED evaluation budget
+    (K = 1000 documents) across (lang, source) strata proportional to
+    their character mass, using the largest-remainder (Hamilton)
+    method — the apportionment rule whose defining property is that
+    the integer allocations sum to EXACTLY K (independent rounding
+    of quotas never does, and an eval set that silently holds 993 or
+    1008 docs breaks every downstream per-mille metric).  base =
+    floor(K*w/W); the K - Σbase leftover seats go to the strata with
+    the largest integer remainders (K*w mod W), ties broken by (lang,
+    source) ascending so the apportionment is total-order
+    deterministic.  Pure integer arithmetic end to end.
+
+    Companion to `lang_balanced_sample` (which CAPS per-language mass)
+    and `corpus_mixture_plan` (which plans token shares): this op
+    answers "exactly how many eval docs does each stratum get".
+
+    Scale notes: ONE corpus-grain hash agg to the |lang|x|source|
+    stratum rollup (~100 rows at any corpus size); the total/leftover
+    windows and the remainder rank run on that rollup only (reviewed
+    SINGLE allowlist row).  The subsequent per-stratum draw is
+    `sample_stratified`'s hash-rank recipe with these counts as the
+    quota column."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("w")
+    )
+    w_all = Window.partitionBy()
+    t = s.select(
+        "lang",
+        "source",
+        "n_docs",
+        "w",
+        F.expr("1000 * w").alias("kw"),
+        F.sum("w").over(w_all).alias("tot"),
+    ).select(
+        "lang",
+        "source",
+        "n_docs",
+        "w",
+        F.expr("kw div tot").alias("base"),
+        (F.col("kw") % F.col("tot")).alias("rem"),
+    )
+    r = t.select(
+        "lang",
+        "source",
+        "n_docs",
+        "w",
+        "base",
+        "rem",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), "lang", "source"))
+        .alias("rem_rank"),
+        (F.lit(1000) - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    extra = F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+    return r.select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("w").cast("long").alias("w_chars"),
+        F.col("base").cast("long").alias("base_alloc"),
+        F.col("rem_rank").cast("long").alias("rem_rank"),
+        extra.cast("long").alias("extra"),
+        (F.col("base") + extra).cast("long").alias("alloc"),
+    )

@@ -650,3 +650,429 @@ def events_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd_nats"),
     )
+
+
+@register(
+    "events_kaplan_meier",
+    # Kaplan-Meier product-limit estimator, time-to-first-purchase with
+    # staggered per-user administrative censoring (follow-up window
+    # 3 + user_id % 9 days): per support point (a duration with >= 1
+    # event), the at-risk count (suffix sum), events, censored,
+    # discrete hazard ppm (integer), and survival ppm via the ordered
+    # cumulative sum of ln(1 - d/n) — identical doubles summed in the
+    # same (duration) order on both engines, ONE exp + ROUND at the
+    # end; ulp noise ~1e-14 vs ppm granularity 1e-6.
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(MIN(ts) AS DATE) AS d0,
+               CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS DATE) AS dp
+        FROM events GROUP BY user_id
+    ), subj AS (
+        SELECT user_id,
+               CAST(3 + user_id % 9 AS BIGINT) AS fup,
+               CASE WHEN dp IS NOT NULL
+                         AND date_diff('day', d0, dp) <= 3 + user_id % 9
+                    THEN date_diff('day', d0, dp)
+                    ELSE 3 + user_id % 9 END AS dur,
+               CASE WHEN dp IS NOT NULL
+                         AND date_diff('day', d0, dp) <= 3 + user_id % 9
+                    THEN 1 ELSE 0 END AS ev
+        FROM u
+    ), g AS (
+        SELECT dur, SUM(ev) AS d_events,
+               SUM(1 - ev) AS censored,
+               COUNT(*) AS n_at
+        FROM subj GROUP BY dur
+    ), r AS (
+        SELECT *, SUM(n_at) OVER (ORDER BY dur DESC) AS n_risk FROM g
+    ), km AS (
+        SELECT dur, d_events, censored, n_risk,
+               CASE WHEN MAX(CASE WHEN d_events = n_risk THEN 1 ELSE 0
+                             END) OVER (ORDER BY dur) = 1
+                    THEN 0.0
+                    ELSE EXP(SUM(CASE WHEN d_events < n_risk
+                                 THEN LN(1.0 - CAST(d_events AS DOUBLE)
+                                              / n_risk)
+                                 ELSE 0.0 END) OVER (ORDER BY dur))
+               END AS surv
+        FROM r
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_events AS BIGINT) AS d_events,
+           CAST(censored AS BIGINT) AS censored,
+           CAST(d_events * 1000000 // n_risk AS BIGINT) AS hazard_ppm,
+           CAST(ROUND(surv * 1000000) AS BIGINT) AS survival_ppm
+    FROM km WHERE d_events > 0
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase under
+    right censoring — the estimator every conversion/churn analysis
+    reaches for when follow-up is incomplete.  Subjects enroll at their
+    first event; the event is the first purchase within a staggered
+    per-user follow-up window (3 + user_id % 9 days — uneven
+    observation horizons, which is what makes censoring REAL here:
+    fixture audit shows 143 events + 7 censored spread over durations
+    0-10, so the at-risk set shrinks between support points and KM
+    diverges from the naive empirical CDF).  Survival is the product
+    limit Π(1 - d_i/n_i), computed as exp of the duration-ordered
+    cumulative sum of ln terms — both engines sum identical doubles in
+    the same order, ONE rounding at ppm scale absorbs last-ulp libm
+    drift (`fn_geo_haversine`'s discipline); hazard and all counts are
+    exact integers.
+
+    Scale notes: ONE per-user collapse (hash agg on user_id) from
+    event grain to the subject frame, then a duration-grain rollup
+    bounded by the follow-up window (<= 12 rows at any corpus size) —
+    the two global windows (suffix at-risk sum, cumulative ln) run on
+    that bounded frame only (reviewed SINGLE allowlist rows)."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("dp"),
+    )
+    fup = F.lit(3) + F.col("user_id") % 9
+    observed = F.col("dp").isNotNull() & (
+        F.datediff("dp", "d0") <= fup
+    )
+    subj = u.select(
+        F.when(observed, F.datediff("dp", "d0")).otherwise(fup).alias("dur"),
+        F.when(observed, 1).otherwise(0).alias("ev"),
+    )
+    g = subj.groupBy("dur").agg(
+        F.sum("ev").alias("d_events"),
+        F.sum(F.lit(1) - F.col("ev")).alias("censored"),
+        F.count(F.lit(1)).alias("n_at"),
+    )
+    w_desc = Window.orderBy(F.desc("dur"))
+    w_asc = Window.orderBy("dur")
+    r = g.withColumn("n_risk", F.sum("n_at").over(w_desc))
+    # Terminal support point can absorb the whole risk set (d == n →
+    # survival exactly 0); ln(1-d/n) is undefined there, so the zero is
+    # carried by a cumulative flag instead of the log-sum (both engines
+    # identically — DuckDB raises on LN(0), Spark yields NULL).
+    km = r.withColumn(
+        "surv",
+        F.when(
+            F.max(
+                F.when(F.col("d_events") == F.col("n_risk"), 1).otherwise(0)
+            ).over(w_asc)
+            == 1,
+            F.lit(0.0),
+        ).otherwise(
+            F.exp(
+                F.sum(
+                    F.when(
+                        F.col("d_events") < F.col("n_risk"),
+                        F.log(
+                            F.lit(1.0)
+                            - F.col("d_events").cast("double")
+                            / F.col("n_risk")
+                        ),
+                    ).otherwise(F.lit(0.0))
+                ).over(w_asc)
+            )
+        ),
+    )
+    return km.where(F.col("d_events") > 0).select(
+        F.col("dur").cast("long").alias("dur_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_events").cast("long").alias("d_events"),
+        F.col("censored").cast("long").alias("censored"),
+        F.expr("d_events * 1000000 div n_risk").cast("long").alias(
+            "hazard_ppm"
+        ),
+        F.round(F.col("surv") * 1000000).cast("long").alias("survival_ppm"),
+    )
+
+
+@register(
+    "events_forecast_backtest",
+    # Rolling-origin backtest of the seasonal-naive forecaster on the
+    # daily event-count series: for every day with a lag-7 available,
+    # forecast = the count 7 days earlier (seasonal naive) and the
+    # count 1 day earlier (naive baseline); per-day absolute errors,
+    # window totals, and the snaive-vs-naive skill score ppm — all
+    # pure integer arithmetic on the zero-filled calendar spine.
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT lo + CAST(i AS INTEGER) AS day
+        FROM bounds, range(0, 10000) t(i)
+        WHERE lo + CAST(i AS INTEGER) <= hi
+    ), counts AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y
+        FROM events GROUP BY 1
+    ), series AS (
+        SELECT s.day, COALESCE(c.y, 0) AS y,
+               LAG(COALESCE(c.y, 0), 7) OVER (ORDER BY s.day) AS f_snaive,
+               LAG(COALESCE(c.y, 0), 1) OVER (ORDER BY s.day) AS f_naive
+        FROM spine s LEFT JOIN counts c ON s.day = c.day
+    ), eval AS (
+        SELECT day, y, f_snaive, f_naive,
+               ABS(y - f_snaive) AS ae_snaive,
+               ABS(y - f_naive) AS ae_naive
+        FROM series WHERE f_snaive IS NOT NULL
+    )
+    SELECT day, CAST(y AS BIGINT) AS y,
+           CAST(f_snaive AS BIGINT) AS f_snaive,
+           CAST(f_naive AS BIGINT) AS f_naive,
+           CAST(ae_snaive AS BIGINT) AS ae_snaive,
+           CAST(ae_naive AS BIGINT) AS ae_naive,
+           CAST(SUM(ae_snaive) OVER () AS BIGINT) AS total_ae_snaive,
+           CAST(SUM(ae_naive) OVER () AS BIGINT) AS total_ae_naive,
+           CAST((SUM(ae_naive) OVER () - SUM(ae_snaive) OVER ())
+                * 1000000 // SUM(ae_naive) OVER () AS BIGINT)
+               AS snaive_skill_ppm
+    FROM eval
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest — the offline evaluation a
+    production forecaster ships with: walk the daily event-count
+    series, at each origin forecast the next day with the seasonal
+    naive rule (y[d-7]; the standard hard-to-beat baseline for weekly
+    seasonality) and the plain naive rule (y[d-1]), and score both
+    with absolute error plus the relative skill ppm ((naive - snaive)
+    / naive) — positive skill means the weekly pattern is real signal
+    (`events_holt_forecast` is the model this backtest would
+    gatekeep).  The spine is zero-filled from min to max day so lag-7
+    alignment never silently skips a gap day; every output value is
+    exact integer arithmetic.
+
+    Scale notes: ONE hash agg from event grain to the calendar-sized
+    daily rollup; the lag/total windows run on that bounded frame
+    (reviewed SINGLE allowlist rows); the spine is a 1-row bounds
+    frame exploded by sequence (reviewed NLJ row — the
+    `events_user_lifecycle` grid-generator pattern)."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    counts = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y0")
+    )
+    w = Window.orderBy("day")
+    series = (
+        spine.join(counts, "day", "left")
+        .select("day", F.coalesce("y0", F.lit(0)).alias("y"))
+        .withColumn("f_snaive", F.lag("y", 7).over(w))
+        .withColumn("f_naive", F.lag("y", 1).over(w))
+        .where(F.col("f_snaive").isNotNull())
+    )
+    ev = series.select(
+        "day",
+        F.col("y").cast("long").alias("y"),
+        F.col("f_snaive").cast("long").alias("f_snaive"),
+        F.col("f_naive").cast("long").alias("f_naive"),
+        F.abs(F.col("y") - F.col("f_snaive")).cast("long").alias("ae_snaive"),
+        F.abs(F.col("y") - F.col("f_naive")).cast("long").alias("ae_naive"),
+    )
+    w_all = Window.partitionBy()
+    tot_s = F.sum("ae_snaive").over(w_all)
+    tot_n = F.sum("ae_naive").over(w_all)
+    return ev.select(
+        "day",
+        "y",
+        "f_snaive",
+        "f_naive",
+        "ae_snaive",
+        "ae_naive",
+        tot_s.cast("long").alias("total_ae_snaive"),
+        tot_n.cast("long").alias("total_ae_naive"),
+        ((tot_n - tot_s) * 1000000)
+        .cast("long")
+        .alias("_num"),
+    ).select(
+        "day",
+        "y",
+        "f_snaive",
+        "f_naive",
+        "ae_snaive",
+        "ae_naive",
+        "total_ae_snaive",
+        "total_ae_naive",
+        F.expr("_num div total_ae_naive").cast("long").alias(
+            "snaive_skill_ppm"
+        ),
+    )
+
+
+#: Poisson(1) CDF split points scaled to 2^60 — exact integer
+#: thresholds for the 60-bit md5 hash, so both engines draw IDENTICAL
+#: bootstrap weights (P(w)=e^-1/w!; w capped at 7, tail mass ~1e-5).
+_POIS_T = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+)
+
+_BOOT_R = 64  # replicates; 2.5%/97.5% nearest-rank = ranks 2 and 63
+
+
+def _boot_oracle() -> str:
+    """Oracle for agg_bootstrap_ci (built by loop — the replicate CASE
+    chain and count are shared constants with the Spark side)."""
+    case = "CASE " + " ".join(
+        f"WHEN h < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    ) + " ELSE 7 END"
+    return f"""
+    WITH o AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+               o.o_orderkey AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), hashed AS (
+        SELECT segment, cents, r,
+               CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+                                        || CAST(r AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM o, range({_BOOT_R}) t(r)
+    ), means AS (
+        SELECT segment, r,
+               SUM(({case}) * cents) // SUM({case}) AS mean_r
+        FROM hashed GROUP BY 1, 2
+    ), ranked AS (
+        SELECT segment, r, mean_r,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY mean_r, r) AS rk
+        FROM means
+    ), ci AS (
+        SELECT segment,
+               MAX(CASE WHEN rk = 2 THEN mean_r END) AS lo,
+               MAX(CASE WHEN rk = {_BOOT_R - 1} THEN mean_r END) AS hi
+        FROM ranked GROUP BY 1
+    ), pt AS (
+        SELECT segment, COUNT(*) AS n_orders,
+               SUM(cents) // COUNT(*) AS mean_cents
+        FROM o GROUP BY 1
+    )
+    SELECT pt.segment,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(mean_cents AS BIGINT) AS mean_cents,
+           CAST(lo AS BIGINT) AS boot_lo_cents,
+           CAST(hi AS BIGINT) AS boot_hi_cents,
+           CAST(hi - lo AS BIGINT) AS ci_width_cents
+    FROM pt JOIN ci ON pt.segment = ci.segment
+    """
+
+
+@register("agg_bootstrap_ci", oracle=_boot_oracle())
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-segment mean
+    order value — the PRODUCTION bootstrap: instead of materializing R
+    resamples, every row draws R independent Poisson(1) weights and
+    all R replicate sums come out of ONE streaming pass (Chamandy et
+    al.'s estimator, the standard at terabyte scale because resampling
+    passes are unaffordable).  Weights are deterministic: a 60-bit
+    md5-derived hash of (orderkey, replicate) inverse-CDF'd through
+    exact integer Poisson(1) thresholds (`_POIS_T`, identical
+    constants both engines) — so the WHOLE bootstrap, not just its
+    expectation, is oracle-proven bit-for-bit.  Replicate means are
+    integer cents division; the 95% CI is nearest-rank 2 / 63 of the
+    64 ordered replicate means.
+
+    Scale notes: the Spark side never explodes — 64 x (weighted sum,
+    weight sum) conditional aggregates in one map-side-combined hash
+    agg (the oracle's row x replicate cross join is the SAME numbers
+    computed the slow way); the 64-row-per-segment replicate frame and
+    its rank window are segment-partitioned and bounded.  64 md5
+    evaluations per row is the price, paid in codegen, zero extra
+    shuffles — at 100 TB this is THE way to put error bars on a
+    corpus-sized mean."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+
+    def weight(r: int):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("k").cast("string"), F.lit(str(r))
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        w = F.when(h < _POIS_T[0], 0)
+        for k_, t in enumerate(_POIS_T[1:], start=1):
+            w = w.when(h < t, k_)
+        return w.otherwise(7)
+
+    aggs = []
+    for r in range(_BOOT_R):
+        w = weight(r)
+        aggs.append(F.sum(w * F.col("cents")).alias(f"v{r}"))
+        aggs.append(F.sum(w).alias(f"w{r}"))
+    per_seg = base.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+        *aggs,
+    )
+    reps = per_seg.select(
+        "segment",
+        "n_orders",
+        "sum_cents",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.col(f"v{r}").alias("v"),
+                        F.col(f"w{r}").alias("w"),
+                    )
+                    for r in range(_BOOT_R)
+                ]
+            )
+        ).alias("z"),
+    ).select(
+        "segment",
+        "n_orders",
+        "sum_cents",
+        F.col("z.r").alias("r"),
+        F.expr("z.v div z.w").alias("mean_r"),
+    )
+    w_seg = Window.partitionBy("segment").orderBy("mean_r", "r")
+    ranked = reps.withColumn("rk", F.row_number().over(w_seg))
+    return ranked.groupBy("segment").agg(
+        F.first("n_orders").cast("long").alias("n_orders"),
+        F.expr("first(sum_cents) div first(n_orders)")
+        .cast("long")
+        .alias("mean_cents"),
+        F.max(F.when(F.col("rk") == 2, F.col("mean_r")))
+        .cast("long")
+        .alias("boot_lo_cents"),
+        F.max(F.when(F.col("rk") == _BOOT_R - 1, F.col("mean_r")))
+        .cast("long")
+        .alias("boot_hi_cents"),
+        (
+            F.max(F.when(F.col("rk") == _BOOT_R - 1, F.col("mean_r")))
+            - F.max(F.when(F.col("rk") == 2, F.col("mean_r")))
+        )
+        .cast("long")
+        .alias("ci_width_cents"),
+    )

@@ -58,6 +58,11 @@ BNL_ALLOWED: dict[str, str] = {
     "agg_kmv_jaccard": "broadcast 10-row literal pair dim onto the "
     "(type,user) distinct frame (disjunctive membership predicate; "
     "dim x 10 fanout, never event-grain)",
+    "eval_isotonic_calibration": "broadcast <=55-row pair grid / "
+    "<=10-row cum frame range-joins (j<=bin<=k) for the PAVA minimax "
+    "— both sides bin-bounded at any corpus",
+    "agg_incremental_state_merge": "broadcast 1-row cutover-date frame "
+    "onto the scan (stream_offset_commit_lag's horizon pattern)",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The
@@ -159,6 +164,16 @@ SINGLE_ALLOWED: dict[str, str] = {
     "range-bounded (<=~500-row) $1 score-cdf rollup",
     "feat_woe_iv": "totals + IV-sum windows over the |segments| x "
     "|priorities| (25-row) WoE rollup",
+    "events_kaplan_meier": "at-risk suffix sum + cumulative-ln windows "
+    "over the follow-up-window-bounded (<=12-row) duration rollup",
+    "events_forecast_backtest": "lag/total windows over the "
+    "calendar-sized daily rollup (zero-filled spine)",
+    "eval_isotonic_calibration": "cumulative windows over the <=10-row "
+    "$50k-bin rollup feeding the PAVA pair grid",
+    "corpus_eval_allocation": "total/leftover windows + remainder rank "
+    "over the |lang| x |source| (~100-row) stratum rollup",
+    "agg_incremental_state_merge": "1-row cutover-date global aggregate "
+    "feeding the broadcast (the q6-style scalar-result exchange)",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

@@ -51,7 +51,18 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 #: are accounted for as window ∪ DEFERRED_R9, tests/test_registry.py).
 #: Empty at r8 window-seal time; new r8 oracle registrations append here
 #: AND to DRIVER_PRIORITY just after the window boundary.
-DEFERRED_R9: tuple[str, ...] = ()
+DEFERRED_R9: tuple[str, ...] = (
+    # r8-registered oracle pairs (survival / forecasting / bootstrap —
+    # operators/inference.py, §2.24).
+    "events_kaplan_meier",
+    "events_forecast_backtest",
+    "agg_bootstrap_ci",
+    # r8-registered oracle pairs (calibration / apportionment /
+    # incremental maintenance — §2.24).
+    "eval_isotonic_calibration",
+    "corpus_eval_allocation",
+    "agg_incremental_state_merge",
+)
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- Window policy (r8): the driver checks the FIRST 50 keys only.
@@ -126,6 +137,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- window boundary (50) ---
     # Oracle keys registered during r8, after the window seal, are
     # appended HERE (and to DEFERRED_R9) — the r9 queue head.
+    "events_kaplan_meier",
+    "events_forecast_backtest",
+    "agg_bootstrap_ci",
+    "eval_isotonic_calibration",
+    "corpus_eval_allocation",
+    "agg_incremental_state_merge",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9

@@ -66,8 +66,13 @@ def main() -> int:
     queries = entrymod.queries()
     queries["agg_hash"](spark, sf1_dir).collect()  # warm-up
 
+    # Optional key filter (argv[3:]): probe only the named keys and MERGE
+    # into the existing BENCH_sf10.json — quiet-host re-runs of one
+    # flagged op shouldn't re-pay the whole probe.
+    selected = sys.argv[3:] or PROBE_SET
+
     out: dict[str, dict] = {}
-    for key in PROBE_SET:
+    for key in selected:
         t0 = time.monotonic()
         n1 = len(queries[key](spark, sf1_dir).collect())
         w1 = round(time.monotonic() - t0, 2)
@@ -88,15 +93,21 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    merged = dict(out)
+    if sys.argv[3:] and os.path.exists("BENCH_sf10.json"):
+        with open("BENCH_sf10.json") as f:
+            merged = {**json.load(f).get("queries", {}), **out}
     payload = {
         "metric": "sf10_probe",
         "sf10_dir": sf10_dir,
         "unit": "sec",
-        "queries": out,
-        "total_sf10_wall": round(sum(r["sf10_wall_sec"] for r in out.values()), 2),
+        "queries": merged,
+        "total_sf10_wall": round(
+            sum(r["sf10_wall_sec"] for r in merged.values()), 2
+        ),
         "protocol": "single-run-per-op, same-session sf1 baseline",
     }
-    print(json.dumps(payload))
+    print(json.dumps({**payload, "queries": out}))
     with open("BENCH_sf10.json", "w") as f:
         json.dump(payload, f, indent=1)
     return 0

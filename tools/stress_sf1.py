@@ -171,9 +171,17 @@ def main() -> int:
     queries = entrymod.queries()
     skew = SkewReader(spark)
 
+    # Optional key filter (argv[2:]): sweep only the named keys and MERGE
+    # into the existing BENCH_sf1.json instead of replacing it — a new
+    # op's toll run shouldn't re-pay the whole 25-op sweep.
+    selected = sys.argv[2:] or STRESS_SET
+    unknown = [k for k in selected if k not in STRESS_SET]
+    if unknown:
+        raise SystemExit(f"not in STRESS_SET: {unknown}")
+
     queries["agg_hash"](spark, sf1_dir).collect()  # warm-up
     out: dict[str, dict] = {}
-    for key in STRESS_SET:
+    for key in selected:
         t0 = time.monotonic()
         n01 = len(queries[key](spark, "/root/testdata/sf0.1").collect())
         w01 = round(time.monotonic() - t0, 2)
@@ -194,14 +202,21 @@ def main() -> int:
               f"growth {rec['growth_10x']}x, skew {rec['skew']}",
               file=sys.stderr)
 
+    merged = dict(out)
+    if sys.argv[2:] and os.path.exists("BENCH_sf1.json"):
+        with open("BENCH_sf1.json") as f:
+            prior = json.load(f).get("queries", {})
+        merged = {**prior, **out}
     payload = {
         "metric": "sf1_stress_sweep",
         "sf1_dir": sf1_dir,
         "unit": "sec",
-        "queries": out,
-        "total_sf1_wall": round(sum(r["wall_sec"] for r in out.values()), 2),
+        "queries": merged,
+        "total_sf1_wall": round(
+            sum(r["wall_sec"] for r in merged.values()), 2
+        ),
     }
-    print(json.dumps(payload))
+    print(json.dumps({**payload, "queries": out}))  # this run's keys only
     with open("BENCH_sf1.json", "w") as f:
         json.dump(payload, f, indent=1)
     return 0
