@@ -899,3 +899,163 @@ def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + (lon_cdeg + 18000) div 100 AS BIGINT)"
         ).alias("cell_id"),
     )
+
+
+def _ip_int(s: str) -> int:
+    a, b, c, d = (int(x) for x in s.split("."))
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+#: CIDR routing table: (name, base dotted-quad, prefix length).  The
+#: prefixes NEST three deep (default/0 ⊃ half-high/1 ⊃ quarter-160/3 ⊃
+#: slice-168/5) so longest-prefix-match is decisive at every depth for
+#: a uniform address space, and every block gets a real population at
+#: sf0.01 (a first-draft table of RFC-1918 privates matched ~0 rows —
+#: uniform addresses almost never land in /12s; non-degeneracy audit).
+_CIDR_BLOCKS = (
+    ("net-10/8", "10.0.0.0", 8),
+    ("slice-168/5", "168.0.0.0", 5),
+    ("quarter-160/3", "160.0.0.0", 3),
+    ("half-high/1", "128.0.0.0", 1),
+    ("default/0", "0.0.0.0", 0),
+)
+
+#: Distinct prefix lengths, with the per-length shift (2^(32-p)) and the
+#: per-block truncated key precomputed in Python so BOTH engines join on
+#: literal integers — no runtime power/shift arithmetic to misalign.
+_CIDR_KEYED = tuple(
+    (name, base, p, _ip_int(base) // (1 << (32 - p)) if p else 0)
+    for name, base, p in _CIDR_BLOCKS
+)
+
+
+@register(
+    "fn_ip_cidr",
+    # IPv4 / CIDR arithmetic family: parse, format, truncate, and
+    # longest-prefix-match — all pure integer div/mod over a synthetic
+    # 32-bit address (md5-derived from c_custkey, so the address space
+    # is uniformly exercised), against a literal 5-block routing table
+    # with Python-precomputed (prefix, truncated-base) join keys.
+    oracle=f"""
+    WITH ips AS (
+        SELECT c_custkey,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 4294967296 AS ip
+        FROM customer
+    ), blocks(name, prefix_len, shift, key) AS (VALUES
+        {", ".join(f"('{n}', {p}, {1 << (32 - p)}, {k})" for n, _, p, k in _CIDR_KEYED)}
+    ), matched AS (
+        SELECT i.c_custkey, i.ip, b.name, b.prefix_len,
+               ROW_NUMBER() OVER (PARTITION BY i.c_custkey
+                                  ORDER BY b.prefix_len DESC) AS pref_rank
+        FROM ips i JOIN blocks b ON i.ip // b.shift = b.key
+    ), lpm AS (
+        SELECT * FROM matched WHERE pref_rank = 1
+    )
+    SELECT name AS block, CAST(prefix_len AS BIGINT) AS prefix_len,
+           CAST(COUNT(*) AS BIGINT) AS n_ips,
+           CAST(MIN(ip) AS BIGINT) AS min_ip_int,
+           CAST(MAX(ip) AS BIGINT) AS max_ip_int,
+           CAST(MIN(ip) // 16777216 AS VARCHAR) || '.' ||
+           CAST(MIN(ip) // 65536 % 256 AS VARCHAR) || '.' ||
+           CAST(MIN(ip) // 256 % 256 AS VARCHAR) || '.' ||
+           CAST(MIN(ip) % 256 AS VARCHAR) AS min_ip_str
+    FROM lpm GROUP BY 1, 2 ORDER BY prefix_len DESC, block
+    """,
+)
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 / CIDR scalar family — the network-log workhorse missing
+    from vanilla SQL: address↔integer conversion, dotted-quad
+    formatting, prefix truncation, CIDR membership, and
+    longest-prefix-match classification against a routing table.  Each
+    customer key is deterministically mapped to a 32-bit address
+    (md5-derived, both engines), matched against the literal 5-block
+    table by integer-division equality on Python-precomputed
+    (shift, key) pairs, and classified by the ROUTER rule: the most
+    specific (longest-prefix) matching block wins, which the
+    disjoint-privates + catch-all-default table makes observable.
+
+    Scale notes: the per-length truncations make CIDR matching an
+    EQUI-join against the tiny keyed table (the classic LPM-as-join
+    rewrite; no inequality predicate, no BNL): each address emits
+    |distinct prefix lengths| = 5 truncation rows, the join is a
+    5-row broadcast, and LPM is a c_custkey-partitioned keyed window.
+    The final rollup is ≤5 rows; formatting runs on the rollup."""
+    c = load_table(spark, sf_dir, "customer")
+    ips = c.select(
+        "c_custkey",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(4294967296),
+        ).alias("ip"),
+    )
+    blocks = spark.createDataFrame(
+        [(n, p, k) for n, _, p, k in _CIDR_KEYED],
+        "name string, prefix_len int, key long",
+    )
+    # LPM-as-equi-join: each address emits its truncation at every
+    # prefix length in the table (literal shifts, so `ip div shift`
+    # never references the build side and the join stays a hash join,
+    # not a BNL).
+    trunc = ips.select(
+        "c_custkey",
+        "ip",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("prefix_len"),
+                        F.expr(f"ip div {1 << (32 - p)}").alias("trunc")
+                        if p
+                        else F.lit(0).cast("long").alias("trunc"),
+                    )
+                    for _, _, p, _ in _CIDR_KEYED
+                ]
+            )
+        ).alias("t"),
+    ).select(
+        "c_custkey", "ip", F.col("t.prefix_len").alias("prefix_len"),
+        F.col("t.trunc").alias("trunc"),
+    )
+    matched = trunc.join(
+        F.broadcast(blocks),
+        (trunc.prefix_len == blocks.prefix_len)
+        & (trunc.trunc == blocks.key),
+    ).drop(blocks.prefix_len)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("prefix_len"))
+    lpm = matched.withColumn("pref_rank", F.row_number().over(w)).where(
+        F.col("pref_rank") == 1
+    )
+    quad = (
+        F.concat_ws(
+            ".",
+            F.expr("min(ip) div 16777216").cast("string"),
+            F.expr("min(ip) div 65536 % 256").cast("string"),
+            F.expr("min(ip) div 256 % 256").cast("string"),
+            F.expr("min(ip) % 256").cast("string"),
+        )
+    )
+    return (
+        lpm.groupBy(F.col("name").alias("block"), "prefix_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ips"),
+            F.min("ip").cast("long").alias("min_ip_int"),
+            F.max("ip").cast("long").alias("max_ip_int"),
+            quad.alias("min_ip_str"),
+        )
+        .select(
+            "block",
+            F.col("prefix_len").cast("long").alias("prefix_len"),
+            "n_ips",
+            "min_ip_int",
+            "max_ip_int",
+            "min_ip_str",
+        )
+        .orderBy(F.desc("prefix_len"), "block")
+    )

@@ -908,20 +908,18 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Poisson(1) CDF split points scaled to 2^60 — exact integer
-#: thresholds for the 60-bit md5 hash, so both engines draw IDENTICAL
-#: bootstrap weights (P(w)=e^-1/w!; w capped at 7, tail mass ~1e-5).
-_POIS_T = (
-    424136118829305344,
-    848272237658610688,
-    1060340297073263360,
-    1131029650211480960,
-    1148701988496035328,
-    1152236456152946176,
-    1152825534095764608,
-)
+#: Poisson(1) CDF split points scaled to 2^16 — exact integer
+#: thresholds for 16-bit md5-derived draws, so both engines draw
+#: IDENTICAL bootstrap weights (P(w)=e^-1/w!; w capped at 7; the
+#: 2^-16 CDF quantization moves ≤1.2e-5 of probability mass per
+#: split point, far below bootstrap noise, and is part of the
+#: deterministic scheme both engines share).  16-bit draws are the
+#: measured-throughput choice: one 128-bit md5 yields EIGHT draws
+#: (4 hex chars each), so the per-order hash count is 8, not 64.
+_POIS_T = (24109, 48219, 60273, 64292, 65296, 65497, 65531)
 
 _BOOT_R = 64  # replicates; 2.5%/97.5% nearest-rank = ranks 2 and 63
+_BOOT_G = 8  # md5 groups per order; 8 draws each (_BOOT_R = 8 x 8)
 
 
 def _boot_oracle() -> str:
@@ -937,11 +935,12 @@ def _boot_oracle() -> str:
                o.o_orderkey AS k
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ), hashed AS (
-        SELECT segment, cents, r,
+        SELECT segment, cents, g.g * {_BOOT_G} + j.j AS r,
                CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
-                                        || CAST(r AS VARCHAR)), 1, 15))
+                                        || CAST(g.g AS VARCHAR)),
+                                    1 + 4 * CAST(j.j AS INTEGER), 4))
                     AS BIGINT) AS h
-        FROM o, range({_BOOT_R}) t(r)
+        FROM o, range({_BOOT_G}) g(g), range({_BOOT_G}) j(j)
     ), means AS (
         SELECT segment, r,
                SUM(({case}) * cents) // SUM({case}) AS mean_r
@@ -986,14 +985,27 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents division; the 95% CI is nearest-rank 2 / 63 of the
     64 ordered replicate means.
 
-    Scale notes: the Spark side never explodes — 64 x (weighted sum,
-    weight sum) conditional aggregates in one map-side-combined hash
-    agg (the oracle's row x replicate cross join is the SAME numbers
-    computed the slow way); the 64-row-per-segment replicate frame and
-    its rank window are segment-partitioned and bounded.  64 md5
-    evaluations per row is the price, paid in codegen, zero extra
-    shuffles — at 100 TB this is THE way to put error bars on a
-    corpus-sized mean."""
+    Scale notes — three measured scale traps, all fixed here (each
+    shape is the same 96M draws at sf1; only the physical form
+    differs).  (1) The tempting no-explode form — 128 conditional-sum
+    aggregate expressions — exceeds ``spark.sql.codegen.maxFields``
+    (100), silently dropping the aggregate out of codegen into
+    interpreted evaluation: 59 s.  (2) One md5 per (order, replicate)
+    is 64 hashes/row: 63 s.  (3) Even with 8 md5/order, building the
+    8-draw array + CASE chains + aggregate in ONE generated function
+    exceeds HotSpot's JIT method limit, so the whole stage runs in the
+    bytecode interpreter: 28 s (measured: adding ONE aggregate buffer
+    or a string group key to an otherwise 4-s pipeline cost +22 s).
+    The shipped shape explodes the 8 hash groups (one md5 each),
+    explodes the 8 draw slots as ROWS, and evaluates one
+    substring+conv+CASE per row — every generated method stays small
+    and JIT-compiled, and ONE hash aggregate map-side-combines to
+    |segments|×64 (= 320) groups: 7.7 s at sf1.  A round-robin
+    repartition of the narrow pre-fanout frame decouples the draw CPU
+    from parquet row-group granularity (sf1 fixtures are 2 row
+    groups; without it the whole fanout ran on 2 tasks, 87 s).
+    Nothing corpus-sized is materialized; at 100 TB this is THE way
+    to put error bars on a corpus-sized mean."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     base = o.join(c, o.o_custkey == c.c_custkey).select(
@@ -1003,58 +1015,69 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.col("o_orderkey").alias("k"),
     )
-
-    def weight(r: int):
-        h = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.col("k").cast("string"), F.lit(str(r))
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        w = F.when(h < _POIS_T[0], 0)
-        for k_, t in enumerate(_POIS_T[1:], start=1):
-            w = w.when(h < t, k_)
-        return w.otherwise(7)
-
-    aggs = []
-    for r in range(_BOOT_R):
-        w = weight(r)
-        aggs.append(F.sum(w * F.col("cents")).alias(f"v{r}"))
-        aggs.append(F.sum(w).alias(f"w{r}"))
-    per_seg = base.groupBy("segment").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum("cents").alias("sum_cents"),
-        *aggs,
-    )
-    reps = per_seg.select(
+    # CPU-rebalance shuffle (measured: sf1 fixtures are 1-2 parquet row
+    # groups, and a scan-pipelined fanout then runs all 8·|orders| md5
+    # draws on 1-2 tasks — 87 s single-task stage).  Round-robin
+    # repartitioning the NARROW (segment, cents, k) frame costs one
+    # ~tens-of-MB shuffle and buys full-cluster parallelism for the
+    # hash work; with many-row-group production input it is a cheap
+    # no-op by comparison with the draw CPU it balances.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hexed = base.repartition(nparts).select(
         "segment",
-        "n_orders",
-        "sum_cents",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.col(f"v{r}").alias("v"),
-                        F.col(f"w{r}").alias("w"),
-                    )
-                    for r in range(_BOOT_R)
-                ]
-            )
-        ).alias("z"),
+        "cents",
+        "k",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_G - 1))).alias("g"),
     ).select(
         "segment",
-        "n_orders",
-        "sum_cents",
-        F.col("z.r").alias("r"),
-        F.expr("z.v div z.w").alias("mean_r"),
+        "cents",
+        "g",
+        F.md5(
+            F.concat_ws(":", F.col("k").cast("string"), F.col("g").cast("string"))
+        ).alias("hx"),
+    )
+
+    rows = hexed.select(
+        "segment",
+        "cents",
+        "g",
+        "hx",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_G - 1))).alias("j"),
+    ).select(
+        "segment",
+        "cents",
+        "g",
+        "j",
+        F.conv(F.expr("substring(hx, 1 + 4 * j, 4)"), 16, 10)
+        .cast("int")
+        .alias("hv"),
+    )
+    w = F.when(F.col("hv") < _POIS_T[0], 0)
+    for k_, t in enumerate(_POIS_T[1:], start=1):
+        w = w.when(F.col("hv") < t, k_)
+    w = w.otherwise(7)
+    reps = (
+        rows.select("segment", "cents", "g", "j", w.alias("w"))
+        .groupBy(
+            "segment",
+            (F.col("g") * _BOOT_G + F.col("j")).alias("r"),
+        )
+        .agg(
+            # Each order appears exactly once per replicate id, so the
+            # per-(segment, r) row count IS n_orders and the plain cents
+            # sum IS sum_cents — the point estimate rides the same agg.
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(F.col("w") * F.col("cents")).alias("v"),
+            F.sum("w").alias("w_sum"),
+        )
+        .select(
+            "segment",
+            "n_orders",
+            "sum_cents",
+            "r",
+            F.expr("v div w_sum").alias("mean_r"),
+        )
     )
     w_seg = Window.partitionBy("segment").orderBy("mean_r", "r")
     ranked = reps.withColumn("rk", F.row_number().over(w_seg))
@@ -1075,4 +1098,256 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("ci_width_cents"),
+    )
+
+
+@register(
+    "agg_grouped_ols",
+    # Exact grouped ordinary least squares: the five sufficient
+    # statistics (n, Σx, Σy, Σxy, Σx², Σy²) are HUGEINT-exact on both
+    # engines (DuckDB sums BIGINT into HUGEINT; Spark sums
+    # decimal(38,0)), the closed-form slope / intercept / R² numerators
+    # and denominators are int128 products of those sums, and the ONLY
+    # float work is the final division of identical integers (IEEE
+    # division and int→double conversion are correctly rounded, so both
+    # engines produce bit-identical doubles).  ROUND fixes the digits.
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS HUGEINT) AS syy
+        FROM pts GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(n AS BIGINT) AS n,
+           CAST(sx AS BIGINT) AS sum_qty,
+           CAST(sy AS BIGINT) AS sum_usd,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+               AS slope_usd_per_unit,
+           ROUND(CAST(sxx * sy - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 2)
+               AS intercept_usd,
+           CAST(ROUND(1000000.0
+                 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+               AS r2_ppm
+    FROM s ORDER BY 1, 2
+    """,
+)
+def agg_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS regression of line revenue (integer dollars) on
+    quantity per (returnflag, linestatus): closed-form slope, intercept
+    and R² from exact int128 sufficient statistics — the five sums are
+    decimal(38,0) (Spark) / HUGEINT (DuckDB) semigroup state, the
+    normal-equation numerators/denominators are int128 products of
+    them, and each reported value is a fixed tree of correctly-rounded
+    IEEE ops over identical integers.  R² is reported in ppm as
+    slope · (cov-term / y-variance-term), avoiding the int128-overflow
+    of squaring the covariance numerator (documented envelope: the
+    n·Σxy products stay < 10³⁸ past sf1000; the squared form dies at
+    sf10).
+
+    This is the mergeable-regression pattern: the sufficient-statistic
+    vector is the ONLY state, so 1000 executors each emit one partial
+    row per group and the combine is addition — `agg_moments_exact`'s
+    discipline applied to the two-variable normal equations.
+
+    Scale notes: ONE map-side-combined hash aggregate over lineitem to
+    a 4-row group frame; every later expression is per-row arithmetic
+    on that frame.  No windows, no second pass, no floats before the
+    final divisions."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    s = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast(d38).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).cast(d38).alias("syy"),
+    )
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx_n = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vary_n = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    int_n = (F.col("sxx") * F.col("sy") - F.col("sx") * F.col("sxy")).cast(
+        "double"
+    )
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("sum_qty"),
+        F.col("sy").cast("long").alias("sum_usd"),
+        F.round(cov_n / varx_n, 6).alias("slope_usd_per_unit"),
+        F.round(int_n / varx_n, 2).alias("intercept_usd"),
+        F.round(F.lit(1000000.0) * (cov_n / varx_n) * (cov_n / vary_n))
+        .cast("long")
+        .alias("r2_ppm"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+#: Experiment split: the last 14 event-days are the treatment window,
+#: everything earlier is the CUPED pre-period covariate.
+_CUPED_EXP_DAYS = 14
+
+
+@register(
+    "events_ab_cuped",
+    # CUPED variance-reduced A/B readout: per-user (X, Y) = (pre-period
+    # cents, experiment-period cents) from ONE conditional-sum user agg;
+    # θ = cov(X,Y)/var(X) over all users from int128-exact pooled sums;
+    # each variant's adjusted mean Ȳv − θ(X̄v − X̄) is a fixed IEEE
+    # expression tree over identical integers on both engines.
+    oracle=f"""
+    WITH hz AS (
+        SELECT CAST(MAX(ts) AS DATE) - {_CUPED_EXP_DAYS} AS cut FROM events
+    ), u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               SUM(CASE WHEN CAST(ts AS DATE) < cut
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END) AS x,
+               SUM(CASE WHEN CAST(ts AS DATE) >= cut
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END) AS y
+        FROM events, hz GROUP BY 1, 2
+    ), pool AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS HUGEINT) AS syy
+        FROM u
+    ), v AS (
+        SELECT variant, COUNT(*) AS n_users,
+               SUM(x) AS vsx, SUM(y) AS vsy
+        FROM u GROUP BY 1
+    )
+    SELECT variant,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(vsy AS BIGINT) AS sum_y_cents,
+           ROUND(CAST(vsy AS DOUBLE) / CAST(n_users AS DOUBLE), 2)
+               AS mean_y_cents,
+           ROUND(CAST(vsy AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                   * (CAST(vsx AS DOUBLE) / CAST(n_users AS DOUBLE)
+                      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 2)
+               AS mean_y_adj_cents,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+           CAST(ROUND(1000000.0
+                 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+               AS var_reduction_ppm
+    FROM v, pool ORDER BY variant
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Existing Data) adjusted
+    A/B readout over events: users are deterministically split by
+    ``user_id % 2``; Y is each user's spend in the last 14 event-days,
+    X the same user's spend before the cutover; θ = cov(X,Y)/var(X)
+    from pooled int128-exact sums, and the variant means are reported
+    raw AND CUPED-adjusted (Ȳv − θ(X̄v − X̄)) with the achievable
+    variance reduction (= R²(X,Y)) in ppm.  The adjusted mean needs
+    ONLY per-variant sums plus pooled θ — no per-user second pass —
+    because the adjustment is linear.
+
+    Scale notes: one 1-row max-day aggregate broadcast onto the scan
+    (the `agg_incremental_state_merge` horizon pattern, reviewed NLJ
+    allowlist row), ONE user-grain conditional-sum hash aggregate
+    (the corpus-sized work), ONE pooled + ONE 2-row variant aggregate
+    on the user frame, and a 1-row × 2-row broadcast join.  The
+    user-grain agg is the proven `events_dau_mau` shuffle shape."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.to_date("ts").alias("d"),
+    )
+    hz = e.agg(
+        F.date_sub(F.max("d"), _CUPED_EXP_DAYS).alias("cut")
+    )
+    u = (
+        e.join(F.broadcast(hz))
+        .groupBy("user_id", F.pmod("user_id", F.lit(2)).alias("variant"))
+        .agg(
+            F.sum(
+                F.when(F.col("d") < F.col("cut"), F.col("cents")).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("d") >= F.col("cut"), F.col("cents")).otherwise(
+                    0
+                )
+            ).alias("y"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    pool = u.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast(d38).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).cast(d38).alias("syy"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("vsx"),
+        F.sum("y").alias("vsy"),
+    )
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx_n = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vary_n = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    theta = cov_n / varx_n
+    mean_y = F.col("vsy").cast("double") / F.col("n_users").cast("double")
+    mean_x_v = F.col("vsx").cast("double") / F.col("n_users").cast("double")
+    mean_x = F.col("sx").cast("double") / F.col("n").cast("double")
+    return (
+        v.join(F.broadcast(pool))
+        .select(
+            F.col("variant").cast("long").alias("variant"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("vsy").cast("long").alias("sum_y_cents"),
+            F.round(mean_y, 2).alias("mean_y_cents"),
+            F.round(mean_y - theta * (mean_x_v - mean_x), 2).alias(
+                "mean_y_adj_cents"
+            ),
+            F.round(theta, 6).alias("theta"),
+            F.round(F.lit(1000000.0) * theta * (cov_n / vary_n))
+            .cast("long")
+            .alias("var_reduction_ppm"),
+        )
+        .orderBy("variant")
     )

@@ -1723,3 +1723,132 @@ def agg_incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("b_min", "dl_min").cast("long").alias("min_cents"),
         F.greatest("b_max", "dl_max").cast("long").alias("max_cents"),
     )
+
+
+#: Count-Min sketch geometry: d hash rows × w columns = 256 cells of
+#: int64 state.  At this width the fixture's ~1.5k distinct users load
+#: ~6 keys/cell/row, so overestimates are REAL and reported.
+_CMS_D = 4
+_CMS_W = 64
+_CMS_TOPK = 10
+
+
+@register(
+    "agg_countmin_heavyhitters",
+    # Full-sketch determinism (the agg_kmv_bottomk discipline): the
+    # d=4 cell coordinates are md5-derived identically on both engines,
+    # the 256-cell table is exact integer counts, and the CMS estimate
+    # for each of the top-10 exact heavy hitters is the min over its 4
+    # cells — so estimate AND overcount are bit-reproducible, not just
+    # statistically plausible.
+    oracle=f"""
+    WITH ug AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+    ), cells AS (
+        SELECT r.i AS i,
+               CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':'
+                                        || CAST(r.i AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {_CMS_W} AS cell,
+               SUM(u.cnt) AS total
+        FROM ug u, range({_CMS_D}) r(i)
+        GROUP BY 1, 2
+    ), top AS (
+        SELECT user_id, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rk
+        FROM ug ORDER BY cnt DESC, user_id LIMIT {_CMS_TOPK}
+    ), est AS (
+        SELECT t.user_id, t.cnt, t.rk, MIN(c.total) AS cms_est
+        FROM top t CROSS JOIN range({_CMS_D}) r(i)
+        JOIN cells c
+          ON c.i = r.i
+         AND c.cell = CAST(('0x' || substr(md5(CAST(t.user_id AS VARCHAR)
+                                               || ':' || CAST(r.i AS VARCHAR)),
+                                           1, 15)) AS BIGINT) % {_CMS_W}
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(rk AS BIGINT) AS rk,
+           user_id,
+           CAST(cnt AS BIGINT) AS exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - cnt AS BIGINT) AS overcount
+    FROM est ORDER BY rk
+    """,
+)
+def agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy-hitter readout: build the d=4 × w=64 CMS
+    of per-user event counts (cell coordinates md5-derived, shared with
+    the oracle), then for the top-10 exact heavy hitters report the
+    exact count, the CMS estimate (min over the key's 4 cells), and the
+    guaranteed-non-negative overcount — the error a production CMS
+    would silently make, REPORTED on real data.  Complements
+    `rollup_hll`/`agg_kmv_bottomk` (distinct sketches) and
+    `rollup_tdigest` (quantile sketch) with the frequency sketch that
+    completes the streaming-summary family; 256 int64 cells are the
+    entire mergeable state (cells add — the semigroup law
+    `agg_incremental_state_merge` proves for plain aggregates applies
+    cell-wise).
+
+    Scale notes: ONE user-grain hash agg (the corpus-sized work, the
+    proven dau/mau shuffle shape); the 4× coordinate fanout runs on
+    the |users| rollup, never event grain, collapsing to ≤256 cells;
+    the top-10 is sort+limit (TakeOrdered — distributed, no global
+    window); estimates join the 10×4 coordinate frame to the
+    broadcast 256-cell table."""
+    e = load_table(spark, sf_dir, "events")
+    ug = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def coord(uid, i):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", uid.cast("string"), i.cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_CMS_W),
+        )
+
+    fan = ug.select(
+        "user_id",
+        "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("i"),
+    )
+    cells = fan.groupBy(
+        "i", coord(F.col("user_id"), F.col("i")).alias("cell")
+    ).agg(F.sum("cnt").alias("total"))
+    top = (
+        ug.orderBy(F.desc("cnt"), "user_id")
+        .limit(_CMS_TOPK)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), "user_id")
+            ),
+        )
+    )
+    est = (
+        top.select(
+            "user_id",
+            "cnt",
+            "rk",
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("i"),
+        )
+        .withColumn("cell", coord(F.col("user_id"), F.col("i")))
+        .join(F.broadcast(cells), ["i", "cell"])
+        .groupBy("rk", "user_id", "cnt")
+        .agg(F.min("total").alias("cms_est"))
+    )
+    return est.select(
+        F.col("rk").cast("long").alias("rk"),
+        "user_id",
+        F.col("cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("cnt")).cast("long").alias("overcount"),
+    ).orderBy("rk")

@@ -1489,3 +1489,226 @@ def orders_ship_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         F.expr("_num div _tot").alias("share_ppm"),
     ).orderBy("delay_weeks")
+
+
+#: Cross-correlation lag range: ±7 days covers a weekly cycle.
+_XCORR_MAX_LAG = 7
+_XCORR_A = "click"
+_XCORR_B = "purchase"
+
+
+@register(
+    "events_cross_correlation",
+    # Lagged Pearson cross-correlation between the daily click and
+    # purchase count series on the zero-filled spine: for each lag in
+    # -7..7 the overlap window shifts, so all six sufficient sums are
+    # per-lag integers; r(lag) is a fixed IEEE tree (two int64->double
+    # casts, one sqrt, one division) over identical integers.
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT lo + CAST(i AS INTEGER) AS day
+        FROM bounds, range(0, 10000) t(i)
+        WHERE lo + CAST(i AS INTEGER) <= hi
+    ), counts AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) FILTER (event_type = '{_XCORR_A}') AS a,
+               COUNT(*) FILTER (event_type = '{_XCORR_B}') AS b
+        FROM events GROUP BY 1
+    ), series AS (
+        SELECT s.day, COALESCE(c.a, 0) AS a, COALESCE(c.b, 0) AS b
+        FROM spine s LEFT JOIN counts c ON s.day = c.day
+    ), lags AS (
+        SELECT CAST(i AS INTEGER) AS lag
+        FROM range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG} + 1) t(i)
+    ), pairs AS (
+        SELECT l.lag, s1.a AS a, s2.b AS b
+        FROM lags l
+        JOIN series s1 ON TRUE
+        JOIN series s2 ON s2.day = s1.day + l.lag
+    ), sums AS (
+        SELECT lag, COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+               SUM(a * b) AS sab, SUM(a * a) AS saa, SUM(b * b) AS sbb
+        FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(sab AS BIGINT) AS sum_ab,
+           CAST(ROUND(1000000.0 * CAST(n * sab - sa * sb AS DOUBLE)
+                 / SQRT(CAST((n * saa - sa * sa)
+                             * (n * sbb - sb * sb) AS DOUBLE)))
+                AS BIGINT) AS r_ppm
+    FROM sums ORDER BY lag
+    """,
+)
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily click and purchase
+    series — "do clicks lead purchases, and by how many days?": for
+    every lag in ±7, Pearson r over the overlapping days of the
+    zero-filled daily spine, reported in ppm from per-lag exact integer
+    sufficient sums (the overlap window genuinely shifts per lag, so
+    n, Σa, Σb, Σab, Σa², Σb² are all lag-specific).  Sibling of
+    `events_acf` (one series, self-lag) — this is the two-series
+    lead/lag detector.
+
+    Scale notes: ONE hash agg from event grain to the calendar-sized
+    daily (a, b) rollup; the 15-lag pair frame is a broadcast
+    self-join of that rollup shifted by an exploded lag dim (calendar
+    × 15 rows at worst, never event-grain); per-lag sums are a 15-row
+    aggregate.  Int64 envelope: daily counts ≤ ~10⁶ per day keep
+    n·Σab < 2⁶³ through sf1000."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    counts = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == _XCORR_A, 1)).alias("a0"),
+        F.count(F.when(F.col("event_type") == _XCORR_B, 1)).alias("b0"),
+    )
+    series = spine.join(counts, "day", "left").select(
+        "day",
+        F.coalesce("a0", F.lit(0)).alias("a"),
+        F.coalesce("b0", F.lit(0)).alias("b"),
+    )
+    lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    s1 = series.alias("s1")
+    s2 = series.select(
+        F.col("day").alias("day2"), F.col("b").alias("b2")
+    ).alias("s2")
+    pairs = (
+        s1.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(s2),
+            F.col("day2") == F.date_add(F.col("day"), F.col("lag")),
+        )
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b2").alias("sb"),
+        F.sum(F.col("a") * F.col("b2")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b2") * F.col("b2")).alias("sbb"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (
+            (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+            * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+        ).cast("double")
+    )
+    return sums.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sab").cast("long").alias("sum_ab"),
+        F.round(F.lit(1000000.0) * num / den).cast("long").alias("r_ppm"),
+    ).orderBy("lag")
+
+
+@register(
+    "agg_hdr_histogram",
+    # HDR-style log2 latency histogram of per-user interarrival gaps:
+    # bucket = floor(log2(gap_s)) computed EXACTLY as the bit length of
+    # the integer gap (LENGTH of the binary representation - 1 — no
+    # floating log), counts/cumulative/percentile lookups all pure
+    # integer arithmetic on the <=32-row bucket rollup.
+    oracle="""
+    WITH gaps AS (
+        SELECT epoch_us(ts) // 1000000
+               - LAG(epoch_us(ts) // 1000000) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_s
+        FROM events
+    ), g AS (
+        SELECT gap_s FROM gaps WHERE gap_s >= 1
+    ), b AS (
+        SELECT LENGTH(PRINTF('%b', gap_s)) - 1 AS bucket, COUNT(*) AS cnt
+        FROM g GROUP BY 1
+    ), c AS (
+        SELECT bucket, cnt,
+               SUM(cnt) OVER (ORDER BY bucket) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS lo_s,
+           CAST((CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS BIGINT) AS hi_s,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(cum AS BIGINT) AS cum,
+           CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN
+                    (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END) OVER ()
+                AS BIGINT) AS p50_hi_s,
+           CAST(MIN(CASE WHEN cum * 100 >= 90 * n THEN
+                    (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END) OVER ()
+                AS BIGINT) AS p90_hi_s,
+           CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN
+                    (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END) OVER ()
+                AS BIGINT) AS p99_hi_s
+    FROM c ORDER BY bucket
+    """,
+)
+def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram-style latency profile of per-user interarrival
+    gaps: power-of-two buckets (the HdrHistogram / Prometheus
+    log-bucket scheme) with bucket = floor(log2(gap)) computed as the
+    exact BIT LENGTH of the integer gap — `length(bin(x)) - 1`, no
+    floating log anywhere — plus cumulative counts and the p50/p90/p99
+    bucket upper bounds by integer nearest-rank lookup (smallest bucket
+    whose cumulative count reaches ⌈q·n⌉, via cum·100 ≥ q·n — all
+    int64).  Complements `agg_histogram` (equi-width) and
+    `rollup_tdigest` (approximate): log buckets give constant relative
+    error across six orders of magnitude with ≤32 cells of mergeable
+    state — the production latency-histogram contract.
+
+    Scale notes: the corpus-sized work is ONE user-keyed lag window
+    (same shuffle shape as `interarrival_stats`) and ONE hash agg to
+    the ≤32-row bucket rollup; cumulative/percentile windows run on
+    that rollup (reviewed SINGLE allowlist row)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        (
+            epoch_seconds(F.col("ts"))
+            - epoch_seconds(F.lag("ts").over(w))
+        ).alias("gap_s")
+    ).where(F.col("gap_s") >= 1)
+    b = gaps.groupBy(
+        (F.length(F.bin(F.col("gap_s"))) - 1).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    c = b.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    hi_expr = F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1")
+
+    def p_hi(q: int):
+        return F.min(
+            F.when(F.col("cum") * 100 >= q * F.col("n"), hi_expr)
+        ).over(w_all)
+
+    return c.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket)")
+        .cast("long")
+        .alias("lo_s"),
+        hi_expr.cast("long").alias("hi_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("cum").cast("long").alias("cum"),
+        p_hi(50).cast("long").alias("p50_hi_s"),
+        p_hi(90).cast("long").alias("p90_hi_s"),
+        p_hi(99).cast("long").alias("p99_hi_s"),
+    ).orderBy("bucket")

@@ -63,6 +63,12 @@ BNL_ALLOWED: dict[str, str] = {
     "— both sides bin-bounded at any corpus",
     "agg_incremental_state_merge": "broadcast 1-row cutover-date frame "
     "onto the scan (stream_offset_commit_lag's horizon pattern)",
+    "events_ab_cuped": "broadcast 1-row experiment-cutover frame onto "
+    "the scan + broadcast 1-row pooled-moments frame onto the 2-row "
+    "variant frame (both sides rollup-bounded)",
+    "events_cross_correlation": "broadcast 1-row bounds frame for the "
+    "spine explode + broadcast 15-row lag dim onto the calendar-sized "
+    "daily rollup (calendar x 15 fanout, never event-grain)",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The
@@ -174,6 +180,13 @@ SINGLE_ALLOWED: dict[str, str] = {
     "over the |lang| x |source| (~100-row) stratum rollup",
     "agg_incremental_state_merge": "1-row cutover-date global aggregate "
     "feeding the broadcast (the q6-style scalar-result exchange)",
+    "events_ab_cuped": "1-row cutover aggregate + 1-row pooled "
+    "sufficient-moments aggregate over the user frame (six int128 "
+    "sums, map-side-combined before the single-partition merge)",
+    "events_cross_correlation": "1-row bounds aggregate feeding the "
+    "spine + final ordering of the 15-row lag frame",
+    "agg_hdr_histogram": "cumulative/percentile windows over the "
+    "<=32-row power-of-two bucket rollup",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

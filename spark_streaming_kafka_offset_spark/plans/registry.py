@@ -62,6 +62,17 @@ DEFERRED_R9: tuple[str, ...] = (
     "eval_isotonic_calibration",
     "corpus_eval_allocation",
     "agg_incremental_state_merge",
+    # r8-registered oracle pairs (exact regression / experimentation /
+    # series cross-correlation / log-bucket histogram —
+    # operators/inference.py + operators/statistics.py, §2.25).
+    "agg_grouped_ols",
+    "events_ab_cuped",
+    "events_cross_correlation",
+    "agg_hdr_histogram",
+    # r8-registered oracle pairs (frequency sketch / network scalar —
+    # operators/scale.py + functions/scalar.py, §2.25).
+    "agg_countmin_heavyhitters",
+    "fn_ip_cidr",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -143,6 +154,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "eval_isotonic_calibration",
     "corpus_eval_allocation",
     "agg_incremental_state_merge",
+    "agg_grouped_ols",
+    "events_ab_cuped",
+    "events_cross_correlation",
+    "agg_hdr_histogram",
+    "agg_countmin_heavyhitters",
+    "fn_ip_cidr",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9

@@ -154,3 +154,191 @@ def test_forecast_backtest_error_identities(spark):
         num = (tot_n - tot_s) * 1_000_000
         trunc = abs(num) // tot_n * (1 if num >= 0 else -1)
         assert r.snaive_skill_ppm == trunc
+
+
+def test_grouped_ols_matches_numpy_and_residual_identity(spark):
+    """Slope/intercept/R² must agree with an independent numpy OLS per
+    group (to the reported rounding), and R² must lie in [0, 1e6] ppm."""
+    import numpy as np
+
+    rows = QUERIES["agg_grouped_ols"](spark, SF_DIR).collect()
+    assert rows, "no OLS groups"
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round("l_extendedprice").cast("long").alias("y"),
+        )
+        .collect()
+    )
+    by_grp: dict = {}
+    for r in li:
+        by_grp.setdefault((r.l_returnflag, r.l_linestatus), []).append(
+            (r.x, r.y)
+        )
+    for r in rows:
+        pts = np.array(by_grp[(r.l_returnflag, r.l_linestatus)], dtype=float)
+        x, y = pts[:, 0], pts[:, 1]
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r.slope_usd_per_unit - slope) < 1e-3
+        assert abs(r.intercept_usd - intercept) < 0.05
+        rr = np.corrcoef(x, y)[0, 1] ** 2
+        assert abs(r.r2_ppm - rr * 1e6) <= 1.0
+        assert 0 <= r.r2_ppm <= 1_000_000
+        assert r.n == len(pts)
+
+
+def test_cuped_adjustment_preserves_pooled_mean(spark):
+    """CUPED is mean-preserving in the pool: Σ n_v·(adj_v − raw_v) ≈ 0
+    (the θ(X̄v − X̄) corrections cancel when weighted by n_v), and the
+    variance-reduction ppm must be in [0, 1e6]."""
+    rows = QUERIES["events_ab_cuped"](spark, SF_DIR).collect()
+    assert len(rows) == 2
+    shift = sum(
+        r.n_users * (r.mean_y_adj_cents - r.mean_y_cents) for r in rows
+    )
+    total_n = sum(r.n_users for r in rows)
+    assert abs(shift) / total_n < 0.05, "CUPED must preserve pooled mean"
+    for r in rows:
+        assert 0 <= r.var_reduction_ppm <= 1_000_000
+        assert rows[0].theta == rows[1].theta
+
+
+def test_cross_correlation_lag0_is_pearson_and_bounded(spark):
+    """r(0) must equal an independently computed Pearson correlation of
+    the zero-filled daily series; every r_ppm must lie in [-1e6, 1e6];
+    n_days must equal D - |lag|."""
+    import numpy as np
+
+    rows = {
+        r.lag: r
+        for r in QUERIES["events_cross_correlation"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(range(-7, 8))
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("a"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("b"),
+        )
+        .collect()
+    )
+    days = sorted(r.day for r in daily)
+    lo, hi = days[0], days[-1]
+    ndays = (hi - lo).days + 1
+    a = [0] * ndays
+    b = [0] * ndays
+    for r in daily:
+        a[(r.day - lo).days] = r.a
+        b[(r.day - lo).days] = r.b
+    r0 = np.corrcoef(a, b)[0, 1]
+    assert abs(rows[0].r_ppm - round(r0 * 1e6)) <= 1
+    for lag, r in rows.items():
+        assert r.n_days == ndays - abs(lag)
+        assert -1_000_000 <= r.r_ppm <= 1_000_000
+
+
+def test_hdr_histogram_covers_all_gaps_and_percentiles_order(spark):
+    """Bucket counts must sum to the number of gaps >= 1 s, bucket
+    bounds must be [2^b, 2^(b+1)-1], and the percentile upper bounds
+    must be non-decreasing in q and each equal to some bucket's hi."""
+    rows = sorted(
+        QUERIES["agg_hdr_histogram"](spark, SF_DIR).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    n_gaps = (
+        e.select(
+            (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+            ).alias("gap_s")
+        )
+        .where(F.col("gap_s") >= 1)
+        .count()
+    )
+    assert sum(r.cnt for r in rows) == n_gaps
+    assert rows[-1].cum == n_gaps
+    his = {r.hi_s for r in rows}
+    p = rows[0]
+    assert p.p50_hi_s <= p.p90_hi_s <= p.p99_hi_s
+    for q in ("p50_hi_s", "p90_hi_s", "p99_hi_s"):
+        assert getattr(p, q) in his
+    for r in rows:
+        assert r.lo_s == 2 ** r.bucket
+        assert r.hi_s == 2 ** (r.bucket + 1) - 1
+
+
+def test_countmin_never_underestimates_and_matches_brute_force(spark):
+    """CMS structural guarantee: estimate >= exact for EVERY key (not
+    just the top-10) — verified by rebuilding the 256-cell table in
+    Python from the exact per-user counts and taking the min over each
+    user's 4 cells; the operator's top-10 must agree with the brute
+    force."""
+    import hashlib
+
+    rows = QUERIES["agg_countmin_heavyhitters"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    ug = {
+        r.user_id: r.cnt
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+
+    def coords(uid):
+        return [
+            int(hashlib.md5(f"{uid}:{i}".encode()).hexdigest()[:15], 16) % 64
+            for i in range(4)
+        ]
+
+    cells: dict = {}
+    for uid, cnt in ug.items():
+        for i, cell in enumerate(coords(uid)):
+            cells[(i, cell)] = cells.get((i, cell), 0) + cnt
+    for r in rows:
+        est = min(cells[(i, cell)] for i, cell in enumerate(coords(r.user_id)))
+        assert r.exact_cnt == ug[r.user_id]
+        assert r.cms_est == est
+        assert r.overcount == est - r.exact_cnt >= 0
+    # the structural bound holds for every key, not only the reported ones
+    for uid, cnt in ug.items():
+        est = min(cells[(i, cell)] for i, cell in enumerate(coords(uid)))
+        assert est >= cnt
+
+
+def test_ip_cidr_lpm_partitions_address_space(spark):
+    """LPM classification must PARTITION the customers: block counts sum
+    to |customer|, every min/max address must actually lie inside its
+    block's range, and nesting must be observable (the /3 block count
+    excludes the /5 sub-block)."""
+    rows = {
+        r.block: r for r in QUERIES["fn_ip_cidr"](spark, SF_DIR).collect()
+    }
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert sum(r.n_ips for r in rows.values()) == n_cust
+    from spark_streaming_kafka_offset_spark.functions.scalar import (
+        _CIDR_KEYED,
+    )
+
+    for name, _, p, key in _CIDR_KEYED:
+        r = rows[name]
+        assert r.prefix_len == p
+        if p:
+            lo = key * (1 << (32 - p))
+            hi = lo + (1 << (32 - p)) - 1
+            assert lo <= r.min_ip_int <= r.max_ip_int <= hi
+        parts = [int(x) for x in r.min_ip_str.split(".")]
+        assert len(parts) == 4 and all(0 <= x <= 255 for x in parts)
+        assert (
+            (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+        ) == r.min_ip_int
+    assert rows["slice-168/5"].n_ips > 0, "nested /5 must have population"

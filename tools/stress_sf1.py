@@ -77,6 +77,28 @@ STRESS_SET = [
     "feat_target_encode",
     "privacy_k_anonymity",
     "eval_confusion_thresholds",
+    # r8-built ops (§2.24): every new shuffle-bearing op pays the sf1
+    # toll — the user-grain survival agg, the 64-replicate map-combined
+    # bootstrap agg (the widest single hash agg in the repo), the daily
+    # spine backtest, and the pruned-scan ⊕ merge proof.  The isotonic
+    # and allocation ops ride rollup-bounded frames (≤10 / ~100 rows)
+    # after one corpus agg each and are covered by the same toll.
+    "events_kaplan_meier",
+    "agg_bootstrap_ci",
+    "events_forecast_backtest",
+    "eval_isotonic_calibration",
+    "corpus_eval_allocation",
+    "agg_incremental_state_merge",
+    # r8 second batch (§2.25): the int128 normal-equation agg, the
+    # user-grain CUPED agg, the user-keyed HDR lag window, the CMS
+    # user agg + 4x rollup fanout, the calendar lag self-join, and the
+    # customer-grain CIDR explode-join.
+    "agg_grouped_ols",
+    "events_ab_cuped",
+    "agg_hdr_histogram",
+    "agg_countmin_heavyhitters",
+    "events_cross_correlation",
+    "fn_ip_cidr",
 ]
 
 
