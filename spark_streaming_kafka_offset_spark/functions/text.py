@@ -2698,3 +2698,153 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("very-difficult")
         .alias("band"),
     )
+
+
+#: RAKE stopword list (shared literal — both engines split candidate
+#: phrases at these words and at any non-[a-z space] character).
+_RAKE_STOPS = (
+    "the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by|be|this|that"
+    "|are|was|from|we|not|has|have|had"
+)
+_RAKE_TOPK = 20
+#: Standard RAKE candidate cap: runs longer than 4 words are noise,
+#: not collocations (without it the fixture's stopword-sparse docs
+#: surface as single 70-word "phrases" — caught by the non-degeneracy
+#: audit), and the cap also BOUNDS phrase cardinality at any corpus.
+_RAKE_MAX_WORDS = 4
+
+
+@register(
+    "text_rake_keywords",
+    # RAKE (Rapid Automatic Keyword Extraction): candidate phrases =
+    # maximal stopword/punctuation-free word runs; word score =
+    # degree/frequency in ppm (degree = Σ length of phrases containing
+    # the word); phrase score = Σ word scores — all integer arithmetic
+    # (ONE ppm division per word), top-20 by (score, occurrences,
+    # phrase) total order.
+    oracle=f"""
+    WITH cleaned AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(lower(text), '[^a-z ]', '|', 'g'),
+                   '\\b({_RAKE_STOPS})\\b', '|', 'g') AS seg
+        FROM documents
+    ), phrases AS (
+        SELECT doc_id, phrase,
+               LENGTH(phrase) - LENGTH(REPLACE(phrase, ' ', '')) + 1
+                   AS n_words
+        FROM (
+            SELECT doc_id,
+                   trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
+            FROM cleaned, unnest(string_split(seg, '|')) AS t(p)
+        )
+        WHERE phrase <> ''
+          AND LENGTH(phrase) - LENGTH(REPLACE(phrase, ' ', '')) + 1
+              <= {_RAKE_MAX_WORDS}
+    ), phrase_words AS (
+        SELECT phrase, n_words, w AS word
+        FROM phrases, unnest(string_split(phrase, ' ')) AS t(w)
+    ), word_stats AS (
+        SELECT word,
+               COUNT(*) AS freq,
+               SUM(n_words) AS degree
+        FROM phrase_words GROUP BY 1
+    ), phrase_scores AS (
+        SELECT pw.phrase,
+               MAX(pw.n_words) AS n_words,
+               COUNT(*) // MAX(pw.n_words) AS n_occurrences,
+               SUM(ws.degree * 1000000 // ws.freq)
+                 // (COUNT(*) // MAX(pw.n_words)) AS score_ppm
+        FROM phrase_words pw JOIN word_stats ws ON pw.word = ws.word
+        GROUP BY 1
+    )
+    SELECT phrase,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(score_ppm AS BIGINT) AS score_ppm
+    FROM phrase_scores
+    ORDER BY score_ppm DESC, n_occurrences DESC, phrase
+    LIMIT {_RAKE_TOPK}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus — the classic
+    unsupervised keyphrase algorithm: candidate phrases are maximal
+    runs of content words (split at stopwords and at any
+    non-[a-z space] character), each word is scored degree/frequency
+    (degree = total length of phrases it appears in — rewards words
+    that co-occur in long collocations), and a phrase's score is the
+    sum of its words' scores.  All arithmetic is integer ppm (one
+    division per word, one per phrase); the top-20 is a (score,
+    occurrences, phrase) total order, so the extraction is
+    reproducible to the hash.
+
+    Scale notes: phrase/word explosion is scan-side Generate work
+    (rows ∝ corpus tokens, the `text_tokens` shape); word stats are
+    ONE keyed hash agg over the word column; scoring joins the
+    phrase-word frame to word stats on the word key (both sides
+    word-keyed — co-partitioned by the join) and re-aggregates per
+    phrase; the top-20 is sort+limit (TakeOrdered).  No window ever
+    sees corpus-grain data."""
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "|"),
+            f"\\b({_RAKE_STOPS})\\b",
+            "|",
+        ).alias("seg"),
+    )
+    phrases = (
+        cleaned.select(
+            "doc_id", F.explode(F.split(F.col("seg"), "\\|")).alias("p")
+        )
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace(F.col("p"), " +", " ")).alias("phrase"),
+        )
+        .select(
+            "doc_id",
+            "phrase",
+            (
+                F.length("phrase")
+                - F.length(F.regexp_replace(F.col("phrase"), " ", ""))
+                + 1
+            ).alias("n_words"),
+        )
+        .where(
+            (F.col("phrase") != "")
+            & (F.col("n_words") <= _RAKE_MAX_WORDS)
+        )
+    )
+    phrase_words = phrases.select(
+        "phrase",
+        "n_words",
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    word_stats = phrase_words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("n_words").alias("degree"),
+    )
+    phrase_scores = (
+        phrase_words.join(word_stats, "word")
+        .groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.expr("count(1) div max(n_words)").alias("n_occurrences"),
+            F.expr(
+                "sum(degree * 1000000 div freq)"
+                " div (count(1) div max(n_words))"
+            ).alias("score_ppm"),
+        )
+    )
+    return (
+        phrase_scores.select(
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("score_ppm").cast("long").alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), F.desc("n_occurrences"), "phrase")
+        .limit(_RAKE_TOPK)
+    )

@@ -446,3 +446,124 @@ def lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 30)
         .select("lang", "doc_id")
     )
+
+
+@register(
+    "docs_preference_pairs",
+    # RLHF preference-pair construction: per (lang, source) prompt
+    # group, chosen = highest-scoring doc, rejected = lowest-scoring
+    # doc, under a deterministic integer quality score (word density
+    # ppm — words per char) with (score, doc_id) total-order
+    # tie-breaks; groups need >= 2 docs and a strictly positive margin
+    # (a zero-margin pair teaches nothing and is dropped on BOTH
+    # engines).
+    oracle="""
+    WITH scored AS (
+        SELECT lang, source, doc_id,
+               (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                 * 1000000 // LENGTH(text) AS score_ppm
+        FROM documents WHERE LENGTH(text) > 0
+    ), ranked AS (
+        SELECT lang, source, doc_id, score_ppm,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY score_ppm DESC, doc_id) AS rk_top,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY score_ppm ASC, doc_id DESC)
+                   AS rk_bot,
+               COUNT(*) OVER (PARTITION BY lang, source) AS grp_n
+        FROM scored
+    ), chosen AS (
+        SELECT lang, source, grp_n, doc_id AS chosen_doc,
+               score_ppm AS chosen_score
+        FROM ranked WHERE rk_top = 1 AND grp_n >= 2
+    ), rejected AS (
+        SELECT lang, source, doc_id AS rejected_doc,
+               score_ppm AS rejected_score
+        FROM ranked WHERE rk_bot = 1
+    )
+    SELECT c.lang, c.source,
+           CAST(grp_n AS BIGINT) AS grp_n,
+           c.chosen_doc, CAST(c.chosen_score AS BIGINT) AS chosen_score,
+           r.rejected_doc, CAST(r.rejected_score AS BIGINT)
+               AS rejected_score,
+           CAST(c.chosen_score - r.rejected_score AS BIGINT) AS margin_ppm
+    FROM chosen c JOIN rejected r
+      ON c.lang = r.lang AND c.source = r.source
+    WHERE c.chosen_score > r.rejected_score
+    ORDER BY c.lang, c.source
+    """,
+)
+def docs_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training —
+    the corpus-side step of an RLHF pipeline: treat each (lang,
+    source) stratum as a prompt group, score every document with a
+    deterministic integer quality proxy (word-density ppm; in
+    production this column is the reward-model score), and emit one
+    (chosen, rejected) pair per group — the argmax and argmin under a
+    (score, doc_id) total order, with degenerate pairs (group size
+    < 2 or zero margin) dropped.  Margins are exact score
+    differences, so downstream margin-weighted losses are
+    reproducible.
+
+    Scale notes: scoring is scan-side expression work; both argmax
+    and argmin come out of the SAME (lang, source)-keyed window
+    shuffle (two row_numbers + the group count share one partition
+    sort — the `win_running_distinct` chaining pattern), and the
+    chosen⋈rejected join is group-grain (≤ |lang|×|source| rows).
+    Nothing event-grain ever leaves its partition."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    scored = d.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.expr(
+            "(length(text) - length(replace(text, ' ', '')) + 1)"
+            " * 1000000 div length(text)"
+        ).alias("score_ppm"),
+    )
+    w_grp = Window.partitionBy("lang", "source")
+    ranked = scored.select(
+        "lang",
+        "source",
+        "doc_id",
+        "score_ppm",
+        F.row_number()
+        .over(w_grp.orderBy(F.desc("score_ppm"), "doc_id"))
+        .alias("rk_top"),
+        F.row_number()
+        .over(w_grp.orderBy(F.asc("score_ppm"), F.desc("doc_id")))
+        .alias("rk_bot"),
+        F.count(F.lit(1)).over(w_grp).alias("grp_n"),
+    )
+    chosen = ranked.where(
+        (F.col("rk_top") == 1) & (F.col("grp_n") >= 2)
+    ).select(
+        "lang",
+        "source",
+        "grp_n",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score_ppm").alias("chosen_score"),
+    )
+    rejected = ranked.where(F.col("rk_bot") == 1).select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score_ppm").alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, ["lang", "source"])
+        .where(F.col("chosen_score") > F.col("rejected_score"))
+        .select(
+            "lang",
+            "source",
+            F.col("grp_n").cast("long").alias("grp_n"),
+            "chosen_doc",
+            F.col("chosen_score").cast("long").alias("chosen_score"),
+            "rejected_doc",
+            F.col("rejected_score").cast("long").alias("rejected_score"),
+            (F.col("chosen_score") - F.col("rejected_score"))
+            .cast("long")
+            .alias("margin_ppm"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -1351,3 +1351,135 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@register(
+    "agg_welch_ttest",
+    # Welch's unequal-variance t-test between the BUILDING and
+    # MACHINERY order-total distributions: all six sufficient sums are
+    # int128-exact conditional aggregates from ONE pass; means, sample
+    # variances, t, and the Welch–Satterthwaite df are fixed IEEE
+    # expression trees over identical integers (correctly-rounded ops
+    # only), ROUNDed to the reported digits.
+    oracle=f"""
+    WITH s AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('{_SEG_A}', '{_SEG_B}')
+    ), m AS (
+        SELECT CAST(COUNT(*) FILTER (seg = '{_SEG_A}') AS HUGEINT) AS na,
+               CAST(COUNT(*) FILTER (seg = '{_SEG_B}') AS HUGEINT) AS nb,
+               CAST(SUM(cents) FILTER (seg = '{_SEG_A}') AS HUGEINT) AS sa,
+               CAST(SUM(cents) FILTER (seg = '{_SEG_B}') AS HUGEINT) AS sb,
+               CAST(SUM(cents * cents) FILTER (seg = '{_SEG_A}') AS HUGEINT)
+                   AS qa,
+               CAST(SUM(cents * cents) FILTER (seg = '{_SEG_B}') AS HUGEINT)
+                   AS qb
+        FROM s
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           ROUND(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 2) AS mean_a_cents,
+           ROUND(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 2) AS mean_b_cents,
+           ROUND((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)), 2)
+               AS mean_diff_cents,
+           ROUND((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / SQRT(CAST(na * qa - sa * sa AS DOUBLE)
+                        / CAST(na * na * (na - 1) AS DOUBLE)
+                        + CAST(nb * qb - sb * sb AS DOUBLE)
+                        / CAST(nb * nb * (nb - 1) AS DOUBLE)), 6) AS t_stat,
+           ROUND(POWER(CAST(na * qa - sa * sa AS DOUBLE)
+                       / CAST(na * na * (na - 1) AS DOUBLE)
+                       + CAST(nb * qb - sb * sb AS DOUBLE)
+                       / CAST(nb * nb * (nb - 1) AS DOUBLE), 2)
+                 / (POWER(CAST(na * qa - sa * sa AS DOUBLE)
+                          / CAST(na * na * (na - 1) AS DOUBLE), 2)
+                    / CAST(na - 1 AS DOUBLE)
+                    + POWER(CAST(nb * qb - sb * sb AS DOUBLE)
+                            / CAST(nb * nb * (nb - 1) AS DOUBLE), 2)
+                    / CAST(nb - 1 AS DOUBLE)), 2) AS df_welch
+    FROM m
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test on order totals
+    (BUILDING vs MACHINERY), the parametric sibling of `agg_ks_test` /
+    `agg_mannwhitney_u` that completes the two-sample family: exact
+    int128 sufficient sums (n, Σx, Σx² per arm) from ONE conditional
+    aggregate, then means, standard-error, t, and the
+    Welch–Satterthwaite degrees of freedom as fixed trees of
+    correctly-rounded IEEE ops over identical integers.  The standard
+    error term s²ᵢ/nᵢ is computed as (nᵢΣx²−(Σx)²)/(nᵢ²(nᵢ−1)) — one
+    division of two exact integers per arm, so no float variance is
+    ever accumulated.
+
+    Scale notes: ONE map-side-combined conditional hash aggregate over
+    the fact-dim join down to a single 6-sum row (reviewed SINGLE
+    allowlist row — the q6-style scalar-result exchange); every
+    reported value is per-row arithmetic on that 1-row frame."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d38 = "decimal(38,0)"
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin(_SEG_A, _SEG_B))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    is_a = F.col("seg") == _SEG_A
+    is_b = F.col("seg") == _SEG_B
+    m = s.agg(
+        F.count(F.when(is_a, 1)).cast(d38).alias("na"),
+        F.count(F.when(is_b, 1)).cast(d38).alias("nb"),
+        F.sum(F.when(is_a, F.col("cents")).otherwise(0))
+        .cast(d38)
+        .alias("sa"),
+        F.sum(F.when(is_b, F.col("cents")).otherwise(0))
+        .cast(d38)
+        .alias("sb"),
+        F.sum(
+            F.when(is_a, (F.col("cents") * F.col("cents")).cast(d38)).otherwise(
+                F.lit(0).cast(d38)
+            )
+        )
+        .cast(d38)
+        .alias("qa"),
+        F.sum(
+            F.when(is_b, (F.col("cents") * F.col("cents")).cast(d38)).otherwise(
+                F.lit(0).cast(d38)
+            )
+        )
+        .cast(d38)
+        .alias("qb"),
+    )
+    mean_a = F.col("sa").cast("double") / F.col("na").cast("double")
+    mean_b = F.col("sb").cast("double") / F.col("nb").cast("double")
+    se2_a = (F.col("na") * F.col("qa") - F.col("sa") * F.col("sa")).cast(
+        "double"
+    ) / (F.col("na") * F.col("na") * (F.col("na") - 1)).cast("double")
+    se2_b = (F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb")).cast(
+        "double"
+    ) / (F.col("nb") * F.col("nb") * (F.col("nb") - 1)).cast("double")
+    return m.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(mean_a, 2).alias("mean_a_cents"),
+        F.round(mean_b, 2).alias("mean_b_cents"),
+        F.round(mean_a - mean_b, 2).alias("mean_diff_cents"),
+        F.round((mean_a - mean_b) / F.sqrt(se2_a + se2_b), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se2_a + se2_b, 2)
+            / (
+                F.pow(se2_a, 2) / (F.col("na") - 1).cast("double")
+                + F.pow(se2_b, 2) / (F.col("nb") - 1).cast("double")
+            ),
+            2,
+        ).alias("df_welch"),
+    )

@@ -187,6 +187,8 @@ SINGLE_ALLOWED: dict[str, str] = {
     "spine + final ordering of the 15-row lag frame",
     "agg_hdr_histogram": "cumulative/percentile windows over the "
     "<=32-row power-of-two bucket rollup",
+    "agg_welch_ttest": "1-row six-conditional-sum global aggregate "
+    "(map-side-combined; the q6-style scalar-result exchange)",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

@@ -73,6 +73,14 @@ DEFERRED_R9: tuple[str, ...] = (
     # operators/scale.py + functions/scalar.py, §2.25).
     "agg_countmin_heavyhitters",
     "fn_ip_cidr",
+    # r8-registered oracle pairs (parametric testing / RLHF pair
+    # construction — operators/inference.py + functions/training.py,
+    # §2.25).
+    "agg_welch_ttest",
+    "docs_preference_pairs",
+    # r8-registered oracle pair (keyword extraction — functions/text.py,
+    # §2.25).
+    "text_rake_keywords",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -160,6 +168,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_hdr_histogram",
     "agg_countmin_heavyhitters",
     "fn_ip_cidr",
+    "agg_welch_ttest",
+    "docs_preference_pairs",
+    "text_rake_keywords",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9

@@ -342,3 +342,123 @@ def test_ip_cidr_lpm_partitions_address_space(spark):
             (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
         ) == r.min_ip_int
     assert rows["slice-168/5"].n_ips > 0, "nested /5 must have population"
+
+
+def test_welch_ttest_matches_scipy_free_reference(spark):
+    """t and df must match an independent Python computation from raw
+    data (Welch's formulas, float64), and the conditional-sum identity
+    n_a + n_b = filtered row count must hold."""
+    r = QUERIES["agg_welch_ttest"](spark, SF_DIR).collect()[0]
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_mktsegment", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .collect()
+    )
+    a = [x.cents for x in rows if x.c_mktsegment == "BUILDING"]
+    b = [x.cents for x in rows if x.c_mktsegment == "MACHINERY"]
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    import statistics
+
+    va, vb = statistics.variance(a), statistics.variance(b)
+    se2 = va / len(a) + vb / len(b)
+    t = (statistics.fmean(a) - statistics.fmean(b)) / se2**0.5
+    df = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert abs(r.t_stat - t) < 1e-4
+    assert abs(r.df_welch - df) < 0.5
+
+
+def test_preference_pairs_are_extremes_with_positive_margin(spark):
+    """Every pair's chosen must be the group's argmax and rejected the
+    argmin under the (score, doc_id) total order, margins positive, and
+    every >=2-doc group with score spread must be present."""
+    rows = QUERIES["docs_preference_pairs"](spark, SF_DIR).collect()
+    assert rows
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.length("text") > 0)
+        .select(
+            "lang",
+            "source",
+            "doc_id",
+            F.expr(
+                "(length(text) - length(replace(text, ' ', '')) + 1)"
+                " * 1000000 div length(text)"
+            ).alias("s"),
+        )
+        .collect()
+    )
+    groups: dict = {}
+    for d in docs:
+        groups.setdefault((d.lang, d.source), []).append((d.s, d.doc_id))
+    expected = 0
+    for g, members in groups.items():
+        if len(members) < 2:
+            continue
+        top = max(members, key=lambda t: (t[0], -t[1]))
+        bot = min(members, key=lambda t: (t[0], -t[1]))
+        if top[0] > bot[0]:
+            expected += 1
+    assert len(rows) == expected
+    for r in rows:
+        members = groups[(r.lang, r.source)]
+        top = max(members, key=lambda t: (t[0], -t[1]))
+        bot = min(members, key=lambda t: (t[0], -t[1]))
+        assert (r.chosen_score, r.chosen_doc) == (top[0], top[1])
+        assert (r.rejected_score, r.rejected_doc) == (bot[0], bot[1])
+        assert r.margin_ppm == r.chosen_score - r.rejected_score > 0
+        assert r.grp_n == len(members)
+
+
+def test_rake_keywords_against_pure_python_rake(spark):
+    """The top-20 must equal a from-scratch Python RAKE over the same
+    corpus with the same stopword list, cap, and integer arithmetic."""
+    import re
+    from spark_streaming_kafka_offset_spark.functions.text import (
+        _RAKE_MAX_WORDS,
+        _RAKE_STOPS,
+        _RAKE_TOPK,
+    )
+
+    rows = QUERIES["text_rake_keywords"](spark, SF_DIR).collect()
+    assert len(rows) == _RAKE_TOPK
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ]
+    stop_re = re.compile(r"\b(" + _RAKE_STOPS + r")\b")
+    phrases = []
+    for t in texts:
+        seg = re.sub("[^a-z ]", "|", t.lower())
+        seg = stop_re.sub("|", seg)
+        for p in seg.split("|"):
+            p = re.sub(" +", " ", p).strip()
+            if p and p.count(" ") + 1 <= _RAKE_MAX_WORDS:
+                phrases.append(p)
+    freq: dict = {}
+    degree: dict = {}
+    for p in phrases:
+        ws = p.split(" ")
+        for w in ws:
+            freq[w] = freq.get(w, 0) + 1
+            degree[w] = degree.get(w, 0) + len(ws)
+    from collections import Counter
+
+    occ = Counter(phrases)
+    scored = []
+    for p, k in occ.items():
+        ws = p.split(" ")
+        total = sum(degree[w] * 1_000_000 // freq[w] for w in ws) * k
+        scored.append((total // k, k, p, len(ws)))
+    scored.sort(key=lambda t: (-t[0], -t[1], t[2]))
+    for r, (score, k, p, nw) in zip(rows, scored[:_RAKE_TOPK]):
+        assert (r.phrase, r.n_words, r.n_occurrences, r.score_ppm) == (
+            p,
+            nw,
+            k,
+            score,
+        )

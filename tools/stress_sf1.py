@@ -99,6 +99,12 @@ STRESS_SET = [
     "agg_countmin_heavyhitters",
     "events_cross_correlation",
     "fn_ip_cidr",
+    # r8 third batch (§2.25): the 1-row conditional-sum t-test, the
+    # (lang,source)-keyed double-window pair builder, and the RAKE
+    # phrase/word double explode + word-keyed score join.
+    "agg_welch_ttest",
+    "docs_preference_pairs",
+    "text_rake_keywords",
 ]
 
 
