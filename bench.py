@@ -125,6 +125,8 @@ BSET = [
     # before the next sf1 sweep.
     "graph_common_neighbors",
     "text_ngram_novelty",
+    # r8 sf1-sweep fix (the codegen-JIT-cliff rewrite): same rationale.
+    "agg_bootstrap_ci",
 ]
 
 

@@ -1712,3 +1712,206 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_hi(90).cast("long").alias("p90_hi_s"),
         p_hi(99).cast("long").alias("p99_hi_s"),
     ).orderBy("bucket")
+
+
+#: Chain-ladder development horizon: ultimates are forecast to age 8
+#: months, so the factor chain is bounded (and codegen-unrolled) at any
+#: corpus span.
+_CL_K = 8
+
+
+def _chain_ladder_oracle() -> str:
+    """Oracle for orders_chain_ladder — the per-age ultimate CASE chain
+    is built by the same Python loop as the Spark side, so factor
+    ordering (ascending age, left-associated products) agrees by
+    construction and both engines produce bit-identical IEEE doubles."""
+    cases = []
+    for a in range(_CL_K):
+        prod = "CAST(obs AS DOUBLE)"
+        for k in range(a, _CL_K):
+            prod = f"({prod} * f{k})"
+        cases.append(f"WHEN base_age = {a} THEN {prod}")
+    ult = f"CASE {' '.join(cases)} ELSE CAST(obs AS DOUBLE) END"
+    fcols = ", ".join(
+        f"""CAST(SUM(CASE WHEN avail >= {k + 1} THEN c_next{k} END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN avail >= {k + 1} THEN c_at{k} END) AS DOUBLE)
+            AS f{k}"""
+        for k in range(_CL_K)
+    )
+    ccols = ", ".join(
+        f"""MAX(CASE WHEN k = {k} THEN cum END) AS c_at{k},
+            MAX(CASE WHEN k = {k + 1} THEN cum END) AS c_next{k}"""
+        for k in range(_CL_K)
+    )
+    return f"""
+    WITH ue AS (
+        SELECT o_custkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+                    + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), u0 AS (
+        SELECT o_custkey, MIN(ym) AS c0 FROM ue GROUP BY 1
+    ), cut AS (
+        SELECT MAX(ym) AS w FROM ue
+    ), x AS (
+        SELECT u0.c0 AS cohort, ue.ym - u0.c0 AS k,
+               SUM(ue.cents) AS cents
+        FROM ue JOIN u0 ON ue.o_custkey = u0.o_custkey
+        WHERE ue.ym - u0.c0 <= {_CL_K}
+        GROUP BY 1, 2
+    ), grid AS (
+        SELECT c.cohort, CAST(g.k AS BIGINT) AS k,
+               cut.w - c.cohort AS avail
+        FROM (SELECT DISTINCT cohort FROM x) c
+        CROSS JOIN cut
+        CROSS JOIN range(0, {_CL_K} + 1) g(k)
+        WHERE g.k <= LEAST(cut.w - c.cohort, {_CL_K})
+    ), tri AS (
+        SELECT g.cohort, g.k, g.avail,
+               SUM(COALESCE(x.cents, 0)) OVER (
+                   PARTITION BY g.cohort ORDER BY g.k) AS cum
+        FROM grid g LEFT JOIN x
+          ON g.cohort = x.cohort AND g.k = x.k
+    ), piv AS (
+        SELECT cohort, MAX(avail) AS avail, {ccols}
+        FROM tri GROUP BY 1
+    ), f AS (
+        SELECT {fcols} FROM piv
+    ), basis AS (
+        SELECT t.cohort,
+               MAX(t.k) AS base_age,
+               MAX(t.cum) AS obs
+        FROM tri t GROUP BY 1
+    )
+    SELECT b.cohort AS cohort_month,
+           CAST(b.base_age AS BIGINT) AS base_age,
+           CAST(b.obs AS BIGINT) AS observed_cum_cents,
+           CAST(ROUND({ult}) AS BIGINT) AS ultimate8_cents,
+           CAST(ROUND(1000000.0 * CAST(b.obs AS DOUBLE) / ({ult}))
+                AS BIGINT) AS completion_ppm
+    FROM basis b CROSS JOIN f
+    ORDER BY b.cohort
+    """
+
+
+@register("orders_chain_ladder", oracle=_chain_ladder_oracle())
+def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder development forecast over customer-spend cohorts —
+    the actuarial claims-triangle method applied to the product
+    question "how much will this acquisition cohort have spent by
+    month 8?": cohorts are first-order months, development age is
+    months since first order, the cumulative triangle is
+    right-censored at the data end (the fixture has 51 cohorts over a
+    79-month span — a first draft over events degenerated to ONE
+    cohort because every user is active from week one; non-degeneracy
+    audit), and the all-cohort volume-weighted development factors
+    f_k = ΣC(·,k+1)/ΣC(·,k) (computed only over cohorts whose age k+1
+    is fully observed) roll each cohort's latest observed cumulative
+    forward to its age-8 ultimate.  Factors are single divisions of
+    exact integer sums; each ultimate is a codegen-unrolled
+    left-associated product (ascending age) shared with the oracle, so
+    the whole forecast is bit-deterministic.  Extends `cohort_ltv`
+    (observed curves) with the censoring-aware FORECAST step.
+
+    Scale notes: corpus-sized work is one first-order customer
+    aggregate and one (cohort, age) aggregate (both keyed hash aggs);
+    the triangle is ≤ |months|×9 rows, and the zero-filled grid,
+    cumulative windows, factor pivot, and the 1-row factor frame
+    broadcast all live on that rollup (reviewed SINGLE/NLJ rows)."""
+    e = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate")) * 12 + F.month(F.col("o_orderdate"))
+        ).cast("long").alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    u0 = e.groupBy("o_custkey").agg(F.min("ym").alias("c0"))
+    cut = e.agg(F.max("ym").alias("w"))
+    x = (
+        e.join(u0, "o_custkey")
+        .withColumn("k", F.col("ym") - F.col("c0"))
+        .where(F.col("k") <= _CL_K)
+        .groupBy(F.col("c0").alias("cohort"), "k")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    grid = (
+        x.select("cohort")
+        .distinct()
+        .join(F.broadcast(cut))
+        .select(
+            "cohort",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.least(F.col("w") - F.col("cohort"), F.lit(_CL_K)),
+                )
+            ).alias("k"),
+            (F.col("w") - F.col("cohort")).alias("avail"),
+        )
+    )
+    w_cum = Window.partitionBy("cohort").orderBy("k")
+    tri = (
+        grid.join(x, ["cohort", "k"], "left")
+        .select(
+            "cohort",
+            "k",
+            "avail",
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+        )
+        .withColumn(
+            "cum",
+            F.sum("cents").over(
+                w_cum.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    piv_aggs = [F.max("avail").alias("avail")]
+    for k in range(_CL_K):
+        piv_aggs.append(
+            F.max(F.when(F.col("k") == k, F.col("cum"))).alias(f"c_at{k}")
+        )
+        piv_aggs.append(
+            F.max(F.when(F.col("k") == k + 1, F.col("cum"))).alias(
+                f"c_next{k}"
+            )
+        )
+    piv = tri.groupBy("cohort").agg(*piv_aggs)
+    f_cols = [
+        (
+            F.sum(
+                F.when(F.col("avail") >= k + 1, F.col(f"c_next{k}"))
+            ).cast("double")
+            / F.sum(
+                F.when(F.col("avail") >= k + 1, F.col(f"c_at{k}"))
+            ).cast("double")
+        ).alias(f"f{k}")
+        for k in range(_CL_K)
+    ]
+    f = piv.agg(*f_cols)
+    basis = tri.groupBy("cohort").agg(
+        F.max("k").alias("base_age"), F.max("cum").alias("obs")
+    )
+    ult = F.col("obs").cast("double")
+    cases = F.lit(None).cast("double")
+    for a in range(_CL_K - 1, -1, -1):
+        prod = F.col("obs").cast("double")
+        for k in range(a, _CL_K):
+            prod = prod * F.col(f"f{k}")
+        cases = F.when(F.col("base_age") == a, prod).otherwise(cases)
+    ult_expr = F.coalesce(cases, ult)
+    return (
+        basis.join(F.broadcast(f))
+        .select(
+            F.col("cohort").alias("cohort_month"),
+            F.col("base_age").cast("long").alias("base_age"),
+            F.col("obs").cast("long").alias("observed_cum_cents"),
+            F.round(ult_expr).cast("long").alias("ultimate8_cents"),
+            F.round(
+                F.lit(1000000.0) * F.col("obs").cast("double") / ult_expr
+            )
+            .cast("long")
+            .alias("completion_ppm"),
+        )
+        .orderBy("cohort_month")
+    )

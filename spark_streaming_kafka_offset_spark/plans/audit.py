@@ -69,6 +69,9 @@ BNL_ALLOWED: dict[str, str] = {
     "events_cross_correlation": "broadcast 1-row bounds frame for the "
     "spine explode + broadcast 15-row lag dim onto the calendar-sized "
     "daily rollup (calendar x 15 fanout, never event-grain)",
+    "orders_chain_ladder": "broadcast 1-row cutoff frame onto the "
+    "cohort dim + broadcast 1-row factor frame onto the <=|months|-row "
+    "basis rollup (both rollup-bounded)",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The
@@ -189,6 +192,9 @@ SINGLE_ALLOWED: dict[str, str] = {
     "<=32-row power-of-two bucket rollup",
     "agg_welch_ttest": "1-row six-conditional-sum global aggregate "
     "(map-side-combined; the q6-style scalar-result exchange)",
+    "orders_chain_ladder": "1-row max-month cutoff aggregate + 1-row "
+    "development-factor aggregate over the <=|months|-row cohort pivot "
+    "(both q6-style scalar-result exchanges feeding broadcasts)",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

@@ -81,6 +81,9 @@ DEFERRED_R9: tuple[str, ...] = (
     # r8-registered oracle pair (keyword extraction — functions/text.py,
     # §2.25).
     "text_rake_keywords",
+    # r8-registered oracle pair (censoring-aware cohort forecast —
+    # operators/statistics.py, §2.25).
+    "orders_chain_ladder",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -171,6 +174,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_welch_ttest",
     "docs_preference_pairs",
     "text_rake_keywords",
+    "orders_chain_ladder",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9

@@ -462,3 +462,43 @@ def test_rake_keywords_against_pure_python_rake(spark):
             k,
             score,
         )
+
+
+def test_chain_ladder_identities(spark):
+    """Fully-observed cohorts (base_age = 8) must have ultimate =
+    observed and completion exactly 1e6; censored cohorts must forecast
+    ultimate >= observed when all factors >= 1 (check factors first);
+    and each cohort's base_age must equal min(cutoff - cohort, 8)."""
+    rows = QUERIES["orders_chain_ladder"](spark, SF_DIR).collect()
+    assert rows
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+    )
+    cutoff = o.agg(F.max("ym")).collect()[0][0]
+    saw_censored = saw_full = False
+    for r in rows:
+        assert r.base_age == min(cutoff - r.cohort_month, 8)
+        if r.base_age == 8:
+            saw_full = True
+            assert r.ultimate8_cents == r.observed_cum_cents
+            assert r.completion_ppm == 1_000_000
+        else:
+            saw_censored = True
+            # development factors are >= 1 (cumulative spend grows), so
+            # the rolled-forward ultimate must dominate the observed.
+            assert r.ultimate8_cents >= r.observed_cum_cents
+            assert r.completion_ppm <= 1_000_000
+    assert saw_full, "triangle must have fully-observed cohorts"
+    if not saw_censored:
+        # sf0.001's newest cohort predates the cutoff by > 8 months, so
+        # the censored regime only appears at sf0.01+ — check it there.
+        rows01 = QUERIES["orders_chain_ladder"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+        censored = [r for r in rows01 if r.base_age < 8]
+        assert censored, "sf0.01 triangle must have censored cohorts"
+        assert all(
+            r.ultimate8_cents >= r.observed_cum_cents
+            and r.completion_ppm < 1_000_000
+            for r in censored
+        )

@@ -105,6 +105,8 @@ STRESS_SET = [
     "agg_welch_ttest",
     "docs_preference_pairs",
     "text_rake_keywords",
+    # r8 fourth batch: the two keyed aggs + rollup pivot chain ladder.
+    "orders_chain_ladder",
 ]
 
 
