@@ -545,3 +545,165 @@ def table_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("verdict"),
     ).orderBy("candidate")
+
+
+#: Selectivity-estimator fixture predicates (shared literals).
+_SEL_QTY_LE = 10
+_SEL_FLAG = "R"
+_SEL_DATE = "1997-01-01"
+
+
+@register(
+    "scan_selectivity_estimates",
+    # Optimizer-style cardinality estimation, graded against truth: the
+    # System-R uniformity / independence formulas computed from ONE
+    # stats aggregate (n, min/max, exact NDV) as pure integer
+    # arithmetic, next to the ACTUAL row counts from one conditional
+    # aggregate — the estimate error every cost-based planner silently
+    # carries, reported in ppm on real data.
+    oracle=f"""
+    WITH st AS (
+        SELECT COUNT(*) AS n,
+               MIN(CAST(l_quantity AS BIGINT)) AS min_q,
+               MAX(CAST(l_quantity AS BIGINT)) AS max_q,
+               COUNT(DISTINCT l_returnflag) AS ndv_flag,
+               MIN(CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT)) AS min_d,
+               MAX(CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT)) AS max_d,
+               CAST(DATE '{_SEL_DATE}' - DATE '1970-01-01' AS BIGINT) AS d0,
+               SUM(CASE WHEN l_quantity <= {_SEL_QTY_LE} THEN 1 ELSE 0 END)
+                   AS act_qty,
+               SUM(CASE WHEN l_returnflag = '{_SEL_FLAG}' THEN 1 ELSE 0 END)
+                   AS act_flag,
+               SUM(CASE WHEN CAST(l_shipdate AS DATE) < DATE '{_SEL_DATE}'
+                        THEN 1 ELSE 0 END) AS act_date,
+               SUM(CASE WHEN l_quantity <= {_SEL_QTY_LE}
+                         AND l_returnflag = '{_SEL_FLAG}'
+                        THEN 1 ELSE 0 END) AS act_conj
+        FROM lineitem
+    ), est AS (
+        SELECT *,
+               n * ({_SEL_QTY_LE} - min_q + 1) // (max_q - min_q + 1)
+                   AS est_qty,
+               n // ndv_flag AS est_flag,
+               n * (d0 - min_d) // (max_d - min_d + 1) AS est_date,
+               n * ({_SEL_QTY_LE} - min_q + 1) // (max_q - min_q + 1)
+                 // ndv_flag AS est_conj
+        FROM st
+    )
+    SELECT p.predicate, p.est_rows, p.actual_rows,
+           CAST(ABS(p.est_rows - p.actual_rows) * 1000000
+                // p.actual_rows AS BIGINT) AS err_ppm
+    FROM est, LATERAL (VALUES
+        ('qty_le_{_SEL_QTY_LE}', CAST(est_qty AS BIGINT),
+         CAST(act_qty AS BIGINT)),
+        ('flag_eq_{_SEL_FLAG}', CAST(est_flag AS BIGINT),
+         CAST(act_flag AS BIGINT)),
+        ('ship_lt_{_SEL_DATE}', CAST(est_date AS BIGINT),
+         CAST(act_date AS BIGINT)),
+        ('qty_and_flag', CAST(est_conj AS BIGINT),
+         CAST(act_conj AS BIGINT))
+    ) p(predicate, est_rows, actual_rows)
+    ORDER BY p.predicate
+    """,
+)
+def scan_selectivity_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer cardinality estimates, graded against the
+    truth: for four representative predicates (integer range, equality,
+    date range, conjunction) compute the System-R estimate — uniformity
+    over [min, max] for ranges, 1/NDV for equality, independence for
+    the conjunction — from ONE statistics pass, next to the actual
+    counts from the SAME pass, and report the error in ppm.  This is
+    `analyze_table_stats`' consumer side: the formulas a planner feeds
+    from those stats, with their real-data error made visible (the
+    conjunction's independence assumption is the classic
+    underestimator).  All estimates are exact integer arithmetic
+    (n·num // den with a fixed division order), so the readout is
+    bit-reproducible.
+
+    Scale notes: ONE map-side-combined aggregate over the scan
+    computes stats AND actuals together (a 1-row frame; reviewed
+    SINGLE row); the 4-row predicate unpivot is per-row expression
+    work on that frame.  The exact COUNT(DISTINCT) on the 3-value
+    flag column collapses map-side; a high-NDV column would use
+    `analyze_sampled_stats`' HLL path instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d0 = F.datediff(
+        F.lit(_SEL_DATE).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    ship_days = F.datediff(
+        F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    st = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("l_quantity").cast("long")).alias("min_q"),
+        F.max(F.col("l_quantity").cast("long")).alias("max_q"),
+        F.countDistinct("l_returnflag").alias("ndv_flag"),
+        F.min(ship_days).alias("min_d"),
+        F.max(ship_days).alias("max_d"),
+        F.sum(
+            F.when(F.col("l_quantity") <= _SEL_QTY_LE, 1).otherwise(0)
+        ).alias("act_qty"),
+        F.sum(
+            F.when(F.col("l_returnflag") == _SEL_FLAG, 1).otherwise(0)
+        ).alias("act_flag"),
+        F.sum(
+            F.when(F.to_date("l_shipdate") < F.lit(_SEL_DATE), 1).otherwise(
+                0
+            )
+        ).alias("act_date"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") <= _SEL_QTY_LE)
+                & (F.col("l_returnflag") == _SEL_FLAG),
+                1,
+            ).otherwise(0)
+        ).alias("act_conj"),
+    ).withColumn("d0", d0)
+    est = st.select(
+        "*",
+        F.expr(
+            f"n * ({_SEL_QTY_LE} - min_q + 1) div (max_q - min_q + 1)"
+        ).alias("est_qty"),
+        F.expr("n div ndv_flag").alias("est_flag"),
+        F.expr("n * (d0 - min_d) div (max_d - min_d + 1)").alias("est_date"),
+        F.expr(
+            f"n * ({_SEL_QTY_LE} - min_q + 1) div (max_q - min_q + 1)"
+            " div ndv_flag"
+        ).alias("est_conj"),
+    )
+    rows = est.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(f"qty_le_{_SEL_QTY_LE}").alias("predicate"),
+                    F.col("est_qty").alias("est_rows"),
+                    F.col("act_qty").cast("long").alias("actual_rows"),
+                ),
+                F.struct(
+                    F.lit(f"flag_eq_{_SEL_FLAG}").alias("predicate"),
+                    F.col("est_flag").alias("est_rows"),
+                    F.col("act_flag").cast("long").alias("actual_rows"),
+                ),
+                F.struct(
+                    F.lit(f"ship_lt_{_SEL_DATE}").alias("predicate"),
+                    F.col("est_date").alias("est_rows"),
+                    F.col("act_date").cast("long").alias("actual_rows"),
+                ),
+                F.struct(
+                    F.lit("qty_and_flag").alias("predicate"),
+                    F.col("est_conj").alias("est_rows"),
+                    F.col("act_conj").cast("long").alias("actual_rows"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.predicate", "p.est_rows", "p.actual_rows")
+    return rows.select(
+        "predicate",
+        "est_rows",
+        "actual_rows",
+        F.expr("abs(est_rows - actual_rows) * 1000000 div actual_rows")
+        .cast("long")
+        .alias("err_ppm"),
+    ).orderBy("predicate")

@@ -195,6 +195,9 @@ SINGLE_ALLOWED: dict[str, str] = {
     "orders_chain_ladder": "1-row max-month cutoff aggregate + 1-row "
     "development-factor aggregate over the <=|months|-row cohort pivot "
     "(both q6-style scalar-result exchanges feeding broadcasts)",
+    "scan_selectivity_estimates": "1-row stats+actuals global aggregate "
+    "(map-side-combined; the q6-style scalar-result exchange) feeding "
+    "the 4-row predicate unpivot",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

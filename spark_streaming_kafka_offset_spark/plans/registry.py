@@ -84,6 +84,9 @@ DEFERRED_R9: tuple[str, ...] = (
     # r8-registered oracle pair (censoring-aware cohort forecast —
     # operators/statistics.py, §2.25).
     "orders_chain_ladder",
+    # r8-registered oracle pair (CBO estimate-vs-truth —
+    # operators/maintenance.py, §2.25).
+    "scan_selectivity_estimates",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -175,6 +178,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_preference_pairs",
     "text_rake_keywords",
     "orders_chain_ladder",
+    "scan_selectivity_estimates",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9
@@ -460,6 +464,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "udtf_python",
     "multimodal_cols",
     "multimodal_transform",
+    # r8 rows-only addition: streaming CMS maintenance (batch-
+    # equivalence-pinned in tests/test_streaming.py).
+    "stream_cms_merge",
 )
 
 

@@ -1218,3 +1218,85 @@ def stream_backfill_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("n_events"))
         .orderBy("hour", "event_type")
     )
+
+
+@register("stream_cms_merge")
+def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch maintenance — the frequency sketch as
+    an incrementally-maintained store: each micro-batch computes its
+    OWN d=4 × w=64 partial CMS of per-user event counts (identical
+    md5-derived cell coordinates to batch `agg_countmin_heavyhitters`,
+    operators/scale.py), and ``foreachBatch`` merges it into a
+    versioned cell store by pure cell-wise addition — the CMS semigroup
+    law.  Store version == batch_id gives replay idempotence (the
+    offset-ledger recipe), and because cells add, the final store is
+    EXACTLY the batch CMS of the full corpus — pinned byte-for-byte by
+    tests/test_streaming.py::test_stream_cms_equals_batch_cms.
+
+    At 100 TB this is the live heavy-hitter monitor: 256 int64 cells of
+    state per partition-merge regardless of corpus size, and the
+    estimate path (min over a key's 4 cells) reads the maintained
+    store, never raw history."""
+    src = read_event_stream(
+        spark, stage_stream_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+    store = scratch_path("sskos_cms_store_")
+
+    def _versions() -> list[str]:
+        return sorted(d for d in os.listdir(store) if d.startswith("v"))
+
+    def coord_expr():
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("user_id").cast("string"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(64),
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            batch_df.select(
+                "user_id",
+                F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+            )
+            .groupBy("i", coord_expr().alias("cell"))
+            .agg(F.count(F.lit(1)).alias("total"))
+        )
+        prior = [v for v in _versions() if int(v[1:]) < batch_id]
+        merged = part
+        if prior:
+            existing = spark.read.parquet(os.path.join(store, prior[-1]))
+            merged = (
+                existing.unionByName(part)
+                .groupBy("i", "cell")
+                .agg(F.sum("total").alias("total"))
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store, f"v{batch_id:06d}")
+        )
+
+    q = (
+        src.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch_path("ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    cells = spark.read.parquet(os.path.join(store, _versions()[-1]))
+    return cells.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("total").cast("long").alias("total"),
+    ).orderBy("i", "cell")

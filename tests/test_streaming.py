@@ -1220,3 +1220,49 @@ def test_two_topic_replay_honors_per_source_offsets(spark):
     assert out == want
     # the seek really dropped rows on the seeked topic only
     assert want["interactions"] < batch.where(inter_pred).count()
+
+
+def test_stream_cms_equals_batch_cms(spark):
+    """The streamed, batch-by-batch-merged CMS cell store must be
+    byte-identical to a one-shot batch CMS over the same events — the
+    cell-wise-addition semigroup law observed end-to-end through
+    micro-batch replay."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    streamed = (
+        entrymod.queries()["stream_cms_merge"](spark, SF_DIR)
+        .collect()
+    )
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = (
+        e.select(
+            "user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+        )
+        .groupBy(
+            "i",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("user_id").cast("string"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(64),
+            ).alias("cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("total"))
+        .orderBy("i", "cell")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    assert sum(r.total for r in streamed) == 4 * e.count()
