@@ -27,6 +27,7 @@ from .operators import (  # noqa: F401
     inference,
     joins,
     maintenance,
+    ordinal,
     pipeline,
     relational,
     reshape,

@@ -72,6 +72,12 @@ BNL_ALLOWED: dict[str, str] = {
     "orders_chain_ladder": "broadcast 1-row cutoff frame onto the "
     "cohort dim + broadcast 1-row factor frame onto the <=|months|-row "
     "basis rollup (both rollup-bounded)",
+    "agg_kendall_tau": "calendar-month rollup pair grid (~80 months -> "
+    "~3.2k pairs; the agg_theilsen_trend posture) + broadcast 1-row "
+    "n_months frame",
+    "events_shapley_attribution": "16-row coalition grid x <=16-row "
+    "mask rollup (mask&T / T|bit predicates on literal dims) + "
+    "broadcast 1-row converter/unattributed scalar frames",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The
@@ -198,6 +204,10 @@ SINGLE_ALLOWED: dict[str, str] = {
     "scan_selectivity_estimates": "1-row stats+actuals global aggregate "
     "(map-side-combined; the q6-style scalar-result exchange) feeding "
     "the 4-row predicate unpivot",
+    "agg_kendall_tau": "1-row concordance aggregate over the "
+    "calendar-bounded ~3.2k-pair grid + 1-row n_months scalar",
+    "events_shapley_attribution": "16-row coalition-value rollup and "
+    "1-row converter/unattributed scalar frames",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

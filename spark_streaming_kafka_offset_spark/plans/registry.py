@@ -87,6 +87,11 @@ DEFERRED_R9: tuple[str, ...] = (
     # r8-registered oracle pair (CBO estimate-vs-truth —
     # operators/maintenance.py, §2.25).
     "scan_selectivity_estimates",
+    # r8-registered oracle pairs (rank statistics / exact Shapley
+    # attribution — operators/ordinal.py, §2.26).
+    "agg_spearman_corr",
+    "agg_kendall_tau",
+    "events_shapley_attribution",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -179,6 +184,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_rake_keywords",
     "orders_chain_ladder",
     "scan_selectivity_estimates",
+    "agg_spearman_corr",
+    "agg_kendall_tau",
+    "events_shapley_attribution",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9

@@ -502,3 +502,140 @@ def test_chain_ladder_identities(spark):
             and r.completion_ppm < 1_000_000
             for r in censored
         )
+
+
+# ---- §2.26 ordinal statistics & Shapley attribution ----
+
+
+def test_spearman_matches_python_rank_pearson(spark):
+    """rho must equal an independent pure-Python Spearman (tie-averaged
+    ranks + Pearson) on the same binned pairs, and the doubled-rank
+    identity sum(c*drx) = n(n+1) must hold per group."""
+    rows = {
+        r.l_returnflag: r
+        for r in QUERIES["agg_spearman_corr"](spark, SF_DIR).collect()
+    }
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("x"),
+            F.expr(
+                "(CAST(l_quantity AS BIGINT)"
+                " * CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+                " div 1000000"
+            ).alias("y"),
+        )
+        .collect()
+    )
+    groups: dict = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append((r.x, r.y))
+
+    def doubled_ranks(vals):
+        # doubled tie-averaged rank per distinct value
+        from collections import Counter
+
+        cnt = Counter(vals)
+        dr, cum = {}, 0
+        for v in sorted(cnt):
+            dr[v] = 2 * cum + cnt[v] + 1
+            cum += cnt[v]
+        return dr
+
+    for flag, pairs in groups.items():
+        n = len(pairs)
+        drx = doubled_ranks([p[0] for p in pairs])
+        dry = doubled_ranks([p[1] for p in pairs])
+        assert sum(drx[p[0]] for p in pairs) == n * (n + 1)
+        assert sum(dry[p[1]] for p in pairs) == n * (n + 1)
+        sx = sum(drx[p[0]] for p in pairs)
+        sy = sum(dry[p[1]] for p in pairs)
+        sxx = sum(drx[p[0]] ** 2 for p in pairs)
+        syy = sum(dry[p[1]] ** 2 for p in pairs)
+        sxy = sum(drx[p[0]] * dry[p[1]] for p in pairs)
+        num = n * sxy - sx * sy
+        rho = num / ((n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5)
+        assert abs(rows[flag].spearman_rho - rho) < 2e-6
+        assert rows[flag].n == n
+
+
+def test_kendall_matches_brute_force(spark):
+    """Concordance counts and tau-b must equal an O(m^2) brute force
+    over the month rollup, and tau-b must sit in [-1, 1]."""
+    r = QUERIES["agg_kendall_tau"](spark, SF_DIR).collect()[0]
+    m = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy(
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("mon")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("no"),
+            F.sum(F.expr("CAST(ROUND(o_totalprice*100) AS BIGINT)")).alias(
+                "rev"
+            ),
+        )
+        .collect()
+    )
+    mm = sorted((x.mon, x.no, x.rev) for x in m)
+    C = D = tx = ty = pairs = 0
+    for i in range(len(mm)):
+        for j in range(i + 1, len(mm)):
+            pairs += 1
+            p = (mm[i][1] - mm[j][1]) * (mm[i][2] - mm[j][2])
+            C += p > 0
+            D += p < 0
+            tx += mm[i][1] == mm[j][1]
+            ty += mm[i][2] == mm[j][2]
+    assert (r.n_months, r.n_pairs) == (len(mm), pairs)
+    assert (r.concordant, r.discordant, r.ties_x, r.ties_y) == (C, D, tx, ty)
+    tau = (C - D) / ((pairs - tx) ** 0.5 * (pairs - ty) ** 0.5)
+    assert abs(r.tau_b - tau) < 2e-6
+    assert -1.0 <= r.tau_b <= 1.0
+
+
+def test_shapley_matches_permutation_brute_force(spark):
+    """phi_c x24 must equal the 4!-permutation brute force over the
+    any-touch coalition game built from per-converter masks, and
+    efficiency must hold: sum(phi_c) = v(all channels)."""
+    from itertools import permutations
+
+    rows = {
+        r.channel: r
+        for r in QUERIES["events_shapley_attribution"](
+            spark, SF_DIR
+        ).collect()
+    }
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    first_p: dict = {}
+    for r in e:
+        if r.event_type == "purchase":
+            if r.user_id not in first_p or r.ts < first_p[r.user_id]:
+                first_p[r.user_id] = r.ts
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    masks: dict = {u: 0 for u in first_p}
+    for r in e:
+        if (
+            r.user_id in first_p
+            and r.event_type != "purchase"
+            and r.ts < first_p[r.user_id]
+        ):
+            masks[r.user_id] |= bits[r.event_type]
+
+    def v(T):
+        return sum(1 for m in masks.values() if m & T)
+
+    phi24 = {c: 0 for c in bits}
+    for perm in permutations(bits.values()):
+        T = 0
+        for b in perm:
+            gain = v(T | b) - v(T)
+            for c, cb in bits.items():
+                if cb == b:
+                    phi24[c] += gain
+            T |= b
+    for c, r in rows.items():
+        assert r.shapley_x24 == phi24[c]
+        assert r.converters_any == v(15)
+        assert r.unattributed == sum(1 for m in masks.values() if m == 0)
+    assert sum(r.shapley_x24 for r in rows.values()) == 24 * v(15)

@@ -107,6 +107,12 @@ STRESS_SET = [
     "text_rake_keywords",
     # r8 fourth batch: the two keyed aggs + rollup pivot chain ladder.
     "orders_chain_ladder",
+    # r8 §2.26 ordinal batch: the cell-rollup rank agg (one corpus
+    # groupBy + two rollup joins), the month-rollup pair grid, and the
+    # event-grain purchase-horizon join feeding the mask agg.
+    "agg_spearman_corr",
+    "agg_kendall_tau",
+    "events_shapley_attribution",
 ]
 
 
