@@ -1000,3 +1000,157 @@ def corpus_eval_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.cast("long").alias("extra"),
         (F.col("base") + extra).cast("long").alias("alloc"),
     )
+
+
+#: DSIR feature space: hashed unigram buckets.  64 buckets keeps the
+#: importance model a broadcastable rollup at ANY corpus size while
+#: still separating sources on the fixture (non-degeneracy audited).
+_DSIR_BUCKETS = 64
+
+#: ln-ratio fixed-point scale (nano-units): keeps the per-doc score an
+#: exact INTEGER dot product — a 64-term float sum would be
+#: association-order-dependent across engines.
+_DSIR_SCALE = 1_000_000_000
+
+_DSIR_TOPK = 25
+
+
+@register(
+    "corpus_dsir_weights",
+    # DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    # importance weights over hashed unigram features: target = 'en'
+    # docs, source = everything else; per-bucket add-1-smoothed
+    # log-probability ratios are fixed-point BIGINT nano-units, so each
+    # candidate doc's score is an exact integer dot product and the
+    # top-k cut is deterministic under (score, doc_id).
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                   % {_DSIR_BUCKETS} AS b
+        FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ), bucket_stats AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tc,
+               CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS sc
+        FROM tok GROUP BY b
+    ), tot AS (
+        SELECT CAST(SUM(tc) AS BIGINT) AS t_total,
+               CAST(SUM(sc) AS BIGINT) AS s_total
+        FROM bucket_stats
+    ), lr AS (
+        SELECT b,
+               CAST(ROUND((ln(CAST(tc + 1 AS DOUBLE))
+                           - ln(CAST(t_total + {_DSIR_BUCKETS} AS DOUBLE))
+                           - ln(CAST(sc + 1 AS DOUBLE))
+                           + ln(CAST(s_total + {_DSIR_BUCKETS} AS DOUBLE)))
+                          * {_DSIR_SCALE}) AS BIGINT) AS lr_nano
+        FROM bucket_stats, tot
+    ), cand AS (
+        SELECT tok.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(lr.lr_nano) AS BIGINT) AS score_nano
+        FROM tok JOIN lr ON tok.b = lr.b
+        WHERE tok.lang <> 'en'
+        GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, score_nano,
+           ROUND(CAST(score_nano AS DOUBLE) / ({_DSIR_SCALE} * 1.0), 6)
+               AS dsir_logweight
+    FROM cand
+    ORDER BY score_nano DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Data Selection via Importance Resampling,
+    Xie et al. 2023): score every out-of-target document by how much a
+    hashed-unigram bag-of-words model of the TARGET distribution
+    (lang='en' here; production: the curated high-quality corpus)
+    prefers it over the SOURCE distribution — the importance
+    log-weight Σ_b c_b·(ln p̂_t(b) − ln p̂_s(b)) with add-1 smoothing
+    over 64 md5-hashed buckets.  The per-bucket log-ratio is a
+    fixed-point BIGINT (nano-units), so each document's score is an
+    exact INTEGER dot product — a float Σ over 64 buckets would be
+    association-order-dependent across engines — and the top-25 cut
+    is deterministic under (score, doc_id).
+
+    Scale notes: the token explode is scan-side; bucket statistics are
+    ONE hash aggregate to a 64-row rollup (the whole
+    importance model — broadcastable at any corpus size, exactly why
+    DSIR hashes features); candidate scoring joins per-doc bucket
+    counts against that broadcast rollup and aggregates doc-grain; the
+    cut is TakeOrdered.  At 100 TB the model fits in L1 and the
+    pipeline is two map-combined aggregates and a sort-limit."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split("text", " ")).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+                % _DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    bucket_stats = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("tc"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+        .cast("long")
+        .alias("sc"),
+    )
+    tot = bucket_stats.agg(
+        F.sum("tc").cast("long").alias("t_total"),
+        F.sum("sc").cast("long").alias("s_total"),
+    )
+    lr = bucket_stats.join(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("tc") + 1).cast("double"))
+                - F.log(
+                    (F.col("t_total") + _DSIR_BUCKETS).cast("double")
+                )
+                - F.log((F.col("sc") + 1).cast("double"))
+                + F.log(
+                    (F.col("s_total") + _DSIR_BUCKETS).cast("double")
+                )
+            )
+            * _DSIR_SCALE
+        )
+        .cast("long")
+        .alias("lr_nano"),
+    )
+    cand = (
+        tok.where(F.col("lang") != "en")
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr_nano").cast("long").alias("score_nano"),
+        )
+    )
+    return (
+        cand.select(
+            "doc_id",
+            "n_tokens",
+            "score_nano",
+            F.round(
+                F.col("score_nano").cast("double") / float(_DSIR_SCALE), 6
+            ).alias("dsir_logweight"),
+        )
+        .orderBy(F.desc("score_nano"), "doc_id")
+        .limit(_DSIR_TOPK)
+    )

@@ -2848,3 +2848,130 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_ppm"), F.desc("n_occurrences"), "phrase")
         .limit(_RAKE_TOPK)
     )
+
+
+#: Zipf fit window: the global top-100 vocabulary (tf DESC, token
+#: tie-break) — a vocabulary-bounded frame at any corpus size.
+_ZIPF_TOPK = 100
+
+#: ln fixed-point scale (micro-units): the OLS sufficient sums over the
+#: 100 (ln rank, ln tf) points are exact integer arithmetic; a float
+#: accumulation would be association-order-dependent across engines.
+_ZIPF_SCALE = 1_000_000
+
+
+@register(
+    "text_zipf_fit",
+    # Zipf's-law fit over the top-100 vocabulary: OLS of ln(tf) on
+    # ln(rank) with both logs carried as micro-unit BIGINTs, so the
+    # five sufficient sums are exact integers (HUGEINT) and the slope
+    # (-s, the Zipf exponent), intercept, and R² are fixed IEEE trees
+    # over identical integers — grouped_ols' discipline on log-log.
+    oracle=f"""
+    WITH tf AS (
+        SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> '' GROUP BY 1
+    ), top AS (
+        SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS r
+        FROM tf ORDER BY tf DESC, token LIMIT {_ZIPF_TOPK}
+    ), pts AS (
+        SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * {_ZIPF_SCALE})
+                    AS BIGINT) AS x,
+               CAST(ROUND(ln(CAST(tf AS DOUBLE)) * {_ZIPF_SCALE})
+                    AS BIGINT) AS y
+        FROM top
+    ), s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND(-(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)), 6)
+               AS zipf_exponent,
+           ROUND(CAST(sxx * sy - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                 / {_ZIPF_SCALE}.0, 6) AS intercept_ln,
+           CAST(ROUND(1000000.0
+                 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+               AS r2_ppm
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: fit ln(tf) = a − s·ln(rank) by OLS over
+    the global top-100 vocabulary and report the exponent s, the
+    intercept, and R² — the standard corpus-health readout (natural
+    text sits near s ≈ 1; synthetic or boilerplate-heavy corpora
+    deviate, making this a curation gate next to `corpus_heaps_curve`'s
+    vocabulary-growth law).  Both logs are carried as micro-unit
+    BIGINTs so the five OLS sums are EXACT integers (decimal(38,0) /
+    HUGEINT) and every reported value is one fixed IEEE tree over
+    identical integers on both engines — `agg_grouped_ols`' exactness
+    discipline applied in log-log space.
+
+    Scale notes: the token explode is scan-side and the tf aggregate
+    is map-side-combined (wire volume vocabulary-sized, the
+    `vocab_topk` posture); the top-100 cut is TakeOrdered under the
+    (tf, token) total order; ranking + the OLS sums run on the 100-row
+    frame (reviewed SINGLE rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), "t")
+        .limit(_ZIPF_TOPK)
+    )
+    top = tf.select(
+        "tf",
+        F.row_number()
+        .over(Window.orderBy(F.desc("tf"), "t"))
+        .alias("r"),
+    )
+    pts = top.select(
+        F.round(F.log(F.col("r").cast("double")) * _ZIPF_SCALE)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("tf").cast("double")) * _ZIPF_SCALE)
+        .cast("long")
+        .alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    s = pts.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum((F.col("x").cast(d38) * F.col("y"))).cast(d38).alias("sxy"),
+        F.sum((F.col("x").cast(d38) * F.col("x"))).cast(d38).alias("sxx"),
+        F.sum((F.col("y").cast(d38) * F.col("y"))).cast(d38).alias("syy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    intn = (F.col("sxx") * F.col("sy") - F.col("sx") * F.col("sxy")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(-(cov / varx), 6).alias("zipf_exponent"),
+        F.round(intn / varx / float(_ZIPF_SCALE), 6).alias("intercept_ln"),
+        F.round(F.lit(1000000.0) * (cov / varx) * (cov / vary))
+        .cast("long")
+        .alias("r2_ppm"),
+    )

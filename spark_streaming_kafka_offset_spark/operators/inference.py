@@ -1483,3 +1483,121 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df_welch"),
     )
+
+
+@register(
+    "agg_cramer_von_mises",
+    # Binned two-sample Cramér–von Mises: T = Σ_k (cA_k+cB_k)·Δ_k² ·
+    # nm/N² with Δ_k = FA_k − FB_k carried as the exact integer
+    # numerator cumA·nB − cumB·nA (denominator nA·nB).  The weighted
+    # square-sum is HUGEINT-exact; ONE float division chain at the end.
+    # Complements agg_ks_test: CvM integrates the cdf gap (sensitive to
+    # body differences) where KS takes its supremum (tail-sensitive).
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT) // {_KS_BUCKET_CENTS}
+                   AS bucket,
+               c.c_mktsegment AS seg
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('{_SEG_A}', '{_SEG_B}')
+    ), b AS (
+        SELECT bucket,
+               COUNT(*) FILTER (seg = '{_SEG_A}') AS c_a,
+               COUNT(*) FILTER (seg = '{_SEG_B}') AS c_b
+        FROM s GROUP BY bucket
+    ), cum AS (
+        SELECT bucket, c_a, c_b,
+               SUM(c_a) OVER (ORDER BY bucket) AS cum_a,
+               SUM(c_b) OVER (ORDER BY bucket) AS cum_b,
+               SUM(c_a) OVER () AS n_a,
+               SUM(c_b) OVER () AS n_b
+        FROM b
+    ), agg AS (
+        SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+               CAST(MAX(n_b) AS BIGINT) AS n_b,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(CAST(c_a + c_b AS HUGEINT)
+                        * (cum_a * n_b - cum_b * n_a)
+                        * (cum_a * n_b - cum_b * n_a)) AS HUGEINT) AS wsq
+        FROM cum
+    )
+    SELECT n_a, n_b, n_buckets,
+           CAST(wsq AS DOUBLE) AS wsq_num,
+           ROUND(CAST(wsq AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)),
+                 6) AS cvm_stat
+    FROM agg
+    """,
+)
+def agg_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic between the BUILDING and
+    MACHINERY order-total distributions over the same $5k buckets as
+    `agg_ks_test` — T = nm/N² · Σ_k (cA_k+cB_k)·(FA_k−FB_k)², the
+    INTEGRATED cdf gap where KS takes the supremum, so CvM detects
+    body-of-distribution differences a single extreme bucket would
+    mask.  The cdf gap is carried as the exact integer numerator
+    cumA·nB − cumB·nA and the weighted square-sum is decimal(38,0) /
+    HUGEINT (envelope: N·(N²)² = N⁵ < 10³⁸ holds to N ≈ 4·10⁷
+    filtered orders; past that, widen the buckets or normalize the
+    carry — documented, not silent), with ONE float division chain at
+    the end.
+
+    Scale notes: identical physical shape to `agg_ks_test` — one
+    fact-dim join, ONE hash aggregate to ≤100 price buckets, cumsum /
+    total / final windows and the 1-row reduction all on that bucket
+    rollup (reviewed SINGLE rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin(_SEG_A, _SEG_B))
+        .select(
+            F.expr(
+                f"CAST(ROUND(o_totalprice * 100) AS BIGINT) div {_KS_BUCKET_CENTS}"
+            ).alias("bucket"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    b = s.groupBy("bucket").agg(
+        F.count(F.when(F.col("seg") == _SEG_A, 1)).alias("c_a"),
+        F.count(F.when(F.col("seg") == _SEG_B, 1)).alias("c_b"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = b.select(
+        "c_a",
+        "c_b",
+        F.sum("c_a").over(w_cum).alias("cum_a"),
+        F.sum("c_b").over(w_cum).alias("cum_b"),
+        F.sum("c_a").over(w_all).alias("n_a"),
+        F.sum("c_b").over(w_all).alias("n_b"),
+    )
+    d38 = "decimal(38,0)"
+    dev = (
+        F.col("cum_a").cast(d38) * F.col("n_b")
+        - F.col("cum_b").cast(d38) * F.col("n_a")
+    )
+    agg = cum.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum((F.col("c_a") + F.col("c_b")).cast(d38) * dev * dev)
+        .cast(d38)
+        .alias("wsq"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_buckets",
+        F.col("wsq").cast("double").alias("wsq_num"),
+        F.round(
+            F.col("wsq").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            / (
+                (F.col("n_a") + F.col("n_b")).cast("double")
+                * (F.col("n_a") + F.col("n_b")).cast("double")
+            ),
+            6,
+        ).alias("cvm_stat"),
+    )

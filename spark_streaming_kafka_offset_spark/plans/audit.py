@@ -78,6 +78,8 @@ BNL_ALLOWED: dict[str, str] = {
     "events_shapley_attribution": "16-row coalition grid x <=16-row "
     "mask rollup (mask&T / T|bit predicates on literal dims) + "
     "broadcast 1-row converter/unattributed scalar frames",
+    "corpus_dsir_weights": "broadcast 1-row corpus-totals frame onto "
+    "the 64-row bucket model rollup (text_tfidf's n_docs posture)",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The
@@ -208,6 +210,10 @@ SINGLE_ALLOWED: dict[str, str] = {
     "calendar-bounded ~3.2k-pair grid + 1-row n_months scalar",
     "events_shapley_attribution": "16-row coalition-value rollup and "
     "1-row converter/unattributed scalar frames",
+    "text_zipf_fit": "rank window + 1-row OLS aggregate over the "
+    "100-row top-k vocabulary frame",
+    "agg_cramer_von_mises": "cumsum/total windows + 1-row reduction "
+    "over the <=100-bucket price rollup (agg_ks_test's shape)",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

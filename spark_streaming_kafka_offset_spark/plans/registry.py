@@ -92,6 +92,12 @@ DEFERRED_R9: tuple[str, ...] = (
     "agg_spearman_corr",
     "agg_kendall_tau",
     "events_shapley_attribution",
+    # r8-registered oracle pairs (DSIR data selection / Zipf fit /
+    # CvM two-sample — functions/curation.py, functions/text.py,
+    # operators/inference.py, §2.27).
+    "corpus_dsir_weights",
+    "text_zipf_fit",
+    "agg_cramer_von_mises",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -187,6 +193,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_spearman_corr",
     "agg_kendall_tau",
     "events_shapley_attribution",
+    "corpus_dsir_weights",
+    "text_zipf_fit",
+    "agg_cramer_von_mises",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9

@@ -639,3 +639,131 @@ def test_shapley_matches_permutation_brute_force(spark):
         assert r.converters_any == v(15)
         assert r.unattributed == sum(1 for m in masks.values() if m == 0)
     assert sum(r.shapley_x24 for r in rows.values()) == 24 * v(15)
+
+
+# ---- §2.27 data-selection & distribution diagnostics ----
+
+
+def test_zipf_fit_matches_python_ols(spark):
+    """The exponent/intercept/R2 must match a pure-Python OLS over the
+    independently recomputed (ln rank, ln tf) micro-unit points."""
+    import math
+
+    r = QUERIES["text_zipf_fit"](spark, SF_DIR).collect()[0]
+    toks = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    )
+    top = sorted(((x.tf, x.t) for x in toks), key=lambda p: (-p[0], p[1]))[
+        :100
+    ]
+    pts = [
+        (
+            round(math.log(i + 1) * 1_000_000),
+            round(math.log(tf) * 1_000_000),
+        )
+        for i, (tf, _) in enumerate(top)
+    ]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts)
+    syy = sum(p[1] ** 2 for p in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icpt = (sxx * sy - sx * sxy) / (n * sxx - sx * sx) / 1_000_000
+    r2 = slope * (n * sxy - sx * sy) / (n * syy - sy * sy)
+    assert r.n_terms == n
+    assert abs(r.zipf_exponent - (-slope)) < 2e-6
+    assert abs(r.intercept_ln - icpt) < 2e-6
+    assert abs(r.r2_ppm - 1_000_000 * r2) < 2
+    assert 0 <= r.r2_ppm <= 1_000_000
+
+
+def test_cvm_matches_brute_force_and_is_body_sensitive(spark):
+    """cvm_stat must equal the brute-force binned CvM from raw rows,
+    and sit in (0, 1) for the two genuinely different segments."""
+    r = QUERIES["agg_cramer_von_mises"](spark, SF_DIR).collect()[0]
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.expr(
+                "CAST(ROUND(o_totalprice * 100) AS BIGINT) div 500000"
+            ).alias("b"),
+            "c_mktsegment",
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    ca = Counter(x.b for x in rows if x.c_mktsegment == "BUILDING")
+    cb = Counter(x.b for x in rows if x.c_mktsegment == "MACHINERY")
+    na, nb = sum(ca.values()), sum(cb.values())
+    cum_a = cum_b = 0
+    wsq = 0
+    for b in sorted(set(ca) | set(cb)):
+        cum_a += ca.get(b, 0)
+        cum_b += cb.get(b, 0)
+        wsq += (ca.get(b, 0) + cb.get(b, 0)) * (cum_a * nb - cum_b * na) ** 2
+    t = wsq / (na * nb) / (na + nb) ** 2
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert r.wsq_num == float(wsq)
+    assert abs(r.cvm_stat - t) < 2e-6
+    assert 0.0 < r.cvm_stat < 1.0
+
+
+def test_dsir_weights_match_python_model(spark):
+    """Top-k DSIR scores must equal an independent hashlib/math
+    recomputation of the hashed-unigram importance model, and the cut
+    must be the true global top-k under (score, doc_id)."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    out = QUERIES["corpus_dsir_weights"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+    tc, sc = Counter(), Counter()
+    per_doc = defaultdict(Counter)
+    for d in docs:
+        for t in d.text.split(" "):
+            if not t:
+                continue
+            b = bucket(t)
+            if d.lang == "en":
+                tc[b] += 1
+            else:
+                sc[b] += 1
+                per_doc[d.doc_id][b] += 1
+    T, S = sum(tc.values()), sum(sc.values())
+    lr = {
+        b: round(
+            (
+                math.log(tc.get(b, 0) + 1)
+                - math.log(T + 64)
+                - math.log(sc.get(b, 0) + 1)
+                + math.log(S + 64)
+            )
+            * 1_000_000_000
+        )
+        for b in set(tc) | set(sc)
+    }
+    scores = {
+        doc: sum(cnt * lr[b] for b, cnt in bs.items())
+        for doc, bs in per_doc.items()
+    }
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert [(r.doc_id, r.score_nano) for r in out] == want
+    assert all(
+        r.n_tokens == sum(per_doc[r.doc_id].values()) for r in out
+    )

@@ -113,6 +113,11 @@ STRESS_SET = [
     "agg_spearman_corr",
     "agg_kendall_tau",
     "events_shapley_attribution",
+    # r8 §2.27 batch: the token-explode + doc-grain DSIR score agg, the
+    # vocabulary tf agg, and the fact-dim join + bucket rollup CvM.
+    "corpus_dsir_weights",
+    "text_zipf_fit",
+    "agg_cramer_von_mises",
 ]
 
 
