@@ -1601,3 +1601,118 @@ def agg_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cvm_stat"),
     )
+
+
+#: ln fixed-point scale (nano-units) for the entropy-rate cells: the
+#: per-transition contribution c_ab·(ln c_a − ln c_ab) becomes an exact
+#: integer product, so the Σ over the |types|² matrix is exact.
+_ENTR_SCALE = 1_000_000_000
+
+
+@register(
+    "events_entropy_rate",
+    # Markov entropy rate of the per-user event-type chain: transition
+    # counts from ONE lead window (the events_markov_transitions
+    # shuffle), per-cell surprisal ln(c_a/c_ab) as nano-unit BIGINTs,
+    # so row conditional entropies and the chain rate are exact integer
+    # dot products with ONE float division at the end.
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS a,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS b
+        FROM events
+    ), t AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+    ), rowsum AS (
+        SELECT a, b, c_ab,
+               SUM(c_ab) OVER (PARTITION BY a) AS c_a,
+               SUM(c_ab) OVER () AS total
+        FROM t
+    ), cell AS (
+        SELECT a, b, c_ab, c_a, total,
+               c_ab * CAST(ROUND((ln(CAST(c_a AS DOUBLE))
+                                  - ln(CAST(c_ab AS DOUBLE)))
+                                 * {_ENTR_SCALE}) AS BIGINT) AS h_nano
+        FROM rowsum
+    )
+    SELECT a AS from_type, b AS to_type,
+           CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(c_ab * 1000000 // c_a AS BIGINT) AS p_ppm,
+           CAST(h_nano AS BIGINT) AS h_nano,
+           ROUND(CAST(SUM(h_nano) OVER (PARTITION BY a) AS DOUBLE)
+                 / CAST(c_a AS DOUBLE) / {_ENTR_SCALE}.0, 6)
+               AS row_entropy_nats,
+           ROUND(CAST(SUM(h_nano) OVER () AS DOUBLE)
+                 / CAST(total AS DOUBLE) / {_ENTR_SCALE}.0, 6)
+               AS entropy_rate_nats
+    FROM cell ORDER BY from_type, to_type
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain — how many
+    nats of surprise the NEXT event carries given the current one,
+    with the empirical transition distribution as the model: H =
+    −Σ_ab (c_ab/total)·ln(c_ab/c_a), plus each state's conditional
+    entropy H(next|a) — the predictability readout behind
+    next-event-prediction models and session-complexity scoring
+    (uniform 5-type chain ⇒ ln 5 ≈ 1.60944; the fixture reads
+    ≈1.60871, near-uniform but decisively below, and per-row
+    entropies vary).
+    Every per-cell surprisal ln(c_a/c_ab) is a nano-unit BIGINT, so
+    row and chain sums are exact integer dot products (Σ over the
+    ≤|types|² matrix) and each reported value is ONE float division —
+    no order-dependent float accumulation.
+
+    Scale notes: sequence construction is ONE lead window on the
+    user_id partitioning — the `events_markov_transitions` shuffle,
+    the only corpus-grain work; everything downstream (row sums,
+    surprisals, entropy windows) runs on the ≤25-row transition
+    rollup (reviewed SINGLE rows)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    t = seq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    w_row = Window.partitionBy("a")
+    w_all = Window.partitionBy()
+    rowsum = t.select(
+        "a",
+        "b",
+        "c_ab",
+        F.sum("c_ab").over(w_row).alias("c_a"),
+        F.sum("c_ab").over(w_all).alias("total"),
+    )
+    h_nano = (
+        F.col("c_ab")
+        * F.round(
+            (
+                F.log(F.col("c_a").cast("double"))
+                - F.log(F.col("c_ab").cast("double"))
+            )
+            * _ENTR_SCALE
+        ).cast("long")
+    )
+    cell = rowsum.withColumn("h_nano", h_nano)
+    return cell.select(
+        F.col("a").alias("from_type"),
+        F.col("b").alias("to_type"),
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.expr("CAST(c_ab * 1000000 div c_a AS BIGINT)").alias("p_ppm"),
+        F.col("h_nano").cast("long").alias("h_nano"),
+        F.round(
+            F.sum("h_nano").over(w_row).cast("double")
+            / F.col("c_a").cast("double")
+            / float(_ENTR_SCALE),
+            6,
+        ).alias("row_entropy_nats"),
+        F.round(
+            F.sum("h_nano").over(w_all).cast("double")
+            / F.col("total").cast("double")
+            / float(_ENTR_SCALE),
+            6,
+        ).alias("entropy_rate_nats"),
+    ).orderBy("from_type", "to_type")

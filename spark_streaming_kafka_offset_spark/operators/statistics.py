@@ -1915,3 +1915,116 @@ def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month")
     )
+
+
+#: Fixed-point unit-price scale for the price indices (micro-cents):
+#: unit price = cents·10⁶ // qty is an exact integer, so the index
+#: numerators are exact integer dot products — a per-part float
+#: division feeding a float Σ would be association-order-dependent.
+_PIDX_SCALE = 1_000_000
+
+
+@register(
+    "lineitem_price_index",
+    # Monthly Laspeyres / Paasche / Fisher price indices vs the first
+    # ship-month basket: per (month, part) quantity and cents from ONE
+    # aggregate; unit prices as exact micro-cent integers; index
+    # numerators/denominators HUGEINT dot products over the common-part
+    # basket; one float division (+ sqrt for Fisher) per month.
+    oracle=f"""
+    WITH mp AS (
+        SELECT STRFTIME(CAST(l_shipdate AS DATE), '%Y-%m') AS mon,
+               l_partkey AS part,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ), up AS (
+        SELECT mon, part, q,
+               cents * {_PIDX_SCALE} // q AS up
+        FROM mp
+    ), base AS (
+        SELECT part, q AS q0, up AS up0 FROM up
+        WHERE mon = (SELECT MIN(mon) FROM up)
+    ), j AS (
+        SELECT up.mon,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(up.up AS HUGEINT) * b.q0) AS HUGEINT) AS l_num,
+               CAST(SUM(CAST(b.up0 AS HUGEINT) * b.q0) AS HUGEINT) AS l_den,
+               CAST(SUM(CAST(up.up AS HUGEINT) * up.q) AS HUGEINT) AS p_num,
+               CAST(SUM(CAST(b.up0 AS HUGEINT) * up.q) AS HUGEINT) AS p_den
+        FROM up JOIN base b ON up.part = b.part
+        GROUP BY 1
+    )
+    SELECT mon, n_parts,
+           ROUND(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE), 6)
+               AS laspeyres,
+           ROUND(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 6)
+               AS paasche,
+           ROUND(sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+                      * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))), 6)
+               AS fisher
+    FROM j ORDER BY mon
+    """,
+)
+def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Laspeyres, Paasche, and Fisher price indices against the
+    first ship-month's basket — the standard inflation readout over the
+    part catalog (Laspeyres weights by BASE quantities, Paasche by
+    CURRENT, Fisher is their geometric mean, correcting the two
+    opposite substitution biases).  Per-part unit prices are exact
+    micro-cent integers (cents·10⁶ // qty), so every index numerator
+    and denominator is an exact HUGEINT dot product over the
+    common-part basket and each reported index is ONE float division
+    (plus a sqrt for Fisher) — a per-part float price feeding a float
+    Σ would be association-order-dependent across engines.
+
+    Scale notes: corpus-grain work is ONE map-side-combined aggregate
+    to the (month, part) rollup — month × part-dimension-sized, never
+    line-grain; the basket join is part-keyed on that rollup; the
+    final aggregate collapses to the calendar-month frame.  The 1-row
+    base-month scalar is a reviewed broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mp = li.groupBy(
+        F.date_format(F.to_date("l_shipdate"), "yyyy-MM").alias("mon"),
+        F.col("l_partkey").alias("part"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents"),
+    )
+    up = mp.select(
+        "mon",
+        "part",
+        "q",
+        F.expr(f"cents * {_PIDX_SCALE} div q").alias("up"),
+    )
+    base_mon = up.agg(F.min("mon").alias("mon0"))
+    base = (
+        up.join(F.broadcast(base_mon), F.col("mon") == F.col("mon0"))
+        .select(
+            "part", F.col("q").alias("q0"), F.col("up").alias("up0")
+        )
+    )
+    d38 = "decimal(38,0)"
+    j = (
+        up.join(base, "part")
+        .groupBy("mon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(F.col("up").cast(d38) * F.col("q0")).cast(d38).alias("l_num"),
+            F.sum(F.col("up0").cast(d38) * F.col("q0")).cast(d38).alias("l_den"),
+            F.sum(F.col("up").cast(d38) * F.col("q")).cast(d38).alias("p_num"),
+            F.sum(F.col("up0").cast(d38) * F.col("q")).cast(d38).alias("p_den"),
+        )
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den").cast("double")
+    paas = F.col("p_num").cast("double") / F.col("p_den").cast("double")
+    return j.select(
+        "mon",
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    ).orderBy("mon")

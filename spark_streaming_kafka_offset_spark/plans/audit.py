@@ -214,6 +214,10 @@ SINGLE_ALLOWED: dict[str, str] = {
     "100-row top-k vocabulary frame",
     "agg_cramer_von_mises": "cumsum/total windows + 1-row reduction "
     "over the <=100-bucket price rollup (agg_ks_test's shape)",
+    "lineitem_price_index": "1-row base-month scalar aggregate (the "
+    "q6-style scalar-result exchange feeding a broadcast)",
+    "events_entropy_rate": "chain-total window over the <=|types|^2 "
+    "(<=25-row) transition rollup",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

@@ -98,6 +98,10 @@ DEFERRED_R9: tuple[str, ...] = (
     "corpus_dsir_weights",
     "text_zipf_fit",
     "agg_cramer_von_mises",
+    # r8-registered oracle pairs (price indices / Markov entropy rate —
+    # operators/statistics.py + operators/inference.py, §2.28).
+    "lineitem_price_index",
+    "events_entropy_rate",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -196,6 +200,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_dsir_weights",
     "text_zipf_fit",
     "agg_cramer_von_mises",
+    "lineitem_price_index",
+    "events_entropy_rate",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9
@@ -484,6 +490,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r8 rows-only addition: streaming CMS maintenance (batch-
     # equivalence-pinned in tests/test_streaming.py).
     "stream_cms_merge",
+    # r8 rows-only addition: exactly-once offset/data co-commit sink
+    # (crash-replay-pinned in tests/test_streaming.py).
+    "stream_txn_exactly_once",
 )
 
 

@@ -34,8 +34,19 @@ from ..plans.registry import register
 from ..session import load_table
 
 
-def txn_commit(table_dir: str, files: list[str], n_rows: int) -> int:
-    """Atomically publish ``files`` as the next version; returns it."""
+def txn_commit(
+    table_dir: str,
+    files: list[str],
+    n_rows: int,
+    extra: dict | None = None,
+) -> int:
+    """Atomically publish ``files`` as the next version; returns it.
+
+    ``extra`` rides INSIDE the commit record — the hook the
+    exactly-once streaming sink uses to co-commit source offsets with
+    the data they produced (the store-offsets-with-results recipe [K]):
+    one atomic rename publishes both, so a crash between data write
+    and offset update is unrepresentable."""
     log_dir = os.path.join(table_dir, "_log")
     os.makedirs(log_dir, exist_ok=True)
     while True:
@@ -44,8 +55,11 @@ def txn_commit(table_dir: str, files: list[str], n_rows: int) -> int:
         ]
         v = (max(versions) + 1) if versions else 0
         tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+        rec = {"version": v, "files": files, "n_rows": n_rows}
+        if extra:
+            rec.update(extra)
         with open(tmp, "w") as fh:
-            json.dump({"version": v, "files": files, "n_rows": n_rows}, fh)
+            json.dump(rec, fh)
         target = os.path.join(log_dir, f"{v:06d}.json")
         if os.path.exists(target):  # lost the race: retry with next v
             os.unlink(tmp)

@@ -589,3 +589,124 @@ def stream_offset_commit_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lag_band"),
         lag_ppm.cast("long").alias("lag_ppm"),
     )
+
+
+def run_txn_exactly_once(
+    spark: SparkSession,
+    sf_dir: str,
+    table_dir: str,
+    checkpoint: str,
+    crash_after_write_in_batch: int | None = None,
+) -> None:
+    """Drive the events file-stream into a transactional-log table with
+    source offsets CO-COMMITTED inside each version's commit record —
+    the store-offsets-with-results recipe [K] that upgrades foreachBatch
+    replay (at-least-once) to exactly-once without an idempotent-path
+    convention: the gate is the durable offset in the log itself, not a
+    directory-overwrite trick.
+
+    Per batch: (1) read the max committed batch offset from the commit
+    records (one pass over the JSON log — version-count-sized, never
+    data-sized); (2) if this batch_id is already committed, SKIP — the
+    replay gate; (3) write the batch's data files INVISIBLY (visibility
+    comes only from the commit record); (4) txn_commit(files, n_rows,
+    extra={"batch_id": N}) — ONE atomic rename publishes data and
+    offset together, so "data written but offset lost" (the classic
+    duplicate source) is unrepresentable.
+
+    ``crash_after_write_in_batch`` injects the worst-case failure: die
+    AFTER the data files are on disk but BEFORE the commit — the window
+    where a separate offset store would double-count on replay.  The
+    orphaned files stay in data/ (invisible; compaction's janitor
+    problem) and the replay re-writes and commits exactly once."""
+    import json as _json
+
+    from ..sources.txnlog import _write_data_files, txn_commit
+
+    def committed_batches() -> set[int]:
+        log_dir = os.path.join(table_dir, "_log")
+        if not os.path.isdir(log_dir):
+            return set()
+        out = set()
+        for f in os.listdir(log_dir):
+            if f.endswith(".json"):
+                with open(os.path.join(log_dir, f)) as fh:
+                    rec = _json.load(fh)
+                if "batch_id" in rec:
+                    out.add(int(rec["batch_id"]))
+        return out
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batches():
+            return  # replay of an already-committed batch: exactly-once gate
+        files, n = _write_data_files(batch_df, table_dir, n_files=1)
+        if crash_after_write_in_batch == batch_id:
+            raise RuntimeError(
+                f"injected crash after data write, before commit "
+                f"(batch {batch_id})"
+            )
+        txn_commit(table_dir, files, n, extra={"batch_id": batch_id})
+
+    src = read_event_stream(
+        spark, stage_stream_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+    (
+        src.writeStream.foreachBatch(commit_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+        .awaitTermination()
+    )
+
+
+@register("stream_txn_exactly_once")
+def stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest via offset/data co-commit: run the
+    events stream through `run_txn_exactly_once` (each micro-batch's
+    source offset rides INSIDE the transaction-log commit record that
+    publishes its data files — one atomic rename, so at-least-once
+    replay can never double-ingest) and return the commit audit: one
+    row per version with its co-committed batch offset, row count, and
+    the running total.  The crash-replay property (die between data
+    write and commit → replay commits exactly once, orphans stay
+    invisible) is pinned by
+    tests/test_streaming.py::test_txn_exactly_once_crash_replay.
+
+    Scale notes: the replay gate reads the JSON commit log
+    (version-count-sized); data files are written once per batch and
+    the audit readout is a version-count-sized frame.  This is the
+    offsets-in-the-sink half of the reference's contract [K]; the
+    ledger family (`stream_offset_ledger`) is the offsets-beside-the-
+    sink half — both ends of the Kafka offset-storage design space."""
+    import json as _json
+
+    table_dir = scratch_path("sskos_txn_eo_")
+    run_txn_exactly_once(
+        spark, sf_dir, table_dir, checkpoint=scratch_path("ckpt_")
+    )
+    log_dir = os.path.join(table_dir, "_log")
+    recs = []
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".json"):
+            with open(os.path.join(log_dir, f)) as fh:
+                recs.append(_json.load(fh))
+    rows = [
+        (
+            int(r["version"]),
+            int(r["batch_id"]),
+            int(r["n_rows"]),
+            len(r["files"]),
+        )
+        for r in recs
+    ]
+    df = spark.createDataFrame(
+        rows, "version long, batch_id long, n_rows long, n_files long"
+    )
+    w = Window.orderBy("version").rowsBetween(Window.unboundedPreceding, 0)
+    return df.select(
+        "version",
+        "batch_id",
+        "n_rows",
+        "n_files",
+        F.sum("n_rows").over(w).cast("long").alias("cum_rows"),
+    ).orderBy("version")

@@ -767,3 +767,69 @@ def test_dsir_weights_match_python_model(spark):
     assert all(
         r.n_tokens == sum(per_doc[r.doc_id].values()) for r in out
     )
+
+
+# ---- §2.28 index numbers & information rate ----
+
+
+def test_price_index_identities(spark):
+    """Base month must read exactly 1.0 on all three indices, Fisher
+    must be the geometric mean of L and P (and lie between them), and
+    every index must be positive."""
+    rows = QUERIES["lineitem_price_index"](spark, SF_DIR).collect()
+    assert rows, "index table must be non-empty"
+    base = rows[0]
+    assert (base.laspeyres, base.paasche, base.fisher) == (1.0, 1.0, 1.0)
+    for r in rows:
+        assert r.laspeyres > 0 and r.paasche > 0 and r.fisher > 0
+        g = (r.laspeyres * r.paasche) ** 0.5
+        assert abs(r.fisher - g) < 2e-5
+        assert (
+            min(r.laspeyres, r.paasche) - 1e-9
+            <= r.fisher
+            <= max(r.laspeyres, r.paasche) + 1e-9
+        )
+        assert r.n_parts > 0
+
+
+def test_entropy_rate_matches_python_and_bounds(spark):
+    """The chain rate must equal an independent Python recomputation
+    from raw transitions, sit in (0, ln|types|], and each row entropy
+    must be <= ln(out-degree of that state)."""
+    import math
+    from collections import Counter, defaultdict
+
+    rows = QUERIES["events_entropy_rate"](spark, SF_DIR).collect()
+    e = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in e:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    trans = Counter()
+    for seq in by_user.values():
+        seq.sort(key=lambda x: (x[0], x[1]))
+        for i in range(len(seq) - 1):
+            trans[(seq[i][2], seq[i + 1][2])] += 1
+    total = sum(trans.values())
+    row_tot = Counter()
+    for (a, _), c in trans.items():
+        row_tot[a] += c
+    h_nano = {
+        k: c * round((math.log(row_tot[k[0]]) - math.log(c)) * 1e9)
+        for k, c in trans.items()
+    }
+    rate = sum(h_nano.values()) / total / 1e9
+    types = {t for t, _ in trans}
+    out_deg = Counter(a for a, _ in trans)
+    got = {(r.from_type, r.to_type): r for r in rows}
+    assert set(got) == set(trans)
+    for k, r in got.items():
+        assert r.c_ab == trans[k]
+        assert r.h_nano == h_nano[k]
+        assert r.row_entropy_nats <= math.log(out_deg[k[0]]) + 1e-9
+    any_row = rows[0]
+    assert abs(any_row.entropy_rate_nats - rate) < 2e-6
+    assert 0.0 < any_row.entropy_rate_nats <= math.log(len(types)) + 1e-9

@@ -1266,3 +1266,66 @@ def test_stream_cms_equals_batch_cms(spark):
     )
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
     assert sum(r.total for r in streamed) == 4 * e.count()
+
+
+def test_txn_exactly_once_crash_replay(spark):
+    """The offsets-in-the-commit sink must survive the worst-case crash
+    (data files written, commit not yet published): the replay re-writes
+    and commits the batch exactly once, the orphaned first write stays
+    invisible, and a from-scratch re-read (fresh checkpoint) commits
+    nothing new."""
+    import json
+    import os
+
+    from spark_streaming_kafka_offset_spark.common import scratch_path
+    from spark_streaming_kafka_offset_spark.sources.txnlog import txn_read
+    from spark_streaming_kafka_offset_spark.streaming.offsets import (
+        run_txn_exactly_once,
+    )
+    from tests.conftest import SF_DIR
+
+    table = scratch_path("txn_eo_test_")
+    ckpt = scratch_path("txn_eo_ckpt_")
+
+    def committed():
+        log = os.path.join(table, "_log")
+        recs = []
+        for f in sorted(os.listdir(log)):
+            if f.endswith(".json"):
+                with open(os.path.join(log, f)) as fh:
+                    recs.append(json.load(fh))
+        return recs
+
+    # 1. crash after batch 2's data write, before its commit
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected crash"):
+        run_txn_exactly_once(
+            spark, SF_DIR, table, ckpt, crash_after_write_in_batch=2
+        )
+    recs = committed()
+    assert sorted(r["batch_id"] for r in recs) == [0, 1]
+    data_files = os.listdir(os.path.join(table, "data"))
+    committed_files = sum(len(r["files"]) for r in recs)
+    assert len(data_files) > committed_files  # the invisible orphan
+
+    # 2. resume with the SAME checkpoint: batch 2 replays, commits once
+    run_txn_exactly_once(spark, SF_DIR, table, ckpt)
+    recs = committed()
+    assert sorted(r["batch_id"] for r in recs) == [0, 1, 2, 3]
+    got = txn_read(spark, table)
+    want = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert got.count() == want.count()
+    assert (
+        got.select("event_id").distinct().count() == want.count()
+    ), "replay must not duplicate any event"
+    # orphan still on disk, still invisible
+    assert len(os.listdir(os.path.join(table, "data"))) > sum(
+        len(r["files"]) for r in recs
+    )
+
+    # 3. from-scratch re-read (fresh checkpoint): the offset gate skips
+    # every batch — no new versions, no new rows
+    run_txn_exactly_once(spark, SF_DIR, table, scratch_path("txn_eo_ck2_"))
+    assert sorted(r["batch_id"] for r in committed()) == [0, 1, 2, 3]
+    assert txn_read(spark, table).count() == want.count()

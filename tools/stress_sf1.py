@@ -118,6 +118,10 @@ STRESS_SET = [
     "corpus_dsir_weights",
     "text_zipf_fit",
     "agg_cramer_von_mises",
+    # r8 §2.28 batch: the (month,part) rollup + part-keyed basket join,
+    # and the user-keyed lead window feeding the transition rollup.
+    "lineitem_price_index",
+    "events_entropy_rate",
 ]
 
 
