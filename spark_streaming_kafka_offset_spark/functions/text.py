@@ -2975,3 +2975,132 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r2_ppm"),
     )
+
+
+@register(
+    "docs_ccnet_perplexity_buckets",
+    # CCNet's head/middle/tail corpus split: score every doc with the
+    # text_lm_perplexity char-bigram model (identical integer milli-bit
+    # costs), then cut each language into surprisal terciles by exact
+    # integer rank arithmetic — bucket = 3·(rank−1) // n_lang under the
+    # (avg_mbits, doc_id) total order.  The readout is the per-(lang,
+    # bucket) admission table a CCNet-style pipeline feeds downstream.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, text FROM documents WHERE length(text) >= 2
+    ), grams AS (
+      SELECT doc_id, lang, unnest(list_transform(
+               generate_series(1, length(text) - 1),
+               i -> substr(text, i, 2))) AS g
+      FROM d
+    ), model AS (
+      SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY lang, g
+    ), lang_tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM model GROUP BY lang
+    ), costs AS (
+      SELECT m.lang, m.g,
+             CAST(floor(log2(CAST(t.tot + t.v AS DOUBLE) / (m.c + 1))
+                        * 1000) AS BIGINT) AS mbits
+      FROM model m JOIN lang_tot t ON m.lang = t.lang
+    ), scored AS (
+      SELECT g.doc_id, g.lang,
+             CAST(SUM(c.mbits) // COUNT(*) AS BIGINT) AS avg_mbits
+      FROM grams g JOIN costs c ON g.lang = c.lang AND g.g = c.g
+      GROUP BY g.doc_id, g.lang
+    ), ranked AS (
+      SELECT lang, avg_mbits,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY avg_mbits, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM scored
+    )
+    SELECT lang,
+           CAST(3 * (r - 1) // n_lang AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(avg_mbits) AS BIGINT) AS min_mbits,
+           CAST(MAX(avg_mbits) AS BIGINT) AS max_mbits,
+           CAST(SUM(avg_mbits) // COUNT(*) AS BIGINT) AS mean_mbits
+    FROM ranked
+    GROUP BY 1, 2 ORDER BY lang, bucket
+    """,
+)
+def docs_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition: score every document
+    with the SAME char-bigram language model as `text_lm_perplexity`
+    (identical integer milli-bit surprisals), then split each language
+    into surprisal TERCILES — head = the most-fluent third that CCNet
+    admits outright, tail = the third its KenLM gate rejects — using
+    exact integer rank arithmetic (bucket = 3·(rank−1) // n_lang under
+    the (avg_mbits, doc_id) total order, no NTILE float quantiles).
+    The per-(lang, bucket) boundary/mass table is the admission
+    manifest the downstream sampler consumes.
+
+    Scale notes: model training and doc scoring are the
+    `text_lm_perplexity` plan (two passes, model broadcast, zero
+    UDFs); the tercile rank is ONE lang-partitioned window over the
+    doc-grain score frame (the `orders_rfm_segments` NTILE posture —
+    per-lang partitions parallelize; the giant-lang variant would
+    range-partition rank the way `table_skew_stats`' two-pass path
+    does); the output aggregate is ≤3·|langs| rows."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 2)
+        .select("doc_id", "lang", "text")
+    )
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("g"),
+    )
+    model = grams.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    lang_tot = model.groupBy("lang").agg(
+        F.sum("c").alias("tot"), F.count("*").alias("v")
+    )
+    costs = model.join(lang_tot, "lang").select(
+        "lang",
+        "g",
+        F.floor(
+            F.log2(
+                (F.col("tot") + F.col("v")).cast("double") / (F.col("c") + 1)
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("mbits"),
+    )
+    scored = (
+        grams.join(F.broadcast(costs), ["lang", "g"])
+        .groupBy("doc_id", "lang")
+        .agg(F.expr("CAST(SUM(mbits) div COUNT(*) AS BIGINT)").alias("avg_mbits"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy("avg_mbits", "doc_id")
+    w_lang = Window.partitionBy("lang")
+    ranked = scored.select(
+        "lang",
+        "avg_mbits",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_lang).alias("n_lang"),
+    )
+    return (
+        ranked.groupBy(
+            "lang",
+            F.expr("CAST(3 * (r - 1) div n_lang AS BIGINT)").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("avg_mbits").cast("long").alias("min_mbits"),
+            F.max("avg_mbits").cast("long").alias("max_mbits"),
+            F.expr("CAST(SUM(avg_mbits) div COUNT(*) AS BIGINT)").alias(
+                "mean_mbits"
+            ),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -2028,3 +2028,146 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     ).orderBy("mon")
+
+
+@register(
+    "events_cusum_drift",
+    # Batch CUSUM drift scores on daily purchase counts via the exact
+    # closed form S⁺_t = a_t − min(0, min_{j≤t} a_j) with a_t =
+    # cum_t − t·k (k = floor of the global daily mean) — the
+    # prefix-min identity that turns the sequential max(0, ·)
+    # recursion into two windows; S⁻ symmetric.  Alarm lines are the
+    # empirical p90 of each score by integer nearest-rank.  Everything
+    # is BIGINT; no float anywhere.
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), k AS (
+        SELECT CAST(SUM(n) // COUNT(*) AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM d
+    ), a AS (
+        SELECT day, n, n_days,
+               SUM(n - k) OVER (ORDER BY day) AS a_pos,
+               SUM(k - n) OVER (ORDER BY day) AS a_neg
+        FROM d, k
+    ), s AS (
+        SELECT day, n, n_days,
+               a_pos - LEAST(CAST(0 AS BIGINT),
+                   MIN(a_pos) OVER (ORDER BY day)) AS s_pos,
+               a_neg - LEAST(CAST(0 AS BIGINT),
+                   MIN(a_neg) OVER (ORDER BY day)) AS s_neg
+        FROM a
+    ), h AS (
+        SELECT day, n, s_pos, s_neg,
+               CAST(ROW_NUMBER() OVER (ORDER BY s_pos, day) AS BIGINT)
+                   AS r_pos,
+               CAST(ROW_NUMBER() OVER (ORDER BY s_neg, day) AS BIGINT)
+                   AS r_neg,
+               n_days
+        FROM s
+    ), thr AS (
+        SELECT CAST(MAX(CASE WHEN r_pos * 10 <= n_days * 9
+                             THEN s_pos END) AS BIGINT) AS h_pos,
+               CAST(MAX(CASE WHEN r_neg * 10 <= n_days * 9
+                             THEN s_neg END) AS BIGINT) AS h_neg
+        FROM h
+    )
+    SELECT day, n AS n_purchases,
+           CAST(s_pos AS BIGINT) AS s_pos,
+           CAST(s_neg AS BIGINT) AS s_neg,
+           CAST(CASE WHEN s_pos > h_pos THEN 1 ELSE 0 END AS BIGINT)
+               AS alarm_pos,
+           CAST(CASE WHEN s_neg > h_neg THEN 1 ELSE 0 END AS BIGINT)
+               AS alarm_neg
+    FROM h, thr ORDER BY day
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CUSUM drift detection on daily purchase counts — the
+    Page cumulative-sum scores S⁺/S⁻ against the global-mean target,
+    computed with the exact closed form S⁺_t = a_t − min(0,
+    min_{j≤t} a_j), a_t = Σ(x−k): the prefix-min identity replaces the
+    sequential max(0, S+x−k) recursion with two windows, which is what
+    makes a batch (and SQL-oracle) formulation possible at all — and
+    is the batch twin of the micro-batch-sequential
+    `stream_cusum_alarm`, closing that operator's oracle gap the way
+    `stream_cms_merge` twins `agg_countmin_heavyhitters`.  Alarm
+    lines are the empirical p90 of each score (integer nearest-rank:
+    largest value with rank·10 ≤ 0.9·n·10) — the top-decile
+    cumulative-deviation days.  Every value is BIGINT end to end.
+
+    Scale notes: corpus-grain work is ONE hash aggregate to the
+    calendar-day rollup; cumsum / prefix-min / rank / threshold
+    windows all run on that ≤|days|-row frame (reviewed SINGLE)."""
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    k = d.agg(
+        F.expr("CAST(SUM(n) div COUNT(*) AS BIGINT)").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    a = d.join(F.broadcast(k)).select(
+        "day",
+        "n",
+        "n_days",
+        F.sum(F.col("n") - F.col("k")).over(w_cum).alias("a_pos"),
+        F.sum(F.col("k") - F.col("n")).over(w_cum).alias("a_neg"),
+    )
+    s = a.select(
+        "day",
+        "n",
+        "n_days",
+        (
+            F.col("a_pos")
+            - F.least(F.lit(0).cast("long"), F.min("a_pos").over(w_cum))
+        ).alias("s_pos"),
+        (
+            F.col("a_neg")
+            - F.least(F.lit(0).cast("long"), F.min("a_neg").over(w_cum))
+        ).alias("s_neg"),
+    )
+    h = s.select(
+        "day",
+        "n",
+        "s_pos",
+        "s_neg",
+        "n_days",
+        F.row_number().over(Window.orderBy("s_pos", "day")).cast("long").alias("r_pos"),
+        F.row_number().over(Window.orderBy("s_neg", "day")).cast("long").alias("r_neg"),
+    )
+    thr = h.agg(
+        F.max(
+            F.when(F.col("r_pos") * 10 <= F.col("n_days") * 9, F.col("s_pos"))
+        )
+        .cast("long")
+        .alias("h_pos"),
+        F.max(
+            F.when(F.col("r_neg") * 10 <= F.col("n_days") * 9, F.col("s_neg"))
+        )
+        .cast("long")
+        .alias("h_neg"),
+    )
+    return (
+        h.join(F.broadcast(thr))
+        .select(
+            "day",
+            F.col("n").alias("n_purchases"),
+            F.col("s_pos").cast("long").alias("s_pos"),
+            F.col("s_neg").cast("long").alias("s_neg"),
+            F.when(F.col("s_pos") > F.col("h_pos"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("alarm_pos"),
+            F.when(F.col("s_neg") > F.col("h_neg"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("alarm_neg"),
+        )
+        .orderBy("day")
+    )

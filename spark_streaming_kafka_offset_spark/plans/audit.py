@@ -80,6 +80,8 @@ BNL_ALLOWED: dict[str, str] = {
     "broadcast 1-row converter/unattributed scalar frames",
     "corpus_dsir_weights": "broadcast 1-row corpus-totals frame onto "
     "the 64-row bucket model rollup (text_tfidf's n_docs posture)",
+    "events_cusum_drift": "broadcast 1-row target-mean frame and "
+    "1-row alarm-threshold frame onto the calendar-day rollup",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The
@@ -218,6 +220,9 @@ SINGLE_ALLOWED: dict[str, str] = {
     "q6-style scalar-result exchange feeding a broadcast)",
     "events_entropy_rate": "chain-total window over the <=|types|^2 "
     "(<=25-row) transition rollup",
+    "events_cusum_drift": "cumsum/prefix-min/rank windows + 1-row "
+    "threshold aggregate over the calendar-day rollup (the "
+    "events_changepoint posture)",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

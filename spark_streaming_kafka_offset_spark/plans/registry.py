@@ -102,6 +102,11 @@ DEFERRED_R9: tuple[str, ...] = (
     # operators/statistics.py + operators/inference.py, §2.28).
     "lineitem_price_index",
     "events_entropy_rate",
+    # r8-registered oracle pairs (closed-form batch CUSUM / CCNet
+    # perplexity terciles — operators/statistics.py + functions/text.py,
+    # §2.29).
+    "events_cusum_drift",
+    "docs_ccnet_perplexity_buckets",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -202,6 +207,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_cramer_von_mises",
     "lineitem_price_index",
     "events_entropy_rate",
+    "events_cusum_drift",
+    "docs_ccnet_perplexity_buckets",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9
@@ -493,6 +500,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r8 rows-only addition: exactly-once offset/data co-commit sink
     # (crash-replay-pinned in tests/test_streaming.py).
     "stream_txn_exactly_once",
+    # r8 rows-only addition: txn-table VACUUM planning (safety-pinned
+    # in tests/test_sources.py).
+    "table_vacuum_plan",
 )
 
 

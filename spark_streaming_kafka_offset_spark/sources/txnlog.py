@@ -273,3 +273,77 @@ def scan_txn_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "claim string, value long",
     )
+
+
+def vacuum_plan(table_dir: str) -> list[tuple[str, str, str]]:
+    """Classify every file under data/ against the commit log and plan
+    the janitor pass: (file, class, action) with class ∈ live (in the
+    current snapshot), superseded (added by some commit, later removed
+    by a REPLACE — retained only for time travel), orphan (on disk but
+    in NO commit record — a crashed writer's leftovers), and action =
+    keep for live, vacuum for the rest under a retain-nothing policy.
+    Pure log+listing arithmetic: never opens a data file."""
+    log_dir = os.path.join(table_dir, "_log")
+    committed: set[str] = set()
+    live: list[str] = []
+    for c in sorted(f for f in os.listdir(log_dir) if f.endswith(".json")):
+        with open(os.path.join(log_dir, c)) as fh:
+            rec = json.load(fh)
+        committed.update(rec["files"])
+        live = [f for f in live if f not in set(rec.get("removed", []))]
+        live.extend(rec["files"])
+    live_set = set(live)
+    out = []
+    for f in sorted(os.listdir(os.path.join(table_dir, "data"))):
+        if not f.endswith(".parquet"):
+            continue
+        if f in live_set:
+            out.append((f, "live", "keep"))
+        elif f in committed:
+            out.append((f, "superseded", "vacuum"))
+        else:
+            out.append((f, "orphan", "vacuum"))
+    return out
+
+
+@register("table_vacuum_plan")  # rows-only: filesystem-janitor semantics
+def table_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planning for the transaction-log table — the janitor that
+    completes the lakehouse maintenance story (`txn_compact` rewrites,
+    `stream_txn_exactly_once` leaves crash orphans, THIS op finds what
+    is safe to delete): stage a table with two appends, one compaction
+    REPLACE, and one uncommitted (orphaned) write, then classify every
+    physical file as live / superseded / orphan from the commit log
+    alone and emit the per-class plan.  Safety property (pinned by
+    tests/test_sources.py::test_vacuum_plan_classes_and_safety): the
+    vacuum set NEVER intersects the current snapshot — deleting it
+    leaves every live read intact, while time-travel reads older than
+    the compaction become unavailable (the documented VACUUM trade).
+
+    Scale notes: the plan is commit-log + directory-listing arithmetic
+    (version-count + file-count sized, never data-sized); the physical
+    delete would be an embarrassingly-parallel foreachPartition over
+    the vacuum list.  The staged fixture is driver-built (events
+    quarters), so counts are deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    table = scratch_path("sskos_txn_vac_")
+    q1 = ev.where(F.col("event_id") % 4 == 0)
+    q2 = ev.where(F.col("event_id") % 4 == 1)
+    f1, n1 = _write_data_files(q1, table, 2)
+    txn_commit(table, f1, n1)
+    f2, n2 = _write_data_files(q2, table, 2)
+    txn_commit(table, f2, n2)
+    txn_compact(spark, table)
+    # a crashed writer: data files on disk, no commit record
+    _write_data_files(ev.where(F.col("event_id") % 4 == 2), table, 1)
+    plan = vacuum_plan(table)
+    df = spark.createDataFrame(
+        plan, "file string, file_class string, action string"
+    )
+    return (
+        df.groupBy("file_class", "action")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+        .orderBy("file_class", "action")
+    )

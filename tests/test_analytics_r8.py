@@ -833,3 +833,53 @@ def test_entropy_rate_matches_python_and_bounds(spark):
     any_row = rows[0]
     assert abs(any_row.entropy_rate_nats - rate) < 2e-6
     assert 0.0 < any_row.entropy_rate_nats <= math.log(len(types)) + 1e-9
+
+
+# ---- §2.29 drift detection & corpus partitioning ----
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """The windowed prefix-min closed form must equal the sequential
+    Page recursion S_t = max(0, S_{t-1} + x_t - k) day by day, for both
+    directions, and the p90 alarm count must be <= 10% + 1 of days."""
+    rows = sorted(
+        QUERIES["events_cusum_drift"](spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    xs = [r.n_purchases for r in rows]
+    k = sum(xs) // len(xs)
+    sp = sn = 0
+    for r, x in zip(rows, xs):
+        sp = max(0, sp + x - k)
+        sn = max(0, sn + k - x)
+        assert (r.s_pos, r.s_neg) == (sp, sn)
+    n = len(rows)
+    assert sum(r.alarm_pos for r in rows) <= n // 10 + 1
+    assert sum(r.alarm_neg for r in rows) <= n // 10 + 1
+
+
+def test_ccnet_buckets_partition_each_language(spark):
+    """Per language: bucket sizes must be a balanced tercile partition
+    of that language's scored docs, bucket boundaries must be ordered
+    (head max <= middle min <= ... monotone), and head must be strictly
+    more fluent (lower mean surprisal) than tail."""
+    rows = QUERIES["docs_ccnet_perplexity_buckets"](spark, SF_DIR).collect()
+    langs = {}
+    for r in rows:
+        langs.setdefault(r.lang, {})[r.bucket] = r
+    n_scored = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.length("text") >= 2)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    per_lang = {r.lang: r["count"] for r in n_scored}
+    for lang, bks in langs.items():
+        assert set(bks) == {0, 1, 2}
+        sizes = [bks[b].n_docs for b in (0, 1, 2)]
+        assert sum(sizes) == per_lang[lang]
+        assert max(sizes) - min(sizes) <= 1  # balanced terciles
+        assert bks[0].max_mbits <= bks[1].min_mbits
+        assert bks[1].max_mbits <= bks[2].min_mbits
+        assert bks[0].mean_mbits < bks[2].mean_mbits

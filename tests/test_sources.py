@@ -80,3 +80,58 @@ def test_python_datasource_matches_direct_gated_read(spark):
     assert got == want
     splits = {r["split"] for r in rows}
     assert splits <= {0, 1, 2, 3} and len(splits) >= 3
+
+
+def test_vacuum_plan_classes_and_safety(spark):
+    """The vacuum set must never intersect the current snapshot:
+    deleting every planned file leaves the live read byte-identical,
+    and the orphan/superseded classification matches how each file got
+    onto disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_offset_spark.common import scratch_path
+    from spark_streaming_kafka_offset_spark.sources.txnlog import (
+        _write_data_files,
+        txn_commit,
+        txn_compact,
+        txn_read,
+        vacuum_plan,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "user_id", "event_type")
+    )
+    table = scratch_path("vac_test_")
+    f1, n1 = _write_data_files(ev.where(F.col("event_id") % 4 == 0), table, 2)
+    txn_commit(table, f1, n1)
+    f2, n2 = _write_data_files(ev.where(F.col("event_id") % 4 == 1), table, 2)
+    txn_commit(table, f2, n2)
+    txn_compact(spark, table)
+    orphans, _ = _write_data_files(
+        ev.where(F.col("event_id") % 4 == 2), table, 1
+    )
+
+    plan = vacuum_plan(table)
+    by_class = {}
+    for f, cls, action in plan:
+        by_class.setdefault(cls, []).append((f, action))
+    # every pre-compaction file is superseded, the uncommitted one orphan
+    assert sorted(f for f, _ in by_class["superseded"]) == sorted(f1 + f2)
+    assert [f for f, _ in by_class["orphan"]] == sorted(orphans)
+    assert all(a == "vacuum" for _, a in by_class["superseded"])
+    assert all(a == "vacuum" for _, a in by_class["orphan"])
+    assert all(a == "keep" for _, a in by_class["live"])
+
+    before = sorted(
+        tuple(r) for r in txn_read(spark, table).collect()
+    )
+    for f, cls, action in plan:
+        if action == "vacuum":
+            os.unlink(os.path.join(table, "data", f))
+    after = sorted(tuple(r) for r in txn_read(spark, table).collect())
+    assert after == before, "vacuum must not touch the live snapshot"
+    assert after, "live snapshot must be non-empty"

@@ -122,6 +122,10 @@ STRESS_SET = [
     # and the user-keyed lead window feeding the transition rollup.
     "lineitem_price_index",
     "events_entropy_rate",
+    # r8 §2.29 batch: the calendar CUSUM rollup and the LM train+score
+    # double pass + lang-partitioned tercile window.
+    "events_cusum_drift",
+    "docs_ccnet_perplexity_buckets",
 ]
 
 
