@@ -1059,8 +1059,9 @@ _DSIR_TOPK = 25
         GROUP BY 1
     )
     SELECT doc_id, n_tokens, score_nano,
-           ROUND(CAST(score_nano AS DOUBLE) / ({_DSIR_SCALE} * 1.0), 6)
-               AS dsir_logweight
+           CAST((CASE WHEN score_nano >= 0 THEN score_nano // 1000
+                      ELSE -((-score_nano) // 1000) END) AS DOUBLE)
+               / 1000000.0 AS dsir_logweight
     FROM cand
     ORDER BY score_nano DESC, doc_id
     LIMIT {_DSIR_TOPK}
@@ -1147,8 +1148,14 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "score_nano",
-            F.round(
-                F.col("score_nano").cast("double") / float(_DSIR_SCALE), 6
+            # toward-zero truncation to micro-units before the division
+            # — nano values ending in ...500 hit an exact 6-decimal
+            # half and ROUND half-handling differs across engines (the
+            # graph_adamic_adar sf0.1 lesson); Spark div truncates
+            # toward zero, DuckDB // floors, hence the CASE mirror.
+            (
+                F.expr("CAST(score_nano div 1000 AS DOUBLE)")
+                / 1_000_000.0
             ).alias("dsir_logweight"),
         )
         .orderBy(F.desc("score_nano"), "doc_id")

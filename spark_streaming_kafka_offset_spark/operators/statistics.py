@@ -2171,3 +2171,206 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+#: R/S block sizes for the Hurst fit — powers of two spanning what a
+#: month-long hourly series supports (~720 points → 90/45/22/11 blocks).
+_HURST_KS = (8, 16, 32, 64)
+
+_HURST_SCALE = 1_000_000
+
+
+@register(
+    "agg_hurst_exponent",
+    # Hurst exponent by classic rescaled-range analysis on the hourly
+    # event-count series: per (block size k, block), the range of
+    # mean-adjusted partial sums is carried SCALED by k (k·Z_j =
+    # k·cum_j − j·S, an integer), the std denominator as the integer
+    # k·Σx²−S², so R/S = R_scaled/√D needs ONE sqrt+division per
+    # block, floored to micro-units; per-k means are integer; H is the
+    # micro-log OLS slope over the ≤4 (ln k, ln R/S) points.
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(MIN(epoch_us(ts) // 3600000000) AS BIGINT) AS h0,
+               CAST(MAX(epoch_us(ts) // 3600000000) AS BIGINT) AS h1
+        FROM events
+    ), spine AS (
+        SELECT UNNEST(range(h0, h1 + 1)) - h0 AS h FROM bounds
+    ), cnt AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+               - (SELECT h0 FROM bounds) AS h,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), series AS (
+        SELECT spine.h, COALESCE(cnt.x, 0) AS x
+        FROM spine LEFT JOIN cnt ON spine.h = cnt.h
+    ), blocks AS (
+        SELECT k.k, series.h // k.k AS blk, series.h % k.k + 1 AS j,
+               series.x
+        FROM series, (VALUES {", ".join(f"({k})" for k in _HURST_KS)}) k(k)
+        WHERE series.h < (SELECT (h1 - h0 + 1) FROM bounds) // k.k * k.k
+    ), z AS (
+        SELECT k, blk, j, x,
+               SUM(x) OVER (PARTITION BY k, blk ORDER BY j) AS cum,
+               SUM(x) OVER (PARTITION BY k, blk) AS s,
+               SUM(x * x) OVER (PARTITION BY k, blk) AS ss
+        FROM blocks
+    ), per_block AS (
+        SELECT k, blk,
+               MAX(k * cum - j * s) - MIN(k * cum - j * s) AS r_scaled,
+               MAX(k * ss - s * s) AS d
+        FROM z GROUP BY k, blk
+    ), rs AS (
+        SELECT k, blk,
+               CAST(ROUND(r_scaled / sqrt(CAST(d AS DOUBLE))
+                          * {_HURST_SCALE}) AS BIGINT) AS rs_micro
+        FROM per_block WHERE d > 0
+    ), per_k AS (
+        SELECT k,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(rs_micro) // COUNT(*) AS BIGINT) AS mean_rs_micro
+        FROM rs GROUP BY k
+    ), pts AS (
+        SELECT k, n_blocks, mean_rs_micro,
+               CAST(ROUND(ln(CAST(k AS DOUBLE)) * {_HURST_SCALE})
+                    AS BIGINT) AS lx,
+               CAST(ROUND(ln(CAST(mean_rs_micro AS DOUBLE))
+                          * {_HURST_SCALE}) AS BIGINT) AS ly
+        FROM per_k
+    ), ols AS (
+        SELECT k, n_blocks, mean_rs_micro,
+               COUNT(*) OVER () AS n,
+               SUM(lx) OVER () AS sx, SUM(ly) OVER () AS sy,
+               SUM(lx * ly) OVER () AS sxy, SUM(lx * lx) OVER () AS sxx
+        FROM pts
+    )
+    SELECT CAST(k AS BIGINT) AS k, n_blocks, mean_rs_micro,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS hurst
+    FROM ols ORDER BY k
+    """,
+)
+def agg_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly event-count series by classic
+    rescaled-range (R/S) analysis — the long-range-dependence readout
+    (H ≈ 0.5 memoryless, > 0.5 trending/persistent, < 0.5
+    mean-reverting) behind capacity planning and anomaly baselining.
+    For each block size k ∈ {8,16,32,64}: split the zero-filled hourly
+    series into ⌊n/k⌋ blocks, compute each block's rescaled range with
+    the mean-adjusted partial sums carried SCALED by k (k·Z_j =
+    k·cum_j − j·S — exact integers; the std denominator is the
+    integer k·Σx²−S²), so each block needs exactly ONE sqrt+division,
+    floored to micro-units; per-k means are integer division; H is
+    the OLS slope over the ≤4 (ln k, ln R̄/S̄) micro-log points (the
+    `text_zipf_fit` fixed-point-OLS pattern).  Constant blocks (D=0)
+    are dropped on both engines.
+
+    Scale notes: corpus-grain work is ONE hash aggregate to the hourly
+    rollup; the spine/zero-fill, 4× block-size fanout, block windows,
+    and the 4-point OLS all run on that calendar-bounded frame
+    (reviewed SINGLE/BNL rows — ≤4·\|hours\| rows end to end)."""
+    e = load_table(spark, sf_dir, "events")
+    hour = (epoch_seconds("ts") / 3600).cast("long")
+    bounds = e.agg(
+        F.min(hour).alias("h0"),
+        F.max(hour).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.col("h1") - F.col("h0"))).alias("h"),
+        (F.col("h1") - F.col("h0") + 1).alias("n_hours"),
+    )
+    cnt = (
+        e.select(hour.alias("habs"))
+        .groupBy("habs")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .join(F.broadcast(bounds))
+        .select((F.col("habs") - F.col("h0")).alias("h"), "x")
+    )
+    series = (
+        spine.join(cnt, "h", "left")
+        .select("h", "n_hours", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _HURST_KS], "k long")
+    blocks = (
+        series.join(F.broadcast(ks))
+        .where(F.col("h") < F.expr("n_hours div k * k"))
+        .select(
+            "k",
+            F.expr("h div k").alias("blk"),
+            (F.col("h") % F.col("k") + 1).alias("j"),
+            "x",
+        )
+    )
+    w_cum = (
+        Window.partitionBy("k", "blk")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_blk = Window.partitionBy("k", "blk")
+    z = blocks.select(
+        "k",
+        "blk",
+        "j",
+        "x",
+        F.sum("x").over(w_cum).alias("cum"),
+        F.sum("x").over(w_blk).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w_blk).alias("ss"),
+    )
+    kz = F.col("k") * F.col("cum") - F.col("j") * F.col("s")
+    per_block = z.groupBy("k", "blk").agg(
+        (F.max(kz) - F.min(kz)).alias("r_scaled"),
+        F.max(
+            F.col("k") * F.col("ss") - F.col("s") * F.col("s")
+        ).alias("d"),
+    )
+    rs = per_block.where(F.col("d") > 0).select(
+        "k",
+        F.round(
+            F.col("r_scaled") / F.sqrt(F.col("d").cast("double"))
+            * _HURST_SCALE
+        )
+        .cast("long")
+        .alias("rs_micro"),
+    )
+    per_k = rs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.expr("CAST(SUM(rs_micro) div COUNT(*) AS BIGINT)").alias(
+            "mean_rs_micro"
+        ),
+    )
+    pts = per_k.select(
+        "k",
+        "n_blocks",
+        "mean_rs_micro",
+        F.round(F.log(F.col("k").cast("double")) * _HURST_SCALE)
+        .cast("long")
+        .alias("lx"),
+        F.round(F.log(F.col("mean_rs_micro").cast("double")) * _HURST_SCALE)
+        .cast("long")
+        .alias("ly"),
+    )
+    w_all = Window.partitionBy()
+    ols = pts.select(
+        "k",
+        "n_blocks",
+        "mean_rs_micro",
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("lx").over(w_all).alias("sx"),
+        F.sum("ly").over(w_all).alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).over(w_all).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).over(w_all).alias("sxx"),
+    )
+    return ols.select(
+        F.col("k").cast("long").alias("k"),
+        "n_blocks",
+        "mean_rs_micro",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double"),
+            6,
+        ).alias("hurst"),
+    ).orderBy("k")

@@ -82,6 +82,9 @@ BNL_ALLOWED: dict[str, str] = {
     "the 64-row bucket model rollup (text_tfidf's n_docs posture)",
     "events_cusum_drift": "broadcast 1-row target-mean frame and "
     "1-row alarm-threshold frame onto the calendar-day rollup",
+    "agg_hurst_exponent": "broadcast 1-row hour-bounds frame (spine "
+    "generator) + broadcast 4-row block-size dim onto the "
+    "calendar-hour rollup (events_cross_correlation's lag-dim posture)",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The
@@ -223,6 +226,9 @@ SINGLE_ALLOWED: dict[str, str] = {
     "events_cusum_drift": "cumsum/prefix-min/rank windows + 1-row "
     "threshold aggregate over the calendar-day rollup (the "
     "events_changepoint posture)",
+    "agg_hurst_exponent": "4-point OLS window over the per-k R/S "
+    "means (block windows are (k, blk)-partitioned; only the final "
+    "<=4-row frame is single-partition)",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

@@ -107,6 +107,10 @@ DEFERRED_R9: tuple[str, ...] = (
     # §2.29).
     "events_cusum_drift",
     "docs_ccnet_perplexity_buckets",
+    # r8-registered oracle pairs (Adamic–Adar link prediction / Hurst
+    # R/S — operators/graph.py + operators/statistics.py, §2.30).
+    "graph_adamic_adar",
+    "agg_hurst_exponent",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -209,6 +213,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_entropy_rate",
     "events_cusum_drift",
     "docs_ccnet_perplexity_buckets",
+    "graph_adamic_adar",
+    "agg_hurst_exponent",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9

@@ -883,3 +883,97 @@ def test_ccnet_buckets_partition_each_language(spark):
         assert bks[0].max_mbits <= bks[1].min_mbits
         assert bks[1].max_mbits <= bks[2].min_mbits
         assert bks[0].mean_mbits < bks[2].mean_mbits
+
+
+# ---- §2.30 link-prediction weighting & long-range dependence ----
+
+
+def test_adamic_adar_matches_python_model(spark):
+    """Pair scores must equal an independent Python recomputation over
+    the capped slot sets, AA must rank crowded-slot pairs below
+    empty-slot pairs with equal support, and every reported pair must
+    clear min-support."""
+    import math
+    from collections import Counter, defaultdict
+
+    rows = QUERIES["graph_adamic_adar"](spark, SF_DIR).collect()
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    slots = {
+        (r.user_id, int(r.ts.timestamp() * 1_000_000) // 600_000_000)
+        for r in e
+    }
+    by_slot = defaultdict(list)
+    for u, s in slots:
+        by_slot[s].append(u)
+    capped = defaultdict(list)
+    for s, us in by_slot.items():
+        us.sort(key=lambda u: ((u * 1103515245 + s * 12345) % 2147483648, u))
+        capped[s] = us[:50]
+    w = {
+        s: round(1e9 / math.log(len(us)))
+        for s, us in capped.items()
+        if len(us) >= 2
+    }
+    pair_score = Counter()
+    pair_n = Counter()
+    for s, us in capped.items():
+        if s not in w:
+            continue
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                key = (min(us[i], us[j]), max(us[i], us[j]))
+                pair_score[key] += w[s]
+                pair_n[key] += 1
+    want = {
+        k: (pair_n[k], pair_score[k])
+        for k in pair_score
+        if pair_n[k] >= 3
+    }
+    got = {(r.user_a, r.user_b): (r.common_slots, r.aa_nano) for r in rows}
+    assert got == want
+    assert all(r.common_slots >= 3 for r in rows)
+
+
+def test_hurst_matches_python_rs(spark):
+    """H must equal an independent Python R/S computation over the
+    zero-filled hourly series, and sit in (0, 1)."""
+    import math
+    from collections import Counter
+
+    rows = {r.k: r for r in QUERIES["agg_hurst_exponent"](spark, SF_DIR).collect()}
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    hours = Counter(
+        int(r.ts.timestamp() * 1_000_000) // 3_600_000_000 for r in e
+    )
+    h0, h1 = min(hours), max(hours)
+    xs = [hours.get(h, 0) for h in range(h0, h1 + 1)]
+    pts = []
+    for k in (8, 16, 32, 64):
+        rs_micros = []
+        for b in range(len(xs) // k):
+            blk = xs[b * k : (b + 1) * k]
+            s, ss = sum(blk), sum(v * v for v in blk)
+            d = k * ss - s * s
+            if d <= 0:
+                continue
+            cum = 0
+            kz = []
+            for j, v in enumerate(blk, 1):
+                cum += v
+                kz.append(k * cum - j * s)
+            rs_micros.append(
+                round((max(kz) - min(kz)) / math.sqrt(d) * 1e6)
+            )
+        mean = sum(rs_micros) // len(rs_micros)
+        assert rows[k].n_blocks == len(rs_micros)
+        assert rows[k].mean_rs_micro == mean
+        pts.append((round(math.log(k) * 1e6), round(math.log(mean) * 1e6)))
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    h = rows[8].hurst
+    assert abs(h - slope) < 2e-6
+    assert 0.0 < h < 1.0

@@ -126,6 +126,10 @@ STRESS_SET = [
     # double pass + lang-partitioned tercile window.
     "events_cusum_drift",
     "docs_ccnet_perplexity_buckets",
+    # r8 §2.30 batch: the capped-slot pair join with weight attach, and
+    # the hourly-rollup R/S block windows.
+    "graph_adamic_adar",
+    "agg_hurst_exponent",
 ]
 
 
