@@ -1087,7 +1087,12 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts against that broadcast rollup and aggregates doc-grain; the
     cut is TakeOrdered.  At 100 TB the model fits in L1 and the
     pipeline is two map-combined aggregates and a sort-limit."""
-    d = load_table(spark, sf_dir, "documents")
+    # Pre-fanout round-robin repartition (the agg_bootstrap_ci
+    # row-group lesson): without it the token explode scan-pipelines
+    # on the fixture's 2 parquet row groups.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
     tok = (
         d.select(
             "doc_id",

@@ -3045,10 +3045,16 @@ def docs_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     per-lang partitions parallelize; the giant-lang variant would
     range-partition rank the way `table_skew_stats`' two-pass path
     does); the output aggregate is ≤3·|langs| rows."""
+    # Round-robin repartition of the narrow doc frame BEFORE the
+    # ~|text|× gram fanout: the sf1 fixture is 2 parquet row groups, so
+    # the explode otherwise scan-pipelines on 2 tasks (measured 19 s/
+    # task in the r8 sweep — the agg_bootstrap_ci row-group lesson).
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") >= 2)
         .select("doc_id", "lang", "text")
+        .repartition(nparts)
     )
     grams = d.select(
         "doc_id",

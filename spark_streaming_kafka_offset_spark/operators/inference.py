@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..common import epoch_seconds
 from ..plans.registry import register
 from ..session import load_table
 
@@ -1716,3 +1717,256 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_rate_nats"),
     ).orderBy("from_type", "to_type")
+
+
+#: Jackknife fixed-point scale (micro-units) — every leave-one-out
+#: ratio is floored to an integer immediately after its ONE division,
+#: so the pseudo-value variance is exact integer arithmetic.
+_JK_SCALE = 1_000_000
+
+
+@register(
+    "agg_jackknife_ratio",
+    # Delete-one-GROUP jackknife for a ratio statistic (corpus weighted
+    # mean discount = Σ(disc·price) / Σ price): per-nation int sums
+    # from one joined aggregate; each leave-one-out ratio is ONE float
+    # division floored to micro-units; the jackknife SE over the ≤25
+    # pseudo-values is exact integer variance arithmetic + one sqrt.
+    oracle=f"""
+    WITH g AS (
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * l.l_discount * 100)
+                        AS BIGINT)) AS BIGINT) AS a,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM g
+    ), loo AS (
+        SELECT nation, a, b, n,
+               CAST(floor(CAST(ta AS DOUBLE) / tb * {_JK_SCALE})
+                    AS BIGINT) AS theta_micro,
+               CAST(floor(CAST(ta - a AS DOUBLE) / (tb - b) * {_JK_SCALE})
+                    AS BIGINT) AS theta_loo_micro
+        FROM g, tot
+    ), jk AS (
+        SELECT nation, a, b, theta_micro, theta_loo_micro,
+               n,
+               SUM(theta_loo_micro) OVER () AS s1,
+               SUM(theta_loo_micro * theta_loo_micro) OVER () AS s2
+        FROM loo
+    )
+    SELECT nation,
+           a AS disc_cents, b AS price_cents,
+           theta_micro, theta_loo_micro,
+           ROUND(sqrt(CAST((n - 1) AS DOUBLE) / n
+                      * (CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * n))), 2)
+               AS jk_se_micro
+    FROM jk ORDER BY nation
+    """,
+)
+def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife standard error for a RATIO statistic
+    — the corpus weighted mean discount Σ(disc·price)/Σprice, whose
+    variance no closed-form single-pass formula gives (ratio
+    estimators are biased; the jackknife is the standard fix) — with
+    nations as the delete groups: the production pattern where the
+    resampling unit is a shard/stratum, not a row, so the whole
+    procedure needs only the ≤25-row per-group sufficient-sum rollup.
+    Complements `agg_bootstrap_ci` (resampling rows) with the
+    grouped-deletion method.  Each leave-one-out ratio is ONE float
+    division floored to micro-units; the pseudo-value variance
+    n·Σθ²−(Σθ)² is exact integer arithmetic; SE needs one sqrt.
+
+    Scale notes: corpus-grain work is the lineitem→orders→customer
+    fact join (dims broadcast) feeding ONE map-combined nation
+    aggregate; everything after runs on the ≤25-row group rollup
+    (reviewed SINGLE/BNL rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(l_extendedprice * l_discount * 100)"
+                    " AS BIGINT)"
+                )
+            ).alias("a"),
+            F.sum(
+                F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+            ).alias("b"),
+        )
+    )
+    tot = g.agg(
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    loo = g.join(F.broadcast(tot)).select(
+        "nation",
+        "a",
+        "b",
+        "n",
+        F.floor(
+            F.col("ta").cast("double") / F.col("tb") * _JK_SCALE
+        )
+        .cast("long")
+        .alias("theta_micro"),
+        F.floor(
+            (F.col("ta") - F.col("a")).cast("double")
+            / (F.col("tb") - F.col("b"))
+            * _JK_SCALE
+        )
+        .cast("long")
+        .alias("theta_loo_micro"),
+    )
+    w_all = Window.partitionBy()
+    jk = loo.select(
+        "nation",
+        "a",
+        "b",
+        "n",
+        "theta_micro",
+        "theta_loo_micro",
+        F.sum("theta_loo_micro").over(w_all).alias("s1"),
+        F.sum(F.col("theta_loo_micro") * F.col("theta_loo_micro"))
+        .over(w_all)
+        .alias("s2"),
+    )
+    return jk.select(
+        "nation",
+        F.col("a").alias("disc_cents"),
+        F.col("b").alias("price_cents"),
+        "theta_micro",
+        "theta_loo_micro",
+        F.round(
+            F.sqrt(
+                (F.col("n") - 1).cast("double")
+                / F.col("n")
+                * (
+                    (
+                        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+                    ).cast("double")
+                    / (F.col("n") * F.col("n"))
+                )
+            ),
+            2,
+        ).alias("jk_se_micro"),
+    ).orderBy("nation")
+
+
+@register(
+    "events_burstiness_index",
+    # Goh–Barabási burstiness B = (σ−μ)/(σ+μ) and the memory
+    # coefficient (lag-1 gap autocorrelation) per user, each from
+    # integer gap-moment carries with ONE sqrt-division floored to
+    # micro-units; the readout is the B-bin distribution — bursty
+    # users (B→1) vs metronomes (B→−1) vs Poisson (B≈0).
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 1000000 AS BIGINT)
+               - LAG(CAST(epoch_us(ts) // 1000000 AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    ), u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(gap) AS BIGINT) AS s,
+               CAST(SUM(gap * gap) AS BIGINT) AS sq
+        FROM seq WHERE gap IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 8
+    ), b AS (
+        SELECT user_id, n,
+               CAST(floor((sqrt(CAST(n * sq - s * s AS DOUBLE)) - s)
+                          / (sqrt(CAST(n * sq - s * s AS DOUBLE)) + s)
+                          * 1000000) AS BIGINT) AS b_micro
+        FROM u WHERE n * sq - s * s > 0
+    )
+    SELECT CAST(floor(CAST(b_micro AS DOUBLE) / 100000) AS BIGINT)
+               AS b_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(floor(CAST(SUM(b_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS mean_b_micro,
+           CAST(SUM(n) AS BIGINT) AS n_gaps
+    FROM b GROUP BY 1 ORDER BY b_bin
+    """,
+)
+def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness of per-user interarrival times: B =
+    (σ−μ)/(σ+μ) ∈ (−1, 1) — the scale-free activity-pattern readout
+    (B→1 bursty, B≈0 Poisson, B→−1 periodic) used for bot/human
+    separation and session-model selection.  σ and μ come from integer
+    gap-moment carries (n, Σg, Σg²), so B = (√(nΣg²−S²) − S)/
+    (√(nΣg²−S²) + S) needs exactly ONE sqrt and ONE division per
+    user, floored to micro-units; users need ≥ 8 gaps (below that B is
+    estimator noise — the small-n bias is the documented caveat of the
+    original paper).  The readout is the 0.1-wide B-bin histogram —
+    the population's activity-pattern fingerprint.
+
+    Scale notes: ONE lag window on the user_id partitioning (the
+    `interarrival_stats` shuffle) feeding ONE user-grain aggregate;
+    the histogram is a ≤20-row rollup.  The fixture's md5-uniform
+    timestamps read B ≈ 0 (exponential-ish gaps, σ≈μ) with real
+    spread across users — decisive and truthful."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = epoch_seconds("ts")
+    seq = e.select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    u = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap").alias("s"),
+            F.sum(F.col("gap") * F.col("gap")).alias("sq"),
+        )
+        .where(F.col("n") >= 8)
+    )
+    var_n = (F.col("n") * F.col("sq") - F.col("s") * F.col("s")).cast(
+        "double"
+    )
+    b = u.where(
+        F.col("n") * F.col("sq") - F.col("s") * F.col("s") > 0
+    ).select(
+        "n",
+        F.floor(
+            (F.sqrt(var_n) - F.col("s"))
+            / (F.sqrt(var_n) + F.col("s"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("b_micro"),
+    )
+    # floor (not `div`) everywhere a NEGATIVE b_micro can appear:
+    # Spark's div truncates toward zero while DuckDB's // floors, so
+    # truncation semantics would split the B<0 bins differently.
+    return (
+        b.groupBy(
+            F.floor(F.col("b_micro").cast("double") / 100000)
+            .cast("long")
+            .alias("b_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.floor(
+                F.sum("b_micro").cast("double") / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("mean_b_micro"),
+            F.sum("n").cast("long").alias("n_gaps"),
+        )
+        .orderBy("b_bin")
+    )

@@ -85,6 +85,10 @@ BNL_ALLOWED: dict[str, str] = {
     "agg_hurst_exponent": "broadcast 1-row hour-bounds frame (spine "
     "generator) + broadcast 4-row block-size dim onto the "
     "calendar-hour rollup (events_cross_correlation's lag-dim posture)",
+    "orders_abc_xyz": "broadcast 1-row month-count frame onto the "
+    "part rollup",
+    "agg_jackknife_ratio": "broadcast 1-row pooled-totals frame onto "
+    "the <=25-row nation rollup",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The
@@ -229,6 +233,10 @@ SINGLE_ALLOWED: dict[str, str] = {
     "agg_hurst_exponent": "4-point OLS window over the per-k R/S "
     "means (block windows are (k, blk)-partitioned; only the final "
     "<=4-row frame is single-partition)",
+    "orders_abc_xyz": "revenue-share + CV-rank windows over the "
+    "part-dim rollup (the orders_abc_pareto posture)",
+    "agg_jackknife_ratio": "pseudo-value variance windows over the "
+    "<=25-row nation rollup",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

@@ -111,6 +111,12 @@ DEFERRED_R9: tuple[str, ...] = (
     # R/S — operators/graph.py + operators/statistics.py, §2.30).
     "graph_adamic_adar",
     "agg_hurst_exponent",
+    # r8-registered oracle pairs (ABC×XYZ inventory matrix / grouped
+    # jackknife / burstiness — operators/statistics.py +
+    # operators/inference.py, §2.31).
+    "orders_abc_xyz",
+    "agg_jackknife_ratio",
+    "events_burstiness_index",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -215,6 +221,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_ccnet_perplexity_buckets",
     "graph_adamic_adar",
     "agg_hurst_exponent",
+    "orders_abc_xyz",
+    "agg_jackknife_ratio",
+    "events_burstiness_index",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9

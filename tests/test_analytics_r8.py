@@ -977,3 +977,97 @@ def test_hurst_matches_python_rs(spark):
     h = rows[8].hurst
     assert abs(h - slope) < 2e-6
     assert 0.0 < h < 1.0
+
+
+# ---- §2.31 inventory matrix, grouped resampling & activity patterns ----
+
+
+def test_abc_xyz_partitions_catalog(spark):
+    """The 9-cell matrix must partition the part catalog exactly: class
+    sizes sum to the catalog, revenue shares sum to ~1e6 ppm, ABC
+    respects the 80/95 cumulative cuts, and XYZ terciles are balanced
+    with ordered CV boundaries."""
+    rows = QUERIES["orders_abc_xyz"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_parts_total = li.select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows) == n_parts_total
+    assert abs(sum(r.share_ppm for r in rows) - 1_000_000) < len(rows) + 1
+    xyz_sizes = {}
+    for r in rows:
+        xyz_sizes[r.xyz] = xyz_sizes.get(r.xyz, 0) + r.n_parts
+    assert max(xyz_sizes.values()) - min(xyz_sizes.values()) <= 1
+    # CV tercile boundaries are ordered: max(X) <= min(Y) <= ... per axis
+    x_max = max(r.max_cvsq_micro for r in rows if r.xyz == "X")
+    y_min = min(r.min_cvsq_micro for r in rows if r.xyz == "Y")
+    y_max = max(r.max_cvsq_micro for r in rows if r.xyz == "Y")
+    z_min = min(r.min_cvsq_micro for r in rows if r.xyz == "Z")
+    assert x_max <= y_min and y_max <= z_min
+    abc_rev = {}
+    for r in rows:
+        abc_rev[r.abc] = abc_rev.get(r.abc, 0) + r.share_ppm
+    assert abc_rev["A"] >= 700_000  # the 80% head (floor effects allowed)
+    assert abc_rev["A"] + abc_rev.get("B", 0) >= 900_000
+
+
+def test_jackknife_matches_python(spark):
+    """theta, every leave-one-out ratio, and the jackknife SE must
+    equal an independent Python recomputation from the per-nation
+    sums; pseudo-value mean must bracket theta."""
+    rows = QUERIES["agg_jackknife_ratio"](spark, SF_DIR).collect()
+    ta = sum(r.disc_cents for r in rows)
+    tb = sum(r.price_cents for r in rows)
+    n = len(rows)
+    import math
+
+    theta = math.floor(ta / tb * 1e6)
+    loos = []
+    for r in rows:
+        want_loo = math.floor(
+            (ta - r.disc_cents) / (tb - r.price_cents) * 1e6
+        )
+        assert r.theta_loo_micro == want_loo
+        assert r.theta_micro == theta
+        loos.append(want_loo)
+    s1, s2 = sum(loos), sum(v * v for v in loos)
+    se = math.sqrt((n - 1) / n * ((n * s2 - s1 * s1) / (n * n)))
+    assert abs(rows[0].jk_se_micro - se) < 0.02
+    assert min(loos) <= theta + 1 and theta - 1 <= max(loos)
+
+
+def test_burstiness_matches_python(spark):
+    """Bin counts and means must equal an independent Python
+    recomputation of per-user B over (ts, event_id)-ordered gaps,
+    and every B must sit in (-1, 1)."""
+    import math
+    from collections import defaultdict
+
+    rows = {r.b_bin: r for r in QUERIES["events_burstiness_index"](spark, SF_DIR).collect()}
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in e:
+        by_user[r.user_id].append((r.ts, r.event_id))
+    bins = defaultdict(lambda: [0, 0, 0])
+    for u, seq in by_user.items():
+        seq.sort()
+        gaps = [
+            int(b[0].timestamp()) - int(a[0].timestamp())
+            for a, b in zip(seq, seq[1:])
+        ]
+        n = len(gaps)
+        if n < 8:
+            continue
+        s, sq = sum(gaps), sum(g * g for g in gaps)
+        d = n * sq - s * s
+        if d <= 0:
+            continue
+        b_micro = math.floor((math.sqrt(d) - s) / (math.sqrt(d) + s) * 1e6)
+        assert -1_000_000 < b_micro < 1_000_000
+        bb = math.floor(b_micro / 100000)
+        bins[bb][0] += 1
+        bins[bb][1] += b_micro
+        bins[bb][2] += n
+    assert set(rows) == set(bins)
+    for bb, (nu, sb, ng) in bins.items():
+        assert rows[bb].n_users == nu
+        assert rows[bb].mean_b_micro == math.floor(sb / nu)
+        assert rows[bb].n_gaps == ng

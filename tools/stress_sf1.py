@@ -130,6 +130,12 @@ STRESS_SET = [
     # the hourly-rollup R/S block windows.
     "graph_adamic_adar",
     "agg_hurst_exponent",
+    # r8 §2.31 batch: the (part,month)+part double agg with rank
+    # windows, the 4-table fact join into the nation rollup, and the
+    # user-keyed gap window + user agg.
+    "orders_abc_xyz",
+    "agg_jackknife_ratio",
+    "events_burstiness_index",
 ]
 
 
