@@ -3110,3 +3110,142 @@ def docs_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang", "bucket")
     )
+
+
+_TEXTRANK_DAMP = 0.85
+_TEXTRANK_ITERS = 5
+_TEXTRANK_TOPK = 20
+
+
+def _oracle_textrank() -> str:
+    """Unrolled weighted-PageRank oracle over the word co-occurrence
+    graph — the graph_pagerank codegen pattern (operators/graph.py)
+    applied to TextRank: identical iteration count and arithmetic by
+    construction."""
+    steps = []
+    prev = "r0"
+    for i in range(1, _TEXTRANK_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+        SELECT en.dst AS w,
+               (1 - {_TEXTRANK_DAMP}) / (SELECT cnt FROM nn) +
+               {_TEXTRANK_DAMP} * SUM(en.wn * {prev}.r) AS r
+        FROM en JOIN {prev} ON en.src = {prev}.w
+        GROUP BY en.dst
+    )"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), pairs AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT ws, UNNEST(generate_series(1, len(ws) - 1)) AS i
+              FROM toks)
+        WHERE ws[i] <> '' AND ws[i + 1] <> '' AND ws[i] <> ws[i + 1]
+    ), raw_edges AS (
+        SELECT LEAST(w1, w2) AS wa, GREATEST(w1, w2) AS wb,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM pairs GROUP BY 1, 2
+    ), edges AS (
+        SELECT wa AS src, wb AS dst, w FROM raw_edges
+        UNION ALL
+        SELECT wb AS src, wa AS dst, w FROM raw_edges
+    ), out_w AS (
+        SELECT src, SUM(w) AS sw FROM edges GROUP BY src
+    ), en AS (
+        SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.sw AS wn
+        FROM edges e JOIN out_w o ON e.src = o.src
+    ), nn AS (
+        SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS cnt FROM edges
+    ), r0 AS (
+        SELECT src AS w, 1.0 / (SELECT cnt FROM nn) AS r
+        FROM (SELECT DISTINCT src FROM edges)
+    ), {", ".join(steps)}
+    SELECT w AS word, ROUND(r{_TEXTRANK_ITERS}.r * 1000, 6)
+               AS rank_permille
+    FROM r{_TEXTRANK_ITERS}
+    ORDER BY rank_permille DESC, word
+    LIMIT {_TEXTRANK_TOPK}
+    """
+
+
+@register("text_textrank_keywords", oracle=_oracle_textrank())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction — weighted PageRank over the word
+    co-occurrence graph (adjacent-token edges, symmetrized, weight =
+    co-occurrence count), the Mihalcea–Tarau method that ranks words
+    by global graph centrality where RAKE (`text_rake_keywords`)
+    scores by local degree/frequency: a word bridging many contexts
+    outranks a word merely frequent in one.  Five damped iterations
+    (d = 0.85) unrolled identically on both engines — the
+    `graph_pagerank` fixed-iteration codegen oracle pattern applied
+    to text — with the top-20 cut under the (rank, word) total order.
+
+    Scale notes: the pair explode is scan-side; the edge aggregate is
+    vocabulary²-BOUNDED (never corpus-sized — the graph is the model,
+    not the data); each iteration is one co-partitioned join + one
+    dst aggregate on that bounded frame.  At 100 TB the edge build is
+    the only corpus pass; a production variant would floor edge
+    weights to bound the vocabulary tail."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("ws"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where(
+            (F.col("w1") != "")
+            & (F.col("w2") != "")
+            & (F.col("w1") != F.col("w2"))
+        )
+    )
+    raw_edges = pairs.groupBy(
+        F.least("w1", "w2").alias("wa"),
+        F.greatest("w1", "w2").alias("wb"),
+    ).agg(F.count(F.lit(1)).alias("w"))
+    edges = raw_edges.select(
+        F.col("wa").alias("src"), F.col("wb").alias("dst"), "w"
+    ).unionByName(
+        raw_edges.select(
+            F.col("wb").alias("src"), F.col("wa").alias("dst"), "w"
+        )
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("sw"))
+    en = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("w").cast("double") / F.col("sw")).alias("wn"))
+    )
+    nn = edges.select("src").distinct().count()
+    r = edges.select("src").distinct().select(
+        F.col("src").alias("w"), F.lit(1.0 / nn).alias("r")
+    )
+    for _ in range(_TEXTRANK_ITERS):
+        r = (
+            en.join(r, en.src == r.w)
+            .groupBy(F.col("dst").alias("w2"))
+            .agg(
+                (
+                    F.lit((1 - _TEXTRANK_DAMP) / nn)
+                    + F.lit(_TEXTRANK_DAMP) * F.sum(F.col("wn") * F.col("r"))
+                ).alias("r")
+            )
+            .select(F.col("w2").alias("w"), "r")
+        )
+    return (
+        r.select(
+            F.col("w").alias("word"),
+            F.round(F.col("r") * 1000, 6).alias("rank_permille"),
+        )
+        .orderBy(F.desc("rank_permille"), "word")
+        .limit(_TEXTRANK_TOPK)
+    )

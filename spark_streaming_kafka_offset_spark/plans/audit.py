@@ -89,6 +89,8 @@ BNL_ALLOWED: dict[str, str] = {
     "part rollup",
     "agg_jackknife_ratio": "broadcast 1-row pooled-totals frame onto "
     "the <=25-row nation rollup",
+    "docs_nb_quality_classifier": "broadcast 1-row median / totals / "
+    "prior scalar frames onto the doc and 64-row model frames",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The
@@ -237,6 +239,8 @@ SINGLE_ALLOWED: dict[str, str] = {
     "part-dim rollup (the orders_abc_pareto posture)",
     "agg_jackknife_ratio": "pseudo-value variance windows over the "
     "<=25-row nation rollup",
+    "docs_nb_quality_classifier": "median cumsum window over the "
+    "bounded density-value rollup",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

@@ -117,6 +117,10 @@ DEFERRED_R9: tuple[str, ...] = (
     "orders_abc_xyz",
     "agg_jackknife_ratio",
     "events_burstiness_index",
+    # r8-registered oracle pairs (TextRank / learned NB quality gate —
+    # functions/text.py + functions/curation.py, §2.32).
+    "text_textrank_keywords",
+    "docs_nb_quality_classifier",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -224,6 +228,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_abc_xyz",
     "agg_jackknife_ratio",
     "events_burstiness_index",
+    "text_textrank_keywords",
+    "docs_nb_quality_classifier",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9

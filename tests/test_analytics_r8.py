@@ -1071,3 +1071,64 @@ def test_burstiness_matches_python(spark):
         assert rows[bb].n_users == nu
         assert rows[bb].mean_b_micro == math.floor(sb / nu)
         assert rows[bb].n_gaps == ng
+
+
+# ---- §2.32 graph-ranked keywords & learned quality gate ----
+
+
+def test_textrank_matches_python_power_iteration(spark):
+    """Ranks must equal an independent Python weighted-PageRank (5
+    damped iterations) over the same symmetrized co-occurrence graph,
+    and ranks must sum to ~1 over all vertices (probability mass)."""
+    from collections import Counter, defaultdict
+
+    rows = QUERIES["text_textrank_keywords"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    edges = Counter()
+    for d in docs:
+        ws = d.text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            if a and b and a != b:
+                edges[(min(a, b), max(a, b))] += 1
+    adj = defaultdict(dict)
+    for (a, b), w in edges.items():
+        adj[a][b] = adj[a].get(b, 0) + w
+        adj[b][a] = adj[b].get(a, 0) + w
+    nodes = sorted(adj)
+    n = len(nodes)
+    out_w = {v: sum(adj[v].values()) for v in nodes}
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        nxt = {}
+        for v in nodes:
+            s = sum(adj[u][v] / out_w[u] * r[u] for u in adj[v])
+            nxt[v] = 0.15 / n + 0.85 * s
+        r = nxt
+    want = sorted(
+        ((round(rk * 1000, 6), w) for w, rk in r.items()),
+        key=lambda p: (-p[0], p[1]),
+    )[:20]
+    got = [(x.rank_permille, x.word) for x in rows]
+    for (wr, ww), (gr, gw) in zip(want, got):
+        assert ww == gw
+        assert abs(wr - gr) < 1e-4
+    assert abs(sum(r.values()) - 1.0) < 0.05  # mass approximately conserved
+
+
+def test_nb_quality_classifier_learns(spark):
+    """Held-out accuracy must clear 70% (the non-vacuity gate: the
+    model genuinely generalizes), classes must be near-balanced, and
+    scores must separate (every cell's score range sign-consistent
+    with its prediction)."""
+    rows = QUERIES["docs_nb_quality_classifier"](spark, SF_DIR).collect()
+    total = sum(r.n_docs for r in rows)
+    correct = sum(r.n_docs for r in rows if r.label_hi == r.pred_hi)
+    assert total > 0
+    assert correct / total >= 0.70
+    for r in rows:
+        if r.pred_hi == 1:
+            assert r.min_score_nano > 0
+        else:
+            assert r.max_score_nano <= 0
+    pos = sum(r.n_docs for r in rows if r.label_hi == 1)
+    assert 0.3 <= pos / total <= 0.7

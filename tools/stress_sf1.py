@@ -136,6 +136,10 @@ STRESS_SET = [
     "orders_abc_xyz",
     "agg_jackknife_ratio",
     "events_burstiness_index",
+    # r8 §2.32 batch: the pair-explode edge agg + 5 iteration joins,
+    # and the NB train/score double pass over the token explode.
+    "text_textrank_keywords",
+    "docs_nb_quality_classifier",
 ]
 
 
