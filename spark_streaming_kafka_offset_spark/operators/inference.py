@@ -1970,3 +1970,257 @@ def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b_bin")
     )
+
+
+@register(
+    "agg_ttest_paired",
+    # Paired t-test on per-user (pre, post) spend around the global
+    # median event date: differences are integer cents, the t statistic
+    # is ONE fixed IEEE tree over (n, Σd, Σd²) — t = d̄/(s_d/√n)
+    # algebraically rearranged to Σd·√(n−1) / √(nΣd²−(Σd)²) so no
+    # intermediate variance float ever accumulates.
+    oracle="""
+    WITH cut AS (
+        SELECT CAST(MIN(ts) AS DATE)
+               + CAST((CAST(MAX(ts) AS DATE)
+                       - CAST(MIN(ts) AS DATE)) // 2 AS INTEGER)
+                   AS mid
+        FROM events
+    ), u AS (
+        SELECT user_id,
+               SUM(CASE WHEN CAST(ts AS DATE) < mid
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END) AS pre,
+               SUM(CASE WHEN CAST(ts AS DATE) >= mid
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END) AS post
+        FROM events, cut GROUP BY 1
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(post - pre) AS BIGINT) AS sd,
+               CAST(SUM((post - pre) * (post - pre)) AS HUGEINT) AS sdd,
+               CAST(SUM(pre) AS BIGINT) AS spre,
+               CAST(SUM(post) AS BIGINT) AS spost
+        FROM u
+    )
+    SELECT n, spre AS pre_cents, spost AS post_cents, sd AS sum_diff_cents,
+           ROUND(CAST(sd AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE))
+                 / sqrt(CAST(n * sdd - CAST(sd AS HUGEINT) * sd
+                             AS DOUBLE)), 6) AS t_paired
+    FROM s
+    """,
+)
+def agg_ttest_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test of per-user spend, second half of the observation
+    window vs the first (paired at the USER, the design that removes
+    between-user variance — the within-subjects counterpart of
+    `agg_welch_ttest`'s independent-samples test, completing the
+    parametric family).  Each user's (pre, post) cents come from ONE
+    conditional-sum aggregate around the global median date; the
+    statistic is algebraically rearranged to t = Σd·√(n−1) /
+    √(nΣd²−(Σd)²) so it is ONE fixed IEEE tree over exact integer
+    sums — no float variance accumulation, no intermediate mean.
+
+    Scale notes: 1-row date-cut broadcast (the `events_ab_cuped`
+    horizon pattern) → ONE map-combined user-grain aggregate (the
+    corpus work) → a 1-row five-sum frame (reviewed SINGLE); the
+    t statistic is per-row arithmetic on it."""
+    e = load_table(spark, sf_dir, "events")
+    cut = e.agg(
+        F.expr(
+            "date_add(MIN(CAST(ts AS DATE)),"
+            " CAST(datediff(MAX(CAST(ts AS DATE)),"
+            " MIN(CAST(ts AS DATE))) div 2 AS INT))"
+        ).alias("mid")
+    )
+    u = (
+        e.join(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.to_date("ts") < F.col("mid"),
+                    F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+                ).otherwise(0)
+            ).alias("pre"),
+            F.sum(
+                F.when(
+                    F.to_date("ts") >= F.col("mid"),
+                    F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+                ).otherwise(0)
+            ).alias("post"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("post") - F.col("pre")).cast("long").alias("sd"),
+        F.sum(
+            ((F.col("post") - F.col("pre")) * (F.col("post") - F.col("pre"))).cast(
+                d38
+            )
+        )
+        .cast(d38)
+        .alias("sdd"),
+        F.sum("pre").cast("long").alias("spre"),
+        F.sum("post").cast("long").alias("spost"),
+    )
+    return s.select(
+        "n",
+        F.col("spre").alias("pre_cents"),
+        F.col("spost").alias("post_cents"),
+        F.col("sd").alias("sum_diff_cents"),
+        F.round(
+            F.col("sd").cast("double")
+            * F.sqrt((F.col("n") - 1).cast("double"))
+            / F.sqrt(
+                (
+                    F.col("n").cast(d38) * F.col("sdd")
+                    - F.col("sd").cast(d38) * F.col("sd").cast(d38)
+                ).cast("double")
+            ),
+            6,
+        ).alias("t_paired"),
+    )
+
+
+#: Two-sided alpha=0.05 / power=0.80 normal quantiles — LITERAL
+#: constants on both engines (z_{0.975}, z_{0.80}), the standard
+#: power-analysis pair.
+_PWR_ZA = 1.959964
+_PWR_ZB = 0.841621
+
+
+@register(
+    "agg_power_analysis",
+    # A/B power analysis on the Welch fixture (BUILDING vs MACHINERY
+    # order totals): per-arm int128 moment sums from ONE conditional
+    # agg; MDE = (z_a+z_b)·SE and required-n-per-arm from the observed
+    # effect — each ONE fixed IEEE tree over identical integers and
+    # two literal z constants.
+    oracle=f"""
+    WITH s AS (
+        SELECT
+            CAST(COUNT(*) FILTER (c.c_mktsegment = '{_SEG_A}') AS BIGINT)
+                AS n_a,
+            CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                 FILTER (c.c_mktsegment = '{_SEG_A}') AS HUGEINT) AS sa,
+            CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                     * CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                 FILTER (c.c_mktsegment = '{_SEG_A}') AS HUGEINT) AS sqa,
+            CAST(COUNT(*) FILTER (c.c_mktsegment = '{_SEG_B}') AS BIGINT)
+                AS n_b,
+            CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                 FILTER (c.c_mktsegment = '{_SEG_B}') AS HUGEINT) AS sb,
+            CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                     * CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                 FILTER (c.c_mktsegment = '{_SEG_B}') AS HUGEINT) AS sqb
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('{_SEG_A}', '{_SEG_B}')
+    )
+    SELECT n_a, n_b,
+           ROUND(CAST(sa AS DOUBLE) / n_a
+                 - CAST(sb AS DOUBLE) / n_b, 2) AS observed_diff_cents,
+           ROUND(({_PWR_ZA} + {_PWR_ZB})
+                 * sqrt(CAST(n_a * sqa - sa * sa AS DOUBLE)
+                          / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))
+                        + CAST(n_b * sqb - sb * sb AS DOUBLE)
+                          / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1))), 2)
+               AS mde_cents,
+           CAST(CEIL(({_PWR_ZA} + {_PWR_ZB}) * ({_PWR_ZA} + {_PWR_ZB})
+                 * (CAST(n_a * sqa - sa * sa AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))
+                    + CAST(n_b * sqb - sb * sb AS DOUBLE)
+                      / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))
+                 * (CAST(n_a + n_b AS DOUBLE) / 2)
+                 / ((CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+                    * (CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)))
+               AS BIGINT) AS n_required_per_arm
+    FROM s
+    """,
+)
+def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment power analysis on the `agg_welch_ttest` fixture:
+    the minimum detectable effect at alpha = 0.05 (two-sided) / power
+    = 0.80 given the current arm sizes — MDE = (z_α/2 + z_β)·SE with
+    SE from exact int128 per-arm moment sums — and the sample size
+    per arm that would make the OBSERVED difference detectable (the
+    "how much longer must this experiment run" readout, scaling the
+    current per-observation variance to the observed effect).  The z
+    quantiles are shared LITERAL constants; every reported value is
+    one fixed IEEE tree over identical integers, completing the
+    experimentation family (lift → CUPED → Welch → power).
+
+    Scale notes: ONE map-side-combined conditional aggregate over the
+    fact-dim join to a 1-row six-sum frame (reviewed SINGLE); all
+    readouts are per-row arithmetic on it."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    d38 = "decimal(38,0)"
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin(_SEG_A, _SEG_B))
+        .select(F.col("c_mktsegment").alias("seg"), cents.alias("x"))
+    )
+    s = j.agg(
+        F.count(F.when(F.col("seg") == _SEG_A, 1)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("seg") == _SEG_A, F.col("x")).otherwise(0))
+        .cast(d38)
+        .alias("sa"),
+        F.sum(
+            F.when(F.col("seg") == _SEG_A, F.col("x") * F.col("x")).otherwise(
+                0
+            ).cast(d38)
+        )
+        .cast(d38)
+        .alias("sqa"),
+        F.count(F.when(F.col("seg") == _SEG_B, 1)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("seg") == _SEG_B, F.col("x")).otherwise(0))
+        .cast(d38)
+        .alias("sb"),
+        F.sum(
+            F.when(F.col("seg") == _SEG_B, F.col("x") * F.col("x")).otherwise(
+                0
+            ).cast(d38)
+        )
+        .cast(d38)
+        .alias("sqb"),
+    )
+    se2 = (
+        (F.col("n_a") * F.col("sqa") - F.col("sa") * F.col("sa")).cast(
+            "double"
+        )
+        / (
+            F.col("n_a").cast("double")
+            * F.col("n_a")
+            * (F.col("n_a") - 1)
+        )
+    ) + (
+        (F.col("n_b") * F.col("sqb") - F.col("sb") * F.col("sb")).cast(
+            "double"
+        )
+        / (
+            F.col("n_b").cast("double")
+            * F.col("n_b")
+            * (F.col("n_b") - 1)
+        )
+    )
+    diff = F.col("sa").cast("double") / F.col("n_a") - F.col("sb").cast(
+        "double"
+    ) / F.col("n_b")
+    z = _PWR_ZA + _PWR_ZB
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(diff, 2).alias("observed_diff_cents"),
+        F.round(F.lit(z) * F.sqrt(se2), 2).alias("mde_cents"),
+        F.ceil(
+            F.lit(z * z)
+            * se2
+            * ((F.col("n_a") + F.col("n_b")).cast("double") / 2)
+            / (diff * diff)
+        )
+        .cast("long")
+        .alias("n_required_per_arm"),
+    )

@@ -707,3 +707,48 @@ def scan_selectivity_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_ppm"),
     ).orderBy("predicate")
+
+
+@register("scan_rowgroup_zonemap")  # rows-only: footer paths are not
+# view-expressible in the driver's oracle harness; the DuckDB
+# parquet_metadata() cross-check lives in tests/test_sources.py.
+def scan_rowgroup_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet row-group zone-map readout — surface the footer
+    statistics (per-row-group row counts and l_shipdate / l_quantity
+    min–max) that predicate pushdown actually consults: this is the
+    ground truth behind every §2.16 pruned-scan operator
+    (`scan_zorder_pruned` sorts to TIGHTEN these ranges,
+    `scan_manifest_pruned` caches them table-side,
+    `table_partition_advisor` sizes against them), read from the REAL
+    file footers rather than re-derived from data.  The oracle reads
+    the SAME footers through DuckDB's ``parquet_metadata()`` — two
+    independent parquet-statistics decoders agreeing on bytes.
+
+    Scale notes: footer reads are file-count-sized driver/metadata
+    work (a real deployment parallelizes the listing with a
+    files-as-rows DataFrame, exactly like `scan_manifest_pruned`'s
+    build side); NO data page is ever read — that is the point."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+    rows = []
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        ship = g.column(names["l_shipdate"]).statistics
+        qty = g.column(names["l_quantity"]).statistics
+        rows.append(
+            (
+                rg,
+                g.num_rows,
+                str(ship.min.date()),
+                str(ship.max.date()),
+                int(qty.min),
+                int(qty.max),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "row_group long, n_rows long, ship_min string, ship_max string, "
+        "qty_min long, qty_max long",
+    ).orderBy("row_group")

@@ -91,6 +91,8 @@ BNL_ALLOWED: dict[str, str] = {
     "the <=25-row nation rollup",
     "docs_nb_quality_classifier": "broadcast 1-row median / totals / "
     "prior scalar frames onto the doc and 64-row model frames",
+    "agg_ttest_paired": "broadcast 1-row median-date cutover frame "
+    "onto the scan (events_ab_cuped's horizon pattern)",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The
@@ -241,6 +243,10 @@ SINGLE_ALLOWED: dict[str, str] = {
     "<=25-row nation rollup",
     "docs_nb_quality_classifier": "median cumsum window over the "
     "bounded density-value rollup",
+    "agg_ttest_paired": "1-row five-sum aggregate (the q6-style "
+    "scalar-result exchange)",
+    "agg_power_analysis": "1-row six-sum conditional aggregate (the "
+    "agg_welch_ttest shape)",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

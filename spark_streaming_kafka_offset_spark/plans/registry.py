@@ -121,6 +121,10 @@ DEFERRED_R9: tuple[str, ...] = (
     # functions/text.py + functions/curation.py, §2.32).
     "text_textrank_keywords",
     "docs_nb_quality_classifier",
+    # r8-registered oracle pairs (paired t-test / power analysis —
+    # operators/inference.py, §2.33).
+    "agg_ttest_paired",
+    "agg_power_analysis",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -230,6 +234,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_burstiness_index",
     "text_textrank_keywords",
     "docs_nb_quality_classifier",
+    "agg_ttest_paired",
+    "agg_power_analysis",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9
@@ -524,6 +530,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r8 rows-only addition: txn-table VACUUM planning (safety-pinned
     # in tests/test_sources.py).
     "table_vacuum_plan",
+    # r8 rows-only addition: parquet footer zone-map readout (DuckDB
+    # cross-decoder-pinned in tests/test_sources.py; footer paths are
+    # not view-expressible in the driver's oracle harness).
+    "scan_rowgroup_zonemap",
 )
 
 

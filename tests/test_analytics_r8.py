@@ -1132,3 +1132,74 @@ def test_nb_quality_classifier_learns(spark):
             assert r.max_score_nano <= 0
     pos = sum(r.n_docs for r in rows if r.label_hi == 1)
     assert 0.3 <= pos / total <= 0.7
+
+
+# ---- §2.33 paired testing & power planning ----
+
+
+def test_paired_ttest_matches_python(spark):
+    """t must match an independent float64 paired-t computation from
+    per-user sums, and the pre+post split must cover all value cents."""
+    import math
+    from collections import defaultdict
+
+    r = QUERIES["agg_ttest_paired"](spark, SF_DIR).collect()[0]
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    days = sorted({x.ts.date() for x in e})
+    mid = min(days) + __import__("datetime").timedelta(
+        days=(max(days) - min(days)).days // 2
+    )
+    pre = defaultdict(int)
+    post = defaultdict(int)
+    for x in e:
+        c = round(x.value * 100)
+        if x.ts.date() < mid:
+            pre[x.user_id] += c
+        else:
+            post[x.user_id] += c
+    users = set(pre) | set(post)
+    ds = [post[u] - pre[u] for u in users]
+    n, sd = len(ds), sum(ds)
+    sdd = sum(d * d for d in ds)
+    t = sd * math.sqrt(n - 1) / math.sqrt(n * sdd - sd * sd)
+    assert r.n == n
+    assert r.sum_diff_cents == sd
+    assert r.pre_cents + r.post_cents == sum(
+        round(x.value * 100) for x in e
+    )
+    assert abs(r.t_paired - t) < 2e-6
+
+
+def test_power_analysis_identities(spark):
+    """MDE must equal (za+zb)*SE from raw per-arm moments, and the
+    required-n must scale inversely with the squared observed effect
+    (detectability identity: with n_req per arm at the current
+    variance, the observed effect equals the MDE)."""
+    import math
+
+    r = QUERIES["agg_power_analysis"](spark, SF_DIR).collect()[0]
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_mktsegment", F.round(F.col("o_totalprice") * 100).cast("long").alias("x"))
+        .collect()
+    )
+    a = [x.x for x in rows if x.c_mktsegment == "BUILDING"]
+    b = [x.x for x in rows if x.c_mktsegment == "MACHINERY"]
+    import statistics
+
+    za, zb = 1.959964, 0.841621
+    se2 = statistics.variance(a) / len(a) + statistics.variance(b) / len(b)
+    mde = (za + zb) * math.sqrt(se2)
+    diff = statistics.fmean(a) - statistics.fmean(b)
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert abs(r.mde_cents - mde) < 0.5
+    assert abs(r.observed_diff_cents - diff) < 0.5
+    n_req = math.ceil(
+        (za + zb) ** 2 * se2 * ((len(a) + len(b)) / 2) / diff**2
+    )
+    assert r.n_required_per_arm == n_req
+    # the observed effect is tiny vs the MDE here, so n_req >> current n
+    assert r.n_required_per_arm > max(len(a), len(b))

@@ -135,3 +135,61 @@ def test_vacuum_plan_classes_and_safety(spark):
     after = sorted(tuple(r) for r in txn_read(spark, table).collect())
     assert after == before, "vacuum must not touch the live snapshot"
     assert after, "live snapshot must be non-empty"
+
+
+def test_rowgroup_zonemap_matches_duckdb_decoder(spark):
+    """The pyarrow-decoded footer stats must agree with DuckDB's
+    independent parquet_metadata() decoder on every row group, and the
+    zone map must bracket the actual data min/max exactly."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r.row_group: r
+        for r in entrymod.queries()["scan_rowgroup_zonemap"](
+            spark, SF_DIR
+        ).collect()
+    }
+    duck = duckdb.sql(
+        f"""
+        SELECT CAST(row_group_id AS BIGINT) AS rg,
+               MAX(CASE WHEN path_in_schema = 'l_quantity'
+                        THEN num_values END) AS n_rows,
+               MIN(CASE WHEN path_in_schema = 'l_shipdate'
+                        THEN CAST(CAST(stats_min_value AS TIMESTAMP)
+                                  AS DATE) END) AS ship_min,
+               MAX(CASE WHEN path_in_schema = 'l_shipdate'
+                        THEN CAST(CAST(stats_max_value AS TIMESTAMP)
+                                  AS DATE) END) AS ship_max,
+               MIN(CASE WHEN path_in_schema = 'l_quantity'
+                        THEN CAST(CAST(stats_min_value AS DOUBLE)
+                                  AS BIGINT) END) AS qty_min,
+               MAX(CASE WHEN path_in_schema = 'l_quantity'
+                        THEN CAST(CAST(stats_max_value AS DOUBLE)
+                                  AS BIGINT) END) AS qty_max
+        FROM parquet_metadata('{SF_DIR}/lineitem.parquet')
+        GROUP BY row_group_id ORDER BY rg
+        """
+    ).fetchall()
+    assert len(duck) == len(rows)
+    for rg, n, smin, smax, qmin, qmax in duck:
+        r = rows[rg]
+        assert (r.n_rows, r.ship_min, r.ship_max, r.qty_min, r.qty_max) == (
+            n,
+            str(smin),
+            str(smax),
+            qmin,
+            qmax,
+        )
+    # zone map brackets the data exactly (footer stats are tight for
+    # uncompressed-logical min/max written by arrow)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    lo, hi = li.agg(
+        F.min(F.to_date("l_shipdate")), F.max(F.to_date("l_shipdate"))
+    ).first()
+    assert min(r.ship_min for r in rows.values()) == str(lo)
+    assert max(r.ship_max for r in rows.values()) == str(hi)

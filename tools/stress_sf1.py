@@ -140,6 +140,10 @@ STRESS_SET = [
     # and the NB train/score double pass over the token explode.
     "text_textrank_keywords",
     "docs_nb_quality_classifier",
+    # r8 §2.33 batch: the user-grain conditional-sum paired agg and
+    # the fact-dim-join conditional moment agg.
+    "agg_ttest_paired",
+    "agg_power_analysis",
 ]
 
 
