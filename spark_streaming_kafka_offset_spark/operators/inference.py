@@ -2224,3 +2224,119 @@ def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_required_per_arm"),
     )
+
+
+_MSTAT_ITERS = 5
+
+
+def _oracle_markov_stationary() -> str:
+    """Unrolled power iteration on the event-type transition matrix —
+    the graph_pagerank fixed-iteration codegen pattern on the ≤|types|²
+    rollup."""
+    steps = []
+    prev = "p0"
+    for i in range(1, _MSTAT_ITERS + 1):
+        steps.append(
+            f"""p{i} AS (
+        SELECT tn.b AS state, SUM(tn.p * {prev}.pi) AS pi
+        FROM tn JOIN {prev} ON tn.a = {prev}.state
+        GROUP BY tn.b
+    )"""
+        )
+        prev = f"p{i}"
+    return f"""
+    WITH seq AS (
+        SELECT event_type AS a,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS b
+        FROM events
+    ), t AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+    ), tn AS (
+        SELECT a, b, CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY a) AS p
+        FROM t
+    ), emp AS (
+        SELECT a AS emp_state,
+               CAST(SUM(c) * 1000000 // (SELECT SUM(c) FROM t) AS BIGINT)
+                   AS empirical_ppm
+        FROM t GROUP BY a
+    ), states AS (
+        SELECT DISTINCT a AS state FROM t
+    ), p0 AS (
+        SELECT state, 1.0 / (SELECT COUNT(*) FROM states) AS pi
+        FROM states
+    ), {", ".join(steps)}
+    SELECT p{_MSTAT_ITERS}.state,
+           ROUND(p{_MSTAT_ITERS}.pi * 1000000, 4) AS stationary_ppm,
+           emp.empirical_ppm,
+           ROUND(abs(p{_MSTAT_ITERS}.pi * 1000000 - emp.empirical_ppm), 4)
+               AS gap_ppm
+    FROM p{_MSTAT_ITERS} JOIN emp ON p{_MSTAT_ITERS}.state = emp.emp_state
+    ORDER BY state
+    """
+
+
+@register("events_markov_stationary", oracle=_oracle_markov_stationary())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    by five unrolled power iterations from the uniform start — where
+    does the journey settle, independent of where users begin — placed
+    NEXT TO the empirical state frequencies so the gap (mixing
+    already-converged vs transient structure) is the readout; the
+    chain-theory sibling of `events_entropy_rate` over the same
+    transition matrix.  Five iterations are unrolled IDENTICALLY on
+    both engines (the `graph_pagerank` fixed-iteration codegen-oracle
+    pattern), double arithmetic throughout with ROUND 4 absorbing
+    last-ulp drift; transition counts and empirical frequencies are
+    exact integers.
+
+    Scale notes: the ONE corpus-grain pass is the lead window on the
+    user_id partitioning (shared shape with `events_markov_transitions`
+    / `events_entropy_rate`); every iteration is a join + aggregate on
+    the ≤|types|²-row normalized matrix (reviewed SINGLE rows)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    t = seq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    w_row = Window.partitionBy("a")
+    w_all = Window.partitionBy()
+    tn = t.select(
+        "a",
+        "b",
+        (F.col("c").cast("double") / F.sum("c").over(w_row)).alias("p"),
+    )
+    emp = t.select(
+        "a",
+        F.col("c"),
+        F.sum("c").over(w_all).alias("tot"),
+    ).groupBy("a").agg(
+        F.expr("CAST(SUM(c) * 1000000 div MAX(tot) AS BIGINT)").alias(
+            "empirical_ppm"
+        )
+    )
+    states = t.select(F.col("a").alias("state")).distinct()
+    n_states = states.count()
+    pi = states.select("state", F.lit(1.0 / n_states).alias("pi"))
+    for _ in range(_MSTAT_ITERS):
+        pi = (
+            tn.join(pi, tn.a == pi.state)
+            .groupBy(F.col("b").alias("state2"))
+            .agg(F.sum(F.col("p") * F.col("pi")).alias("pi"))
+            .select(F.col("state2").alias("state"), "pi")
+        )
+    return (
+        pi.join(emp, pi.state == emp.a)
+        .select(
+            "state",
+            F.round(F.col("pi") * 1000000, 4).alias("stationary_ppm"),
+            "empirical_ppm",
+            F.round(
+                F.abs(F.col("pi") * 1000000 - F.col("empirical_ppm")), 4
+            ).alias("gap_ppm"),
+        )
+        .orderBy("state")
+    )

@@ -2524,3 +2524,149 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc", "xyz")
     )
+
+
+_WEIB_SCALE = 1_000_000
+
+
+@register(
+    "orders_weibull_fit",
+    # Weibull fit of ship-delay durations by median-rank regression on
+    # the BOUNDED duration rollup: Benard's approximation F = (cum −
+    # 0.3)/(n + 0.4) carried in exact integer milli-units, the
+    # (ln t, ln(−ln(1−F))) points as micro-unit BIGINTs, and the
+    # shape/scale from the fixed-point OLS (text_zipf_fit pattern) —
+    # the parametric-survival extension of orders_hazard_table.
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+                    AS BIGINT) AS dur
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
+    ), r AS (
+        SELECT dur, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY dur
+    ), cumed AS (
+        SELECT dur, c,
+               SUM(c) OVER (ORDER BY dur) AS cum,
+               SUM(c) OVER () AS n
+        FROM r
+    ), pts AS (
+        SELECT dur, c, cum, n,
+               CAST(ROUND(ln(CAST(dur AS DOUBLE)) * {_WEIB_SCALE})
+                    AS BIGINT) AS x,
+               CAST(ROUND(ln(-ln(1 - (CAST(cum * 10000 - 3000 AS DOUBLE)
+                                      / (n * 10000 + 4000))))
+                          * {_WEIB_SCALE}) AS BIGINT) AS y
+        FROM cumed WHERE cum < n
+    ), ols AS (
+        SELECT dur, c, CAST(cum AS BIGINT) AS cum,
+               CAST((cum * 10000 - 3000) * 1000000
+                    // (n * 10000 + 4000) AS BIGINT) AS f_ppm,
+               COUNT(*) OVER () AS np,
+               SUM(CAST(x AS HUGEINT)) OVER () AS sx,
+               SUM(CAST(y AS HUGEINT)) OVER () AS sy,
+               SUM(CAST(x AS HUGEINT) * y) OVER () AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) OVER () AS sxx
+        FROM pts
+    )
+    SELECT dur AS dur_days, c AS n_lines, cum, f_ppm,
+           ROUND(CAST(np * sxy - sx * sy AS DOUBLE)
+                 / CAST(np * sxx - sx * sx AS DOUBLE), 6) AS weibull_shape,
+           ROUND(exp(-(CAST(sxx * sy - sx * sxy AS DOUBLE)
+                       / CAST(np * sxx - sx * sx AS DOUBLE))
+                     / {_WEIB_SCALE}.0
+                     / (CAST(np * sxy - sx * sy AS DOUBLE)
+                        / CAST(np * sxx - sx * sx AS DOUBLE))), 4)
+               AS weibull_scale_days
+    FROM ols ORDER BY dur_days
+    """,
+)
+def orders_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull(k, λ) fit of order→ship delays by median-rank
+    regression — the standard reliability-engineering estimator
+    (probability-plot linearization: ln(−ln(1−F)) = k·ln t − k·ln λ),
+    the PARAMETRIC extension of `orders_hazard_table`'s nonparametric
+    life table: k < 1 infant-mortality, k ≈ 1 memoryless, k > 1
+    wear-out.  The plotting positions use Benard's median-rank
+    approximation F = (cum−0.3)/(n+0.4) carried in exact integer
+    deci-milli units; both regression coordinates are micro-unit
+    BIGINTs so the OLS sums are HUGEINT-exact (the `text_zipf_fit`
+    fixed-point pattern); scale λ = exp(−a/k) is two IEEE ops at the
+    end.  The top duration (F = 1) is excluded on both engines
+    (ln(−ln 0) undefined — the standard plotting convention).
+
+    Scale notes: corpus-grain work is the fact join + ONE hash
+    aggregate to the duration rollup (DOMAIN-bounded by the ship-delay
+    span — ~2.4k distinct day values on the fixture, fixed at any
+    corpus size); cumsum/OLS windows run on that rollup (reviewed
+    SINGLE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.to_date("l_shipdate") > F.to_date("o_orderdate"))
+        .select(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("dur")
+        )
+    )
+    r = d.groupBy("dur").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cumed = r.select(
+        "dur",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    f = (F.col("cum") * 10000 - 3000).cast("double") / (
+        F.col("n") * 10000 + 4000
+    )
+    pts = cumed.where(F.col("cum") < F.col("n")).select(
+        "dur",
+        "c",
+        "cum",
+        "n",
+        F.round(F.log(F.col("dur").cast("double")) * _WEIB_SCALE)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(-F.log(1 - f)) * _WEIB_SCALE)
+        .cast("long")
+        .alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    ols = pts.select(
+        F.col("dur").alias("dur_days"),
+        F.col("c").alias("n_lines"),
+        F.col("cum").cast("long").alias("cum"),
+        F.expr(
+            "CAST((cum * 10000 - 3000) * 1000000"
+            " div (n * 10000 + 4000) AS BIGINT)"
+        ).alias("f_ppm"),
+        F.count(F.lit(1)).over(w_all).cast(d38).alias("np"),
+        F.sum(F.col("x").cast(d38)).over(w_all).alias("sx"),
+        F.sum(F.col("y").cast(d38)).over(w_all).alias("sy"),
+        F.sum((F.col("x").cast(d38) * F.col("y"))).over(w_all).alias("sxy"),
+        F.sum((F.col("x").cast(d38) * F.col("x"))).over(w_all).alias("sxx"),
+    )
+    slope = (
+        F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    icpt = (
+        F.col("sxx") * F.col("sy") - F.col("sx") * F.col("sxy")
+    ).cast("double") / (
+        F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return ols.select(
+        "dur_days",
+        "n_lines",
+        "cum",
+        "f_ppm",
+        F.round(slope, 6).alias("weibull_shape"),
+        F.round(
+            F.exp(-(icpt / float(_WEIB_SCALE)) / slope), 4
+        ).alias("weibull_scale_days"),
+    ).orderBy("dur_days")

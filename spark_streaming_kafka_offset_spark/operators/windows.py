@@ -326,3 +326,63 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("distinct_so_far").cast("long").alias("nth_distinct"),
         F.col("event_seq").cast("long").alias("events_until_discovery"),
     )
+
+
+@register(
+    "win_median_sliding",
+    # Exact 7-day sliding median of daily revenue on the calendar
+    # rollup: the window's ≤7 values are collected, sorted, and the
+    # lower median selected by integer index — no approximate
+    # percentile, no float; edges use the shorter window (the standard
+    # centered-window convention), so every day has a defined median.
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM events GROUP BY 1
+    )
+    SELECT day, rev,
+           CAST(list_sort(list(rev) OVER (
+                    ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                ))[(len(list(rev) OVER (
+                    ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                )) + 1) // 2] AS BIGINT) AS median7_cents,
+           CAST(len(list(rev) OVER (
+                    ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                )) AS BIGINT) AS window_n
+    FROM d ORDER BY day
+    """,
+)
+def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sliding-window median — the robust trend line a moving
+    AVERAGE cannot give (one outlier day drags a mean for a week; the
+    median shrugs): per day, the lower median of daily revenue over
+    the centered 7-day window, computed EXACTLY by collecting the
+    window's ≤7 values, sorting, and integer-index selection — the
+    window-collect idiom that is exact precisely because the frame is
+    small and bounded (for wide frames the engine's t-digest rollup
+    `rollup_tdigest` is the scale path; this op is the exact
+    complement).  Edge days use their shorter window (standard
+    centered convention), reported via ``window_n``.
+
+    Scale notes: ONE hash aggregate to the calendar-day rollup; the
+    collect/sort window runs on that ≤|days|-row frame (reviewed
+    SINGLE — never corpus-grain; a per-user variant would partition
+    by user and stay parallel)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("rev")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    vals = F.array_sort(F.collect_list("rev").over(w7))
+    return d.select(
+        "day",
+        "rev",
+        F.element_at(vals, ((F.size(vals) + 1) / 2).cast("int"))
+        .cast("long")
+        .alias("median7_cents"),
+        F.size(vals).cast("long").alias("window_n"),
+    ).orderBy("day")

@@ -247,6 +247,13 @@ SINGLE_ALLOWED: dict[str, str] = {
     "scalar-result exchange)",
     "agg_power_analysis": "1-row six-sum conditional aggregate (the "
     "agg_welch_ttest shape)",
+    "orders_weibull_fit": "cumsum + OLS windows over the "
+    "delay-domain-bounded (~2.4k-row) duration rollup",
+    "events_markov_stationary": "row-normalization / empirical-share "
+    "windows and iteration joins over the <=|types|^2 transition "
+    "rollup",
+    "win_median_sliding": "7-day collect/sort window over the "
+    "calendar-day rollup",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

@@ -125,6 +125,12 @@ DEFERRED_R9: tuple[str, ...] = (
     # operators/inference.py, §2.33).
     "agg_ttest_paired",
     "agg_power_analysis",
+    # r8-registered oracle pairs (Weibull fit / Markov stationary /
+    # sliding median — operators/statistics.py + operators/inference.py
+    # + operators/windows.py, §2.34).
+    "orders_weibull_fit",
+    "events_markov_stationary",
+    "win_median_sliding",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -236,6 +242,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_nb_quality_classifier",
     "agg_ttest_paired",
     "agg_power_analysis",
+    "orders_weibull_fit",
+    "events_markov_stationary",
+    "win_median_sliding",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9

@@ -1203,3 +1203,110 @@ def test_power_analysis_identities(spark):
     assert r.n_required_per_arm == n_req
     # the observed effect is tiny vs the MDE here, so n_req >> current n
     assert r.n_required_per_arm > max(len(a), len(b))
+
+
+# ---- §2.34 parametric survival, chain equilibrium & robust windows ----
+
+
+def test_weibull_fit_matches_python_ols(spark):
+    """Shape and scale must match an independent Python median-rank
+    regression, shape must be positive, and F_ppm must be monotone."""
+    import math
+
+    rows = sorted(
+        QUERIES["orders_weibull_fit"](spark, SF_DIR).collect(),
+        key=lambda r: r.dur_days,
+    )
+    n = rows[-1].cum + 0  # cum excludes the final F=1 point's row? no:
+    # rows cover cum < n only; recover n from raw data
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.to_date("l_shipdate") > F.to_date("o_orderdate"))
+        .select(
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).alias("dur")
+        )
+        .groupBy("dur")
+        .count()
+        .collect()
+    )
+    counts = sorted((x.dur, x["count"]) for x in d)
+    n = sum(c for _, c in counts)
+    cum, pts = 0, []
+    for dur, c in counts:
+        cum += c
+        if cum < n:
+            f = (cum * 10000 - 3000) / (n * 10000 + 4000)
+            pts.append(
+                (
+                    round(math.log(dur) * 1e6),
+                    round(math.log(-math.log(1 - f)) * 1e6),
+                )
+            )
+    np_ = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts)
+    k = (np_ * sxy - sx * sy) / (np_ * sxx - sx * sx)
+    a = (sxx * sy - sx * sxy) / (np_ * sxx - sx * sx) / 1e6
+    assert len(rows) == np_
+    assert abs(rows[0].weibull_shape - k) < 2e-6
+    assert abs(rows[0].weibull_scale_days - math.exp(-a / k)) < 0.01
+    assert rows[0].weibull_shape > 0
+    fs = [r.f_ppm for r in rows]
+    assert fs == sorted(fs) and 0 < fs[0] and fs[-1] < 1_000_000
+
+
+def test_markov_stationary_is_fixed_point_like(spark):
+    """The 5-iteration vector must be a probability distribution
+    (sums to ~1e6 ppm), and applying ONE more transition step in
+    Python must move it by less than the uniform start did (power
+    iteration contracts toward the fixed point)."""
+    from collections import defaultdict
+
+    rows = QUERIES["events_markov_stationary"](spark, SF_DIR).collect()
+    pi = {r.state: r.stationary_ppm / 1e6 for r in rows}
+    assert abs(sum(pi.values()) - 1.0) < 1e-4
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in e:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    trans = defaultdict(int)
+    row_tot = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort(key=lambda x: (x[0], x[1]))
+        for i in range(len(seq) - 1):
+            trans[(seq[i][2], seq[i + 1][2])] += 1
+            row_tot[seq[i][2]] += 1
+    states = sorted(row_tot)
+    nxt = {
+        b: sum(
+            trans[(a, b)] / row_tot[a] * pi[a]
+            for a in states
+            if (a, b) in trans
+        )
+        for b in states
+    }
+    step_move = sum(abs(nxt[s] - pi[s]) for s in states)
+    uniform_move = sum(abs(pi[s] - 1 / len(states)) for s in states)
+    assert step_move < max(uniform_move, 1e-3)
+    assert {r.state for r in rows} == set(states)
+    assert any(r.gap_ppm > 0 for r in rows)
+
+
+def test_sliding_median_matches_python(spark):
+    """Every day's median must equal the Python lower median of its
+    centered window, with correct shorter edges."""
+    rows = sorted(
+        QUERIES["win_median_sliding"](spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    revs = [r.rev for r in rows]
+    for i, r in enumerate(rows):
+        w = revs[max(0, i - 3) : i + 4]
+        assert r.window_n == len(w)
+        assert r.median7_cents == sorted(w)[(len(w) + 1) // 2 - 1]

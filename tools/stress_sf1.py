@@ -144,6 +144,12 @@ STRESS_SET = [
     # the fact-dim-join conditional moment agg.
     "agg_ttest_paired",
     "agg_power_analysis",
+    # r8 §2.34 batch: the fact-join duration rollup, the lead-window
+    # transition matrix + iteration joins, and the calendar collect
+    # window.
+    "orders_weibull_fit",
+    "events_markov_stationary",
+    "win_median_sliding",
 ]
 
 
