@@ -2516,8 +2516,12 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_parts"),
             F.sum("revenue").cast("long").alias("revenue_cents"),
+            # decimal(38,0) carry: SUM(cents)·10⁶ overflows int64 past
+            # ~$92B of cell revenue — the sf1 sweep caught the ANSI
+            # overflow (DuckDB's SUM is already int128).
             F.expr(
-                "CAST(SUM(revenue) * 1000000 div MAX(total) AS BIGINT)"
+                "CAST(CAST(SUM(revenue) AS DECIMAL(38,0)) * 1000000"
+                " div MAX(total) AS BIGINT)"
             ).alias("share_ppm"),
             F.min("cvsq_micro").cast("long").alias("min_cvsq_micro"),
             F.max("cvsq_micro").cast("long").alias("max_cvsq_micro"),
