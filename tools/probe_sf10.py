@@ -30,6 +30,13 @@ PROBE_SET = [
     "multimodal_dedup_phash",
     "dedup_minhash",
     "corpus_admission_pipeline",
+    # r8 additions: the heaviest new shuffle shapes — the capped-slot
+    # pair join with weight attach, the (month,part) basket join, the
+    # vocab-graph iterations, and the LM train+score double pass.
+    "graph_adamic_adar",
+    "lineitem_price_index",
+    "text_textrank_keywords",
+    "docs_ccnet_perplexity_buckets",
 ]
 
 
