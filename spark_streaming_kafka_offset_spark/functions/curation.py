@@ -1381,3 +1381,134 @@ def docs_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_hi", "pred_hi")
     )
+
+
+#: Sampling temperature for the mixture reweighting (T = 2 → square
+#: root): the standard multilingual-pretraining knob (GPT-3 / mT5 use
+#: T ∈ [2, 3.33]) that upweights small sources at the expense of the
+#: head.
+_TEMP_SCALE = 1_000_000
+_TEMP_BUDGET = 1000  #: shard budget to allocate (Hamilton rounding)
+
+
+@register(
+    "corpus_temperature_mixture",
+    # Temperature-scaled sampling mixture over (lang, source) corpora:
+    # w_i ∝ tokens_i^(1/T) with T=2 — ONE correctly-rounded sqrt per
+    # group floored to micro-units, so shares and the Hamilton
+    # largest-remainder allocation of the 1000-shard budget are exact
+    # integer arithmetic; raw-share vs tempered-share ppm side by side
+    # shows the reweighting (head suppressed, tail boosted).
+    oracle=f"""
+    WITH g AS (
+        SELECT lang, source,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                    t -> t <> ''))) AS BIGINT) AS tokens
+        FROM documents GROUP BY 1, 2
+    ), w AS (
+        SELECT lang, source, tokens,
+               CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * {_TEMP_SCALE})
+                    AS BIGINT) AS w_micro,
+               SUM(tokens) OVER () AS tok_total
+        FROM g
+    ), sh AS (
+        SELECT lang, source, tokens,
+               CAST(tokens * 1000000 // tok_total AS BIGINT) AS raw_ppm,
+               CAST(w_micro * 1000000 // SUM(w_micro) OVER () AS BIGINT)
+                   AS tempered_ppm,
+               w_micro * {_TEMP_BUDGET} AS kw,
+               SUM(w_micro) OVER () AS w_total
+        FROM w
+    ), alloc AS (
+        SELECT lang, source, tokens, raw_ppm, tempered_ppm,
+               kw // w_total AS base,
+               kw % w_total AS rem,
+               ROW_NUMBER() OVER (ORDER BY kw % w_total DESC,
+                                  lang, source) AS rem_rank,
+               {_TEMP_BUDGET} - SUM(kw // w_total) OVER () AS leftover
+        FROM sh
+    )
+    SELECT lang, source, tokens, raw_ppm, tempered_ppm,
+           CAST(base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS shards
+    FROM alloc ORDER BY lang, source
+    """,
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled pretraining mixture: reweight the (lang,
+    source) corpora by tokens^(1/T) with T = 2 — the standard
+    multilingual sampling-temperature knob (T = 1 reproduces raw
+    proportions and starves the tail; T → ∞ is uniform and
+    over-samples tiny corpora into repetition) — and allocate a
+    1000-shard sampling budget by Hamilton largest-remainder on the
+    tempered weights (the `corpus_eval_allocation` rounding recipe,
+    exact-total by construction).  Each weight is ONE correctly-
+    rounded sqrt floored to micro-units, so shares and the allocation
+    are exact integer arithmetic; raw vs tempered ppm side by side
+    makes the head-suppression/tail-boost the readout (pytest asserts
+    the crossover: every below-average corpus gains share, every
+    above-average one loses).
+
+    Scale notes: ONE map-side-combined aggregate to the (lang, source)
+    rollup (≤ langs×sources rows at any corpus size); weights, shares,
+    ranks, and the allocation all run on that ≤100-row frame
+    (reviewed SINGLE rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.expr(
+            "CAST(SUM(size(filter(split(text, ' '), t -> t <> '')))"
+            " AS BIGINT)"
+        ).alias("tokens")
+    )
+    w_all = Window.partitionBy()
+    w = g.select(
+        "lang",
+        "source",
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens").cast("double")) * _TEMP_SCALE)
+        .cast("long")
+        .alias("w_micro"),
+        F.sum("tokens").over(w_all).alias("tok_total"),
+    )
+    sh = w.select(
+        "lang",
+        "source",
+        "tokens",
+        "w_micro",
+        F.expr("CAST(tokens * 1000000 div tok_total AS BIGINT)").alias(
+            "raw_ppm"
+        ),
+        F.expr(f"w_micro * {_TEMP_BUDGET}").alias("kw"),
+        F.sum("w_micro").over(w_all).alias("w_total"),
+    ).withColumn(
+        "tempered_ppm",
+        F.expr("CAST(w_micro * 1000000 div w_total AS BIGINT)"),
+    )
+    alloc = sh.select(
+        "lang",
+        "source",
+        "tokens",
+        "raw_ppm",
+        "tempered_ppm",
+        F.expr("kw div w_total").alias("base"),
+        (F.col("kw") % F.col("w_total")).alias("rem"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.col("kw") % F.col("w_total")), "lang", "source"))
+        .alias("rem_rank"),
+        (
+            F.lit(_TEMP_BUDGET) - F.sum(F.expr("kw div w_total")).over(w_all)
+        ).alias("leftover"),
+    )
+    return alloc.select(
+        "lang",
+        "source",
+        "tokens",
+        "raw_ppm",
+        "tempered_ppm",
+        (
+            F.col("base")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("shards"),
+    ).orderBy("lang", "source")

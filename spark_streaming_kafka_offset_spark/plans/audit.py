@@ -254,6 +254,9 @@ SINGLE_ALLOWED: dict[str, str] = {
     "rollup",
     "win_median_sliding": "7-day collect/sort window over the "
     "calendar-day rollup",
+    "corpus_temperature_mixture": "weight/share/remainder-rank windows "
+    "over the <=|langs x sources| (~100-row) mixture rollup (the "
+    "corpus_eval_allocation posture)",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

@@ -131,6 +131,9 @@ DEFERRED_R9: tuple[str, ...] = (
     "orders_weibull_fit",
     "events_markov_stationary",
     "win_median_sliding",
+    # r8-registered oracle pair (temperature-scaled mixture —
+    # functions/curation.py, §2.35).
+    "corpus_temperature_mixture",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -245,6 +248,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_weibull_fit",
     "events_markov_stationary",
     "win_median_sliding",
+    "corpus_temperature_mixture",
     # Hard-proven oracle keys, stalest evidence first — ascending newest
     # hard row, alphabetical within a tier, so the r9+ rotation queue
     # reads straight down this list after the deferrals.  Derived r9

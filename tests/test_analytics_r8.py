@@ -1310,3 +1310,34 @@ def test_sliding_median_matches_python(spark):
         w = revs[max(0, i - 3) : i + 4]
         assert r.window_n == len(w)
         assert r.median7_cents == sorted(w)[(len(w) + 1) // 2 - 1]
+
+
+# ---- §2.35 temperature-scaled sampling mixture ----
+
+
+def test_temperature_mixture_reweights_toward_tail(spark):
+    """Shards must sum exactly to the budget, tempered shares must
+    match a Python sqrt-weight recomputation, and the temperature must
+    boost every below-average corpus and suppress every above-average
+    one (the T>1 crossover property)."""
+    import math
+
+    rows = QUERIES["corpus_temperature_mixture"](spark, SF_DIR).collect()
+    assert sum(r.shards for r in rows) == 1000
+    toks = {(r.lang, r.source): r.tokens for r in rows}
+    w = {k: math.floor(math.sqrt(t) * 1e6) for k, t in toks.items()}
+    wt = sum(w.values())
+    tt = sum(toks.values())
+    mean_tok = tt / len(toks)
+    for r in rows:
+        k = (r.lang, r.source)
+        assert r.tempered_ppm == w[k] * 1_000_000 // wt
+        assert r.raw_ppm == toks[k] * 1_000_000 // tt
+        if toks[k] < 0.9 * mean_tok:
+            assert r.tempered_ppm > r.raw_ppm, k
+        if toks[k] > 1.1 * mean_tok:
+            assert r.tempered_ppm < r.raw_ppm, k
+    # Hamilton: every allocation within 1 of the exact proportional share
+    for r in rows:
+        exact = w[(r.lang, r.source)] * 1000 / wt
+        assert abs(r.shards - exact) < 1

@@ -150,6 +150,8 @@ STRESS_SET = [
     "orders_weibull_fit",
     "events_markov_stationary",
     "win_median_sliding",
+    # r8 §2.35: the (lang,source) token agg + mixture-rollup windows.
+    "corpus_temperature_mixture",
 ]
 
 
