@@ -2301,7 +2301,16 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("a"),
         F.lead("event_type").over(w).alias("b"),
     ).where(F.col("b").isNotNull())
-    t = seq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    from ..common import stage
+
+    # Stage the transition rollup: the five power iterations plus
+    # emp/states all consume it, and unlike the single-consumer cases
+    # ReuseExchange does not cover the iterative joins — measured
+    # 7.7 s → 5.4 s at sf1 (the graph_pagerank lineage-truncation
+    # discipline; staging the OTHER r8 rollups measured neutral to
+    # negative and was reverted — ReuseExchange already dedupes their
+    # identical agg subtrees).
+    t = stage(seq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c")))
     w_row = Window.partitionBy("a")
     w_all = Window.partitionBy()
     tn = t.select(
