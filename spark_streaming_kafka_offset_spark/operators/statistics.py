@@ -2268,7 +2268,7 @@ def agg_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: corpus-grain work is ONE hash aggregate to the hourly
     rollup; the spine/zero-fill, 4× block-size fanout, block windows,
     and the 4-point OLS all run on that calendar-bounded frame
-    (reviewed SINGLE/BNL rows — ≤4·\|hours\| rows end to end)."""
+    (reviewed SINGLE/BNL rows — ≤4·|hours| rows end to end)."""
     e = load_table(spark, sf_dir, "events")
     hour = (epoch_seconds("ts") / 3600).cast("long")
     bounds = e.agg(

@@ -44,171 +44,30 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 #: Freshness rule (VERDICT r4 #2 / r5 #8, codified in
 #: tests/test_registry.py): the window must always hold the oracle keys
 #: with the OLDEST newest-hard-row (never-proven keys first), with any
-#: arithmetic overflow named explicitly in DEFERRED_R9 so the next
+#: arithmetic overflow named explicitly in DEFERRED_R10 so the next
 #: round's queue is derivable from the CORRECTNESS ledgers alone.
-#: Oracle keys registered DURING round 8, after the r8 window below was
-#: sealed — they head the r9 window (freshness rule: never-proven keys
-#: are accounted for as window ∪ DEFERRED_R9, tests/test_registry.py).
-#: Empty at r8 window-seal time; new r8 oracle registrations append here
+#: Oracle keys registered DURING round 9, after the r9 window below was
+#: sealed, head the r10 window (freshness rule: never-proven keys are
+#: accounted for as window ∪ DEFERRED_R10, tests/test_registry.py).
+#: Empty at r9 window-seal time; new r9 oracle registrations append here
 #: AND to DRIVER_PRIORITY just after the window boundary.
-DEFERRED_R9: tuple[str, ...] = (
-    # r8-registered oracle pairs (survival / forecasting / bootstrap —
-    # operators/inference.py, §2.24).
-    "events_kaplan_meier",
-    "events_forecast_backtest",
-    "agg_bootstrap_ci",
-    # r8-registered oracle pairs (calibration / apportionment /
-    # incremental maintenance — §2.24).
-    "eval_isotonic_calibration",
-    "corpus_eval_allocation",
-    "agg_incremental_state_merge",
-    # r8-registered oracle pairs (exact regression / experimentation /
-    # series cross-correlation / log-bucket histogram —
-    # operators/inference.py + operators/statistics.py, §2.25).
-    "agg_grouped_ols",
-    "events_ab_cuped",
-    "events_cross_correlation",
-    "agg_hdr_histogram",
-    # r8-registered oracle pairs (frequency sketch / network scalar —
-    # operators/scale.py + functions/scalar.py, §2.25).
-    "agg_countmin_heavyhitters",
-    "fn_ip_cidr",
-    # r8-registered oracle pairs (parametric testing / RLHF pair
-    # construction — operators/inference.py + functions/training.py,
-    # §2.25).
-    "agg_welch_ttest",
-    "docs_preference_pairs",
-    # r8-registered oracle pair (keyword extraction — functions/text.py,
-    # §2.25).
-    "text_rake_keywords",
-    # r8-registered oracle pair (censoring-aware cohort forecast —
-    # operators/statistics.py, §2.25).
-    "orders_chain_ladder",
-    # r8-registered oracle pair (CBO estimate-vs-truth —
-    # operators/maintenance.py, §2.25).
-    "scan_selectivity_estimates",
-    # r8-registered oracle pairs (rank statistics / exact Shapley
-    # attribution — operators/ordinal.py, §2.26).
-    "agg_spearman_corr",
-    "agg_kendall_tau",
-    "events_shapley_attribution",
-    # r8-registered oracle pairs (DSIR data selection / Zipf fit /
-    # CvM two-sample — functions/curation.py, functions/text.py,
-    # operators/inference.py, §2.27).
-    "corpus_dsir_weights",
-    "text_zipf_fit",
-    "agg_cramer_von_mises",
-    # r8-registered oracle pairs (price indices / Markov entropy rate —
-    # operators/statistics.py + operators/inference.py, §2.28).
-    "lineitem_price_index",
-    "events_entropy_rate",
-    # r8-registered oracle pairs (closed-form batch CUSUM / CCNet
-    # perplexity terciles — operators/statistics.py + functions/text.py,
-    # §2.29).
-    "events_cusum_drift",
-    "docs_ccnet_perplexity_buckets",
-    # r8-registered oracle pairs (Adamic–Adar link prediction / Hurst
-    # R/S — operators/graph.py + operators/statistics.py, §2.30).
-    "graph_adamic_adar",
-    "agg_hurst_exponent",
-    # r8-registered oracle pairs (ABC×XYZ inventory matrix / grouped
-    # jackknife / burstiness — operators/statistics.py +
-    # operators/inference.py, §2.31).
-    "orders_abc_xyz",
-    "agg_jackknife_ratio",
-    "events_burstiness_index",
-    # r8-registered oracle pairs (TextRank / learned NB quality gate —
-    # functions/text.py + functions/curation.py, §2.32).
-    "text_textrank_keywords",
-    "docs_nb_quality_classifier",
-    # r8-registered oracle pairs (paired t-test / power analysis —
-    # operators/inference.py, §2.33).
-    "agg_ttest_paired",
-    "agg_power_analysis",
-    # r8-registered oracle pairs (Weibull fit / Markov stationary /
-    # sliding median — operators/statistics.py + operators/inference.py
-    # + operators/windows.py, §2.34).
-    "orders_weibull_fit",
-    "events_markov_stationary",
-    "win_median_sliding",
-    # r8-registered oracle pair (temperature-scaled mixture —
-    # functions/curation.py, §2.35).
-    "corpus_temperature_mixture",
-)
+DEFERRED_R10: tuple[str, ...] = ()
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Window policy (r8): the driver checks the FIRST 50 keys only.
-    # r2-r7 each hash-proved a 50-key window (all green); their union
-    # hard-covers 224 of the 259 oracle pairs registered through r7.
-    # This window holds ALL 35 never-proven pairs (the 33 r7-registered
-    # keys carried in r7's DEFERRED_R8, order preserved, + the 2 keys
-    # that landed in r7's final snapshot commit outside every queue —
-    # agg_kmv_jaccard, win_running_distinct; VERDICT r7 #1/#2) plus the
-    # 15 alphabetically-first keys of the stalest hard-proven tier
-    # (newest hard row = r3).  Green rows here mean EVERY oracle pair
-    # registered through r7 has a hard CORRECTNESS row across r2..r8 —
-    # 259/259, the first round where that is true.
+    # ---- Window policy (r9): the driver checks the FIRST 50 keys only.
+    # r2-r8 each hash-proved a 50-key window (all green); their union
+    # hard-covers all 259 oracle pairs registered through r7.  This
+    # window holds ALL 40 never-proven pairs (the r8-registered keys
+    # carried in r8's DEFERRED_R9, order preserved — VERDICT r8 #1)
+    # plus the 10 stalest hard-proven keys (the 9 remaining r3-era
+    # keys + agg_collect, the alphabetically-first r4-era key).  Green
+    # rows here mean EVERY oracle pair ever registered has a hard
+    # CORRECTNESS row — 299/299, full hard coverage of the contract
+    # for the first time.
     # tests/test_registry.py::test_window_targets_stalest_oracle_keys
     # derives this policy from the CORRECTNESS ledgers and fails if the
-    # window ever omits a stalest-tier key not named in DEFERRED_R9.
-    # -- never-proven tier (r7 DEFERRED_R8, order preserved) --
-    "agg_ks_test",
-    "agg_mannwhitney_u",
-    "agg_covariance_matrix",
-    "agg_gini_lorenz",
-    "events_benford_deviation",
-    "events_drift_jsd",
-    "events_peak_concurrency",
-    "orders_skyline_2d",
-    "events_burst_hysteresis",
-    "customer_interpurchase_mix",
-    "events_user_day_entropy",
-    "win_percent_change",
-    "lineitem_discount_lift",
-    "docs_winnowing_fingerprint",
-    "corpus_dedup_survivorship",
-    "fn_uri_parse",
-    "fn_interval_arith",
-    "feat_target_encode",
-    "feat_quantile_bins",
-    "feat_minmax_zscore",
-    "feat_onehot_topk",
-    "split_kfold_balance",
-    "cdc_net_changes",
-    "table_compaction_plan",
-    "embed_knn_graph",
-    "eval_score_reliability",
-    "eval_confusion_thresholds",
-    "privacy_k_anonymity",
-    "feat_woe_iv",
-    "fn_geo_haversine",
-    "stream_rebalance_plan",
-    "stream_offset_commit_lag",
-    "text_readability",
-    # -- never-proven tier, cont.: the two r7 snapshot-commit orphans --
-    "agg_kmv_jaccard",
-    "win_running_distinct",
-    # -- stalest hard-proven tier (newest hard row: r3; first 15 of 24
-    #    alphabetically — all 24 are equally stale, so any 15 satisfy
-    #    the freshness rule; alphabetical-first keeps it derivable) --
-    "join_skew_salted",
-    "multimodal_meta",
-    "pack_sequences",
-    "pipeline_corpus_shards",
-    "pivot_wide",
-    "q10_returned_items",
-    "q5_local_supplier",
-    "resample_locf",
-    "rollup_time",
-    "sample_weighted",
-    "scan_corrupt_tolerant",
-    "scan_dynamic_pruning",
-    "scan_partition_pruned",
-    "scan_schema_evolution",
-    "set_union_all",
-    # --- window boundary (50) ---
-    # Oracle keys registered during r8, after the window seal, are
-    # appended HERE (and to DEFERRED_R9) — the r9 queue head.
+    # window ever omits a stalest-tier key not named in DEFERRED_R10.
+    # -- never-proven tier (r8 DEFERRED_R9, order preserved) --
     "events_kaplan_meier",
     "events_forecast_backtest",
     "agg_bootstrap_ci",
@@ -249,16 +108,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_markov_stationary",
     "win_median_sliding",
     "corpus_temperature_mixture",
-    # Hard-proven oracle keys, stalest evidence first — ascending newest
-    # hard row, alphabetical within a tier, so the r9+ rotation queue
-    # reads straight down this list after the deferrals.  Derived r9
-    # queue (VERDICT r7 #7 — freshness arithmetic, assuming the r8
-    # window goes 50/50 green): never-proven tier = DEFERRED_R9;
-    # stalest hard tier = the 9 remaining r3-era keys below, then the
-    # r4 tier alphabetically (41 of its 62 keys fill the window).
-    # tests/test_registry.py re-derives this from the ledgers, so a
-    # partial r8 ledger just shifts the split automatically.
-    # -- newest hard row: r3 (9 remaining) --
+    # -- stalest hard-proven tier (newest hard row: r3 — all 9
+    #    remaining — then agg_collect, the alphabetically-first of the
+    #    r4-era keys, filling slot 50) --
     "snapshot_diff",
     "text_bigram_pmi",
     "text_fingerprint",
@@ -268,8 +120,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "unpivot_long",
     "vocab_topk",
     "win_moving_avg",
-    # -- newest hard row: r4 --
     "agg_collect",
+    # --- window boundary (50) ---
+    # Oracle keys registered during r9, after the window seal, are
+    # appended HERE (and to DEFERRED_R10) — the r10 queue head.
+    # Hard-proven oracle keys below, stalest evidence first — ascending
+    # newest hard row, alphabetical within a tier (r7/r8 windows keep
+    # their proven order), so the r10+ rotation queue reads straight
+    # down this list after the deferrals.
+    # -- newest hard row: r4 (61 remaining; agg_collect moved into the
+    #    window above) --
     "agg_distinct",
     "agg_grouping_sets",
     "agg_hash",
@@ -472,6 +332,59 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_array_ops",
     "join_asof_fwd",
     "join_bucketed",
+    # -- newest hard row: r8 (the r8 window, order preserved: 35
+    #    formerly-never-proven r7-registered keys + 15 r3-era keys,
+    #    all 50/50 hash-green in CORRECTNESS_r08) --
+    "agg_ks_test",
+    "agg_mannwhitney_u",
+    "agg_covariance_matrix",
+    "agg_gini_lorenz",
+    "events_benford_deviation",
+    "events_drift_jsd",
+    "events_peak_concurrency",
+    "orders_skyline_2d",
+    "events_burst_hysteresis",
+    "customer_interpurchase_mix",
+    "events_user_day_entropy",
+    "win_percent_change",
+    "lineitem_discount_lift",
+    "docs_winnowing_fingerprint",
+    "corpus_dedup_survivorship",
+    "fn_uri_parse",
+    "fn_interval_arith",
+    "feat_target_encode",
+    "feat_quantile_bins",
+    "feat_minmax_zscore",
+    "feat_onehot_topk",
+    "split_kfold_balance",
+    "cdc_net_changes",
+    "table_compaction_plan",
+    "embed_knn_graph",
+    "eval_score_reliability",
+    "eval_confusion_thresholds",
+    "privacy_k_anonymity",
+    "feat_woe_iv",
+    "fn_geo_haversine",
+    "stream_rebalance_plan",
+    "stream_offset_commit_lag",
+    "text_readability",
+    "agg_kmv_jaccard",
+    "win_running_distinct",
+    "join_skew_salted",
+    "multimodal_meta",
+    "pack_sequences",
+    "pipeline_corpus_shards",
+    "pivot_wide",
+    "q10_returned_items",
+    "q5_local_supplier",
+    "resample_locf",
+    "rollup_time",
+    "sample_weighted",
+    "scan_corrupt_tolerant",
+    "scan_dynamic_pruning",
+    "scan_partition_pruned",
+    "scan_schema_evolution",
+    "set_union_all",
     # Rows-only SURVEY rows (no DuckDB-expressible oracle), streaming
     # first — never occupy window slots (locked by test_registry.py).
     "sim_topk_pq",

@@ -554,13 +554,16 @@ def scd2_merge_batch(hist: DataFrame, batch_df: DataFrame, eff) -> DataFrame:
     tests/test_streaming.py::test_scd2_merge_preserves_prior_versions,
     which changes ONE key across two batches and counts 3 versions.
 
-    Closed-key-set contract (ADVICE r7): every CDC key is assumed to
-    already exist in the store (the fixtures derive batches from the
-    customer dim, so the inner join is total).  A brand-new key is a
-    different operation — SCD2 *insert* with valid_from = eff and no
-    close — which `merge_scd2`'s batch recipe handles at load time;
-    this incremental path maintains versions, it does not bootstrap
-    them.  NULL attribute values are REAL values here: change
+    New-key insert branch (VERDICT r8 #6 — closes the r7 closed-key-set
+    seam): a CDC key with NO current row in the store is a first
+    appearance, not a change — it inserts one OPEN version
+    (valid_from = eff, valid_to NULL, is_current) with nothing to
+    close.  The branch is a left_anti of the batch against the store's
+    current keys, so it is empty (and free) when the key set really is
+    closed; general CDC consumers whose dimension grows mid-stream now
+    get the row instead of a silent drop.  Pinned by
+    tests/test_streaming.py::test_scd2_merge_inserts_new_key.
+    NULL attribute values are REAL values here: change
     detection is null-safe (NOT eqNullSafe), so NULL→x, x→NULL and
     NULL→NULL compare correctly instead of silently dropping the row
     the way `!=`'s three-valued logic would."""
@@ -600,11 +603,22 @@ def scd2_merge_batch(hist: DataFrame, batch_df: DataFrame, eff) -> DataFrame:
         F.lit(None).cast("date").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
+    inserted = (
+        batch_df.join(cur.select("c_custkey"), "c_custkey", "left_anti")
+        .select(
+            "c_custkey",
+            F.col("new_seg").alias("c_mktsegment"),
+            F.col("new_bal").alias("c_acctbal"),
+            eff.alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
     out = untouched.select(
         "c_custkey", "c_mktsegment", "c_acctbal",
         "valid_from", "valid_to", "is_current",
     )
-    return out.unionByName(closed).unionByName(fresh)
+    return out.unionByName(closed).unionByName(fresh).unionByName(inserted)
 
 
 @register("stream_scd2_apply")

@@ -1120,6 +1120,56 @@ def test_scd2_merge_preserves_prior_versions(spark):
     assert hist3.count() == 3
 
 
+def test_scd2_merge_inserts_new_key(spark):
+    """VERDICT r8 #6: a brand-new CDC key appearing mid-stream must be
+    INSERTED as one open version (valid_from = eff, nothing to close) —
+    the r7 contract silently dropped it.  Existing keys in the same
+    batch still follow the close+insert path, and a later change to the
+    new key versions it normally."""
+    from spark_streaming_kafka_offset_spark.streaming.core import scd2_merge_batch
+
+    hist0 = spark.createDataFrame(
+        [(1, "BUILDING", 100.0, "1992-01-01", None, True)],
+        "c_custkey long, c_mktsegment string, c_acctbal double, "
+        "valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+        "is_current",
+    )
+    # batch 1: key 1 really changes AND key 2 appears for the first time
+    b1 = spark.createDataFrame(
+        [(1, "MACHINERY", 100.0), (2, "FURNITURE", 50.0)],
+        "c_custkey long, new_seg string, new_bal double",
+    )
+    hist1 = scd2_merge_batch(hist0, b1, F.lit("1995-01-01").cast("date"))
+    rows = {
+        (r["c_custkey"], str(r["valid_from"])): r for r in hist1.collect()
+    }
+    assert len(rows) == 3, sorted(rows)
+    newk = rows[(2, "1995-01-01")]
+    assert newk["is_current"] and newk["valid_to"] is None
+    assert newk["c_mktsegment"] == "FURNITURE" and newk["c_acctbal"] == 50.0
+    assert not rows[(1, "1992-01-01")]["is_current"]  # old version closed
+    assert rows[(1, "1995-01-01")]["is_current"]
+    # batch 2: the new key changes — ends with exactly one open version
+    b2 = spark.createDataFrame(
+        [(2, "FURNITURE", 75.0)], "c_custkey long, new_seg string, new_bal double"
+    )
+    hist2 = scd2_merge_batch(hist1, b2, F.lit("1998-01-01").cast("date"))
+    k2 = [r for r in hist2.collect() if r["c_custkey"] == 2]
+    assert len(k2) == 2
+    open_rows = [r for r in k2 if r["is_current"]]
+    assert len(open_rows) == 1 and open_rows[0]["c_acctbal"] == 75.0
+    closed = [r for r in k2 if not r["is_current"]][0]
+    assert str(closed["valid_to"]) == "1998-01-01"
+    # idempotent no-op: re-applying b2 creates no new version
+    assert scd2_merge_batch(hist2, b2, F.lit("1999-01-01").cast("date")).count() == hist2.count()
+
+
 def test_scd2_merge_null_safe_change_detection(spark):
     """ADVICE r7: NULL attribute values are real values to SCD2 — a
     x→NULL transition must CLOSE the current version (a null-unsafe
