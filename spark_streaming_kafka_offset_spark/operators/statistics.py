@@ -2674,3 +2674,221 @@ def orders_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(-(icpt / float(_WEIB_SCALE)) / slope), 4
         ).alias("weibull_scale_days"),
     ).orderBy("dur_days")
+
+
+# --------------------------------------------------------------------------
+# r9 batch (§2.38): inventory service levels + grouped inequality.
+# --------------------------------------------------------------------------
+
+#: Safety-stock service factor z = 1.645 carried in micro-units (90%
+#: one-sided service level) and a fixed 2-week replenishment lead time —
+#: both named constants so the oracle embeds identical literals.
+_SS_Z_MICRO = 1_645_000
+_SS_LEAD_WEEKS = 2
+
+#: Theil band width for grouped inequality: $10,000 of customer spend
+#: per band (cents) — fixed edges, RANGE-bounded rollup (fixture spend
+#: tops out ~$3.5M per customer => <= ~350 bands).
+_THEIL_BAND_CENTS = 1_000_000
+
+
+@register(
+    "orders_safety_stock",
+    # Per-brand weekly demand -> safety stock & reorder point under a
+    # fixed 90% service factor and 2-week lead: mu/sigma from exact
+    # integer quantity sums at (brand, week) grain; SS = z*sigma*sqrt(L)
+    # and ROP = L*mu + SS as terminal float readouts, ROUND 2.
+    oracle=f"""
+    WITH weekly AS (
+        SELECT p.p_brand AS brand,
+               DATE_TRUNC('week', l.l_shipdate) AS wk,
+               SUM(CAST(l.l_quantity AS BIGINT)) AS q
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ), stats AS (
+        SELECT brand, COUNT(*) AS n_weeks, SUM(q) AS sq,
+               SUM(CAST(q AS HUGEINT) * q) AS sqq
+        FROM weekly GROUP BY brand
+    )
+    SELECT brand,
+           CAST(n_weeks AS BIGINT) AS n_weeks,
+           CAST(sq AS BIGINT) AS total_units,
+           ROUND(CAST(sq AS DOUBLE) / n_weeks, 2) AS mu_weekly,
+           ROUND(SQRT((CAST(sqq AS DOUBLE)
+                       - CAST(sq AS DOUBLE) * sq / n_weeks)
+                      / (n_weeks - 1)), 2) AS sigma_weekly,
+           ROUND({_SS_Z_MICRO} * 1e-6
+                 * SQRT((CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * sq / n_weeks)
+                        / (n_weeks - 1))
+                 * SQRT({_SS_LEAD_WEEKS}), 2) AS safety_stock,
+           ROUND({_SS_LEAD_WEEKS} * CAST(sq AS DOUBLE) / n_weeks
+                 + {_SS_Z_MICRO} * 1e-6
+                   * SQRT((CAST(sqq AS DOUBLE)
+                           - CAST(sq AS DOUBLE) * sq / n_weeks)
+                          / (n_weeks - 1))
+                   * SQRT({_SS_LEAD_WEEKS}), 2) AS reorder_point
+    FROM stats
+    WHERE n_weeks > 1
+    ORDER BY brand
+    """,
+)
+def orders_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand safety stock and reorder point — the inventory-policy
+    readout downstream of `orders_abc_xyz`: weekly demand mean/std from
+    exact integer quantity sums, SS = z·σ_w·√L (z = 1.645 ≙ 90%
+    service, L = 2 weeks lead), ROP = L·μ_w + SS.  Demand variability
+    is real at brand grain (intermittent per-part demand aggregates to
+    distinct per-brand CVs — the r8 ABC×XYZ audit), so the SS column
+    spreads across brands instead of scaling one number.
+
+    Scale notes: ONE fact-dim join + hash aggregate to the
+    (brand, week) rollup (25 brands × corpus-era weeks — calendar
+    bounded), then a second aggregate to 25 brand rows; sqrt/divisions
+    are terminal on that frame, ROUND(2)-absorbed.  Quantity sums stay
+    BIGINT; sums of squares carry DECIMAL(38,0)/HUGEINT (qty² × weekly
+    volume crosses BIGINT near sf100)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    weekly = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("week", F.col("l_shipdate")).alias("wk"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    stats = weekly.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum("q").alias("sq"),
+        F.sum(
+            F.col("q").cast("decimal(38,0)") * F.col("q").cast("decimal(38,0)")
+        ).alias("sqq"),
+    )
+    var = (
+        F.col("sqq").cast("double")
+        - F.col("sq").cast("double") * F.col("sq") / F.col("n_weeks")
+    ) / (F.col("n_weeks") - 1)
+    sigma = F.sqrt(var)
+    mu = F.col("sq").cast("double") / F.col("n_weeks")
+    ss = (
+        F.lit(_SS_Z_MICRO)
+        * F.lit(1e-6)
+        * sigma
+        * F.sqrt(F.lit(_SS_LEAD_WEEKS))
+    )
+    return (
+        stats.where(F.col("n_weeks") > 1)
+        .select(
+            "brand",
+            F.col("n_weeks").cast("long").alias("n_weeks"),
+            F.col("sq").cast("long").alias("total_units"),
+            F.round(mu, 2).alias("mu_weekly"),
+            F.round(sigma, 2).alias("sigma_weekly"),
+            F.round(ss, 2).alias("safety_stock"),
+            F.round(F.lit(_SS_LEAD_WEEKS) * mu + ss, 2).alias("reorder_point"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "agg_theil_inequality",
+    # Grouped Theil-T decomposition of customer spend by nation: cells =
+    # (nation, $10k spend band); T_between_cells = sum w_g ln(w_g/f_g)
+    # over exact integer share ratios, split into between-nation and
+    # within-nation components.  ln runs ONLY on the bounded cell
+    # rollup; each term is ROUND(6)-absorbed.
+    oracle=f"""
+    WITH spend AS (
+        SELECT o.o_custkey AS cust, c.c_nationkey AS nation,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), cells AS (
+        SELECT nation, y // {_THEIL_BAND_CENTS} AS band,
+               COUNT(*) AS n_g, SUM(y) AS y_g
+        FROM spend GROUP BY 1, 2
+    ), tot AS (
+        SELECT SUM(n_g) AS n, SUM(y_g) AS y FROM cells
+    ), nation_t AS (
+        SELECT c.nation,
+               SUM(c.n_g) AS n_nat, SUM(c.y_g) AS y_nat,
+               SUM((CAST(c.y_g AS DOUBLE) / t.y)
+                   * LN((CAST(c.y_g AS DOUBLE) / t.y)
+                        / (CAST(c.n_g AS DOUBLE) / t.n))) AS t_cells
+        FROM cells c CROSS JOIN tot t
+        GROUP BY c.nation
+    )
+    SELECT nt.nation AS nation,
+           CAST(nt.n_nat AS BIGINT) AS n_customers,
+           CAST(CAST(nt.y_nat AS HUGEINT) * 1000000 // t.y AS BIGINT)
+               AS spend_share_ppm,
+           ROUND((CAST(nt.y_nat AS DOUBLE) / t.y)
+                 * LN((CAST(nt.y_nat AS DOUBLE) / t.y)
+                      / (CAST(nt.n_nat AS DOUBLE) / t.n)), 6)
+               AS t_between_contrib,
+           ROUND(nt.t_cells
+                 - (CAST(nt.y_nat AS DOUBLE) / t.y)
+                   * LN((CAST(nt.y_nat AS DOUBLE) / t.y)
+                        / (CAST(nt.n_nat AS DOUBLE) / t.n)), 6)
+               AS t_within_contrib
+    FROM nation_t nt CROSS JOIN tot t
+    ORDER BY nation
+    """,
+)
+def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Theil-T inequality decomposition of customer spend —
+    per nation: the between-nation contribution (does this nation's
+    spend share outrun its population share?) and the within-nation
+    contribution (inequality across $10k spend bands inside the
+    nation).  Summing the two columns over nations gives total
+    band-grain Theil; the decomposition is exact by Theil's additivity.
+    Banding is the standard grouped-data form (income statistics are
+    published banded): ln never touches a per-customer row.
+
+    Scale notes: corpus → per-customer spend (ONE hash aggregate, the
+    dim-grain rollup) → (nation, band) cells (second aggregate,
+    RANGE-bounded: ≤ nations × ~350 bands at any SF); the global
+    totals broadcast onto that cell frame, and every ln/division is a
+    terminal float on cells, ROUND(6)-absorbed.  Shares carried as
+    exact BIGINT/ppm where emitted (`spend_share_ppm`)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("c_nationkey").alias("nation")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+        )
+    )
+    cells = spend.groupBy(
+        "nation", F.expr(f"y div {_THEIL_BAND_CENTS}").alias("band")
+    ).agg(F.count(F.lit(1)).alias("n_g"), F.sum("y").alias("y_g"))
+    tot = cells.agg(
+        F.sum("n_g").alias("n"), F.sum("y_g").alias("y")
+    )
+    with_tot = cells.crossJoin(F.broadcast(tot))
+    w_share = F.col("y_g").cast("double") / F.col("y")
+    f_share = F.col("n_g").cast("double") / F.col("n")
+    nation_t = with_tot.groupBy("nation").agg(
+        F.sum("n_g").alias("n_nat"),
+        F.sum("y_g").alias("y_nat"),
+        F.sum(w_share * F.log(w_share / f_share)).alias("t_cells"),
+        F.max("n").alias("n"),
+        F.max("y").alias("y"),
+    )
+    wn = F.col("y_nat").cast("double") / F.col("y")
+    fn = F.col("n_nat").cast("double") / F.col("n")
+    between = wn * F.log(wn / fn)
+    return nation_t.select(
+        F.col("nation").cast("long").alias("nation"),
+        F.col("n_nat").cast("long").alias("n_customers"),
+        F.expr("CAST(y_nat AS DECIMAL(38,0)) * 1000000 div y")
+        .cast("long")
+        .alias("spend_share_ppm"),
+        F.round(between, 6).alias("t_between_contrib"),
+        F.round(F.col("t_cells") - between, 6).alias("t_within_contrib"),
+    ).orderBy("nation")

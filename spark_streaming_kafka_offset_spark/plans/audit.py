@@ -93,6 +93,10 @@ BNL_ALLOWED: dict[str, str] = {
     "prior scalar frames onto the doc and 64-row model frames",
     "agg_ttest_paired": "broadcast 1-row median-date cutover frame "
     "onto the scan (events_ab_cuped's horizon pattern)",
+    "agg_fdr_bh": "broadcast 1-row global mean/ss frame onto the "
+    "25-row nation rollup (agg_jackknife_ratio's posture)",
+    "agg_theil_inequality": "broadcast 1-row grand-totals frame onto "
+    "the <=|nations x bands| cell rollup",
 }
 
 #: key → reviewed reason an Exchange SinglePartition is acceptable.  The
@@ -257,6 +261,19 @@ SINGLE_ALLOWED: dict[str, str] = {
     "corpus_temperature_mixture": "weight/share/remainder-rank windows "
     "over the <=|langs x sources| (~100-row) mixture rollup (the "
     "corpus_eval_allocation posture)",
+    "eval_lift_gains": "position/total/capture windows over the "
+    "RANGE-bounded (~500-row) score rollup",
+    "eval_brier_decomposition": "bin-total windows over the 10-row "
+    "forecast-bin rollup",
+    "docs_bradley_terry": "per-iteration strength renormalization "
+    "window over the <=8-row band frame",
+    "agg_fdr_bh": "rank / m-count / step-up-cut windows over the "
+    "25-row hypothesis family",
+    "orders_logrank_delay": "at-risk suffix-sum windows + 1-row test "
+    "statistic over the latency-RANGE-bounded day rollup",
+    "orders_diff_in_diff": "1-row 2x2 cell pivot and test statistic",
+    "agg_theil_inequality": "grand-total frame (1 row) and the "
+    "<=|nations x bands| cell rollup its shares join",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

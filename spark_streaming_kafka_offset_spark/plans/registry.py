@@ -51,7 +51,25 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 #: accounted for as window ∪ DEFERRED_R10, tests/test_registry.py).
 #: Empty at r9 window-seal time; new r9 oracle registrations append here
 #: AND to DRIVER_PRIORITY just after the window boundary.
-DEFERRED_R10: tuple[str, ...] = ()
+DEFERRED_R10: tuple[str, ...] = (
+    # r9-registered oracle pairs (ranking quality & multiple testing —
+    # operators/ranking.py, §2.37).
+    "eval_auc_roc",
+    "eval_lift_gains",
+    "eval_cohens_kappa",
+    "eval_brier_decomposition",
+    "docs_bradley_terry",
+    "agg_fdr_bh",
+    # r9-registered oracle pairs (survival comparison, panel
+    # experimentation, inventory policy, grouped inequality, the Gopher
+    # battery — operators/inference.py + operators/statistics.py +
+    # functions/text.py, §2.38).
+    "orders_logrank_delay",
+    "orders_diff_in_diff",
+    "orders_safety_stock",
+    "agg_theil_inequality",
+    "text_gopher_rules",
+)
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- Window policy (r9): the driver checks the FIRST 50 keys only.
@@ -124,6 +142,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- window boundary (50) ---
     # Oracle keys registered during r9, after the window seal, are
     # appended HERE (and to DEFERRED_R10) — the r10 queue head.
+    # r9-registered oracle pairs (ranking quality & multiple testing —
+    # operators/ranking.py, §2.37).
+    "eval_auc_roc",
+    "eval_lift_gains",
+    "eval_cohens_kappa",
+    "eval_brier_decomposition",
+    "docs_bradley_terry",
+    "agg_fdr_bh",
+    # r9-registered oracle pairs (survival comparison, panel
+    # experimentation, inventory policy, grouped inequality, the Gopher
+    # battery — §2.38).
+    "orders_logrank_delay",
+    "orders_diff_in_diff",
+    "orders_safety_stock",
+    "agg_theil_inequality",
+    "text_gopher_rules",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier (r7/r8 windows keep
     # their proven order), so the r10+ rotation queue reads straight

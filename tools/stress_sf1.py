@@ -184,9 +184,22 @@ class SkewReader:
             return set()
 
     def worst_skew(self, before: set[int]) -> dict | None:
+        """Worst max/median task-duration ratio over the query's stages.
+
+        Two readouts (r9): ``max_over_median`` (all stages — comparable
+        with r5-r8 tokens) and ``real`` (stages whose MEDIAN task is
+        ≥200 ms).  The split exists because the fixture's large tables
+        hold only ~6 parquet row groups: with 8 MB splits most scan
+        tasks own an empty byte range (tens of ms) while the 6
+        row-group-bearing tasks do all the work, so a scan stage posts
+        a 30-40x ratio that is split-accounting, not key skew (the r8
+        pagerank investigation: after the hub fix every RANK stage sat
+        at <=1.4x while the edge-build scan still tokened 40x).  A
+        stage whose median task already does real work cannot hide
+        behind that artifact, so ``real`` is the key-skew signal."""
         if self.base is None:
             return None
-        worst = None
+        worst, worst_real = None, None
         try:
             for s in _rest(f"{self.base}/stages?status=complete"):
                 if s["stageId"] in before or s["numCompleteTasks"] < 2:
@@ -204,9 +217,16 @@ class SkewReader:
                     "max_over_median": ratio,
                 }
                 if worst is None or cand["max_over_median"] > worst["max_over_median"]:
-                    worst = cand
+                    worst = dict(cand)
+                if med >= 200 and (
+                    worst_real is None
+                    or cand["max_over_median"] > worst_real["max_over_median"]
+                ):
+                    worst_real = dict(cand)
         except Exception:
             return None
+        if worst is not None:
+            worst["real"] = worst_real
         return worst
 
 
