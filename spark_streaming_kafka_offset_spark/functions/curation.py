@@ -853,19 +853,66 @@ def corpus_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts (member count, total chars, distinct langs/sources) into one
     golden row.
 
-    Scale notes: clusters come from the pointer-jumping CC (O(log d)
-    rounds, keyed shuffles only — see connected_components); the
-    member join is labels ⋈ documents on doc_id (one shuffle), the
-    survivor election a cluster-partitioned rank over member-sized
-    groups (near-dup clusters are pairs/triples), and the rollup is
-    cluster-sized.  The oracle recomputes reachability independently
-    (recursive CTE) so parity validates the CC algorithm end-to-end."""
+    Scale notes (r9 exact-collapse rewrite — the sf10 probe KILLED the
+    r8 shape): running pair generation over raw documents ships the
+    shingle arrays of every candidate pair through the verify join, and
+    on a duplicate-heavy corpus (the sf10 fixture is ~99% replicas;
+    real crawl corpora are 30-60% exact dups) identical texts form
+    QUADRATIC candidate cliques — ~25M pairs x 2 shingle arrays filled
+    the probe host's 77 GB of shuffle disk at sf10.  Every production
+    dedup pipeline collapses EXACT duplicates first, so this operator
+    now does the same: (1) hash-group texts (xxhash64) and elect the
+    min-doc_id representative per distinct text — ONE linear shuffle;
+    (2) run prefix-filtered pair generation + pointer-jumping CC over
+    REPRESENTATIVES only (candidate volume now tracks distinct texts);
+    (3) expand labels back to members through the text-hash join —
+    linear, one label per doc.  The result is IDENTICAL by
+    construction: identical-text docs are Jaccard-1 pairs, so a doc
+    component is exactly the expansion of its text-group component
+    (plus multi-member groups whose text has no other near-dup, which
+    become their own cluster; groups under 3 tokens are excluded to
+    match the pair generator's shingle floor).  cluster_id = min
+    member doc_id is preserved because CC labels by min rep_id and
+    each rep_id is its group's min doc_id.  The oracle recomputes raw
+    reachability independently (recursive CTE) so parity validates the
+    collapse end-to-end at three SFs."""
     from .text import connected_components, ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs)
-    labels = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    dd = docs.select(
+        "doc_id", "text", "n_chars", "lang", "source",
+        F.xxhash64("text").alias("th"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    groups = dd.groupBy("th").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("g_n"),
+        F.first("n_tok").alias("g_tok"),
+    )
+    rep_docs = (
+        dd.join(groups.select("th", "rep_id"), "th")
+        .where(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    pairs = ngram_jaccard_pairs(rep_docs)
+    rep_lbl = connected_components(pairs).select(
+        F.col("node").alias("rep_id"), F.col("lbl").alias("cc_lbl")
+    )
+    labels = (
+        dd.select("doc_id", "th")
+        .join(groups, "th")
+        .join(rep_lbl, "rep_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("cc_lbl"),
+                F.when(
+                    (F.col("g_n") >= 2) & (F.col("g_tok") >= 3),
+                    F.col("rep_id"),
+                ),
+            ).alias("cluster_id"),
+        )
+        .where(F.col("cluster_id").isNotNull())
     )
     members = labels.join(
         docs.select("doc_id", "n_chars", "lang", "source"), "doc_id"
