@@ -1559,3 +1559,83 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shards"),
     ).orderBy("lang", "source")
+
+
+@register(
+    "corpus_dedup_rate_curve",
+    # Dedup yield curve: how many near-dup pairs (and how many affected
+    # documents) survive as the Jaccard threshold sweeps 0.5 -> 0.9.
+    # The pair generator's floor is 0.5, and every pair carries exact
+    # integer (n_inter, n_union), so each higher threshold is a pure
+    # integer filter over the SAME pair set: 100 * n_inter >= t * n_union
+    # — no recomputation, no float.
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_SQL},
+    thr(t) AS (VALUES (50), (60), (70), (80), (90)),
+    surviving AS (
+        SELECT thr.t, p.id_a, p.id_b
+        FROM pairs p JOIN thr ON 100 * p.n_inter >= thr.t * p.n_union
+    ), docs_hit AS (
+        SELECT t, id_a AS doc_id FROM surviving
+        UNION
+        SELECT t, id_b FROM surviving
+    )
+    SELECT CAST(thr.t AS BIGINT) AS threshold_pct,
+           CAST(COALESCE(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(d.n_docs, 0) AS BIGINT) AS n_docs_affected
+    FROM thr
+    LEFT JOIN (SELECT t, COUNT(*) AS n_pairs FROM surviving GROUP BY t) s
+      ON s.t = thr.t
+    LEFT JOIN (SELECT t, COUNT(DISTINCT doc_id) AS n_docs FROM docs_hit
+               GROUP BY t) d
+      ON d.t = thr.t
+    ORDER BY threshold_pct
+    """,
+)
+def corpus_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield curve — the tuning readout every near-dup rollout
+    runs before picking its threshold: for Jaccard cutoffs 0.5..0.9,
+    the surviving candidate-pair count and the number of documents
+    touched by at least one surviving pair.  Because the prefix-filtered
+    pair generator already emits exact integer (n_inter, n_union) at
+    its 0.5 floor, the whole curve is integer FILTERS over one pair
+    set — the expensive candidate generation is paid once, not per
+    threshold (the mistake a naive sweep makes five times over).
+
+    Scale notes: ONE pair-generation pass (prefix filtering — see
+    ngram_jaccard_pairs), then a broadcast 5-row threshold dim joined
+    with an integer inequality (reviewed NLJ: the dim is 5 literal
+    rows; fanout is pairs × 5, pair-bounded, never corpus-quadratic —
+    on duplicate-heavy corpora run it on exact-dup-collapsed
+    representatives, the `corpus_dedup_survivorship` recipe); the
+    rollups are threshold-sized."""
+    from .text import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs)
+    thr = spark.createDataFrame([(50,), (60,), (70,), (80,), (90,)], "t int")
+    surviving = pairs.join(
+        F.broadcast(thr),
+        100 * F.col("n_inter") >= F.col("t") * F.col("n_union"),
+    ).select("t", "id_a", "id_b")
+    docs_hit = surviving.select("t", F.col("id_a").alias("doc_id")).unionByName(
+        surviving.select("t", F.col("id_b").alias("doc_id"))
+    ).distinct()
+    pair_counts = surviving.groupBy("t").agg(F.count(F.lit(1)).alias("n_pairs"))
+    doc_counts = docs_hit.groupBy("t").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        thr.join(pair_counts, "t", "left")
+        .join(doc_counts, "t", "left")
+        .select(
+            F.col("t").cast("long").alias("threshold_pct"),
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+        )
+        .orderBy("threshold_pct")
+    )

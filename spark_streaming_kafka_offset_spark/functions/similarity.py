@@ -768,3 +768,89 @@ def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idot",
         (F.col("idot").cast("double") / 100000000).alias("cosine_q"),
     )
+
+
+@register(
+    "embed_hubness",
+    # Hubness audit of the blocked k-NN graph (k=3): the in-degree
+    # (k-occurrence) distribution over ALL vectors, including the
+    # 0-in-degree anti-hubs the graph rollup alone would drop.  High
+    # max-in-degree / heavy right tail is THE known failure mode of
+    # high-dimensional ANN retrieval (hub points dominate neighbor
+    # lists); this is the readout that says whether it is happening.
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> ROUND(x * 10000)) AS qe
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS idot
+        FROM q a JOIN q b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT id_a, id_b, idot,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                                  ORDER BY idot DESC, id_b) AS rk
+        FROM pairs
+    ), indeg AS (
+        SELECT v.vec_id, COUNT(r.id_a) AS k_occ
+        FROM q v LEFT JOIN ranked r
+          ON r.id_b = v.vec_id AND r.rk <= 3
+        GROUP BY v.vec_id
+    )
+    SELECT CAST(k_occ AS BIGINT) AS k_occurrence,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT)
+               AS share_ppm
+    FROM indeg
+    GROUP BY k_occ
+    ORDER BY k_occ
+    """,
+)
+def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the k-NN graph: the distribution of
+    k-occurrence (how many OTHER vectors list me among their top-3
+    neighbors) over every vector, 0-in-degree anti-hubs included.
+    Mean in-degree is k by construction; what matters is the shape —
+    a heavy right tail (hub vectors appearing in many neighbor lists)
+    is the canonical high-dimensional failure mode of cosine
+    retrieval, and it degrades both kNN classification and
+    graph-based dedup built on `embed_knn_graph`.  Reported as the
+    (k_occurrence, n_vecs, share_ppm) histogram — the input to a
+    skewness decision, small enough to eyeball.
+
+    Scale notes: reuses the blocked integer-GEMM k-NN graph (the r7
+    quadratic-fold fix) — one applyInPandas pass per label block; the
+    in-degree rollup is ONE hash aggregate on the (n_vecs × k)-row
+    edge list joined left from the vector dim so anti-hubs keep their
+    zero; the histogram is bounded by the max in-degree (≤ block
+    size).  The share window runs on that bounded histogram
+    (reviewed SINGLE)."""
+    edges = embed_knn_graph(spark, sf_dir).select("id_b")
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    indeg = (
+        vecs.join(edges, vecs.vec_id == edges.id_b, "left")
+        .groupBy("vec_id")
+        .agg(F.count("id_b").alias("k_occ"))
+    )
+    w_all = Window.partitionBy()
+    return (
+        indeg.groupBy("k_occ")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            F.col("k_occ").cast("long").alias("k_occurrence"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.expr(
+                "CAST(n_vecs * 1000000 AS BIGINT)"
+            ).alias("_num"),
+            F.sum("n_vecs").over(w_all).alias("_tot"),
+        )
+        .select(
+            "k_occurrence",
+            "n_vecs",
+            F.expr("_num div _tot").cast("long").alias("share_ppm"),
+        )
+        .orderBy("k_occurrence")
+    )

@@ -2646,3 +2646,123 @@ def orders_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("se2")), 2).alias("se_cents"),
         F.round(did / F.sqrt(F.col("se2")), 4).alias("t_stat"),
     )
+
+
+#: Pinball-loss evaluation: train/test split date and the quantiles
+#: evaluated (ppm) — named so the oracle embeds identical literals.
+_PIN_SPLIT = "1999-01-01"
+_PIN_QUANTILES = (500_000, 900_000)
+
+
+@register(
+    "agg_pinball_loss",
+    # Quantile-forecast evaluation: freeze the P50/P90 of TRAIN daily
+    # revenue (lower/disc quantile by integer rank — no interpolation,
+    # so both engines pick the same day), then score each TEST day with
+    # the pinball loss in exact (cents x ppm) integers; the only floats
+    # are the two terminal mean divisions, ROUND 2.
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1
+    ), train AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY y, d) AS rk,
+               COUNT(*) OVER () AS n
+        FROM daily WHERE d < DATE '{_PIN_SPLIT}'
+    ), q(q_ppm) AS (VALUES ({_PIN_QUANTILES[0]}), ({_PIN_QUANTILES[1]})),
+    fcast AS (
+        SELECT q.q_ppm, t.y AS f
+        FROM q JOIN train t
+          ON t.rk = (t.n * q.q_ppm + 999999) // 1000000
+    ), test_days AS (
+        SELECT y FROM daily WHERE d >= DATE '{_PIN_SPLIT}'
+    ), losses AS (
+        SELECT f.q_ppm, f.f,
+               CASE WHEN t.y >= f.f
+                    THEN CAST(f.q_ppm AS HUGEINT) * (t.y - f.f)
+                    ELSE CAST(1000000 - f.q_ppm AS HUGEINT) * (f.f - t.y)
+               END AS loss_num
+        FROM fcast f CROSS JOIN test_days t
+    )
+    SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+           CAST(MAX(f) AS BIGINT) AS forecast_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_test_days,
+           ROUND(CAST(SUM(loss_num) AS DOUBLE) / 1000000 / COUNT(*), 2)
+               AS mean_pinball_cents
+    FROM losses
+    GROUP BY q_ppm
+    ORDER BY q_ppm
+    """,
+)
+def agg_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss — the scoring rule for quantile
+    forecasts, completing the forecast-eval family next to
+    `events_forecast_backtest`'s point metrics: freeze the P50/P90 of
+    TRAIN-period daily revenue (orders before 1999-01-01) as two static
+    quantile forecasts, then score every TEST day with
+    L_q(y, f) = q·(y−f)⁺ + (1−q)·(f−y)⁺.  A well-placed P90 forecast
+    shows pinball far below P50's on the same days — the asymmetry is
+    the point (under-forecasting the tail is punished 9× harder).
+
+    The train quantile is the DISCRETE (lower) quantile selected by
+    integer rank ceil(q·n) over the (y, day) total order — no
+    interpolation, so both engines elect the same training day and the
+    forecast is a single exact integer.  Losses are (cents × ppm)
+    integer products carried in DECIMAL(38,0)/HUGEINT; the two mean
+    divisions are terminal, ROUND(2).
+
+    Scale notes: the corpus pass is ONE hash aggregate to the
+    calendar-day rollup (~1.7k rows at any SF); ranking, the 2-row
+    quantile dim join, and the loss scoring all run on that rollup
+    (reviewed SINGLE/NLJ — the CROSS JOIN is 2 forecast rows × test
+    days, calendar-bounded)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    split = F.lit(_PIN_SPLIT).cast("date")
+    w_rank = Window.orderBy("y", "d")
+    w_all = Window.partitionBy()
+    train = daily.where(F.col("d") < split).select(
+        "y",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    q = spark.createDataFrame([(qq,) for qq in _PIN_QUANTILES], "q_ppm long")
+    fcast = F.broadcast(q).join(
+        train,
+        train.rk == F.expr("(n * q_ppm + 999999) div 1000000"),
+    ).select("q_ppm", F.col("y").alias("f"))
+    test_days = daily.where(F.col("d") >= split).select("y")
+    losses = F.broadcast(fcast).crossJoin(test_days).select(
+        "q_ppm",
+        "f",
+        F.when(
+            F.col("y") >= F.col("f"),
+            F.col("q_ppm").cast("decimal(38,0)") * (F.col("y") - F.col("f")),
+        )
+        .otherwise(
+            (F.lit(1000000) - F.col("q_ppm")).cast("decimal(38,0)")
+            * (F.col("f") - F.col("y"))
+        )
+        .alias("loss_num"),
+    )
+    return (
+        losses.groupBy("q_ppm")
+        .agg(
+            F.max("f").cast("long").alias("forecast_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_test_days"),
+            F.round(
+                F.sum("loss_num").cast("double") / 1000000 / F.count(F.lit(1)),
+                2,
+            ).alias("mean_pinball_cents"),
+        )
+        .select(
+            F.col("q_ppm").cast("long").alias("q_ppm"),
+            "forecast_cents",
+            "n_test_days",
+            "mean_pinball_cents",
+        )
+        .orderBy("q_ppm")
+    )

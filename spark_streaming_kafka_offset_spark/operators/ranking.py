@@ -852,3 +852,99 @@ def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bh_line_ppb"),
         F.when(F.col("rk") <= F.col("k_star"), 1).otherwise(0).alias("reject"),
     ).orderBy("nation")
+
+
+@register(
+    "eval_pr_auc",
+    # Bucket-grain average precision (the PR-curve area), per source:
+    # process score buckets best-first; each bucket contributes its
+    # positives times the precision AT THE END of the bucket
+    # (cum_pos/cum_n including the bucket) — the deterministic
+    # ties-as-one-block convention, identical on both engines because
+    # ties share a bucket by construction.  AP = that sum / P, ONE
+    # float division chain on exact BIGINTs, ROUND 6.
+    oracle="""
+    WITH labeled AS (
+        SELECT source, n_chars AS score,
+               CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+                   AS pos
+        FROM documents
+    ), per_score AS (
+        SELECT source, score, COUNT(*) AS n, SUM(pos) AS n_pos
+        FROM labeled GROUP BY source, score
+    ), cum AS (
+        SELECT source, score, n, n_pos,
+               SUM(n) OVER (PARTITION BY source ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_n,
+               SUM(n_pos) OVER (PARTITION BY source ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_pos
+        FROM per_score
+    )
+    SELECT source,
+           CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n) - SUM(n_pos) AS BIGINT) AS n_neg,
+           ROUND(SUM(CAST(n_pos AS DOUBLE) * cum_pos / cum_n)
+                 / SUM(n_pos), 6) AS avg_precision
+    FROM cum
+    GROUP BY source
+    HAVING SUM(n_pos) > 0
+    ORDER BY source
+    """,
+)
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve), per
+    source, for the char-length ranker against the stopword gate — the
+    metric that matters when positives are rare and ROC AUC flatters
+    (`eval_auc_roc` is its ROC sibling over the same task).  Ties are
+    handled as one block: every positive in a score bucket contributes
+    the precision at the END of its bucket (cum_pos/cum_n through the
+    bucket) — a deterministic convention both engines compute
+    identically because tied scores share a bucket by construction
+    (the same no-ntile rule as `eval_lift_gains`).
+
+    Scale notes: ONE corpus aggregate to the RANGE-bounded
+    (source, score) rollup; the two cumulative windows and the AP
+    rollup run on that frame (reviewed SINGLE); counts stay BIGINT
+    and the float work is a per-bucket precision on exact integers,
+    ROUND(6)-absorbed."""
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        "source",
+        F.col("n_chars").alias("score"),
+        F.when(_stopword_gate(), 1).otherwise(0).alias("pos"),
+    )
+    per_score = labeled.groupBy("source", "score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_score.select(
+        "source",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n_pos").over(w).alias("cum_pos"),
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.sum("n_pos").cast("long").alias("n_pos"),
+            (F.sum("n") - F.sum("n_pos")).cast("long").alias("n_neg"),
+            F.sum(
+                F.col("n_pos").cast("double") * F.col("cum_pos") / F.col("cum_n")
+            ).alias("ap_num"),
+        )
+        .where(F.col("n_pos") > 0)
+        .select(
+            "source",
+            "n_pos",
+            "n_neg",
+            F.round(F.col("ap_num") / F.col("n_pos"), 6).alias("avg_precision"),
+        )
+        .orderBy("source")
+    )

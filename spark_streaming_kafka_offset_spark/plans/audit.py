@@ -95,6 +95,10 @@ BNL_ALLOWED: dict[str, str] = {
     "onto the scan (events_ab_cuped's horizon pattern)",
     "agg_fdr_bh": "broadcast 1-row global mean/ss frame onto the "
     "25-row nation rollup (agg_jackknife_ratio's posture)",
+    "corpus_dedup_rate_curve": "broadcast 5-row literal threshold dim "
+    "onto the pair set (integer inequality join; pair-bounded fanout)",
+    "agg_pinball_loss": "broadcast 2-row quantile dim / 2-row frozen "
+    "forecast frame onto the calendar-day rollup",
     "agg_theil_inequality": "broadcast 1-row grand-totals frame onto "
     "the <=|nations x bands| cell rollup",
 }
@@ -274,6 +278,12 @@ SINGLE_ALLOWED: dict[str, str] = {
     "orders_diff_in_diff": "1-row 2x2 cell pivot and test statistic",
     "agg_theil_inequality": "grand-total frame (1 row) and the "
     "<=|nations x bands| cell rollup its shares join",
+    "embed_hubness": "share window over the in-degree histogram "
+    "(bounded by max in-degree)",
+    "eval_pr_auc": "cumulative windows over the RANGE-bounded "
+    "(source, score) rollup",
+    "agg_pinball_loss": "train-quantile rank window over the "
+    "calendar-day rollup",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

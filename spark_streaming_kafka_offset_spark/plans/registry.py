@@ -69,6 +69,14 @@ DEFERRED_R10: tuple[str, ...] = (
     "orders_safety_stock",
     "agg_theil_inequality",
     "text_gopher_rules",
+    # r9-registered oracle pairs, second batch (k-NN hubness audit,
+    # dedup threshold curve, PR-AUC, pinball loss — functions/similarity.py,
+    # functions/curation.py, operators/ranking.py, operators/inference.py,
+    # §2.39).
+    "embed_hubness",
+    "corpus_dedup_rate_curve",
+    "eval_pr_auc",
+    "agg_pinball_loss",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -158,6 +166,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_safety_stock",
     "agg_theil_inequality",
     "text_gopher_rules",
+    # r9-registered oracle pairs, second batch (k-NN hubness audit,
+    # dedup threshold curve, PR-AUC, pinball loss — functions/similarity.py,
+    # functions/curation.py, operators/ranking.py, operators/inference.py,
+    # §2.39).
+    "embed_hubness",
+    "corpus_dedup_rate_curve",
+    "eval_pr_auc",
+    "agg_pinball_loss",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier (r7/r8 windows keep
     # their proven order), so the r10+ rotation queue reads straight

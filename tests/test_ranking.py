@@ -234,3 +234,73 @@ def test_logrank_expected_matches_events_total(spark):
     assert abs(r.o_minus_e - (r.events_a - r.expected_a)) < 0.01
     assert abs(r.o_minus_e) <= r.events_a
     assert math.isfinite(r.chi2)
+
+
+def test_pr_auc_bounds_and_base_rate_floor(spark):
+    """AP is a probability; for an informative ranker it must beat the
+    base rate (the random-ranker AP) per source pool."""
+    rows = QUERIES["eval_pr_auc"](spark, SF_DIR).collect()
+    assert rows
+    w_ap = sum((r.n_pos + r.n_neg) * r.avg_precision for r in rows)
+    n = sum(r.n_pos + r.n_neg for r in rows)
+    base = sum(r.n_pos for r in rows) / n
+    for r in rows:
+        assert 0.0 <= r.avg_precision <= 1.0
+    assert w_ap / n > base + 0.02, "AP does not beat the base rate"
+
+
+def test_hubness_histogram_mass_and_mean(spark):
+    """The histogram must cover every vector, shares must sum to ~1e6
+    ppm, and mean in-degree must equal k=3 exactly (each of n vectors
+    contributes exactly k graph edges within its block when the block
+    has > k members)."""
+    rows = QUERIES["embed_hubness"](spark, SF_DIR).collect()
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r.n_vecs for r in rows) == vecs
+    assert 1_000_000 - len(rows) <= sum(r.share_ppm for r in rows) <= 1_000_000
+    mean_in = sum(r.k_occurrence * r.n_vecs for r in rows) / vecs
+    assert abs(mean_in - 3.0) < 1e-9
+    assert len(rows) > 3, "in-degree distribution is degenerate"
+
+
+def test_dedup_rate_curve_monotone(spark):
+    """Raising the threshold can only shrink the surviving pair set and
+    the affected-doc set; the 0.5 row must equal the full pair set."""
+    rows = sorted(
+        QUERIES["corpus_dedup_rate_curve"](spark, SF_DIR).collect(),
+        key=lambda r: r.threshold_pct,
+    )
+    assert [r.threshold_pct for r in rows] == [50, 60, 70, 80, 90]
+    pairs = [r.n_pairs for r in rows]
+    docs = [r.n_docs_affected for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    full = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).count()
+    assert pairs[0] == full
+    assert rows[0].n_pairs > 0, "no pairs at the generator floor"
+
+
+def test_pinball_loss_asymmetry_and_quantile_order(spark):
+    """The P90 forecast must sit above the P50 forecast; pinball losses
+    are non-negative; and scoring the TEST days against a deliberately
+    terrible quantile (the train MIN) must cost more than the fitted
+    P50 (the loss actually discriminates forecast quality)."""
+    rows = sorted(
+        QUERIES["agg_pinball_loss"](spark, SF_DIR).collect(),
+        key=lambda r: r.q_ppm,
+    )
+    assert [r.q_ppm for r in rows] == [500_000, 900_000]
+    p50, p90 = rows
+    assert p90.forecast_cents > p50.forecast_cents
+    assert p50.mean_pinball_cents > 0 and p90.mean_pinball_cents > 0
+    assert p50.n_test_days == p90.n_test_days > 0
+    # terrible forecast check: f = 0 makes every test day cost q*y,
+    # which must exceed the fitted P50's pinball by a wide margin.
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("date"))
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
+    )
+    zero_loss = daily.agg(F.avg(F.col("y") * 0.5)).collect()[0][0]
+    assert zero_loss > p50.mean_pinball_cents * 1.5
