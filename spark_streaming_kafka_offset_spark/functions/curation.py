@@ -1602,35 +1602,83 @@ def corpus_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — the expensive candidate generation is paid once, not per
     threshold (the mistake a naive sweep makes five times over).
 
-    Scale notes: ONE pair-generation pass (prefix filtering — see
-    ngram_jaccard_pairs), then a broadcast 5-row threshold dim joined
-    with an integer inequality (reviewed NLJ: the dim is 5 literal
-    rows; fanout is pairs × 5, pair-bounded, never corpus-quadratic —
-    on duplicate-heavy corpora run it on exact-dup-collapsed
-    representatives, the `corpus_dedup_survivorship` recipe); the
+    Scale notes (exact-collapse form, the `corpus_dedup_survivorship`
+    recipe with MULTIPLICITY arithmetic): pair generation runs once
+    over exact-dup-collapsed representatives, never raw documents — on
+    a duplicate-heavy corpus raw identical-text cliques are quadratic
+    (the r9 first cut measured 67 s / 5.6× growth at sf1 on the
+    ~90%-replica fixture; this form is ~9 s / flat).  Raw-pair counts
+    are recovered EXACTLY from group sizes: a surviving representative
+    pair (a, b) stands for g_a·g_b raw pairs, and every ≥2-member
+    identical-text group contributes C(g, 2) Jaccard-1 pairs that
+    survive EVERY threshold; affected docs = Σ g over the distinct
+    groups touched at each threshold.  The oracle still counts raw
+    pairs by brute force, so parity proves the multiplicity algebra.
+    The threshold dim is a broadcast 5-row literal (reviewed NLJ);
     rollups are threshold-sized."""
     from .text import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs)
+    dd = docs.select(
+        "doc_id",
+        "text",
+        F.xxhash64("text").alias("th"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    groups = dd.groupBy("th").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("g_n"),
+        F.first("n_tok").alias("g_tok"),
+    )
+    rep_docs = (
+        dd.join(groups.select("th", "rep_id"), "th")
+        .where(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    pairs = ngram_jaccard_pairs(rep_docs)
     thr = spark.createDataFrame([(50,), (60,), (70,), (80,), (90,)], "t int")
-    surviving = pairs.join(
-        F.broadcast(thr),
-        100 * F.col("n_inter") >= F.col("t") * F.col("n_union"),
-    ).select("t", "id_a", "id_b")
-    docs_hit = surviving.select("t", F.col("id_a").alias("doc_id")).unionByName(
-        surviving.select("t", F.col("id_b").alias("doc_id"))
-    ).distinct()
-    pair_counts = surviving.groupBy("t").agg(F.count(F.lit(1)).alias("n_pairs"))
-    doc_counts = docs_hit.groupBy("t").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    ga = groups.select(F.col("rep_id").alias("id_a"), F.col("g_n").alias("g_a"))
+    gb = groups.select(F.col("rep_id").alias("id_b"), F.col("g_n").alias("g_b"))
+    cross = (
+        pairs.join(
+            F.broadcast(thr),
+            100 * F.col("n_inter") >= F.col("t") * F.col("n_union"),
+        )
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+    )
+    cross_pairs = cross.groupBy("t").agg(
+        F.sum(F.col("g_a").cast("long") * F.col("g_b")).alias("pairs_cross")
+    )
+    # distinct groups touched at each threshold (either side of a pair)
+    touched_cross = cross.select(
+        "t", F.col("id_a").alias("rep"), F.col("g_a").alias("g")
+    ).unionByName(
+        cross.select("t", F.col("id_b").alias("rep"), F.col("g_b").alias("g"))
+    )
+    within = groups.where((F.col("g_n") >= 2) & (F.col("g_tok") >= 3))
+    within_tot = within.agg(
+        F.coalesce(
+            F.sum(F.expr("CAST(g_n AS BIGINT) * (g_n - 1) div 2")), F.lit(0)
+        ).alias("pairs_within")
+    )
+    touched_within = thr.crossJoin(
+        within.select(F.col("rep_id").alias("rep"), F.col("g_n").alias("g"))
+    ).select("t", "rep", "g")
+    docs_hit = (
+        touched_cross.unionByName(touched_within)
+        .groupBy("t", "rep")
+        .agg(F.max("g").alias("g"))
+        .groupBy("t")
+        .agg(F.sum("g").alias("n_docs"))
     )
     return (
-        thr.join(pair_counts, "t", "left")
-        .join(doc_counts, "t", "left")
+        thr.join(cross_pairs, "t", "left")
+        .join(docs_hit, "t", "left")
+        .crossJoin(F.broadcast(within_tot))
         .select(
             F.col("t").cast("long").alias("threshold_pct"),
-            F.coalesce(F.col("n_pairs"), F.lit(0))
+            (F.coalesce(F.col("pairs_cross"), F.lit(0)) + F.col("pairs_within"))
             .cast("long")
             .alias("n_pairs"),
             F.coalesce(F.col("n_docs"), F.lit(0))

@@ -280,6 +280,8 @@ SINGLE_ALLOWED: dict[str, str] = {
     "<=|nations x bands| cell rollup its shares join",
     "embed_hubness": "share window over the in-degree histogram "
     "(bounded by max in-degree)",
+    "corpus_dedup_rate_curve": "1-row within-group pair total and the "
+    "5-row threshold curve assembly",
     "eval_pr_auc": "cumulative windows over the RANGE-bounded "
     "(source, score) rollup",
     "agg_pinball_loss": "train-quantile rank window over the "

@@ -34,6 +34,15 @@ import urllib.request
 sys.path.insert(0, ".")
 
 STRESS_SET = [
+    # r9 additions: the shuffle-heavy new shapes — raw-doc pair
+    # generation under 5 thresholds, the Gopher scan battery, the
+    # (brand, week) inventory rollup, the consecutive-pair BT contest
+    # join, and the k-NN hubness rollup.
+    "corpus_dedup_rate_curve",
+    "text_gopher_rules",
+    "orders_safety_stock",
+    "docs_bradley_terry",
+    "embed_hubness",
     "graph_pagerank",
     "bpe_train_iterative",
     "dedup_minhash",
