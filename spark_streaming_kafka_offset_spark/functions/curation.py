@@ -861,7 +861,7 @@ def corpus_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUADRATIC candidate cliques — ~25M pairs x 2 shingle arrays filled
     the probe host's 77 GB of shuffle disk at sf10.  Every production
     dedup pipeline collapses EXACT duplicates first, so this operator
-    now does the same: (1) hash-group texts (xxhash64) and elect the
+    now does the same: (1) hash-group texts (128-bit md5) and elect the
     min-doc_id representative per distinct text — ONE linear shuffle;
     (2) run prefix-filtered pair generation + pointer-jumping CC over
     REPRESENTATIVES only (candidate volume now tracks distinct texts);
@@ -881,7 +881,13 @@ def corpus_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dd = docs.select(
         "doc_id", "text", "n_chars", "lang", "source",
-        F.xxhash64("text").alias("th"),
+        # 128-bit group key: a 64-bit xxhash64 collision (~n²/2⁶⁵)
+        # would silently merge two distinct texts' groups and diverge
+        # from the raw-reachability oracle; at the 100-TB corpora this
+        # collapse is pitched for, md5's ~n²/2¹²⁹ bound is the
+        # collision-proof choice (ADVICE r9).  The key is internal —
+        # the oracle recomputes reachability from raw text.
+        F.md5("text").alias("th"),
         F.size(F.split(F.col("text"), " ")).alias("n_tok"),
     )
     groups = dd.groupBy("th").agg(
@@ -1622,7 +1628,13 @@ def corpus_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = docs.select(
         "doc_id",
         "text",
-        F.xxhash64("text").alias("th"),
+        # 128-bit group key: a 64-bit xxhash64 collision (~n²/2⁶⁵)
+        # would silently merge two distinct texts' groups and diverge
+        # from the raw-reachability oracle; at the 100-TB corpora this
+        # collapse is pitched for, md5's ~n²/2¹²⁹ bound is the
+        # collision-proof choice (ADVICE r9).  The key is internal —
+        # the oracle recomputes reachability from raw text.
+        F.md5("text").alias("th"),
         F.size(F.split(F.col("text"), " ")).alias("n_tok"),
     )
     groups = dd.groupBy("th").agg(

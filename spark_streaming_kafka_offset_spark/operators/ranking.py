@@ -537,7 +537,8 @@ def _oracle_bradley_terry() -> str:
         FROM wins_full w JOIN d{i} ON d{i}.band = w.band
     ), s{i} AS MATERIALIZED (
         SELECT band,
-               s_raw * {_BT_BANDS} / (SELECT SUM(s_raw) FROM u{i}) AS s
+               s_raw * (SELECT COUNT(*) FROM u{i})
+                     / (SELECT SUM(s_raw) FROM u{i}) AS s
         FROM u{i}
     )"""
         )
@@ -674,9 +675,17 @@ def docs_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = wins_full.join(denom, "band").select(
             "band", (F.col("wins").cast("double") / F.col("denom")).alias("s_raw")
         )
+        # Renormalize by the count of bands actually PRESENT (not the
+        # nominal _BT_BANDS): a corpus whose char lengths span fewer
+        # than 8 bands would otherwise renormalize to mean 8/k,
+        # contradicting the mean-1 contract (ADVICE r9).
         s = raw.select(
             "band",
-            (F.col("s_raw") * _BT_BANDS / F.sum("s_raw").over(w_all)).alias("s"),
+            (
+                F.col("s_raw")
+                * F.count(F.lit(1)).over(w_all)
+                / F.sum("s_raw").over(w_all)
+            ).alias("s"),
         )
         if it % 2 == 1 and it < _BT_ITERS - 1:
             s = stage(s)
@@ -699,10 +708,13 @@ def docs_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_fdr_bh",
     # Benjamini-Hochberg step-up over the per-nation one-sample z family
-    # (mean order cents vs the global mean): p-proxy = exp(-z^2/2)
-    # (monotone in |z| — BH's decision set depends on p only through
-    # ranks and the alpha*k/m line, both preserved; documented).  The
-    # step-up rule (reject all ranks <= max{k : p_(k) <= alpha*k/m})
+    # (mean order cents vs the global mean): p-proxy = exp(-z^2/2).
+    # The monotone transform preserves the RANK ORDER of the p's only —
+    # the p <= alpha*k/m comparisons themselves change under the
+    # transform, so the reject set differs from textbook BH at the
+    # nominal alpha and _BH_ALPHA_PPB is a PROXY threshold, not a
+    # calibrated FDR level (ADVICE r9; the docstring says the same).
+    # The step-up rule (reject all ranks <= max{k : p_(k) <= alpha*k/m})
     # runs in nano-unit integers on the 25-row rollup.
     oracle=f"""
     WITH per_nation AS (

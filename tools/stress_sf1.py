@@ -161,6 +161,19 @@ STRESS_SET = [
     "win_median_sliding",
     # r8 §2.35: the (lang,source) token agg + mixture-rollup windows.
     "corpus_temperature_mixture",
+    # r10 sweep extension (VERDICT r9 #2): the 10 unswept r9 keys —
+    # fact-grain first (log-rank, DiD, Theil, BH ride lineitem/orders
+    # joins), then the doc/rollup-grain ranking-quality battery.
+    "orders_logrank_delay",
+    "orders_diff_in_diff",
+    "agg_theil_inequality",
+    "agg_fdr_bh",
+    "eval_auc_roc",
+    "eval_lift_gains",
+    "eval_cohens_kappa",
+    "eval_brier_decomposition",
+    "eval_pr_auc",
+    "agg_pinball_loss",
 ]
 
 
