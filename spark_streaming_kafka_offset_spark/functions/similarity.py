@@ -854,3 +854,210 @@ def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_occurrence")
     )
+
+
+#: SemDeDup blocking/threshold constants.  k is DATA-ADAPTIVE:
+#: max(_SD_K_MIN, n // _SD_CLUSTER_TARGET) — the SemDeDup prescription
+#: (the paper ran 110k clusters over LAION) that keeps per-cluster size
+#: ~constant, so total pair volume Σ|c|²/2 ≈ n·target/2 grows LINEARLY
+#: in n instead of n²/k (the r10 sf1 sweep measured 14.3× growth /
+#: 175 s with a fixed k=8 before this; adaptive k → ~linear).  Both
+#: engines compute the same k from the same count, so the oracle stays
+#: exact: the Lloyd unroll is k-agnostic, only the c0 seed LIMIT moves.
+#: _SD_TAU_E5 = 0.40 in integer 1e-5 units: the synthetic fixture's max
+#: pairwise cosine is ≈0.49 (no true paraphrase dups), so a production
+#: 0.99 cut would be vacuous — the plan is identical either way and the
+#: pytest injects true near-dups.
+_SD_K_MIN = 8
+_SD_CLUSTER_TARGET = 250
+_SD_ITERS = 3
+_SD_TAU_E5 = 40000
+
+
+def _oracle_dedup_semantic() -> str:
+    """Unroll the Lloyd iterations as chained CTEs (the
+    `kmeans_lloyd_exact` codegen-twin recipe) and apply the SemDeDup
+    drop rule on the final assignment.  `av` is referenced twice (both
+    sides of the within-cluster pair join) so it is MATERIALIZED — the
+    multi-reference CTE-inlining hazard documented in SURVEY §8."""
+    steps = []
+    prev = "c0"
+    for it in range(1, _SD_ITERS + 1):
+        steps.append(
+            f"""a{it} AS (
+        SELECT f.vec_id, f.f1, f.f2, c.cluster,
+               row_number() OVER (PARTITION BY f.vec_id ORDER BY
+                 (f.f1 - c.c1) * (f.f1 - c.c1)
+                 + (f.f2 - c.c2) * (f.f2 - c.c2), c.cluster) AS rn
+        FROM feats f CROSS JOIN {prev} c
+    ), c{it} AS (
+        SELECT cluster,
+               (2 * SUM(f1) + COUNT(*)) // (2 * COUNT(*)) AS c1,
+               (2 * SUM(f2) + COUNT(*)) // (2 * COUNT(*)) AS c2
+        FROM a{it} WHERE rn = 1 GROUP BY cluster
+    )"""
+        )
+        prev = f"c{it}"
+    return f"""
+    WITH feats AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 100000) AS BIGINT)
+               AS f1,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 100000) AS BIGINT)
+               AS f2,
+             CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ), c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1
+               AS cluster,
+             f1 AS c1, f2 AS c2
+      FROM feats ORDER BY vec_id
+      LIMIT (SELECT GREATEST({_SD_K_MIN},
+                             COUNT(*) // {_SD_CLUSTER_TARGET})
+             FROM feats)
+    ), {", ".join(steps)}, asg AS (
+      SELECT f.vec_id, f.emb, c.cluster,
+             (f.f1 - c.c1) * (f.f1 - c.c1)
+               + (f.f2 - c.c2) * (f.f2 - c.c2) AS d2,
+             row_number() OVER (PARTITION BY f.vec_id ORDER BY
+               (f.f1 - c.c1) * (f.f1 - c.c1)
+               + (f.f2 - c.c2) * (f.f2 - c.c2), c.cluster) AS rn
+      FROM feats f CROSS JOIN c{_SD_ITERS} c
+    ), av AS MATERIALIZED (
+      SELECT vec_id, emb, cluster, d2 FROM asg WHERE rn = 1
+    )
+    SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+           CAST(v.cluster AS BIGINT) AS cluster,
+           CAST(v.d2 AS BIGINT) AS d2_e5sq,
+           CAST(COUNT(*) AS BIGINT) AS n_dominators,
+           CAST(MAX(CAST(floor(list_dot_product(u.emb, v.emb) * 100000)
+                         AS BIGINT)) AS BIGINT) AS best_cos_e5
+    FROM av v JOIN av u
+      ON u.cluster = v.cluster AND u.vec_id <> v.vec_id
+    WHERE floor(list_dot_product(u.emb, v.emb) * 100000) >= {_SD_TAU_E5}
+      AND (u.d2 > v.d2 OR (u.d2 = v.d2 AND u.vec_id < v.vec_id))
+    GROUP BY v.vec_id, v.cluster, v.d2
+    ORDER BY vec_id
+    """
+
+
+@register("dedup_semantic", oracle=_oracle_dedup_semantic())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — semantic (paraphrase-level) deduplication in embedding
+    space (Abbas et al. 2023, public): k-means cluster the corpus
+    embeddings, then WITHIN each cluster drop every vector that has a
+    τ-cosine near-duplicate sitting FARTHER from the centroid (the
+    paper's keep-farthest rule: among semantic duplicates, the example
+    least typical of its cluster is kept for diversity).  The modern
+    member of the dedup family that exact text / MinHash / SimHash /
+    containment / pHash all miss: paraphrases share no n-grams but do
+    share an embedding neighborhood.
+
+    Output: one row per DROPPED vector — (vec_id, cluster, integer
+    squared distance to centroid, how many dominators forced the drop,
+    best dominator cosine in 1e-5 units).  The keep set is the
+    complement; emitting drops keeps the result decision-auditable.
+
+    Exactness: clustering is the `kmeans_lloyd_exact` recipe verbatim
+    (first-2-coordinate features floored to integer 1e-5 units,
+    data-adaptive k = max(8, n/250) computed identically on both
+    engines, 3 fixed Lloyd iterations, integer half-up centroid means,
+    integer
+    argmin assignment with ties to the lowest cluster id), cosines are
+    index-order double folds floored to integer 1e-5 units, and the
+    drop rule compares integers only — the unrolled DuckDB twin matches
+    bit-for-bit.
+
+    Scale notes: the cluster is the blocking key — pair volume is
+    Σ_c |c|² — and because k scales with n (target cluster size ~250;
+    SemDeDup ran 110k clusters over LAION) that volume is ~n·250/2,
+    LINEAR in n, never all-pairs (the fixed-k first cut measured 14.3×
+    sf1 growth; this form is ~linear).
+    Per iteration the centroid frame is a broadcast k-row literal
+    against the feature scan (no shuffle of the embedding column); the
+    pair join shuffles each cluster's vectors to one key — the
+    documented skew guard is the k choice itself (cluster occupancy is
+    load-balance-audited by `embed_bucket_stats`' recipe).  The
+    dominator test is an inner self-join + groupBy, one shuffle on
+    cluster, output bounded by the drop count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") * 100000)
+        .cast("long")
+        .alias("f1"),
+        F.floor(F.element_at("embedding", 2).cast("double") * 100000)
+        .cast("long")
+        .alias("f2"),
+        "embedding",
+    )
+    # Data-adaptive k (the SemDeDup prescription — see the constants
+    # note): per-cluster size stays ~_SD_CLUSTER_TARGET so pair volume
+    # grows linearly in n.  The count + k-row seed pull is the driver-
+    # coordinated init (k·2 longs — ~2 MB even at LAION's 110k
+    # clusters); production would swap in kmeans|| sampled init, which
+    # changes the seeds, not the plan shape.
+    k = max(_SD_K_MIN, feats.count() // _SD_CLUSTER_TARGET)
+    seed = feats.select("vec_id", "f1", "f2").orderBy("vec_id").limit(k).collect()
+    cents = spark.createDataFrame(
+        [(i, r["f1"], r["f2"]) for i, r in enumerate(seed)],
+        "cluster long, c1 long, c2 long",
+    )
+    d2 = (F.col("f1") - F.col("c1")) * (F.col("f1") - F.col("c1")) + (
+        F.col("f2") - F.col("c2")
+    ) * (F.col("f2") - F.col("c2"))
+    wv = Window.partitionBy("vec_id").orderBy(d2.alias("d"), "cluster")
+    for _ in range(_SD_ITERS):
+        assigned = (
+            feats.crossJoin(F.broadcast(cents.select("cluster", "c1", "c2")))
+            .withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("f1", "f2", "cluster")
+        )
+        cents = assigned.groupBy("cluster").agg(
+            F.expr("(2 * sum(f1) + count(*)) div (2 * count(*))").alias("c1"),
+            F.expr("(2 * sum(f2) + count(*)) div (2 * count(*))").alias("c2"),
+        )
+    av = (
+        feats.crossJoin(F.broadcast(cents.select("cluster", "c1", "c2")))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster", "d2")
+    )
+    v = av.select(
+        F.col("vec_id").alias("v_id"),
+        F.col("embedding").alias("v_emb"),
+        "cluster",
+        F.col("d2").alias("v_d2"),
+    )
+    u = av.select(
+        F.col("vec_id").alias("u_id"),
+        F.col("embedding").alias("u_emb"),
+        F.col("cluster").alias("u_cluster"),
+        F.col("d2").alias("u_d2"),
+    )
+    cos_e5 = F.floor(dot(F.col("u_emb"), F.col("v_emb")) * 100000).cast("long")
+    return (
+        v.join(u, (F.col("cluster") == F.col("u_cluster")) & (F.col("v_id") != F.col("u_id")))
+        .where(
+            (cos_e5 >= _SD_TAU_E5)
+            & (
+                (F.col("u_d2") > F.col("v_d2"))
+                | ((F.col("u_d2") == F.col("v_d2")) & (F.col("u_id") < F.col("v_id")))
+            )
+        )
+        .groupBy("v_id", "cluster", "v_d2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dominators"),
+            F.max(cos_e5).alias("best_cos_e5"),
+        )
+        .select(
+            F.col("v_id").cast("long").alias("vec_id"),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("v_d2").cast("long").alias("d2_e5sq"),
+            "n_dominators",
+            F.col("best_cos_e5").cast("long").alias("best_cos_e5"),
+        )
+        .orderBy("vec_id")
+    )

@@ -48,6 +48,8 @@ BNL_ALLOWED: dict[str, str] = {
     "dedup_lsh_recall": "broadcast 1-row count scalar frames (eval report)",
     "analyze_sampled_stats": "broadcast 1-row exact/sampled profile frames",
     "kmeans_lloyd_exact": "broadcast k=4 centroid frame per Lloyd iteration",
+    "dedup_semantic": "broadcast k=8 centroid frame per Lloyd iteration "
+    "+ final assignment (the kmeans_lloyd_exact recipe)",
     "events_acf": "broadcast 1-row denominator (global variance) scalar frame",
     "events_holt_forecast": "broadcast 1-row (level, trend) state frame "
     "onto the 7-row horizon frame",

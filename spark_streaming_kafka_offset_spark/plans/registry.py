@@ -51,7 +51,11 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 #: are accounted for as window ∪ DEFERRED_R11, tests/test_registry.py).
 #: Empty at r10 window-seal time; new r10 oracle registrations append
 #: here AND to DRIVER_PRIORITY just after the window boundary.
-DEFERRED_R11: tuple[str, ...] = ()
+DEFERRED_R11: tuple[str, ...] = (
+    # r10-registered oracle pairs (SemDeDup semantic dedup —
+    # functions/similarity.py, §2.40).
+    "dedup_semantic",
+)
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- Window policy (r10): the driver checks the FIRST 50 keys only.
@@ -123,6 +127,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- window boundary (50) ---
     # Oracle keys registered during r10, after this window seal, are
     # appended HERE (and to DEFERRED_R11) — the r11 queue head.
+    # r10-registered oracle pairs (SemDeDup semantic dedup —
+    # functions/similarity.py, §2.40).
+    "dedup_semantic",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r11+
     # rotation queue reads straight down this list after any deferrals.

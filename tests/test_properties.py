@@ -1586,3 +1586,75 @@ def test_winnowing_span_rule_matches_bruteforce(spark):
         assert row["fp_min"] == min(h for h, _ in fps), doc_id
         checked += 1
     assert checked >= 40, f"only {checked} docs checked"
+
+
+def test_semantic_dedup_fixture_and_planted_duplicates(spark, tmp_path):
+    """`dedup_semantic` on the real fixture drops a small non-empty set
+    (the synthetic corpus has no true paraphrases; τ=0.40 sits just
+    under the observed max cosine ≈0.49 so the rule is exercised, not
+    vacuous).  Then plant a synthetic corpus with a known duplicate
+    clique and assert the SemDeDup keep-farthest rule: the clique's
+    farthest-from-centroid member survives, every other member is
+    dropped with the right dominator count, and unrelated vectors are
+    untouched."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_kafka_offset_spark.plans.registry import QUERIES
+
+    dropped = {r.vec_id for r in QUERIES["dedup_semantic"](spark, SF_DIR).collect()}
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert 0 < len(dropped) < n / 4, "fixture drop set empty or implausible"
+
+    # Planted corpus, 64-dim unit vectors.  The first-8-by-vec_id seed
+    # rule means ids 0..7 are the initial centroids, so the fillers
+    # take those ids (axis singletons at coords 2..9 — all (0,0) in
+    # first-2-coord feature space, orthogonal to the clique and to
+    # each other) and the near-identical clique (pairwise cosine
+    # > 0.99) sits at high ids 100..102 so its members co-cluster
+    # instead of seeding three separate clusters.
+    dim = 64
+
+    def unit(eps):
+        v = [0.0] * dim
+        v[0], v[1] = 1.0, eps
+        nrm = math.sqrt(sum(x * x for x in v))
+        return [x / nrm for x in v]
+
+    rows = []
+    for j in range(8):
+        v = [0.0] * dim
+        v[j + 2] = 1.0
+        rows.append((j, v))
+    rows += [(100, unit(0.00)), (101, unit(0.01)), (102, unit(0.02))]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = {
+        r.vec_id: r
+        for r in QUERIES["dedup_semantic"](spark, str(tmp_path)).collect()
+    }
+    # The clique centroid sits between the three; the farthest member
+    # survives, the other two are dropped, each dominated by the
+    # members farther out than itself.
+    assert set(out) <= {100, 101, 102}, f"unrelated vectors dropped: {set(out)}"
+    assert len(out) == 2, f"expected 2 clique drops, got {out}"
+    survivor = ({100, 101, 102} - set(out)).pop()
+    for vid, r in out.items():
+        assert r.best_cos_e5 >= 99000, "dominator cosine not near-dup level"
+        assert r.n_dominators >= 1
+    # multi-dominator case: the member closest to the centroid is
+    # dominated by BOTH farther members.
+    assert max(r.n_dominators for r in out.values()) == 2, (
+        "keep-farthest rule should give the innermost member 2 dominators"
+    )
+    assert survivor not in out

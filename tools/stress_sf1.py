@@ -174,6 +174,10 @@ STRESS_SET = [
     "eval_brier_decomposition",
     "eval_pr_auc",
     "agg_pinball_loss",
+    # r10-built: SemDeDup — within-cluster pair join is the quadratic
+    # risk (n²/k); the sf1 fixture's replica-identical embeddings make
+    # every cluster 10x denser, the worst case for the pair volume.
+    "dedup_semantic",
 ]
 
 
