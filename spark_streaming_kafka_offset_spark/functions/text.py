@@ -18,6 +18,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1457,56 +1459,121 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Zero-width (ZWSP/ZWNJ/ZWJ/BOM) + C0-control strip class — identical
+#: escapes compile in Java regex (Spark) and RE2 (DuckDB).
+_ZW_CTRL = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{0000}-\x{001F}]"
+
+
+def unicode_fold(col: Column) -> Column:
+    """Accent/NFC fold: NFD-decompose, drop combining marks, recompose
+    NFC — the classic unaccent, representation-insensitive (composed
+    'é' and decomposed 'e'+U+0301 both fold to 'e').
+
+    This is the repo's one hot-path Python stage outside the §2.11
+    demos: Spark ships NO Unicode-normalization builtin (probed: no
+    normalize/nfc/strip_accents in SHOW FUNCTIONS, and `reflect` can't
+    pass java.text.Normalizer's Form enum), so the fold runs as an
+    Arrow-batched pandas UDF over `unicodedata` — vectorized transfer,
+    ~10-100× over a row UDF; a production deployment would register a
+    JVM ICU function instead.  The DuckDB twin is
+    ``strip_accents(nfc_normalize(x))`` (equality on composed,
+    decomposed, zero-width, control and BOM inputs verified in the
+    r10 probe and continuously by oracle parity)."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _fold(s: pd.Series) -> pd.Series:
+        def f(x):
+            if x is None:
+                return None
+            decomp = unicodedata.normalize("NFD", x)
+            kept = "".join(
+                c for c in decomp if not unicodedata.combining(c)
+            )
+            return unicodedata.normalize("NFC", kept)
+
+        return s.map(f)
+
+    return _fold(col)
+
+
 @register(
     "text_normalize",
     # Both sides MANGLE deterministically first (case flips, doubled
-    # whitespace, punctuation noise keyed on doc_id) — fixture text is
-    # already clean, so normalizing it directly would test nothing.
+    # whitespace, punctuation noise, and — r10 — Unicode damage:
+    # zero-width joiners, C0 controls, a BOM, and composed é for every
+    # 'e', keyed on doc_id) — fixture text is already clean ascii, so
+    # normalizing it directly would test nothing.  chr() codepoints
+    # keep the SQL free of invisible characters.
     oracle="""
     WITH mangled AS (
         SELECT doc_id,
                CASE doc_id % 3
                    WHEN 0 THEN upper(text) || '!!!'
+                            || chr(8203) || chr(8205)
                    WHEN 1 THEN '  ' || replace(text, ' ', '   ') || '??'
-                   ELSE text END AS raw
+                            || chr(7) || chr(65279)
+                   ELSE replace(text, 'e', chr(233)) || ' ' || chr(769)
+               END AS raw
         FROM documents WHERE doc_id % 4 = 2
+    ), folded AS (
+        SELECT doc_id,
+               regexp_replace(strip_accents(nfc_normalize(raw)),
+                   '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{0000}-\\x{001F}]',
+                   '', 'g') AS f
+        FROM mangled
     )
     SELECT doc_id,
-           CAST(length(trim(regexp_replace(regexp_replace(lower(raw),
+           CAST(length(trim(regexp_replace(regexp_replace(lower(f),
                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT)
              AS norm_len,
-           CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(raw),
+           CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(f),
                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT)
              AS n_tokens,
-           sha256(trim(regexp_replace(regexp_replace(lower(raw),
+           sha256(trim(regexp_replace(regexp_replace(lower(f),
                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
-    FROM mangled
+    FROM folded
     """,
 )
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text normalization — casefold, strip non-alphanumerics, collapse
-    whitespace, trim: the canonical cleanup pass before fingerprinting
-    or dedup (``_norm_text`` is its hash-pipeline sibling).  The pytest
-    twin asserts the semantic law: normalize(mangled) == original
-    fixture text, i.e. the pipeline actually undoes case/space/punct
-    damage rather than merely producing stable bytes.
+    """Text normalization — Unicode accent/NFC fold, zero-width/control
+    strip, casefold, strip non-alphanumerics, collapse whitespace, trim:
+    the canonical cleanup pass before fingerprinting or dedup
+    (``_norm_text`` is its hash-pipeline sibling).  Real multilingual
+    corpora carry homoglyph/ZWJ/BOM noise that defeats hash-based dedup
+    keys — a composed 'é' and its decomposed twin are different bytes
+    for the same glyph — so the fold runs FIRST (VERDICT r9 #4).  The
+    pytest twin asserts two semantic laws: normalize(mangled) ==
+    original fixture text (the damage — including é-substitution and
+    appended combining marks — is fully undone), and composed/decomposed
+    representations of the same text normalize identically.
 
-    Scale notes: scan-side lower/regexp chain, zero shuffle, codegen'd;
-    output carries the sha256 of the normalized text (what a dedup
-    ledger would store), not the text itself."""
+    Scale notes: the fold is the repo's one hot-path pandas UDF (see
+    `unicode_fold` — no Spark builtin exists); everything after it is
+    a scan-side lower/regexp chain, zero shuffle, codegen'd.  Output
+    carries the sha256 of the normalized text (what a dedup ledger
+    would store), not the text itself."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 2)
     raw = (
-        F.when(F.col("doc_id") % 3 == 0, F.concat(F.upper("text"), F.lit("!!!")))
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.upper("text"), F.lit("!!!" + chr(8203) + chr(8205))),
+        )
         .when(
             F.col("doc_id") % 3 == 1,
             F.concat(F.lit("  "),
-                     F.regexp_replace("text", " ", "   "), F.lit("??")),
+                     F.regexp_replace("text", " ", "   "),
+                     F.lit("??" + chr(7) + chr(65279))),
         )
-        .otherwise(F.col("text"))
+        .otherwise(
+            F.concat(F.replace(F.col("text"), F.lit("e"), F.lit(chr(233))),
+                     F.lit(" " + chr(769)))
+        )
     )
+    folded = F.regexp_replace(unicode_fold(raw), _ZW_CTRL, "")
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", ""), " +", " "
+            F.regexp_replace(F.lower(folded), "[^a-z0-9 ]", ""), " +", " "
         )
     )
     return d.select(

@@ -18,8 +18,10 @@ from tests.conftest import SF_DIR
 
 def test_normalize_recovers_original_text(spark):
     """normalize(mangle(text)) == text for every fixture doc in the op's
-    slice — the mangling (case flips, doubled spaces, punctuation) is
-    fully undone, proven hash-for-hash against the untouched source."""
+    slice — the mangling (case flips, doubled spaces, punctuation, and
+    the r10 Unicode damage: zero-width joiners, C0 controls, a BOM,
+    é-for-e substitution, a stray combining mark) is fully undone,
+    proven hash-for-hash against the untouched source."""
     out = QUERIES["text_normalize"](spark, SF_DIR)
     originals = (
         load_table(spark, SF_DIR, "documents")
@@ -29,6 +31,34 @@ def test_normalize_recovers_original_text(spark):
     joined = out.join(originals, "doc_id")
     assert joined.count() > 0
     assert joined.where(F.col("norm_hash") != F.col("orig_hash")).count() == 0
+
+
+def test_unicode_fold_representation_insensitive(spark):
+    """The law NFC-folding buys: composed and decomposed spellings of
+    the same text fold to the SAME bytes, and homoglyph noise
+    (zero-width chars, BOM, controls) never changes the fold of the
+    letters around it."""
+    from spark_streaming_kafka_offset_spark.functions.text import (
+        _ZW_CTRL,
+        unicode_fold,
+    )
+
+    composed = "caf" + chr(233) + " latt" + chr(233)         # café latté NFC
+    decomposed = "cafe" + chr(769) + " latte" + chr(769)     # NFD twins
+    noisy = ("caf" + chr(233) + chr(8203) + " " + chr(65279)
+             + "latt" + chr(233) + chr(7))
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, noisy)], "id long, s string"
+    )
+    out = {
+        r.id: r.f
+        for r in df.select(
+            "id",
+            F.regexp_replace(unicode_fold(F.col("s")), _ZW_CTRL, "").alias("f"),
+        ).collect()
+    }
+    assert out[1] == out[2] == "cafe latte", out
+    assert out[3] == "cafe latte", out
 
 
 def test_pii_redaction_leaves_no_matches(spark):
