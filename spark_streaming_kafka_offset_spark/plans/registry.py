@@ -428,6 +428,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_static_join",
     "stream_stream_join",
     "stream_left_outer_join",
+    # r10 rows-only addition: FULL outer stream-stream join (three-way
+    # partition batch-equivalence-pinned in tests/test_streaming.py).
+    "stream_full_outer_join",
     "stream_scd2_apply",
     "stream_multi_topic_union",
     "stream_offset_ledger",

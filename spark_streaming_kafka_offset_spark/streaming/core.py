@@ -458,6 +458,69 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("purchase_id", "click_id")
 
 
+@register("stream_full_outer_join")
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ stream FULL OUTER with event-time bounds — completes the
+    stream-join family (inner / left outer / full outer): matched
+    purchase-click pairs emit as in the inner join, unmatched purchases
+    emit null-click rows, AND unmatched clicks emit null-purchase rows.
+    The trailing contract now applies to BOTH sides: each side's
+    null-padded row is held in state until the watermark passes the
+    point where a match could still arrive, so either side's outer rows
+    trail the inner results, and rows newer than the final watermark
+    when a bounded run ends never emit their null form
+    (tests/test_streaming.py::test_stream_full_outer_join_semantics
+    pins the three-way partition against the batch twin).
+
+    Scale notes: identical state posture to ``stream_stream_join`` —
+    both sides watermarked, the time-range condition bounds eviction
+    for BOTH state stores (a full outer with an unbounded side is
+    rejected by Spark by design); FULL OUTER adds one matched bit per
+    buffered row on each side.  State is hash-partitioned on the join
+    key (user), sized by ``state_partitions``."""
+    stream_dir = stage_stream_dir(spark, sf_dir)
+    clicks = (
+        read_event_stream(spark, stream_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        read_event_stream(spark, stream_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
+    out = run_to_completion(
+        joined,
+        "stream_full_outer_join",
+        "append",
+        checkpoint=scratch_path("ckpt_"),
+    )
+    return out.orderBy("purchase_id", "click_id")
+
+
 def topic_route_predicates() -> tuple:
     """Exhaustive, null-safe topic routing for the multi-topic split
     (ADVICE r6): a bare ``~isin(...)`` evaluates NULL for a NULL

@@ -1379,3 +1379,85 @@ def test_txn_exactly_once_crash_replay(spark):
     run_txn_exactly_once(spark, SF_DIR, table, scratch_path("txn_eo_ck2_"))
     assert sorted(r["batch_id"] for r in committed()) == [0, 1, 2, 3]
     assert txn_read(spark, table).count() == want.count()
+
+
+def test_stream_full_outer_join_semantics(spark):
+    """Full-outer stream-stream join contract, three-way partition:
+    (a) matched rows are EXACTLY the batch inner join, (b) null-padded
+    rows on EITHER side appear only for batch-unmatched rows of that
+    side, and (c) every unmatched row of either kind comfortably older
+    than the final watermark is guaranteed to have emitted its null
+    form — the trailing contract now applies to both sides."""
+    import datetime as _dt
+
+    rows = QUERIES["stream_full_outer_join"](spark, SF_DIR).collect()
+    matched = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in rows
+        if r["click_id"] is not None and r["purchase_id"] is not None
+    )
+    null_click_pids = {
+        r["purchase_id"] for r in rows if r["click_id"] is None
+    }
+    null_purchase_cids = {
+        r["click_id"] for r in rows if r["purchase_id"] is None
+    }
+    assert all(
+        r["click_id"] is not None or r["purchase_id"] is not None
+        for r in rows
+    ), "a row null on both sides is impossible"
+
+    e = _batch_events(spark)
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    batch_inner = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(clicks, cond, "inner").collect()
+    )
+    assert matched == batch_inner
+
+    batch_unmatched_p = {
+        r["purchase_id"]: r["purchase_ts"]
+        for r in purchases.join(clicks, cond, "left_outer")
+        .where(F.col("click_id").isNull())
+        .collect()
+    }
+    batch_unmatched_c = {
+        r["click_id"]: r["click_ts"]
+        for r in clicks.join(purchases, cond, "left_outer")
+        .where(F.col("purchase_id").isNull())
+        .collect()
+    }
+    assert null_click_pids <= set(batch_unmatched_p)
+    assert null_purchase_cids <= set(batch_unmatched_c)
+    # Final global watermark = min(source max ts) - 30 min; slack 1 h +
+    # the 1 h join range so neither side's assertion races eviction.
+    maxes = e.groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    final_wm = min(
+        r["m"] for r in maxes if r["event_type"] in ("click", "purchase")
+    ) - _dt.timedelta(minutes=30)
+    slack = _dt.timedelta(hours=2)
+    must_emit_p = {
+        pid for pid, ts in batch_unmatched_p.items() if ts < final_wm - slack
+    }
+    must_emit_c = {
+        cid for cid, ts in batch_unmatched_c.items() if ts < final_wm - slack
+    }
+    assert must_emit_p and must_emit_c, (
+        "fixture should leave old unmatched rows on both sides"
+    )
+    assert must_emit_p <= null_click_pids
+    assert must_emit_c <= null_purchase_cids
