@@ -37,6 +37,11 @@ PROBE_SET = [
     "lineitem_price_index",
     "text_textrank_keywords",
     "docs_ccnet_perplexity_buckets",
+    # r10 additions (VERDICT r9 #7): the two heaviest r9 shapes — the
+    # 5-iteration BT contest join and the collapsed-representative
+    # threshold curve.
+    "docs_bradley_terry",
+    "corpus_dedup_rate_curve",
 ]
 
 
