@@ -1061,3 +1061,88 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "sim_hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 64
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             e.vec_id AS negative_id, e.label AS negative_label,
+             CAST(floor(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[]))
+                        * 100000) AS BIGINT) AS cos_e5
+      FROM q JOIN embeddings e ON q.label <> e.label
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(query_label AS BIGINT) AS query_label,
+           CAST(negative_id AS BIGINT) AS negative_id,
+           CAST(negative_label AS BIGINT) AS negative_label,
+           cos_e5
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_e5 DESC, negative_id)
+                      AS rn
+          FROM pairs)
+    WHERE rn <= 2
+    ORDER BY query_id, cos_e5 DESC, negative_id
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the 2 highest-cosine vectors carrying a DIFFERENT label —
+    the examples most likely to confuse a retriever/classifier, and
+    the standard negatives source for embedding fine-tuning (in-batch
+    negatives miss exactly these).  The complement of `sim_topk_exact`'s
+    same-label search on the same query set.
+
+    Scale notes: the candidate join is query-batch × corpus with a
+    label INEQUALITY — it cannot block on the label key, so the QUERY
+    BATCH is the bounded side: the 4 %-sample is capped at 64 queries
+    (ORDER BY vec_id LIMIT — mining runs per training batch, never
+    all-queries-at-once; the uncapped form measured 31.7× sf1 growth,
+    |Q| ∝ n ⇒ n²/25 pairs — the r10 sweep catch).  Candidate volume is
+    then 64·n, linear.  At production scale the per-query candidate
+    set additionally comes from an ANN shortlist (`sim_topk_ivf`'s
+    probed cells / `sim_topk_ann`'s bucket union, depth ≫ k) with the
+    label filter pruning it — mining quality tracks shortlist depth,
+    not corpus size.  Scoring is the module's codegen'd double fold
+    floored to e5 ints; top-2 is a per-query window on the candidate
+    frame."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.where(F.col("vec_id") % 25 == 0)
+        .orderBy("vec_id")
+        .limit(64)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    pairs = q.join(e, F.col("query_label") != F.col("label")).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.floor(dot(F.col("q_emb"), F.col("embedding")) * 100000)
+        .cast("long")
+        .alias("cos_e5"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_e5").desc(), F.col("negative_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("query_label").cast("long").alias("query_label"),
+            F.col("negative_id").cast("long").alias("negative_id"),
+            F.col("negative_label").cast("long").alias("negative_label"),
+            "cos_e5",
+        )
+        .orderBy("query_id", F.col("cos_e5").desc(), "negative_id")
+    )

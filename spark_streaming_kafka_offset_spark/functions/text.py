@@ -3472,3 +3472,131 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_bm25_topk",
+    # BM25 (k1=1.2, b=0.75) for the 5 highest-DF vocabulary terms.
+    # idf = ln(1 + (N-df+0.5)/(df+0.5)) over exact integers±0.5; the
+    # length norm divides dl·N (integer) by Σdl as double — every
+    # float op is written with IDENTICAL association on both engines
+    # and the rank/display key is the e4-floored score (coarse enough
+    # that a last-ulp libm ln() divergence cannot flip it).
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_dl
+      FROM dl
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), topterms AS (
+      SELECT term, df
+      FROM (SELECT term, df,
+                   row_number() OVER (ORDER BY df DESC, term) AS rn
+            FROM df)
+      WHERE rn <= 5
+    ), scored AS (
+      SELECT t.term, f.doc_id, f.tf, d.dl,
+             CAST(floor(
+               ln(1 + (n.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (f.tf * 2.2)
+               / (f.tf + 1.2 * (0.25 + 0.75
+                  * (d.dl * n.n_docs / CAST(n.total_dl AS DOUBLE))))
+               * 10000) AS BIGINT) AS score_e4
+      FROM topterms t
+      JOIN tf f ON f.term = t.term
+      JOIN dl d ON d.doc_id = f.doc_id
+      CROSS JOIN n
+    )
+    SELECT term, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl, score_e4
+    FROM (SELECT *, row_number() OVER (PARTITION BY term
+                                       ORDER BY score_e4 DESC, doc_id)
+                      AS rn
+          FROM scored)
+    WHERE rn <= 5
+    ORDER BY term, score_e4 DESC, doc_id
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson–Spärck Jones, public; k1=1.2,
+    b=0.75) — `text_tfidf`'s production sibling with tf saturation and
+    document-length normalization: for each of the 5 highest-DF
+    vocabulary terms (the fixture's stand-in for a query workload), the
+    top-5 documents by BM25.  Length normalization genuinely reorders
+    vs raw tf — short docs win ties — which the pytest pins.
+
+    Scale notes: ONE token explode feeds tf (doc,term), dl (doc) and df
+    (term) aggregates; the corpus constants ride a broadcast 1-row
+    frame; scoring joins tf against the 5-row term dim (vocab-sized ×
+    5, never corpus × vocab) and the dl dim on doc_id; top-5 is a
+    per-term window.  The e4-floored score is both the display and the
+    rank key so ordering is engine-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w_df = Window.orderBy(F.col("df").desc(), "term")
+    topterms = (
+        df_.withColumn("rn", F.row_number().over(w_df))
+        .where(F.col("rn") <= 5)
+        .select("term", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(topterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            F.floor(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * (
+                            F.col("dl") * F.col("n_docs")
+                            / F.col("total_dl").cast("double")
+                        )
+                    )
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("score_e4"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score_e4").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "term",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+            "score_e4",
+        )
+        .orderBy("term", F.col("score_e4").desc(), "doc_id")
+    )

@@ -2957,3 +2957,265 @@ def lineitem_vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("vwap"),
     ).orderBy("ship_month")
+
+
+@register(
+    "events_conversion_lag",
+    # First-view → first-subsequent-purchase lag per user, histogrammed
+    # into hour buckets with cumulative conversion mass.  Lag hours =
+    # (epoch_p − epoch_v) // 3600 on exact epoch seconds (the
+    # common.epoch_seconds twin of DuckDB's epoch_us // 1e6), so the
+    # bucket edges are integer-identical on both engines.
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+      GROUP BY 1
+    ), lags AS (
+      SELECT v.user_id,
+             (epoch_us(p.first_purchase) // 1000000
+              - epoch_us(v.first_view) // 1000000) // 3600 AS lag_hours
+      FROM v JOIN p ON p.user_id = v.user_id
+    ), hist AS (
+      SELECT lag_hours, COUNT(*) AS n_users FROM lags GROUP BY 1
+    )
+    SELECT CAST(lag_hours AS BIGINT) AS lag_hours,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_users * 1000000 // SUM(n_users) OVER () AS BIGINT)
+             AS share_ppm,
+           CAST(SUM(n_users) OVER (ORDER BY lag_hours
+                                   ROWS UNBOUNDED PRECEDING) * 1000000
+                // SUM(n_users) OVER () AS BIGINT) AS cum_ppm
+    FROM hist
+    ORDER BY lag_hours
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion-lag distribution: per user, the hours
+    between the FIRST view and the first purchase AT OR AFTER it,
+    histogrammed with per-bucket share and cumulative conversion mass —
+    the attribution-window sizing readout (how long must a campaign
+    wait before calling a view unconverted?) that complements
+    `events_attribution`'s credit split and `events_funnel`'s stage
+    counts.
+
+    Scale notes: two user-keyed min-aggregates (the purchase side joins
+    the view frame first so the ts >= first_view filter prunes at scan
+    grain) sharing the user_id partitioning, one user-grain join, ONE
+    aggregate to the hour-bucket histogram (bounded by the fixture's
+    time span, never user count); share/cum windows run on that rollup
+    (reviewed SINGLE)."""
+    from ..common import epoch_seconds
+
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lags = (
+        v.join(p, "user_id")
+        .select(
+            (
+                epoch_seconds("first_purchase") - epoch_seconds("first_view")
+            ).alias("lag_secs")
+        )
+        .select(F.expr("lag_secs div 3600").alias("lag_hours"))
+    )
+    hist = lags.groupBy("lag_hours").agg(F.count(F.lit(1)).alias("n_users"))
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("lag_hours").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        F.col("lag_hours").cast("long").alias("lag_hours"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.expr("n_users * 1000000 div SUM(n_users) OVER ()")
+        .cast("long")
+        .alias("share_ppm"),
+        (
+            F.sum("n_users").over(w_cum) * 1000000
+        ).cast("long").alias("_cum_raw"),
+        F.sum("n_users").over(w_all).alias("_tot"),
+    ).select(
+        "lag_hours",
+        "n_users",
+        "share_ppm",
+        F.expr("_cum_raw div _tot").cast("long").alias("cum_ppm"),
+    ).orderBy("lag_hours")
+
+
+@register(
+    "events_bounce_rate",
+    # Daily bounce rate over 30-minute-gap sessions (the
+    # `sessionize_batch` rule verbatim): a bounce is a single-event
+    # session, attributed to the day the session STARTED.
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, session_no,
+               CAST(MIN(ts) AS DATE) AS d,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT d AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_ppm
+    FROM sessions
+    GROUP BY d
+    ORDER BY day
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — the share of sessions that contain exactly
+    one event, per day of session start: the engagement-quality metric
+    every web-analytics report leads with, built on the SAME 30-minute
+    inactivity sessionization as `sessionize_batch` (one gap rule
+    everywhere — two definitions of "session" in one warehouse is how
+    dashboards diverge).
+
+    Scale notes: both windows and the session aggregate share the
+    user_id hash partitioning (one shuffle), then ONE aggregate to the
+    calendar-day rollup — the `sessionize_batch` plan plus a bounded
+    day rollup; the ppm division is integer on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > F.expr("INTERVAL '30' MINUTE")), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = flagged.select(
+        "user_id", "ts", F.sum("new_sess").over(w_cum).alias("session_no")
+    )
+    sessions = numbered.groupBy("user_id", "session_no").agg(
+        F.to_date(F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        sessions.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions_raw"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+                "n_bounces_raw"
+            ),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .select(
+            "day",
+            F.col("n_sessions_raw").cast("long").alias("n_sessions"),
+            F.col("n_bounces_raw").cast("long").alias("n_bounces"),
+            "n_events",
+            F.expr("n_bounces_raw * 1000000 div n_sessions_raw")
+            .cast("long")
+            .alias("bounce_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "orders_repeat_purchase_curve",
+    # Orders-per-customer histogram + the repeat survival curve: share
+    # of customers with >= k orders and share of ORDERS owned by them —
+    # integer suffix-sums over the bounded k histogram.
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, COUNT(*) AS k FROM orders GROUP BY 1
+    ), hist AS (
+        SELECT k, COUNT(*) AS n_customers, SUM(k) AS n_orders
+        FROM per_cust GROUP BY 1
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(SUM(n_customers) OVER (ORDER BY k DESC
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS customers_ge_k,
+           CAST(SUM(n_customers) OVER (ORDER BY k DESC
+                                       ROWS UNBOUNDED PRECEDING) * 1000000
+                // SUM(n_customers) OVER () AS BIGINT) AS cust_ge_k_ppm,
+           CAST(SUM(n_orders) OVER (ORDER BY k DESC
+                                    ROWS UNBOUNDED PRECEDING) * 1000000
+                // SUM(n_orders) OVER () AS BIGINT) AS orders_ge_k_ppm
+    FROM hist
+    ORDER BY k
+    """,
+)
+def orders_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase curve — the retention economics readout behind
+    `cohort_ltv` and `orders_rfm_segments`: the orders-per-customer
+    histogram plus, for every k, the share of customers who placed at
+    least k orders and the share of total ORDERS those customers own
+    (how concentrated revenue-generating behavior is in repeaters —
+    the '80/20' curve computed exactly, the frequency marginal of
+    `orders_abc_pareto`'s value curve).
+
+    Scale notes: ONE corpus aggregate to the customer grain, ONE to the
+    k histogram (bounded by max orders/customer, never customer
+    count); the survival suffix-sums are ordered windows on that
+    bounded histogram (reviewed SINGLE); ppm divisions are integer on
+    both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("k"))
+    hist = per_cust.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("k").alias("n_orders"),
+    )
+    w_desc = Window.orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return hist.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.sum("n_customers").over(w_desc).cast("long").alias("customers_ge_k"),
+        F.expr(
+            "SUM(n_customers) OVER (ORDER BY k DESC"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000"
+            " div SUM(n_customers) OVER ()"
+        )
+        .cast("long")
+        .alias("cust_ge_k_ppm"),
+        F.expr(
+            "SUM(n_orders) OVER (ORDER BY k DESC"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000"
+            " div SUM(n_orders) OVER ()"
+        )
+        .cast("long")
+        .alias("orders_ge_k_ppm"),
+    ).orderBy("k")

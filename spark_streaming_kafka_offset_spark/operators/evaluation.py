@@ -457,3 +457,97 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pooled"
         ),
     )
+
+
+@register(
+    "privacy_l_diversity",
+    # l-diversity audit over the k-anonymity QI relaxed by one column:
+    # QI = (nation, $1k balance band), sensitive attribute = market
+    # segment; l = distinct sensitive values per equivalence class.  A
+    # class can be k-anonymous yet expose its members' segment when all
+    # rows agree (l = 1) — the attack l-diversity exists to name.
+    oracle=f"""
+    WITH classes AS (
+        SELECT c_nationkey,
+               (CAST(ROUND(c_acctbal * 100) AS BIGINT) + {_KANON_BAND_CENTS})
+                   // {_KANON_BAND_CENTS} AS bal_band,
+               COUNT(*) AS class_size,
+               COUNT(DISTINCT c_mktsegment) AS l
+        FROM customer
+        GROUP BY 1, 2
+    ), banded AS (
+        SELECT c_nationkey,
+               CASE WHEN l = 1 THEN '1'
+                    WHEN l = 2 THEN '2'
+                    ELSE '3+' END AS l_band,
+               class_size,
+               CASE WHEN l < 3 THEN class_size ELSE 0 END AS exposed
+        FROM classes
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, l_band,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(MIN(class_size) AS BIGINT) AS min_class,
+           CAST(SUM(SUM(exposed)) OVER (PARTITION BY c_nationkey) * 1000000
+                // SUM(SUM(class_size)) OVER (PARTITION BY c_nationkey)
+                AS BIGINT) AS nation_exposed_ppm
+    FROM banded
+    GROUP BY c_nationkey, l_band
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, public) — the
+    companion check `privacy_k_anonymity` cannot make: a class of 50
+    identical-QI rows is safely 50-anonymous, but if all 50 share one
+    market segment the release still discloses every member's segment.
+    Per equivalence class of the release QI (nation, $1,000 balance
+    band) we count l = distinct sensitive values (market segment), then
+    histogram classes per nation into l-bands {1, 2, 3+} with the share
+    of each nation's rows living in under-diverse (l < 3) classes.
+
+    Scale notes: ONE hash aggregate from the corpus to the class rollup
+    (QI-cardinality-sized; the distinct-sensitive count rides the same
+    aggregate), one agg to the (nation, l-band) histogram, and a
+    nation-partitioned window for the exposed share — the
+    `privacy_k_anonymity` plan with l in place of k.  The band shift
+    keeps the integer div a floor on negative balances (the
+    sign-boundary rule)."""
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        F.expr(
+            f"(CAST(ROUND(c_acctbal * 100) AS BIGINT) + {_KANON_BAND_CENTS})"
+            f" div {_KANON_BAND_CENTS}"
+        ).alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    banded = classes.select(
+        "c_nationkey",
+        F.when(F.col("l") == 1, "1")
+        .when(F.col("l") == 2, "2")
+        .otherwise("3+")
+        .alias("l_band"),
+        "class_size",
+        F.when(F.col("l") < 3, F.col("class_size")).otherwise(0).alias("exposed"),
+    )
+    grouped = banded.groupBy("c_nationkey", "l_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").alias("n_rows_raw"),
+        F.min("class_size").cast("long").alias("min_class"),
+        F.sum("exposed").alias("exposed_rows"),
+    )
+    return grouped.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "l_band",
+        "n_classes",
+        F.col("n_rows_raw").cast("long").alias("n_rows"),
+        "min_class",
+        F.expr(
+            "SUM(exposed_rows) OVER (PARTITION BY c_nationkey) * 1000000"
+            " div SUM(n_rows_raw) OVER (PARTITION BY c_nationkey)"
+        )
+        .cast("long")
+        .alias("nation_exposed_ppm"),
+    )

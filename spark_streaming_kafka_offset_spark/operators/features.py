@@ -520,3 +520,118 @@ def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("iv_total"),
     )
+
+
+#: Hashing-trick bucket widths audited by `feat_hashing_collisions` —
+#: the dimensionality sweep a feature-hashing rollout runs before
+#: freezing B.  The feature space is word BIGRAMS (vocab² ≈ 1k distinct
+#: on the fixture's ~31-word vocab) so every width shows a different
+#: collision regime (B=64 saturated, B=1024 sparse).
+_FH_WIDTHS = (64, 256, 1024)
+
+
+@register(
+    "feat_hashing_collisions",
+    # Bucket id = first 8 hex chars of md5(bigram) as an integer, mod B
+    # — md5 is bit-identical on both engines (verified: Spark
+    # conv(substr(md5,1,8),16,10) == DuckDB CAST('0x'||substr(md5,1,8)
+    # AS BIGINT)), unlike xxhash64 which is Spark-only.
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT unnest(list_transform(range(1, n),
+                             i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks WHERE n >= 2
+    ), hashed AS (
+      SELECT g, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h
+      FROM grams
+    ), widths AS (
+      SELECT unnest([{", ".join(str(b) for b in _FH_WIDTHS)}]) AS b
+    ), loads AS (
+      SELECT w.b, h.h % w.b AS bucket, COUNT(*) AS load
+      FROM hashed h CROSS JOIN widths w
+      GROUP BY 1, 2
+    )
+    SELECT CAST(b AS BIGINT) AS n_buckets,
+           CAST(SUM(load) AS BIGINT) AS n_features,
+           CAST(COUNT(*) AS BIGINT) AS n_occupied,
+           CAST(MAX(load) AS BIGINT) AS max_load,
+           CAST(SUM(CASE WHEN load >= 2 THEN load ELSE 0 END) AS BIGINT)
+             AS n_collided,
+           CAST(SUM(CASE WHEN load >= 2 THEN load ELSE 0 END) * 1000000
+                // SUM(load) AS BIGINT) AS collided_ppm
+    FROM loads
+    GROUP BY b
+    ORDER BY n_buckets
+    """,
+)
+def feat_hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit — the dimensionality sweep run
+    before freezing a hashed feature space (Weinberger et al. 2009,
+    public): hash every distinct word-bigram feature into B buckets for
+    B ∈ {64, 256, 1024} and report, per width, the occupied-bucket
+    count, the heaviest bucket, and the share of features that share a
+    bucket with another feature (the information actually destroyed by
+    the trick).  The curve tells you the smallest B whose collision
+    mass is acceptable.
+
+    Scale notes: ONE text pass builds the distinct-feature frame
+    (bigram generation is a scan-side transform(sequence); distinct is
+    one shuffle on the feature key, vocabulary-sized output); the
+    width sweep is a broadcast |widths|-row literal dim crossed onto
+    that VOCAB-SIZED frame (never corpus-sized), and the per-(B,
+    bucket) load rollup is bounded by Σ B.  The md5-derived bucket id
+    is engine-portable AND seed-stable across runs — what a feature
+    store needs for online/offline consistency."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = d.select(t.alias("t"), F.size(t).alias("n"))
+    grams = (
+        toks.where(F.col("n") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                )
+            ).alias("g")
+        )
+        .distinct()
+    )
+    hashed = grams.select(
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    widths = spark.createDataFrame([(b,) for b in _FH_WIDTHS], "b long")
+    loads = (
+        hashed.crossJoin(F.broadcast(widths))
+        .groupBy("b", (F.col("h") % F.col("b")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("load"))
+    )
+    return (
+        loads.groupBy("b")
+        .agg(
+            F.sum("load").alias("n_features_raw"),
+            F.count(F.lit(1)).cast("long").alias("n_occupied"),
+            F.max("load").cast("long").alias("max_load"),
+            F.sum(F.when(F.col("load") >= 2, F.col("load")).otherwise(0)).alias(
+                "n_collided_raw"
+            ),
+        )
+        .select(
+            F.col("b").cast("long").alias("n_buckets"),
+            F.col("n_features_raw").cast("long").alias("n_features"),
+            "n_occupied",
+            "max_load",
+            F.col("n_collided_raw").cast("long").alias("n_collided"),
+            F.expr("n_collided_raw * 1000000 div n_features_raw")
+            .cast("long")
+            .alias("collided_ppm"),
+        )
+        .orderBy("n_buckets")
+    )

@@ -824,3 +824,142 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_a", "user_b")
     )
+
+
+_LP_ITERS = 3
+
+
+def _oracle_label_propagation() -> str:
+    """Unroll the three label-propagation rounds as chained CTEs — the
+    `graph_pagerank` codegen-twin recipe.  Each round's argmax runs on
+    integer incident weights with ties to the LOWEST label, so every
+    step is integer-deterministic on both engines.  Iteration CTEs are
+    MATERIALIZED (the multi-reference inlining hazard, SURVEY §8)."""
+    steps = []
+    prev = "l0"
+    for i in range(1, _LP_ITERS + 1):
+        steps.append(
+            f"""a{i} AS MATERIALIZED (
+        SELECT e.dst AS node, p.lbl, SUM(e.w) AS tw
+        FROM edges e JOIN {prev} p ON e.src = p.node
+        GROUP BY 1, 2
+    ), l{i} AS MATERIALIZED (
+        SELECT node, lbl
+        FROM (SELECT node, lbl,
+                     row_number() OVER (PARTITION BY node
+                                        ORDER BY tw DESC, lbl) AS rn
+              FROM a{i})
+        WHERE rn = 1
+    )"""
+        )
+        prev = f"l{i}"
+    return f"""
+    WITH raw_edges AS (
+        SELECT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node,
+               COUNT(*) AS w
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT c_node AS src, s_node AS dst, w FROM raw_edges
+        UNION ALL
+        SELECT s_node AS src, c_node AS dst, w FROM raw_edges
+    ), l0 AS (
+        SELECT DISTINCT src AS node, src AS lbl FROM edges
+    ), {", ".join(steps)}
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers,
+           CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppliers,
+           CAST(MIN(node) AS BIGINT) AS min_node
+    FROM l{_LP_ITERS}
+    GROUP BY lbl
+    ORDER BY community
+    """
+
+
+@register("graph_label_propagation", oracle=_oracle_label_propagation())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by label propagation (Raghavan et al. 2007,
+    public) over the customer↔supplier trade graph — the third member
+    of the iterative-graph family (`graph_pagerank` ranks,
+    `graph_kcore` peels, this one CLUSTERS): every node starts as its
+    own label; each of 3 synchronous rounds re-labels a node with the
+    label holding the MAX total incident edge weight among its
+    neighbors (ties to the lowest label — fully integer-deterministic,
+    which is what lets the unrolled DuckDB twin match bit-for-bit where
+    float-voting LPA variants could not).  Output is the community
+    rollup: size, customer/supplier mix, min member node.
+
+    Scale notes: the edge list is built once (one fact-dim join +
+    aggregate) and reused each round; a round is ONE shuffle — join
+    labels to edges on src (both keyed), partial+final agg on (dst,
+    lbl), argmax window partitioned by node (keyed, never global).
+    Labels are a narrow (node, lbl) frame; the synchronous fixed
+    iteration count bounds the lineage like pagerank's loop (no
+    fixpoint detection — production LPA stops on a label-change
+    counter, one extra agg per round)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    from ..common import stage
+
+    edges = stage(
+        raw.select(
+            F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
+        ).unionAll(
+            raw.select(
+                F.col("s_node").alias("src"),
+                F.col("c_node").alias("dst"),
+                "w",
+            )
+        )
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    wv = Window.partitionBy("node").orderBy(F.col("tw").desc(), "lbl")
+    for it in range(_LP_ITERS):
+        scored = (
+            edges.join(
+                labels.select(F.col("node").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.sum("w").alias("tw"))
+        )
+        labels = (
+            scored.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+        if it == 1:
+            labels = stage(labels)
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_customers"),
+            F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_suppliers"),
+            F.min("node").cast("long").alias("min_node"),
+        )
+        .select(
+            F.col("community").cast("long").alias("community"),
+            "n_nodes",
+            "n_customers",
+            "n_suppliers",
+            "min_node",
+        )
+        .orderBy("community")
+    )

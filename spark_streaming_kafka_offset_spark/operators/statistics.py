@@ -2892,3 +2892,399 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(between, 6).alias("t_between_contrib"),
         F.round(F.col("t_cells") - between, 6).alias("t_within_contrib"),
     ).orderBy("nation")
+
+
+@register(
+    "agg_mutual_information",
+    # MI over integer cell counts: every log's argument is an exact
+    # integer cast to double (the text_entropy discipline), pmi =
+    # ln(c·n/(cx·cy)) written as ln(c)+ln(n)-ln(cx)-ln(cy) with the
+    # SAME association on both engines; the marginal-entropy sums fold
+    # the cell frame (Σ_cells c·ln(cx) == Σ_x cx·ln(cx)); ROUND(4)
+    # absorbs last-ulp libm drift.
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS x,
+             LEAST(9, CAST(floor(value / 50) AS BIGINT)) AS y,
+             COUNT(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT x, y, c,
+             SUM(c) OVER (PARTITION BY x) AS cx,
+             SUM(c) OVER (PARTITION BY y) AS cy,
+             SUM(c) OVER () AS n
+      FROM cells
+    )
+    SELECT x AS event_type,
+           CAST(y AS BIGINT) AS value_bucket,
+           CAST(c AS BIGINT) AS n_cell,
+           CAST(cx AS BIGINT) AS n_type,
+           CAST(cy AS BIGINT) AS n_bucket,
+           ROUND(ln(CAST(c AS DOUBLE)) + ln(CAST(n AS DOUBLE))
+                 - ln(CAST(cx AS DOUBLE)) - ln(CAST(cy AS DOUBLE)), 4)
+             AS pmi_nats,
+           ROUND(SUM(c * (ln(CAST(c AS DOUBLE)) + ln(CAST(n AS DOUBLE))
+                          - ln(CAST(cx AS DOUBLE))
+                          - ln(CAST(cy AS DOUBLE)))) OVER ()
+                 / n, 4) AS mi_nats,
+           ROUND((SUM(c * (ln(CAST(c AS DOUBLE)) + ln(CAST(n AS DOUBLE))
+                           - ln(CAST(cx AS DOUBLE))
+                           - ln(CAST(cy AS DOUBLE)))) OVER () / n)
+                 / sqrt((ln(CAST(n AS DOUBLE))
+                         - SUM(c * ln(CAST(cx AS DOUBLE))) OVER () / n)
+                        * (ln(CAST(n AS DOUBLE))
+                           - SUM(c * ln(CAST(cy AS DOUBLE))) OVER () / n)),
+                 4) AS nmi
+    FROM m
+    ORDER BY event_type, value_bucket
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    feature-selection / dependence readout (complements
+    `agg_chisq_independence`'s test statistic with the information-
+    theoretic effect size): MI(event_type; value bucket) in nats plus
+    the sqrt-normalized NMI, with the per-cell pointwise-MI table the
+    dependence actually lives in (which (type, bucket) cells co-occur
+    more than independence predicts).  Fixture: value is independent of
+    event type by construction (probed: per-type medians/p90s coincide;
+    MI ≈ 0.002 nats at $50 bins — an apparent 0.22 at 0.2-wide bins is
+    pure finite-sample bias, ≈ cells/2n), so the fixture is an honest
+    NULL and the pytest proves the estimator discriminates: MI == 0 on
+    a constructed exactly-independent frame, MI == H(X) on a
+    deterministic one, and a planted type→bucket shift moves MI off
+    zero (the `agg_fdr_bh` null-fixture pattern).
+
+    Scale notes: ONE hash aggregate from the corpus to the
+    |types|×|buckets| cell rollup (≤50 rows at any corpus size); the
+    margins and the MI/entropy sums are windows on that rollup
+    (reviewed SINGLE).  All logs take exact integers; the marginal
+    entropy folds the CELL frame (Σ_cells c·ln(cx) = Σ_x cx·ln(cx)) so
+    no second aggregate is needed."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cells = e.groupBy(
+        F.col("event_type").alias("x"),
+        F.least(F.lit(9), F.floor(F.col("value") / 50).cast("long")).alias("y"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    w_all = Window.partitionBy()
+    m = cells.select(
+        "x",
+        "y",
+        "c",
+        F.sum("c").over(wx).alias("cx"),
+        F.sum("c").over(wy).alias("cy"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    ln = lambda col: F.log(F.col(col).cast("double"))
+    pmi = ln("c") + ln("n") - ln("cx") - ln("cy")
+    mi = F.sum(F.col("c") * pmi).over(w_all) / F.col("n")
+    hx = ln("n") - F.sum(F.col("c") * ln("cx")).over(w_all) / F.col("n")
+    hy = ln("n") - F.sum(F.col("c") * ln("cy")).over(w_all) / F.col("n")
+    return m.select(
+        F.col("x").alias("event_type"),
+        F.col("y").cast("long").alias("value_bucket"),
+        F.col("c").cast("long").alias("n_cell"),
+        F.col("cx").cast("long").alias("n_type"),
+        F.col("cy").cast("long").alias("n_bucket"),
+        F.round(pmi, 4).alias("pmi_nats"),
+        F.round(mi, 4).alias("mi_nats"),
+        F.round(mi / F.sqrt(hx * hy), 4).alias("nmi"),
+    ).orderBy("event_type", "value_bucket")
+
+
+#: Periodogram analysis window: candidate periods (days) and the max
+#: day index covered by the LITERAL trig-weight dim.  Weights are e6
+#: integers (micro-units): e9 weights overflow the int128 power carry
+#: at sf10 daily volumes (dev ~1e7 -> power*1e6 ~9e40); e6 keeps exact
+#: headroom to ~1.3e7 events/day with 1e-6 relative spectral precision,
+#: and the weight scale itself is the documented knob beyond that.  The weights are
+#: Python-codegen'd once into BOTH the Spark literal frame and the
+#: oracle VALUES list — cos/sin never execute in either engine, so the
+#: whole spectrum is integer arithmetic (no cross-libm last-ulp risk).
+#: The fixture's events span one calendar month; a production run
+#: regenerates the weight dim for its own window length (it stays a
+#: broadcast literal at any corpus size — |periods|·|days| rows).
+_PG_PERIODS = tuple(range(2, 11))
+_PG_MAX_T = 30
+
+
+def _pg_weights() -> list[tuple[int, int, int, int]]:
+    import math
+
+    out = []
+    for p in _PG_PERIODS:
+        for t in range(_PG_MAX_T + 1):
+            ang = 2.0 * math.pi * t / p
+            out.append(
+                (p, t, round(math.cos(ang) * 1e6), round(math.sin(ang) * 1e6))
+            )
+    return out
+
+
+def _oracle_periodogram() -> str:
+    values = ",\n        ".join(
+        f"({p}, {t}, {c}, {s})" for p, t, c, s in _pg_weights()
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1
+    ), idx AS (
+      SELECT datediff('day', MIN(d) OVER (), d) AS t, c,
+             COUNT(*) OVER () AS n_days, SUM(c) OVER () AS total
+      FROM daily
+    ), dev AS (
+      SELECT t, n_days * c - total AS dev
+      FROM idx WHERE t BETWEEN 0 AND {_PG_MAX_T}
+    ), w(p, t, cos_e6, sin_e6) AS (
+      VALUES {values}
+    ), s AS (
+      SELECT w.p,
+             SUM(dev.dev * w.cos_e6) AS sc,
+             SUM(dev.dev * w.sin_e6) AS ss
+      FROM dev JOIN w ON w.t = dev.t
+      GROUP BY 1
+    ), pw AS (
+      -- HUGEINT, not DECIMAL: DuckDB's DECIMAL // runs through DOUBLE
+      -- (probed: returns a float, off-by-one at e35/e29 magnitudes);
+      -- int128 // is exact and power*1e6 <= ~1.4e35 fits.
+      SELECT p, sc, ss,
+             CAST(sc AS HUGEINT) * sc + CAST(ss AS HUGEINT) * ss AS power
+      FROM s
+    )
+    SELECT CAST(p AS BIGINT) AS period_days,
+           CAST(sc AS BIGINT) AS s_cos_e6,
+           CAST(ss AS BIGINT) AS s_sin_e6,
+           CAST(power * 1000000 // SUM(power) OVER () AS BIGINT)
+             AS power_share_ppm,
+           CAST(row_number() OVER (ORDER BY power DESC, p) AS BIGINT)
+             AS power_rank
+    FROM pw
+    ORDER BY period_days
+    """
+
+
+@register("events_periodogram", oracle=_oracle_periodogram())
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete periodogram of the daily event-count series — the
+    period-detection readout (is there a weekly cycle? a 3-day batch
+    rhythm?) that decides seasonal-model structure before
+    `events_stl_decompose`/`events_holt_forecast` commit to one: DFT
+    power at candidate periods 2..10 days over the MEAN-CENTERED daily
+    counts, each period's share of total candidate power in ppm plus
+    its rank.
+
+    Exactness: centering is integer (dev_t = n_days·c_t − Σc, counts
+    scaled by n_days so no division happens); the cos/sin weights are
+    CODEGEN'D LITERALS in e6 integer units shared verbatim by both
+    engines (`_pg_weights` — trig never executes in SQL, eliminating
+    cross-libm drift); S_cos/S_sin are int64 sums; powers square into
+    DECIMAL(38,0) (the `agg_share_of_total_nested` carry) and the
+    share is integer ppm division.  Bit-exact at every SF.
+
+    Fixture: daily counts genuinely vary (probed 302..364 at sf0.01)
+    with no planted cycle — shares spread across periods and the
+    pytest injects a 7-day cycle and asserts period 7 takes rank 1.
+
+    Scale notes: ONE hash aggregate from the corpus to the ≤31-row
+    daily rollup; everything after (index window, weight join, spectrum
+    aggs, share window) runs on calendar- or period-sized frames
+    (reviewed SINGLE/NLJ — the weight dim is a broadcast 279-row
+    literal)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_all = Window.partitionBy()
+    idx = daily.select(
+        F.datediff(F.col("d"), F.min("d").over(w_all)).alias("t"),
+        "c",
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    dev = idx.where(F.col("t").between(0, _PG_MAX_T)).select(
+        "t", (F.col("n_days") * F.col("c") - F.col("total")).alias("dev")
+    )
+    weights = spark.createDataFrame(
+        _pg_weights(), "p long, t long, cos_e6 long, sin_e6 long"
+    )
+    s = (
+        dev.join(F.broadcast(weights), "t")
+        .groupBy("p")
+        .agg(
+            F.sum(F.col("dev") * F.col("cos_e6")).alias("sc"),
+            F.sum(F.col("dev") * F.col("sin_e6")).alias("ss"),
+        )
+    )
+    pw = s.select(
+        "p",
+        "sc",
+        "ss",
+        (
+            F.col("sc").cast("decimal(38,0)") * F.col("sc")
+            + F.col("ss").cast("decimal(38,0)") * F.col("ss")
+        ).alias("power"),
+    )
+    return pw.select(
+        F.col("p").cast("long").alias("period_days"),
+        F.col("sc").cast("long").alias("s_cos_e6"),
+        F.col("ss").cast("long").alias("s_sin_e6"),
+        F.expr("CAST(power * 1000000 div SUM(power) OVER () AS LONG)").alias(
+            "power_share_ppm"
+        ),
+        F.row_number()
+        .over(Window.orderBy(F.col("power").desc(), "p"))
+        .cast("long")
+        .alias("power_rank"),
+    ).orderBy("period_days")
+
+
+_IPF_ITERS = 3
+_IPF_CUT = "DATE '1998-01-01'"
+
+
+def _oracle_raking_ipf() -> str:
+    """Unroll the three row+column raking sweeps as chained CTEs (the
+    pagerank codegen-twin recipe).  Weights live in e6 integer units
+    and every rescale is an exact integer multiply-divide through the
+    int128/DECIMAL(38,0) carry, so each sweep is bit-identical on both
+    engines (no float ratio ever materializes).  Step CTEs are
+    MATERIALIZED — each is referenced by its margin sum AND the next
+    step (the multi-reference inlining hazard, SURVEY §8)."""
+    steps = []
+    prev = "w0"
+    for k in range(1, _IPF_ITERS + 1):
+        steps.append(
+            f"""rs{k} AS MATERIALIZED (
+        SELECT x, SUM(w) AS s FROM {prev} GROUP BY x
+    ), r{k} AS MATERIALIZED (
+        SELECT p.x, p.y,
+               CAST(CAST(p.w AS HUGEINT) * tr.t * 1000000 // rs{k}.s
+                    AS BIGINT) AS w
+        FROM {prev} p JOIN rs{k} ON rs{k}.x = p.x
+        JOIN tr ON tr.x = p.x
+    ), cs{k} AS MATERIALIZED (
+        SELECT y, SUM(w) AS s FROM r{k} GROUP BY y
+    ), c{k} AS MATERIALIZED (
+        SELECT p.x, p.y,
+               CAST(CAST(p.w AS HUGEINT) * tc.t * 1000000 // cs{k}.s
+                    AS BIGINT) AS w
+        FROM r{k} p JOIN cs{k} ON cs{k}.y = p.y
+        JOIN tc ON tc.y = p.y
+    )"""
+        )
+        prev = f"c{k}"
+    return f"""
+    WITH early AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS c
+        FROM orders WHERE o_orderdate < {_IPF_CUT}
+        GROUP BY 1, 2
+    ), tr AS (
+        SELECT o_orderpriority AS x, COUNT(*) AS t
+        FROM orders WHERE o_orderdate >= {_IPF_CUT}
+        GROUP BY 1
+    ), tc AS (
+        SELECT o_orderstatus AS y, COUNT(*) AS t
+        FROM orders WHERE o_orderdate >= {_IPF_CUT}
+        GROUP BY 1
+    ), w0 AS (
+        SELECT x, y, c * 1000000 AS w FROM early
+    ), {", ".join(steps)}
+    SELECT f.x AS priority, f.y AS status,
+           CAST(e.c AS BIGINT) AS early_count,
+           CAST(tr.t AS BIGINT) AS row_target,
+           CAST(tc.t AS BIGINT) AS col_target,
+           CAST(f.w AS BIGINT) AS raked_e6
+    FROM c{_IPF_ITERS} f
+    JOIN early e ON e.x = f.x AND e.y = f.y
+    JOIN tr ON tr.x = f.x
+    JOIN tc ON tc.y = f.y
+    ORDER BY priority, status
+    """
+
+
+@register("agg_raking_ipf", oracle=_oracle_raking_ipf())
+def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking / iterative proportional fitting (Deming–Stephan 1940,
+    public) — the survey-calibration / drift-correction workhorse:
+    rescale the EARLY period's (priority × status) order-count table so
+    its row and column margins match the LATE period's, preserving the
+    early table's interaction structure.  Three row+column sweeps; each
+    sweep multiplies every cell by target/current-margin.  This is how
+    a pipeline reweights last quarter's stratified sample to this
+    quarter's composition without re-sampling.
+
+    Exactness: weights are e6 integers; each rescale is ONE exact
+    integer multiply-divide (w·t·1e6 // margin-sum) through the
+    int128/DECIMAL(38,0) carry — no float ratio ever exists, so the
+    unrolled DuckDB twin matches bit-for-bit and the truncation path
+    (≤1 e6-unit per sweep) is identical on both engines.  The pytest
+    proves the raking LAW: achieved margins converge to the targets
+    within integer-truncation tolerance.
+
+    Scale notes: TWO corpus aggregates (early cells, late margins) —
+    the margins are grouped-rollup-sized (|priorities| + |statuses|)
+    and every sweep runs entirely on the ≤|X|·|Y|-row cell frame
+    (margin sums + rescale joins on a 15-row frame at any corpus
+    size)."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("date")
+    early = (
+        o.where(F.col("o_orderdate") < cut)
+        .groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    late = o.where(F.col("o_orderdate") >= cut)
+    tr = late.groupBy(F.col("o_orderpriority").alias("x")).agg(
+        F.count(F.lit(1)).alias("tr")
+    )
+    tc = late.groupBy(F.col("o_orderstatus").alias("y")).agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    w = early.select("x", "y", (F.col("c") * 1000000).alias("w"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    for _ in range(_IPF_ITERS):
+        w = (
+            w.withColumn("s", F.sum("w").over(wx))
+            .join(F.broadcast(tr), "x")
+            .select(
+                "x",
+                "y",
+                F.expr(
+                    "CAST(CAST(w AS DECIMAL(38,0)) * tr * 1000000 div s"
+                    " AS BIGINT)"
+                ).alias("w"),
+            )
+        )
+        w = (
+            w.withColumn("s", F.sum("w").over(wy))
+            .join(F.broadcast(tc), "y")
+            .select(
+                "x",
+                "y",
+                F.expr(
+                    "CAST(CAST(w AS DECIMAL(38,0)) * tc * 1000000 div s"
+                    " AS BIGINT)"
+                ).alias("w"),
+            )
+        )
+    return (
+        w.join(early, ["x", "y"])
+        .join(F.broadcast(tr), "x")
+        .join(F.broadcast(tc), "y")
+        .select(
+            F.col("x").alias("priority"),
+            F.col("y").alias("status"),
+            F.col("c").cast("long").alias("early_count"),
+            F.col("tr").cast("long").alias("row_target"),
+            F.col("tc").cast("long").alias("col_target"),
+            F.col("w").cast("long").alias("raked_e6"),
+        )
+        .orderBy("priority", "status")
+    )

@@ -50,6 +50,13 @@ BNL_ALLOWED: dict[str, str] = {
     "kmeans_lloyd_exact": "broadcast k=4 centroid frame per Lloyd iteration",
     "dedup_semantic": "broadcast k=8 centroid frame per Lloyd iteration "
     "+ final assignment (the kmeans_lloyd_exact recipe)",
+    "sim_hard_negatives": "label-INEQUALITY join of the 4% query sample "
+    "against the scan (the exact path; production mines from an ANN "
+    "shortlist — docstring)",
+    "feat_hashing_collisions": "broadcast 3-row width dim crossed onto "
+    "the vocab-sized distinct-feature frame",
+    "text_bm25_topk": "broadcast 1-row corpus-constants frame onto the "
+    "vocab x 5-term scoring frame",
     "events_acf": "broadcast 1-row denominator (global variance) scalar frame",
     "events_holt_forecast": "broadcast 1-row (level, trend) state frame "
     "onto the 7-row horizon frame",
@@ -288,6 +295,16 @@ SINGLE_ALLOWED: dict[str, str] = {
     "(source, score) rollup",
     "agg_pinball_loss": "train-quantile rank window over the "
     "calendar-day rollup",
+    "agg_mutual_information": "margin/MI/entropy windows over the "
+    "<=|types x buckets| (~50-row) cell rollup",
+    "events_periodogram": "index/total windows over the <=31-row "
+    "daily rollup and the 9-row spectrum rank",
+    "events_conversion_lag": "share/cumulative windows over the "
+    "time-span-bounded hour-bucket histogram",
+    "text_bm25_topk": "top-DF-5 term election window over the "
+    "vocab-sized df frame",
+    "orders_repeat_purchase_curve": "suffix-sum windows over the "
+    "max-orders-per-customer-bounded k histogram",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

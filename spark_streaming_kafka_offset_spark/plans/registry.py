@@ -55,6 +55,28 @@ DEFERRED_R11: tuple[str, ...] = (
     # r10-registered oracle pairs (SemDeDup semantic dedup —
     # functions/similarity.py, §2.40).
     "dedup_semantic",
+    # r10-registered oracle pairs, second batch (hard-negative mining,
+    # hashing-trick audit, mutual information, l-diversity, integer
+    # periodogram — functions/similarity.py, operators/features.py,
+    # operators/statistics.py, operators/evaluation.py, §2.41).
+    "sim_hard_negatives",
+    "feat_hashing_collisions",
+    "agg_mutual_information",
+    "privacy_l_diversity",
+    "events_periodogram",
+    # r10-registered oracle pairs, third batch (label-propagation
+    # communities, BM25 retrieval scoring, conversion-lag histogram,
+    # session bounce rate — operators/graph.py, functions/text.py,
+    # operators/analytics_ext.py, §2.42).
+    "graph_label_propagation",
+    "text_bm25_topk",
+    "events_conversion_lag",
+    "events_bounce_rate",
+    # r10-registered oracle pairs, fourth batch (integer raking/IPF,
+    # repeat-purchase curve — operators/statistics.py,
+    # operators/analytics_ext.py, §2.43).
+    "agg_raking_ipf",
+    "orders_repeat_purchase_curve",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -130,6 +152,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r10-registered oracle pairs (SemDeDup semantic dedup —
     # functions/similarity.py, §2.40).
     "dedup_semantic",
+    # r10-registered oracle pairs, second batch (§2.41).
+    "sim_hard_negatives",
+    "feat_hashing_collisions",
+    "agg_mutual_information",
+    "privacy_l_diversity",
+    "events_periodogram",
+    # r10-registered oracle pairs, third batch (§2.42).
+    "graph_label_propagation",
+    "text_bm25_topk",
+    "events_conversion_lag",
+    "events_bounce_rate",
+    # r10-registered oracle pairs, fourth batch (§2.43).
+    "agg_raking_ipf",
+    "orders_repeat_purchase_curve",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r11+
     # rotation queue reads straight down this list after any deferrals.
@@ -472,6 +508,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_txn_exactly_once",
     "table_vacuum_plan",
     "scan_rowgroup_zonemap",
+    # r10 rows-only addition: ORC source round-trip (DuckDB ships no
+    # ORC reader; parquet-equality-pinned in tests/test_sources.py).
+    "scan_orc",
 )
 
 

@@ -352,3 +352,36 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, min_orderkey long, max_orderkey long, "
         "min_totalprice double, max_totalprice double, agg_was_pushed boolean",
     )
+
+
+@register("scan_orc")  # rows-only: DuckDB cannot read ORC
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the second columnar lake format Spark supports
+    natively (vectorized reader, predicate pushdown, column pruning —
+    same scan surface as parquet): write the lineitem flag/status
+    aggregate to ORC with a partitioned layout, read it back with an
+    explicit schema through the real ORC reader, and return the pruned
+    slice.  A user migrating an ORC warehouse (the Hive-era default)
+    runs this exact path.  DuckDB ships no ORC reader, so the key is
+    rows-only; tests/test_sources.py pins byte-equality of the ORC
+    round-trip against the same aggregate read from parquet.
+
+    Scale notes: identical posture to `sink_parquet` — partitionBy on
+    the low-cardinality flag bounds files-per-task, and the read-back
+    filter prunes to one partition directory (the ORC reader honors
+    partition pruning and pushes the status predicate into stripe
+    selection)."""
+    out = os.path.join(scratch_path("sskos_orc_"), "by_flag")
+    l = load_table(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+    agg.write.mode("overwrite").partitionBy("l_returnflag").orc(out)
+    back = spark.read.schema(
+        "l_linestatus string, n_rows long, revenue_cents long, "
+        "l_returnflag string"
+    ).orc(out)
+    return back.where(F.col("l_returnflag") == "A").orderBy("l_linestatus")

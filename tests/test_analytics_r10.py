@@ -1,0 +1,277 @@
+"""Semantic laws for the r10 batch (beyond oracle parity): hard-negative
+mining, hashing-trick collision audit, mutual information, l-diversity,
+and the integer periodogram.  Oracle hashes prove cross-engine equality;
+these prove the operators MEAN what they claim — negatives are the true
+cross-label top, collision mass shrinks with width, MI discriminates
+dependence from the null fixture, and a planted weekly cycle wins the
+spectrum.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_offset_spark.plans.registry import QUERIES
+from spark_streaming_kafka_offset_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+def test_hard_negatives_are_true_cross_label_top(spark):
+    """Every mined negative carries a different label than its query,
+    and the mined set IS the brute-force top-2 different-label
+    neighbors under the op's floor+tie rule."""
+    rows = QUERIES["sim_hard_negatives"](spark, SF_DIR).collect()
+    assert rows and all(r.query_label != r.negative_label for r in rows)
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append(r.negative_id)
+    assert all(len(v) == 2 for v in got.values())
+
+    e = load_table(spark, SF_DIR, "embeddings").collect()
+    ids = np.array([r.vec_id for r in e])
+    lab = np.array([r.label for r in e])
+    X = np.array([r.embedding for r in e], dtype=np.float64)
+    for qid, negs in got.items():
+        qi = int(np.where(ids == qid)[0][0])
+        cos = np.floor(X[qi] @ X.T * 100000)
+        mask = lab != lab[qi]
+        order = np.lexsort((ids[mask], -cos[mask]))
+        truth = ids[mask][order[:2]].tolist()
+        assert negs == truth, (qid, negs, truth)
+
+
+def test_hashing_collision_laws(spark):
+    """Feature count is width-invariant, collision mass is
+    non-increasing in width, occupancy is bounded by width, and a
+    width below the feature count collides everything (pigeonhole has
+    no escape at B=64 for ~900 features)."""
+    rows = sorted(
+        QUERIES["feat_hashing_collisions"](spark, SF_DIR).collect(),
+        key=lambda r: r.n_buckets,
+    )
+    assert len(rows) == 3
+    assert len({r.n_features for r in rows}) == 1
+    feats = rows[0].n_features
+    for r in rows:
+        assert r.n_occupied <= min(r.n_buckets, feats)
+        assert r.max_load * r.n_occupied >= feats
+        assert 0 <= r.collided_ppm <= 1_000_000
+        # features in singleton buckets can never exceed the bucket count
+        assert feats - r.n_collided <= r.n_buckets
+    assert rows[0].n_collided >= rows[1].n_collided >= rows[2].n_collided
+    if feats > rows[0].n_buckets * 1.5:
+        assert rows[0].collided_ppm >= 900_000
+
+
+def _mi_of_cells(cells):
+    """Reference MI over (x, y, c) integer cells — the op's formula."""
+    n = sum(c for _, _, c in cells)
+    cx, cy = {}, {}
+    for x, y, c in cells:
+        cx[x] = cx.get(x, 0) + c
+        cy[y] = cy.get(y, 0) + c
+    return sum(
+        c / n * math.log(c * n / (cx[x] * cy[y])) for x, y, c in cells
+    )
+
+
+def test_mutual_information_null_fixture_and_discrimination(spark):
+    """The fixture is an honest null (value ⊥ event_type): MI must sit
+    near zero at $50 bins.  The estimator itself discriminates: an
+    exactly-independent constructed table gives MI == 0, a
+    deterministic y = f(x) gives MI == H(X) (NMI == 1), and a planted
+    type→bucket shift moves MI well off zero."""
+    rows = QUERIES["agg_mutual_information"](spark, SF_DIR).collect()
+    assert rows
+    mi = rows[0].mi_nats
+    assert all(r.mi_nats == mi for r in rows), "MI must be a global scalar"
+    assert 0 <= mi < 0.02, f"null fixture produced MI={mi}"
+    assert {r.n_cell > 0 for r in rows} == {True}
+
+    # exactly independent: c(x,y) = rx * ry  → MI identically 0
+    indep = [(x, y, (x + 1) * (y + 2)) for x in range(3) for y in range(4)]
+    assert abs(_mi_of_cells(indep)) < 1e-12
+
+    # deterministic: y = x → MI = H(X) = ln(3) at uniform x
+    det = [(x, x, 100) for x in range(3)]
+    assert abs(_mi_of_cells(det) - math.log(3)) < 1e-12
+
+    # planted shift: one x concentrates in one y
+    shifted = indep + [(0, 0, 500)]
+    assert _mi_of_cells(shifted) > 0.05
+
+
+def test_l_diversity_partition_and_exposure_bounds(spark):
+    """Class rows partition the customer table, exposure shares are
+    ppm-bounded, and both an l=1 band and an l=3+ band genuinely occur
+    (the audit is not vacuous on the fixture)."""
+    rows = QUERIES["privacy_l_diversity"](spark, SF_DIR).collect()
+    n_customers = load_table(spark, SF_DIR, "customer").count()
+    assert sum(r.n_rows for r in rows) == n_customers
+    bands = {r.l_band for r in rows}
+    assert "1" in bands and "3+" in bands
+    for r in rows:
+        assert 0 <= r.nation_exposed_ppm <= 1_000_000
+        assert r.min_class >= 1 and r.n_classes >= 1
+
+
+def test_periodogram_shares_and_planted_weekly_cycle(spark, tmp_path):
+    """Shares are a ppm partition of candidate power on the real
+    fixture; on a planted corpus whose daily volume swings with a
+    7-day cycle, period 7 must take power rank 1."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    rows = QUERIES["events_periodogram"](spark, SF_DIR).collect()
+    assert len(rows) == 9
+    assert sorted(r.power_rank for r in rows) == list(range(1, 10))
+    total = sum(r.power_share_ppm for r in rows)
+    assert 1_000_000 - 9 <= total <= 1_000_000  # floor-div remainders
+
+    # plant: keep every event on day-of-cycle 0, ~28% otherwise
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    day = pc.day_of_year(t["ts"])
+    cyc = pc.subtract(day, pc.multiply(pc.divide(day, 7), 7))
+    keep = pc.or_(
+        pc.equal(cyc, 0),
+        pc.equal(
+            pc.subtract(
+                t["event_id"], pc.multiply(pc.divide(t["event_id"], 7), 7)
+            ),
+            1,
+        ),
+    )
+    pq.write_table(t.filter(keep), str(tmp_path / "events.parquet"))
+    planted = {
+        r.period_days: r
+        for r in QUERIES["events_periodogram"](spark, str(tmp_path)).collect()
+    }
+    assert planted[7].power_rank == 1, planted[7]
+    assert planted[7].power_share_ppm > 500_000
+
+
+def test_label_propagation_partitions_the_node_set(spark):
+    """Communities partition the graph's node set exactly; the
+    customer/supplier mix sums to the size; community ids are node
+    ids; the clustering is non-vacuous (more than one community, at
+    least one multi-node community)."""
+    rows = QUERIES["graph_label_propagation"](spark, SF_DIR).collect()
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    n_nodes = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .select(F.explode(F.array("c", "s")).alias("node"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_nodes for r in rows) == n_nodes
+    assert all(r.n_customers + r.n_suppliers == r.n_nodes for r in rows)
+    assert all(r.min_node >= 0 for r in rows)
+    assert len(rows) >= 2 and max(r.n_nodes for r in rows) >= 2
+
+
+def test_bm25_length_normalization_reorders(spark):
+    """BM25's length norm must favor the SHORTER document between two
+    docs with equal tf of the same term — the property raw tf-idf
+    lacks; and the output is the full 5-term × 5-doc grid with
+    positive scores."""
+    rows = QUERIES["text_bm25_topk"](spark, SF_DIR).collect()
+    assert len(rows) == 25
+    assert all(r.score_e4 > 0 and r.tf >= 1 and r.dl >= 1 for r in rows)
+    terms = {}
+    for r in rows:
+        terms.setdefault(r.term, []).append(r)
+    assert len(terms) == 5
+    checked = 0
+    for rs in terms.values():
+        for a in rs:
+            for b in rs:
+                if a.tf == b.tf and a.dl < b.dl:
+                    assert a.score_e4 >= b.score_e4, (a, b)
+                    checked += 1
+    assert checked > 0, "fixture lacks equal-tf doc pairs to exercise the law"
+
+
+def test_conversion_lag_cumulative_laws(spark):
+    """Lags are non-negative, the cumulative share is monotone and
+    terminates at 1e6 minus floor-division remainders, and converting
+    users cannot exceed viewing users."""
+    rows = sorted(
+        QUERIES["events_conversion_lag"](spark, SF_DIR).collect(),
+        key=lambda r: r.lag_hours,
+    )
+    assert rows and rows[0].lag_hours >= 0
+    cums = [r.cum_ppm for r in rows]
+    assert cums == sorted(cums)
+    assert 1_000_000 - len(rows) <= cums[-1] <= 1_000_000
+    n_viewers = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) <= n_viewers
+
+
+def test_bounce_rate_consistent_with_sessionize(spark):
+    """One session definition everywhere: the daily totals must tie out
+    against `sessionize_batch`'s session table exactly — same session
+    count, same single-event-session count."""
+    rows = QUERIES["events_bounce_rate"](spark, SF_DIR).collect()
+    sess = QUERIES["sessionize_batch"](spark, SF_DIR).collect()
+    assert sum(r.n_sessions for r in rows) == len(sess)
+    assert sum(r.n_bounces for r in rows) == sum(
+        1 for s in sess if s.n_events == 1
+    )
+    for r in rows:
+        assert 0 <= r.n_bounces <= r.n_sessions <= r.n_events
+        assert r.bounce_ppm == r.n_bounces * 1_000_000 // r.n_sessions
+
+
+def test_raking_converges_to_target_margins(spark):
+    """The raking law: after 3 sweeps the achieved column margins match
+    the targets exactly (the col sweep ran last) and the row margins
+    match within integer-truncation tolerance; cells stay positive and
+    the early interaction structure is preserved (no cell zeroes out)."""
+    rows = QUERIES["agg_raking_ipf"](spark, SF_DIR).collect()
+    assert rows and all(r.raked_e6 > 0 for r in rows)
+    from collections import defaultdict
+
+    row_sum, col_sum = defaultdict(int), defaultdict(int)
+    row_t, col_t = {}, {}
+    for r in rows:
+        row_sum[r.priority] += r.raked_e6
+        col_sum[r.status] += r.raked_e6
+        row_t[r.priority] = r.row_target
+        col_t[r.status] = r.col_target
+    for y, s in col_sum.items():
+        # col sweep ran last: exact up to one truncated e6 unit per cell
+        assert abs(s - col_t[y] * 1_000_000) <= len(rows)
+    for x, s in row_sum.items():
+        # row margins drift by at most the col sweep's rescale spread
+        assert abs(s - row_t[x] * 1_000_000) <= row_t[x] * 1_000_000 * 0.05
+
+
+def test_repeat_purchase_curve_laws(spark):
+    """Suffix-sum monotonicity, k=min bucket covers all customers, and
+    the orders-share curve dominates the customer-share curve for
+    every k > min (repeaters own disproportionately many orders)."""
+    rows = sorted(
+        QUERIES["orders_repeat_purchase_curve"](spark, SF_DIR).collect(),
+        key=lambda r: r.k,
+    )
+    assert rows[0].customers_ge_k == sum(r.n_customers for r in rows)
+    assert 1_000_000 - 1 <= rows[0].cust_ge_k_ppm <= 1_000_000
+    ge = [r.customers_ge_k for r in rows]
+    assert ge == sorted(ge, reverse=True)
+    for r in rows[1:]:
+        assert r.orders_ge_k_ppm >= r.cust_ge_k_ppm

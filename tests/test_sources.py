@@ -193,3 +193,32 @@ def test_rowgroup_zonemap_matches_duckdb_decoder(spark):
     ).first()
     assert min(r.ship_min for r in rows.values()) == str(lo)
     assert max(r.ship_max for r in rows.values()) == str(hi)
+
+
+def test_scan_orc_roundtrip_equals_parquet_aggregate(spark):
+    """The ORC round-trip must return exactly the rows the same
+    aggregate computes straight off the parquet fixture — format
+    migration may not change a single value — and the read must prune
+    to the A partition."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_offset_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    got = sorted(
+        map(tuple, entrymod.queries()["scan_orc"](spark, SF_DIR).collect())
+    )
+    l = load_table(spark, SF_DIR, "lineitem").where(F.col("l_returnflag") == "A")
+    want = sorted(
+        (r["l_linestatus"], r["n_rows"], r["revenue_cents"], "A")
+        for r in l.groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("revenue_cents"),
+        )
+        .collect()
+    )
+    assert got == want

@@ -178,6 +178,22 @@ STRESS_SET = [
     # risk (n²/k); the sf1 fixture's replica-identical embeddings make
     # every cluster 10x denser, the worst case for the pair volume.
     "dedup_semantic",
+    # r10 second batch: the query-set × corpus negative join, the
+    # bigram explode + distinct, and the three rollup-bounded aggs.
+    "sim_hard_negatives",
+    "feat_hashing_collisions",
+    "agg_mutual_information",
+    "privacy_l_diversity",
+    "events_periodogram",
+    # r10 third batch: the 3-round label join, the token-explode BM25
+    # aggs, and the two user-window rollups.
+    "graph_label_propagation",
+    "text_bm25_topk",
+    "events_conversion_lag",
+    "events_bounce_rate",
+    # r10 fourth batch: two corpus aggs each, sweeps on bounded frames.
+    "agg_raking_ipf",
+    "orders_repeat_purchase_curve",
 ]
 
 
