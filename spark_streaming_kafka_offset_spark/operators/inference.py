@@ -2766,3 +2766,100 @@ def agg_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_ppm")
     )
+
+
+#: Wald SPRT constants for `events_sprt_purchase_rate` — H0: purchase
+#: share = 0.18 vs H1: 0.22, alpha = beta = 0.05.  The log-likelihood
+#: increments and the decision boundaries are PYTHON-COMPUTED double
+#: literals shared verbatim by both engines (the `events_periodogram`
+#: trig-literal rule): ln() never executes in SQL, so the cumulative
+#: LLR is the same IEEE product/sum on both sides and ROUND(4) is
+#: drift-free.  The fixture's true share ≈ 0.20 sits BETWEEN the
+#: hypotheses, so the LLR is an honest random walk (decisions may stay
+#: 'continue'); the pytest plants a high-rate corpus and asserts the
+#: H1 boundary is crossed.
+_SPRT_LLR_POS = 0.20067069546215124   # ln(0.22/0.18), per success
+_SPRT_LLR_NEG = -0.05001042057466142  # ln(0.78/0.82), per failure
+_SPRT_BOUND = 2.9444389791664403      # ln((1-beta)/alpha)
+
+
+@register(
+    "events_sprt_purchase_rate",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT day,
+               SUM(n) OVER w AS n_cum,
+               SUM(s) OVER w AS s_cum
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT day,
+           CAST(n_cum AS BIGINT) AS n_cum,
+           CAST(s_cum AS BIGINT) AS s_cum,
+           ROUND(s_cum * {_SPRT_LLR_POS!r}
+                 + (n_cum - s_cum) * {_SPRT_LLR_NEG!r}, 4) AS llr,
+           CASE WHEN s_cum * {_SPRT_LLR_POS!r}
+                     + (n_cum - s_cum) * {_SPRT_LLR_NEG!r}
+                     >= {_SPRT_BOUND!r} THEN 'accept_h1'
+                WHEN s_cum * {_SPRT_LLR_POS!r}
+                     + (n_cum - s_cum) * {_SPRT_LLR_NEG!r}
+                     <= -{_SPRT_BOUND!r} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+    ORDER BY day
+    """,
+)
+def events_sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test (SPRT, 1945 — public)
+    monitoring the purchase share day by day: H0 share = 0.18 vs H1
+    share = 0.22 at α = β = 0.05.  The always-valid-inference staple of
+    modern experimentation platforms — unlike a fixed-horizon z-test
+    (`agg_welch_ttest` family), the analyst may look EVERY day and stop
+    the moment |LLR| crosses ln((1−β)/α) without inflating error rates.
+    Output per day: cumulative trials/successes, the LLR, the decision.
+
+    Exactness: the per-success / per-failure LLR increments and the
+    boundary are Python-computed double literals shared by both engines
+    (no ln() executes in SQL — the `events_periodogram` literal rule),
+    so LLR = s·a + (n−s)·b is the identical IEEE expression and
+    ROUND(4) is drift-free.  The fixture's true share ≈ 0.20 sits
+    between the hypotheses (an honest drift-free random walk); the
+    pytest plants a 0.30-share corpus and asserts the H1 boundary is
+    crossed, and asserts monotone trial counts here.
+
+    Scale notes: ONE hash aggregate from the corpus to the ≤31-row
+    daily rollup; the cumulative window and decision rule run on that
+    rollup (reviewed SINGLE)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("s"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum("n").over(w).alias("n_cum"),
+        F.sum("s").over(w).alias("s_cum"),
+    )
+    llr = F.col("s_cum") * _SPRT_LLR_POS + (
+        F.col("n_cum") - F.col("s_cum")
+    ) * _SPRT_LLR_NEG
+    return cum.select(
+        "day",
+        F.col("n_cum").cast("long").alias("n_cum"),
+        F.col("s_cum").cast("long").alias("s_cum"),
+        F.round(llr, 4).alias("llr"),
+        F.when(llr >= _SPRT_BOUND, "accept_h1")
+        .when(llr <= -_SPRT_BOUND, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")

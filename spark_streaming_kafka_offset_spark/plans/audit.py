@@ -305,6 +305,8 @@ SINGLE_ALLOWED: dict[str, str] = {
     "vocab-sized df frame",
     "orders_repeat_purchase_curve": "suffix-sum windows over the "
     "max-orders-per-customer-bounded k histogram",
+    "events_sprt_purchase_rate": "cumulative LLR window over the "
+    "<=31-row daily rollup",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

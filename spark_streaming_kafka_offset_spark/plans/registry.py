@@ -77,6 +77,9 @@ DEFERRED_R11: tuple[str, ...] = (
     # operators/analytics_ext.py, §2.43).
     "agg_raking_ipf",
     "orders_repeat_purchase_curve",
+    # r10-registered oracle pair, fifth batch (Wald SPRT sequential
+    # test — operators/inference.py, §2.44).
+    "events_sprt_purchase_rate",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -166,6 +169,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r10-registered oracle pairs, fourth batch (§2.43).
     "agg_raking_ipf",
     "orders_repeat_purchase_curve",
+    # r10-registered oracle pair, fifth batch (§2.44).
+    "events_sprt_purchase_rate",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r11+
     # rotation queue reads straight down this list after any deferrals.
@@ -511,6 +516,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r10 rows-only addition: ORC source round-trip (DuckDB ships no
     # ORC reader; parquet-equality-pinned in tests/test_sources.py).
     "scan_orc",
+    # r10 rows-only addition: stream ⋈ SCD2 dim as of EVENT time
+    # (batch-equivalence-pinned in tests/test_streaming.py).
+    "stream_temporal_dim_join",
 )
 
 

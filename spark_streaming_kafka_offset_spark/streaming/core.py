@@ -1377,3 +1377,73 @@ def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").cast("long").alias("cell"),
         F.col("total").cast("long").alias("total"),
     ).orderBy("i", "cell")
+
+
+@register("stream_temporal_dim_join")
+def stream_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ SCD2 dimension AS OF EVENT TIME — the streaming twin of
+    `join_temporal_dim`: each event joins the user-tier version whose
+    [valid_from, valid_to) interval contains the EVENT's timestamp, not
+    the version current at processing time.  This is the enrichment
+    mistake most streaming pipelines ship (current-state lookup
+    misattributes every event that arrives after a dimension change);
+    the op quantifies it by aggregating per (as-of tier, event type).
+
+    The synthetic SCD2 history is deterministically derived: every
+    user_id % 3 == 0 upgrades 'base' → 'plus' effective 2024-01-15 —
+    mid-range of the fixture's one-month event span, so both versions
+    of changed users get traffic and the comparison is non-vacuous.
+
+    Scale notes: the dimension history is a STATIC broadcast side
+    (versions-per-key rows; no stream state at all — the cheapest
+    temporal enrichment shape), joined on the user key with the
+    interval containment as a residual filter; each event matches
+    exactly one version, so no fanout.  The rollup runs in complete
+    mode on the tier×type frame.  Batch-equivalence against the same
+    join expressed in one batch query is pinned by
+    tests/test_streaming.py::test_stream_temporal_dim_join_equals_batch."""
+    src = read_event_stream(spark, stage_stream_dir(spark, sf_dir))
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    origin = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    eff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    forever = F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
+    changed = users.where(F.col("user_id") % 3 == 0)
+    hist = (
+        users.where(F.col("user_id") % 3 != 0)
+        .select(
+            "user_id",
+            F.lit("base").alias("tier"),
+            origin.alias("valid_from"),
+            forever.alias("valid_to"),
+        )
+        .unionAll(
+            changed.select(
+                "user_id",
+                F.lit("base").alias("tier"),
+                origin.alias("valid_from"),
+                eff.alias("valid_to"),
+            )
+        )
+        .unionAll(
+            changed.select(
+                "user_id",
+                F.lit("plus").alias("tier"),
+                eff.alias("valid_from"),
+                forever.alias("valid_to"),
+            )
+        )
+        .withColumnRenamed("user_id", "d_user")
+    )
+    joined = src.join(
+        F.broadcast(hist),
+        (src.user_id == F.col("d_user"))
+        & (src.ts >= F.col("valid_from"))
+        & (src.ts < F.col("valid_to")),
+        "inner",
+    )
+    agg = joined.groupBy("tier", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    out = run_to_completion(agg, "stream_temporal_dim_join", "complete")
+    return out.orderBy("tier", "event_type")

@@ -275,3 +275,53 @@ def test_repeat_purchase_curve_laws(spark):
     assert ge == sorted(ge, reverse=True)
     for r in rows[1:]:
         assert r.orders_ge_k_ppm >= r.cust_ge_k_ppm
+
+
+def test_sprt_random_walk_and_planted_crossing(spark, tmp_path):
+    """On the fixture (true share ≈ 0.20, between the hypotheses) the
+    cumulative trial counts are strictly monotone and the LLR follows
+    the exact literal arithmetic; on a planted 0.30-share corpus the
+    H1 boundary must be crossed and, once crossed at the horizon, stay
+    decided at the end."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from spark_streaming_kafka_offset_spark.operators.inference import (
+        _SPRT_BOUND,
+        _SPRT_LLR_NEG,
+        _SPRT_LLR_POS,
+    )
+
+    rows = sorted(
+        QUERIES["events_sprt_purchase_rate"](spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    ns = [r.n_cum for r in rows]
+    assert ns == sorted(ns) and ns[0] > 0
+    for r in rows:
+        want = round(
+            r.s_cum * _SPRT_LLR_POS + (r.n_cum - r.s_cum) * _SPRT_LLR_NEG, 4
+        )
+        assert abs(r.llr - want) < 1e-9
+
+    # plant: drop ~60% of non-purchases → share rises to ~0.33
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    keep = pc.or_(
+        pc.equal(t["event_type"], "purchase"),
+        pc.equal(
+            pc.subtract(
+                t["event_id"],
+                pc.multiply(pc.divide(t["event_id"], 5), 5),
+            ),
+            0,
+        ),
+    )
+    pq.write_table(t.filter(keep), str(tmp_path / "events.parquet"))
+    planted = sorted(
+        QUERIES["events_sprt_purchase_rate"](
+            spark, str(tmp_path)
+        ).collect(),
+        key=lambda r: r.day,
+    )
+    assert any(r.decision == "accept_h1" for r in planted), planted[-1]
+    assert planted[-1].llr >= _SPRT_BOUND

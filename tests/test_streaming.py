@@ -1461,3 +1461,37 @@ def test_stream_full_outer_join_semantics(spark):
     )
     assert must_emit_p <= null_click_pids
     assert must_emit_c <= null_purchase_cids
+
+
+def test_stream_temporal_dim_join_equals_batch(spark):
+    """The event-time SCD2 enrichment must aggregate to exactly the
+    batch answer over the same rows, and the history must be
+    non-vacuous: both tiers receive events (changed users straddle the
+    mid-span effective date)."""
+    streamed = sorted(
+        map(
+            tuple,
+            QUERIES["stream_temporal_dim_join"](spark, SF_DIR).collect(),
+        )
+    )
+    e = _batch_events(spark)
+    eff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    tier = F.when(
+        (F.col("user_id") % 3 == 0) & (F.col("ts") >= eff), "plus"
+    ).otherwise("base")
+    batch = sorted(
+        map(
+            tuple,
+            e.groupBy(tier.alias("tier"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "value_cents"
+                ),
+            )
+            .collect(),
+        )
+    )
+    assert streamed == batch
+    tiers = {t[0] for t in streamed}
+    assert tiers == {"base", "plus"}, tiers

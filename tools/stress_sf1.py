@@ -194,6 +194,8 @@ STRESS_SET = [
     # r10 fourth batch: two corpus aggs each, sweeps on bounded frames.
     "agg_raking_ipf",
     "orders_repeat_purchase_curve",
+    # r10 fifth batch: one corpus agg to the daily rollup.
+    "events_sprt_purchase_rate",
 ]
 
 
