@@ -2863,3 +2863,168 @@ def events_sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     ).orderBy("day")
+
+
+@register(
+    "events_ab_srm",
+    # Sample-ratio-mismatch check: randomization unit = USER (distinct
+    # users per variant, never events — traffic mix would confound);
+    # chi-square GoF vs the designed 1:1 split is (n0-n1)^2/N on exact
+    # integers with ONE terminal IEEE division, ROUND(6).
+    oracle="""
+    WITH assign AS (
+        SELECT DISTINCT user_id, user_id % 2 AS variant FROM events
+    ), counts AS (
+        SELECT variant, COUNT(*) AS n_users FROM assign GROUP BY 1
+    )
+    SELECT CAST(variant AS BIGINT) AS variant,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_users * 1000000 // SUM(n_users) OVER () AS BIGINT)
+             AS share_ppm,
+           ROUND(CAST((MAX(n_users) OVER () - MIN(n_users) OVER ())
+                      * (MAX(n_users) OVER () - MIN(n_users) OVER ())
+                      AS DOUBLE)
+                 / SUM(n_users) OVER (), 6) AS chi2,
+           CASE WHEN CAST((MAX(n_users) OVER () - MIN(n_users) OVER ())
+                          * (MAX(n_users) OVER () - MIN(n_users) OVER ())
+                          AS DOUBLE)
+                     / SUM(n_users) OVER () > 3.841459 THEN 1 ELSE 0 END
+             AS srm_flag
+    FROM counts
+    ORDER BY variant
+    """,
+)
+def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (Fabijan et al. 2019, public) — the
+    FIRST health check any A/B platform runs before reading a metric:
+    assign each user to a variant by user_id parity (the designed 1:1
+    split) and chi-square-test the realized user counts against it; a
+    significant mismatch means broken randomization/logging and every
+    downstream readout is invalid.  For two cells at equal expectation
+    the GoF statistic collapses to (n0−n1)²/N — exact integers into one
+    terminal division.  Fixture assignment is exactly the design (an
+    honest null, flag 0 at every SF); the pytest plants a 10% one-sided
+    user drop and asserts the flag fires.
+
+    Scale notes: ONE distinct on the user grain (the randomization
+    unit — counting events instead would confound traffic mix with
+    assignment), one 2-row aggregate, windows on that 2-row frame
+    (reviewed SINGLE)."""
+    e = load_table(spark, sf_dir, "events")
+    assign = e.select(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
+    counts = assign.groupBy("variant").agg(F.count(F.lit(1)).alias("n_users"))
+    w_all = Window.partitionBy()
+    diff = F.max("n_users").over(w_all) - F.min("n_users").over(w_all)
+    chi2 = (diff * diff).cast("double") / F.sum("n_users").over(w_all)
+    return counts.select(
+        F.col("variant").cast("long").alias("variant"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.expr("n_users * 1000000 div SUM(n_users) OVER ()")
+        .cast("long")
+        .alias("share_ppm"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2 > 3.841459, 1).otherwise(0).alias("srm_flag"),
+    ).orderBy("variant")
+
+
+@register(
+    "agg_trend_cochran_armitage",
+    # Cochran-Armitage trend test across the ordered $50 value buckets:
+    # numerator T·N = Σw·(s·N − n·S) and variance·N³ = S(N−S)(N·Σw²n −
+    # (Σwn)²) are EXACT integers (HUGEINT/DECIMAL(38,0) carry); z is
+    # assembled from them with the identical double expression on both
+    # engines, ROUND(4).
+    oracle="""
+    WITH cells AS MATERIALIZED (
+        SELECT LEAST(9, CAST(floor(value / 50) AS BIGINT)) AS w,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    ), t0 AS MATERIALIZED (
+        SELECT SUM(n) AS nn, SUM(s) AS ss,
+               SUM(w * n) AS wn, SUM(w * w * n) AS wwn
+        FROM cells
+    ), tn AS (
+        SELECT SUM(CAST(c.w AS HUGEINT)
+                   * (c.s * t0.nn - c.n * t0.ss)) AS tnum
+        FROM cells c CROSS JOIN t0
+    )
+    SELECT CAST(c.w AS BIGINT) AS bucket,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.s AS BIGINT) AS n_pos,
+           CAST(c.s * 1000000 // c.n AS BIGINT) AS pos_ppm,
+           ROUND(CAST(tn.tnum AS DOUBLE)
+                 / sqrt(CAST(CAST(t.ss AS HUGEINT) * (t.nn - t.ss)
+                             * (t.nn * t.wwn - CAST(t.wn AS HUGEINT) * t.wn)
+                             AS DOUBLE))
+                 * sqrt(CAST(t.nn AS DOUBLE)), 4) AS z_trend
+    FROM cells c CROSS JOIN t0 t CROSS JOIN tn
+    ORDER BY bucket
+    """,
+)
+def agg_trend_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test (1954/1955, public): is the purchase
+    share MONOTONICALLY associated with the ordered value buckets?  The
+    dose-response sibling of `agg_chisq_independence` — chi-square asks
+    "any association", this asks "an ordered one", with far more power
+    when the alternative is a trend.  Scores w = bucket index; z =
+    Σw(s_i − n_i·p̄) / √(p̄(1−p̄)(Σw²n − (Σwn)²/N)).
+
+    Exactness: numerator·N and variance·N³ are exact integers through
+    the int128/DECIMAL(38,0) carry; z is assembled with the identical
+    double expression on both engines and ROUND(4)-absorbed.  (The
+    trailing √(N/N) factor keeps the two engines' expression trees
+    literally identical after the N-scalings cancel.)  Fixture: value
+    is independent of event type (the `agg_mutual_information` null),
+    so z sits near 0 — the pytest plants a monotone dose-response and
+    asserts |z| blows past 1.96, and pins the per-bucket table here.
+
+    Scale notes: ONE corpus agg to the ≤10-bucket rollup; totals and
+    the statistic are windows/aggregates on that rollup (reviewed
+    SINGLE)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cells = e.groupBy(
+        F.least(F.lit(9), F.floor(F.col("value") / 50).cast("long")).alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("s"),
+    )
+    t0 = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum(F.col("w") * F.col("n")).alias("wn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).alias("wwn"),
+    )
+    tn = (
+        cells.crossJoin(F.broadcast(t0))
+        .agg(
+            F.sum(
+                F.expr("CAST(w AS DECIMAL(38,0)) * (s * nn - n * ss)")
+            ).alias("tnum")
+        )
+    )
+    enriched = cells.crossJoin(F.broadcast(t0)).crossJoin(F.broadcast(tn))
+    z = F.round(
+        F.col("tnum").cast("double")
+        / F.sqrt(
+            F.expr(
+                "CAST(CAST(ss AS DECIMAL(38,0)) * (nn - ss)"
+                " * (nn * wwn - CAST(wn AS DECIMAL(38,0)) * wn)"
+                " AS DOUBLE)"
+            )
+        )
+        * F.sqrt(F.col("nn").cast("double")),
+        4,
+    )
+    return enriched.select(
+        F.col("w").cast("long").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("n_pos"),
+        F.expr("s * 1000000 div n").cast("long").alias("pos_ppm"),
+        z.alias("z_trend"),
+    ).orderBy("bucket")

@@ -3288,3 +3288,89 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "status")
     )
+
+
+@register(
+    "agg_negbin_overdispersion",
+    # Method-of-moments negative-binomial dispersion over daily counts:
+    # alpha = (var - mean)/mean^2 collapses to ONE integer-ratio
+    # division — (d·Σc² − (Σc)² − d·Σc) / (Σc)² — every operand exact
+    # (d²-scalings cancel), ROUND(6) terminal.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), agg AS (
+        SELECT event_type,
+               COUNT(*) AS n_days,
+               SUM(c) AS total,
+               SUM(CAST(c AS HUGEINT) * c) AS sum_sq
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(total AS BIGINT) AS total,
+           CAST(total * 1000000 // n_days AS BIGINT) AS mean_e6,
+           ROUND(CAST(n_days * sum_sq - CAST(total AS HUGEINT) * total
+                      - n_days * CAST(total AS HUGEINT) AS DOUBLE)
+                 / CAST(CAST(total AS HUGEINT) * total AS DOUBLE), 6)
+             AS dispersion,
+           CASE WHEN n_days * sum_sq - CAST(total AS HUGEINT) * total
+                     - n_days * CAST(total AS HUGEINT) > 0
+                THEN 1 ELSE 0 END AS overdispersed
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def agg_negbin_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial overdispersion diagnostic (method of moments):
+    per event type, is the daily-count variance larger than a Poisson
+    process allows?  α = (var − mean)/mean² — the NB2 dispersion
+    parameter; α ≈ 0 means Poisson is adequate, α > 0 says the count
+    model (and every anomaly threshold built on it —
+    `events_anomaly_mad`, `events_burst_hysteresis`) needs the
+    heavier-tailed family.  The readout that decides which alert model
+    a volume monitor fits.  Dispersion is over OBSERVED (type, day)
+    rows — a type with zero-event days understates burstiness; join a
+    calendar spine first when absence matters (resample_locf's spine
+    recipe).
+
+    Exactness: with d days, c_t counts, α collapses algebraically to
+    (d·Σc² − (Σc)² − d·Σc) / (Σc)² — the d² scalings cancel — so BOTH
+    the sign test (overdispersed flag, pure integers) and the ratio
+    (one terminal IEEE division, ROUND(6)) are engine-exact; Σc² rides
+    the int128/DECIMAL(38,0) carry (1e9-events/day corpora square past
+    int64).  Fixture: uniform-random event days are near-Poisson, so α
+    wobbles in a small-sample band around 0 (probed |α| ≤ ~0.1 at
+    sf0.001, sign noise included); the pytest pins the integer
+    identities here and plants a 3-day burst corpus, asserting every
+    type fires the flag with α > 1 — an order of magnitude past the
+    null band.
+
+    Scale notes: ONE hash aggregate to the (type, day) rollup, ONE to
+    the per-type moment frame — both bounded; no windows at all."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("total"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sum_sq"),
+    )
+    num = F.expr(
+        "n_days * sum_sq - CAST(total AS DECIMAL(38,0)) * total"
+        " - n_days * CAST(total AS DECIMAL(38,0))"
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("total").cast("long").alias("total"),
+        F.expr("total * 1000000 div n_days").cast("long").alias("mean_e6"),
+        F.round(
+            num.cast("double")
+            / F.expr("CAST(CAST(total AS DECIMAL(38,0)) * total AS DOUBLE)"),
+            6,
+        ).alias("dispersion"),
+        F.when(num > 0, 1).otherwise(0).alias("overdispersed"),
+    ).orderBy("event_type")

@@ -57,6 +57,8 @@ BNL_ALLOWED: dict[str, str] = {
     "the vocab-sized distinct-feature frame",
     "text_bm25_topk": "broadcast 1-row corpus-constants frame onto the "
     "vocab x 5-term scoring frame",
+    "agg_trend_cochran_armitage": "broadcast 1-row totals/statistic "
+    "frames onto the <=10-bucket rollup",
     "events_acf": "broadcast 1-row denominator (global variance) scalar frame",
     "events_holt_forecast": "broadcast 1-row (level, trend) state frame "
     "onto the 7-row horizon frame",
@@ -307,6 +309,9 @@ SINGLE_ALLOWED: dict[str, str] = {
     "max-orders-per-customer-bounded k histogram",
     "events_sprt_purchase_rate": "cumulative LLR window over the "
     "<=31-row daily rollup",
+    "events_ab_srm": "share/chi2 windows over the 2-row variant frame",
+    "agg_trend_cochran_armitage": "per-bucket table assembly over the "
+    "<=10-bucket rollup",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

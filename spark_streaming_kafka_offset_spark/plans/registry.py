@@ -80,6 +80,12 @@ DEFERRED_R11: tuple[str, ...] = (
     # r10-registered oracle pair, fifth batch (Wald SPRT sequential
     # test — operators/inference.py, §2.44).
     "events_sprt_purchase_rate",
+    # r10-registered oracle pairs, sixth batch (SRM health check,
+    # Cochran-Armitage trend, NB overdispersion —
+    # operators/inference.py, operators/statistics.py, §2.45).
+    "events_ab_srm",
+    "agg_trend_cochran_armitage",
+    "agg_negbin_overdispersion",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -171,6 +177,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_repeat_purchase_curve",
     # r10-registered oracle pair, fifth batch (§2.44).
     "events_sprt_purchase_rate",
+    # r10-registered oracle pairs, sixth batch (§2.45).
+    "events_ab_srm",
+    "agg_trend_cochran_armitage",
+    "agg_negbin_overdispersion",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r11+
     # rotation queue reads straight down this list after any deferrals.

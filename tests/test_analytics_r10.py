@@ -325,3 +325,103 @@ def test_sprt_random_walk_and_planted_crossing(spark, tmp_path):
     )
     assert any(r.decision == "accept_h1" for r in planted), planted[-1]
     assert planted[-1].llr >= _SPRT_BOUND
+
+
+def test_srm_null_fixture_and_planted_imbalance(spark, tmp_path):
+    """Fixture assignment is the design exactly — flag must be 0 and
+    shares near 1:1.  A planted corpus whose user population is 60/40
+    by parity must fire the flag (the check discriminates)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = QUERIES["events_ab_srm"](spark, SF_DIR).collect()
+    assert len(rows) == 2
+    assert all(r.srm_flag == 0 for r in rows), rows
+    assert sum(r.n_users for r in rows) > 0
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    n = t.num_rows
+    uids = [
+        2 * (i % 300) if i % 5 < 3 else 2 * (i % 200) + 1 for i in range(n)
+    ]
+    t = t.set_column(
+        t.schema.get_field_index("user_id"),
+        "user_id",
+        pa.array(uids, t.schema.field("user_id").type),
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    planted = QUERIES["events_ab_srm"](spark, str(tmp_path)).collect()
+    # gcd(300,5)=gcd(200,5)=5 pins i%5 to r%5: 180 even / 80 odd users
+    assert {r.n_users for r in planted} == {180, 80}
+    assert all(r.srm_flag == 1 for r in planted), planted
+
+
+def test_cochran_armitage_null_and_planted_trend(spark, tmp_path):
+    """Fixture purchase share is flat across value buckets (the MI
+    null): |z| must sit inside a generous null band.  Planted
+    dose-response (low-value purchases removed) must blow |z| past
+    1.96 — the trend test discriminates where flatness holds."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    rows = QUERIES["agg_trend_cochran_armitage"](spark, SF_DIR).collect()
+    assert rows
+    z = rows[0].z_trend
+    assert all(r.z_trend == z for r in rows), "z must be a global scalar"
+    assert abs(z) < 3.0, f"null fixture rejected the trend test: z={z}"
+    assert sum(r.n for r in rows) > 0 and len(rows) >= 5
+
+    # deterministic dose-response: positive iff value >= 100
+    import pyarrow as pa
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    vals = t["value"].to_pylist()
+    etype = pa.array(
+        ["purchase" if v is not None and v >= 100.0 else "view" for v in vals],
+        t.schema.field("event_type").type,
+    )
+    t = t.set_column(
+        t.schema.get_field_index("event_type"), "event_type", etype
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    planted = QUERIES["agg_trend_cochran_armitage"](
+        spark, str(tmp_path)
+    ).collect()
+    assert planted[0].z_trend > 10, planted[0]
+
+
+def test_negbin_dispersion_identity_and_planted_burst(spark, tmp_path):
+    """mean_e6 is the exact integer mean, the flag agrees with the
+    dispersion sign, the fixture sits in the documented small-sample
+    null band, and a planted 3-day burst corpus (97% of volume on 3
+    days, a 1-per-day trickle elsewhere) fires every type's flag with
+    alpha several times past that band (probed 0.93-1.72)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = QUERIES["agg_negbin_overdispersion"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_e6 == r.total * 1_000_000 // r.n_days
+        assert (r.dispersion > 0) == (r.overdispersed == 1) or r.dispersion == 0
+        assert abs(r.dispersion) < 0.15  # the probed small-sample null band
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    n = t.num_rows
+    base = _dt.datetime(2024, 1, 1)
+    days = [
+        (4 + i % 26) if i % 40 == 0 else (1 + i % 3) for i in range(n)
+    ]
+    ts = pa.array(
+        [base + _dt.timedelta(days=d - 1, seconds=i % 86400)
+         for i, d in enumerate(days)],
+        t.schema.field("ts").type,
+    )
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts)
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    planted = QUERIES["agg_negbin_overdispersion"](
+        spark, str(tmp_path)
+    ).collect()
+    assert all(r.overdispersed == 1 and r.dispersion > 0.5 for r in planted)

@@ -196,6 +196,10 @@ STRESS_SET = [
     "orders_repeat_purchase_curve",
     # r10 fifth batch: one corpus agg to the daily rollup.
     "events_sprt_purchase_rate",
+    # r10 sixth batch: user-grain distinct + bounded rollups.
+    "events_ab_srm",
+    "agg_trend_cochran_armitage",
+    "agg_negbin_overdispersion",
 ]
 
 
