@@ -551,3 +551,151 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nation_exposed_ppm"),
     )
+
+
+#: t-closeness threshold in ppm (t = 0.35): fixture class sizes run
+#: 1..17 over 5 segments, so singleton classes sit near TVD ≈ 0.8 and
+#: large classes near the global mix — 0.35 splits the two regimes
+#: non-degenerately (audited at sf0.01 before the oracle was written).
+_TCLOSE_T_PPM = 350_000
+
+
+@register(
+    "privacy_t_closeness",
+    # t-closeness with total-variation distance (the categorical EMD
+    # under unit ground distance): TVD(class) in ppm = Σ_s |c·N − g·n|
+    # · 1e6 // (2·n·N), every operand an exact integer (HUGEINT carry —
+    # c·N crosses int64 at ~1e9-row releases).
+    oracle=f"""
+    WITH cells AS (
+        SELECT c_nationkey,
+               (CAST(ROUND(c_acctbal * 100) AS BIGINT) + {_KANON_BAND_CENTS})
+                   // {_KANON_BAND_CENTS} AS bal_band,
+               c_mktsegment AS seg,
+               COUNT(*) AS c
+        FROM customer
+        GROUP BY 1, 2, 3
+    ), class_n AS (
+        SELECT c_nationkey, bal_band, SUM(c) AS n
+        FROM cells GROUP BY 1, 2
+    ), gmix AS (
+        SELECT seg, SUM(c) AS g FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT SUM(c) AS nn FROM cells
+    ), grid AS (
+        SELECT cn.c_nationkey, cn.bal_band, cn.n, t.nn,
+               ABS(CAST(COALESCE(ce.c, 0) AS HUGEINT) * t.nn
+                   - CAST(gl.g AS HUGEINT) * cn.n) AS dev
+        FROM class_n cn
+        CROSS JOIN gmix gl
+        CROSS JOIN tot t
+        LEFT JOIN cells ce ON ce.c_nationkey = cn.c_nationkey
+                          AND ce.bal_band = cn.bal_band
+                          AND ce.seg = gl.seg
+    ), tvd AS (
+        SELECT c_nationkey, n,
+               CAST(SUM(dev) * 1000000 // (2 * n * nn) AS BIGINT)
+                 AS tvd_ppm
+        FROM grid
+        GROUP BY c_nationkey, bal_band, n, nn
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MAX(tvd_ppm) AS BIGINT) AS max_tvd_ppm,
+           CAST(SUM(CASE WHEN tvd_ppm > {_TCLOSE_T_PPM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS classes_over_t,
+           CAST(SUM(CASE WHEN tvd_ppm > {_TCLOSE_T_PPM} THEN n ELSE 0 END)
+                * 1000000 // SUM(n) AS BIGINT) AS exposed_rows_ppm
+    FROM tvd
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007, public) —
+    the third member of the release-audit triple: `privacy_k_anonymity`
+    bounds re-identification, `privacy_l_diversity` bounds attribute
+    disclosure by COUNT of sensitive values, and t-closeness bounds it
+    by DISTRIBUTION — a class may hold all 5 segments (l = 5) yet be
+    99% one segment, leaking a near-certain inference.  Per QI class
+    (nation, $1k balance band) the total-variation distance between the
+    class's segment mix and the global mix (the categorical EMD under
+    unit ground distance); per nation: the worst class, classes over
+    t = 0.35, and the share of rows living in them.
+
+    Exactness: TVD in ppm = Σ_s |c·N − g·n| · 1e6 // (2·n·N) — every
+    operand an exact integer through the int128/DECIMAL(38,0) carry
+    (c·N crosses int64 at ~1e9-row releases), one integer division.
+    The LEFT join against the 5-segment global frame keeps zero-count
+    (class, segment) cells in the sum — dropping them understates TVD
+    exactly when disclosure is worst (the l=1 class).
+
+    Scale notes: ONE hash aggregate to the (class, segment) cell rollup
+    (QI × |segments| rows), a class rollup, a broadcast |segments|-row
+    global mix, and the nation rollup — nothing corpus-sized after the
+    first aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        F.expr(
+            f"(CAST(ROUND(c_acctbal * 100) AS BIGINT) + {_KANON_BAND_CENTS})"
+            f" div {_KANON_BAND_CENTS}"
+        ).alias("bal_band"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    class_n = cells.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("c").alias("n")
+    )
+    glob = cells.groupBy("seg").agg(F.sum("c").alias("g"))
+    tot = cells.agg(F.sum("c").alias("nn"))
+    # class × segment grid (zero cells kept), deviation per cell
+    grid = (
+        class_n.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["c_nationkey", "bal_band", "seg"], "left")
+        .select(
+            "c_nationkey",
+            "bal_band",
+            "n",
+            "nn",
+            F.abs(
+                F.expr("CAST(coalesce(c, 0) AS DECIMAL(38,0)) * nn")
+                - F.expr("CAST(g AS DECIMAL(38,0)) * n")
+            ).alias("dev"),
+        )
+    )
+    tvd = grid.groupBy("c_nationkey", "bal_band", "n", "nn").agg(
+        F.sum("dev").alias("absdev")
+    ).select(
+        "c_nationkey",
+        "n",
+        F.expr("CAST(absdev * 1000000 div (2 * n * nn) AS BIGINT)").alias(
+            "tvd_ppm"
+        ),
+    )
+    return (
+        tvd.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.max("tvd_ppm").cast("long").alias("max_tvd_ppm"),
+            F.sum(
+                F.when(F.col("tvd_ppm") > _TCLOSE_T_PPM, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("classes_over_t"),
+            F.sum(
+                F.when(F.col("tvd_ppm") > _TCLOSE_T_PPM, F.col("n")).otherwise(0)
+            ).alias("exposed_raw"),
+            F.sum("n").alias("n_rows_raw"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "n_classes",
+            "max_tvd_ppm",
+            "classes_over_t",
+            F.expr("exposed_raw * 1000000 div n_rows_raw")
+            .cast("long")
+            .alias("exposed_rows_ppm"),
+        )
+        .orderBy("c_nationkey")
+    )

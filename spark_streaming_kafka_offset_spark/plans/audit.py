@@ -59,6 +59,9 @@ BNL_ALLOWED: dict[str, str] = {
     "vocab x 5-term scoring frame",
     "agg_trend_cochran_armitage": "broadcast 1-row totals/statistic "
     "frames onto the <=10-bucket rollup",
+    "privacy_t_closeness": "broadcast |segments|-row global mix + "
+    "1-row total frame onto the QI-sized class rollup (the zero-cell "
+    "grid generator)",
     "events_acf": "broadcast 1-row denominator (global variance) scalar frame",
     "events_holt_forecast": "broadcast 1-row (level, trend) state frame "
     "onto the 7-row horizon frame",
@@ -310,6 +313,8 @@ SINGLE_ALLOWED: dict[str, str] = {
     "events_sprt_purchase_rate": "cumulative LLR window over the "
     "<=31-row daily rollup",
     "events_ab_srm": "share/chi2 windows over the 2-row variant frame",
+    "privacy_t_closeness": "1-row corpus-total frame feeding the "
+    "QI-sized grid",
     "agg_trend_cochran_armitage": "per-bucket table assembly over the "
     "<=10-bucket rollup",
 }

@@ -86,6 +86,10 @@ DEFERRED_R11: tuple[str, ...] = (
     "events_ab_srm",
     "agg_trend_cochran_armitage",
     "agg_negbin_overdispersion",
+    # r10-registered oracle pair, seventh batch (t-closeness — the
+    # release-audit triple's third member — operators/evaluation.py,
+    # §2.45).
+    "privacy_t_closeness",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -181,6 +185,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_ab_srm",
     "agg_trend_cochran_armitage",
     "agg_negbin_overdispersion",
+    # r10-registered oracle pair, seventh batch (§2.45).
+    "privacy_t_closeness",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r11+
     # rotation queue reads straight down this list after any deferrals.

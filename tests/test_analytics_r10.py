@@ -425,3 +425,52 @@ def test_negbin_dispersion_identity_and_planted_burst(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()
     assert all(r.overdispersed == 1 and r.dispersion > 0.5 for r in planted)
+
+
+def test_t_closeness_bounds_and_planted_pure_class(spark, tmp_path):
+    """Exposure shares are ppm-bounded and class counts match the QI
+    rollup; on a planted release where nation 0 is a single pure-FURN
+    class (25% of rows) while nations 1-3 carry the balanced mix, the
+    pure class's TVD must equal 1 − p_global(FURN) exactly in ppm and
+    be flagged, while balanced nations stay clean."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = QUERIES["privacy_t_closeness"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.exposed_rows_ppm <= 1_000_000
+        assert 0 <= r.classes_over_t <= r.n_classes
+        assert 0 <= r.max_tvd_ppm <= 1_000_000
+
+    # planted: 4 nations x 30 customers, all in ONE balance band.
+    # nation 0: all FURNITURE.  nations 1-3: 6 of each of 5 segments.
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    recs = []
+    k = 0
+    for nat in range(4):
+        for i in range(30):
+            seg = "FURNITURE" if nat == 0 else segs[i % 5]
+            recs.append((k, f"c{k}", nat, 100.0, seg))
+            k += 1
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array([r[0] for r in recs], pa.int64()),
+            "c_name": pa.array([r[1] for r in recs], pa.string()),
+            "c_nationkey": pa.array([r[2] for r in recs], pa.int32()),
+            "c_acctbal": pa.array([r[3] for r in recs], pa.float64()),
+            "c_mktsegment": pa.array([r[4] for r in recs], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "customer.parquet"))
+    out = {
+        r.c_nationkey: r
+        for r in QUERIES["privacy_t_closeness"](spark, str(tmp_path)).collect()
+    }
+    # global FURN share = (30 + 18)/120; the pure class's
+    # TVD = ½(|1−p| + Σ_{s≠FURN} p_s) = 1 − p_FURN exactly
+    assert out[0].max_tvd_ppm == 1_000_000 - 48 * 1_000_000 // 120 == 600_000
+    assert out[0].classes_over_t == 1 and out[0].exposed_rows_ppm == 1_000_000
+    for nat in (1, 2, 3):
+        assert out[nat].classes_over_t == 0, out[nat]
+        assert out[nat].max_tvd_ppm < 350_000

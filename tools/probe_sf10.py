@@ -42,6 +42,11 @@ PROBE_SET = [
     # threshold curve.
     "docs_bradley_terry",
     "corpus_dedup_rate_curve",
+    # r10-built heavies: the adaptive-k SemDeDup pair join (k tracks n,
+    # so the second decade tests the linearity claim directly) and the
+    # 3-round label-propagation join.
+    "dedup_semantic",
+    "graph_label_propagation",
 ]
 
 

@@ -200,6 +200,8 @@ STRESS_SET = [
     "events_ab_srm",
     "agg_trend_cochran_armitage",
     "agg_negbin_overdispersion",
+    # r10 seventh batch: QI cell rollup + zero-cell grid.
+    "privacy_t_closeness",
 ]
 
 
