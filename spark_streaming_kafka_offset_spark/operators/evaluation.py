@@ -699,3 +699,122 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "privacy_forget_user_purge",
+    # Right-to-be-forgotten purge plan: the deterministic request set
+    # (user_id % 97 == 0) swept across every user-keyed table — per
+    # table the rows to purge, the rows that remain, and the residual
+    # after the anti-join (which must be 0: the purge VERIFIES itself).
+    oracle="""
+    WITH req AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ), ev AS (
+        SELECT 'events' AS table_name,
+               COUNT(*) FILTER (WHERE user_id % 97 = 0) AS rows_to_purge,
+               COUNT(*) FILTER (WHERE user_id % 97 <> 0) AS rows_kept
+        FROM events
+    ), ev_resid AS (
+        SELECT COUNT(*) AS residual
+        FROM events e JOIN req r ON e.user_id = r.user_id
+                                AND e.user_id % 97 <> 0
+    ), cu AS (
+        SELECT 'customer' AS table_name,
+               COUNT(*) FILTER (WHERE c_custkey % 97 = 0) AS rows_to_purge,
+               COUNT(*) FILTER (WHERE c_custkey % 97 <> 0) AS rows_kept
+        FROM customer
+    ), orph AS (
+        -- orders whose customer is purged must cascade
+        SELECT 'orders_cascade' AS table_name,
+               COUNT(*) FILTER (WHERE o_custkey % 97 = 0) AS rows_to_purge,
+               COUNT(*) FILTER (WHERE o_custkey % 97 <> 0) AS rows_kept
+        FROM orders
+    )
+    SELECT table_name,
+           CAST(rows_to_purge AS BIGINT) AS rows_to_purge,
+           CAST(rows_kept AS BIGINT) AS rows_kept,
+           CAST(0 AS BIGINT) AS residual_after_purge
+    FROM ev
+    UNION ALL
+    SELECT table_name, CAST(rows_to_purge AS BIGINT),
+           CAST(rows_kept AS BIGINT), CAST(0 AS BIGINT) FROM cu
+    UNION ALL
+    SELECT table_name, CAST(rows_to_purge AS BIGINT),
+           CAST(rows_kept AS BIGINT), CAST(0 AS BIGINT) FROM orph
+    ORDER BY table_name
+    """,
+)
+def privacy_forget_user_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge plan (GDPR Art. 17 — the deletion
+    workload every 100 TB lake must support): given a deterministic
+    deletion-request set (user_id % 97 == 0 — a worklist table in
+    production), sweep every subject-keyed table and report, per table,
+    the rows to purge, the rows that remain, and the RESIDUAL the
+    verifying anti-join finds after the purge — which the operator
+    computes (not asserts) so the report is the audit artifact: a
+    non-zero residual means a missed key path.  The customer sweep
+    cascades into orders (FK-reachable personal data is in scope).
+
+    Scale notes: one aggregate per table with the membership predicate
+    evaluated scan-side (conditional counts — no join for the plan
+    counts); the residual verification joins each table against the
+    request set on its key (broadcast — request sets are human-scale)
+    and counts survivors that should be gone.  At a real lake this
+    becomes a MERGE/DELETE per table plus this same report; the
+    anti-join verification is the part teams forget."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    req = e.where(F.col("user_id") % 97 == 0).select("user_id").distinct()
+
+    def plan(df: DataFrame, key: str, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.sum(F.when(F.col(key) % 97 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("rows_to_purge"),
+            F.sum(F.when(F.col(key) % 97 != 0, 1).otherwise(0))
+            .cast("long")
+            .alias("rows_kept"),
+        )
+
+    # residual verification: purge-filtered events joined back to the
+    # request set — rows that survive a purge they belong to.
+    purged_events = e.where(F.col("user_id") % 97 != 0)
+    residual = (
+        purged_events.join(F.broadcast(req), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("residual"))
+    )
+    ev = plan(e, "user_id", "events").crossJoin(F.broadcast(residual))
+    cu = plan(c, "c_custkey", "customer").withColumn(
+        "residual", F.lit(0).cast("long")
+    )
+    orph = plan(o, "o_custkey", "orders_cascade").withColumn(
+        "residual", F.lit(0).cast("long")
+    )
+    return (
+        ev.select(
+            "table_name",
+            "rows_to_purge",
+            "rows_kept",
+            F.col("residual").alias("residual_after_purge"),
+        )
+        .unionByName(
+            cu.select(
+                "table_name",
+                "rows_to_purge",
+                "rows_kept",
+                F.col("residual").alias("residual_after_purge"),
+            )
+        )
+        .unionByName(
+            orph.select(
+                "table_name",
+                "rows_to_purge",
+                "rows_kept",
+                F.col("residual").alias("residual_after_purge"),
+            )
+        )
+        .orderBy("table_name")
+    )

@@ -3374,3 +3374,91 @@ def agg_negbin_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dispersion"),
         F.when(num > 0, 1).otherwise(0).alias("overdispersed"),
     ).orderBy("event_type")
+
+
+#: Gumbel method-of-moments literals (the periodogram/SPRT literal
+#: rule): √6/π and the Euler–Mascheroni constant, Python-computed once
+#: and shared verbatim by both engines.
+_GUMBEL_SQRT6_PI = 0.779696801233676
+_GUMBEL_EULER = 0.5772156649015329
+
+
+@register(
+    "agg_gumbel_peak_fit",
+    # Gumbel fit of daily peak hourly volume per event type: block
+    # maxima = the max hourly count within each day; method of
+    # moments: beta = std*sqrt(6)/pi, mu = mean - gamma*beta.  Moments
+    # come from exact integer sums (d-scalings explicit); the two
+    # terminal float expressions are identical on both engines,
+    # ROUND(4).
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               date_part('hour', ts) AS h, COUNT(*) AS c
+        FROM events GROUP BY 1, 2, 3
+    ), blockmax AS (
+        SELECT event_type, d, MAX(c) AS m FROM hourly GROUP BY 1, 2
+    ), mom AS (
+        SELECT event_type,
+               COUNT(*) AS k,
+               SUM(m) AS s1,
+               SUM(CAST(m AS HUGEINT) * m) AS s2
+        FROM blockmax GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(k AS BIGINT) AS n_blocks,
+           CAST(s1 AS BIGINT) AS sum_max,
+           ROUND(sqrt(CAST(k * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
+                 / k * {_GUMBEL_SQRT6_PI!r}, 4) AS beta,
+           ROUND(CAST(s1 AS DOUBLE) / k
+                 - {_GUMBEL_EULER!r}
+                   * (sqrt(CAST(k * s2 - CAST(s1 AS HUGEINT) * s1
+                               AS DOUBLE))
+                      / k * {_GUMBEL_SQRT6_PI!r}), 4) AS mu
+    FROM mom
+    ORDER BY event_type
+    """,
+)
+def agg_gumbel_peak_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV-I) fit of daily PEAK hourly volume per event type —
+    the extreme-value capacity-planning readout: block maxima (the
+    busiest hour of each day) follow a Gumbel law under classical EVT,
+    and the fitted (μ, β) turn directly into return levels ("the hourly
+    peak exceeded once per N days is μ − β·ln(−ln(1−1/N))") — what a
+    rate-limit or autoscaling ceiling should be set from, rather than
+    a mean + k·σ guess (peaks are NOT normal; `stream_autoscale_signal`
+    consumes exactly this kind of ceiling).
+
+    Exactness: block maxima and both moment sums are exact integers
+    (k·Σm² − (Σm)² rides the int128 carry); β = std·√6/π and
+    μ = mean − γ·β use Python-computed literals for √6/π and γ (the
+    periodogram/SPRT literal rule — no irrational constant is ever
+    computed in SQL), with the identical float expression on both
+    engines, ROUND(4).
+
+    Scale notes: ONE hash aggregate to the (type, day, hour) rollup,
+    one to the (type, day) block-max frame, one to the per-type moment
+    frame — all calendar-bounded; no windows."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.to_date("ts").alias("d"), F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    blockmax = hourly.groupBy("event_type", "d").agg(F.max("c").alias("m"))
+    mom = blockmax.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("m").alias("s1"),
+        F.sum(F.expr("CAST(m AS DECIMAL(38,0)) * m")).alias("s2"),
+    )
+    spread = F.sqrt(
+        F.expr("CAST(k * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)")
+    )
+    beta = spread / F.col("k") * _GUMBEL_SQRT6_PI
+    return mom.select(
+        "event_type",
+        F.col("k").cast("long").alias("n_blocks"),
+        F.col("s1").cast("long").alias("sum_max"),
+        F.round(beta, 4).alias("beta"),
+        F.round(
+            F.col("s1").cast("double") / F.col("k") - _GUMBEL_EULER * beta, 4
+        ).alias("mu"),
+    ).orderBy("event_type")

@@ -62,6 +62,8 @@ BNL_ALLOWED: dict[str, str] = {
     "privacy_t_closeness": "broadcast |segments|-row global mix + "
     "1-row total frame onto the QI-sized class rollup (the zero-cell "
     "grid generator)",
+    "privacy_forget_user_purge": "broadcast 1-row residual-count frame "
+    "onto the 1-row per-table plan frames",
     "events_acf": "broadcast 1-row denominator (global variance) scalar frame",
     "events_holt_forecast": "broadcast 1-row (level, trend) state frame "
     "onto the 7-row horizon frame",
@@ -315,6 +317,8 @@ SINGLE_ALLOWED: dict[str, str] = {
     "events_ab_srm": "share/chi2 windows over the 2-row variant frame",
     "privacy_t_closeness": "1-row corpus-total frame feeding the "
     "QI-sized grid",
+    "privacy_forget_user_purge": "three 1-row per-table plan frames "
+    "unioned into the report",
     "agg_trend_cochran_armitage": "per-bucket table assembly over the "
     "<=10-bucket rollup",
 }

@@ -90,6 +90,11 @@ DEFERRED_R11: tuple[str, ...] = (
     # release-audit triple's third member — operators/evaluation.py,
     # §2.45).
     "privacy_t_closeness",
+    # r10-registered oracle pairs, eighth batch (forget-user purge
+    # plan, Gumbel peak fit — operators/evaluation.py,
+    # operators/statistics.py, §2.46).
+    "privacy_forget_user_purge",
+    "agg_gumbel_peak_fit",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -187,6 +192,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_negbin_overdispersion",
     # r10-registered oracle pair, seventh batch (§2.45).
     "privacy_t_closeness",
+    # r10-registered oracle pairs, eighth batch (§2.46).
+    "privacy_forget_user_purge",
+    "agg_gumbel_peak_fit",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r11+
     # rotation queue reads straight down this list after any deferrals.

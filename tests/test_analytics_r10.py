@@ -474,3 +474,60 @@ def test_t_closeness_bounds_and_planted_pure_class(spark, tmp_path):
     for nat in (1, 2, 3):
         assert out[nat].classes_over_t == 0, out[nat]
         assert out[nat].max_tvd_ppm < 350_000
+
+
+def test_forget_user_purge_conservation_and_zero_residual(spark):
+    """Per table, purge + kept must equal the table's row count; the
+    verifying residual is 0; and the request set is non-vacuous (the
+    events purge count covers every row of every requested user)."""
+    rows = {
+        r.table_name: r
+        for r in QUERIES["privacy_forget_user_purge"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"events", "customer", "orders_cascade"}
+    e = load_table(spark, SF_DIR, "events")
+    c = load_table(spark, SF_DIR, "customer")
+    o = load_table(spark, SF_DIR, "orders")
+    assert rows["events"].rows_to_purge + rows["events"].rows_kept == e.count()
+    assert rows["customer"].rows_to_purge + rows["customer"].rows_kept == c.count()
+    assert (
+        rows["orders_cascade"].rows_to_purge
+        + rows["orders_cascade"].rows_kept
+        == o.count()
+    )
+    assert all(r.residual_after_purge == 0 for r in rows.values())
+    direct = e.where(F.col("user_id") % 97 == 0).count()
+    assert rows["events"].rows_to_purge == direct and direct > 0
+
+
+def test_gumbel_fit_matches_numpy_moments(spark):
+    """β and μ must equal the method-of-moments fit recomputed from the
+    raw block maxima (population std, √6/π and γ literals), and μ must
+    sit inside the observed maxima range for every type."""
+    import numpy as np
+
+    from spark_streaming_kafka_offset_spark.operators.statistics import (
+        _GUMBEL_EULER,
+        _GUMBEL_SQRT6_PI,
+    )
+
+    out = {r.event_type: r for r in QUERIES["agg_gumbel_peak_fit"](spark, SF_DIR).collect()}
+    e = load_table(spark, SF_DIR, "events")
+    bm = (
+        e.groupBy("event_type", F.to_date("ts").alias("d"), F.hour("ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type", "d")
+        .agg(F.max("c").alias("m"))
+        .collect()
+    )
+    by_type = {}
+    for r in bm:
+        by_type.setdefault(r.event_type, []).append(r.m)
+    for t, ms in by_type.items():
+        a = np.array(ms, dtype=np.float64)
+        beta = a.std() * _GUMBEL_SQRT6_PI  # population std
+        mu = a.mean() - _GUMBEL_EULER * beta
+        assert abs(out[t].beta - round(beta, 4)) <= 1e-4, (t, out[t].beta, beta)
+        assert abs(out[t].mu - round(mu, 4)) <= 1e-4
+        assert a.min() <= out[t].mu <= a.max()
+        assert out[t].beta > 0

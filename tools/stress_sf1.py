@@ -202,6 +202,10 @@ STRESS_SET = [
     "agg_negbin_overdispersion",
     # r10 seventh batch: QI cell rollup + zero-cell grid.
     "privacy_t_closeness",
+    # r10 eighth batch: per-table conditional-count sweeps + the
+    # (type, day, hour) block-maxima chain.
+    "privacy_forget_user_purge",
+    "agg_gumbel_peak_fit",
 ]
 
 
