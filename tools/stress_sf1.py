@@ -206,6 +206,10 @@ STRESS_SET = [
     # (type, day, hour) block-maxima chain.
     "privacy_forget_user_purge",
     "agg_gumbel_peak_fit",
+    # r10 ninth batch: the (n, doc+1, gram) overlap join and the
+    # scan-side template classifier.
+    "docs_rouge_n",
+    "docs_instruction_format_check",
 ]
 
 
