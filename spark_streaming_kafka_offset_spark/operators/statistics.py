@@ -3462,3 +3462,148 @@ def agg_gumbel_peak_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s1").cast("double") / F.col("k") - _GUMBEL_EULER * beta, 4
         ).alias("mu"),
     ).orderBy("event_type")
+
+
+#: Additive Holt–Winters smoothing constants and the 30-day analysis
+#: window (the fixture's full event span; a production run regenerates
+#: the filter for its own window — it stays a literal dim).
+_HW_ALPHA, _HW_BETA, _HW_GAMMA = 0.3, 0.1, 0.2
+_HW_T = 30
+_HW_SEASON = 7
+_HW_HORIZONS = 7
+
+
+def _hw_filter() -> list[tuple[int, int, int]]:
+    """(horizon, day-index j, coefficient·1e12) rows of the additive
+    Holt–Winters forecast as a LINEAR FILTER of the last 30 daily
+    counts — the `events_holt_forecast` impulse-response recipe
+    extended to the seasonal recursion: with fixed (α, β, γ) every
+    state is a fixed linear combination of y_0..y_29, so the whole
+    triple recursion (level/trend/seasonal, classic two-week init)
+    collapses to ONE e12-integer dot product per horizon.  Exact in
+    any accumulation order; no float recursion ever executes in either
+    engine."""
+    a, b_, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    T, S = _HW_T, _HW_SEASON
+    # coefficient vectors over y_0..y_{T-1}
+    def vec():
+        return [0.0] * T
+
+    l = vec()
+    for j in range(S):
+        l[j] = 1.0 / S
+    b = vec()
+    for j in range(S):
+        b[j + S] += 1.0 / (S * S)
+        b[j] -= 1.0 / (S * S)
+    s = []
+    for p in range(S):
+        sp = vec()
+        sp[p] = 1.0
+        for j in range(S):
+            sp[j] -= 1.0 / S
+        s.append(sp)
+    for t in range(S, T):
+        p = t % S
+        y_t = vec()
+        y_t[t] = 1.0
+        l_new = [
+            a * (y_t[j] - s[p][j]) + (1 - a) * (l[j] + b[j]) for j in range(T)
+        ]
+        b_new = [
+            b_ * (l_new[j] - l[j]) + (1 - b_) * b[j] for j in range(T)
+        ]
+        s[p] = [
+            g * (y_t[j] - l_new[j]) + (1 - g) * s[p][j] for j in range(T)
+        ]
+        l, b = l_new, b_new
+    rows = []
+    for h in range(1, _HW_HORIZONS + 1):
+        slot = (T - 1 + h) % S
+        for j in range(T):
+            c = l[j] + h * b[j] + s[slot][j]
+            rows.append((h, j, round(c * 1e12)))
+    return rows
+
+
+def _oracle_holt_winters() -> str:
+    values = ",\n        ".join(
+        f"({h}, {j}, {c})" for h, j, c in _hw_filter()
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1
+    ), idx AS (
+      SELECT datediff('day', MIN(d) OVER (), d) AS j, c FROM daily
+    ), w(h, j, coef_e12) AS (
+      VALUES {values}
+    )
+    SELECT CAST(w.h AS BIGINT) AS horizon,
+           CAST(({_HW_T} - 1 + w.h) % {_HW_SEASON} AS BIGINT) AS season_slot,
+           ROUND(CAST(SUM(CAST(w.coef_e12 AS HUGEINT) * idx.c) AS DOUBLE)
+                 / 1e12, 2) AS forecast
+    FROM w JOIN idx ON idx.j = w.j
+    GROUP BY w.h
+    ORDER BY horizon
+    """
+
+
+@register("events_holt_winters_forecast", oracle=_oracle_holt_winters())
+def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt–Winters (triple-exponential) forecast of the daily
+    event count, horizons 1..7 with weekly seasonality — the seasonal
+    member `events_holt_forecast` (level+trend) and
+    `events_stl_decompose` (descriptive) both point at: the standard
+    short-horizon volume forecaster when the series has a weekly
+    rhythm.  α=0.3, β=0.1, γ=0.2, classic two-week initialization.
+
+    Exactness: the whole (level, trend, 7 seasonal slots) recursion is
+    LINEAR in the observations, so it is precomputed in Python as one
+    impulse-response coefficient vector per horizon (`_hw_filter` — the
+    `events_holt_forecast` recipe extended to the seasonal state) and
+    shipped as a 210-row e12-integer literal dim to BOTH engines: each
+    forecast is one exact integer dot product (int128 carry — daily
+    counts up to ~1e9 stay exact), one terminal division, ROUND(2).
+    No float recursion executes in either engine.
+
+    Fixture: no weekly cycle exists (the seasonal coefficients fit
+    noise — an honest flat-seasonal fit); the pytest recomputes the
+    recursion directly in numpy and pins equality, and plants a 7-day
+    cycle asserting the forecast tracks the phase (high-phase horizons
+    forecast higher than low-phase ones).
+
+    Scale notes: ONE hash aggregate to the ≤31-row daily rollup; the
+    filter join is a broadcast 210-row literal dim against that rollup
+    (reviewed SINGLE/NLJ)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_all = Window.partitionBy()
+    idx = daily.select(
+        F.datediff(F.col("d"), F.min("d").over(w_all)).alias("j"), "c"
+    )
+    coeffs = spark.createDataFrame(
+        _hw_filter(), "h long, j long, coef_e12 long"
+    )
+    return (
+        idx.join(F.broadcast(coeffs), "j")
+        .groupBy("h")
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr("CAST(coef_e12 AS DECIMAL(38,0)) * c")
+                ).cast("double")
+                / 1e12,
+                2,
+            ).alias("forecast")
+        )
+        .select(
+            F.col("h").cast("long").alias("horizon"),
+            ((F.lit(_HW_T - 1) + F.col("h")) % _HW_SEASON)
+            .cast("long")
+            .alias("season_slot"),
+            "forecast",
+        )
+        .orderBy("horizon")
+    )

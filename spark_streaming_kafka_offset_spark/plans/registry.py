@@ -99,6 +99,10 @@ DEFERRED_R11: tuple[str, ...] = (
     # instruction-format QA — functions/text.py, §2.47).
     "docs_rouge_n",
     "docs_instruction_format_check",
+    # r10-registered oracle pair, tenth batch (Holt–Winters seasonal
+    # forecast as an exact linear filter — operators/statistics.py,
+    # §2.48).
+    "events_holt_winters_forecast",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -202,6 +206,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r10-registered oracle pairs, ninth batch (§2.47).
     "docs_rouge_n",
     "docs_instruction_format_check",
+    # r10-registered oracle pair, tenth batch (§2.48).
+    "events_holt_winters_forecast",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r11+
     # rotation queue reads straight down this list after any deferrals.

@@ -576,3 +576,79 @@ def test_instruction_format_check_recovers_partition(spark):
         share[r.source] += r.share_ppm
     for s, tot in share.items():
         assert 1_000_000 - 3 <= tot <= 1_000_000
+
+
+def test_holt_winters_matches_direct_recursion_and_tracks_cycle(
+    spark, tmp_path
+):
+    """The filter-form forecast must equal the direct (α, β, γ)
+    recursion run in numpy on the fixture's daily counts; on a planted
+    7-day cycle the forecast must track the phase — the mean forecast
+    of high-phase horizons exceeds low-phase ones by a wide margin."""
+    import datetime as _dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_kafka_offset_spark.operators.statistics import (
+        _HW_ALPHA,
+        _HW_BETA,
+        _HW_GAMMA,
+        _HW_SEASON,
+        _HW_T,
+    )
+
+    def direct(y):
+        l = y[:7].mean()
+        b = (y[7:14].mean() - y[:7].mean()) / 7
+        s = [y[p] - l for p in range(7)]
+        for t in range(7, _HW_T):
+            p = t % _HW_SEASON
+            ln = _HW_ALPHA * (y[t] - s[p]) + (1 - _HW_ALPHA) * (l + b)
+            b = _HW_BETA * (ln - l) + (1 - _HW_BETA) * b
+            s[p] = _HW_GAMMA * (y[t] - ln) + (1 - _HW_GAMMA) * s[p]
+            l = ln
+        return l, b, s
+
+    rows = sorted(
+        QUERIES["events_holt_winters_forecast"](spark, SF_DIR).collect(),
+        key=lambda r: r.horizon,
+    )
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("d")
+        .collect()
+    )
+    y = np.array([r.c for r in daily], dtype=np.float64)
+    l, b, s = direct(y)
+    for r in rows:
+        want = l + r.horizon * b + s[(_HW_T - 1 + r.horizon) % _HW_SEASON]
+        assert abs(r.forecast - round(want, 2)) <= 0.02, (r, want)
+
+    # planted weekly cycle: days with (day_index % 7) == 0 carry ~4x
+    # the volume of other days.
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    n = t.num_rows
+    base = _dt.datetime(2024, 1, 1)
+    days = [
+        (1 + (i % 5) * 7) if i % 2 == 0 else (1 + i % 28) for i in range(n)
+    ]
+    ts = pa.array(
+        [base + _dt.timedelta(days=d - 1, seconds=i % 80000)
+         for i, d in enumerate(days)],
+        t.schema.field("ts").type,
+    )
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts)
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    planted = {
+        r.season_slot: r.forecast
+        for r in QUERIES["events_holt_winters_forecast"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    high = planted[0]  # slot 0 == the planted high-volume phase
+    others = [v for k, v in planted.items() if k != 0]
+    assert high > 2 * max(others), (high, others)

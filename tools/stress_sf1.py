@@ -210,6 +210,8 @@ STRESS_SET = [
     # scan-side template classifier.
     "docs_rouge_n",
     "docs_instruction_format_check",
+    # r10 tenth batch: one corpus agg + the 210-row literal filter.
+    "events_holt_winters_forecast",
 ]
 
 
