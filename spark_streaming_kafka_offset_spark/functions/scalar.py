@@ -1059,3 +1059,154 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("prefix_len"), "block")
     )
+
+
+@register(
+    "fn_luhn_checksum",
+    # Luhn mod-10 validation of deterministically injected card-like
+    # tokens: doc_id%2==0 docs carry a VALID 16-digit number (15 base
+    # digits from doc_id arithmetic + the computed check digit),
+    # doc_id%4==1 carry a CORRUPTED one (+1 on the last base digit),
+    # the rest carry none.  The digit fold (double every second digit
+    # from the right, subtract 9 past 9, sum mod 10) is identical
+    # integer arithmetic on both engines.
+    oracle="""
+    WITH staged AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 2 = 0 OR doc_id % 4 = 1
+                    THEN lpad(CAST(400000000000000 + doc_id * 37
+                                   + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0
+                                     END AS VARCHAR), 15, '0')
+               END AS base15
+        FROM documents
+    ), summed AS (
+        SELECT doc_id, source, base15,
+               list_sum(list_transform(range(1, 16), i ->
+                   CASE WHEN (15 - i) % 2 = 0
+                        THEN CASE WHEN CAST(base15[i] AS INT) * 2 > 9
+                                  THEN CAST(base15[i] AS INT) * 2 - 9
+                                  ELSE CAST(base15[i] AS INT) * 2 END
+                        ELSE CAST(base15[i] AS INT) END)) AS s
+        FROM staged WHERE base15 IS NOT NULL
+    ), tokens AS (
+        -- check digit computed from the UNCORRUPTED doc_id so the
+        -- %4==1 corruption genuinely breaks the checksum
+        SELECT st.doc_id, st.source,
+               st.base15 || CAST((10 - (
+                   SELECT list_sum(list_transform(range(1, 16), i ->
+                       CASE WHEN (15 - i) % 2 = 0
+                            THEN CASE WHEN CAST(b[i] AS INT) * 2 > 9
+                                      THEN CAST(b[i] AS INT) * 2 - 9
+                                      ELSE CAST(b[i] AS INT) * 2 END
+                            ELSE CAST(b[i] AS INT) END))
+                   FROM (SELECT lpad(CAST(400000000000000 + st.doc_id * 37
+                                          AS VARCHAR), 15, '0') AS b)
+               ) % 10) % 10 AS VARCHAR) AS tok
+        FROM summed st
+    ), validated AS (
+        SELECT doc_id, source,
+               CASE WHEN list_sum(list_transform(range(1, 17), i ->
+                        CASE WHEN (16 - i) % 2 = 1
+                             THEN CASE WHEN CAST(tok[i] AS INT) * 2 > 9
+                                       THEN CAST(tok[i] AS INT) * 2 - 9
+                                       ELSE CAST(tok[i] AS INT) * 2 END
+                             ELSE CAST(tok[i] AS INT) END)) % 10 = 0
+                    THEN 'valid' ELSE 'invalid' END AS status
+        FROM tokens
+    ), labeled AS (
+        SELECT d.doc_id, d.source, COALESCE(v.status, 'none') AS status
+        FROM documents d LEFT JOIN validated v ON v.doc_id = d.doc_id
+    )
+    SELECT source, status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM labeled
+    GROUP BY source, status
+    ORDER BY source, status
+    """,
+)
+def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 checksum validation (ISO/IEC 7812, public) — the
+    payment-card-token detector a PII/data-quality scan runs beside
+    `text_pii_redact`'s regex pass: a 16-digit match is only a card
+    number if its check digit verifies, and the checksum cuts regex
+    false positives by ~90%.  Fixture text carries no numbers, so both
+    sides stage deterministic tokens (the `text_normalize` mangle
+    rule): half the docs carry a VALID Luhn token (15 digits from
+    doc_id arithmetic plus the computed check digit), a quarter carry
+    the same token with one corrupted digit, the rest none — the
+    validator must recover exactly that partition (pytest-pinned per
+    residue class).
+
+    The fold (double every second digit from the right, subtract 9
+    above 9, sum ≡ 0 mod 10) is a scan-side transform/aggregate over a
+    16-element literal sequence — pure integer arithmetic, identical
+    on both engines.
+
+    Scale notes: scan-side codegen'd expressions, zero shuffle, ONE
+    (source, status) rollup."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def luhn_sum(col: Column, length: int) -> Column:
+        # positions counted from the RIGHT of the final 16-digit token:
+        # for a 15-digit base (check digit appended later) position i
+        # (1-based from left) has right-offset (length - i) + 1 in the
+        # final token, so doubling applies when (length - i) % 2 == 0
+        # for the base and (16 - i) % 2 == 1 for the full token.
+        # STATICALLY UNROLLED (a Python loop over literal positions,
+        # not transform/aggregate): higher-order functions run
+        # INTERPRETED per row in Spark — the HOF form measured 0.38 ms
+        # per row (10 s at sf1); 16 plain when-expressions stay inside
+        # whole-stage codegen.
+        parity = 0 if length == 15 else 1
+        total = F.lit(0)
+        for i in range(1, length + 1):
+            dig = F.substring(col, i, 1).cast("int")
+            doubled = F.when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2)
+            total = total + (
+                doubled if (length - i) % 2 == parity else dig
+            )
+        return total
+
+    # Intermediates materialize as COLUMNS between selects: inlining
+    # them nests the whole token subtree into each of the 16 digit
+    # extractions (the check digit alone embeds a 15-term fold), which
+    # blew past whole-stage codegen into interpreted fallback —
+    # measured 12 s at sf0.1 before this staging.
+    staged = d.select(
+        "doc_id",
+        "source",
+        F.lpad(
+            (F.lit(400000000000000) + F.col("doc_id") * 37).cast("string"),
+            15,
+            "0",
+        ).alias("clean15"),
+        F.lpad(
+            (
+                F.lit(400000000000000)
+                + F.col("doc_id") * 37
+                + F.when(F.col("doc_id") % 4 == 1, 1).otherwise(0)
+            ).cast("string"),
+            15,
+            "0",
+        ).alias("staged15"),
+    )
+    with_tok = staged.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("staged15"),
+            ((10 - luhn_sum(F.col("clean15"), 15) % 10) % 10).cast("string"),
+        ).alias("tok"),
+    )
+    has_tok = (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 4 == 1)
+    status = (
+        F.when(~has_tok, "none")
+        .when(luhn_sum(F.col("tok"), 16) % 10 == 0, "valid")
+        .otherwise("invalid")
+    )
+    return (
+        with_tok.select("source", status.alias("status"))
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "status")
+    )

@@ -3028,3 +3028,79 @@ def agg_trend_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("s * 1000000 div n").cast("long").alias("pos_ppm"),
         z.alias("z_trend"),
     ).orderBy("bucket")
+
+
+@register(
+    "orders_price_elasticity",
+    # Grouped log-log OLS: ln(qty) and ln(price) are floored into e6
+    # integers PER ROW (the vectors.py e5-floor discipline — the only
+    # float op is one ln per row, identical input double on both
+    # engines), so all normal-equation sums are exact integers in the
+    # int128 carry; slope = one terminal division, ROUND(4).
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag AS grp,
+               CAST(floor(ln(l_quantity) * 1000000) AS BIGINT) AS lx,
+               CAST(floor(ln(l_extendedprice) * 1000000) AS BIGINT) AS ly
+        FROM lineitem
+    ), m AS (
+        SELECT grp, COUNT(*) AS n,
+               SUM(lx) AS sx, SUM(ly) AS sy,
+               SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
+               SUM(CAST(ly AS HUGEINT) * ly) AS syy
+        FROM q GROUP BY 1
+    )
+    SELECT grp AS returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE), 4)
+             AS elasticity,
+           CAST(sx // n AS BIGINT) AS mean_ln_qty_e6,
+           CAST(sy // n AS BIGINT) AS mean_ln_price_e6
+    FROM m
+    ORDER BY returnflag
+    """,
+)
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand by return flag — the log-log OLS
+    slope ∂ln(qty)/∂ln(price), the pricing team's first regression
+    (elasticity < −1 = elastic, revenue falls when price rises).
+    Fixture: quantity is INDEPENDENT of price by construction
+    (FIXTURES.md; probed slopes −0.003..0.006), so the fixture is an
+    honest null and the pytest injects a constructed elastic frame
+    (qty ∝ price^−1.5) through the same quantized arithmetic and
+    recovers the planted −1.5 within quantization error.
+
+    Exactness: one ln per row floored into e6 integer units (the
+    module-wide float→floor→integer-sum discipline — no cross-partition
+    float sum can exist), int128 normal-equation sums, ONE terminal
+    IEEE division, ROUND(4).
+
+    Scale notes: ONE hash aggregate from the fact scan to the 3-row
+    group frame; nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.log(F.col("l_quantity")) * 1000000).cast("long").alias("lx"),
+        F.floor(F.log(F.col("l_extendedprice")) * 1000000)
+        .cast("long")
+        .alias("ly"),
+    )
+    m = q.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(38,0)) * ly")).alias("sxy"),
+        F.sum(F.expr("CAST(ly AS DECIMAL(38,0)) * ly")).alias("syy"),
+    )
+    return m.select(
+        F.col("grp").alias("returnflag"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)")
+            / F.expr("CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"),
+            4,
+        ).alias("elasticity"),
+        F.expr("sx div n").cast("long").alias("mean_ln_qty_e6"),
+        F.expr("sy div n").cast("long").alias("mean_ln_price_e6"),
+    ).orderBy("returnflag")

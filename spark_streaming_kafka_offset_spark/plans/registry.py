@@ -103,6 +103,11 @@ DEFERRED_R11: tuple[str, ...] = (
     # forecast as an exact linear filter — operators/statistics.py,
     # §2.48).
     "events_holt_winters_forecast",
+    # r10-registered oracle pairs, eleventh batch (price elasticity,
+    # Luhn token validation — operators/inference.py,
+    # functions/scalar.py, §2.49).
+    "orders_price_elasticity",
+    "fn_luhn_checksum",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -208,6 +213,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_instruction_format_check",
     # r10-registered oracle pair, tenth batch (§2.48).
     "events_holt_winters_forecast",
+    # r10-registered oracle pairs, eleventh batch (§2.49).
+    "orders_price_elasticity",
+    "fn_luhn_checksum",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r11+
     # rotation queue reads straight down this list after any deferrals.

@@ -652,3 +652,46 @@ def test_holt_winters_matches_direct_recursion_and_tracks_cycle(
     high = planted[0]  # slot 0 == the planted high-volume phase
     others = [v for k, v in planted.items() if k != 0]
     assert high > 2 * max(others), (high, others)
+
+
+def test_price_elasticity_null_and_planted_elastic_frame(spark):
+    """Fixture qty is independent of price: every slope sits near 0.
+    The same quantized normal-equation arithmetic run on a constructed
+    qty = c·price^(−1.5) frame must recover −1.5 within quantization
+    error — the estimator discriminates."""
+    import math
+
+    rows = QUERIES["orders_price_elasticity"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert abs(r.elasticity) < 0.05, r
+
+    prices = [10.0 + 7.3 * i for i in range(200)]
+    pairs = [(1000.0 * p ** -1.5, p) for p in prices]
+    lx = [math.floor(math.log(q) * 1e6) for q, _ in pairs]
+    ly = [math.floor(math.log(p) * 1e6) for _, p in pairs]
+    n = len(pairs)
+    sx, sy = sum(lx), sum(ly)
+    sxy = sum(a * b for a, b in zip(lx, ly))
+    syy = sum(b * b for b in ly)
+    slope = (n * sxy - sx * sy) / (n * syy - sy * sy)
+    assert abs(slope + 1.5) < 1e-3
+
+
+def test_luhn_recovers_staged_partition(spark):
+    """The validator must classify exactly the staged thirds: docs with
+    doc_id%2==0 valid, %4==1 invalid, the rest none — and the Luhn
+    property holds (the single-digit corruption never verifies)."""
+    rows = QUERIES["fn_luhn_checksum"](spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    res = F.when(F.col("doc_id") % 2 == 0, "valid").when(
+        F.col("doc_id") % 4 == 1, "invalid"
+    ).otherwise("none")
+    want = {
+        (r["source"], r["st"]): r["n"]
+        for r in d.groupBy("source", res.alias("st"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r.source, r.status): r.n_docs for r in rows}
+    assert got == want

@@ -212,6 +212,9 @@ STRESS_SET = [
     "docs_instruction_format_check",
     # r10 tenth batch: one corpus agg + the 210-row literal filter.
     "events_holt_winters_forecast",
+    # r10 eleventh batch: one fact agg + scan-side Luhn folds.
+    "orders_price_elasticity",
+    "fn_luhn_checksum",
 ]
 
 
