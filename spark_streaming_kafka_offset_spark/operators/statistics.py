@@ -3607,3 +3607,211 @@ def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("horizon")
     )
+
+
+@register(
+    "events_hodges_lehmann_daily",
+    # Hodges–Lehmann pseudo-median of the daily counts per event type:
+    # the median of all n(n+1)/2 Walsh averages (x_i + x_j)/2, i <= j.
+    # Walsh sums stay 2-SCALED integers (x_i + x_j, no division), the
+    # median is rank-selected on integers (lower median for even
+    # counts), and only the final /2 produces a decimal — .0 or .5
+    # exactly, ROUND(1)-stable on both engines.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type, a.c + b.c AS w2
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.d >= a.d
+    ), ranked AS (
+        SELECT event_type, w2,
+               row_number() OVER (PARTITION BY event_type ORDER BY w2)
+                 AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS m
+        FROM pairs
+    ), med AS (
+        SELECT event_type, w2 AS hl2, m
+        FROM ranked WHERE rk = (m + 1) // 2
+    ), plain AS (
+        SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type ORDER BY c)
+                 AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ), pmed AS (
+        SELECT event_type, c AS med FROM plain WHERE rk = (n + 1) // 2
+    )
+    SELECT m.event_type AS event_type,
+           CAST(m.m AS BIGINT) AS n_walsh,
+           ROUND(CAST(m.hl2 AS DOUBLE) / 2, 1) AS hodges_lehmann,
+           CAST(p.med AS BIGINT) AS plain_median
+    FROM med m JOIN pmed p ON p.event_type = m.event_type
+    ORDER BY event_type
+    """,
+)
+def events_hodges_lehmann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann pseudo-median (1963, public) of daily event
+    volume per type — the robust location estimator between the median
+    (50% breakdown, low efficiency) and the mean (efficient, 0%
+    breakdown): the median of all pairwise Walsh averages has ~96%
+    Gaussian efficiency at a 29% breakdown point, which is why R's
+    wilcox.test confidence intervals are built on it.  Reported beside
+    the plain median so the two robust centers can be compared.
+
+    Exactness: Walsh sums stay 2-scaled integers (x_i + x_j, never
+    divided), the median is integer rank selection (lower median), and
+    the single /2 at the surface yields exactly .0 or .5 — ROUND(1) is
+    decorative.  The pair grid is the `agg_theilsen_trend` posture:
+    C(31, 2)+31 ≈ 500 pairs per type over the CALENDAR rollup, bounded
+    at any corpus size (reviewed SINGLE).
+
+    Scale notes: ONE corpus agg to the (type, day) rollup; the Walsh
+    grid, both rank windows and the final join all run on
+    calendar-bounded frames."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("d").alias("db"),
+        F.col("c").alias("cb"),
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("db") >= F.col("da"))
+    ).select("event_type", (F.col("ca") + F.col("cb")).alias("w2"))
+    w_rank = Window.partitionBy("event_type").orderBy("w2")
+    w_cnt = Window.partitionBy("event_type")
+    med = (
+        pairs.select(
+            "event_type",
+            "w2",
+            F.row_number().over(w_rank).alias("rk"),
+            F.count(F.lit(1)).over(w_cnt).alias("m"),
+        )
+        .where(F.col("rk") == F.expr("(m + 1) div 2"))
+        .select("event_type", F.col("w2").alias("hl2"), "m")
+    )
+    wp_rank = Window.partitionBy("event_type").orderBy("c")
+    pmed = (
+        daily.select(
+            "event_type",
+            "c",
+            F.row_number().over(wp_rank).alias("rk"),
+            F.count(F.lit(1)).over(w_cnt).alias("n"),
+        )
+        .where(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("c").alias("med"))
+    )
+    return (
+        med.join(pmed, "event_type")
+        .select(
+            "event_type",
+            F.col("m").cast("long").alias("n_walsh"),
+            F.round(F.col("hl2").cast("double") / 2, 1).alias(
+                "hodges_lehmann"
+            ),
+            F.col("med").cast("long").alias("plain_median"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_runs_test",
+    # Wald–Wolfowitz runs test on the sign of day-over-day volume
+    # deltas: R = observed sign runs; E[R] = 2·n₊·n₋/n + 1;
+    # Var[R] = (E[R]−1)(E[R]−2)/(n−1).  Counts and the run total are
+    # exact integers; E and Var are rationals of integers assembled
+    # with the identical float expression on both engines, ROUND(4).
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1
+    ), delta AS (
+        SELECT d, c - LAG(c) OVER (ORDER BY d) AS dx FROM daily
+    ), signs AS (
+        SELECT d, CASE WHEN dx > 0 THEN 1 ELSE 0 END AS s
+        FROM delta WHERE dx IS NOT NULL AND dx <> 0
+    ), flips AS (
+        SELECT s,
+               CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                    OR LAG(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0
+               END AS new_run
+        FROM signs
+    ), agg AS (
+        SELECT SUM(new_run) AS r,
+               SUM(s) AS n_up,
+               SUM(1 - s) AS n_down,
+               COUNT(*) AS n
+        FROM flips
+    )
+    SELECT CAST(n AS BIGINT) AS n_moves,
+           CAST(n_up AS BIGINT) AS n_up,
+           CAST(n_down AS BIGINT) AS n_down,
+           CAST(r AS BIGINT) AS n_runs,
+           ROUND(2.0 * n_up * n_down / n + 1, 4) AS expected_runs,
+           ROUND((r - (2.0 * n_up * n_down / n + 1))
+                 / sqrt((2.0 * n_up * n_down / n + 1 - 1)
+                        * (2.0 * n_up * n_down / n + 1 - 2)
+                        / (n - 1)), 4) AS z
+    FROM agg
+    """,
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test (1940, public) on the SIGNS of
+    day-over-day volume deltas — the randomness check behind
+    `events_cusum_drift` and `events_sprt_purchase_rate`: too FEW runs
+    means the series trends/sticks (autocorrelation), too MANY means it
+    oscillates (over-correction); |z| < 1.96 is consistent with
+    independent moves.  Zero deltas are excluded (the standard
+    treatment); the fixture's uniform-random days are an honest null.
+
+    Exactness: run/up/down counts are exact integers from two ordered
+    windows over the daily rollup; E[R] = 2n₊n₋/n + 1 and its variance
+    are assembled with the identical float expression on both engines,
+    ROUND(4)-absorbed.  The pytest plants a strictly alternating and a
+    single-trend series through the same arithmetic and asserts the z
+    sign flips accordingly.
+
+    Scale notes: ONE corpus agg to the ≤31-row daily rollup; both
+    lag windows and the final 1-row aggregate run on it (reviewed
+    SINGLE)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("d")
+    delta = daily.select("d", (F.col("c") - F.lag("c").over(w)).alias("dx"))
+    signs = delta.where(
+        F.col("dx").isNotNull() & (F.col("dx") != 0)
+    ).select("d", F.when(F.col("dx") > 0, 1).otherwise(0).alias("s"))
+    flips = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = flips.agg(
+        F.sum("new_run").alias("r"),
+        F.sum("s").alias("n_up"),
+        F.sum(1 - F.col("s")).alias("n_down"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    er = 2.0 * F.col("n_up") * F.col("n_down") / F.col("n") + 1
+    return agg.select(
+        F.col("n").cast("long").alias("n_moves"),
+        F.col("n_up").cast("long").alias("n_up"),
+        F.col("n_down").cast("long").alias("n_down"),
+        F.col("r").cast("long").alias("n_runs"),
+        F.round(er, 4).alias("expected_runs"),
+        F.round(
+            (F.col("r") - er) / F.sqrt((er - 1) * (er - 2) / (F.col("n") - 1)),
+            4,
+        ).alias("z"),
+    )

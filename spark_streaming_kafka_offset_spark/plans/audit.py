@@ -317,6 +317,10 @@ SINGLE_ALLOWED: dict[str, str] = {
     "events_ab_srm": "share/chi2 windows over the 2-row variant frame",
     "events_holt_winters_forecast": "day-index window over the "
     "<=31-row daily rollup feeding the literal filter join",
+    "events_runs_test": "two ordered lag windows + 1-row agg over the "
+    "<=31-row daily rollup",
+    "events_hodges_lehmann_daily": "Walsh-grid rank windows over the "
+    "calendar-bounded (type, day) rollup",
     "privacy_t_closeness": "1-row corpus-total frame feeding the "
     "QI-sized grid",
     "privacy_forget_user_purge": "three 1-row per-table plan frames "

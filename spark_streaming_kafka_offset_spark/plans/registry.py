@@ -108,6 +108,11 @@ DEFERRED_R11: tuple[str, ...] = (
     # functions/scalar.py, §2.49).
     "orders_price_elasticity",
     "fn_luhn_checksum",
+    # r10-registered oracle pairs, twelfth batch (Hodges–Lehmann
+    # pseudo-median, Wald–Wolfowitz runs test —
+    # operators/statistics.py, §2.50).
+    "events_hodges_lehmann_daily",
+    "events_runs_test",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -216,6 +221,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r10-registered oracle pairs, eleventh batch (§2.49).
     "orders_price_elasticity",
     "fn_luhn_checksum",
+    # r10-registered oracle pairs, twelfth batch (§2.50).
+    "events_hodges_lehmann_daily",
+    "events_runs_test",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r11+
     # rotation queue reads straight down this list after any deferrals.

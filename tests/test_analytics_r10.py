@@ -695,3 +695,66 @@ def test_luhn_recovers_staged_partition(spark):
     }
     got = {(r.source, r.status): r.n_docs for r in rows}
     assert got == want
+
+
+def test_hodges_lehmann_bounds_and_robustness(spark):
+    """HL must sit inside [min, max] of the daily counts, within the
+    data's central range (sanity vs the plain median), and the
+    estimator's defining robustness shows on a constructed frame: one
+    wild outlier moves the mean far but the HL pseudo-median barely."""
+    import numpy as np
+
+    rows = QUERIES["events_hodges_lehmann_daily"](spark, SF_DIR).collect()
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_type = {}
+    for r in daily:
+        by_type.setdefault(r.event_type, []).append(r.c)
+    assert {r.event_type for r in rows} == set(by_type)
+    for r in rows:
+        xs = by_type[r.event_type]
+        assert min(xs) <= r.hodges_lehmann <= max(xs)
+        assert abs(r.hodges_lehmann - r.plain_median) <= (max(xs) - min(xs))
+        # independent recompute: lower median of Walsh sums / 2
+        ws = sorted(
+            xs[i] + xs[j] for i in range(len(xs)) for j in range(i, len(xs))
+        )
+        hl = ws[(len(ws) + 1) // 2 - 1] / 2
+        assert r.hodges_lehmann == round(hl, 1)
+    # robustness: an outlier of +1000 moves the mean by ~32x more
+    base = [30, 31, 29, 33, 28, 30, 32, 31, 29, 30]
+    spiked = base[:-1] + [1030]
+    def hl_of(xs):
+        ws = sorted(
+            xs[i] + xs[j] for i in range(len(xs)) for j in range(i, len(xs))
+        )
+        return ws[(len(ws) + 1) // 2 - 1] / 2
+    assert abs(hl_of(spiked) - hl_of(base)) < 3
+    assert abs(np.mean(spiked) - np.mean(base)) > 90
+
+
+def test_runs_test_null_and_planted_patterns(spark):
+    """Fixture day-over-day moves are independent: |z| must sit in a
+    generous null band and counts must tie out.  The statistic itself
+    discriminates: a strictly alternating series maximizes runs
+    (z > 0), a single-trend series minimizes them (z < 0)."""
+    (r,) = QUERIES["events_runs_test"](spark, SF_DIR).collect()
+    assert r.n_up + r.n_down == r.n_moves
+    assert 1 <= r.n_runs <= r.n_moves
+    assert abs(r.z) < 3.0, r
+
+    def z_of(signs):
+        n_up = sum(signs)
+        n_down = len(signs) - n_up
+        n = len(signs)
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        er = 2.0 * n_up * n_down / n + 1
+        var = (er - 1) * (er - 2) / (n - 1)
+        return (runs - er) / var ** 0.5
+
+    assert z_of([1, 0] * 15) > 3
+    assert z_of([1] * 15 + [0] * 15) < -3

@@ -215,6 +215,9 @@ STRESS_SET = [
     # r10 eleventh batch: one fact agg + scan-side Luhn folds.
     "orders_price_elasticity",
     "fn_luhn_checksum",
+    # r10 twelfth batch: calendar-rollup statistics.
+    "events_hodges_lehmann_daily",
+    "events_runs_test",
 ]
 
 
