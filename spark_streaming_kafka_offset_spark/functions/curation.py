@@ -1699,3 +1699,100 @@ def corpus_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_pct")
     )
+
+
+#: Frozen-vocabulary size for the OOV-rate audit: the fixture vocabulary
+#: is ~31 words, so K=20 leaves a real out-of-vocab tail on the held-out
+#: half (audited non-degenerate at sf0.01 before the oracle was written).
+_OOV_VOCAB_K = 20
+
+
+@register(
+    "corpus_tokenizer_oov_rate",
+    # Train/serve vocabulary drift: freeze the top-K vocab on the EVEN
+    # doc_ids (by count desc, term asc — deterministic election), then
+    # measure each source's out-of-vocab token share on the ODD half.
+    # Pure integer counts and ppm division.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w FROM (
+            SELECT w, row_number() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+            FROM toks WHERE doc_id % 2 = 0 GROUP BY w
+        ) WHERE rk <= {_OOV_VOCAB_K}
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(COUNT(DISTINCT CASE WHEN v.w IS NULL THEN t.w END)
+                AS BIGINT) AS n_oov_types,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS oov_ppm
+    FROM toks t LEFT JOIN vocab v ON v.w = t.w
+    WHERE t.doc_id % 2 = 1
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+)
+def corpus_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer / vocabulary drift audit: freeze a top-K vocabulary on
+    one half of the corpus (the "train" split, even doc_ids) and
+    measure the out-of-vocabulary token share per source on the other
+    half — the number that decides whether a frozen tokenizer (or a
+    feature-store vocab, or an embedding table) still covers incoming
+    data.  A rising per-source OOV curve is the earliest signal a
+    source's language shifted under the model.  Complements
+    `bpe_train_iterative` (builds a vocab) and
+    `feat_hashing_collisions` (what hashing loses INSTEAD of a vocab).
+
+    Determinism: vocab election is (count DESC, term ASC)
+    row_number ≤ K — tie-stable on both engines; everything after is
+    integer counts and ppm division.
+
+    Scale notes: one token explode feeds the train-half vocab aggregate
+    (vocabulary-sized) and the serve-half scan; the membership check is
+    a LEFT join against the broadcast K-row vocab; ONE (source) rollup.
+    The vocab window runs on the vocabulary-sized count frame (reviewed
+    SINGLE)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), "w")
+    vocab = (
+        toks.where(F.col("doc_id") % 2 == 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= _OOV_VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    serve = toks.where(F.col("doc_id") % 2 == 1)
+    joined = serve.join(F.broadcast(vocab), "w", "left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_raw"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov_raw"
+            ),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("w"))
+            )
+            .cast("long")
+            .alias("n_oov_types"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens_raw").cast("long").alias("n_tokens"),
+            F.col("n_oov_raw").cast("long").alias("n_oov"),
+            "n_oov_types",
+            F.expr("n_oov_raw * 1000000 div n_tokens_raw")
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )

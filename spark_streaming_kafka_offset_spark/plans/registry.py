@@ -113,6 +113,9 @@ DEFERRED_R11: tuple[str, ...] = (
     # operators/statistics.py, §2.50).
     "events_hodges_lehmann_daily",
     "events_runs_test",
+    # r10-registered oracle pair, thirteenth batch (vocabulary-drift
+    # OOV audit — functions/curation.py, §2.50).
+    "corpus_tokenizer_oov_rate",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -224,6 +227,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r10-registered oracle pairs, twelfth batch (§2.50).
     "events_hodges_lehmann_daily",
     "events_runs_test",
+    # r10-registered oracle pair, thirteenth batch (§2.50).
+    "corpus_tokenizer_oov_rate",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r11+
     # rotation queue reads straight down this list after any deferrals.

@@ -758,3 +758,24 @@ def test_runs_test_null_and_planted_patterns(spark):
 
     assert z_of([1, 0] * 15) > 3
     assert z_of([1] * 15 + [0] * 15) < -3
+
+
+def test_oov_rate_split_discipline_and_bounds(spark):
+    """OOV shares are ppm-bounded, token totals tie out against the
+    odd-half corpus, and the audit is non-vacuous in both directions
+    (some OOV mass exists because K=20 < the ~31-word vocab, and most
+    mass is in-vocab because the top-20 dominates a Zipf-ish corpus)."""
+    rows = QUERIES["corpus_tokenizer_oov_rate"](spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    odd_tokens = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .count()
+    )
+    assert sum(r.n_tokens for r in rows) == odd_tokens
+    assert all(0 <= r.oov_ppm <= 1_000_000 for r in rows)
+    assert all(r.n_oov <= r.n_tokens for r in rows)
+    assert sum(r.n_oov for r in rows) > 0, "vacuous: no OOV mass"
+    total_oov = sum(r.n_oov for r in rows)
+    assert total_oov < odd_tokens * 0.8, "vocab covers too little"
+    assert all(r.n_oov_types >= (1 if r.n_oov else 0) for r in rows)

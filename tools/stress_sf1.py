@@ -218,6 +218,8 @@ STRESS_SET = [
     # r10 twelfth batch: calendar-rollup statistics.
     "events_hodges_lehmann_daily",
     "events_runs_test",
+    # r10 thirteenth batch: token explode + broadcast vocab join.
+    "corpus_tokenizer_oov_rate",
 ]
 
 
