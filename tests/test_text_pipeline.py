@@ -119,3 +119,85 @@ def test_admission_funnel_conserves_and_exercises_every_stage(spark):
         "admitted", "duplicate", "lang_filtered", "repetitive", "too_short"
     }
     assert all(v > 0 for v in rows.values())
+
+
+def test_minhash_collapse_multiplicity_equals_raw_pairs(spark, tmp_path):
+    """The r11 exact-collapse form of dedup_minhash must carry the FULL
+    raw-pair algebra: expanding every emitted row through its exact-dup
+    group membership (cross rows -> group_a x group_b member pairs, self
+    rows -> C(g,2) within-group pairs) reproduces the raw all-docs
+    LSH+Jaccard pair list EXACTLY — ids, n_common_bands (text-determined,
+    identical texts share identical signatures) and jaccard alike.  This
+    pins the collapse on a replica-heavy input the sf fixtures lack."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    base = t.to_pylist()
+    planted = list(base)
+    for r in base[:40]:  # 40 docs get 2 exact replicas each
+        for k in (1, 2):
+            planted.append({**r, "doc_id": r["doc_id"] + 10_000 * k})
+    pq.write_table(
+        pa.Table.from_pylist(planted, schema=t.schema),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    collapsed = QUERIES["dedup_minhash"](spark, str(tmp_path)).collect()
+
+    # Raw reference: the pre-r11 formulation over ALL docs (no collapse).
+    from spark_streaming_kafka_offset_spark.functions.text import (
+        _candidates_from_sets,
+        shingle_sets,
+    )
+    from spark_streaming_kafka_offset_spark.session import load_table
+
+    d = load_table(spark, str(tmp_path), "documents")
+    sets_ = shingle_sets(d)
+    a = sets_.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    raw = {
+        (r.id_a, r.id_b): (r.n_common_bands, r.jaccard)
+        for r in _candidates_from_sets(sets_)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common_bands",
+            (F.floor(inter / union * 10000) / 10000).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert raw, "planted replicas must produce raw pairs"
+
+    members: dict[str, list[int]] = {}
+    for r in planted:
+        members.setdefault(r["text"], []).append(r["doc_id"])
+    group_of = {min(ids): sorted(ids) for ids in members.values()}
+
+    expanded = {}
+    for row in collapsed:
+        assert row.n_member_pairs >= 1
+        if row.id_a == row.id_b:  # self row: within-group pairs
+            ids = group_of[row.id_a]
+            pairs = [
+                (x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]
+            ]
+        else:
+            pairs = [
+                (min(x, y), max(x, y))
+                for x in group_of[row.id_a]
+                for y in group_of[row.id_b]
+            ]
+        assert len(pairs) == row.n_member_pairs, row
+        for p in pairs:
+            assert p not in expanded, f"pair emitted twice: {p}"
+            expanded[p] = (row.n_common_bands, row.jaccard)
+
+    assert expanded == raw
+    assert any(r.id_a == r.id_b for r in collapsed)  # replicas exercised
+    assert sum(r.n_member_pairs for r in collapsed) == len(raw)
