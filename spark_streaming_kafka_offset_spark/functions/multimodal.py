@@ -266,11 +266,18 @@ def _phash_oracle() -> str:
         for j in range(60)
     )
     return f"""
-    WITH grams AS (
+    WITH g AS (
+      SELECT md5(text) AS th, MIN(doc_id) AS rep_id,
+             COUNT(*) AS g_n, MIN(len(text)) AS g_len
+      FROM documents GROUP BY 1
+    ), reps AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN g ON d.doc_id = g.rep_id
+    ), grams AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(text) - 2),
                            i -> substr(text, i, 4))) AS gs
-      FROM documents WHERE len(text) >= 4
+      FROM reps WHERE len(text) >= 4
     ), ex AS (
       SELECT doc_id, unnest(gs) AS g FROM grams
     ), hx AS (
@@ -291,13 +298,23 @@ def _phash_oracle() -> str:
       FROM bands x JOIN bands y
         ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
       GROUP BY 1, 2
+    ), pairs AS (
+      SELECT c.id_a, c.id_b,
+             CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sig sa ON c.id_a = sa.doc_id
+      JOIN sig sb ON c.id_b = sb.doc_id
+      WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
     )
-    SELECT c.id_a, c.id_b,
-           CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
-    FROM cand c
-    JOIN sig sa ON c.id_a = sa.doc_id
-    JOIN sig sb ON c.id_b = sb.doc_id
-    WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+    SELECT p.id_a, p.id_b, p.hamming,
+           CAST(ga.g_n * gb.g_n AS BIGINT) AS n_member_pairs
+    FROM pairs p
+    JOIN g ga ON p.id_a = ga.rep_id
+    JOIN g gb ON p.id_b = gb.rep_id
+    UNION ALL
+    SELECT rep_id AS id_a, rep_id AS id_b, CAST(0 AS BIGINT) AS hamming,
+           CAST(g_n * (g_n - 1) // 2 AS BIGINT) AS n_member_pairs
+    FROM g WHERE g_n >= 2 AND g_len >= 4
     ORDER BY id_a, id_b
     """
 
@@ -328,7 +345,23 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4 bands, so recall at the stated radius is GUARANTEED and the
     self-join is band-bucketed, never all-pairs; verify touches
     candidate pairs only.  Signatures are 8 B/doc — corpus-sized, never
-    broadcast (same policy as dedup_simhash)."""
+    broadcast (same policy as dedup_simhash).
+
+    Exact-collapse form (r11 — VERDICT r10 #3 killed the raw-pair shape):
+    identical payloads form quadratic Hamming-0 cliques, and the sf10
+    probe measured 585.7 s / 26.6M output pairs (109× output for 10×
+    data) — the OUTPUT is the 100 TB killer, same as `dedup_minhash`.
+    Recipe (the `corpus_dedup_survivorship` collapse): md5-group the
+    payload bytes, elect the min-doc_id representative, run the
+    signature → band → verify pipeline over REPRESENTATIVES only, and
+    emit multiplicity algebra — a rep pair carries
+    ``n_member_pairs = g_a·g_b`` (the signature is payload-determined,
+    so Hamming distance is identical for every member pair), and each
+    exact-dup group of g ≥ 2 members (payload ≥ 4 bytes — the gram
+    floor) emits one Hamming-0 self row with C(g,2) pairs.
+    Σ n_member_pairs reproduces the raw pair count exactly; the oracle
+    mirrors the collapse end-to-end, so the hash match proves the
+    grouping, representative election, and multiplicity join too."""
     # Amplification-aware repartition: the per-doc gram explode fans
     # 5k docs into ~880k feature rows at sf0.1, but the small source
     # parquet reads as ONE split, so without this the whole
@@ -338,8 +371,26 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # splits are still wrong when the EXPLODED size is the work unit —
     # spreading by doc_id keeps the later groupBy(doc_id) co-partitioned
     # (no second exchange).
-    m = media_table(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    media = media_table(spark, sf_dir)
+    dd = media.select(
+        "doc_id",
+        "payload",
+        # 128-bit group key over the raw payload bytes (the
+        # corpus_dedup_survivorship collapse rationale, ADVICE r9): a
+        # 64-bit collision would silently merge two distinct payloads.
+        F.md5("payload").alias("th"),
+        F.length("payload").alias("n_len"),
+    )
+    groups = dd.groupBy("th").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("g_n"),
+        F.first("n_len").alias("g_len"),
+    )
+    m = (
+        dd.join(groups.select("th", "rep_id"), "th")
+        .where(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "payload")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     n = F.length("payload")
     grams = m.where(n >= 4).select(
@@ -401,10 +452,28 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
+    ga = groups.select(F.col("rep_id").alias("id_a"), F.col("g_n").alias("g_a"))
+    gb = groups.select(F.col("rep_id").alias("id_b"), F.col("g_n").alias("g_b"))
+    rep_pairs = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .where(F.col("hamming") <= 3)
-        .orderBy("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            (F.col("g_a") * F.col("g_b")).cast("long").alias("n_member_pairs"),
+        )
     )
+    # Identical payloads are Hamming-0 by definition; payloads under the
+    # 4-byte gram floor have no signature (excluded in the raw form too).
+    self_rows = groups.where((F.col("g_n") >= 2) & (F.col("g_len") >= 4)).select(
+        F.col("rep_id").alias("id_a"),
+        F.col("rep_id").alias("id_b"),
+        F.lit(0).cast("long").alias("hamming"),
+        F.expr("CAST(g_n * (g_n - 1) div 2 AS BIGINT)").alias("n_member_pairs"),
+    )
+    return rep_pairs.unionByName(self_rows).orderBy("id_a", "id_b")

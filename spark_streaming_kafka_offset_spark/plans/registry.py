@@ -51,7 +51,13 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 #: are accounted for as window ∪ DEFERRED_R12, tests/test_registry.py).
 #: Empty at r11 window-seal time; new r11 oracle registrations append
 #: here AND to DRIVER_PRIORITY just after the window boundary.
-DEFERRED_R12: tuple[str, ...] = ()
+DEFERRED_R12: tuple[str, ...] = (
+    # r11 ORACLE-SEMANTICS CHANGE (VERDICT r10 #3): exact-dup collapse +
+    # multiplicity algebra replaced the raw pair list (the r6 hard row
+    # proved the old semantics); queued for driver re-proof at the r12
+    # window head.  functions/multimodal.py, §2.24.
+    "multimodal_dedup_phash",
+)
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- Window policy (r11): the driver checks the FIRST 50 keys only.
@@ -122,6 +128,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- window boundary (50) ---
     # Oracle keys registered during r11, after this window seal, are
     # appended HERE (and to DEFERRED_R12) — the r12 queue head.
+    # r11 oracle-semantics change (exact-dup collapse, VERDICT r10 #3):
+    # re-queued for driver re-proof despite its r6 hard row.
+    "multimodal_dedup_phash",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.
@@ -201,7 +210,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "kmeans_lloyd_exact",
     "lineitem_vwap_monthly",
     "merge_scd2",
-    "multimodal_dedup_phash",
     "orders_abc_pareto",
     "orders_backlog_sweep",
     "orders_basket_affinity",

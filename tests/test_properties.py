@@ -1658,3 +1658,103 @@ def test_semantic_dedup_fixture_and_planted_duplicates(spark, tmp_path):
         "keep-farthest rule should give the innermost member 2 dominators"
     )
     assert survivor not in out
+
+
+def test_phash_collapse_multiplicity_equals_raw_pairs(spark, tmp_path):
+    """The r11 exact-collapse form of multimodal_dedup_phash must carry
+    the full raw-pair algebra on a replica-heavy input: expanding every
+    emitted row through its exact-dup payload group (cross rows ->
+    group_a x group_b member pairs, self rows -> C(g,2) within-group
+    pairs) reproduces the raw all-docs band+Hamming pair list EXACTLY.
+    The raw reference is computed by an independent engine (DuckDB
+    running the pre-r11 uncollapsed pipeline), so this also cross-checks
+    the signature arithmetic on the planted corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    base = t.to_pylist()
+    planted = list(base)
+    for r in base[:40]:
+        for k in (1, 2):
+            planted.append({**r, "doc_id": r["doc_id"] + 10_000 * k})
+    pq.write_table(
+        pa.Table.from_pylist(planted, schema=t.schema),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    collapsed = QUERIES["multimodal_dedup_phash"](spark, str(tmp_path)).collect()
+
+    sums = ",\n".join(
+        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(60)
+    )
+    sig = " + ".join(
+        f"((CASE WHEN b{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << {j})"
+        for j in range(60)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    raw = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(f"""
+            WITH grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(text) - 2),
+                                   i -> substr(text, i, 4))) AS gs
+              FROM documents WHERE len(text) >= 4
+            ), ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            hx AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+              FROM ex
+            ), bits AS (SELECT doc_id, {sums} FROM hx GROUP BY doc_id),
+            sig AS (SELECT doc_id, {sig} AS sig FROM bits),
+            bands AS (
+              SELECT doc_id, b, (sig >> (15 * b)) & 32767 AS bv
+              FROM sig, (VALUES (0), (1), (2), (3)) t(b)
+            ), cand AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bands x JOIN bands y
+                ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT c.id_a, c.id_b,
+                   CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN sig sa ON c.id_a = sa.doc_id
+            JOIN sig sb ON c.id_b = sb.doc_id
+            WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+        """).fetchall()
+    }
+    con.close()
+    assert raw, "planted replicas must produce raw pairs"
+
+    members: dict[str, list[int]] = {}
+    for r in planted:
+        members.setdefault(r["text"], []).append(r["doc_id"])
+    group_of = {min(ids): sorted(ids) for ids in members.values()}
+
+    expanded = {}
+    for row in collapsed:
+        assert row.n_member_pairs >= 1
+        if row.id_a == row.id_b:
+            ids = group_of[row.id_a]
+            pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
+            assert row.hamming == 0
+        else:
+            pairs = [
+                (min(x, y), max(x, y))
+                for x in group_of[row.id_a]
+                for y in group_of[row.id_b]
+            ]
+        assert len(pairs) == row.n_member_pairs, row
+        for p in pairs:
+            assert p not in expanded, f"pair emitted twice: {p}"
+            expanded[p] = row.hamming
+    assert expanded == raw
+    assert any(r.id_a == r.id_b for r in collapsed)
