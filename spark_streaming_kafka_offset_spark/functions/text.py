@@ -3536,11 +3536,17 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_bm25_topk",
     # BM25 (k1=1.2, b=0.75) for the 5 highest-DF vocabulary terms.
-    # idf = ln(1 + (N-df+0.5)/(df+0.5)) over exact integers±0.5; the
-    # length norm divides dl·N (integer) by Σdl as double — every
-    # float op is written with IDENTICAL association on both engines
-    # and the rank/display key is the e4-floored score (coarse enough
-    # that a last-ulp libm ln() divergence cannot flip it).
+    # Rank key (ADVICE r10): within a term idf is a POSITIVE CONSTANT,
+    # so the per-term ordering depends only on the length-normalized tf
+    # gain g = 2.2·tf / (tf + 0.3 + 0.9·dl·N/Σdl) — multiplied through
+    # by 10·Σdl it is the ratio of two EXACT integers,
+    # 22·tf·Σdl / (10·tf·Σdl + 3·Σdl + 9·dl·N), and ONE IEEE division
+    # of exact integers is correctly rounded, hence BIT-IDENTICAL
+    # across engines (unlike ln, whose last ulp is libm-specific and
+    # was flipping the old e4-floored rank/display key at a boundary).
+    # The display score keeps idf — ln((2N+2)/(2df+1)), an exact-
+    # integer-argument form — but is ROUND-terminal (ROUND(.,4)), which
+    # absorbs the 1-ulp ln drift instead of flooring it into the key.
     oracle="""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -3562,25 +3568,28 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE rn <= 5
     ), scored AS (
       SELECT t.term, f.doc_id, f.tf, d.dl,
-             CAST(floor(
-               ln(1 + (n.n_docs - t.df + 0.5) / (t.df + 0.5))
-               * (f.tf * 2.2)
-               / (f.tf + 1.2 * (0.25 + 0.75
-                  * (d.dl * n.n_docs / CAST(n.total_dl AS DOUBLE))))
-               * 10000) AS BIGINT) AS score_e4
+             CAST(22 * f.tf * n.total_dl AS DOUBLE)
+               / CAST(10 * f.tf * n.total_dl + 3 * n.total_dl
+                      + 9 * d.dl * n.n_docs AS DOUBLE) AS g_exact,
+             ROUND(
+               ln(CAST(2 * n.n_docs + 2 AS DOUBLE)
+                  / CAST(2 * t.df + 1 AS DOUBLE))
+               * (CAST(22 * f.tf * n.total_dl AS DOUBLE)
+                  / CAST(10 * f.tf * n.total_dl + 3 * n.total_dl
+                         + 9 * d.dl * n.n_docs AS DOUBLE)), 4) AS score_r4
       FROM topterms t
       JOIN tf f ON f.term = t.term
       JOIN dl d ON d.doc_id = f.doc_id
       CROSS JOIN n
     )
     SELECT term, CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl, score_e4
+           CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl, score_r4
     FROM (SELECT *, row_number() OVER (PARTITION BY term
-                                       ORDER BY score_e4 DESC, doc_id)
+                                       ORDER BY g_exact DESC, doc_id)
                       AS rn
           FROM scored)
     WHERE rn <= 5
-    ORDER BY term, score_e4 DESC, doc_id
+    ORDER BY term, g_exact DESC, doc_id
     """,
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3595,8 +3604,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term) aggregates; the corpus constants ride a broadcast 1-row
     frame; scoring joins tf against the 5-row term dim (vocab-sized ×
     5, never corpus × vocab) and the dl dim on doc_id; top-5 is a
-    per-term window.  The e4-floored score is both the display and the
-    rank key so ordering is engine-independent."""
+    per-term window.  Ranking is engine-independent by construction
+    (ADVICE r10): idf is constant within a term, so the rank key is the
+    idf-free gain as ONE correctly-rounded IEEE division of exact
+    integers (22·tf·Σdl / (10·tf·Σdl + 3·Σdl + 9·dl·N)) — bit-identical
+    cross-engine, no libm in the key; the displayed BM25 score is
+    ROUND-terminal so ln's last-ulp drift is absorbed, never floored
+    into the emitted value.  (Integer terms stay < 2^53 up to ~10¹²
+    total tokens per corpus shard; beyond that, carry them in
+    DECIMAL(38,0) before the terminal division.)"""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -3612,6 +3628,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("term", "df")
     )
+    g_exact = (22 * F.col("tf") * F.col("total_dl")).cast("double") / (
+        10 * F.col("tf") * F.col("total_dl")
+        + 3 * F.col("total_dl")
+        + 9 * F.col("dl") * F.col("n_docs")
+    ).cast("double")
+    idf = F.log(
+        (2 * F.col("n_docs") + 2).cast("double")
+        / (2 * F.col("df") + 1).cast("double")
+    )
     scored = (
         tf.join(F.broadcast(topterms), "term")
         .join(dl, "doc_id")
@@ -3621,32 +3646,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "tf",
             "dl",
-            F.floor(
-                F.log(
-                    1
-                    + (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                )
-                * (F.col("tf") * 2.2)
-                / (
-                    F.col("tf")
-                    + 1.2
-                    * (
-                        0.25
-                        + 0.75
-                        * (
-                            F.col("dl") * F.col("n_docs")
-                            / F.col("total_dl").cast("double")
-                        )
-                    )
-                )
-                * 10000
-            )
-            .cast("long")
-            .alias("score_e4"),
+            g_exact.alias("g_exact"),
+            F.round(idf * g_exact, 4).alias("score_r4"),
         )
     )
-    w = Window.partitionBy("term").orderBy(F.col("score_e4").desc(), "doc_id")
+    w = Window.partitionBy("term").orderBy(F.col("g_exact").desc(), "doc_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
@@ -3655,9 +3659,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("tf").cast("long").alias("tf"),
             F.col("dl").cast("long").alias("dl"),
-            "score_e4",
+            "score_r4",
         )
-        .orderBy("term", F.col("score_e4").desc(), "doc_id")
+        .orderBy("term", F.col("score_r4").desc(), "doc_id")
     )
 
 

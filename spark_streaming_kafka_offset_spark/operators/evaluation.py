@@ -718,30 +718,40 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ev_resid AS (
         SELECT COUNT(*) AS residual
         FROM events e JOIN req r ON e.user_id = r.user_id
-                                AND e.user_id % 97 <> 0
+        WHERE e.user_id % 97 <> 0
     ), cu AS (
         SELECT 'customer' AS table_name,
                COUNT(*) FILTER (WHERE c_custkey % 97 = 0) AS rows_to_purge,
                COUNT(*) FILTER (WHERE c_custkey % 97 <> 0) AS rows_kept
         FROM customer
+    ), cu_resid AS (
+        SELECT COUNT(*) AS residual
+        FROM customer c JOIN req r ON c.c_custkey = r.user_id
+        WHERE c.c_custkey % 97 <> 0
     ), orph AS (
         -- orders whose customer is purged must cascade
         SELECT 'orders_cascade' AS table_name,
                COUNT(*) FILTER (WHERE o_custkey % 97 = 0) AS rows_to_purge,
                COUNT(*) FILTER (WHERE o_custkey % 97 <> 0) AS rows_kept
         FROM orders
+    ), or_resid AS (
+        SELECT COUNT(*) AS residual
+        FROM orders o JOIN req r ON o.o_custkey = r.user_id
+        WHERE o.o_custkey % 97 <> 0
     )
     SELECT table_name,
            CAST(rows_to_purge AS BIGINT) AS rows_to_purge,
            CAST(rows_kept AS BIGINT) AS rows_kept,
-           CAST(0 AS BIGINT) AS residual_after_purge
-    FROM ev
+           CAST(residual AS BIGINT) AS residual_after_purge
+    FROM ev CROSS JOIN ev_resid
     UNION ALL
     SELECT table_name, CAST(rows_to_purge AS BIGINT),
-           CAST(rows_kept AS BIGINT), CAST(0 AS BIGINT) FROM cu
+           CAST(rows_kept AS BIGINT), CAST(residual AS BIGINT)
+    FROM cu CROSS JOIN cu_resid
     UNION ALL
     SELECT table_name, CAST(rows_to_purge AS BIGINT),
-           CAST(rows_kept AS BIGINT), CAST(0 AS BIGINT) FROM orph
+           CAST(rows_kept AS BIGINT), CAST(residual AS BIGINT)
+    FROM orph CROSS JOIN or_resid
     ORDER BY table_name
     """,
 )
@@ -779,19 +789,28 @@ def privacy_forget_user_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rows_kept"),
         )
 
-    # residual verification: purge-filtered events joined back to the
-    # request set — rows that survive a purge they belong to.
-    purged_events = e.where(F.col("user_id") % 97 != 0)
-    residual = (
-        purged_events.join(F.broadcast(req), "user_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("residual"))
+    # Residual verification, computed PER TABLE (ADVICE r10: the audit
+    # must be genuinely computed everywhere, never hardcoded): the
+    # purge-filtered table joined back to the request set — rows that
+    # survive a purge they belong to.  Zero is the EXPECTED result, but
+    # the report earns that zero with an actual join each time.
+    req_keys = req.select(F.col("user_id").alias("__req_key"))
+
+    def resid(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.where(F.col(key) % 97 != 0)
+            .join(F.broadcast(req_keys), F.col(key) == F.col("__req_key"))
+            .agg(F.count(F.lit(1)).cast("long").alias("residual"))
+        )
+
+    ev = plan(e, "user_id", "events").crossJoin(
+        F.broadcast(resid(e, "user_id"))
     )
-    ev = plan(e, "user_id", "events").crossJoin(F.broadcast(residual))
-    cu = plan(c, "c_custkey", "customer").withColumn(
-        "residual", F.lit(0).cast("long")
+    cu = plan(c, "c_custkey", "customer").crossJoin(
+        F.broadcast(resid(c, "c_custkey"))
     )
-    orph = plan(o, "o_custkey", "orders_cascade").withColumn(
-        "residual", F.lit(0).cast("long")
+    orph = plan(o, "o_custkey", "orders_cascade").crossJoin(
+        F.broadcast(resid(o, "o_custkey"))
     )
     return (
         ev.select(

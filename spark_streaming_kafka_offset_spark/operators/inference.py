@@ -15,6 +15,8 @@ empty, SURVEY.md §0); these extend the engine's exact-statistics family.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -3030,33 +3032,53 @@ def agg_trend_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+#: Python-computed floor(ln(q)*1e6) literals for the bounded integral
+#: l_quantity domain (1..50 per TPC-H) — shared verbatim by the Spark
+#: plan and the DuckDB oracle so the x side of the elasticity
+#: regression has ZERO cross-libm exposure (ADVICE r10: a per-row floor
+#: over a libm ln does not absorb a 1-ulp JVM/DuckDB divergence, and
+#: the flip probability grows with corpus size).
+_LN_QTY_E6: dict[int, int] = {
+    q: math.floor(math.log(q) * 1e6) for q in range(1, 51)
+}
+_LN_QTY_E6_SQL = (
+    "CASE CAST(l_quantity AS BIGINT) "
+    + " ".join(f"WHEN {q} THEN {v}" for q, v in _LN_QTY_E6.items())
+    + " ELSE CAST(floor(ln(l_quantity) * 1000000) AS BIGINT) END"
+)
+
+
 @register(
     "orders_price_elasticity",
-    # Grouped log-log OLS: ln(qty) and ln(price) are floored into e6
-    # integers PER ROW (the vectors.py e5-floor discipline — the only
-    # float op is one ln per row, identical input double on both
-    # engines), so all normal-equation sums are exact integers in the
-    # int128 carry; slope = one terminal division, ROUND(4).
-    oracle="""
+    # Grouped log-log OLS.  ln(qty) comes from the Python-computed e6
+    # literal table above (out-of-domain quantities fall back to
+    # floor(ln) — defensive; the fixture never hits it), so the x side
+    # is exact integer arithmetic.  The price side has a 583k-distinct
+    # unbounded domain where no literal table exists, so it follows the
+    # repo's ROUND-terminal float discipline instead of flooring: raw
+    # ln doubles, double sums, ONE terminal division, ROUND(4) — a
+    # 1-ulp per-row ln divergence now perturbs the slope at ~1e-9,
+    # absorbed by the rounding, instead of flipping a floored integer
+    # (ADVICE r10, the medium item).
+    oracle=f"""
     WITH q AS (
         SELECT l_returnflag AS grp,
-               CAST(floor(ln(l_quantity) * 1000000) AS BIGINT) AS lx,
-               CAST(floor(ln(l_extendedprice) * 1000000) AS BIGINT) AS ly
+               {_LN_QTY_E6_SQL} AS lx,
+               ln(l_extendedprice) AS ly
         FROM lineitem
     ), m AS (
         SELECT grp, COUNT(*) AS n,
                SUM(lx) AS sx, SUM(ly) AS sy,
-               SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
-               SUM(CAST(ly AS HUGEINT) * ly) AS syy
+               SUM(lx * ly) AS sxy,
+               SUM(ly * ly) AS syy
         FROM q GROUP BY 1
     )
     SELECT grp AS returnflag,
            CAST(n AS BIGINT) AS n,
-           ROUND(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                 / CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE), 4)
-             AS elasticity,
+           ROUND((n * sxy - sx * sy) * 0.000001
+                 / (n * syy - sy * sy), 4) AS elasticity,
            CAST(sx // n AS BIGINT) AS mean_ln_qty_e6,
-           CAST(sy // n AS BIGINT) AS mean_ln_price_e6
+           ROUND(sy / n, 6) AS mean_ln_price
     FROM m
     ORDER BY returnflag
     """,
@@ -3071,36 +3093,54 @@ def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (qty ∝ price^−1.5) through the same quantized arithmetic and
     recovers the planted −1.5 within quantization error.
 
-    Exactness: one ln per row floored into e6 integer units (the
-    module-wide float→floor→integer-sum discipline — no cross-partition
-    float sum can exist), int128 normal-equation sums, ONE terminal
-    IEEE division, ROUND(4).
+    Exactness (ADVICE r10, the medium item): ln(qty) is a Python-
+    computed e6 literal lookup over the bounded 1..50 quantity domain
+    (both engines consume the SAME integers — zero cross-libm
+    exposure; out-of-domain falls back to floor(ln), which the fixture
+    never hits), so the x side stays exact integer arithmetic.  The
+    price side (583k distinct values, unbounded at scale) follows the
+    ROUND-terminal float discipline: raw ln doubles, double sums, ONE
+    terminal division, ROUND(4) — a 1-ulp per-row ln divergence
+    perturbs the slope at ~1e-9, absorbed by the rounding, instead of
+    flipping a floored integer with probability growing in corpus size.
 
     Scale notes: ONE hash aggregate from the fact scan to the 3-row
     group frame; nothing else."""
     li = load_table(spark, sf_dir, "lineitem")
+    lx = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for kv in _LN_QTY_E6.items()
+                    for x in kv
+                ]
+            ),
+            F.col("l_quantity").cast("int"),
+        ),
+        F.floor(F.log(F.col("l_quantity")) * 1000000).cast("long"),
+    )
     q = li.select(
         F.col("l_returnflag").alias("grp"),
-        F.floor(F.log(F.col("l_quantity")) * 1000000).cast("long").alias("lx"),
-        F.floor(F.log(F.col("l_extendedprice")) * 1000000)
-        .cast("long")
-        .alias("ly"),
+        lx.cast("long").alias("lx"),
+        F.log(F.col("l_extendedprice")).alias("ly"),
     )
     m = q.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("lx").alias("sx"),
         F.sum("ly").alias("sy"),
-        F.sum(F.expr("CAST(lx AS DECIMAL(38,0)) * ly")).alias("sxy"),
-        F.sum(F.expr("CAST(ly AS DECIMAL(38,0)) * ly")).alias("syy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
     )
     return m.select(
         F.col("grp").alias("returnflag"),
         F.col("n").cast("long").alias("n"),
         F.round(
-            F.expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)")
-            / F.expr("CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"),
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * 0.000001
+            / (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
             4,
         ).alias("elasticity"),
         F.expr("sx div n").cast("long").alias("mean_ln_qty_e6"),
-        F.expr("sy div n").cast("long").alias("mean_ln_price_e6"),
+        F.round(F.col("sy") / F.col("n"), 6).alias("mean_ln_price"),
     ).orderBy("returnflag")

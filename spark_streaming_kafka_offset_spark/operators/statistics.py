@@ -3534,7 +3534,8 @@ def _oracle_holt_winters() -> str:
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1
     ), idx AS (
-      SELECT datediff('day', MIN(d) OVER (), d) AS j, c FROM daily
+      SELECT {_HW_T} - 1 - datediff('day', d, MAX(d) OVER ()) AS j, c
+      FROM daily
     ), w(h, j, coef_e12) AS (
       VALUES {values}
     )
@@ -3580,8 +3581,15 @@ def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c")
     )
     w_all = Window.partitionBy()
+    # j indexes from the series END (ADVICE r10: the filter consumes the
+    # LAST 30 daily counts — the newest observation is j = T-1; days
+    # older than the window land at j < 0 and fall out of the join).
     idx = daily.select(
-        F.datediff(F.col("d"), F.min("d").over(w_all)).alias("j"), "c"
+        (
+            F.lit(_HW_T - 1)
+            - F.datediff(F.max("d").over(w_all), F.col("d"))
+        ).alias("j"),
+        "c",
     )
     coeffs = spark.createDataFrame(
         _hw_filter(), "h long, j long, coef_e12 long"

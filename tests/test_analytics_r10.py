@@ -185,7 +185,7 @@ def test_bm25_length_normalization_reorders(spark):
     positive scores."""
     rows = QUERIES["text_bm25_topk"](spark, SF_DIR).collect()
     assert len(rows) == 25
-    assert all(r.score_e4 > 0 and r.tf >= 1 and r.dl >= 1 for r in rows)
+    assert all(r.score_r4 > 0 and r.tf >= 1 and r.dl >= 1 for r in rows)
     terms = {}
     for r in rows:
         terms.setdefault(r.term, []).append(r)
@@ -195,7 +195,7 @@ def test_bm25_length_normalization_reorders(spark):
         for a in rs:
             for b in rs:
                 if a.tf == b.tf and a.dl < b.dl:
-                    assert a.score_e4 >= b.score_e4, (a, b)
+                    assert a.score_r4 >= b.score_r4, (a, b)
                     checked += 1
     assert checked > 0, "fixture lacks equal-tf doc pairs to exercise the law"
 
@@ -622,7 +622,8 @@ def test_holt_winters_matches_direct_recursion_and_tracks_cycle(
         .orderBy("d")
         .collect()
     )
-    y = np.array([r.c for r in daily], dtype=np.float64)
+    # r11 (ADVICE r10): the filter consumes the LAST 30 daily counts.
+    y = np.array([r.c for r in daily], dtype=np.float64)[-_HW_T:]
     l, b, s = direct(y)
     for r in rows:
         want = l + r.horizon * b + s[(_HW_T - 1 + r.horizon) % _HW_SEASON]
@@ -649,8 +650,11 @@ def test_holt_winters_matches_direct_recursion_and_tracks_cycle(
             spark, str(tmp_path)
         ).collect()
     }
-    high = planted[0]  # slot 0 == the planted high-volume phase
-    others = [v for k, v in planted.items() if k != 0]
+    # End-indexed j (r11): the planted span is days 1..29, so
+    # j = 29 - (29 - d) = d and the high-volume days {1,8,15,22,29}
+    # land on season slot d % 7 == 1.
+    high = planted[1]
+    others = [v for k, v in planted.items() if k != 1]
     assert high > 2 * max(others), (high, others)
 
 
@@ -666,15 +670,18 @@ def test_price_elasticity_null_and_planted_elastic_frame(spark):
     for r in rows:
         assert abs(r.elasticity) < 0.05, r
 
+    # Same arithmetic as the r11 formulation: e6-floored ln on the x
+    # side (the literal-lookup quantization), raw double ln on the y
+    # side, e-6 rescale on the slope.
     prices = [10.0 + 7.3 * i for i in range(200)]
     pairs = [(1000.0 * p ** -1.5, p) for p in prices]
     lx = [math.floor(math.log(q) * 1e6) for q, _ in pairs]
-    ly = [math.floor(math.log(p) * 1e6) for _, p in pairs]
+    ly = [math.log(p) for _, p in pairs]
     n = len(pairs)
     sx, sy = sum(lx), sum(ly)
     sxy = sum(a * b for a, b in zip(lx, ly))
     syy = sum(b * b for b in ly)
-    slope = (n * sxy - sx * sy) / (n * syy - sy * sy)
+    slope = (n * sxy - sx * sy) * 1e-6 / (n * syy - sy * sy)
     assert abs(slope + 1.5) < 1e-3
 
 
