@@ -1457,6 +1457,10 @@ def scan_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p").cast("double").alias("revenue"),
         ).select(F.lit("by_month").alias("rollup"), "k", "n_rows", "revenue")
         out = by_flag.unionAll(by_month).orderBy("rollup", "k")
+        # Bounded materialization (~90 rows: |returnflag| + |months| of a
+        # bounded calendar): the result must OUTLIVE the unpersist below —
+        # returning the lazy frame would recompute against an unpersisted
+        # lineage.  Rollup-sized by construction, never corpus-sized.
         out = spark.createDataFrame(out.collect(), out.schema)
     finally:
         li.unpersist()

@@ -304,3 +304,99 @@ def test_pinball_loss_asymmetry_and_quantile_order(spark):
     )
     zero_loss = daily.agg(F.avg(F.col("y") * 0.5)).collect()[0][0]
     assert zero_loss > p50.mean_pinball_cents * 1.5
+
+
+def test_dedup_recall_gates_hold_on_planted_fixture(spark, tmp_path):
+    """The measured recall gates of the dedup LSH family (VERDICT r10
+    #7, full 20k run in tools/probe_dedup_recall_20k.py /
+    BENCH_dedup20k.json) hold on a compact planted fixture every round:
+
+    * dedup_minhash's recall over planted graded-Jaccard variants must
+      track the 16-perm/4-band theory p(J) = 1-(1-J^4)^4 (loose bound —
+      ~70 pairs/level is binomially noisy), exact twins recall 1.0, no
+      below-gate pair leaks, and every emitted planted jaccard equals
+      the Python shingle-set truth at the e4 floor.
+    * dedup_simhash's output must EQUAL the brute-force hamming<=3 pair
+      set over its own signatures — the pigeonhole guarantee, exact.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools.probe_dedup_recall_20k import (
+        LEVELS,
+        VAR_SHIFT,
+        _shingles,
+        make_variant,
+        popcount64,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    rows = t.to_pylist()
+    out, truth = [], []
+    for r in rows:
+        out.append(r)
+        toks = r["text"].split(" ")
+        if len(toks) < 6:
+            continue
+        level = LEVELS[r["doc_id"] % len(LEVELS)]
+        vtoks = make_variant(toks, level, r["doc_id"])
+        vtext = " ".join(vtoks)
+        vid = r["doc_id"] + VAR_SHIFT
+        out.append({**r, "doc_id": vid, "text": vtext, "n_chars": len(vtext)})
+        a, b = _shingles(toks), _shingles(vtoks)
+        truth.append((r["doc_id"], vid, level, len(a & b) / len(a | b)))
+    pq.write_table(
+        pa.Table.from_pylist(out, schema=t.schema),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    mh = QUERIES["dedup_minhash"](spark, str(tmp_path)).collect()
+    emitted = {}
+    for r in mh:
+        if r.id_a == r.id_b:  # exact-twin self rows carry the pair
+            emitted[(r.id_a, r.id_a + VAR_SHIFT)] = r.jaccard
+        else:
+            emitted[(r.id_a, r.id_b)] = r.jaccard
+
+    for lev in LEVELS:
+        eligible = [p for p in truth if p[2] == lev and p[3] >= 0.5]
+        below = [p for p in truth if p[2] == lev and p[3] < 0.5]
+        assert not any((p[0], p[1]) in emitted for p in below), lev
+        if not eligible:
+            continue
+        hit = sum(1 for p in eligible if (p[0], p[1]) in emitted)
+        recall = hit / len(eligible)
+        expect = sum(
+            1 - (1 - p[3] ** 4) ** 4 for p in eligible
+        ) / len(eligible)
+        if lev == 1.0:
+            assert recall == 1.0
+        else:
+            assert abs(recall - expect) < 0.2, (lev, recall, expect)
+    for base, vid, _lev, tj in truth:
+        got = emitted.get((base, vid))
+        if got is not None:
+            assert abs(got - np.floor(tj * 10000) / 10000) < 1e-9
+
+    sh = QUERIES["dedup_simhash"](spark, str(tmp_path)).collect()
+    got_pairs = {(r.id_a, r.id_b) for r in sh}
+    from spark_streaming_kafka_offset_spark.functions.text import (
+        simhash_signatures,
+    )
+    from spark_streaming_kafka_offset_spark.session import load_table
+
+    sig_rows = simhash_signatures(
+        load_table(spark, str(tmp_path), "documents")
+    ).collect()
+    ids = np.array([r.doc_id for r in sig_rows], dtype=np.int64)
+    sigs = np.array([r.sig for r in sig_rows], dtype=np.int64).astype(
+        np.uint64
+    )
+    pc = popcount64(np.bitwise_xor.outer(sigs, sigs))
+    ii, jj = np.where(pc <= 3)
+    want = {
+        (int(ids[a]), int(ids[b])) for a, b in zip(ii, jj)
+        if ids[a] < ids[b]
+    }
+    assert got_pairs == want
