@@ -3823,3 +3823,282 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z"),
     )
+
+
+@register(
+    "agg_kruskal_wallis",
+    # Kruskal–Wallis rank test (1952, public) across event types over
+    # daily counts.  Pooled mid-ranks carried as 2-SCALED integers
+    # (r2 = lo + hi of each tie block = 2·RANK + ties − 1 — never a
+    # fractional rank); the per-group Σ(R2²/4n) term is e12-floored
+    # through exact HUGEINT arithmetic (identical integers on both
+    # engines — the floor residue cancels cross-engine); H and the tie
+    # correction are deterministic double compositions of those exact
+    # integers, ROUND(4)-terminal.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type, c,
+               2 * RANK() OVER (ORDER BY c)
+                 + COUNT(*) OVER (PARTITION BY c) - 1 AS r2
+        FROM daily
+    ), grp AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(r2) AS BIGINT) AS rank_sum_x2
+        FROM ranked GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_days) AS BIGINT) AS n,
+               CAST(SUM(CAST(rank_sum_x2 AS HUGEINT) * rank_sum_x2
+                        * 1000000000000 // (4 * n_days)) AS BIGINT)
+                 AS s_e12,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM grp
+    ), ties AS (
+        SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS t_term
+        FROM (SELECT COUNT(*) AS t FROM daily GROUP BY c)
+    )
+    SELECT g.event_type, g.n_days, g.rank_sum_x2,
+           t.n AS n_total, t.k - 1 AS df,
+           ROUND((CAST(t.s_e12 AS DOUBLE) * 12 / 1e12 / (t.n * (t.n + 1))
+                  - 3 * (t.n + 1))
+                 / (1 - CAST(s.t_term AS DOUBLE)
+                        / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n)), 4)
+             AS h_stat
+    FROM grp g CROSS JOIN tot t CROSS JOIN ties s
+    ORDER BY event_type
+    """,
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis one-way rank ANOVA across event types on daily
+    volume — the k-group extension of `agg_mannwhitney_u`: do the k
+    daily-count distributions share a location, without normality
+    assumptions?  H = [12/(N(N+1)) Σ R_i²/n_i − 3(N+1)] / (1 − ΣT/(N³−N))
+    with mid-ranks for ties (the tie-corrected form) — χ²(k−1) under
+    the null.  Fixture event types draw the same traffic, so H sits at
+    the null; the planted-effect pytest shifts one group's counts and
+    recovers a large H (the law the oracle cannot check).
+
+    Exactness: mid-ranks ride as 2-scaled integers (lo+hi of the tie
+    block); Σ R2²/(4n) is e12-floored HUGEINT/DECIMAL(38,0) arithmetic
+    (R2²·1e12 ≈ 9e19 overflows int64 — the r10 hazard class); both
+    engines floor identical integers so the quantization cancels; the
+    terminal H is one deterministic double composition, ROUND(4).
+
+    Scale notes: ONE corpus agg to the ≤155-row (type, day) rollup;
+    the pooled-rank window and the two scalar frames live on that
+    bounded calendar frame (reviewed SINGLE class — same posture as
+    `agg_theilsen_trend`'s pair grid)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_rank = Window.orderBy("c")
+    w_tie = Window.partitionBy("c")
+    ranked = daily.select(
+        "event_type",
+        "c",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    grp = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("r2").cast("long").alias("rank_sum_x2"),
+    )
+    tot = grp.agg(
+        F.sum("n_days").cast("long").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(rank_sum_x2 AS DECIMAL(38,0)) * rank_sum_x2"
+                " * 1000000000000 div (4 * n_days)"
+            )
+        )
+        .cast("long")
+        .alias("s_e12"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            )
+            .cast("long")
+            .alias("t_term")
+        )
+    )
+    h = F.round(
+        (
+            F.col("s_e12").cast("double") * 12 / 1e12
+            / (F.col("n") * (F.col("n") + 1))
+            - 3 * (F.col("n") + 1)
+        )
+        / (
+            1
+            - F.col("t_term").cast("double")
+            / (
+                F.col("n").cast("double") * F.col("n") * F.col("n")
+                - F.col("n")
+            )
+        ),
+        4,
+    )
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "event_type",
+            "n_days",
+            "rank_sum_x2",
+            F.col("n").alias("n_total"),
+            (F.col("k") - 1).alias("df"),
+            h.alias("h_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_mann_kendall",
+    # Mann–Kendall monotone-trend test (public) per event type over the
+    # daily series: S = Σ_{i<j} sign(c_j − c_i) is an exact integer on
+    # the ≤C(31,2) calendar pair grid; the tie-corrected variance rides
+    # as the exact integer 18·Var(S); z applies the standard ±1
+    # continuity correction through one deterministic sqrt (IEEE —
+    # correctly rounded, engine-identical), ROUND(4).
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                             WHEN b.c < a.c THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.d > a.d
+        GROUP BY 1
+    ), n AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    ), ties AS (
+        SELECT event_type,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, COUNT(*) AS t
+              FROM daily GROUP BY event_type, c)
+        GROUP BY 1
+    )
+    SELECT n.event_type, n.n_days, s.s_stat,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                - COALESCE(t.tie_term, 0) AS BIGINT) AS var18,
+           ROUND(CASE
+                   WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                        / sqrt((CAST(n.n_days AS DOUBLE) * (n.n_days - 1)
+                                * (2 * n.n_days + 5)
+                                - COALESCE(t.tie_term, 0)) / 18)
+                   WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                        / sqrt((CAST(n.n_days AS DOUBLE) * (n.n_days - 1)
+                                * (2 * n.n_days + 5)
+                                - COALESCE(t.tie_term, 0)) / 18)
+                   ELSE 0.0
+                 END, 4) AS z_mk
+    FROM n JOIN s ON s.event_type = n.event_type
+    LEFT JOIN ties t ON t.event_type = n.event_type
+    ORDER BY n.event_type
+    """,
+)
+def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per event type — the SIGNIFICANCE member
+    of the robust-trend family (`agg_theilsen_trend` estimates the
+    slope; this says whether a monotone trend exists at all): S counts
+    concordant-minus-discordant day pairs, Var(S) carries the standard
+    tie correction, and z applies the ±1 continuity correction.  The
+    fixture's one-month event volume is trendless (honest null, |z|
+    small); the planted-effect pytest feeds a strictly increasing
+    series and recovers z ≫ 1.96, and a decreasing one for the sign.
+
+    Exactness: S and 18·Var(S) are exact integers off the calendar
+    rollup; z is one IEEE sqrt + division on identical doubles,
+    ROUND(4)-terminal.
+
+    Scale notes: ONE corpus agg to the (type, day) rollup; the pair
+    grid is C(≤31, 2) per type ON THE CALENDAR (the `agg_theilsen_trend`
+    posture — bounded at any corpus size, reviewed bounded-domain
+    join)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("d").alias("da"),
+        F.col("c").alias("ca"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("d").alias("db"),
+        F.col("c").alias("cb"),
+    )
+    s = (
+        a.join(b, "et")
+        .where(F.col("db") > F.col("da"))
+        .groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    ).cast("long")
+    sd = F.sqrt(
+        (
+            F.col("n_days").cast("double")
+            * (F.col("n_days") - 1)
+            * (2 * F.col("n_days") + 5)
+            - F.coalesce(F.col("tie_term"), F.lit(0))
+        )
+        / 18
+    )
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            var18.alias("var18"),
+            F.round(z, 4).alias("z_mk"),
+        )
+        .orderBy("event_type")
+    )

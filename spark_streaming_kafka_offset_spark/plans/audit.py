@@ -69,6 +69,9 @@ BNL_ALLOWED: dict[str, str] = {
     "onto the 7-row horizon frame",
     "agg_theilsen_trend": "calendar-rollup pair grid (<=59 days -> ~1.7k "
     "slopes) + broadcast 1-row n_days frame",
+    "agg_kruskal_wallis": "broadcast 1-row pooled-total + 1-row tie-term "
+    "scalar frames crossed onto the k-row group frame (calendar-rollup "
+    "inputs, bounded at any corpus)",
     "events_user_lifecycle": "broadcast |weeks|-row calendar frame cross "
     "onto the user dim (the bounded grid generator)",
     "agg_kmv_jaccard": "broadcast 10-row literal pair dim onto the "
@@ -197,6 +200,8 @@ SINGLE_ALLOWED: dict[str, str] = {
     "price-bucket rollup (binning bounds the ordered state)",
     "agg_mannwhitney_u": "rank-sum cumsum over the same <=100-row "
     "bucket rollup + 1-row statistic frame",
+    "agg_kruskal_wallis": "pooled mid-rank window over the <=155-row "
+    "(type, day) calendar rollup",
     "agg_covariance_matrix": "1-row sufficient-statistics frame "
     "(n, 4 sums, 10 cross-sums) fanned to 10 literal rows",
     "agg_gini_lorenz": "rank/ntile windows over the customer-dim "

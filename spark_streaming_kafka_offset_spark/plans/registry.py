@@ -57,6 +57,11 @@ DEFERRED_R12: tuple[str, ...] = (
     # proved the old semantics); queued for driver re-proof at the r12
     # window head.  functions/multimodal.py, §2.24.
     "multimodal_dedup_phash",
+    # r11-registered oracle pairs, first batch (rank-test siblings:
+    # Kruskal–Wallis k-group ANOVA, Mann–Kendall trend significance —
+    # operators/statistics.py, §2.51).
+    "agg_kruskal_wallis",
+    "agg_mann_kendall",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -131,6 +136,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r11 oracle-semantics change (exact-dup collapse, VERDICT r10 #3):
     # re-queued for driver re-proof despite its r6 hard row.
     "multimodal_dedup_phash",
+    # r11-registered oracle pairs, first batch (§2.51).
+    "agg_kruskal_wallis",
+    "agg_mann_kendall",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.
