@@ -963,3 +963,184 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    # LOCAL clustering coefficient distribution (Watts–Strogatz 1998,
+    # public) over the part co-purchase graph — the per-node companion
+    # of graph_triangle_count's GLOBAL coefficient: c_i = 2·tri_i /
+    # (d_i(d_i−1)) as an exact integer ppm (one integer division), the
+    # decile histogram of c over nodes with d ≥ 2, and the WS average.
+    # The oracle enumerates triangles by the independent wedge-closure
+    # join (the triangle_count cross-validation pattern) while the
+    # engine uses adjacency-array intersection.
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ), oriented AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS s,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS t
+      FROM pairs p
+      JOIN deg du ON p.u = du.node
+      JOIN deg dv ON p.v = dv.node
+    ), tri_nodes AS (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e1.t = e2.s
+      JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+    ), per_node AS (
+      SELECT node, COUNT(*) AS tri FROM (
+        SELECT a AS node FROM tri_nodes
+        UNION ALL SELECT b FROM tri_nodes
+        UNION ALL SELECT c FROM tri_nodes
+      ) GROUP BY node
+    ), cc AS (
+      SELECT g.node,
+             2000000 * COALESCE(p.tri, 0) // (g.d * (g.d - 1)) AS cc_ppm
+      FROM deg g LEFT JOIN per_node p ON p.node = g.node
+      WHERE g.d >= 2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes_total,
+             CAST(SUM(cc_ppm) // COUNT(*) AS BIGINT) AS avg_cc_ppm
+      FROM cc
+    )
+    SELECT CAST(LEAST(cc_ppm // 100000, 9) AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) * 1000000 // MAX(t.n_nodes_total) AS BIGINT)
+             AS share_ppm,
+           MAX(t.avg_cc_ppm) AS avg_cc_ppm,
+           MAX(t.n_nodes_total) AS n_nodes_total
+    FROM cc CROSS JOIN tot t
+    GROUP BY 1 ORDER BY decile
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient distribution of the part
+    co-purchase graph — per node, what fraction of my neighbors'
+    possible pairs actually co-occur? (Watts–Strogatz; the 'are my
+    friends friends with each other' diagnostic that separates
+    clustered/community graphs from degree-matched random ones.)
+    Reported as the decile histogram over nodes of degree ≥ 2 plus the
+    WS average — the per-node companion to `graph_triangle_count`'s
+    single global coefficient.
+
+    Exactness: tri_i and d_i are exact integers; c_i rides as ONE
+    integer division (2e6·tri) div (d(d−1)); decile, shares and the WS
+    average are integer div — no float anywhere.  The oracle
+    re-derives per-node triangle counts through the independent
+    wedge-closure join while this plan uses degree-oriented
+    adjacency-array intersection (Suri–Vassilvitskii; out-degree
+    bounded O(√|E|)), so the hash match cross-validates the two
+    triangle algorithms AT NODE GRAIN, not just in total.
+
+    Scale notes: same staged pair/orientation frames as
+    graph_triangle_count; per-edge intersections EXPLODE to one row
+    per triangle (work is output-sized — the only way to attribute
+    triangles to all three corners), then one unpivot + node agg; the
+    decile rollup is 10 rows."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.alias("a")
+    b = l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    from ..common import stage
+
+    pairs = stage(pairs)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = stage(
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    adj = oriented.groupBy("s").agg(
+        F.array_sort(F.collect_list("t")).alias("nbrs")
+    )
+    adj_s = adj.select(F.col("s"), F.col("nbrs").alias("nbrs_s"))
+    adj_t = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t"))
+    tri_nodes = (
+        oriented.join(adj_s, "s")
+        .join(adj_t, "t", "left")
+        .select(
+            "s",
+            "t",
+            F.explode(
+                F.array_intersect(
+                    "nbrs_s",
+                    F.coalesce("nbrs_t", F.array().cast("array<bigint>")),
+                )
+            ).alias("w"),
+        )
+    )
+    per_node = (
+        tri_nodes.select(F.col("s").alias("node"))
+        .unionAll(tri_nodes.select(F.col("t").alias("node")))
+        .unionAll(tri_nodes.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri"))
+    )
+    cc = (
+        deg.where(F.col("d") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            F.expr(
+                "2000000 * COALESCE(tri, 0) div (d * (d - 1))"
+            ).alias("cc_ppm")
+        )
+    )
+    from ..common import stage as _stage
+
+    cc = _stage(cc)
+    tot = cc.agg(
+        F.count("*").cast("long").alias("n_nodes_total"),
+        F.expr("SUM(cc_ppm) div COUNT(*)").cast("long").alias("avg_cc_ppm"),
+    )
+    return (
+        cc.select(
+            F.least(F.expr("cc_ppm div 100000"), F.lit(9))
+            .cast("long")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_nodes",
+            F.expr("n_nodes * 1000000 div n_nodes_total")
+            .cast("long")
+            .alias("share_ppm"),
+            "avg_cc_ppm",
+            "n_nodes_total",
+        )
+        .orderBy("decile")
+    )

@@ -3144,3 +3144,115 @@ def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sx div n").cast("long").alias("mean_ln_qty_e6"),
         F.round(F.col("sy") / F.col("n"), 6).alias("mean_ln_price"),
     ).orderBy("returnflag")
+
+
+@register(
+    "events_nelson_aalen",
+    # Nelson–Aalen cumulative hazard (public) on the SAME subject frame
+    # as events_kaplan_meier (time-to-first-purchase, staggered
+    # administrative censoring): per support point the hazard increment
+    # d_i/n_i rides as the e12-floored integer (d·1e12) div n — both
+    # engines floor identical integers, so the running SUM is exact and
+    # engine-identical; the Fleming–Harrington survival exp(−H) is ONE
+    # libm exp on an identical double, ROUND at ppm absorbing its last
+    # ulp (the kaplan_meier discipline).
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(MIN(ts) AS DATE) AS d0,
+               CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS DATE) AS dp
+        FROM events GROUP BY user_id
+    ), subj AS (
+        SELECT user_id,
+               CASE WHEN dp IS NOT NULL
+                         AND date_diff('day', d0, dp) <= 3 + user_id % 9
+                    THEN date_diff('day', d0, dp)
+                    ELSE 3 + user_id % 9 END AS dur,
+               CASE WHEN dp IS NOT NULL
+                         AND date_diff('day', d0, dp) <= 3 + user_id % 9
+                    THEN 1 ELSE 0 END AS ev
+        FROM u
+    ), g AS (
+        SELECT dur, SUM(ev) AS d_events,
+               SUM(1 - ev) AS censored,
+               COUNT(*) AS n_at
+        FROM subj GROUP BY dur
+    ), r AS (
+        SELECT *, SUM(n_at) OVER (ORDER BY dur DESC) AS n_risk FROM g
+    ), na AS (
+        SELECT dur, d_events, censored, n_risk,
+               SUM(d_events * 1000000000000 // n_risk)
+                   OVER (ORDER BY dur) AS cumhaz_e12
+        FROM r
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_events AS BIGINT) AS d_events,
+           CAST(censored AS BIGINT) AS censored,
+           CAST(d_events * 1000000000000 // n_risk AS BIGINT)
+             AS hazard_step_e12,
+           CAST(cumhaz_e12 AS BIGINT) AS cum_hazard_e12,
+           CAST(ROUND(EXP(-(CAST(cumhaz_e12 AS DOUBLE) / 1e12)) * 1000000)
+                AS BIGINT) AS survival_fh_ppm
+    FROM na WHERE d_events > 0
+    """,
+)
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator on the same censored
+    time-to-first-purchase frame as `events_kaplan_meier` — the OTHER
+    classical survival summary: where KM multiplies survival factors,
+    NA sums hazard increments Σ d_i/n_i, and exp(−H) is the
+    Fleming–Harrington survival estimate (≥ KM everywhere, close when
+    increments are small — the pytest pins both laws against the KM
+    rows).  Production survival stacks report both: NA's cumulative
+    hazard is the quantity additive over disjoint time windows, which
+    is what incremental/streaming survival updates need.
+
+    Exactness: each increment is the e12-floored integer division
+    (d·1e12) div n — identical integers on both engines, so the
+    duration-ordered cumulative SUM is exact (no float summation
+    anywhere); exp(−H) is one libm call on an identical double, ROUND
+    at ppm absorbing its last ulp (the `events_kaplan_meier`
+    discipline).
+
+    Scale notes: ONE per-user hash agg to the subject frame, then a
+    duration rollup bounded by the ≤12-day follow-up window; the
+    suffix-risk and cumulative windows run on that bounded frame only
+    (reviewed SINGLE class, kaplan_meier's rows)."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("dp"),
+    )
+    fup = F.lit(3) + F.col("user_id") % 9
+    observed = F.col("dp").isNotNull() & (F.datediff("dp", "d0") <= fup)
+    subj = u.select(
+        F.when(observed, F.datediff("dp", "d0")).otherwise(fup).alias("dur"),
+        F.when(observed, 1).otherwise(0).alias("ev"),
+    )
+    g = subj.groupBy("dur").agg(
+        F.sum("ev").alias("d_events"),
+        F.sum(F.lit(1) - F.col("ev")).alias("censored"),
+        F.count(F.lit(1)).alias("n_at"),
+    )
+    w_desc = Window.orderBy(F.desc("dur"))
+    w_asc = Window.orderBy("dur")
+    r = g.withColumn("n_risk", F.sum("n_at").over(w_desc))
+    step = F.expr("d_events * 1000000000000 div n_risk")
+    na = r.withColumn("cumhaz_e12", F.sum(step).over(w_asc))
+    return na.where(F.col("d_events") > 0).select(
+        F.col("dur").cast("long").alias("dur_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_events").cast("long").alias("d_events"),
+        F.col("censored").cast("long").alias("censored"),
+        step.cast("long").alias("hazard_step_e12"),
+        F.col("cumhaz_e12").cast("long").alias("cum_hazard_e12"),
+        F.round(
+            F.exp(-(F.col("cumhaz_e12").cast("double") / 1e12)) * 1000000
+        )
+        .cast("long")
+        .alias("survival_fh_ppm"),
+    )

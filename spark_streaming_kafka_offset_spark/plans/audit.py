@@ -41,6 +41,8 @@ BNL_ALLOWED: dict[str, str] = {
     "data_quality_rules": "broadcast 1-row checked/violation scalar frames",
     "detect_hot_keys": "broadcast 1-row W-total frame onto k candidate rows",
     "graph_triangle_count": "broadcast 1-row triangle/wedge scalar frames",
+    "graph_clustering_coefficient": "broadcast 1-row (n_nodes, WS "
+    "average) scalar frame crossed onto the 10-row decile rollup",
     "orders_basket_affinity": "broadcast 1-row basket-total scalar frame",
     "events_funnel_windowed": "broadcast 1-row stage-count scalar frames",
     "sim_topk_pq": "broadcast m*ksub=256-row codebook + query LUT table",
@@ -225,6 +227,11 @@ SINGLE_ALLOWED: dict[str, str] = {
     "|priorities| (25-row) WoE rollup",
     "events_kaplan_meier": "at-risk suffix sum + cumulative-ln windows "
     "over the follow-up-window-bounded (<=12-row) duration rollup",
+    "events_nelson_aalen": "at-risk suffix sum + cumulative e12-hazard "
+    "windows over the same <=12-row duration rollup (kaplan_meier's "
+    "frame)",
+    "graph_clustering_coefficient": "decile rollup + 1-row WS-average "
+    "scalar frame over the node-grain cc frame",
     "events_forecast_backtest": "lag/total windows over the "
     "calendar-sized daily rollup (zero-filled spine)",
     "eval_isotonic_calibration": "cumulative windows over the <=10-row "

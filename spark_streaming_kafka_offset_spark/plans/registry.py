@@ -62,6 +62,11 @@ DEFERRED_R12: tuple[str, ...] = (
     # operators/statistics.py, §2.51).
     "agg_kruskal_wallis",
     "agg_mann_kendall",
+    # r11-registered oracle pairs, second batch (Nelson–Aalen cumulative
+    # hazard, local clustering-coefficient distribution —
+    # operators/inference.py, operators/graph.py, §2.52).
+    "events_nelson_aalen",
+    "graph_clustering_coefficient",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -139,6 +144,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r11-registered oracle pairs, first batch (§2.51).
     "agg_kruskal_wallis",
     "agg_mann_kendall",
+    # r11-registered oracle pairs, second batch (§2.52).
+    "events_nelson_aalen",
+    "graph_clustering_coefficient",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.

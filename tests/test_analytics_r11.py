@@ -107,3 +107,84 @@ def test_mann_kendall_null_and_planted_trends(spark, tmp_path):
     assert planted["down"].z_mk == -planted["up"].z_mk
     # no ties in a strictly monotone series: var18 is the untied form
     assert planted["up"].var18 == n * (n - 1) * (2 * n + 5)
+
+
+def test_nelson_aalen_laws_against_kaplan_meier(spark):
+    """NA and KM run on the SAME subject frame: support points, risk
+    sets, event and censor counts must match row-for-row; the
+    cumulative hazard is monotone and exactly the running sum of the
+    e12 steps; Fleming–Harrington survival exp(−H) dominates KM
+    survival everywhere (a strict estimator law) while staying within
+    a few percent where increments are small."""
+    na = sorted(
+        QUERIES["events_nelson_aalen"](spark, SF_DIR).collect(),
+        key=lambda r: r.dur_days,
+    )
+    km = sorted(
+        QUERIES["events_kaplan_meier"](spark, SF_DIR).collect(),
+        key=lambda r: r.dur_days,
+    )
+    assert [(r.dur_days, r.n_risk, r.d_events, r.censored) for r in na] == [
+        (r.dur_days, r.n_risk, r.d_events, r.censored) for r in km
+    ]
+    running = 0
+    for r in na:
+        assert r.hazard_step_e12 == r.d_events * 10**12 // r.n_risk
+        running += r.hazard_step_e12
+        assert r.cum_hazard_e12 == running
+    for a, k in zip(na, km):
+        assert a.survival_fh_ppm >= k.survival_ppm, (a, k)
+    # non-degenerate: hazard accumulates and survival genuinely decays
+    assert na[-1].cum_hazard_e12 > na[0].cum_hazard_e12 > 0
+    assert na[-1].survival_fh_ppm < na[0].survival_fh_ppm
+
+
+def test_clustering_coefficient_planted_cliques_and_partition(spark, tmp_path):
+    """Fixture: deciles partition the degree>=2 node set and shares sum
+    to ~1e6.  Planted graph — one triangle order {1,2,3}, one star
+    order pair {10,11},{10,12}, one 4-clique minus an edge — pins the
+    exact per-node coefficients through the decile histogram and the
+    WS average computed by hand."""
+    import pyarrow as pa
+
+    rows = QUERIES["graph_clustering_coefficient"](spark, SF_DIR).collect()
+    tot = rows[0].n_nodes_total
+    assert sum(r.n_nodes for r in rows) == tot
+    share = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000
+    assert all(r.avg_cc_ppm == rows[0].avg_cc_ppm for r in rows)
+    assert 0 < rows[0].avg_cc_ppm <= 1_000_000
+    assert len(rows) >= 2  # the distribution is not a point mass
+
+    # planted: order 1 = triangle {1,2,3}; orders 2,3 = star center 10
+    # with leaves 11, 12; order 4 = {20,21,22,23} minus edge (22,23)
+    # via two overlapping orders {20,21,22} and {20,21,23}.
+    li = []
+    for ok, parts in [
+        (1, [1, 2, 3]),
+        (2, [10, 11]),
+        (3, [10, 12]),
+        (4, [20, 21, 22]),
+        (5, [20, 21, 23]),
+    ]:
+        li += [{"l_orderkey": ok, "l_partkey": p} for p in parts]
+    pa_tbl = pa.Table.from_pylist(li)
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa_tbl, str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.decile: r
+        for r in QUERIES["graph_clustering_coefficient"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # hand truth: nodes 1,2,3 -> deg 2, tri 1 -> cc 1.0 (decile 9);
+    # node 10 -> deg 2, tri 0 -> cc 0 (decile 0); 11,12 deg 1 excluded;
+    # 20,21 -> deg 3, tri 2 -> cc 2/3 (666666 ppm, decile 6);
+    # 22,23 -> deg 2, tri 1 -> cc 1.0 (decile 9).
+    assert got[9].n_nodes == 5
+    assert got[0].n_nodes == 1
+    assert got[6].n_nodes == 2
+    assert got[9].n_nodes_total == 8
+    want_avg = (5 * 1_000_000 + 0 + 2 * 666_666) // 8
+    assert got[9].avg_cc_ppm == want_avg

@@ -34,6 +34,13 @@ import urllib.request
 sys.path.insert(0, ".")
 
 STRESS_SET = [
+    # r11 additions: the triangle-explode node attribution (the batch's
+    # one output-sized shape) and the three calendar-rollup estimators
+    # (cheap by design — swept once to prove it).
+    "graph_clustering_coefficient",
+    "events_nelson_aalen",
+    "agg_kruskal_wallis",
+    "agg_mann_kendall",
     # r9 additions: the shuffle-heavy new shapes — raw-doc pair
     # generation under 5 thresholds, the Gopher scan battery, the
     # (brand, week) inventory rollup, the consecutive-pair BT contest
