@@ -1144,3 +1144,168 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "graph_assortativity",
+    # Degree assortativity (Newman 2002, public) of the part co-purchase
+    # graph — do high-degree parts co-occur with other high-degree parts?
+    # r = (4·M·S1 − S2²) / (2·M·S3 − S2²) with S1 = Σ_e d_u d_v,
+    # S2 = Σ_e (d_u + d_v), S3 = Σ_e (d_u² + d_v²) — ALL exact integers
+    # (HUGEINT/DECIMAL(38,0): d_u·d_v per edge times |E| edges passes
+    # int64 near sf1 — the r10 hazard class); r is one deterministic
+    # double composition of the four exact sums, ROUND(6).  The k_nn
+    # curve (avg neighbour degree per log2 degree class) rides as exact
+    # integer ppm divisions on the endpoint frame.
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ), ed AS (
+      SELECT du.d AS du, dv.d AS dv
+      FROM pairs p
+      JOIN deg du ON p.u = du.node
+      JOIN deg dv ON p.v = dv.node
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(CAST(du AS HUGEINT) * dv) AS s1,
+             SUM(CAST(du AS HUGEINT) + dv) AS s2,
+             SUM(CAST(du AS HUGEINT) * du + CAST(dv AS HUGEINT) * dv)
+               AS s3
+      FROM ed
+    ), gstat AS (
+      SELECT m,
+             ROUND((4 * CAST(m AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                   / (2 * CAST(m AS DOUBLE) * CAST(s3 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)), 6)
+               AS r_assort
+      FROM sums
+    ), endpoints AS (
+      SELECT du AS d_self, dv AS d_nbr FROM ed
+      UNION ALL
+      SELECT dv, du FROM ed
+    )
+    SELECT CAST(length(bin(d_self)) - 1 AS BIGINT) AS degree_class,
+           CAST(COUNT(*) AS BIGINT) AS n_endpoints,
+           CAST(SUM(CAST(d_nbr AS HUGEINT)) * 1000000 // COUNT(*)
+                AS BIGINT) AS avg_nbr_degree_ppm,
+           MAX(g.m) AS m_edges,
+           MAX(g.r_assort) AS r_assort
+    FROM endpoints CROSS JOIN gstat g
+    GROUP BY 1 ORDER BY degree_class
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph — Newman's
+    (2002) Pearson correlation of endpoint degrees over edges, the
+    one-number answer to 'do hubs link to hubs?' (social graphs are
+    assortative r>0; technological/biological graphs disassortative
+    r<0; the fixture's co-purchase graph is degree-neutral like a
+    random graph, r ≈ 0.0016 at sf0.01 — an honest structural null).
+    Reported with the k_nn(class) curve — average neighbour degree per
+    log2 degree class — whose slope is the classic visual companion of
+    the scalar r (flat = neutral, rising = assortative).
+
+    Exactness: S1/S2/S3 ride as HUGEINT/DECIMAL(38,0) sums of exact
+    integer degree products (d_u·d_v ≈ 1e12 per edge at hub scale ×
+    1e10 edges passes int64 — the r10 hazard class); r is ONE
+    deterministic double composition of the four exact sums (left-
+    associated identically in both engines), ROUND(6); degree classes
+    come from length(bin(d)) − 1 = floor(log2 d) — exact integer on
+    both engines, zero libm; the k_nn average is one integer ppm
+    division.
+
+    Scale notes: the pair/degree frames are the graph_triangle_count
+    posture (co-purchase pairs staged once, degree join is two keyed
+    shuffles); the endpoint frame is 2|E| narrow rows feeding ONE
+    bounded rollup (≤64 log2 classes); scalar sums broadcast-cross
+    onto it.  No windows, no driver loops."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.alias("a")
+    b = l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    from ..common import stage
+
+    pairs = stage(pairs)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    ed = (
+        pairs.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select("du", "dv")
+    )
+    ed = stage(ed)
+    sums = ed.agg(
+        F.count("*").cast("long").alias("m"),
+        F.expr("SUM(CAST(du AS DECIMAL(38,0)) * dv)").alias("s1"),
+        F.expr("SUM(CAST(du AS DECIMAL(38,0)) + dv)").alias("s2"),
+        F.expr(
+            "SUM(CAST(du AS DECIMAL(38,0)) * du"
+            " + CAST(dv AS DECIMAL(38,0)) * dv)"
+        ).alias("s3"),
+    )
+    glob = sums.select(
+        "m",
+        F.round(
+            (
+                4 * F.col("m").cast("double") * F.col("s1").cast("double")
+                - F.col("s2").cast("double") * F.col("s2").cast("double")
+            )
+            / (
+                2 * F.col("m").cast("double") * F.col("s3").cast("double")
+                - F.col("s2").cast("double") * F.col("s2").cast("double")
+            ),
+            6,
+        ).alias("r_assort"),
+    )
+    endpoints = ed.select(
+        F.col("du").alias("d_self"), F.col("dv").alias("d_nbr")
+    ).unionAll(
+        ed.select(F.col("dv").alias("d_self"), F.col("du").alias("d_nbr"))
+    )
+    return (
+        endpoints.select(
+            F.expr("CAST(length(bin(d_self)) - 1 AS BIGINT)").alias(
+                "degree_class"
+            ),
+            "d_nbr",
+        )
+        .groupBy("degree_class")
+        .agg(
+            F.count("*").cast("long").alias("n_endpoints"),
+            F.expr(
+                "CAST(SUM(CAST(d_nbr AS DECIMAL(38,0))) * 1000000"
+                " div COUNT(1) AS BIGINT)"
+            ).alias("avg_nbr_degree_ppm"),
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "degree_class",
+            "n_endpoints",
+            "avg_nbr_degree_ppm",
+            F.col("m").alias("m_edges"),
+            "r_assort",
+        )
+        .orderBy("degree_class")
+    )

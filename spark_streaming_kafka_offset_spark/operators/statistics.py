@@ -4102,3 +4102,142 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_friedman_test",
+    # Friedman blocked rank ANOVA (1937; tie-corrected Conover form,
+    # public) — blocks = calendar days, treatments = event types, response
+    # = daily event count.  The (type, day) grid is DENSIFIED (missing
+    # cells ride as 0) so every block is complete by construction; within-
+    # block mid-ranks are 2-SCALED integers (r2 = 2·RANK + ties − 1);
+    # Σ(R2_j − n(k+1))², ΣΣr2² and nk(k+1)² are exact integers on the
+    # bounded k×n grid, so Q is ONE double division of two exact integers,
+    # ROUND(4)-terminal — zero libm anywhere.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT t.event_type, dd.d, COALESCE(x.c, 0) AS c
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT DISTINCT d FROM daily) dd
+        LEFT JOIN daily x ON x.event_type = t.event_type AND x.d = dd.d
+    ), ranked AS (
+        SELECT event_type, c,
+               2 * RANK() OVER (PARTITION BY d ORDER BY c)
+                 + COUNT(*) OVER (PARTITION BY d, c) - 1 AS r2
+        FROM grid
+    ), tr AS (
+        SELECT event_type, CAST(SUM(r2) AS BIGINT) AS rank_sum_x2
+        FROM ranked GROUP BY 1
+    ), dims AS (
+        SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k,
+               CAST(COUNT(*) // COUNT(DISTINCT event_type) AS BIGINT) AS n,
+               CAST(SUM(r2 * r2) AS BIGINT) AS a2_4
+        FROM ranked
+    ), dev AS (
+        SELECT CAST(SUM((t.rank_sum_x2 - m.n * (m.k + 1))
+                        * (t.rank_sum_x2 - m.n * (m.k + 1))) AS BIGINT)
+                 AS dev2
+        FROM tr t CROSS JOIN dims m
+    )
+    SELECT t.event_type, t.rank_sum_x2,
+           CAST(m.n AS BIGINT) AS n_blocks, m.k - 1 AS df,
+           ROUND((m.k - 1) * v.dev2
+                 / CAST(m.a2_4 - m.n * m.k * (m.k + 1) * (m.k + 1)
+                        AS DOUBLE), 4) AS q_stat
+    FROM tr t CROSS JOIN dims m CROSS JOIN dev v
+    ORDER BY t.event_type
+    """,
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman two-way rank ANOVA — the BLOCKED member of the rank-test
+    family: `agg_kruskal_wallis` pools all days into one ranking; this
+    one ranks WITHIN each day (block) and asks whether the k event types
+    hold consistent rank positions across days, which removes day-level
+    volume shifts (weekend dips, launch spikes) from the comparison
+    entirely.  Tie-corrected Conover form Q = (k−1)·Σ_j(R_j − n(k+1)/2)²
+    / (A1 − nk(k+1)²/4), χ²(k−1) under the null; missing (type, day)
+    cells enter as 0 so blocks are complete by construction.  The
+    fixture's five types draw iid traffic, so Q sits at the null
+    (≈0.79 at sf0.01); the planted-effect pytest shifts one type's
+    counts consistently across blocks and recovers Q near its
+    consistency ceiling n(k−1) (the law the oracle cannot check).
+
+    Exactness: within-block mid-ranks are 2-scaled integers (lo+hi of
+    the tie block — never fractional); R2_j, ΣΣr2², the squared
+    deviations and nk(k+1)² are exact integers bounded by the k×n grid
+    (r2 ≤ 2k ≤ 10 — no overflow at any corpus size); Q is one double
+    division of two exact integers, ROUND(4)-terminal.
+
+    Scale notes: ONE corpus agg to the ≤155-row (type, day) rollup;
+    the densifying grid is |types|×|days| (bounded by calendar ×
+    event-type vocabulary); ranking windows are PARTITIONED BY day
+    (never single-partition); the three scalar frames are broadcast
+    1-row crosses."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    types = daily.select("event_type").distinct()
+    days = daily.select("d").distinct()
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    w_rank = Window.partitionBy("d").orderBy("c")
+    w_tie = Window.partitionBy("d", "c")
+    ranked = grid.select(
+        "event_type",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    tr = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("rank_sum_x2")
+    )
+    dims = ranked.agg(
+        F.countDistinct("event_type").cast("long").alias("k"),
+        F.expr(
+            "CAST(COUNT(1) div COUNT(DISTINCT event_type) AS BIGINT)"
+        ).alias("n"),
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("a2_4"),
+    )
+    dev = (
+        tr.crossJoin(F.broadcast(dims))
+        .select(
+            (
+                (F.col("rank_sum_x2") - F.col("n") * (F.col("k") + 1))
+                * (F.col("rank_sum_x2") - F.col("n") * (F.col("k") + 1))
+            ).alias("d2")
+        )
+        .agg(F.sum("d2").cast("long").alias("dev2"))
+    )
+    q = F.round(
+        (F.col("k") - 1)
+        * F.col("dev2")
+        / (
+            F.col("a2_4")
+            - F.col("n")
+            * F.col("k")
+            * (F.col("k") + 1)
+            * (F.col("k") + 1)
+        ).cast("double"),
+        4,
+    )
+    return (
+        tr.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(dev))
+        .select(
+            "event_type",
+            "rank_sum_x2",
+            F.col("n").alias("n_blocks"),
+            (F.col("k") - 1).alias("df"),
+            q.alias("q_stat"),
+        )
+        .orderBy("event_type")
+    )

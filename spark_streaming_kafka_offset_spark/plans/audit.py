@@ -43,6 +43,11 @@ BNL_ALLOWED: dict[str, str] = {
     "graph_triangle_count": "broadcast 1-row triangle/wedge scalar frames",
     "graph_clustering_coefficient": "broadcast 1-row (n_nodes, WS "
     "average) scalar frame crossed onto the 10-row decile rollup",
+    "graph_assortativity": "broadcast 1-row (m, r) scalar frame crossed "
+    "onto the <=64-row log2 degree-class rollup",
+    "agg_friedman_test": "bounded |types|x|days| densifying grid (the "
+    "calendar x vocabulary generator) + broadcast 1-row dims/dev scalar "
+    "frames onto the k-row treatment frame",
     "orders_basket_affinity": "broadcast 1-row basket-total scalar frame",
     "events_funnel_windowed": "broadcast 1-row stage-count scalar frames",
     "sim_topk_pq": "broadcast m*ksub=256-row codebook + query LUT table",
@@ -232,6 +237,11 @@ SINGLE_ALLOWED: dict[str, str] = {
     "frame)",
     "graph_clustering_coefficient": "decile rollup + 1-row WS-average "
     "scalar frame over the node-grain cc frame",
+    "graph_assortativity": "1-row S1/S2/S3 moment frame (map-side "
+    "partial agg; the triangle_count scalar posture) + <=64-row "
+    "degree-class rollup",
+    "agg_friedman_test": "1-row dims/dev scalar frames reduced from the "
+    "bounded |types|x|days| grid (<=155 rows at any corpus)",
     "events_forecast_backtest": "lag/total windows over the "
     "calendar-sized daily rollup (zero-filled spine)",
     "eval_isotonic_calibration": "cumulative windows over the <=10-row "

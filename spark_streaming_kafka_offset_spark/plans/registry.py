@@ -67,6 +67,11 @@ DEFERRED_R12: tuple[str, ...] = (
     # operators/inference.py, operators/graph.py, §2.52).
     "events_nelson_aalen",
     "graph_clustering_coefficient",
+    # r11-registered oracle pairs, third batch (Friedman blocked rank
+    # ANOVA, Newman degree assortativity — operators/statistics.py,
+    # operators/graph.py, §2.53).
+    "agg_friedman_test",
+    "graph_assortativity",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -147,6 +152,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r11-registered oracle pairs, second batch (§2.52).
     "events_nelson_aalen",
     "graph_clustering_coefficient",
+    # r11-registered oracle pairs, third batch (§2.53).
+    "agg_friedman_test",
+    "graph_assortativity",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.

@@ -188,3 +188,97 @@ def test_clustering_coefficient_planted_cliques_and_partition(spark, tmp_path):
     assert got[9].n_nodes_total == 8
     want_avg = (5 * 1_000_000 + 0 + 2 * 666_666) // 8
     assert got[9].avg_cc_ppm == want_avg
+
+
+_LINEITEM_SCHEMA = pq.read_schema(f"{SF_DIR}/lineitem.parquet")
+
+
+def _write_lineitem_orders(tmp_path, orders):
+    """orders: list of part-key lists; each inner list becomes one order
+    whose parts pairwise co-purchase (the co-purchase graph generator:
+    an order with parts [a, b] contributes exactly the edge a—b)."""
+    rows = []
+    for okey, parts in enumerate(orders):
+        for ln, pk in enumerate(parts):
+            rows.append(
+                {
+                    "l_orderkey": okey,
+                    "l_partkey": pk,
+                    "l_suppkey": 1,
+                    "l_linenumber": ln,
+                    "l_quantity": 1.0,
+                    "l_extendedprice": 100.0,
+                    "l_discount": 0.0,
+                    "l_tax": 0.0,
+                    "l_returnflag": "N",
+                    "l_linestatus": "O",
+                    "l_shipdate": _dt.datetime(2024, 1, 1),
+                }
+            )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_LINEITEM_SCHEMA),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+
+def test_friedman_rotating_null_and_consistent_ceiling(spark, tmp_path):
+    """Friedman's two exact laws: a latin-square rotation (every type
+    takes every within-block rank equally often) gives Q = 0 EXACTLY —
+    equal rank sums, zero deviation; a perfectly consistent ranking
+    (same strict order every block, no ties) gives the classic ceiling
+    Q = n(k−1) exactly.  The sf fixture sits at an honest null."""
+    rows = QUERIES["agg_friedman_test"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    q = rows[0].q_stat
+    assert all(r.q_stat == q for r in rows), "Q must be a global scalar"
+    assert 0 <= q < 9.49, f"null fixture produced Q={q}"
+    assert rows[0].df == 4
+
+    k, n = 5, 20
+    types = [f"t{i}" for i in range(k)]
+    # latin rotation: type i has within-block rank ((i + d) % k) + 1,
+    # realized as count 10 + rank (strictly distinct within block)
+    rot = {
+        t: [10 + ((i + d) % k) + 1 for d in range(n)]
+        for i, t in enumerate(types)
+    }
+    _write_events(tmp_path, _mk_rows(rot))
+    rotated = QUERIES["agg_friedman_test"](spark, str(tmp_path)).collect()
+    assert all(r.q_stat == 0.0 for r in rotated), rotated
+    sums = {r.rank_sum_x2 for r in rotated}
+    assert len(sums) == 1, "rotation must equalize rank sums"
+
+    consistent = {t: [10 * (i + 1) + d % 3 for d in range(n)]
+                  for i, t in enumerate(types)}
+    _write_events(tmp_path, _mk_rows(consistent))
+    ceiling = QUERIES["agg_friedman_test"](spark, str(tmp_path)).collect()
+    assert all(r.q_stat == float(n * (k - 1)) for r in ceiling), ceiling
+    assert all(r.n_blocks == n for r in ceiling)
+
+
+def test_assortativity_star_and_regular_union_exact_poles(spark, tmp_path):
+    """Newman's two exact poles: a star K1,n is perfectly DISassortative
+    (every edge joins the hub to a degree-1 leaf) → r = −1 exactly; a
+    node-disjoint union of two cliques K4 ∪ K10 has constant equal
+    endpoint degrees per edge → r = +1 exactly.  The sf fixture's
+    co-purchase graph is degree-neutral (|r| small)."""
+    rows = QUERIES["graph_assortativity"](spark, SF_DIR).collect()
+    assert rows and abs(rows[0].r_assort) < 0.05
+    assert sum(r.n_endpoints for r in rows) == 2 * rows[0].m_edges
+
+    # star: center part 100, leaves 1..4, one 2-part order per edge
+    _write_lineitem_orders(tmp_path, [[100, leaf] for leaf in range(1, 5)])
+    star = QUERIES["graph_assortativity"](spark, str(tmp_path)).collect()
+    assert all(r.r_assort == -1.0 for r in star), star
+    by_class = {r.degree_class: r for r in star}
+    assert by_class[0].n_endpoints == 4  # four degree-1 leaves
+    assert by_class[0].avg_nbr_degree_ppm == 4_000_000  # all see the hub
+    assert by_class[2].avg_nbr_degree_ppm == 1_000_000  # hub sees leaves
+
+    # K4 (parts 0..3) ∪ K10 (parts 10..19): each clique is one order
+    _write_lineitem_orders(
+        tmp_path, [list(range(4)), list(range(10, 20))]
+    )
+    cliques = QUERIES["graph_assortativity"](spark, str(tmp_path)).collect()
+    assert all(r.r_assort == 1.0 for r in cliques), cliques
+    assert cliques[0].m_edges == 6 + 45
