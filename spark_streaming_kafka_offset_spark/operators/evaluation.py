@@ -837,3 +837,152 @@ def privacy_forget_user_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name")
     )
+
+
+#: NDCG@10 position weights: round(1e9 / log2(pos+1)) for pos 1..10,
+#: computed ONCE in Python and shipped to BOTH engines as integer
+#: literals — the price-elasticity literal recipe (zero cross-libm
+#: exposure; the bounded domain here is the metric's own cutoff k=10).
+_NDCG_W: tuple[int, ...] = (
+    1000000000,
+    630929754,
+    500000000,
+    430676558,
+    386852807,
+    356207187,
+    333333333,
+    315464877,
+    301029996,
+    289064826,
+)
+
+
+def _ndcg_weight_case(pos_col: str) -> str:
+    """CASE expression mapping a 1-based position to its e9 weight —
+    identical SQL text on both engines."""
+    whens = " ".join(
+        f"WHEN {p + 1} THEN {w}" for p, w in enumerate(_NDCG_W)
+    )
+    return f"CASE {pos_col} {whens} ELSE 0 END"
+
+
+@register(
+    "eval_ndcg",
+    # NDCG@10 (Järvelin–Kekäläinen 2002, public) treating each order as
+    # a ranked retrieval: position = rank of the line by extendedprice
+    # (the "model score"), graded relevance = quantity.  DCG and IDCG
+    # ride as EXACT integers: Σ rel·w_pos with w_pos the shared e9
+    # literals above — so NDCG is ONE integer ppm division per order and
+    # the whole metric is float-free end to end.
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_orderkey,
+             CAST(ROUND(l_quantity, 0) AS BIGINT) AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber) AS pos,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_quantity DESC, l_linenumber) AS ideal_pos
+      FROM lineitem
+    ), per_order AS (
+      SELECT l_orderkey,
+             CAST(SUM(rel * ({_ndcg_weight_case("pos")})) AS BIGINT)
+               AS dcg_e9,
+             CAST(SUM(rel * ({_ndcg_weight_case("ideal_pos")})) AS BIGINT)
+               AS idcg_e9
+      FROM ranked GROUP BY 1
+    ), scored AS (
+      SELECT dcg_e9 * 1000000 // idcg_e9 AS ndcg_ppm FROM per_order
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders_total,
+             CAST(SUM(ndcg_ppm) // COUNT(*) AS BIGINT) AS mean_ndcg_ppm
+      FROM scored
+    )
+    SELECT CAST(LEAST(ndcg_ppm // 100000, 9) AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) * 1000000 // MAX(t.n_orders_total) AS BIGINT)
+             AS share_ppm,
+           MAX(t.mean_ndcg_ppm) AS mean_ndcg_ppm,
+           MAX(t.n_orders_total) AS n_orders_total
+    FROM scored CROSS JOIN tot t
+    GROUP BY 1 ORDER BY decile
+    """,
+)
+def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the price ranking against quantity relevance — each
+    order is a 'query': its lines are ranked by extendedprice (the
+    model's score) and judged by quantity (the graded label), the
+    standard offline eval for learned rankers.  A high mean says
+    expensive lines are also high-quantity lines; the fixture's price ⊥
+    quantity gives the mid-range honest baseline of a random ranking
+    over ≤13 graded items, pinned by the law pytest's exact poles
+    (aligned ranking → 1e6 exactly, reversed → the hand-computed
+    minimum).
+
+    Exactness: the e9 position weights are Python-computed literals
+    shared by both engines (the `orders_price_elasticity` recipe —
+    zero cross-libm exposure; NDCG's own cutoff k=10 bounds the
+    domain); rel·w sums are exact integers (per-order DCG ≤ 5e11; the ppm numerator ≤ 5e17 ≪ int64 AT ANY corpus size — the k=10 cutoff bounds it per order);
+    per-order NDCG is ONE integer ppm division; decile, shares and the
+    mean are integer div — no float anywhere.
+
+    Scale notes: two ROW_NUMBER windows PARTITIONED BY l_orderkey
+    (keyed shuffle, never single-partition) → per-order hash agg →
+    order-grain scored frame → 10-row decile rollup + broadcast 1-row
+    total cross.  Work is linear in lineitems at every stage."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    w_pos = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    w_ideal = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_quantity").desc(), F.col("l_linenumber")
+    )
+    ranked = l.select(
+        "l_orderkey",
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("rel"),
+        F.row_number().over(w_pos).alias("pos"),
+        F.row_number().over(w_ideal).alias("ideal_pos"),
+    )
+    per_order = ranked.groupBy("l_orderkey").agg(
+        F.expr(
+            f"CAST(SUM(rel * ({_ndcg_weight_case('pos')})) AS BIGINT)"
+        ).alias("dcg_e9"),
+        F.expr(
+            f"CAST(SUM(rel * ({_ndcg_weight_case('ideal_pos')})) AS BIGINT)"
+        ).alias("idcg_e9"),
+    )
+    scored = per_order.select(
+        F.expr("dcg_e9 * 1000000 div idcg_e9").alias("ndcg_ppm")
+    )
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n_orders_total"),
+        F.expr("CAST(SUM(ndcg_ppm) div COUNT(1) AS BIGINT)").alias(
+            "mean_ndcg_ppm"
+        ),
+    )
+    return (
+        scored.select(
+            F.least(F.expr("ndcg_ppm div 100000"), F.lit(9))
+            .cast("long")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_orders",
+            F.expr("n_orders * 1000000 div n_orders_total")
+            .cast("long")
+            .alias("share_ppm"),
+            "mean_ndcg_ppm",
+            "n_orders_total",
+        )
+        .orderBy("decile")
+    )

@@ -4241,3 +4241,188 @@ def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_jonckheere_terpstra",
+    # Jonckheere–Terpstra ordered-alternative rank test (1954, public):
+    # does quantity shift MONOTONICALLY across the 11 ordered discount
+    # levels?  2J = Σ_{g<g'} (2·#{x<y} + #{x=y}) rides as an exact
+    # HUGEINT/DECIMAL(38,0) via the bounded 11×50 contingency-cell
+    # cross product (never a row-pair join); E[2J] = (N² − Σn_i²)/2 is
+    # exact (the difference is even by construction); the tie-corrected
+    # Hollander–Wolfe variance A/72 + B/(36N(N−1)(N−2)) + C/(8N(N−1))
+    # composes exact DECIMAL moment sums in identically-associated
+    # doubles; z is one IEEE sqrt + division, ROUND(4).
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS g,
+             CAST(ROUND(l_quantity, 0) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), j2 AS (
+      SELECT SUM(CAST(a.cnt AS HUGEINT) * b.cnt *
+                 (CASE WHEN a.v < b.v THEN 2
+                       WHEN a.v = b.v THEN 1 ELSE 0 END)) AS j2
+      FROM cells a JOIN cells b ON a.g < b.g
+    ), grp AS (
+      SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM cells GROUP BY 1
+    ), gm AS (
+      SELECT CAST(SUM(n_rows) AS HUGEINT) AS n,
+             SUM(CAST(n_rows AS HUGEINT) * n_rows) AS sn2,
+             SUM(CAST(n_rows AS HUGEINT) * (n_rows - 1)
+                 * (2 * n_rows + 5)) AS sg1,
+             SUM(CAST(n_rows AS HUGEINT) * (n_rows - 1)
+                 * (n_rows - 2)) AS sg2,
+             SUM(CAST(n_rows AS HUGEINT) * (n_rows - 1)) AS sg3
+      FROM grp
+    ), vm AS (
+      SELECT SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS sv1,
+             SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS sv2,
+             SUM(CAST(t AS HUGEINT) * (t - 1)) AS sv3
+      FROM (SELECT v, CAST(SUM(cnt) AS BIGINT) AS t
+            FROM cells GROUP BY v)
+    ), stat AS (
+      SELECT CAST(j.j2 * 1000000 // (m.n * m.n - m.sn2) AS BIGINT)
+               AS jt_u_ppm,
+             CAST(m.n AS BIGINT) AS n_total,
+             ROUND(
+               CAST(j.j2 - (m.n * m.n - m.sn2) // 2 AS DOUBLE)
+               / (2 * sqrt(
+                   (CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1)
+                    * (2 * CAST(m.n AS DOUBLE) + 5)
+                    - CAST(m.sg1 AS DOUBLE) - CAST(v.sv1 AS DOUBLE)) / 72
+                   + CAST(m.sg2 AS DOUBLE) * CAST(v.sv2 AS DOUBLE)
+                     / (36 * CAST(m.n AS DOUBLE)
+                        * (CAST(m.n AS DOUBLE) - 1)
+                        * (CAST(m.n AS DOUBLE) - 2))
+                   + CAST(m.sg3 AS DOUBLE) * CAST(v.sv3 AS DOUBLE)
+                     / (8 * CAST(m.n AS DOUBLE)
+                        * (CAST(m.n AS DOUBLE) - 1)))), 4) AS z_jt
+      FROM j2 j CROSS JOIN gm m CROSS JOIN vm v
+    )
+    SELECT g.g AS disc_pct, g.n_rows, s.jt_u_ppm, s.z_jt, s.n_total
+    FROM grp g CROSS JOIN stat s
+    ORDER BY disc_pct
+    """,
+)
+def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED alternative — does
+    quantity shift monotonically as the discount level rises?  Where
+    `agg_kruskal_wallis` asks 'do the k groups differ at all', JT asks
+    the sharper ordered question and gains power when the truth is a
+    dose-response trend (here: 'do bigger discounts move bigger
+    quantities?').  2J pools the pairwise Mann–Whitney counts over
+    ordered group pairs; jt_u_ppm = 2J/(N²−Σn_i²) ∈ [0,1e6] is the
+    pooled P(X_lower < X_higher) + ½P(=) — 500000 exactly under
+    exchangeability; z uses the tie-corrected Hollander–Wolfe null
+    variance (ties are massive on the 50-value quantity domain — the
+    untied form would be badly wrong here).  The fixture's quantity ⊥
+    discount gives an honest null; the planted dose-response pytest
+    recovers z ≫ 1.96 and the reversed trend its mirror.
+
+    Exactness: every count, 2J, Σn_i² and the six tie moments ride as
+    HUGEINT/DECIMAL(38,0) off the bounded 11×50 contingency table
+    (Σn³ ≈ 1e32 at 100 TB — far past int64, the r10 hazard class);
+    E[2J] = (N²−Σn²)/2 is an exact integer (the numerator is even by
+    construction: N²−Σn² = Σ_{i≠j}n_i n_j); the variance composes the
+    exact moments in identically-associated doubles; z is one IEEE
+    sqrt + division, ROUND(4); jt_u_ppm is ONE integer division.
+
+    Scale notes: ONE corpus agg to the ≤550-cell (discount, quantity)
+    contingency frame (bounded at any corpus size — the
+    Cochran–Armitage posture); the ordered-pair cross product is
+    550×550 worst-case on broadcast frames; the moment frames are
+    1-row scalars."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cells = l.groupBy(
+        F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").alias("g"),
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    from ..common import stage
+
+    cells = stage(cells)
+    a = cells.select(
+        F.col("g").alias("ga"), F.col("v").alias("va"), F.col("cnt").alias("ca")
+    )
+    b = cells.select(
+        F.col("g").alias("gb"), F.col("v").alias("vb"), F.col("cnt").alias("cb")
+    )
+    j2 = (
+        a.join(F.broadcast(b), F.col("ga") < F.col("gb"))
+        .select(
+            F.expr(
+                "CAST(ca AS DECIMAL(38,0)) * cb *"
+                " (CASE WHEN va < vb THEN 2 WHEN va = vb THEN 1"
+                " ELSE 0 END)"
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("j2"))
+    )
+    grp = cells.groupBy("g").agg(F.sum("cnt").cast("long").alias("n_rows"))
+    gm = grp.agg(
+        F.expr("CAST(SUM(n_rows) AS DECIMAL(38,0))").alias("n"),
+        F.expr("SUM(CAST(n_rows AS DECIMAL(38,0)) * n_rows)").alias("sn2"),
+        F.expr(
+            "SUM(CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1)"
+            " * (2 * n_rows + 5))"
+        ).alias("sg1"),
+        F.expr(
+            "SUM(CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1)"
+            " * (n_rows - 2))"
+        ).alias("sg2"),
+        F.expr("SUM(CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1))").alias(
+            "sg3"
+        ),
+    )
+    vm = (
+        cells.groupBy("v")
+        .agg(F.sum("cnt").cast("long").alias("t"))
+        .agg(
+            F.expr(
+                "SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5))"
+            ).alias("sv1"),
+            F.expr(
+                "SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (t - 2))"
+            ).alias("sv2"),
+            F.expr("SUM(CAST(t AS DECIMAL(38,0)) * (t - 1))").alias("sv3"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    var_j = (
+        (
+            nd * (nd - 1) * (2 * nd + 5)
+            - F.col("sg1").cast("double")
+            - F.col("sv1").cast("double")
+        )
+        / 72
+        + F.col("sg2").cast("double")
+        * F.col("sv2").cast("double")
+        / (36 * nd * (nd - 1) * (nd - 2))
+        + F.col("sg3").cast("double")
+        * F.col("sv3").cast("double")
+        / (8 * nd * (nd - 1))
+    )
+    stat = (
+        j2.crossJoin(F.broadcast(gm))
+        .crossJoin(F.broadcast(vm))
+        .select(
+            F.expr(
+                "CAST(j2 * 1000000 div (n * n - sn2) AS BIGINT)"
+            ).alias("jt_u_ppm"),
+            F.col("n").cast("long").alias("n_total"),
+            F.round(
+                F.expr(
+                    "CAST(j2 - (n * n - sn2) div 2 AS DOUBLE)"
+                )
+                / (2 * F.sqrt(var_j)),
+                4,
+            ).alias("z_jt"),
+        )
+    )
+    return (
+        grp.select(F.col("g").alias("disc_pct"), "n_rows")
+        .crossJoin(F.broadcast(stat))
+        .select("disc_pct", "n_rows", "jt_u_ppm", "z_jt", "n_total")
+        .orderBy("disc_pct")
+    )

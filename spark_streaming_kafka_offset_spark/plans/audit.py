@@ -45,6 +45,11 @@ BNL_ALLOWED: dict[str, str] = {
     "average) scalar frame crossed onto the 10-row decile rollup",
     "graph_assortativity": "broadcast 1-row (m, r) scalar frame crossed "
     "onto the <=64-row log2 degree-class rollup",
+    "eval_ndcg": "broadcast 1-row (total, mean) scalar frame crossed "
+    "onto the 10-row decile rollup",
+    "agg_jonckheere_terpstra": "broadcast <=550-cell contingency "
+    "self-pair (g < g' theta join, bounded 11x50 domain) + 1-row "
+    "statistic frame crossed onto the 11-row group frame",
     "agg_friedman_test": "bounded |types|x|days| densifying grid (the "
     "calendar x vocabulary generator) + broadcast 1-row dims/dev scalar "
     "frames onto the k-row treatment frame",
@@ -242,6 +247,10 @@ SINGLE_ALLOWED: dict[str, str] = {
     "degree-class rollup",
     "agg_friedman_test": "1-row dims/dev scalar frames reduced from the "
     "bounded |types|x|days| grid (<=155 rows at any corpus)",
+    "eval_ndcg": "1-row (n_orders_total, mean) frame reduced from the "
+    "order-grain scored frame (map-side partial agg)",
+    "agg_jonckheere_terpstra": "1-row 2J/group-moment/value-moment "
+    "frames reduced from the <=550-cell contingency rollup",
     "events_forecast_backtest": "lag/total windows over the "
     "calendar-sized daily rollup (zero-filled spine)",
     "eval_isotonic_calibration": "cumulative windows over the <=10-row "

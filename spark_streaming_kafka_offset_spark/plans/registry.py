@@ -72,6 +72,11 @@ DEFERRED_R12: tuple[str, ...] = (
     # operators/graph.py, §2.53).
     "agg_friedman_test",
     "graph_assortativity",
+    # r11-registered oracle pairs, fourth batch (exact-integer NDCG@10,
+    # Jonckheere–Terpstra ordered trend — operators/evaluation.py,
+    # operators/statistics.py, §2.54).
+    "eval_ndcg",
+    "agg_jonckheere_terpstra",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -155,6 +160,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r11-registered oracle pairs, third batch (§2.53).
     "agg_friedman_test",
     "graph_assortativity",
+    # r11-registered oracle pairs, fourth batch (§2.54).
+    "eval_ndcg",
+    "agg_jonckheere_terpstra",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.

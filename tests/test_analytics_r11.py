@@ -282,3 +282,136 @@ def test_assortativity_star_and_regular_union_exact_poles(spark, tmp_path):
     cliques = QUERIES["graph_assortativity"](spark, str(tmp_path)).collect()
     assert all(r.r_assort == 1.0 for r in cliques), cliques
     assert cliques[0].m_edges == 6 + 45
+
+
+def _write_lineitem_dq(tmp_path, rows_dq):
+    """rows_dq: list of (discount_pct, quantity) -> one lineitem each."""
+    rows = []
+    for i, (d, q) in enumerate(rows_dq):
+        rows.append(
+            {
+                "l_orderkey": i,
+                "l_partkey": i,
+                "l_suppkey": 1,
+                "l_linenumber": 0,
+                "l_quantity": float(q),
+                "l_extendedprice": 100.0,
+                "l_discount": d / 100.0,
+                "l_tax": 0.0,
+                "l_returnflag": "N",
+                "l_linestatus": "O",
+                "l_shipdate": _dt.datetime(2024, 1, 1),
+            }
+        )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_LINEITEM_SCHEMA),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+
+def _write_lineitem_pq_rel(tmp_path, orders_pq):
+    """orders_pq: list of [(price, rel), ...] per order -> NDCG fixture."""
+    rows = []
+    for okey, lines in enumerate(orders_pq):
+        for ln, (price, rel) in enumerate(lines):
+            rows.append(
+                {
+                    "l_orderkey": okey,
+                    "l_partkey": ln,
+                    "l_suppkey": 1,
+                    "l_linenumber": ln,
+                    "l_quantity": float(rel),
+                    "l_extendedprice": float(price),
+                    "l_discount": 0.0,
+                    "l_tax": 0.0,
+                    "l_returnflag": "N",
+                    "l_linestatus": "O",
+                    "l_shipdate": _dt.datetime(2024, 1, 1),
+                }
+            )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_LINEITEM_SCHEMA),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+
+def _ndcg_spec_ppm(lines):
+    """Executable Python spec of eval_ndcg for one order's
+    [(price, rel), ...] — the engine must equal this exactly."""
+    from spark_streaming_kafka_offset_spark.operators.evaluation import (
+        _NDCG_W,
+    )
+
+    by_price = sorted(
+        range(len(lines)), key=lambda i: (-lines[i][0], i)
+    )
+    rels = [lines[i][1] for i in by_price]
+    ideal = sorted((r for _, r in lines), reverse=True)
+    dcg = sum(r * w for r, w in zip(rels[:10], _NDCG_W))
+    idcg = sum(r * w for r, w in zip(ideal[:10], _NDCG_W))
+    return dcg * 1_000_000 // idcg
+
+
+def test_ndcg_exact_poles_and_python_spec(spark, tmp_path):
+    """NDCG exact laws: an aligned ranking scores 1e6 exactly; a
+    reversed 3-item ranking equals the hand-computable literal ratio;
+    an arbitrary >10-line order equals the executable Python spec
+    (cutoff@10 included).  The sf fixture (price ⊥ quantity) must sit
+    strictly between the poles with every order scored."""
+    rows = QUERIES["eval_ndcg"](spark, SF_DIR).collect()
+    assert sum(r.n_orders for r in rows) == rows[0].n_orders_total
+    assert 300_000 < rows[0].mean_ndcg_ppm < 999_999
+
+    aligned = [(100.0 - i, 10 - i) for i in range(5)]
+    reversed3 = [(90.0, 1), (80.0, 2), (70.0, 3)]
+    long12 = [(200.0 - i, (i * 7) % 13 + 1) for i in range(12)]
+    _write_lineitem_pq_rel(tmp_path, [aligned, reversed3, long12])
+    out = QUERIES["eval_ndcg"](spark, str(tmp_path)).collect()
+    # order-grain scores aren't exposed by the registered plan —
+    # assert through the decile/mean algebra against the Python spec:
+    spec = sorted(
+        _ndcg_spec_ppm(o) for o in (aligned, reversed3, long12)
+    )
+    assert spec[2] == 1_000_000  # aligned pole
+    mean_spec = sum(spec) // 3
+    assert out[0].n_orders_total == 3
+    assert out[0].mean_ndcg_ppm == mean_spec
+    deciles = {r.decile: r.n_orders for r in out}
+    for s in spec:
+        assert deciles.get(min(s // 100_000, 9), 0) > 0
+
+
+def test_jonckheere_exact_null_and_dose_response(spark, tmp_path):
+    """JT exact laws: identical per-group value multisets give
+    jt_u_ppm = 500000 and z = 0 EXACTLY (every ordered pair contributes
+    n_i·n_j to 2J); a strict dose-response (all values in a higher
+    discount group exceed every value below) gives jt_u_ppm = 1e6 and
+    z ≫ 1.96; the mirrored anti-trend gives 0 and a strongly negative
+    z.  The sf fixture (quantity ⊥ discount) is an honest null."""
+    rows = QUERIES["agg_jonckheere_terpstra"](spark, SF_DIR).collect()
+    assert len(rows) == 11
+    assert abs(rows[0].jt_u_ppm - 500_000) < 20_000
+    assert abs(rows[0].z_jt) < 3.2
+    assert sum(r.n_rows for r in rows) == rows[0].n_total
+
+    # identical multisets across 3 discount levels, with ties
+    null_rows = [
+        (g, q) for g in (0, 5, 10) for q in (1, 1, 2, 3, 3, 3, 7)
+    ]
+    _write_lineitem_dq(tmp_path, null_rows)
+    out = QUERIES["agg_jonckheere_terpstra"](spark, str(tmp_path)).collect()
+    assert all(r.jt_u_ppm == 500_000 for r in out), out
+    assert all(r.z_jt == 0.0 for r in out), out
+
+    dose = [(g, 10 * g + k) for g in (0, 2, 4) for k in range(1, 9)]
+    _write_lineitem_dq(tmp_path, dose)
+    up = QUERIES["agg_jonckheere_terpstra"](spark, str(tmp_path)).collect()
+    assert all(r.jt_u_ppm == 1_000_000 for r in up), up
+    assert up[0].z_jt > 1.96
+
+    anti = [(g, 100 - 10 * g + k) for g in (0, 2, 4) for k in range(1, 9)]
+    _write_lineitem_dq(tmp_path, anti)
+    dn = QUERIES["agg_jonckheere_terpstra"](spark, str(tmp_path)).collect()
+    assert all(r.jt_u_ppm == 0 for r in dn), dn
+    assert dn[0].z_jt < -1.96
+    assert dn[0].z_jt == -up[0].z_jt
