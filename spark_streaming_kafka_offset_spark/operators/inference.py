@@ -3256,3 +3256,157 @@ def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("survival_fh_ppm"),
     )
+
+
+@register(
+    "agg_partial_corr",
+    # Partial correlation (Yule 1907, public) — the confounder-control
+    # demo that lives NATIVELY in the fixture: order price total and
+    # order quantity total correlate strongly (r ≈ 0.74 at sf0.01) yet
+    # BOTH are driven by line count; conditioning on it collapses the
+    # association to ≈ −0.01.  r_ab from exact HUGEINT/DECIMAL(38,0)
+    # moment sums over order-grain integers (cents / unit counts);
+    # r_xz.y = (r_xz − r_xy r_zy)/√((1−r_xy²)(1−r_zy²)) — deterministic
+    # double compositions of exact integers, ROUND(4)-terminal.
+    oracle="""
+    WITH o AS (
+      SELECT l_orderkey,
+             CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT) AS x,
+             CAST(SUM(ROUND(l_quantity)) AS BIGINT) AS z,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ), m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(z AS HUGEINT)) AS sz,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(z AS HUGEINT) * z) AS szz,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * z) AS sxz,
+             SUM(CAST(y AS HUGEINT) * z) AS syz
+      FROM o
+    ), r AS (
+      SELECT CAST(n AS BIGINT) AS n_orders,
+             (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+               AS r_xz,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS r_xy,
+             (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+               AS r_zy
+      FROM m
+    )
+    SELECT n_orders,
+           ROUND(r_xz, 4) AS r_price_qty,
+           ROUND(r_xy, 4) AS r_price_lines,
+           ROUND(r_zy, 4) AS r_qty_lines,
+           CASE WHEN (1 - r_xy * r_xy) * (1 - r_zy * r_zy) > 0
+                THEN ROUND((r_xz - r_xy * r_zy)
+                     / sqrt((1 - r_xy * r_xy) * (1 - r_zy * r_zy)), 4)
+                ELSE NULL END AS r_partial_given_lines
+    FROM r
+    """,
+)
+def agg_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of order price total and order quantity
+    total, CONTROLLING for line count — the estimator that separates
+    'correlated' from 'directly related'.  The fixture carries the
+    textbook confounder natively: price and quantity totals correlate
+    at r ≈ 0.74 purely because both accumulate over the same number of
+    lines; given line count the partial collapses to ≈ −0.01.  The
+    planted-effect pytest builds data with a genuine direct link and
+    shows the partial SURVIVES conditioning — and a pure-confounder
+    construction where it vanishes (the law parity cannot check).
+
+    Exactness: order-grain sums are exact integers (cents / units /
+    counts); the nine moment sums ride as HUGEINT/DECIMAL(38,0)
+    (Σx² ≈ 4e19 already passes int64 at sf0.01 — the r10 hazard
+    class); every r is a deterministic double composition of exact
+    integers, the partial one more such composition, ROUND(4); a
+    PERFECTLY collinear conditioning variable (either |r·y| = 1 —
+    zero residual variance) yields NULL on both engines rather than
+    an ANSI divide-by-zero / a fabricated ±inf.
+
+    Scale notes: ONE lineitem hash agg to order grain, ONE reduce to
+    the 1-row moment frame — two map-side-combining aggregations,
+    no windows, no joins."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = l.groupBy("l_orderkey").agg(
+        F.expr("CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT)").alias(
+            "x"
+        ),
+        F.expr("CAST(SUM(ROUND(l_quantity)) AS BIGINT)").alias("z"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    m = o.agg(
+        F.expr("CAST(COUNT(1) AS DECIMAL(38,0))").alias("n"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("SUM(CAST(z AS DECIMAL(38,0)))").alias("sz"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+        F.expr("SUM(CAST(z AS DECIMAL(38,0)) * z)").alias("szz"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * z)").alias("sxz"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * z)").alias("syz"),
+    )
+
+    def _corr(sab: str, saa: str, sa: str, sbb: str, sb: str):
+        n = F.col("n").cast("double")
+        return (
+            n * F.col(sab).cast("double")
+            - F.col(sa).cast("double") * F.col(sb).cast("double")
+        ) / F.sqrt(
+            (
+                n * F.col(saa).cast("double")
+                - F.col(sa).cast("double") * F.col(sa).cast("double")
+            )
+            * (
+                n * F.col(sbb).cast("double")
+                - F.col(sb).cast("double") * F.col(sb).cast("double")
+            )
+        )
+
+    r = m.select(
+        F.col("n").cast("long").alias("n_orders"),
+        _corr("sxz", "sxx", "sx", "szz", "sz").alias("r_xz"),
+        _corr("sxy", "sxx", "sx", "syy", "sy").alias("r_xy"),
+        _corr("syz", "syy", "sy", "szz", "sz").alias("r_zy"),
+    )
+    return r.select(
+        "n_orders",
+        F.round(F.col("r_xz"), 4).alias("r_price_qty"),
+        F.round(F.col("r_xy"), 4).alias("r_price_lines"),
+        F.round(F.col("r_zy"), 4).alias("r_qty_lines"),
+        F.when(
+            (1 - F.col("r_xy") * F.col("r_xy"))
+            * (1 - F.col("r_zy") * F.col("r_zy"))
+            > 0,
+            F.round(
+                (F.col("r_xz") - F.col("r_xy") * F.col("r_zy"))
+                / F.sqrt(
+                    (1 - F.col("r_xy") * F.col("r_xy"))
+                    * (1 - F.col("r_zy") * F.col("r_zy"))
+                ),
+                4,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("r_partial_given_lines"),
+    )

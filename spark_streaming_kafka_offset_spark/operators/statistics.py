@@ -4426,3 +4426,194 @@ def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("disc_pct", "n_rows", "jt_u_ppm", "z_jt", "n_total")
         .orderBy("disc_pct")
     )
+
+
+@register(
+    "events_lead_lag_cmh",
+    # Directional lead–lag dependence between event-type daily series
+    # via the Cochran–Mantel–Haenszel test (1959, public) — the χ²
+    # analog of (binary) transfer entropy, with NO logarithms: for each
+    # ordered type pair (X → Y), does X's yesterday move predict Y's
+    # today move CONTROLLING for Y's own yesterday move (stratified on
+    # y_prev)?  All cell counts are exact integers off the bounded
+    # calendar × type-vocabulary grid; per-stratum expectations and
+    # variances are integer-ratio doubles (identical on both engines);
+    # CMH = (Σ(a−E))²/ΣVar, ROUND(4), NULL when ΣVar = 0 (degenerate
+    # margins).
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT t.event_type, dd.d, COALESCE(x.c, 0) AS c
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT DISTINCT d FROM daily) dd
+        LEFT JOIN daily x ON x.event_type = t.event_type AND x.d = dd.d
+    ), mv AS (
+        SELECT event_type, d,
+               CASE WHEN c > LAG(c) OVER w THEN 1 ELSE 0 END AS up,
+               LAG(c) OVER w AS prev
+        FROM grid
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ), pairs AS (
+        SELECT a.event_type AS type_x, b.event_type AS type_y, a.d,
+               a.up AS x_up, b.up AS y_up
+        FROM mv a JOIN mv b ON a.d = b.d
+        WHERE a.prev IS NOT NULL AND b.prev IS NOT NULL
+          AND a.event_type <> b.event_type
+    ), tri AS (
+        SELECT type_x, type_y,
+               LAG(y_up) OVER w AS y_prev,
+               LAG(x_up) OVER w AS x_prev,
+               y_up AS y,
+               LAG(d) OVER w AS d_prev, d
+        FROM pairs
+        WINDOW w AS (PARTITION BY type_x, type_y ORDER BY d)
+    ), valid AS (
+        SELECT type_x, type_y, y_prev, x_prev, y
+        FROM tri
+        WHERE y_prev IS NOT NULL AND d = d_prev + INTERVAL 1 DAY
+    ), strata AS (
+        SELECT type_x, type_y, y_prev,
+               CAST(SUM(x_prev * y) AS BIGINT) AS a,
+               CAST(SUM(x_prev) AS BIGINT) AS r1,
+               CAST(SUM(y) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM valid GROUP BY 1, 2, 3
+    ), agg AS (
+        SELECT type_x, type_y,
+               CAST(SUM(n) AS BIGINT) AS n_triples,
+               SUM(CASE WHEN n > 1
+                   THEN a - CAST(r1 AS DOUBLE) * c1 / n
+                   ELSE 0 END) AS num,
+               SUM(CASE WHEN n > 1
+                   THEN CAST(r1 AS DOUBLE) * (n - r1) * c1 * (n - c1)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))
+                   ELSE 0 END) AS var
+        FROM strata GROUP BY 1, 2
+    )
+    SELECT type_x, type_y, n_triples,
+           ROUND(num, 4) + 0.0 AS lead_delta,  -- +0.0 kills IEEE -0
+
+           CASE WHEN var > 0 THEN ROUND(num * num / var, 4)
+                ELSE NULL END AS cmh_stat
+    FROM agg
+    ORDER BY type_x, type_y
+    """,
+)
+def events_lead_lag_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional lead–lag dependence between event types — for every
+    ordered pair (X → Y): does X moving UP yesterday predict Y moving
+    UP today, after controlling for Y's own yesterday move?  This is
+    discrete Granger causality as a Cochran–Mantel–Haenszel test
+    stratified on y_prev — the χ² analog of binary transfer entropy
+    with ZERO logarithms (the cross-libm-free formulation; the
+    entropy version would put ln(count ratios) on both engines).
+    Asymmetry is the signal: cmh(X→Y) ≫ cmh(Y→X) says X leads.  The
+    fixture's five types draw independent traffic, so every pair sits
+    at the null; the planted-effect pytest shifts one series a day
+    behind another and recovers the forward CMH ≫ the reverse (the
+    directional law parity cannot check).
+
+    Exactness: up-moves, strata cells and margins are exact integers
+    off the densified calendar grid; per-stratum E and Var are
+    integer-ratio doubles (identical inputs → identical IEEE results);
+    CMH is one squared-ratio composition, ROUND(4); var = 0
+    (degenerate margins, e.g. a monotone series) yields NULL on both
+    engines rather than a fabricated statistic.
+
+    Scale notes: ONE corpus agg to the (type, day) rollup; the move
+    grid and the pair frame are |types|²×|days| (bounded by calendar
+    × vocabulary — ≤750 rows here); windows are PARTITIONED BY type
+    or type pair, never single-partition."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    types = daily.select("event_type").distinct()
+    days = daily.select("d").distinct()
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    mv = grid.select(
+        "event_type",
+        "d",
+        F.when(F.col("c") > F.lag("c").over(w), 1).otherwise(0).alias("up"),
+        F.lag("c").over(w).alias("prev"),
+    )
+    a = mv.alias("a")
+    b = mv.alias("b")
+    pairs = (
+        a.join(b, F.col("a.d") == F.col("b.d"))
+        .where(
+            F.col("a.prev").isNotNull()
+            & F.col("b.prev").isNotNull()
+            & (F.col("a.event_type") != F.col("b.event_type"))
+        )
+        .select(
+            F.col("a.event_type").alias("type_x"),
+            F.col("b.event_type").alias("type_y"),
+            F.col("a.d").alias("d"),
+            F.col("a.up").alias("x_up"),
+            F.col("b.up").alias("y_up"),
+        )
+    )
+    wp = Window.partitionBy("type_x", "type_y").orderBy("d")
+    tri = pairs.select(
+        "type_x",
+        "type_y",
+        F.lag("y_up").over(wp).alias("y_prev"),
+        F.lag("x_up").over(wp).alias("x_prev"),
+        F.col("y_up").alias("y"),
+        F.lag("d").over(wp).alias("d_prev"),
+        "d",
+    )
+    valid = tri.where(
+        F.col("y_prev").isNotNull()
+        & (F.col("d") == F.date_add(F.col("d_prev"), 1))
+    )
+    strata = valid.groupBy("type_x", "type_y", "y_prev").agg(
+        F.sum(F.col("x_prev") * F.col("y")).cast("long").alias("a"),
+        F.sum("x_prev").cast("long").alias("r1"),
+        F.sum("y").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    agg = strata.groupBy("type_x", "type_y").agg(
+        F.sum("n").cast("long").alias("n_triples"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.col("a")
+                - F.col("r1").cast("double") * F.col("c1") / F.col("n"),
+            ).otherwise(F.lit(0.0))
+        ).alias("num"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.col("r1").cast("double")
+                * (F.col("n") - F.col("r1"))
+                * F.col("c1")
+                * (F.col("n") - F.col("c1"))
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n")
+                    * (F.col("n") - 1)
+                ),
+            ).otherwise(F.lit(0.0))
+        ).alias("var"),
+    )
+    return agg.select(
+        "type_x",
+        "type_y",
+        "n_triples",
+        (F.round(F.col("num"), 4) + F.lit(0.0)).alias("lead_delta"),
+        F.when(
+            F.col("var") > 0,
+            F.round(F.col("num") * F.col("num") / F.col("var"), 4),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("cmh_stat"),
+    ).orderBy("type_x", "type_y")

@@ -50,6 +50,9 @@ BNL_ALLOWED: dict[str, str] = {
     "agg_jonckheere_terpstra": "broadcast <=550-cell contingency "
     "self-pair (g < g' theta join, bounded 11x50 domain) + 1-row "
     "statistic frame crossed onto the 11-row group frame",
+    "events_lead_lag_cmh": "type-pair move join on the densified "
+    "|types|x|days| calendar grid (<=750 rows, bounded generator; the "
+    "d-equijoin broadcasts the tiny move frame)",
     "agg_friedman_test": "bounded |types|x|days| densifying grid (the "
     "calendar x vocabulary generator) + broadcast 1-row dims/dev scalar "
     "frames onto the k-row treatment frame",
@@ -251,6 +254,9 @@ SINGLE_ALLOWED: dict[str, str] = {
     "order-grain scored frame (map-side partial agg)",
     "agg_jonckheere_terpstra": "1-row 2J/group-moment/value-moment "
     "frames reduced from the <=550-cell contingency rollup",
+    "agg_partial_corr": "1-row nine-moment frame reduced from the "
+    "order-grain rollup (map-side partial agg; covariance_matrix's "
+    "posture)",
     "events_forecast_backtest": "lag/total windows over the "
     "calendar-sized daily rollup (zero-filled spine)",
     "eval_isotonic_calibration": "cumulative windows over the <=10-row "

@@ -77,6 +77,11 @@ DEFERRED_R12: tuple[str, ...] = (
     # operators/statistics.py, §2.54).
     "eval_ndcg",
     "agg_jonckheere_terpstra",
+    # r11-registered oracle pairs, fifth batch (partial correlation,
+    # CMH lead-lag dependence — operators/inference.py,
+    # operators/statistics.py, §2.55).
+    "agg_partial_corr",
+    "events_lead_lag_cmh",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -163,6 +168,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r11-registered oracle pairs, fourth batch (§2.54).
     "eval_ndcg",
     "agg_jonckheere_terpstra",
+    # r11-registered oracle pairs, fifth batch (§2.55).
+    "agg_partial_corr",
+    "events_lead_lag_cmh",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.

@@ -415,3 +415,112 @@ def test_jonckheere_exact_null_and_dose_response(spark, tmp_path):
     assert all(r.jt_u_ppm == 0 for r in dn), dn
     assert dn[0].z_jt < -1.96
     assert dn[0].z_jt == -up[0].z_jt
+
+
+def _write_lineitem_xyz(tmp_path, orders_xyz):
+    """orders_xyz: list of (total_price_cents, total_qty, n_lines) —
+    realized as n_lines lines splitting the totals (partial-corr
+    fixture; only order-grain sums matter to the estimator)."""
+    rows = []
+    for okey, (px, qz, ny) in enumerate(orders_xyz):
+        for ln in range(ny):
+            price_c = px // ny + (px % ny if ln == 0 else 0)
+            qty = qz // ny + (qz % ny if ln == 0 else 0)
+            rows.append(
+                {
+                    "l_orderkey": okey,
+                    "l_partkey": ln,
+                    "l_suppkey": 1,
+                    "l_linenumber": ln,
+                    "l_quantity": float(qty),
+                    "l_extendedprice": price_c / 100.0,
+                    "l_discount": 0.0,
+                    "l_tax": 0.0,
+                    "l_returnflag": "N",
+                    "l_linestatus": "O",
+                    "l_shipdate": _dt.datetime(2024, 1, 1),
+                }
+            )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_LINEITEM_SCHEMA),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+
+def test_partial_corr_confounder_vanishes_direct_link_survives(
+    spark, tmp_path
+):
+    """The partial-correlation law: when price and quantity are driven
+    ONLY by a shared confounder (line count), conditioning on it must
+    collapse the strong marginal correlation toward 0; when the link
+    is direct (quantity drives price within a fixed line count),
+    conditioning must NOT remove it.  The sf fixture carries the
+    confounder natively (r ≈ 0.74 marginal → ≈ −0.01 partial)."""
+    row = QUERIES["agg_partial_corr"](spark, SF_DIR).collect()[0]
+    assert row.r_price_qty > 0.5
+    assert abs(row.r_partial_given_lines) < 0.1
+
+    # pure confounder: x = 1000*y + e1, z = 10*y + e2 (e ⊥ y, e1 ⊥ e2)
+    conf = [
+        (100_000 * y + 700 * (i % 7), 100 * y + (i * 5) % 11, y)
+        for i, y in enumerate([1, 2, 3, 4, 5] * 40)
+    ]
+    _write_lineitem_xyz(tmp_path, conf)
+    c = QUERIES["agg_partial_corr"](spark, str(tmp_path)).collect()[0]
+    assert c.r_price_qty > 0.8, c
+    assert abs(c.r_partial_given_lines) < 0.25, c
+    assert abs(c.r_partial_given_lines) < c.r_price_qty / 3
+
+    # direct link: x = 120*z + jitter; line count varies INDEPENDENTLY
+    direct = [
+        (120 * (50 + (i * 13) % 90) + (i % 3), 50 + (i * 13) % 90,
+         3 + (i * 7) % 4)
+        for i in range(200)
+    ]
+    _write_lineitem_xyz(tmp_path, direct)
+    d = QUERIES["agg_partial_corr"](spark, str(tmp_path)).collect()[0]
+    assert d.r_price_qty > 0.95, d
+    assert d.r_partial_given_lines > 0.95, d
+
+
+def test_lead_lag_cmh_directional_and_degenerate(spark, tmp_path):
+    """The CMH lead-lag laws: a series that REPLAYS another with a
+    one-day lag must give a large forward CMH and a small reverse one
+    (directionality — the asymmetry parity cannot check); a monotone
+    series has degenerate margins in every stratum → NULL, not a
+    fabricated statistic.  The sf fixture's independent types sit at
+    the null on every pair."""
+    rows = QUERIES["events_lead_lag_cmh"](spark, SF_DIR).collect()
+    assert len(rows) == 20  # 5 types, ordered pairs
+    vals = [r.cmh_stat for r in rows if r.cmh_stat is not None]
+    assert vals and sorted(vals)[len(vals) // 2] < 6.63  # median at null
+
+    import random
+
+    rng = random.Random(11)
+    n = 42
+    moves = [rng.randint(0, 1) for _ in range(n)]
+    lead, c = [], 500
+    for m in moves:
+        c += 7 if m else -5
+        lead.append(c)
+    follow = [500] + lead[:-1]  # replays lead, one day behind
+    mono = [300 + 3 * t for t in range(n)]  # strictly increasing
+    _write_events(
+        tmp_path,
+        _mk_rows({"lead": lead, "follow": follow, "mono": mono}),
+    )
+    out = {
+        (r.type_x, r.type_y): r
+        for r in QUERIES["events_lead_lag_cmh"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    fwd = out[("lead", "follow")].cmh_stat
+    rev = out[("follow", "lead")].cmh_stat
+    assert fwd is not None and fwd > 6.63, (fwd, rev)
+    assert rev is None or rev < 6.63, (fwd, rev)
+    assert fwd > 4 * (rev or 0.0)
+    # monotone series: up-margin degenerate in every stratum -> NULL
+    assert out[("lead", "mono")].cmh_stat is None
+    assert out[("mono", "follow")].lead_delta == 0.0
