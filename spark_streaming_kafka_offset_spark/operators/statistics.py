@@ -4617,3 +4617,298 @@ def events_lead_lag_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("cmh_stat"),
     ).orderBy("type_x", "type_y")
+
+
+#: Croston smoothing constant and the e12 weight tables (α=0.2): the
+#: recursion S_p = α·x_p + (1−α)·S_{p−1} with S_1 = x_1 is LINEAR, so
+#: the weight of the p-th of n observations is α(1−α)^{n−p} (p ≥ 2)
+#: and (1−α)^{n−1} for the first — precomputed in Python as e12
+#: integer literals and shipped to BOTH engines (the Holt–Winters
+#: filter recipe).  Past j = 149 the true coefficient rounds to 0, so
+#: the table's natural end IS the truncation — no semantic clamp.
+_CROSTON_ALPHA = 0.2
+_CROSTON_JMAX = 150
+
+
+def _croston_weights() -> list[tuple[int, int, int]]:
+    """(lag j = n−p, recent-weight α(1−α)^j · 1e12, first-weight
+    (1−α)^j · 1e12) rows."""
+    a = _CROSTON_ALPHA
+    return [
+        (j, round(a * (1 - a) ** j * 1e12), round((1 - a) ** j * 1e12))
+        for j in range(_CROSTON_JMAX)
+    ]
+
+
+def _oracle_croston() -> str:
+    values = ",\n        ".join(
+        f"({j}, {lw}, {fw})" for j, lw, fw in _croston_weights()
+    )
+    return f"""
+    WITH demand AS (
+      SELECT p.p_brand AS brand, l.l_partkey AS pk,
+             CAST(l.l_shipdate AS DATE) AS d,
+             CAST(SUM(ROUND(l.l_quantity)) AS BIGINT) AS x
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2, 3
+    ), seq AS (
+      SELECT brand, pk, x,
+             ROW_NUMBER() OVER w AS p,
+             COUNT(*) OVER (PARTITION BY pk) AS n,
+             datediff('day', LAG(d) OVER w, d) AS gap
+      FROM demand
+      WINDOW w AS (PARTITION BY pk ORDER BY d)
+    ), w(j, lw, fw) AS (
+      VALUES {values}
+    ), smooth AS (
+      SELECT s.brand, s.pk,
+             SUM(CASE WHEN s.p >= 2 THEN s.x * w.lw
+                      ELSE s.x * w.fw END) AS s_size_e12,
+             SUM(CASE WHEN s.p >= 3 THEN s.gap * w.lw
+                      WHEN s.p = 2 THEN s.gap * w.fw
+                      ELSE 0 END) AS s_gap_e12
+      FROM seq s
+      JOIN w ON w.j = s.n - s.p
+      WHERE s.n >= 2
+      GROUP BY 1, 2
+    ), per_part AS (
+      SELECT brand,
+             CAST(CAST(s_size_e12 AS HUGEINT) * 1000000 // s_gap_e12
+                  AS BIGINT) AS rate_e6,
+             s_gap_e12, s_size_e12
+      FROM smooth
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(rate_e6 AS HUGEINT)) // COUNT(*) AS BIGINT)
+             AS mean_rate_e6,
+           CAST(SUM(CAST(s_gap_e12 AS HUGEINT) // 10000000000)
+                // COUNT(*) AS BIGINT) AS mean_interval_x100,
+           CAST(SUM(CAST(s_size_e12 AS HUGEINT) // 10000000000)
+                // COUNT(*) AS BIGINT) AS mean_size_x100
+    FROM per_part
+    GROUP BY 1 ORDER BY brand
+    """
+
+
+@register("orders_croston_demand", oracle=_oracle_croston())
+def orders_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972, public) for INTERMITTENT demand — the
+    standard forecaster when most periods have zero demand (spare
+    parts, long-tail SKUs: exactly the per-part shipment pattern, ~30
+    demand days scattered over ~6.5 years): smooth the nonzero demand
+    SIZES and the inter-demand INTERVALS separately with α=0.2, then
+    forecast rate = size/interval units per day.  Plain exponential
+    smoothing on the raw (mostly-zero) series would chase zeros to a
+    useless near-zero level; Croston is the fix the inventory
+    literature standardized on.  Rolled up per brand: mean forecast
+    rate, mean smoothed interval and size.
+
+    Exactness: both recursions are linear, so each smoothed state is
+    ONE exact integer dot product against the shared e12 weight
+    literals (the `events_holt_winters_forecast` filter recipe — the
+    p-th of n observations weighs α(1−α)^{n−p}, the first
+    (1−α)^{n−1}); beyond lag 149 the true coefficient rounds to 0 so
+    the table end IS the truncation; the rate is one HUGEINT/DECIMAL
+    ppm-scaled integer division; brand means are integer div.  No
+    float recursion executes in either engine.
+
+    Scale notes: ONE hash agg to (part, day) demand grain; ROW_NUMBER/
+    LAG windows PARTITIONED BY part (keyed shuffle, bounded ~30-row
+    partitions at any corpus — demand days per part are scale-
+    invariant); the weight dim is a broadcast 150-row literal; brand
+    rollup is ≤|brands| rows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand")
+    )
+    demand = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_partkey").alias("pk"),
+            F.to_date("l_shipdate").alias("d"),
+        )
+        .agg(F.expr("CAST(SUM(ROUND(l_quantity)) AS BIGINT)").alias("x"))
+    )
+    w_seq = Window.partitionBy("pk").orderBy("d")
+    seq = demand.select(
+        "brand",
+        "pk",
+        "x",
+        F.row_number().over(w_seq).alias("p"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("pk"))
+        .alias("n"),
+        F.datediff(F.col("d"), F.lag("d").over(w_seq)).alias("gap"),
+    )
+    wdim = spark.createDataFrame(
+        _croston_weights(), "j long, lw long, fw long"
+    )
+    smooth = (
+        seq.where(F.col("n") >= 2)
+        .join(
+            F.broadcast(wdim),
+            F.col("j") == F.col("n") - F.col("p"),
+        )
+        .groupBy("brand", "pk")
+        .agg(
+            F.sum(
+                F.when(F.col("p") >= 2, F.col("x") * F.col("lw")).otherwise(
+                    F.col("x") * F.col("fw")
+                )
+            ).alias("s_size_e12"),
+            F.sum(
+                F.when(F.col("p") >= 3, F.col("gap") * F.col("lw"))
+                .when(F.col("p") == 2, F.col("gap") * F.col("fw"))
+                .otherwise(F.lit(0))
+            ).alias("s_gap_e12"),
+        )
+    )
+    per_part = smooth.select(
+        "brand",
+        F.expr(
+            "CAST(CAST(s_size_e12 AS DECIMAL(38,0)) * 1000000"
+            " div s_gap_e12 AS BIGINT)"
+        ).alias("rate_e6"),
+        "s_gap_e12",
+        "s_size_e12",
+    )
+    return (
+        per_part.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.expr(
+                "CAST(SUM(CAST(rate_e6 AS DECIMAL(38,0))) div COUNT(1)"
+                " AS BIGINT)"
+            ).alias("mean_rate_e6"),
+            F.expr(
+                "CAST(SUM(CAST(s_gap_e12 AS DECIMAL(38,0))"
+                " div 10000000000) div COUNT(1) AS BIGINT)"
+            ).alias("mean_interval_x100"),
+            F.expr(
+                "CAST(SUM(CAST(s_size_e12 AS DECIMAL(38,0))"
+                " div 10000000000) div COUNT(1) AS BIGINT)"
+            ).alias("mean_size_x100"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "orders_newsvendor",
+    # Newsvendor / base-stock quantile (Arrow–Harris–Marschak 1951,
+    # public): the profit-maximizing stock for one period is the
+    # critical-ratio quantile of the demand distribution — stock* =
+    # inf{q : F(q) ≥ cu/(cu+co)}.  Evaluated per brand on the DENSIFIED
+    # daily demand distribution (zero-demand days included — omitting
+    # them overstates every quantile) at service levels 50/80/95%,
+    # carried as exact integer ratios (1/2, 4/5, 19/20): the quantile
+    # pick is cum_days·den ≥ n·num on integers — zero float anywhere.
+    oracle="""
+    WITH demand AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS d,
+             CAST(SUM(ROUND(l.l_quantity)) AS BIGINT) AS x
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), spine AS (
+      SELECT b.brand, dd.d, COALESCE(x.x, 0) AS x
+      FROM (SELECT DISTINCT brand FROM demand) b
+      CROSS JOIN (SELECT DISTINCT d FROM demand) dd
+      LEFT JOIN demand x ON x.brand = b.brand AND x.d = dd.d
+    ), cells AS (
+      SELECT brand, x AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM spine GROUP BY 1, 2
+    ), cum AS (
+      SELECT brand, v,
+             SUM(cnt) OVER (PARTITION BY brand ORDER BY v) AS cum_days,
+             SUM(cnt) OVER (PARTITION BY brand) AS n_days,
+             SUM(CAST(v AS HUGEINT) * cnt) OVER (PARTITION BY brand)
+               AS tot
+      FROM cells
+    ), lv(level_pct, num, den) AS (
+      VALUES (50, 1, 2), (80, 4, 5), (95, 19, 20)
+    )
+    SELECT c.brand, CAST(l.level_pct AS BIGINT) AS level_pct,
+           CAST(MAX(c.n_days) AS BIGINT) AS n_days,
+           CAST(MIN(c.v) AS BIGINT) AS stock_qty,
+           CAST(MAX(c.tot) * 100 // MAX(c.n_days) AS BIGINT)
+             AS mean_demand_x100
+    FROM cum c CROSS JOIN lv l
+    WHERE c.cum_days * l.den >= c.n_days * l.num
+    GROUP BY 1, 2 ORDER BY brand, level_pct
+    """,
+)
+def orders_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor base-stock per brand — the empirical-quantile
+    companion of `orders_safety_stock`'s normal approximation: stock
+    so that the chosen fraction of daily demands is met from shelf,
+    stock* = inf{q : F(q) ≥ service level}, evaluated at 50/80/95%
+    directly on the observed daily demand distribution (no
+    distributional assumption — the right call when demand is skewed
+    or multimodal, where the z·σ rule misses).  Zero-demand days ARE
+    part of the distribution: the spine densifies the brand × calendar
+    grid first (dropping them would overstate every quantile).
+
+    Exactness: demand values, day counts and cumulative counts are
+    exact integers; the service levels ride as integer ratios (1/2,
+    4/5, 19/20) so the quantile pick cum·den ≥ n·num never touches a
+    float; the mean is one integer x100 division.
+
+    Scale notes: ONE hash agg to (brand, day) demand grain, densified
+    by the bounded |brands|×|days| spine (the Friedman grid
+    generator); cumulative windows PARTITIONED BY brand over the
+    value-level rollup (≤ distinct demand values per brand); the
+    3-row level dim broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    demand = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.to_date("l_shipdate").alias("d"),
+        )
+        .agg(F.expr("CAST(SUM(ROUND(l_quantity)) AS BIGINT)").alias("x"))
+    )
+    brands = demand.select("brand").distinct()
+    days = demand.select("d").distinct()
+    spine = (
+        brands.crossJoin(F.broadcast(days))
+        .join(demand, ["brand", "d"], "left")
+        .select("brand", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    cells = spine.groupBy("brand", F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("brand")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("brand")
+    cum = cells.select(
+        "brand",
+        "v",
+        F.sum("cnt").over(w_cum).alias("cum_days"),
+        F.sum("cnt").over(w_all).alias("n_days"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * cnt"))
+        .over(w_all)
+        .alias("tot"),
+    )
+    lv = spark.createDataFrame(
+        [(50, 1, 2), (80, 4, 5), (95, 19, 20)],
+        "level_pct long, num long, den long",
+    )
+    return (
+        cum.crossJoin(F.broadcast(lv))
+        .where(F.col("cum_days") * F.col("den") >= F.col("n_days") * F.col("num"))
+        .groupBy("brand", "level_pct")
+        .agg(
+            F.max("n_days").cast("long").alias("n_days"),
+            F.min("v").cast("long").alias("stock_qty"),
+            F.expr(
+                "CAST(MAX(tot) * 100 div MAX(n_days) AS BIGINT)"
+            ).alias("mean_demand_x100"),
+        )
+        .orderBy("brand", "level_pct")
+    )

@@ -53,6 +53,12 @@ BNL_ALLOWED: dict[str, str] = {
     "events_lead_lag_cmh": "type-pair move join on the densified "
     "|types|x|days| calendar grid (<=750 rows, bounded generator; the "
     "d-equijoin broadcasts the tiny move frame)",
+    "orders_newsvendor": "|brands|x|days| densifying spine (bounded "
+    "grid generator, broadcast calendar side) + broadcast 3-row "
+    "service-level dim onto the value-level rollup",
+    "orders_croston_demand": "broadcast 150-row e12 weight literal dim "
+    "against the per-part demand sequence (the holt_winters filter "
+    "posture)",
     "agg_friedman_test": "bounded |types|x|days| densifying grid (the "
     "calendar x vocabulary generator) + broadcast 1-row dims/dev scalar "
     "frames onto the k-row treatment frame",

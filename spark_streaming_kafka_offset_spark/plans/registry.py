@@ -82,6 +82,11 @@ DEFERRED_R12: tuple[str, ...] = (
     # operators/statistics.py, §2.55).
     "agg_partial_corr",
     "events_lead_lag_cmh",
+    # r11-registered oracle pairs, sixth batch (Croston intermittent-
+    # demand filter, newsvendor quantile stock —
+    # operators/statistics.py, §2.56).
+    "orders_croston_demand",
+    "orders_newsvendor",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -171,6 +176,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r11-registered oracle pairs, fifth batch (§2.55).
     "agg_partial_corr",
     "events_lead_lag_cmh",
+    # r11-registered oracle pairs, sixth batch (§2.56).
+    "orders_croston_demand",
+    "orders_newsvendor",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.

@@ -524,3 +524,128 @@ def test_lead_lag_cmh_directional_and_degenerate(spark, tmp_path):
     # monotone series: up-margin degenerate in every stratum -> NULL
     assert out[("lead", "mono")].cmh_stat is None
     assert out[("mono", "follow")].lead_delta == 0.0
+
+
+def _write_lineitem_demand(tmp_path, demand, brands=None):
+    """demand: list of (partkey, day_offset, qty); writes lineitem AND a
+    part table mapping partkey -> brand (default one shared brand)."""
+    rows = []
+    base = _dt.datetime(2024, 1, 1)
+    for i, (pk, day, q) in enumerate(demand):
+        rows.append(
+            {
+                "l_orderkey": i,
+                "l_partkey": pk,
+                "l_suppkey": 1,
+                "l_linenumber": 0,
+                "l_quantity": float(q),
+                "l_extendedprice": 100.0,
+                "l_discount": 0.0,
+                "l_tax": 0.0,
+                "l_returnflag": "N",
+                "l_linestatus": "O",
+                "l_shipdate": base + _dt.timedelta(days=day),
+            }
+        )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_LINEITEM_SCHEMA),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    part_schema = pq.read_schema(f"{SF_DIR}/part.parquet")
+    pks = sorted({pk for pk, _, _ in demand})
+    parts = [
+        {
+            "p_partkey": pk,
+            "p_name": f"part {pk}",
+            "p_brand": (brands or {}).get(pk, "Brand#1"),
+            "p_type": "t",
+            "p_size": 1,
+            "p_retailprice": 100.0,
+        }
+        for pk in pks
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(parts, schema=part_schema),
+        str(tmp_path / "part.parquet"),
+    )
+
+
+def test_croston_constant_series_and_python_spec(spark, tmp_path):
+    """Croston laws: a part demanding a CONSTANT size s every k days
+    must smooth to rate ≈ s/k (weights sum to 1 up to e12 coefficient
+    quantization); the engine must equal the executable Python
+    replica of the weighted dot product EXACTLY; single-demand-day
+    parts are excluded (no interval exists)."""
+    from spark_streaming_kafka_offset_spark.operators.statistics import (
+        _croston_weights,
+    )
+
+    rows = QUERIES["orders_croston_demand"](spark, SF_DIR).collect()
+    assert rows and all(r.mean_rate_e6 > 0 for r in rows)
+    assert all(r.mean_interval_x100 >= 100 for r in rows)
+
+    # part 1: qty 6 every 3 days x 12; part 2: bursty; part 3: one day
+    demand = [(1, 3 * t, 6) for t in range(12)]
+    demand += [(2, d, q) for d, q in
+               [(0, 1), (1, 9), (7, 2), (8, 8), (30, 5)]]
+    demand += [(3, 10, 99)]
+    _write_lineitem_demand(tmp_path, demand)
+    out = {r.brand: r for r in QUERIES["orders_croston_demand"](
+        spark, str(tmp_path)).collect()}
+    r = out["Brand#1"]
+    assert r.n_parts == 2  # part 3 has a single demand day -> excluded
+
+    def croston(xs, gaps):
+        w = _croston_weights()
+        n = len(xs)
+        s_size = sum(
+            xs[p - 1] * (w[n - p][1] if p >= 2 else w[n - p][2])
+            for p in range(1, n + 1)
+        )
+        m = len(gaps)
+        s_gap = sum(
+            gaps[q - 1] * (w[m - q][1] if q >= 2 else w[m - q][2])
+            for q in range(1, m + 1)
+        )
+        return s_size, s_gap
+
+    s1, g1 = croston([6] * 12, [3] * 11)
+    s2, g2 = croston([1, 9, 2, 8, 5], [1, 6, 1, 22])
+    rates = [s1 * 10**6 // g1, s2 * 10**6 // g2]
+    assert r.mean_rate_e6 == sum(rates) // 2
+    assert r.mean_interval_x100 == (g1 // 10**10 + g2 // 10**10) // 2
+    # constant series pole: rate ~= 6/3 = 2 units/day at e6
+    assert abs(rates[0] - 2_000_000) < 10, rates[0]
+
+
+def test_newsvendor_exact_quantiles_and_monotone(spark, tmp_path):
+    """Newsvendor laws: on 100 distinct equally-frequent demand values
+    1..100 the 50/80/95% stocks are EXACTLY 50/80/95 (inf{q: F >=
+    ratio} on the empirical CDF); stocks are monotone in the service
+    level everywhere; zero-demand days (spine densification) pull the
+    median down on a sparse brand."""
+    rows = QUERIES["orders_newsvendor"](spark, SF_DIR).collect()
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r.brand, {})[r.level_pct] = r.stock_qty
+    for b, lv in by_brand.items():
+        assert lv[50] <= lv[80] <= lv[95], (b, lv)
+
+    # brand A: demands 1..100 on 100 consecutive days (no zero days);
+    # brand B: demand 10 on 3 of 100 days -> median 0 via the spine
+    demand = [(1, d, d + 1) for d in range(100)]
+    demand += [(2, d, 10) for d in (0, 50, 99)]
+    _write_lineitem_demand(
+        tmp_path, demand, brands={1: "Brand#A", 2: "Brand#B"}
+    )
+    out = {}
+    for r in QUERIES["orders_newsvendor"](spark, str(tmp_path)).collect():
+        out.setdefault(r.brand, {})[r.level_pct] = r
+    a = out["Brand#A"]
+    assert (a[50].stock_qty, a[80].stock_qty, a[95].stock_qty) == (
+        50, 80, 95)
+    assert a[50].n_days == 100
+    b = out["Brand#B"]
+    assert b[50].stock_qty == 0  # 97 zero-demand days dominate
+    assert b[95].stock_qty == 0
+    assert b[50].mean_demand_x100 == 30  # 30 units / 100 days x100
