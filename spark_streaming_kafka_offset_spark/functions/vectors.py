@@ -520,3 +520,145 @@ def embed_outliers_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("maha_d2_e3").desc(), "vec_id")
         .limit(20)
     )
+
+
+@register(
+    "embed_silhouette",
+    # Simplified (centroid) silhouette — Kaufman–Rousseeuw 1990, the
+    # PAM book's medoid-free variant — of the LABEL clustering in the
+    # quantized 2-D feature plane `kmeans_lloyd_exact` uses: a(i) =
+    # d(x_i, own centroid), b(i) = min over other centroids, s(i) =
+    # (b−a)/max(a,b).  Squared distances are exact integers (e5-floored
+    # coords, half-up integer centroids — the kmeans discipline); the
+    # only floats are two IEEE sqrts (correctly rounded by the
+    # standard) and one guarded division, floored to e6 — identical on
+    # both engines.
+    oracle="""
+    WITH feats AS (
+      SELECT vec_id, label,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 100000) AS BIGINT)
+               AS f1,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 100000) AS BIGINT)
+               AS f2
+      FROM embeddings
+    ), cents AS (
+      SELECT label AS clabel,
+             (2 * SUM(f1) + COUNT(*)) // (2 * COUNT(*)) AS c1,
+             (2 * SUM(f2) + COUNT(*)) // (2 * COUNT(*)) AS c2
+      FROM feats GROUP BY 1
+    ), dists AS (
+      SELECT f.vec_id, f.label,
+             MAX(CASE WHEN c.clabel = f.label
+                 THEN (f.f1 - c.c1) * (f.f1 - c.c1)
+                    + (f.f2 - c.c2) * (f.f2 - c.c2) END) AS a2,
+             MIN(CASE WHEN c.clabel <> f.label
+                 THEN (f.f1 - c.c1) * (f.f1 - c.c1)
+                    + (f.f2 - c.c2) * (f.f2 - c.c2) END) AS b2
+      FROM feats f CROSS JOIN cents c
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT label,
+             CASE WHEN a2 = 0 AND b2 = 0 THEN 0
+                  ELSE CAST(floor((sqrt(CAST(b2 AS DOUBLE))
+                                   - sqrt(CAST(a2 AS DOUBLE)))
+                       / greatest(sqrt(CAST(a2 AS DOUBLE)),
+                                  sqrt(CAST(b2 AS DOUBLE)))
+                       * 1000000) AS BIGINT) END AS s_e6
+      FROM dists
+    ), tot AS (
+      SELECT CAST(SUM(s_e6) // COUNT(*) AS BIGINT) AS overall_sil_e6
+      FROM scored
+    )
+    SELECT s.label,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(s.s_e6) // COUNT(*) AS BIGINT) AS mean_sil_e6,
+           MAX(t.overall_sil_e6) AS overall_sil_e6
+    FROM scored s CROSS JOIN tot t
+    GROUP BY 1 ORDER BY s.label
+    """,
+)
+def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid) silhouette of the label clustering — the
+    clustering-quality gate: s(i) = (b−a)/max(a,b) with a = distance
+    to the own-label centroid and b = distance to the nearest other
+    centroid; mean s near +1 means labels are tight separated blobs,
+    near 0 means label structure is invisible in this space, negative
+    means points sit closer to a FOREIGN centroid.  The fixture's
+    labels are geometrically unstructured in the feature plane (mean
+    ≈ 0 — an honest 'these labels are not clusters' reading, the
+    diagnostic this op exists to give); the planted pytest separates
+    label blobs and drives the mean toward +1e6, then swaps half the
+    labels and drives it negative.
+
+    Exactness: e5-floored coordinates and half-up integer centroids
+    (the `kmeans_lloyd_exact` discipline) make every squared distance
+    an exact integer; the only floats are two IEEE-correctly-rounded
+    sqrts and one guarded division, e6-floored on identical doubles;
+    a2 = b2 = 0 (a point on two coincident centroids) scores 0 by
+    definition on both engines.  Label means and the overall mean are
+    integer divisions.
+
+    Scale notes: ONE hash agg to the |labels|-row centroid frame,
+    broadcast against the feature scan (k·n integer ops — the kmeans
+    assignment posture, no shuffle), ONE conditional-agg reduce per
+    vector, then a |labels|-row rollup + broadcast 1-row overall
+    cross.  Works unchanged at any corpus size; the 2-D plane keeps
+    the oracle writable (the Spark side generalizes to full-d via an
+    array fold)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        "vec_id",
+        "label",
+        F.floor(F.element_at("embedding", 1).cast("double") * 100000)
+        .cast("long")
+        .alias("f1"),
+        F.floor(F.element_at("embedding", 2).cast("double") * 100000)
+        .cast("long")
+        .alias("f2"),
+    )
+    cents = feats.groupBy(F.col("label").alias("clabel")).agg(
+        F.expr("(2 * sum(f1) + count(*)) div (2 * count(*))").alias("c1"),
+        F.expr("(2 * sum(f2) + count(*)) div (2 * count(*))").alias("c2"),
+    )
+    d2 = (F.col("f1") - F.col("c1")) * (F.col("f1") - F.col("c1")) + (
+        F.col("f2") - F.col("c2")
+    ) * (F.col("f2") - F.col("c2"))
+    dists = (
+        feats.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.when(F.col("clabel") == F.col("label"), d2)
+            ).alias("a2"),
+            F.min(
+                F.when(F.col("clabel") != F.col("label"), d2)
+            ).alias("b2"),
+        )
+    )
+    sa = F.sqrt(F.col("a2").cast("double"))
+    sb = F.sqrt(F.col("b2").cast("double"))
+    scored = dists.select(
+        "label",
+        F.when((F.col("a2") == 0) & (F.col("b2") == 0), F.lit(0))
+        .otherwise(
+            F.floor((sb - sa) / F.greatest(sa, sb) * 1000000).cast("long")
+        )
+        .alias("s_e6"),
+    )
+    tot = scored.agg(
+        F.expr("CAST(SUM(s_e6) div COUNT(1) AS BIGINT)").alias(
+            "overall_sil_e6"
+        )
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.expr("CAST(SUM(s_e6) div COUNT(1) AS BIGINT)").alias(
+                "mean_sil_e6"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("label", "n_members", "mean_sil_e6", "overall_sil_e6")
+        .orderBy("label")
+    )

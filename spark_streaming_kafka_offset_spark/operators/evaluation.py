@@ -986,3 +986,136 @@ def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+#: MRR@10 reciprocal-rank literals: round(1e6 / r) for r = 1..10 —
+#: the _NDCG_W recipe at e6 (bounded by the metric's own cutoff).
+_MRR_W: tuple[int, ...] = (
+    1000000,
+    500000,
+    333333,
+    250000,
+    200000,
+    166667,
+    142857,
+    125000,
+    111111,
+    100000,
+)
+
+
+def _mrr_weight_case(pos_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {p + 1} THEN {w}" for p, w in enumerate(_MRR_W)
+    )
+    return f"CASE {pos_col} {whens} ELSE 0 END"
+
+
+@register(
+    "eval_mrr",
+    # Mean reciprocal rank @10 (TREC QA track, public) — NDCG's binary
+    # sibling: each order is a query ranked by extendedprice; a line is
+    # RELEVANT when quantity ≥ 30; the order scores 1/rank of the FIRST
+    # relevant line (0 when none lands in the top 10).  rr rides as an
+    # e6 integer from the shared literal table, so the histogram groups
+    # on the ≤11 possible exact values and the mean is one integer
+    # division — float-free end to end.
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_orderkey,
+             CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber) AS pos
+      FROM lineitem
+    ), per_order AS (
+      SELECT l_orderkey,
+             COALESCE(MIN(CASE WHEN rel = 1 AND pos <= 10
+                           THEN pos END), 0) AS first_pos
+      FROM ranked GROUP BY 1
+    ), scored AS (
+      SELECT CAST({_mrr_weight_case("first_pos")} AS BIGINT) AS rr_e6
+      FROM per_order
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders_total,
+             CAST(SUM(rr_e6) // COUNT(*) AS BIGINT) AS mean_rr_e6
+      FROM scored
+    )
+    SELECT rr_e6,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) * 1000000 // MAX(t.n_orders_total) AS BIGINT)
+             AS share_ppm,
+           MAX(t.mean_rr_e6) AS mean_rr_e6,
+           MAX(t.n_orders_total) AS n_orders_total
+    FROM scored CROSS JOIN tot t
+    GROUP BY 1 ORDER BY rr_e6
+    """,
+)
+def eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank @10 of the price ranking against binary
+    relevance (quantity ≥ 30) — the first-hit metric beside
+    `eval_ndcg`'s graded one: MRR asks 'how far down does a user scan
+    before the first good result', the navigational-search yardstick.
+    An order with no relevant line in its top 10 scores exactly 0
+    (the standard convention — excluding such queries inflates the
+    metric).  The fixture's price ⊥ quantity gives the honest
+    random-ranking baseline; the law pytest pins the pos-1 pole
+    (rr = 1e6), the no-relevant zero, and engine == Python replica.
+
+    Exactness: reciprocal ranks are shared e6 integer literals (the
+    `eval_ndcg` recipe — the metric's own k=10 cutoff bounds the
+    table); every order's score is ONE exact table lookup; the
+    histogram groups on the ≤11 possible exact values; shares and the
+    mean are integer divisions.  No float anywhere.
+
+    Scale notes: ONE ROW_NUMBER window PARTITIONED BY l_orderkey →
+    per-order min-agg → ≤11-row value rollup + broadcast 1-row total
+    cross.  Linear in lineitems."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    w_pos = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    ranked = l.select(
+        "l_orderkey",
+        F.when(F.col("l_quantity") >= 30, 1).otherwise(0).alias("rel"),
+        F.row_number().over(w_pos).alias("pos"),
+    )
+    per_order = ranked.groupBy("l_orderkey").agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    (F.col("rel") == 1) & (F.col("pos") <= 10),
+                    F.col("pos"),
+                )
+            ),
+            F.lit(0),
+        ).alias("first_pos")
+    )
+    scored = per_order.select(
+        F.expr(f"CAST({_mrr_weight_case('first_pos')} AS BIGINT)").alias(
+            "rr_e6"
+        )
+    )
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n_orders_total"),
+        F.expr("CAST(SUM(rr_e6) div COUNT(1) AS BIGINT)").alias(
+            "mean_rr_e6"
+        ),
+    )
+    return (
+        scored.groupBy("rr_e6")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rr_e6",
+            "n_orders",
+            F.expr("n_orders * 1000000 div n_orders_total")
+            .cast("long")
+            .alias("share_ppm"),
+            "mean_rr_e6",
+            "n_orders_total",
+        )
+        .orderBy("rr_e6")
+    )

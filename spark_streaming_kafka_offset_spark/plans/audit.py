@@ -47,6 +47,11 @@ BNL_ALLOWED: dict[str, str] = {
     "onto the <=64-row log2 degree-class rollup",
     "eval_ndcg": "broadcast 1-row (total, mean) scalar frame crossed "
     "onto the 10-row decile rollup",
+    "eval_mrr": "broadcast 1-row (total, mean) scalar frame crossed "
+    "onto the <=11-row reciprocal-rank value rollup",
+    "embed_silhouette": "broadcast |labels|-row centroid frame against "
+    "the feature scan (the kmeans assignment posture) + 1-row overall "
+    "cross onto the |labels|-row rollup",
     "agg_jonckheere_terpstra": "broadcast <=550-cell contingency "
     "self-pair (g < g' theta join, bounded 11x50 domain) + 1-row "
     "statistic frame crossed onto the 11-row group frame",
@@ -258,6 +263,11 @@ SINGLE_ALLOWED: dict[str, str] = {
     "bounded |types|x|days| grid (<=155 rows at any corpus)",
     "eval_ndcg": "1-row (n_orders_total, mean) frame reduced from the "
     "order-grain scored frame (map-side partial agg)",
+    "eval_mrr": "1-row (n_orders_total, mean) frame reduced from the "
+    "order-grain scored frame (map-side partial agg)",
+    "embed_silhouette": "1-row overall-mean frame + |labels|-row "
+    "centroid frame reduced from the vector scan (map-side partial "
+    "agg)",
     "agg_jonckheere_terpstra": "1-row 2J/group-moment/value-moment "
     "frames reduced from the <=550-cell contingency rollup",
     "agg_partial_corr": "1-row nine-moment frame reduced from the "

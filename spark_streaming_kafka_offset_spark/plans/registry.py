@@ -87,6 +87,11 @@ DEFERRED_R12: tuple[str, ...] = (
     # operators/statistics.py, §2.56).
     "orders_croston_demand",
     "orders_newsvendor",
+    # r11-registered oracle pairs, seventh batch (centroid silhouette,
+    # exact-integer MRR@10 — functions/vectors.py,
+    # operators/evaluation.py, §2.57).
+    "embed_silhouette",
+    "eval_mrr",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -179,6 +184,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r11-registered oracle pairs, sixth batch (§2.56).
     "orders_croston_demand",
     "orders_newsvendor",
+    # r11-registered oracle pairs, seventh batch (§2.57).
+    "embed_silhouette",
+    "eval_mrr",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.

@@ -649,3 +649,82 @@ def test_newsvendor_exact_quantiles_and_monotone(spark, tmp_path):
     assert b[50].stock_qty == 0  # 97 zero-demand days dominate
     assert b[95].stock_qty == 0
     assert b[50].mean_demand_x100 == 30  # 30 units / 100 days x100
+
+
+_EMB_SCHEMA = pq.read_schema(f"{SF_DIR}/embeddings.parquet")
+
+
+def _write_embeddings(tmp_path, rows_lab_xy):
+    """rows_lab_xy: list of (label, x, y) -> 64-d vectors with the
+    first two coords set and the rest zero (the feature plane the
+    silhouette/kmeans family quantizes)."""
+    rows = [
+        {
+            "vec_id": i,
+            "embedding": [float(x), float(y)] + [0.0] * 62,
+            "label": lab,
+        }
+        for i, (lab, x, y) in enumerate(rows_lab_xy)
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_EMB_SCHEMA),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+
+def test_silhouette_separated_swapped_and_null(spark, tmp_path):
+    """Silhouette laws: two tightly separated label blobs score near
+    +1e6; swapping the two blobs' labels (every point now nearest the
+    FOREIGN centroid) drives the mean strongly negative; the sf
+    fixture's geometrically unstructured labels sit near 0 — the
+    honest 'labels are not clusters' reading."""
+    rows = QUERIES["embed_silhouette"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert sum(r.n_members for r in rows) >= 400
+    assert abs(rows[0].overall_sil_e6) < 250_000  # null: |s| well below the poles
+
+    blob_a = [(0, 1.0 + 0.001 * i, 1.0) for i in range(20)]
+    blob_b = [(1, -1.0 - 0.001 * i, -1.0) for i in range(20)]
+    _write_embeddings(tmp_path, blob_a + blob_b)
+    sep = QUERIES["embed_silhouette"](spark, str(tmp_path)).collect()
+    assert all(r.mean_sil_e6 > 900_000 for r in sep), sep
+
+    # misassigned label: label 0 = 6 pts AT label 1's blob + 4 pts far
+    # away -> its own centroid sits near (-0.2, 0), so the 6 majority
+    # points are on the foreign centroid (s = -1) and the label mean is
+    # (6*(-1e6) + 4*(+4e5))/10 = -440000 up to the half-up centroid
+    # quantization (a few e-6).
+    mixed = [(0, -1.0, 0.0)] * 6 + [(0, 1.0, 0.0)] * 4
+    mixed += [(1, -1.0, 0.0)] * 20
+    _write_embeddings(tmp_path, mixed)
+    neg = {r.label: r for r in QUERIES["embed_silhouette"](
+        spark, str(tmp_path)).collect()}
+    assert -441_000 < neg[0].mean_sil_e6 < -439_000, neg
+    assert neg[1].mean_sil_e6 > 999_000  # sits on own centroid, b >> a
+
+
+def test_mrr_poles_and_python_spec(spark, tmp_path):
+    """MRR laws: a relevant line at price-rank 1 scores exactly 1e6;
+    an order with no relevant line scores exactly 0; a relevant line
+    first reached at rank 3 scores exactly 333333; the registered
+    mean equals the Python replica over the constructed corpus."""
+    rows = QUERIES["eval_mrr"](spark, SF_DIR).collect()
+    assert sum(r.n_orders for r in rows) == rows[0].n_orders_total
+    assert 0 < rows[0].mean_rr_e6 < 1_000_000
+
+    from spark_streaming_kafka_offset_spark.operators.evaluation import (
+        _MRR_W,
+    )
+
+    # order 0: relevant at rank 1; order 1: none relevant;
+    # order 2: ranks 1-2 irrelevant, rank 3 relevant
+    orders = [
+        [(100.0, 45), (90.0, 5)],
+        [(100.0, 5), (90.0, 7)],
+        [(100.0, 5), (90.0, 6), (80.0, 31), (70.0, 40)],
+    ]
+    _write_lineitem_pq_rel(tmp_path, orders)
+    out = QUERIES["eval_mrr"](spark, str(tmp_path)).collect()
+    got = {r.rr_e6: r.n_orders for r in out}
+    assert got == {_MRR_W[0]: 1, 0: 1, _MRR_W[2]: 1}
+    assert out[0].mean_rr_e6 == (_MRR_W[0] + 0 + _MRR_W[2]) // 3
