@@ -1119,3 +1119,143 @@ def eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rr_e6")
     )
+
+
+@register(
+    "eval_map",
+    # Mean average precision @10 (TREC, public) — the third member of
+    # the ranking-eval family: AP integrates precision at every
+    # relevant position, rewarding rankers that pack relevant items
+    # early (MRR sees only the FIRST hit, NDCG needs grades; AP is the
+    # binary-relevance area under P-R).  AP@10 = Σ_{rel k ≤ 10}
+    # P@k / min(R, 10) with P@k = r_k/k carried as r_k · round(1e6/k)
+    # (the shared literal table) — exact integers end to end; queries
+    # with no relevant item are EXCLUDED (the TREC convention).
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_orderkey,
+             CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber) AS pos
+      FROM lineitem
+    ), cum AS (
+      SELECT l_orderkey, rel, pos,
+             SUM(rel) OVER (PARTITION BY l_orderkey ORDER BY pos)
+               AS r_k,
+             SUM(rel) OVER (PARTITION BY l_orderkey) AS r_total
+      FROM ranked
+    ), per_order AS (
+      SELECT l_orderkey,
+             CAST(SUM(CASE WHEN rel = 1 AND pos <= 10
+                  THEN r_k * ({_mrr_weight_case("pos")})
+                  ELSE 0 END) AS BIGINT) AS ap_num_e6,
+             CAST(LEAST(MAX(r_total), 10) AS BIGINT) AS r_cap
+      FROM cum GROUP BY 1
+      HAVING MAX(r_total) > 0
+    ), scored AS (
+      SELECT ap_num_e6 // r_cap AS ap_e6 FROM per_order
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders_scored,
+             CAST(SUM(ap_e6) // COUNT(*) AS BIGINT) AS map_e6
+      FROM scored
+    )
+    SELECT CAST(LEAST(ap_e6 // 100000, 9) AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) * 1000000 // MAX(t.n_orders_scored) AS BIGINT)
+             AS share_ppm,
+           MAX(t.map_e6) AS map_e6,
+           MAX(t.n_orders_scored) AS n_orders_scored
+    FROM scored CROSS JOIN tot t
+    GROUP BY 1 ORDER BY decile
+    """,
+)
+def eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean average precision @10 of the price ranking against binary
+    relevance (quantity ≥ 30) — completes the ranking-eval triple:
+    `eval_mrr` scores the first hit, `eval_ndcg` graded positions,
+    AP the whole precision–recall sweep (a ranker that buries half the
+    relevant items keeps a decent MRR but loses AP).  Orders with no
+    relevant line are excluded per the TREC convention — including
+    them as 0 would conflate 'no relevant inventory' with 'bad
+    ranking'.  The fixture's price ⊥ quantity gives the honest
+    random-ranking baseline; the law pytest pins the perfect-packing
+    pole (all relevant first → 1e6 exactly), a hand-computed split
+    ranking, and engine == Python replica.
+
+    Exactness: running relevant counts r_k are exact window integers;
+    P@k rides as r_k·round(1e6/k) from the shared literal table (the
+    `eval_mrr` weights — the metric's own cutoff bounds it); the AP
+    division and the decile/mean rollups are integer div.  No float
+    anywhere.
+
+    Scale notes: one ROW_NUMBER + two running-sum windows PARTITIONED
+    BY l_orderkey (keyed shuffle) → per-order agg with a HAVING that
+    drops unjudgeable orders → 10-row decile rollup + broadcast 1-row
+    total cross.  Linear in lineitems."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    w_pos = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    ranked = l.select(
+        "l_orderkey",
+        F.when(F.col("l_quantity") >= 30, 1).otherwise(0).alias("rel"),
+        F.row_number().over(w_pos).alias("pos"),
+    )
+    w_cum = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_orderkey")
+    cum = ranked.select(
+        "l_orderkey",
+        "rel",
+        "pos",
+        F.sum("rel").over(w_cum).alias("r_k"),
+        F.sum("rel").over(w_all).alias("r_total"),
+    )
+    per_order = (
+        cum.groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN rel = 1 AND pos <= 10"
+                f" THEN r_k * ({_mrr_weight_case('pos')})"
+                f" ELSE 0 END) AS BIGINT)"
+            ).alias("ap_num_e6"),
+            F.expr("CAST(LEAST(MAX(r_total), 10) AS BIGINT)").alias(
+                "r_cap"
+            ),
+            F.max("r_total").alias("r_total"),
+        )
+        .where(F.col("r_total") > 0)
+    )
+    scored = per_order.select(
+        F.expr("ap_num_e6 div r_cap").alias("ap_e6")
+    )
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n_orders_scored"),
+        F.expr("CAST(SUM(ap_e6) div COUNT(1) AS BIGINT)").alias("map_e6"),
+    )
+    return (
+        scored.select(
+            F.least(F.expr("ap_e6 div 100000"), F.lit(9))
+            .cast("long")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_orders",
+            F.expr("n_orders * 1000000 div n_orders_scored")
+            .cast("long")
+            .alias("share_ppm"),
+            "map_e6",
+            "n_orders_scored",
+        )
+        .orderBy("decile")
+    )

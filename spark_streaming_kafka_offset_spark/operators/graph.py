@@ -1309,3 +1309,147 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree_class")
     )
+
+
+@register(
+    "graph_modularity",
+    # Newman–Girvan modularity (2004, public) of the NATION partition
+    # over the customer↔supplier trade graph: Q = Σ_c [e_c/m −
+    # (D_c/2m)²] = Σ_c (4m·e_c − D_c²) / (4m²) — does trade stay inside
+    # nations more than a degree-matched random graph would?  Every
+    # term (m, per-nation degree totals D_c, intra edges e_c) is an
+    # exact HUGEINT/DECIMAL(38,0) integer; Q and the per-nation
+    # contributions are single deterministic double divisions of exact
+    # integers, ROUND(6).
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), lab AS (
+      SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+      FROM edges e
+      JOIN customer c ON e.ck = c.c_custkey
+      JOIN supplier s ON e.sk = s.s_suppkey
+    ), m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM lab),
+    deg AS (
+      SELECT nation, CAST(SUM(d) AS HUGEINT) AS d_tot FROM (
+        SELECT cn AS nation, COUNT(*) AS d FROM lab GROUP BY 1
+        UNION ALL
+        SELECT sn, COUNT(*) FROM lab GROUP BY sn
+      ) GROUP BY 1
+    ), intra AS (
+      SELECT cn AS nation, CAST(COUNT(*) AS HUGEINT) AS e_in
+      FROM lab WHERE cn = sn GROUP BY 1
+    ), per AS (
+      SELECT d.nation, d.d_tot, COALESCE(i.e_in, 0) AS e_in
+      FROM deg d LEFT JOIN intra i ON d.nation = i.nation
+    ), tot AS (
+      SELECT SUM(4 * (SELECT m FROM m) * e_in - d_tot * d_tot) AS num
+      FROM per
+    )
+    SELECT CAST(p.nation AS BIGINT) AS nation,
+           CAST(p.d_tot AS BIGINT) AS d_total,
+           CAST(p.e_in AS BIGINT) AS e_intra,
+           ROUND(CAST(4 * m.m * p.e_in - p.d_tot * p.d_tot AS DOUBLE)
+                 / CAST(4 * m.m * m.m AS DOUBLE), 6) AS contribution,
+           CAST(m.m AS BIGINT) AS m_edges,
+           ROUND(CAST(t.num AS DOUBLE)
+                 / CAST(4 * m.m * m.m AS DOUBLE), 6) AS q_modularity
+    FROM per p CROSS JOIN m CROSS JOIN tot t
+    ORDER BY nation
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman–Girvan modularity of the nation partition over the
+    customer↔supplier trade graph — the quantitative answer to 'do
+    nations form trade communities?': Q > 0 means intra-nation edges
+    exceed the degree-matched random expectation, Q < 0 means trade
+    actively avoids the home nation, Q ≈ 0 means nations don't
+    structure trade at all.  The fixture assigns nations independently
+    of trade, so Q ≈ −0.003 at sf0.01 (an honest structural null —
+    and the statistic the label-propagation communities would be
+    scored by in production); the planted pytests pin the exact poles:
+    a perfectly nation-aligned graph recovers the hand-computed
+    1 − Σ(D_c/2m)², a strictly cross-nation bipartite graph the
+    negative −Σ(D_c/2m)².
+
+    Exactness: m, per-nation degree totals D_c (each edge adds 1 to
+    its customer's nation and 1 to its supplier's — no per-node frame
+    needed) and intra-edge counts e_c are exact
+    HUGEINT/DECIMAL(38,0) integers (4m·e_c ≈ 4e20 at sf1 passes
+    int64 — the r10 hazard class); per-nation contributions and Q are
+    single deterministic double divisions, ROUND(6); the global Q
+    sums INTEGERS before the one division (never a float sum).
+
+    Scale notes: distinct-edge agg (one shuffle on (cust, supp)), two
+    broadcast dim joins for the nation labels, then THREE bounded
+    rollups (≤|nations| rows each) + 1-row scalar crosses.  No
+    windows, no iteration."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    lab = (
+        edges.join(F.broadcast(c), edges.ck == c.c_custkey)
+        .join(F.broadcast(s), edges.sk == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("cn"), F.col("s_nationkey").alias("sn")
+        )
+    )
+    from ..common import stage
+
+    lab = stage(lab)
+    m = lab.agg(F.expr("CAST(COUNT(1) AS DECIMAL(38,0))").alias("m"))
+    deg = (
+        lab.select(F.col("cn").alias("nation"))
+        .unionAll(lab.select(F.col("sn").alias("nation")))
+        .groupBy("nation")
+        .agg(F.expr("CAST(COUNT(1) AS DECIMAL(38,0))").alias("d_tot"))
+    )
+    intra = (
+        lab.where(F.col("cn") == F.col("sn"))
+        .groupBy(F.col("cn").alias("nation"))
+        .agg(F.expr("CAST(COUNT(1) AS DECIMAL(38,0))").alias("e_in"))
+    )
+    per = deg.join(intra, "nation", "left").select(
+        "nation",
+        "d_tot",
+        F.coalesce("e_in", F.lit(0).cast("decimal(38,0)")).alias("e_in"),
+    )
+    per_m = per.crossJoin(F.broadcast(m))
+    tot = per_m.agg(
+        F.sum(
+            F.expr("4 * m * e_in - d_tot * d_tot")
+        ).alias("num")
+    )
+    return (
+        per_m.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nation").cast("long").alias("nation"),
+            F.col("d_tot").cast("long").alias("d_total"),
+            F.col("e_in").cast("long").alias("e_intra"),
+            F.round(
+                F.expr(
+                    "CAST(4 * m * e_in - d_tot * d_tot AS DOUBLE)"
+                )
+                / F.expr("CAST(4 * m * m AS DOUBLE)"),
+                6,
+            ).alias("contribution"),
+            F.col("m").cast("long").alias("m_edges"),
+            F.round(
+                F.col("num").cast("double")
+                / F.expr("CAST(4 * m * m AS DOUBLE)"),
+                6,
+            ).alias("q_modularity"),
+        )
+        .orderBy("nation")
+    )

@@ -49,6 +49,10 @@ BNL_ALLOWED: dict[str, str] = {
     "onto the 10-row decile rollup",
     "eval_mrr": "broadcast 1-row (total, mean) scalar frame crossed "
     "onto the <=11-row reciprocal-rank value rollup",
+    "eval_map": "broadcast 1-row (scored, map) scalar frame crossed "
+    "onto the 10-row decile rollup",
+    "graph_modularity": "broadcast 1-row m/num scalar frames crossed "
+    "onto the <=|nations|-row community rollup",
     "embed_silhouette": "broadcast |labels|-row centroid frame against "
     "the feature scan (the kmeans assignment posture) + 1-row overall "
     "cross onto the |labels|-row rollup",
@@ -265,6 +269,10 @@ SINGLE_ALLOWED: dict[str, str] = {
     "order-grain scored frame (map-side partial agg)",
     "eval_mrr": "1-row (n_orders_total, mean) frame reduced from the "
     "order-grain scored frame (map-side partial agg)",
+    "eval_map": "1-row (n_orders_scored, map) frame reduced from the "
+    "order-grain scored frame (map-side partial agg)",
+    "graph_modularity": "1-row m and modularity-numerator frames "
+    "reduced from the edge-label scan / <=|nations|-row rollup",
     "embed_silhouette": "1-row overall-mean frame + |labels|-row "
     "centroid frame reduced from the vector scan (map-side partial "
     "agg)",

@@ -92,6 +92,11 @@ DEFERRED_R12: tuple[str, ...] = (
     # operators/evaluation.py, §2.57).
     "embed_silhouette",
     "eval_mrr",
+    # r11-registered oracle pairs, eighth batch (nation-partition
+    # modularity, mean average precision — operators/graph.py,
+    # operators/evaluation.py, §2.58).
+    "graph_modularity",
+    "eval_map",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -187,6 +192,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r11-registered oracle pairs, seventh batch (§2.57).
     "embed_silhouette",
     "eval_mrr",
+    # r11-registered oracle pairs, eighth batch (§2.58).
+    "graph_modularity",
+    "eval_map",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.

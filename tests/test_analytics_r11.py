@@ -728,3 +728,91 @@ def test_mrr_poles_and_python_spec(spark, tmp_path):
     got = {r.rr_e6: r.n_orders for r in out}
     assert got == {_MRR_W[0]: 1, 0: 1, _MRR_W[2]: 1}
     assert out[0].mean_rr_e6 == (_MRR_W[0] + 0 + _MRR_W[2]) // 3
+
+
+def _write_trade_graph(tmp_path, edges_with_nations):
+    """edges_with_nations: list of (custkey, suppkey, cust_nation,
+    supp_nation) -> lineitem+orders+customer+supplier parquet."""
+    li, od, seen_c, seen_s = [], [], {}, {}
+    for i, (ck, sk, cn, sn) in enumerate(edges_with_nations):
+        od.append({"o_orderkey": i, "o_custkey": ck,
+                   "o_orderstatus": "F", "o_totalprice": 100.0,
+                   "o_orderdate": _dt.datetime(2024, 1, 1),
+                   "o_orderpriority": "1-URGENT"})
+        li.append({"l_orderkey": i, "l_partkey": 1, "l_suppkey": sk,
+                   "l_linenumber": 0, "l_quantity": 1.0,
+                   "l_extendedprice": 100.0, "l_discount": 0.0,
+                   "l_tax": 0.0, "l_returnflag": "N",
+                   "l_linestatus": "O",
+                   "l_shipdate": _dt.datetime(2024, 1, 1)})
+        seen_c[ck] = cn
+        seen_s[sk] = sn
+    pq.write_table(pa.Table.from_pylist(
+        li, schema=_LINEITEM_SCHEMA), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.Table.from_pylist(
+        od, schema=pq.read_schema(f"{SF_DIR}/orders.parquet")),
+        str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.Table.from_pylist(
+        [{"c_custkey": k, "c_name": "c", "c_nationkey": v,
+          "c_acctbal": 0.0, "c_mktsegment": "BUILDING"}
+         for k, v in seen_c.items()],
+        schema=pq.read_schema(f"{SF_DIR}/customer.parquet")),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.Table.from_pylist(
+        [{"s_suppkey": k, "s_name": "s", "s_nationkey": v,
+          "s_acctbal": 0.0} for k, v in seen_s.items()],
+        schema=pq.read_schema(f"{SF_DIR}/supplier.parquet")),
+        str(tmp_path / "supplier.parquet"))
+
+
+def test_modularity_aligned_and_anti_poles(spark, tmp_path):
+    """Modularity exact poles: a perfectly nation-aligned trade graph
+    (two nations, 4 edges each) scores Q = 1 − Σ(D_c/2m)² = 0.5
+    exactly; a strictly CROSS-nation graph scores −Σ(D_c/2m)² = −0.5
+    exactly.  The sf fixture's nations are trade-independent (honest
+    null, |Q| tiny) and per-nation contributions must sum to Q."""
+    rows = QUERIES["graph_modularity"](spark, SF_DIR).collect()
+    assert len(rows) == 25
+    q = rows[0].q_modularity
+    assert abs(q) < 0.05, q
+    assert abs(sum(r.contribution for r in rows) - q) < 1e-4
+
+    # disjoint key spaces per nation: 2 customers x 2 suppliers fully
+    # connected inside each nation -> e_c = 4, D_c = 8, m = 8,
+    # Q = 2*(4/8 - (8/16)^2) = 0.5 exactly
+    aligned = [(100 * n + c, 100 * n + 50 + s, n, n)
+               for n in (0, 1) for c in (1, 2) for s in (1, 2)]
+    _write_trade_graph(tmp_path, aligned)
+    al = QUERIES["graph_modularity"](spark, str(tmp_path)).collect()
+    assert all(r.q_modularity == 0.5 for r in al), al
+    assert all(r.e_intra * 2 == r.d_total for r in al)
+
+    cross = [(10 + i, 20 + i, 0, 1) for i in range(4)]
+    cross += [(30 + i, 40 + i, 1, 0) for i in range(4)]
+    _write_trade_graph(tmp_path, cross)
+    cr = QUERIES["graph_modularity"](spark, str(tmp_path)).collect()
+    assert all(r.q_modularity == -0.5 for r in cr), cr
+    assert all(r.e_intra == 0 for r in cr)
+
+
+def test_map_perfect_packing_and_python_spec(spark, tmp_path):
+    """MAP laws: all relevant items ranked first gives AP = 1e6
+    exactly; a ranking with relevant items at positions 1 and 3 gives
+    AP = (1/1 + 2/3)/2 = 833333 exactly in the quantized algebra; an
+    order with NO relevant line is excluded (TREC), not scored 0."""
+    rows = QUERIES["eval_map"](spark, SF_DIR).collect()
+    assert rows[0].n_orders_scored == sum(r.n_orders for r in rows)
+    assert 0 < rows[0].map_e6 < 1_000_000
+
+    orders = [
+        [(100.0, 45), (90.0, 31), (80.0, 5)],   # perfect packing
+        [(100.0, 40), (90.0, 5), (80.0, 35)],   # rel at pos 1 and 3
+        [(100.0, 5), (90.0, 7)],                # unjudgeable
+    ]
+    _write_lineitem_pq_rel(tmp_path, orders)
+    out = QUERIES["eval_map"](spark, str(tmp_path)).collect()
+    assert out[0].n_orders_scored == 2
+    # order 1: (1*1e6 + 2*333333) / 2 = 833333; order 0: 1e6
+    assert out[0].map_e6 == (1_000_000 + 833_333) // 2
+    deciles = {r.decile: r.n_orders for r in out}
+    assert deciles[9] == 1 and deciles[8] == 1
