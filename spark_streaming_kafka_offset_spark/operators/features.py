@@ -635,3 +635,167 @@ def feat_hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_buckets")
     )
+
+
+@register(
+    "feat_split_gain",
+    # Decision-stump feature ranking by Gini gain (CART, Breiman 1984,
+    # public): for each candidate feature, the best single binary split
+    # against the is-return label — the screening pass tree/GBM
+    # pipelines run before training, and the classic 'which features
+    # matter at all' report.  Every candidate feature has a BOUNDED
+    # ordered bucket domain (11 discounts, 50 quantities, 12 ship
+    # months, 9 tax levels), so the whole computation lives on a ≤82-
+    # cell rollup: parent Gini and every split's weighted impurity are
+    # deterministic double compositions of exact integer counts,
+    # ROUND(6); the per-feature argmax orders by those identical
+    # doubles with the smallest-threshold tie-break.
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(ROUND(l_quantity) AS BIGINT) AS quantity,
+             CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_pct
+      FROM lineitem
+    ), cells AS (
+      SELECT 'disc_pct' AS feature, disc_pct AS v,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS r
+      FROM base GROUP BY 2
+      UNION ALL
+      SELECT 'quantity', quantity, COUNT(*), SUM(y) FROM base GROUP BY 2
+      UNION ALL
+      SELECT 'ship_month', ship_month, COUNT(*), SUM(y)
+      FROM base GROUP BY 2
+      UNION ALL
+      SELECT 'tax_pct', tax_pct, COUNT(*), SUM(y) FROM base GROUP BY 2
+    ), cum AS (
+      SELECT feature, v,
+             SUM(n) OVER w AS n_l, SUM(r) OVER w AS r_l,
+             SUM(n) OVER (PARTITION BY feature) AS n_tot,
+             SUM(r) OVER (PARTITION BY feature) AS r_tot,
+             ROW_NUMBER() OVER (PARTITION BY feature ORDER BY v DESC)
+               AS from_top
+      FROM cells
+      WINDOW w AS (PARTITION BY feature ORDER BY v)
+    ), gains AS (
+      SELECT feature, v AS threshold, n_l, n_tot - n_l AS n_r,
+             2.0 * r_tot * (n_tot - r_tot)
+               / (CAST(n_tot AS DOUBLE) * n_tot) AS parent_gini,
+             2.0 * r_tot * (n_tot - r_tot)
+               / (CAST(n_tot AS DOUBLE) * n_tot)
+             - 2.0 / n_tot
+               * (CAST(r_l AS DOUBLE) * (n_l - r_l) / n_l
+                  + CAST(r_tot - r_l AS DOUBLE)
+                    * ((n_tot - n_l) - (r_tot - r_l)) / (n_tot - n_l))
+               AS gain
+      FROM cum WHERE from_top > 1
+    ), best AS (
+      SELECT feature, threshold, n_l, n_r, parent_gini, gain,
+             ROW_NUMBER() OVER (PARTITION BY feature
+                                ORDER BY gain DESC, threshold) AS rk
+      FROM gains
+    )
+    SELECT feature, CAST(threshold AS BIGINT) AS best_threshold,
+           CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+           ROUND(parent_gini, 6) AS parent_gini,
+           ROUND(gain, 6) AS gini_gain
+    FROM best WHERE rk = 1
+    ORDER BY feature
+    """,
+)
+def feat_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump Gini gain per candidate feature against the
+    is-return label — 'if you could split on one feature once, which
+    one, where, and how much would it buy?'  The screening report that
+    precedes any tree/GBM training run and the honest notion of
+    single-feature importance (contrast `feat_woe_iv`'s per-bucket
+    evidence weights: this one commits to a SPLIT).  The fixture's
+    return flag is independent of every candidate (gains ≈ 0 — an
+    honest 'nothing predicts returns'); the planted pytest makes one
+    feature perfectly separating and pins gain == parent Gini exactly,
+    with an uninformative decoy at ≈ 0.
+
+    Exactness: all counts live on the bounded ≤82-cell (feature,
+    bucket) rollup — exact integers at any corpus size; parent Gini
+    2r(n−r)/n² and each split's weighted impurity are deterministic
+    double compositions of those integers (identical on both
+    engines), ROUND(6); the per-feature argmax orders by the
+    identical doubles with a smallest-threshold tie-break.
+
+    Scale notes: ONE corpus scan fans into four bounded hash rollups
+    (union of ≤82 cells); cumulative/argmax windows are PARTITIONED
+    BY feature on that frame.  Nothing downstream of the first agg
+    scales with the corpus."""
+    l = load_table(spark, sf_dir, "lineitem")
+    base = l.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)").alias("disc_pct"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("quantity"),
+        F.month("l_shipdate").cast("long").alias("ship_month"),
+        F.expr("CAST(ROUND(l_tax * 100) AS BIGINT)").alias("tax_pct"),
+    )
+    cells = None
+    for feat in ("disc_pct", "quantity", "ship_month", "tax_pct"):
+        c = base.groupBy(F.col(feat).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("r"),
+        ).select(F.lit(feat).alias("feature"), "v", "n", "r")
+        cells = c if cells is None else cells.unionAll(c)
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_feat = Window.partitionBy("feature")
+    w_top = Window.partitionBy("feature").orderBy(F.col("v").desc())
+    cum = cells.select(
+        "feature",
+        "v",
+        F.sum("n").over(w_cum).alias("n_l"),
+        F.sum("r").over(w_cum).alias("r_l"),
+        F.sum("n").over(w_feat).alias("n_tot"),
+        F.sum("r").over(w_feat).alias("r_tot"),
+        F.row_number().over(w_top).alias("from_top"),
+    )
+    parent = (
+        2.0
+        * F.col("r_tot")
+        * (F.col("n_tot") - F.col("r_tot"))
+        / (F.col("n_tot").cast("double") * F.col("n_tot"))
+    )
+    gain = parent - 2.0 / F.col("n_tot") * (
+        F.col("r_l").cast("double")
+        * (F.col("n_l") - F.col("r_l"))
+        / F.col("n_l")
+        + (F.col("r_tot") - F.col("r_l")).cast("double")
+        * (
+            (F.col("n_tot") - F.col("n_l"))
+            - (F.col("r_tot") - F.col("r_l"))
+        )
+        / (F.col("n_tot") - F.col("n_l"))
+    )
+    gains = cum.where(F.col("from_top") > 1).select(
+        "feature",
+        F.col("v").alias("threshold"),
+        "n_l",
+        (F.col("n_tot") - F.col("n_l")).alias("n_r"),
+        parent.alias("parent_gini"),
+        gain.alias("gain"),
+    )
+    w_best = Window.partitionBy("feature").orderBy(
+        F.col("gain").desc(), F.col("threshold")
+    )
+    return (
+        gains.withColumn("rk", F.row_number().over(w_best))
+        .where(F.col("rk") == 1)
+        .select(
+            "feature",
+            F.col("threshold").cast("long").alias("best_threshold"),
+            F.col("n_l").cast("long").alias("n_left"),
+            F.col("n_r").cast("long").alias("n_right"),
+            F.round(F.col("parent_gini"), 6).alias("parent_gini"),
+            F.round(F.col("gain"), 6).alias("gini_gain"),
+        )
+        .orderBy("feature")
+    )

@@ -4912,3 +4912,155 @@ def orders_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand", "level_pct")
     )
+
+
+@register(
+    "agg_odds_ratio_mh",
+    # Mantel–Haenszel pooled odds ratio (1959, public) — the ESTIMATION
+    # companion of `events_lead_lag_cmh`'s test: the common odds ratio
+    # of (urgent priority → high-price order) across order-year strata,
+    # beside the MARGINAL odds ratio of the pooled table.  When strata
+    # confound exposure and outcome the two disagree (Simpson's
+    # paradox) and OR_MH is the defensible number.  The two MH sums
+    # ride as e6-FLOORED integer terms (a_i·d_i·1e6 div n_i — identical
+    # integers on both engines, never a float sum); both ORs are one
+    # double division, ROUND(4), NULL on zero denominators.
+    oracle="""
+    WITH t AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS stratum,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                       AND o_totalprice > 150000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                       AND o_totalprice <= 150000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                       AND o_totalprice > 150000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                       AND o_totalprice <= 150000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM orders GROUP BY 1
+    ), mh AS (
+      SELECT SUM(CAST(a AS HUGEINT) * d * 1000000 // (a + b + c + d))
+               AS num_e6,
+             SUM(CAST(b AS HUGEINT) * c * 1000000 // (a + b + c + d))
+               AS den_e6,
+             CAST(SUM(a) AS HUGEINT) AS ma, CAST(SUM(b) AS HUGEINT) AS mb,
+             CAST(SUM(c) AS HUGEINT) AS mc, CAST(SUM(d) AS HUGEINT) AS md
+      FROM t
+    )
+    SELECT t.stratum, t.a, t.b, t.c, t.d,
+           CASE WHEN t.b * t.c > 0
+                THEN ROUND(CAST(t.a AS DOUBLE) * t.d
+                           / (CAST(t.b AS DOUBLE) * t.c), 4)
+                ELSE NULL END AS or_stratum,
+           CASE WHEN m.den_e6 > 0
+                THEN ROUND(CAST(m.num_e6 AS DOUBLE)
+                           / CAST(m.den_e6 AS DOUBLE), 4)
+                ELSE NULL END AS or_mh,
+           CASE WHEN m.mb * m.mc > 0
+                THEN ROUND(CAST(m.ma AS DOUBLE) * CAST(m.md AS DOUBLE)
+                           / (CAST(m.mb AS DOUBLE)
+                              * CAST(m.mc AS DOUBLE)), 4)
+                ELSE NULL END AS or_marginal
+    FROM t CROSS JOIN mh m
+    ORDER BY t.stratum
+    """,
+)
+def agg_odds_ratio_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio of urgent priority → high-value
+    order (> $150k) across order-year strata, reported beside the
+    per-stratum and MARGINAL odds ratios — the Simpson's-paradox
+    guardrail: when the year mix confounds priority and price, the
+    pooled-table OR lies and OR_MH = Σ(a_i d_i/n_i)/Σ(b_i c_i/n_i) is
+    the defensible common effect.  The fixture prices orders
+    independently of priority within every year (all three ORs ≈ 1 —
+    an honest no-effect reading); the planted pytest builds the
+    textbook paradox — per-stratum OR exactly 1 in BOTH strata while
+    the marginal OR explodes past 20 — and pins or_mh == 1.0 exactly.
+
+    Exactness: stratum cells are exact integers; the MH numerator and
+    denominator terms are e6-FLOORED integers (a·d·1e6 div n — HUGEINT/
+    DECIMAL(38,0), both engines floor identical integers so the
+    quantization cancels and the Σ is an INTEGER sum, never a float
+    accumulation); every OR is one deterministic double division,
+    ROUND(4), NULL on a zero denominator instead of a fabricated inf.
+
+    Scale notes: ONE corpus agg to the ≤|years|-row stratum frame;
+    the MH reduce and the marginal totals are 1-row scalars crossed
+    back broadcast.  Nothing after the first agg scales with the
+    corpus."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    high = F.col("o_totalprice") > 150000
+    t = o.groupBy(F.year("o_orderdate").cast("long").alias("stratum")).agg(
+        F.sum(F.when(urgent & high, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(urgent & ~high, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~urgent & high, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~urgent & ~high, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    mh = t.agg(
+        F.sum(
+            F.expr(
+                "CAST(a AS DECIMAL(38,0)) * d * 1000000"
+                " div (a + b + c + d)"
+            )
+        ).alias("num_e6"),
+        F.sum(
+            F.expr(
+                "CAST(b AS DECIMAL(38,0)) * c * 1000000"
+                " div (a + b + c + d)"
+            )
+        ).alias("den_e6"),
+        F.expr("CAST(SUM(a) AS DECIMAL(38,0))").alias("ma"),
+        F.expr("CAST(SUM(b) AS DECIMAL(38,0))").alias("mb"),
+        F.expr("CAST(SUM(c) AS DECIMAL(38,0))").alias("mc"),
+        F.expr("CAST(SUM(d) AS DECIMAL(38,0))").alias("md"),
+    )
+    return (
+        t.crossJoin(F.broadcast(mh))
+        .select(
+            "stratum",
+            "a",
+            "b",
+            "c",
+            "d",
+            F.when(
+                F.col("b") * F.col("c") > 0,
+                F.round(
+                    F.col("a").cast("double")
+                    * F.col("d")
+                    / (F.col("b").cast("double") * F.col("c")),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("or_stratum"),
+            F.when(
+                F.col("den_e6") > 0,
+                F.round(
+                    F.col("num_e6").cast("double")
+                    / F.col("den_e6").cast("double"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("or_mh"),
+            F.when(
+                F.col("mb") * F.col("mc") > 0,
+                F.round(
+                    F.col("ma").cast("double")
+                    * F.col("md").cast("double")
+                    / (
+                        F.col("mb").cast("double")
+                        * F.col("mc").cast("double")
+                    ),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("or_marginal"),
+        )
+        .orderBy("stratum")
+    )

@@ -53,6 +53,8 @@ BNL_ALLOWED: dict[str, str] = {
     "onto the 10-row decile rollup",
     "graph_modularity": "broadcast 1-row m/num scalar frames crossed "
     "onto the <=|nations|-row community rollup",
+    "agg_odds_ratio_mh": "broadcast 1-row MH/marginal scalar frame "
+    "crossed onto the <=|years|-row stratum frame",
     "embed_silhouette": "broadcast |labels|-row centroid frame against "
     "the feature scan (the kmeans assignment posture) + 1-row overall "
     "cross onto the |labels|-row rollup",
@@ -273,6 +275,8 @@ SINGLE_ALLOWED: dict[str, str] = {
     "order-grain scored frame (map-side partial agg)",
     "graph_modularity": "1-row m and modularity-numerator frames "
     "reduced from the edge-label scan / <=|nations|-row rollup",
+    "agg_odds_ratio_mh": "1-row MH-sum frame reduced from the "
+    "<=|years|-row stratum rollup",
     "embed_silhouette": "1-row overall-mean frame + |labels|-row "
     "centroid frame reduced from the vector scan (map-side partial "
     "agg)",

@@ -97,6 +97,11 @@ DEFERRED_R12: tuple[str, ...] = (
     # operators/evaluation.py, §2.58).
     "graph_modularity",
     "eval_map",
+    # r11-registered oracle pairs, ninth batch (decision-stump Gini
+    # gain, Mantel–Haenszel pooled odds ratio —
+    # operators/features.py, operators/statistics.py, §2.59).
+    "feat_split_gain",
+    "agg_odds_ratio_mh",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -195,6 +200,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r11-registered oracle pairs, eighth batch (§2.58).
     "graph_modularity",
     "eval_map",
+    # r11-registered oracle pairs, ninth batch (§2.59).
+    "feat_split_gain",
+    "agg_odds_ratio_mh",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.

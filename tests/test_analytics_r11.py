@@ -816,3 +816,91 @@ def test_map_perfect_packing_and_python_spec(spark, tmp_path):
     assert out[0].map_e6 == (1_000_000 + 833_333) // 2
     deciles = {r.decile: r.n_orders for r in out}
     assert deciles[9] == 1 and deciles[8] == 1
+
+
+def test_split_gain_perfect_separator_and_decoy(spark, tmp_path):
+    """Split-gain laws: a feature whose threshold perfectly separates
+    the returns label has gain == parent Gini EXACTLY (children are
+    pure, weighted impurity 0); an independent decoy feature scores
+    ≈ 0; the sf fixture's return flag is independent of every
+    candidate (all gains ≈ 0 — honest 'nothing predicts returns')."""
+    rows = QUERIES["feat_split_gain"](spark, SF_DIR).collect()
+    assert {r.feature for r in rows} == {
+        "disc_pct", "quantity", "ship_month", "tax_pct"
+    }
+    assert all(r.gini_gain < 0.002 for r in rows), rows
+    assert all(0.4 < r.parent_gini <= 0.5 for r in rows)
+
+    # returns iff quantity > 25; discount cycles independently
+    rows_dq = []
+    for i in range(400):
+        q = 1 + (i * 13) % 50
+        rows_dq.append((i % 11, q))
+    _write_lineitem_dq(tmp_path, rows_dq)
+    # overwrite returnflag: R iff quantity > 25
+    tbl = pq.read_table(str(tmp_path / "lineitem.parquet"))
+    flags = ["R" if q > 25 else "N" for q in tbl["l_quantity"].to_pylist()]
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("l_returnflag"),
+        "l_returnflag",
+        pa.array(flags, pa.string()),
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    out = {r.feature: r for r in QUERIES["feat_split_gain"](
+        spark, str(tmp_path)).collect()}
+    sep = out["quantity"]
+    assert sep.best_threshold == 25
+    assert sep.gini_gain == sep.parent_gini  # pure children
+    assert out["disc_pct"].gini_gain < 0.01  # independent decoy
+
+
+def _write_orders_strata(tmp_path, strata):
+    """strata: list of (year, a, b, c, d) 2x2 cell counts realized as
+    orders (exposure = urgent priority, outcome = price > 150k)."""
+    rows = []
+    okey = 0
+    for year, a, b, c, d in strata:
+        for cnt, pri, price in (
+            (a, "1-URGENT", 200000.0),
+            (b, "1-URGENT", 100000.0),
+            (c, "5-LOW", 200000.0),
+            (d, "5-LOW", 100000.0),
+        ):
+            for _ in range(cnt):
+                rows.append(
+                    {
+                        "o_orderkey": okey,
+                        "o_custkey": okey % 50,
+                        "o_orderstatus": "F",
+                        "o_totalprice": price,
+                        "o_orderdate": _dt.datetime(year, 6, 1),
+                        "o_orderpriority": pri,
+                    }
+                )
+                okey += 1
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows, schema=pq.read_schema(f"{SF_DIR}/orders.parquet")
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+
+
+def test_odds_ratio_mh_simpsons_paradox(spark, tmp_path):
+    """The MH law parity cannot check: in the textbook Simpson
+    construction — per-stratum OR exactly 1 in BOTH strata, exposure
+    and outcome both tied to the stratum — the marginal OR explodes
+    (91²/19² ≈ 22.9) while OR_MH stays exactly 1.0.  The sf fixture
+    prices orders independently of priority (all ORs ≈ 1)."""
+    rows = QUERIES["agg_odds_ratio_mh"](spark, SF_DIR).collect()
+    assert len(rows) == 7
+    assert abs(rows[0].or_mh - 1.0) < 0.3
+    assert abs(rows[0].or_marginal - 1.0) < 0.3
+
+    strata = [(2020, 90, 10, 9, 1), (2021, 1, 9, 10, 90)]
+    _write_orders_strata(tmp_path, strata)
+    out = QUERIES["agg_odds_ratio_mh"](spark, str(tmp_path)).collect()
+    assert all(r.or_stratum == 1.0 for r in out), out
+    assert out[0].or_mh == 1.0
+    assert out[0].or_marginal > 20  # 91*91/(19*19) = 22.94
+    assert out[0].or_marginal == round(91 * 91 / (19 * 19), 4)

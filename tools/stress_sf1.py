@@ -227,6 +227,36 @@ STRESS_SET = [
     "events_runs_test",
     # r10 thirteenth batch: token explode + broadcast vocab join.
     "corpus_tokenizer_oov_rate",
+    # r11 prior-session batches: calendar-rollup rank tests, the
+    # survival duration rollup, and the co-purchase triangle frames.
+    "agg_kruskal_wallis",
+    "agg_mann_kendall",
+    "events_nelson_aalen",
+    "graph_clustering_coefficient",
+    # r11 batches three..eight: the densified-grid blocked rank test,
+    # the co-purchase degree-moment frames (the triangle_count pair
+    # posture), the two order-keyed ranking windows, the contingency
+    # cross product, the order-grain moment reduce, the type-pair move
+    # grid, the part-keyed Croston windows + weight join, the brand
+    # demand spine + cumulative quantile windows, the label-centroid
+    # broadcast assignment, the first-hit window, the trade-graph
+    # distinct-edge + nation rollups, the running-precision windows,
+    # the 4-way bounded feature rollup union, and the year-stratum MH
+    # reduce.
+    "agg_friedman_test",
+    "graph_assortativity",
+    "eval_ndcg",
+    "agg_jonckheere_terpstra",
+    "agg_partial_corr",
+    "events_lead_lag_cmh",
+    "orders_croston_demand",
+    "orders_newsvendor",
+    "embed_silhouette",
+    "eval_mrr",
+    "graph_modularity",
+    "eval_map",
+    "feat_split_gain",
+    "agg_odds_ratio_mh",
 ]
 
 
