@@ -5064,3 +5064,207 @@ def agg_odds_ratio_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+#: Hour-of-day circular coordinates: (cos, sin)(2πh/24) · 1e12 as
+#: Python-computed integer literals shared by BOTH engines (the
+#: events_periodogram trig-literal recipe — zero cross-libm exposure;
+#: the 24-hour clock bounds the domain).  Antipodal pairs are exact
+#: negations (verified at generation), so opposite-hour mass cancels
+#: EXACTLY in the resultant.
+def _hour_circle() -> list[tuple[int, int, int]]:
+    import math
+
+    return [
+        (
+            h,
+            round(math.cos(2 * math.pi * h / 24) * 10**12),
+            round(math.sin(2 * math.pi * h / 24) * 10**12),
+        )
+        for h in range(24)
+    ]
+
+
+def _oracle_rayleigh() -> str:
+    values = ",\n        ".join(
+        f"({h}, {c}, {s})" for h, c, s in _hour_circle()
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, hour(ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), w(h, cos_e12, sin_e12) AS (
+      VALUES {values}
+    ), res AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             SUM(CAST(hourly.c AS HUGEINT) * w.cos_e12) AS c_e12,
+             SUM(CAST(hourly.c AS HUGEINT) * w.sin_e12) AS s_e12
+      FROM hourly JOIN w ON w.h = hourly.h
+      GROUP BY 1
+    )
+    SELECT event_type, n_events,
+           CAST(c_e12 // (n_events * 1000000) AS BIGINT) AS avg_cos_e6,
+           CAST(s_e12 // (n_events * 1000000) AS BIGINT) AS avg_sin_e6,
+           CAST(floor(sqrt(CAST(c_e12 AS DOUBLE) / 1e12
+                           * (CAST(c_e12 AS DOUBLE) / 1e12)
+                           + CAST(s_e12 AS DOUBLE) / 1e12
+                             * (CAST(s_e12 AS DOUBLE) / 1e12))
+                      / n_events * 1000000) AS BIGINT) AS rbar_ppm,
+           ROUND((CAST(c_e12 AS DOUBLE) / 1e12
+                  * (CAST(c_e12 AS DOUBLE) / 1e12)
+                  + CAST(s_e12 AS DOUBLE) / 1e12
+                    * (CAST(s_e12 AS DOUBLE) / 1e12)) / n_events, 4)
+             AS z_rayleigh
+    FROM res ORDER BY event_type
+    """
+
+
+@register("events_rayleigh_hour", oracle=_oracle_rayleigh())
+def events_rayleigh_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rayleigh test of hour-of-day uniformity per event type — the
+    circular-statistics member of the seasonality family: where
+    `events_periodogram` hunts arbitrary periods and
+    `events_stl_decompose` describes a known one, Rayleigh asks the
+    sharp first question 'does this event type have ANY daily rhythm
+    at all?' via the resultant length R̄ of the hour angles; z = nR̄²
+    is the classic uniformity statistic (≈ χ²(2)/2 under the null).
+    The fixture spreads traffic uniformly over hours (z ≈ 1, honest
+    null); the planted pytests pin the poles — a single-hour spike
+    gives R̄ = 1, an exactly antipodal pair cancels to R̄ = 0 EXACTLY
+    because the literal table's opposite-hour entries are exact
+    negations.
+
+    Exactness: hour mass lives on a bounded 24-cell rollup; the trig
+    coordinates are shared e12 integer literals (the
+    `events_periodogram` recipe — zero libm in either engine), so the
+    resultant components are exact HUGEINT/DECIMAL integers; R̄ and z
+    are deterministic double compositions (one IEEE sqrt), e6-floored
+    / ROUND(4).
+
+    Scale notes: ONE corpus agg to the ≤|types|×24 rollup; the
+    24-row literal dim broadcasts; everything downstream is
+    type-count-sized."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = spark.createDataFrame(
+        _hour_circle(), "h long, cos_e12 long, sin_e12 long"
+    )
+    res = (
+        hourly.join(F.broadcast(w), "h")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.expr("SUM(CAST(c AS DECIMAL(38,0)) * cos_e12)").alias(
+                "c_e12"
+            ),
+            F.expr("SUM(CAST(c AS DECIMAL(38,0)) * sin_e12)").alias(
+                "s_e12"
+            ),
+        )
+    )
+    cd = F.col("c_e12").cast("double") / 1e12
+    sd = F.col("s_e12").cast("double") / 1e12
+    return res.select(
+        "event_type",
+        "n_events",
+        F.expr(
+            "CAST(c_e12 div (n_events * 1000000) AS BIGINT)"
+        ).alias("avg_cos_e6"),
+        F.expr(
+            "CAST(s_e12 div (n_events * 1000000) AS BIGINT)"
+        ).alias("avg_sin_e6"),
+        F.floor(
+            F.sqrt(cd * cd + sd * sd) / F.col("n_events") * 1000000
+        )
+        .cast("long")
+        .alias("rbar_ppm"),
+        F.round((cd * cd + sd * sd) / F.col("n_events"), 4).alias(
+            "z_rayleigh"
+        ),
+    ).orderBy("event_type")
+
+
+@register(
+    "agg_mcnemar",
+    # McNemar's paired test (1947, public): did customers' urgency
+    # propensity SHIFT between the fixture's two eras?  Each customer
+    # is its own control — pair = (placed an URGENT order before
+    # 1998-05-01, placed one after); only the DISCORDANT cells b, c
+    # carry information, χ² = (b−c)²/(b+c), χ²(1) under marginal
+    # homogeneity.  All cells are exact integers off one customer-grain
+    # agg; the statistic is ONE double division, ROUND(4), NULL when
+    # b + c = 0 (no discordant pairs — nothing to test).
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderdate < DATE '1998-05-01'
+                  AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS p1,
+             MAX(CASE WHEN o_orderdate >= DATE '1998-05-01'
+                  AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS p2
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(p1 * p2) AS BIGINT) AS both_eras,
+           CAST(SUM(p1 * (1 - p2)) AS BIGINT) AS only_before,
+           CAST(SUM((1 - p1) * p2) AS BIGINT) AS only_after,
+           CAST(SUM((1 - p1) * (1 - p2)) AS BIGINT) AS neither,
+           CASE WHEN SUM(p1 * (1 - p2)) + SUM((1 - p1) * p2) > 0
+                THEN ROUND(
+                  CAST((SUM(p1 * (1 - p2)) - SUM((1 - p1) * p2))
+                       * (SUM(p1 * (1 - p2)) - SUM((1 - p1) * p2))
+                       AS DOUBLE)
+                  / (SUM(p1 * (1 - p2)) + SUM((1 - p1) * p2)), 4)
+                ELSE NULL END AS chi2_mcnemar
+    FROM u
+    """,
+)
+def agg_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired customer behavior — did the propensity
+    to place URGENT orders shift between the fixture's first era
+    (before 1998-05) and its second?  Pairing each customer with
+    itself removes all between-customer variation (the same reason
+    `agg_ttest_paired` beats the unpaired t-test); only the
+    discordant customers — urgent before but not after (b), after but
+    not before (c) — carry information, and χ² = (b−c)²/(b+c) tests
+    marginal homogeneity.  The fixture assigns priorities uniformly
+    across time, so the discordant cells balance (χ² small, honest
+    null); the planted pytest makes urgency second-era-only and pins
+    b = 0, χ² = c exactly, plus the mirror.
+
+    Exactness: the four cells are exact integers off ONE
+    customer-grain conditional agg; χ² is one deterministic double
+    division, ROUND(4); b + c = 0 (no discordant pairs) yields NULL
+    on both engines — nothing to test is not a zero.
+
+    Scale notes: ONE hash agg to customer grain (map-side combining
+    MAX), ONE 1-row reduce.  Nothing downstream scales with the
+    corpus."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.col("o_orderdate") < F.lit("1998-05-01").cast("date")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    u = o.groupBy("o_custkey").agg(
+        F.max(F.when(cut & urgent, 1).otherwise(0)).alias("p1"),
+        F.max(F.when(~cut & urgent, 1).otherwise(0)).alias("p2"),
+    )
+    b = F.sum(F.col("p1") * (1 - F.col("p2")))
+    c = F.sum((1 - F.col("p1")) * F.col("p2"))
+    return u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("p1") * F.col("p2")).cast("long").alias("both_eras"),
+        b.cast("long").alias("only_before"),
+        c.cast("long").alias("only_after"),
+        F.sum((1 - F.col("p1")) * (1 - F.col("p2")))
+        .cast("long")
+        .alias("neither"),
+        F.when(
+            b + c > 0,
+            F.round(((b - c) * (b - c)).cast("double") / (b + c), 4),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("chi2_mcnemar"),
+    )

@@ -277,6 +277,8 @@ SINGLE_ALLOWED: dict[str, str] = {
     "reduced from the edge-label scan / <=|nations|-row rollup",
     "agg_odds_ratio_mh": "1-row MH-sum frame reduced from the "
     "<=|years|-row stratum rollup",
+    "agg_mcnemar": "1-row discordant-cell reduce from the "
+    "customer-grain paired agg (map-side partial agg)",
     "embed_silhouette": "1-row overall-mean frame + |labels|-row "
     "centroid frame reduced from the vector scan (map-side partial "
     "agg)",

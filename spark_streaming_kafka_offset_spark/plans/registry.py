@@ -102,6 +102,11 @@ DEFERRED_R12: tuple[str, ...] = (
     # operators/features.py, operators/statistics.py, §2.59).
     "feat_split_gain",
     "agg_odds_ratio_mh",
+    # r11-registered oracle pairs, tenth batch (Rayleigh hour-of-day
+    # uniformity, McNemar paired shift — operators/statistics.py,
+    # §2.60).
+    "events_rayleigh_hour",
+    "agg_mcnemar",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -203,6 +208,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r11-registered oracle pairs, ninth batch (§2.59).
     "feat_split_gain",
     "agg_odds_ratio_mh",
+    # r11-registered oracle pairs, tenth batch (§2.60).
+    "events_rayleigh_hour",
+    "agg_mcnemar",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.

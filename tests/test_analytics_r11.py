@@ -904,3 +904,91 @@ def test_odds_ratio_mh_simpsons_paradox(spark, tmp_path):
     assert out[0].or_mh == 1.0
     assert out[0].or_marginal > 20  # 91*91/(19*19) = 22.94
     assert out[0].or_marginal == round(91 * 91 / (19 * 19), 4)
+
+
+def test_rayleigh_spike_antipodal_and_null(spark, tmp_path):
+    """Rayleigh laws: all mass on one hour gives R̄ ≈ 1 (up to the e12
+    literal quantization) and z ≈ n; an exactly antipodal hour pair
+    cancels to R̄ = 0 EXACTLY (the literal table's opposite entries
+    are exact negations); the sf fixture's uniform hours sit at the
+    null (z ≈ 1 ≈ E[z])."""
+    rows = QUERIES["events_rayleigh_hour"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(r.z_rayleigh < 6.0 for r in rows), rows
+    # null R-bar scales as 1/sqrt(n); the z gate implies the bound
+    for r in rows:
+        assert r.rbar_ppm <= 1e6 * (6.0 / r.n_events) ** 0.5 + 1, r
+
+    base = _dt.datetime(2024, 1, 1)
+    rows_ev, eid = [], 0
+
+    def at_hour(et, hour, n):
+        nonlocal eid, rows_ev
+        for i in range(n):
+            rows_ev.append({
+                "event_id": eid,
+                "ts": base + _dt.timedelta(days=i % 5, hours=hour),
+                "user_id": eid % 7, "event_type": et,
+                "value": 1.0, "props": "{}"})
+            eid += 1
+
+    at_hour("spike", 9, 200)
+    at_hour("antipodal", 3, 100)
+    at_hour("antipodal", 15, 100)  # 3 + 12: exact negation in the table
+    _write_events(tmp_path, rows_ev)
+    out = {r.event_type: r for r in QUERIES["events_rayleigh_hour"](
+        spark, str(tmp_path)).collect()}
+    sp = out["spike"]
+    assert sp.rbar_ppm >= 999_999
+    assert abs(sp.z_rayleigh - sp.n_events) < 0.01
+    ap = out["antipodal"]
+    assert ap.rbar_ppm == 0 and ap.z_rayleigh == 0.0
+    assert ap.avg_cos_e6 == 0 and ap.avg_sin_e6 == 0
+
+
+def test_mcnemar_planted_shift_and_mirror(spark, tmp_path):
+    """McNemar laws: urgency that exists ONLY in the second era gives
+    b = 0 and χ² = c exactly; the mirrored shift gives the same χ²
+    (the statistic is symmetric in b, c); an era-less fixture with no
+    discordant pairs yields NULL.  The sf fixture's uniform priorities
+    sit near the null."""
+    row = QUERIES["agg_mcnemar"](spark, SF_DIR).collect()[0]
+    assert row.n_customers >= 100
+    assert row.chi2_mcnemar is not None and row.chi2_mcnemar < 6.63
+
+    # 30 customers: 10 urgent only after, 20 never urgent
+    strata = []
+    for ck in range(30):
+        strata.append((ck, _dt.datetime(1997, 1, 1), "5-LOW"))
+        strata.append((ck, _dt.datetime(2000, 1, 1),
+                       "1-URGENT" if ck < 10 else "5-LOW"))
+    rows = [{"o_orderkey": i, "o_custkey": ck, "o_orderstatus": "F",
+             "o_totalprice": 100.0, "o_orderdate": d,
+             "o_orderpriority": p}
+            for i, (ck, d, p) in enumerate(strata)]
+    pq.write_table(pa.Table.from_pylist(
+        rows, schema=pq.read_schema(f"{SF_DIR}/orders.parquet")),
+        str(tmp_path / "orders.parquet"))
+    out = QUERIES["agg_mcnemar"](spark, str(tmp_path)).collect()[0]
+    assert out.only_before == 0 and out.only_after == 10
+    assert out.chi2_mcnemar == 10.0  # (0-10)^2/10
+
+    # mirror: urgent only BEFORE
+    rows = [{**r, "o_orderpriority":
+             ("1-URGENT" if (r["o_custkey"] < 10
+              and r["o_orderdate"].year == 1997) else "5-LOW")}
+            for r in rows]
+    pq.write_table(pa.Table.from_pylist(
+        rows, schema=pq.read_schema(f"{SF_DIR}/orders.parquet")),
+        str(tmp_path / "orders.parquet"))
+    mir = QUERIES["agg_mcnemar"](spark, str(tmp_path)).collect()[0]
+    assert mir.only_before == 10 and mir.only_after == 0
+    assert mir.chi2_mcnemar == 10.0
+
+    # no discordance at all -> NULL
+    rows = [{**r, "o_orderpriority": "5-LOW"} for r in rows]
+    pq.write_table(pa.Table.from_pylist(
+        rows, schema=pq.read_schema(f"{SF_DIR}/orders.parquet")),
+        str(tmp_path / "orders.parquet"))
+    nul = QUERIES["agg_mcnemar"](spark, str(tmp_path)).collect()[0]
+    assert nul.chi2_mcnemar is None
