@@ -5268,3 +5268,274 @@ def agg_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("chi2_mcnemar"),
     )
+
+
+_LJUNG_BOX_LAGS = 7
+
+
+@register(
+    "agg_ljung_box",
+    # Ljung–Box portmanteau test (1978, public) on the daily event
+    # count per type: Q = n(n+2) Σ_{k≤7} ρ_k²/(n−k), χ²(h) under white
+    # noise — the TEST that aggregates `events_acf`'s descriptive
+    # curve.  Autocovariances ride as N-SCALED exact integers:
+    # c_k = Σ_t (n·x_t − S)(n·x_{t+k} − S) with S = Σx (clearing the
+    # mean's denominator keeps every term an integer — HUGEINT/
+    # DECIMAL(38,0), n²x² ≈ 1e28 at sf10 passes int64); ρ_k = c_k/c_0
+    # and Q are deterministic double compositions, ROUND(4).
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), idx AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                 AS t,
+               CAST(c AS BIGINT) AS x
+        FROM daily
+    ), mom AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS s
+        FROM idx GROUP BY 1
+    ), cent AS (
+        SELECT i.event_type, i.t,
+               m.n * i.x - m.s AS u, m.n AS n
+        FROM idx i JOIN mom m ON i.event_type = m.event_type
+    ), lags AS (
+        SELECT a.event_type, k.k, a.n,
+               SUM(CAST(a.u AS HUGEINT) * b.u) AS c_k
+        FROM cent a
+        JOIN (SELECT UNNEST(range(0, {_LJUNG_BOX_LAGS + 1})) AS k) k
+          ON TRUE
+        JOIN cent b ON b.event_type = a.event_type
+          AND b.t = a.t + k.k
+        GROUP BY 1, 2, 3
+    ), rho AS (
+        SELECT l.event_type, l.k, l.n,
+               CAST(l.c_k AS DOUBLE)
+                 / CAST(z.c_k AS DOUBLE) AS rho_k
+        FROM lags l
+        JOIN lags z ON z.event_type = l.event_type AND z.k = 0
+        WHERE l.k >= 1
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST({_LJUNG_BOX_LAGS} AS BIGINT) AS h_lags,
+           ROUND(SUM(rho_k * rho_k / (CAST(n AS DOUBLE) - k))
+                 * CAST(MAX(n) AS DOUBLE)
+                 * (CAST(MAX(n) AS DOUBLE) + 2), 4) AS q_stat
+    FROM rho GROUP BY 1 ORDER BY event_type
+    """,
+)
+def agg_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test on the daily count series
+    per event type — the hypothesis-test companion of `events_acf`:
+    instead of eyeballing the correlogram, Q = n(n+2)Σρ_k²/(n−k)
+    pools the first 7 lags into one χ²(7) statistic; the standard
+    pre-flight check before fitting any forecaster (a series that
+    fails is NOT white noise and `events_holt_winters_forecast` has
+    something to model).  The fixture's daily volume is iid (Q at the
+    null); the planted pytests drive Q past the 1% critical value
+    with a sawtooth (strong lag-1 anticorrelation) and confirm the
+    weekly-cycle fixture lights lag-7.
+
+    Exactness: the mean is cleared by N-SCALING (u_t = n·x_t − S), so
+    every autocovariance c_k = Σ u_t u_{t+k} is an exact
+    HUGEINT/DECIMAL(38,0) integer on the bounded calendar rollup
+    (n²x² ≈ 1e28 at sf10 — far past int64, the r10 hazard class);
+    ρ_k = c_k/c_0 and Q are deterministic double compositions of
+    those integers, ROUND(4).
+
+    Scale notes: ONE corpus agg to the (type, day) rollup; the lag
+    join is calendar × 8 on that bounded frame (the
+    events_cross_correlation lag-dim posture); windows PARTITIONED BY
+    type."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_t = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
+        "event_type",
+        F.row_number().over(w_t).alias("t"),
+        F.col("c").cast("long").alias("x"),
+    )
+    mom = idx.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(1) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(x) AS DECIMAL(38,0))").alias("s"),
+    )
+    cent = idx.join(mom, "event_type").select(
+        "event_type",
+        "t",
+        F.expr("n * x - s").alias("u"),
+        "n",
+    )
+    ks = spark.range(0, _LJUNG_BOX_LAGS + 1).select(
+        F.col("id").alias("k")
+    )
+    a = cent.alias("a")
+    b = cent.select(
+        F.col("event_type").alias("bet"),
+        F.col("t").alias("bt"),
+        F.col("u").alias("bu"),
+    )
+    lags = (
+        a.crossJoin(F.broadcast(ks))
+        .join(
+            b,
+            (F.col("bet") == F.col("event_type"))
+            & (F.col("bt") == F.col("t") + F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.expr("SUM(CAST(u AS DECIMAL(38,0)) * bu)").alias("c_k"),
+            F.max("n").alias("n"),
+        )
+    )
+    z = lags.where(F.col("k") == 0).select(
+        F.col("event_type").alias("zet"), F.col("c_k").alias("c0")
+    )
+    rho = (
+        lags.where(F.col("k") >= 1)
+        .join(z, F.col("zet") == F.col("event_type"))
+        .select(
+            "event_type",
+            "k",
+            "n",
+            (F.col("c_k").cast("double") / F.col("c0").cast("double"))
+            .alias("rho_k"),
+        )
+    )
+    return (
+        rho.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.lit(_LJUNG_BOX_LAGS).cast("long").alias("h_lags"),
+            F.round(
+                F.sum(
+                    F.col("rho_k")
+                    * F.col("rho_k")
+                    / (F.col("n").cast("double") - F.col("k"))
+                )
+                * F.max("n").cast("double")
+                * (F.max("n").cast("double") + 2),
+                4,
+            ).alias("q_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_cochran_q",
+    # Cochran's Q (1950, public) — the k-treatment extension of
+    # `agg_mcnemar`: did customers' urgency propensity differ across
+    # THREE eras of the fixture?  Blocks = customers, binary response
+    # x_ij = customer i placed an URGENT order in era j;
+    # Q = (k−1)(kΣC_j² − N²)/(kN − ΣR_i²), χ²(k−1) under marginal
+    # homogeneity (the k = 2 case of this formula IS McNemar's
+    # (b−c)²/(b+c) — the family identity).  Every
+    # term is an exact integer off one customer-grain agg; Q is ONE
+    # double division, ROUND(4), NULL when the denominator is 0
+    # (all-concordant blocks).
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderdate < DATE '1997-03-01'
+                  AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS x1,
+             MAX(CASE WHEN o_orderdate >= DATE '1997-03-01'
+                  AND o_orderdate < DATE '1999-06-01'
+                  AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS x2,
+             MAX(CASE WHEN o_orderdate >= DATE '1999-06-01'
+                  AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS x3
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(x1) AS BIGINT) AS c1,
+             CAST(SUM(x2) AS BIGINT) AS c2,
+             CAST(SUM(x3) AS BIGINT) AS c3,
+             CAST(SUM(x1 + x2 + x3) AS BIGINT) AS n,
+             CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT)
+               AS sum_r2
+      FROM u
+    )
+    SELECT n_blocks, c1 AS urgent_era1, c2 AS urgent_era2,
+           c3 AS urgent_era3,
+           CASE WHEN 3 * n - sum_r2 > 0
+                THEN ROUND(2.0 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)
+                                  - n * n)
+                           / (3 * n - sum_r2), 4)
+                ELSE NULL END AS q_cochran
+    FROM s
+    """,
+)
+def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across three eras of customer urgency — the
+    k-treatment member of the paired family (`agg_mcnemar` is its
+    k = 2 special case; `agg_friedman_test` its ordinal cousin): with
+    each customer as its own block, did the probability of placing an
+    URGENT order change across the fixture's three eras?  Q =
+    (k−1)(kΣC_j² − N²)/(kN − ΣR_i²), χ²(2) under marginal
+    homogeneity.  The fixture's time-uniform priorities sit at the
+    null; the planted pytest makes era 3 urgent-only and pins the
+    hand-computed Q = 20 EXACTLY, the mirrored era-1 shift the same Q
+    (column-permutation invariance — the law parity cannot check),
+    and the all-concordant table NULL.
+
+    Exactness: column totals C_j, N and Σ R_i² are exact integers off
+    ONE customer-grain conditional agg; Q is one deterministic double
+    division, ROUND(4); an all-concordant table (denominator 0)
+    yields NULL on both engines.
+
+    Scale notes: ONE hash agg to customer grain, ONE 1-row reduce —
+    the agg_mcnemar posture with three conditional MAXes."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    d = F.col("o_orderdate")
+    cut1 = F.lit("1997-03-01").cast("date")
+    cut2 = F.lit("1999-06-01").cast("date")
+    u = o.groupBy("o_custkey").agg(
+        F.max(F.when((d < cut1) & urgent, 1).otherwise(0)).alias("x1"),
+        F.max(
+            F.when((d >= cut1) & (d < cut2) & urgent, 1).otherwise(0)
+        ).alias("x2"),
+        F.max(F.when((d >= cut2) & urgent, 1).otherwise(0)).alias("x3"),
+    )
+    r = F.col("x1") + F.col("x2") + F.col("x3")
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("x1").cast("long").alias("c1"),
+        F.sum("x2").cast("long").alias("c2"),
+        F.sum("x3").cast("long").alias("c3"),
+        F.sum(r).cast("long").alias("n"),
+        F.sum(r * r).cast("long").alias("sum_r2"),
+    )
+    den = 3 * F.col("n") - F.col("sum_r2")
+    return s.select(
+        "n_blocks",
+        F.col("c1").alias("urgent_era1"),
+        F.col("c2").alias("urgent_era2"),
+        F.col("c3").alias("urgent_era3"),
+        F.when(
+            den > 0,
+            F.round(
+                2.0
+                * (
+                    3
+                    * (
+                        F.col("c1") * F.col("c1")
+                        + F.col("c2") * F.col("c2")
+                        + F.col("c3") * F.col("c3")
+                    )
+                    - F.col("n") * F.col("n")
+                )
+                / den,
+                4,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("q_cochran"),
+    )

@@ -55,6 +55,8 @@ BNL_ALLOWED: dict[str, str] = {
     "onto the <=|nations|-row community rollup",
     "agg_odds_ratio_mh": "broadcast 1-row MH/marginal scalar frame "
     "crossed onto the <=|years|-row stratum frame",
+    "agg_ljung_box": "broadcast 8-row lag dim onto the calendar-sized "
+    "daily rollup (events_cross_correlation's lag-dim posture)",
     "embed_silhouette": "broadcast |labels|-row centroid frame against "
     "the feature scan (the kmeans assignment posture) + 1-row overall "
     "cross onto the |labels|-row rollup",
@@ -279,6 +281,8 @@ SINGLE_ALLOWED: dict[str, str] = {
     "<=|years|-row stratum rollup",
     "agg_mcnemar": "1-row discordant-cell reduce from the "
     "customer-grain paired agg (map-side partial agg)",
+    "agg_cochran_q": "1-row column-total reduce from the "
+    "customer-grain three-era paired agg (the agg_mcnemar posture)",
     "embed_silhouette": "1-row overall-mean frame + |labels|-row "
     "centroid frame reduced from the vector scan (map-side partial "
     "agg)",

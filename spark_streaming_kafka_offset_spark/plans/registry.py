@@ -107,6 +107,10 @@ DEFERRED_R12: tuple[str, ...] = (
     # §2.60).
     "events_rayleigh_hour",
     "agg_mcnemar",
+    # r11-registered oracle pairs, eleventh batch (Ljung–Box
+    # portmanteau, Cochran's Q — operators/statistics.py, §2.61).
+    "agg_ljung_box",
+    "agg_cochran_q",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -211,6 +215,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r11-registered oracle pairs, tenth batch (§2.60).
     "events_rayleigh_hour",
     "agg_mcnemar",
+    # r11-registered oracle pairs, eleventh batch (§2.61).
+    "agg_ljung_box",
+    "agg_cochran_q",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.

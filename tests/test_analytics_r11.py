@@ -992,3 +992,78 @@ def test_mcnemar_planted_shift_and_mirror(spark, tmp_path):
         str(tmp_path / "orders.parquet"))
     nul = QUERIES["agg_mcnemar"](spark, str(tmp_path)).collect()[0]
     assert nul.chi2_mcnemar is None
+
+
+def test_ljung_box_white_noise_and_planted_autocorr(spark, tmp_path):
+    """Ljung–Box laws: iid daily counts sit under the χ²(7) 1%
+    critical value (18.48); a planted sawtooth (strong lag-1
+    anticorrelation) rejects decisively; the engine Q equals the
+    textbook formula recomputed in Python on the same series."""
+    rows = QUERIES["agg_ljung_box"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(r.h_lags == 7 for r in rows)
+    assert sum(r.q_stat < 18.48 for r in rows) >= 4, rows
+
+    n = 40
+    saw = {"saw": [30 + 20 * (t % 2) for t in range(n)],
+           "flat": [25 + ((t * 17) % 5) for t in range(n)]}
+    _write_events(tmp_path, _mk_rows(saw))
+    out = {r.event_type: r for r in QUERIES["agg_ljung_box"](
+        spark, str(tmp_path)).collect()}
+    assert out["saw"].q_stat > 100, out  # lag-1 rho ~ -1 dominates
+
+    def ljung_box(xs, h=7):
+        nn = len(xs)
+        s = sum(xs)
+        u = [nn * x - s for x in xs]
+        c0 = sum(v * v for v in u)
+        q = 0.0
+        for k in range(1, h + 1):
+            ck = sum(u[t] * u[t + k] for t in range(nn - k))
+            q += (ck / c0) ** 2 / (nn - k)
+        return round(nn * (nn + 2) * q, 4)
+
+    assert out["saw"].q_stat == ljung_box(saw["saw"])
+    assert out["flat"].q_stat == ljung_box(saw["flat"])
+
+
+def test_cochran_q_planted_era_and_permutation(spark, tmp_path):
+    """Cochran laws: 10 of 30 customers urgent ONLY in era 3 gives
+    Q = 2(3·10² − 10²)/(3·10 − 10) = 20 exactly; the mirrored era-1
+    shift the SAME Q (column permutation invariance); an
+    all-concordant table (urgent in every era) yields NULL."""
+    row = QUERIES["agg_cochran_q"](spark, SF_DIR).collect()[0]
+    assert row.q_cochran is not None and row.q_cochran < 9.21
+
+    def write(urgent_eras_by_cust):
+        era_dates = {1: _dt.datetime(1996, 1, 1),
+                     2: _dt.datetime(1998, 1, 1),
+                     3: _dt.datetime(2000, 1, 1)}
+        rows = []
+        i = 0
+        for ck, urgent_eras in urgent_eras_by_cust.items():
+            for era, dt in era_dates.items():
+                rows.append({
+                    "o_orderkey": i, "o_custkey": ck,
+                    "o_orderstatus": "F", "o_totalprice": 100.0,
+                    "o_orderdate": dt,
+                    "o_orderpriority": ("1-URGENT" if era in urgent_eras
+                                        else "5-LOW")})
+                i += 1
+        pq.write_table(pa.Table.from_pylist(
+            rows, schema=pq.read_schema(f"{SF_DIR}/orders.parquet")),
+            str(tmp_path / "orders.parquet"))
+
+    write({ck: ({3} if ck < 10 else set()) for ck in range(30)})
+    era3 = QUERIES["agg_cochran_q"](spark, str(tmp_path)).collect()[0]
+    assert (era3.urgent_era1, era3.urgent_era2, era3.urgent_era3) == (
+        0, 0, 10)
+    assert era3.q_cochran == 20.0
+
+    write({ck: ({1} if ck < 10 else set()) for ck in range(30)})
+    era1 = QUERIES["agg_cochran_q"](spark, str(tmp_path)).collect()[0]
+    assert era1.q_cochran == 20.0  # permutation invariance
+
+    write({ck: {1, 2, 3} for ck in range(30)})
+    conc = QUERIES["agg_cochran_q"](spark, str(tmp_path)).collect()[0]
+    assert conc.q_cochran is None

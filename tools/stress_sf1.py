@@ -257,6 +257,14 @@ STRESS_SET = [
     "eval_map",
     "feat_split_gain",
     "agg_odds_ratio_mh",
+    # r11 tenth batch: the 24-cell circular rollup and the
+    # customer-grain paired agg.
+    "events_rayleigh_hour",
+    "agg_mcnemar",
+    # r11 eleventh batch: the calendar x 8 lag join and the
+    # customer-grain three-era paired agg.
+    "agg_ljung_box",
+    "agg_cochran_q",
 ]
 
 
