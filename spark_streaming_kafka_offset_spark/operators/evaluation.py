@@ -880,10 +880,12 @@ def _ndcg_weight_case(pos_col: str) -> str:
              CAST(ROUND(l_quantity, 0) AS BIGINT) AS rel,
              ROW_NUMBER() OVER (
                PARTITION BY l_orderkey
-               ORDER BY l_extendedprice DESC, l_linenumber) AS pos,
+               ORDER BY l_extendedprice DESC, l_linenumber, l_quantity)
+                 AS pos,
              ROW_NUMBER() OVER (
                PARTITION BY l_orderkey
-               ORDER BY l_quantity DESC, l_linenumber) AS ideal_pos
+               ORDER BY l_quantity DESC, l_linenumber, l_extendedprice)
+                 AS ideal_pos
       FROM lineitem
     ), per_order AS (
       SELECT l_orderkey,
@@ -938,10 +940,14 @@ def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
     )
     w_pos = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+        F.col("l_extendedprice").desc(),
+        F.col("l_linenumber"),
+        F.col("l_quantity"),
     )
     w_ideal = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_quantity").desc(), F.col("l_linenumber")
+        F.col("l_quantity").desc(),
+        F.col("l_linenumber"),
+        F.col("l_extendedprice"),
     )
     ranked = l.select(
         "l_orderkey",
@@ -1026,7 +1032,8 @@ def _mrr_weight_case(pos_col: str) -> str:
              CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END AS rel,
              ROW_NUMBER() OVER (
                PARTITION BY l_orderkey
-               ORDER BY l_extendedprice DESC, l_linenumber) AS pos
+               ORDER BY l_extendedprice DESC, l_linenumber, l_quantity)
+                 AS pos
       FROM lineitem
     ), per_order AS (
       SELECT l_orderkey,
@@ -1075,7 +1082,9 @@ def eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
     w_pos = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+        F.col("l_extendedprice").desc(),
+        F.col("l_linenumber"),
+        F.col("l_quantity"),
     )
     ranked = l.select(
         "l_orderkey",
@@ -1137,7 +1146,8 @@ def eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END AS rel,
              ROW_NUMBER() OVER (
                PARTITION BY l_orderkey
-               ORDER BY l_extendedprice DESC, l_linenumber) AS pos
+               ORDER BY l_extendedprice DESC, l_linenumber, l_quantity)
+                 AS pos
       FROM lineitem
     ), cum AS (
       SELECT l_orderkey, rel, pos,
@@ -1197,7 +1207,9 @@ def eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
     w_pos = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+        F.col("l_extendedprice").desc(),
+        F.col("l_linenumber"),
+        F.col("l_quantity"),
     )
     ranked = l.select(
         "l_orderkey",
@@ -1256,6 +1268,175 @@ def eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_ppm"),
             "map_e6",
             "n_orders_scored",
+        )
+        .orderBy("decile")
+    )
+
+
+#: Truncated RBO@10 (p = 0.9) weight tables, Python-computed once and
+#: shared by BOTH engines.  U_d = round((1−p)p^{d−1}/d · 1e9) is depth
+#: d's agreement weight; V_m = Σ_{d≥m} U_d is the TOTAL weight an item
+#: first co-present at depth m contributes (the suffix-sum trick that
+#: turns RBO into one lookup per line); M_n = Σ_{p≤n} V_p is the
+#: identical-ranking maximum for an n-item list (n capped at 10).
+_RBO_V: tuple[int, ...] = (
+    235416399,
+    135416399,
+    90416399,
+    63416399,
+    45191399,
+    32069399,
+    22227899,
+    14635885,
+    8657174,
+    3874205,
+)
+_RBO_M: tuple[int, ...] = (
+    235416399,
+    370832798,
+    461249197,
+    524665596,
+    569856995,
+    601926394,
+    624154293,
+    638790178,
+    647447352,
+    651321557,
+)
+
+
+def _rbo_case(col: str, table: tuple[int, ...]) -> str:
+    whens = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(table)
+    )
+    return f"CASE {col} {whens} ELSE 0 END"
+
+
+@register(
+    "eval_rbo",
+    # Rank-biased overlap (Webber–Moffat–Zobel 2010, public), truncated
+    # at depth 10 with p = 0.9, between the price ranking and the
+    # quantity ranking of each order's lines — 'do the two rankers
+    # agree at the top?', the standard top-weighted list-comparison
+    # metric.  The key reduction: an item first co-present in both
+    # top-d lists at depth m = max(pos_price, pos_qty) contributes
+    # EXACTLY V_m = Σ_{d≥m} U_d, so the whole metric is ONE integer
+    # lookup per line + an integer division by the identical-ranking
+    # maximum M_min(n,10) — float-free end to end.
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber, l_quantity)
+                 AS pos_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_quantity DESC, l_linenumber, l_extendedprice)
+                 AS pos_b
+      FROM lineitem
+    ), per_order AS (
+      SELECT l_orderkey,
+             CAST(SUM({_rbo_case("GREATEST(pos_a, pos_b)", _RBO_V)})
+                  AS BIGINT) AS score_e9,
+             CAST(LEAST(COUNT(*), 10) AS BIGINT) AS n_cap
+      FROM ranked GROUP BY 1
+    ), scored AS (
+      SELECT score_e9 * 1000000
+               // ({_rbo_case("n_cap", _RBO_M)}) AS rbo_ppm
+      FROM per_order
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders_total,
+             CAST(SUM(rbo_ppm) // COUNT(*) AS BIGINT) AS mean_rbo_ppm
+      FROM scored
+    )
+    SELECT CAST(LEAST(rbo_ppm // 100000, 9) AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) * 1000000 // MAX(t.n_orders_total) AS BIGINT)
+             AS share_ppm,
+           MAX(t.mean_rbo_ppm) AS mean_rbo_ppm,
+           MAX(t.n_orders_total) AS n_orders_total
+    FROM scored CROSS JOIN tot t
+    GROUP BY 1 ORDER BY decile
+    """,
+)
+def eval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap @10 (p = 0.9) between each order's price
+    ranking and its quantity ranking — the ranker-AGREEMENT member of
+    the eval family: MRR/NDCG/MAP score one ranking against labels;
+    RBO compares two rankings against each other, top-weighted so
+    disagreement at rank 1 costs ~26× more than at rank 10 (the
+    A/B-ranker regression check run before swapping a scorer).
+    Truncated RBO (no residual extrapolation), normalized by the
+    identical-ranking maximum so 1e6 means the rankers agree exactly.
+    The fixture's price ⊥ quantity gives the honest same-set baseline
+    (same items, independent orders — RBO well above 0 by set overlap
+    alone, far below 1e6); the law pytests pin the identical-ranking
+    pole at 1e6 EXACTLY and the engine == Python replica on arbitrary
+    constructed orders.
+
+    Exactness: an item first co-present at depth m = max(pos_price,
+    pos_qty) contributes exactly V_m = Σ_{d≥m} U_d of agreement mass —
+    shared e9 integer literals (the metric's own p^d decay bounds the
+    table at its cutoff); per-order RBO is ONE integer division by
+    M_min(n,10); histogram/mean are integer div.  No float anywhere.
+
+    Scale notes: two ROW_NUMBER windows PARTITIONED BY l_orderkey →
+    one order-grain agg → 10-row decile rollup + broadcast 1-row
+    total cross.  Linear in lineitems (the eval_ndcg posture)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    w_a = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_linenumber"),
+        F.col("l_quantity"),
+    )
+    w_b = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_quantity").desc(),
+        F.col("l_linenumber"),
+        F.col("l_extendedprice"),
+    )
+    ranked = l.select(
+        "l_orderkey",
+        F.row_number().over(w_a).alias("pos_a"),
+        F.row_number().over(w_b).alias("pos_b"),
+    )
+    per_order = ranked.groupBy("l_orderkey").agg(
+        F.expr(
+            f"CAST(SUM({_rbo_case('GREATEST(pos_a, pos_b)', _RBO_V)})"
+            " AS BIGINT)"
+        ).alias("score_e9"),
+        F.expr("CAST(LEAST(COUNT(1), 10) AS BIGINT)").alias("n_cap"),
+    )
+    scored = per_order.select(
+        F.expr(
+            f"score_e9 * 1000000 div ({_rbo_case('n_cap', _RBO_M)})"
+        ).alias("rbo_ppm")
+    )
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n_orders_total"),
+        F.expr("CAST(SUM(rbo_ppm) div COUNT(1) AS BIGINT)").alias(
+            "mean_rbo_ppm"
+        ),
+    )
+    return (
+        scored.select(
+            F.least(F.expr("rbo_ppm div 100000"), F.lit(9))
+            .cast("long")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_orders",
+            F.expr("n_orders * 1000000 div n_orders_total")
+            .cast("long")
+            .alias("share_ppm"),
+            "mean_rbo_ppm",
+            "n_orders_total",
         )
         .orderBy("decile")
     )

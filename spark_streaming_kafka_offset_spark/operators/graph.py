@@ -1453,3 +1453,161 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "graph_rich_club",
+    # Rich-club coefficient (Zhou–Mondragón 2004, public) of the part
+    # co-purchase graph: for each log2 degree threshold k, are the
+    # hubs (d > k) more densely interconnected than a random graph
+    # could be?  φ(k) = 2·E_k / (N_k(N_k−1)) with E_k = edges whose
+    # ENDPOINT-MINIMUM degree exceeds k and N_k = nodes above k — both
+    # computed as SUFFIX SUMS over bounded log2-class histograms, so
+    # the whole curve costs two ≤64-row rollups after the degree join.
+    # Exact integers end to end; φ rides as one integer ppm division;
+    # N_k < 2 yields NULL (no pairs to close) on both engines.
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ), node_cls AS (
+      SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS cls,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY 1
+    ), edge_cls AS (
+      SELECT CAST(length(bin(LEAST(du.d, dv.d))) - 1 AS BIGINT) AS cls,
+             CAST(COUNT(*) AS BIGINT) AS n_edges
+      FROM pairs p
+      JOIN deg du ON p.u = du.node
+      JOIN deg dv ON p.v = dv.node
+      GROUP BY 1
+    ), grid AS (
+      SELECT cls FROM node_cls
+      UNION SELECT cls FROM edge_cls
+    ), suffix AS (
+      SELECT g.cls,
+             CAST(COALESCE((SELECT SUM(n.n_nodes) FROM node_cls n
+                            WHERE n.cls >= g.cls), 0) AS BIGINT)
+               AS n_rich,
+             CAST(COALESCE((SELECT SUM(e.n_edges) FROM edge_cls e
+                            WHERE e.cls >= g.cls), 0) AS BIGINT)
+               AS e_rich
+      FROM grid g
+    )
+    SELECT cls AS degree_class, n_rich, e_rich,
+           CASE WHEN n_rich >= 2
+                THEN CAST(2000000 * e_rich // (n_rich * (n_rich - 1))
+                     AS BIGINT)
+                ELSE NULL END AS phi_ppm
+    FROM suffix ORDER BY degree_class
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve of the part co-purchase graph — do
+    hub parts co-purchase preferentially with OTHER hubs?  φ(k) is the
+    realized edge density among nodes of degree class ≥ k; a rising
+    curve (φ → 1 at the top classes) is the 'rich club' signature of
+    interlocked hubs, the texture `graph_assortativity`'s single r
+    cannot resolve (a graph can be globally degree-neutral yet carry a
+    tight hub club).  Computed at log2 degree thresholds so the whole
+    curve is ≤64 rows at any corpus size.
+
+    A node of class ≥ k has degree ≥ 2^k; an edge belongs to the class-k
+    club iff the SMALLER endpoint degree reaches it, so club edge
+    counts are the suffix sums of the min-endpoint-class histogram and
+    club node counts the suffix sums of the degree-class histogram —
+    two bounded rollups, no per-threshold passes.
+
+    Exactness: degrees, class histograms and suffix sums are exact
+    integers (length(bin(d))−1 = floor(log2 d), zero libm); φ is ONE
+    integer ppm division; a club with fewer than two members yields
+    NULL on both engines (no pairs to close is not a zero density).
+    Law pytests: a clique's every class has φ = 1e6 exactly; a star's
+    nontrivial clubs are singletons (NULL) while class 0 recovers the
+    star's exact global density.
+
+    Scale notes: the co-purchase pair/degree frames are the
+    graph_assortativity posture (staged once, two keyed joins); both
+    histograms are ≤64-row rollups and the suffix windows run on
+    them.  Nothing after the degree join scales with the corpus."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.alias("a")
+    b = l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    from ..common import stage
+
+    pairs = stage(pairs)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    node_cls = deg.groupBy(
+        F.expr("CAST(length(bin(d)) - 1 AS BIGINT)").alias("cls")
+    ).agg(F.count("*").cast("long").alias("n_nodes"))
+    edge_cls = (
+        pairs.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")),
+            "v",
+        )
+        .groupBy(
+            F.expr(
+                "CAST(length(bin(LEAST(du, dv))) - 1 AS BIGINT)"
+            ).alias("cls")
+        )
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    grid = node_cls.select("cls").unionAll(edge_cls.select("cls")).distinct()
+    w_suf = (
+        Window.orderBy(F.col("cls").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        grid.join(node_cls, "cls", "left")
+        .join(edge_cls, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+        )
+    )
+    suffix = merged.select(
+        "cls",
+        F.sum("n_nodes").over(w_suf).cast("long").alias("n_rich"),
+        F.sum("n_edges").over(w_suf).cast("long").alias("e_rich"),
+    )
+    return suffix.select(
+        F.col("cls").alias("degree_class"),
+        "n_rich",
+        "e_rich",
+        F.when(
+            F.col("n_rich") >= 2,
+            F.expr(
+                "CAST(2000000 * e_rich div (n_rich * (n_rich - 1))"
+                " AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(None).cast("long"))
+        .alias("phi_ppm"),
+    ).orderBy("degree_class")

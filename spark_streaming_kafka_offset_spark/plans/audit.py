@@ -51,6 +51,8 @@ BNL_ALLOWED: dict[str, str] = {
     "onto the <=11-row reciprocal-rank value rollup",
     "eval_map": "broadcast 1-row (scored, map) scalar frame crossed "
     "onto the 10-row decile rollup",
+    "eval_rbo": "broadcast 1-row (total, mean) scalar frame crossed "
+    "onto the 10-row decile rollup",
     "graph_modularity": "broadcast 1-row m/num scalar frames crossed "
     "onto the <=|nations|-row community rollup",
     "agg_odds_ratio_mh": "broadcast 1-row MH/marginal scalar frame "
@@ -275,6 +277,10 @@ SINGLE_ALLOWED: dict[str, str] = {
     "order-grain scored frame (map-side partial agg)",
     "eval_map": "1-row (n_orders_scored, map) frame reduced from the "
     "order-grain scored frame (map-side partial agg)",
+    "eval_rbo": "1-row (n_orders_total, mean) frame reduced from the "
+    "order-grain scored frame (map-side partial agg)",
+    "graph_rich_club": "suffix-sum window over the <=64-row merged "
+    "log2-class histogram (bounded at any corpus)",
     "graph_modularity": "1-row m and modularity-numerator frames "
     "reduced from the edge-label scan / <=|nations|-row rollup",
     "agg_odds_ratio_mh": "1-row MH-sum frame reduced from the "

@@ -111,6 +111,11 @@ DEFERRED_R12: tuple[str, ...] = (
     # portmanteau, Cochran's Q — operators/statistics.py, §2.61).
     "agg_ljung_box",
     "agg_cochran_q",
+    # r11-registered oracle pairs, twelfth batch (rich-club curve,
+    # rank-biased overlap — operators/graph.py,
+    # operators/evaluation.py, §2.62).
+    "graph_rich_club",
+    "eval_rbo",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -218,6 +223,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r11-registered oracle pairs, eleventh batch (§2.61).
     "agg_ljung_box",
     "agg_cochran_q",
+    # r11-registered oracle pairs, twelfth batch (§2.62).
+    "graph_rich_club",
+    "eval_rbo",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.

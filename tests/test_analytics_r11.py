@@ -1067,3 +1067,70 @@ def test_cochran_q_planted_era_and_permutation(spark, tmp_path):
     write({ck: {1, 2, 3} for ck in range(30)})
     conc = QUERIES["agg_cochran_q"](spark, str(tmp_path)).collect()[0]
     assert conc.q_cochran is None
+
+
+def test_rich_club_clique_and_star_poles(spark, tmp_path):
+    """Rich-club exact poles: a clique K8 (every degree 7) has
+    φ = 1e6 exactly at every populated class; a star K1,8's
+    nontrivial clubs are singletons (NULL — no pairs to close) while
+    class 0 recovers the star's exact global density 2·8/(9·8);
+    fixture classes are monotone-populated suffix sums."""
+    rows = QUERIES["graph_rich_club"](spark, SF_DIR).collect()
+    assert rows
+    for earlier, later in zip(rows, rows[1:]):
+        assert earlier.n_rich >= later.n_rich  # suffix-sum monotone
+        assert earlier.e_rich >= later.e_rich
+
+    _write_lineitem_orders(tmp_path, [list(range(8))])  # K8: deg 7
+    cl = QUERIES["graph_rich_club"](spark, str(tmp_path)).collect()
+    assert all(r.phi_ppm == 1_000_000 for r in cl), cl
+    assert cl[0].n_rich == 8 and cl[0].e_rich == 28
+
+    _write_lineitem_orders(
+        tmp_path, [[100, leaf] for leaf in range(1, 9)]
+    )  # star: hub deg 8 (class 3), leaves deg 1 (class 0)
+    st = {r.degree_class: r for r in QUERIES["graph_rich_club"](
+        spark, str(tmp_path)).collect()}
+    assert st[0].phi_ppm == 2_000_000 * 8 // (9 * 8)  # global density
+    assert st[3].n_rich == 1 and st[3].phi_ppm is None  # singleton club
+
+
+def test_rbo_identical_pole_and_python_spec(spark, tmp_path):
+    """RBO laws: identical rankings score 1e6 exactly (the
+    normalization pins the pole); the engine equals the executable
+    Python replica on arbitrary constructed orders (including one
+    longer than the depth-10 cutoff); the sf fixture's independent
+    rankings sit strictly between set-overlap floor and the pole."""
+    from spark_streaming_kafka_offset_spark.operators.evaluation import (
+        _RBO_M,
+        _RBO_V,
+    )
+
+    rows = QUERIES["eval_rbo"](spark, SF_DIR).collect()
+    assert sum(r.n_orders for r in rows) == rows[0].n_orders_total
+    assert 100_000 < rows[0].mean_rbo_ppm < 999_999
+
+    def rbo_spec(lines):
+        pa_ = sorted(range(len(lines)), key=lambda i: (-lines[i][0], i))
+        pb_ = sorted(range(len(lines)), key=lambda i: (-lines[i][1], i))
+        pos_a = {item: p + 1 for p, item in enumerate(pa_)}
+        pos_b = {item: p + 1 for p, item in enumerate(pb_)}
+        score = sum(
+            _RBO_V[max(pos_a[i], pos_b[i]) - 1]
+            for i in range(len(lines))
+            if max(pos_a[i], pos_b[i]) <= 10
+        )
+        return score * 1_000_000 // _RBO_M[min(len(lines), 10) - 1]
+
+    identical = [(100.0 - i, 50 - i) for i in range(6)]
+    reversed6 = [(100.0 - i, 10 + i) for i in range(6)]
+    long12 = [(200.0 - i, ((i * 7) % 13) + 1) for i in range(12)]
+    _write_lineitem_pq_rel(tmp_path, [identical, reversed6, long12])
+    out = QUERIES["eval_rbo"](spark, str(tmp_path)).collect()
+    spec = sorted(rbo_spec(o) for o in (identical, reversed6, long12))
+    assert spec[2] == 1_000_000  # identical-ranking pole
+    assert out[0].n_orders_total == 3
+    assert out[0].mean_rbo_ppm == sum(spec) // 3
+    deciles = {r.decile: r.n_orders for r in out}
+    for s in spec:
+        assert deciles.get(min(s // 100_000, 9), 0) > 0

@@ -265,6 +265,10 @@ STRESS_SET = [
     # customer-grain three-era paired agg.
     "agg_ljung_box",
     "agg_cochran_q",
+    # r11 twelfth batch: the assortativity-posture pair frames with
+    # suffix-summed histograms, and the two order-keyed RBO windows.
+    "graph_rich_club",
+    "eval_rbo",
 ]
 
 
