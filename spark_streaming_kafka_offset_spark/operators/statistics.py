@@ -5539,3 +5539,215 @@ def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("q_cochran"),
     )
+
+
+@register(
+    "agg_grubbs_test",
+    # Grubbs' maximum-studentized-deviate test (1950, public) on the
+    # daily count series per event type — the PARAMETRIC outlier test
+    # beside `events_anomaly_mad`'s robust flagging: G = max|x − x̄|/s,
+    # compared against the t-based critical value by the caller.  The
+    # mean is cleared by N-SCALING (the agg_ljung_box recipe):
+    # |n·x_i − S| is an exact integer, and s enters through ONE IEEE
+    # sqrt of the exact integer composition n(nΣx² − S²)/(n−1) — so
+    # G = max|nx−S| / sqrt(n(nΣx²−S²)/(n−1)), deterministic on both
+    # engines, ROUND(4).  The arg-max day is tie-broken to the
+    # earliest date (total order).
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), mom AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(c) AS HUGEINT) AS s,
+               SUM(CAST(c AS HUGEINT) * c) AS sxx
+        FROM daily GROUP BY 1
+    ), dev AS (
+        SELECT d.event_type, d.d, CAST(d.c AS BIGINT) AS c,
+               ABS(m.n * d.c - m.s) AS adev, m.n, m.s, m.sxx,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.event_type
+                 ORDER BY ABS(m.n * d.c - m.s) DESC, d.d) AS rk
+        FROM daily d JOIN mom m ON d.event_type = m.event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           d AS outlier_day, c AS outlier_count,
+           ROUND(CAST(adev AS DOUBLE)
+                 / sqrt(CAST(n AS DOUBLE)
+                        * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) - 1)), 4) AS g_stat
+    FROM dev WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def agg_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test for a single outlier in the daily count series per
+    event type — the parametric member of the anomaly family
+    (`events_anomaly_mad` flags robustly; Grubbs asks 'is the single
+    most extreme day statistically surprising under normality', the
+    classic data-janitor decision rule before dropping a day).
+    Reports the arg-max day, its count and G = max|x − x̄|/s.  The
+    fixture's iid daily volume keeps G in the unremarkable ~2–3 band
+    (honest null for n ≈ 30); the planted pytest spikes one day 10×
+    and pins both the identified day and G == the Python replica
+    exactly.
+
+    Exactness: the mean is cleared by N-scaling (|n·x_i − S| is an
+    exact integer — the `agg_ljung_box` recipe); the denominator is
+    ONE IEEE sqrt of a deterministic double composition of exact
+    HUGEINT/DECIMAL integers (n²Σx² ≈ 1e28 at sf10 — the r10 hazard
+    class); the arg-max is tie-broken to the earliest day (total
+    order); G is ROUND(4)-terminal.
+
+    Scale notes: ONE corpus agg to the (type, day) rollup; the moment
+    join and arg-max window live on that calendar-bounded frame,
+    PARTITIONED BY type."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mom = daily.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(1) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(c) AS DECIMAL(38,0))").alias("s"),
+        F.expr("SUM(CAST(c AS DECIMAL(38,0)) * c)").alias("sxx"),
+    )
+    dev = daily.join(mom, "event_type").select(
+        "event_type",
+        "d",
+        F.col("c").cast("long").alias("c"),
+        F.expr("ABS(n * c - s)").alias("adev"),
+        "n",
+        "s",
+        "sxx",
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.col("adev").desc(), F.col("d")
+    )
+    nd = F.col("n").cast("double")
+    g = F.round(
+        F.col("adev").cast("double")
+        / F.sqrt(
+            nd
+            * (
+                nd * F.col("sxx").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+            )
+            / (nd - 1)
+        ),
+        4,
+    )
+    return (
+        dev.withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("d").alias("outlier_day"),
+            F.col("c").alias("outlier_count"),
+            g.alias("g_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orders_eoq",
+    # Economic order quantity (Harris 1913, public) per brand — the
+    # DETERMINISTIC-demand member that completes the inventory quartet
+    # (`orders_safety_stock` z·σ buffers, `orders_newsvendor` quantile
+    # stocking, `orders_croston_demand` intermittent forecasting):
+    # EOQ = √(2·D·S/H) with D = mean annual demand (units/year as an
+    # exact x100 integer off the shipdate span) and S/H swept over
+    # three literal cost ratios.  ONE IEEE sqrt per cell — and the
+    # pytest exploits √'s exactness law: quadrupling demand EXACTLY
+    # doubles EOQ in IEEE arithmetic (sqrt(4x) ≡ 2·sqrt(x)).
+    oracle="""
+    WITH demand AS (
+      SELECT p.p_brand AS brand,
+             CAST(SUM(ROUND(l.l_quantity)) AS BIGINT) AS units,
+             CAST(datediff('day', MIN(CAST(l.l_shipdate AS DATE)),
+                           MAX(CAST(l.l_shipdate AS DATE))) + 1
+                  AS BIGINT) AS span_days
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ), rates AS (
+      SELECT brand, units, span_days,
+             units * 36500 // span_days AS annual_x100
+      FROM demand
+    ), ratio(cost_ratio_pct, num, den) AS (
+      VALUES (50, 1, 2), (200, 2, 1), (800, 8, 1)
+    )
+    SELECT r.brand, CAST(t.cost_ratio_pct AS BIGINT) AS cost_ratio_pct,
+           r.annual_x100,
+           ROUND(sqrt(2.0 * r.annual_x100 / 100 * t.num / t.den), 2)
+             AS eoq_units
+    FROM rates r CROSS JOIN ratio t
+    ORDER BY r.brand, cost_ratio_pct
+    """,
+)
+def orders_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity per brand at three setup/holding cost
+    ratios — Harris's 1913 square-root law, the oldest formula in
+    inventory control and the deterministic-demand member of the
+    quartet (`orders_safety_stock` buffers variability,
+    `orders_newsvendor` prices asymmetry, `orders_croston_demand`
+    handles intermittency; EOQ balances setup against holding when
+    demand is steady): EOQ = √(2DS/H).  Annual demand D comes off the
+    brand's own shipdate span as an exact x100 integer rate.
+
+    Exactness: units and span are exact integers; the annualized rate
+    is ONE integer division; each EOQ is one deterministic double
+    composition + one IEEE sqrt, ROUND(2).  The pytest pins the
+    square-root LAW itself: scaling demand 4× doubles EOQ EXACTLY
+    (IEEE sqrt is correctly rounded, and √(4x) = 2√x holds exactly in
+    binary floating point) — and engine == Python replica.
+
+    Scale notes: ONE fact-dim join + hash agg to the ≤|brands|-row
+    frame; the 3-row cost-ratio dim broadcasts.  Nothing downstream
+    scales with the corpus."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    demand = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.expr("CAST(SUM(ROUND(l_quantity)) AS BIGINT)").alias("units"),
+            (
+                F.datediff(
+                    F.max(F.to_date("l_shipdate")),
+                    F.min(F.to_date("l_shipdate")),
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("span_days"),
+        )
+    )
+    rates = demand.select(
+        "brand",
+        F.expr("units * 36500 div span_days").alias("annual_x100"),
+    )
+    ratio = spark.createDataFrame(
+        [(50, 1, 2), (200, 2, 1), (800, 8, 1)],
+        "cost_ratio_pct long, num long, den long",
+    )
+    return (
+        rates.crossJoin(F.broadcast(ratio))
+        .select(
+            "brand",
+            "cost_ratio_pct",
+            "annual_x100",
+            F.round(
+                F.sqrt(
+                    2.0
+                    * F.col("annual_x100")
+                    / 100
+                    * F.col("num")
+                    / F.col("den")
+                ),
+                2,
+            ).alias("eoq_units"),
+        )
+        .orderBy("brand", "cost_ratio_pct")
+    )

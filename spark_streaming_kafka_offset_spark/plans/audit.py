@@ -71,6 +71,8 @@ BNL_ALLOWED: dict[str, str] = {
     "orders_newsvendor": "|brands|x|days| densifying spine (bounded "
     "grid generator, broadcast calendar side) + broadcast 3-row "
     "service-level dim onto the value-level rollup",
+    "orders_eoq": "broadcast 3-row cost-ratio dim onto the "
+    "<=|brands|-row annualized-demand frame",
     "orders_croston_demand": "broadcast 150-row e12 weight literal dim "
     "against the per-part demand sequence (the holt_winters filter "
     "posture)",

@@ -116,6 +116,10 @@ DEFERRED_R12: tuple[str, ...] = (
     # operators/evaluation.py, §2.62).
     "graph_rich_club",
     "eval_rbo",
+    # r11-registered oracle pairs, thirteenth batch (Grubbs outlier
+    # test, economic order quantity — operators/statistics.py, §2.63).
+    "agg_grubbs_test",
+    "orders_eoq",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -226,6 +230,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r11-registered oracle pairs, twelfth batch (§2.62).
     "graph_rich_club",
     "eval_rbo",
+    # r11-registered oracle pairs, thirteenth batch (§2.63).
+    "agg_grubbs_test",
+    "orders_eoq",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.

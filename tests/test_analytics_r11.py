@@ -1134,3 +1134,61 @@ def test_rbo_identical_pole_and_python_spec(spark, tmp_path):
     deciles = {r.decile: r.n_orders for r in out}
     for s in spec:
         assert deciles.get(min(s // 100_000, 9), 0) > 0
+
+
+def test_grubbs_planted_spike_and_python_spec(spark, tmp_path):
+    """Grubbs laws: a 10x single-day spike is identified (day AND
+    count) with G == the Python replica exactly; the sf fixture's iid
+    daily volume keeps G in the unremarkable band for n ~ 30."""
+    rows = QUERIES["agg_grubbs_test"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(1.0 < r.g_stat < 3.7 for r in rows), rows
+
+    counts = [40 + ((t * 11) % 7) for t in range(25)]
+    counts[13] = 400  # the spike
+    _write_events(tmp_path, _mk_rows({"spiky": counts}))
+    out = QUERIES["agg_grubbs_test"](spark, str(tmp_path)).collect()[0]
+    assert out.outlier_day == _dt.date(2024, 1, 14)  # day index 13
+    assert out.outlier_count == 400
+
+    n = len(counts)
+    s = sum(counts)
+    sxx = sum(c * c for c in counts)
+    adev = max(abs(n * c - s) for c in counts)
+    import math
+
+    g = round(adev / math.sqrt(n * (n * sxx - s * s) / (n - 1)), 4)
+    assert out.g_stat == g
+    assert out.g_stat > 4.0  # decisively surprising
+
+
+def test_eoq_sqrt_law_and_python_spec(spark, tmp_path):
+    """EOQ laws: quadrupling demand doubles EOQ EXACTLY (IEEE sqrt is
+    correctly rounded and sqrt(4x) = 2 sqrt(x) holds exactly in binary
+    floats... up to the terminal ROUND(2), asserted against the exact
+    2x); the cost-ratio sweep is monotone; engine == Python replica."""
+    import math
+
+    rows = QUERIES["orders_eoq"](spark, SF_DIR).collect()
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r.brand, {})[r.cost_ratio_pct] = r
+    for b, lv in by_brand.items():
+        assert lv[50].eoq_units < lv[200].eoq_units < lv[800].eoq_units
+        a = lv[50].annual_x100
+        assert lv[200].eoq_units == round(
+            math.sqrt(2.0 * a / 100 * 2 / 1), 2
+        )
+
+    # one brand, one part: demand 100/day for 10 days vs 400/day:
+    # annualized 4x -> EOQ exactly doubles at every cost ratio
+    base = [(1, day, 100) for day in range(10)]
+    quad = [(1, day, 400) for day in range(10)]
+    _write_lineitem_demand(tmp_path, base)
+    lo = {r.cost_ratio_pct: r.eoq_units
+          for r in QUERIES["orders_eoq"](spark, str(tmp_path)).collect()}
+    _write_lineitem_demand(tmp_path, quad)
+    hi = {r.cost_ratio_pct: r.eoq_units
+          for r in QUERIES["orders_eoq"](spark, str(tmp_path)).collect()}
+    for pct in (50, 200, 800):
+        assert hi[pct] == round(2 * lo[pct], 2), (pct, lo[pct], hi[pct])

@@ -269,6 +269,10 @@ STRESS_SET = [
     # suffix-summed histograms, and the two order-keyed RBO windows.
     "graph_rich_club",
     "eval_rbo",
+    # r11 thirteenth batch: calendar-rollup arg-max and the brand
+    # annualized-demand frame.
+    "agg_grubbs_test",
+    "orders_eoq",
 ]
 
 
