@@ -5751,3 +5751,287 @@ def orders_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand", "cost_ratio_pct")
     )
+
+
+@register(
+    "agg_gamma_gk",
+    # Goodman–Kruskal gamma (1954, public) — the ESTIMATION companion
+    # of `agg_jonckheere_terpstra`'s ordered test: among untied
+    # (discount, quantity) pairs, the excess of concordant over
+    # discordant as a fraction of decisive pairs, γ = (C−D)/(C+D) ∈
+    # [−1, 1].  C and D ride as exact HUGEINT/DECIMAL(38,0) integers
+    # via the bounded 11×50 contingency-cell cross product (never a
+    # row-pair join); γ is ONE deterministic double division ROUND(6)
+    # (NEVER an integer div — signed integer division truncates toward
+    # zero in Spark but floors in DuckDB, a cross-engine trap on
+    # negative numerators), NULL when no decisive pairs exist.
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS g,
+             CAST(ROUND(l_quantity, 0) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), cd AS (
+      SELECT SUM(CASE WHEN a.v < b.v
+                 THEN CAST(a.cnt AS HUGEINT) * b.cnt ELSE 0 END) AS c,
+             SUM(CASE WHEN a.v > b.v
+                 THEN CAST(a.cnt AS HUGEINT) * b.cnt ELSE 0 END) AS d
+      FROM cells a JOIN cells b ON a.g < b.g
+    )
+    SELECT CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           CASE WHEN c + d > 0
+                THEN ROUND((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+                           / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)), 6)
+                ELSE NULL END AS gamma
+    FROM cd
+    """,
+)
+def agg_gamma_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal gamma between discount level and quantity — the
+    ordinal-association ESTIMATE beside `agg_jonckheere_terpstra`'s
+    significance test and `agg_kendall_tau`'s tie-penalizing cousin:
+    gamma ignores ties entirely (C−D over decisive pairs only), which
+    makes it the right effect size on heavily tied bounded domains —
+    exactly this 11×50 grid, where tau's denominator would be
+    dominated by tie mass.  The fixture's quantity ⊥ discount gives
+    γ ≈ 0 (honest null); the planted pytests pin the poles EXACTLY:
+    a strict dose-response gives D = 0 hence γ = 1, its mirror
+    γ = −1, and identical per-group multisets γ = 0 with C == D
+    counted exactly.
+
+    Exactness: C and D are exact HUGEINT/DECIMAL(38,0) sums over the
+    bounded contingency cross product (the JT posture — never a
+    row-pair join); γ is one deterministic double division ROUND(6).
+    Deliberately NOT an integer-div ppm: signed integer division
+    truncates toward zero in Spark but floors toward −inf in DuckDB —
+    a cross-engine trap whenever the numerator can be negative
+    (documented here as the reference for future signed ratios).
+
+    Scale notes: ONE corpus agg to the ≤550-cell frame; the ordered
+    cross product runs on broadcast cells; output is one row."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cells = l.groupBy(
+        F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").alias("g"),
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    from ..common import stage
+
+    cells = stage(cells)
+    a = cells.select(
+        F.col("g").alias("ga"), F.col("v").alias("va"), F.col("cnt").alias("ca")
+    )
+    b = cells.select(
+        F.col("g").alias("gb"), F.col("v").alias("vb"), F.col("cnt").alias("cb")
+    )
+    cd = (
+        a.join(F.broadcast(b), F.col("ga") < F.col("gb"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("va") < F.col("vb"),
+                    F.expr("CAST(ca AS DECIMAL(38,0)) * cb"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("c"),
+            F.sum(
+                F.when(
+                    F.col("va") > F.col("vb"),
+                    F.expr("CAST(ca AS DECIMAL(38,0)) * cb"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("d"),
+        )
+    )
+    return cd.select(
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.when(
+            F.col("c") + F.col("d") > 0,
+            F.round(
+                (F.col("c").cast("double") - F.col("d").cast("double"))
+                / (F.col("c").cast("double") + F.col("d").cast("double")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("gamma"),
+    )
+
+
+@register(
+    "agg_brown_forsythe",
+    # Brown–Forsythe variance-homogeneity test (1974, public) — the
+    # missing SPREAD member of the group-comparison family (KW/Friedman
+    # compare locations; this asks whether the 11 discount levels share
+    # a quantity DISPERSION): one-way ANOVA F on z_ij = |x_ij − med_j|,
+    # the median-centered (robust) Levene variant.  Group medians ride
+    # 2-SCALED (lo+hi middle order statistics — never fractional) so
+    # z2 = |2x − med2| is an exact integer; SSB/SSW ride as e6-FLOORED
+    # integer sums of per-group rationals ((nQ − T²)·1e6 div n — both
+    # engines floor identical integers, the KW e12 trick), so the sums
+    # NEVER accumulate floats; F is one double composition, ROUND(4).
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS g,
+             CAST(ROUND(l_quantity, 0) AS BIGINT) AS x
+      FROM lineitem
+    ), cells AS (
+      SELECT g, x, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, x, cnt,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY x) AS cumc,
+             SUM(cnt) OVER (PARTITION BY g) AS n
+      FROM cells
+    ), med AS (
+      SELECT g,
+             MIN(CASE WHEN cumc >= (n + 1) // 2 THEN x END)
+             + MIN(CASE WHEN cumc >= (n + 2) // 2 THEN x END) AS med2,
+             MAX(n) AS n
+      FROM cum GROUP BY g
+    ), z AS (
+      SELECT b.g, ABS(2 * b.x - m.med2) AS z2
+      FROM base b JOIN med m ON b.g = m.g
+    ), grp AS (
+      SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(z2) AS HUGEINT) AS t,
+             SUM(CAST(z2 AS HUGEINT) * z2) AS q
+      FROM z GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+             CAST(SUM(t) AS HUGEINT) AS tt,
+             CAST(COUNT(*) AS HUGEINT) AS k,
+             SUM(t * t * 1000000 // n) AS sb_part_e6,
+             SUM((n * q - t * t) * 1000000 // n) AS ssw_e6
+      FROM grp
+    ), f AS (
+      SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n_total,
+             CASE WHEN ssw_e6 > 0
+                  THEN ROUND(
+                    (CAST(sb_part_e6 - tt * tt * 1000000 // nn
+                          AS DOUBLE) / (CAST(k AS DOUBLE) - 1))
+                    / (CAST(ssw_e6 AS DOUBLE)
+                       / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))), 4)
+                  ELSE NULL END AS f_stat
+      FROM tot
+    )
+    SELECT m.g AS disc_pct, CAST(m.n AS BIGINT) AS n_rows,
+           CAST(m.med2 AS BIGINT) AS median_x2,
+           f.k - 1 AS df1, f.n_total - f.k AS df2, f.f_stat
+    FROM med m CROSS JOIN f
+    ORDER BY disc_pct
+    """,
+)
+def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test — do the 11 discount levels share a quantity
+    SPREAD?  The robust (median-centered) Levene variant: one-way
+    ANOVA F on the absolute deviations from each group's own median,
+    F(k−1, N−k) under homogeneity.  This is the family's missing
+    dispersion member: `agg_kruskal_wallis`/`agg_friedman_test`
+    compare locations and `agg_welch_ttest` already refuses to pool
+    variances — this op is the test of whether pooling was ever safe.
+    The fixture draws quantity iid across discounts (F at the null);
+    the planted pytest gives one group a wide spread and rejects, and
+    identical group multisets pin F ≈ 0 within the documented e6
+    quantization band.
+
+    Exactness: group medians are 2-SCALED order statistics off the
+    bounded 11×50 cell frame (lo+hi middle ranks — never fractional);
+    z2 = |2x − med2| is an exact integer; the SSB/SSW pieces are
+    e6-FLOORED integer sums of per-group rationals (both engines
+    floor identical integers, so the sums never accumulate floats —
+    the KW rank-sum discipline); F is one deterministic double
+    composition, ROUND(4), NULL on zero within-group spread.
+
+    Scale notes: ONE corpus agg to the 550-cell frame for medians
+    (windows PARTITIONED BY group), one broadcast median join back to
+    the scan, ONE moment agg per group, 1-row F reduce.  n·Q ≈ 3e17
+    at sf10 ⇒ HUGEINT/DECIMAL(38,0) throughout (the r10 hazard
+    class)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    base = l.select(
+        F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").alias("g"),
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("x"),
+    )
+    cells = base.groupBy("g", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_g = Window.partitionBy("g")
+    cum = cells.select(
+        "g",
+        "x",
+        F.sum("cnt").over(w_cum).alias("cumc"),
+        F.sum("cnt").over(w_g).alias("n"),
+    )
+    med = cum.groupBy("g").agg(
+        (
+            F.min(
+                F.when(
+                    F.col("cumc") >= F.expr("(n + 1) div 2"), F.col("x")
+                )
+            )
+            + F.min(
+                F.when(
+                    F.col("cumc") >= F.expr("(n + 2) div 2"), F.col("x")
+                )
+            )
+        ).alias("med2"),
+        F.max("n").alias("n"),
+    )
+    z = base.join(F.broadcast(med.select("g", "med2")), "g").select(
+        "g", F.abs(2 * F.col("x") - F.col("med2")).alias("z2")
+    )
+    grp = z.groupBy("g").agg(
+        F.expr("CAST(COUNT(1) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(z2) AS DECIMAL(38,0))").alias("t"),
+        F.expr("SUM(CAST(z2 AS DECIMAL(38,0)) * z2)").alias("q"),
+    )
+    tot = grp.agg(
+        F.expr("CAST(SUM(n) AS DECIMAL(38,0))").alias("nn"),
+        F.expr("CAST(SUM(t) AS DECIMAL(38,0))").alias("tt"),
+        F.expr("CAST(COUNT(1) AS DECIMAL(38,0))").alias("k"),
+        F.expr("SUM(t * t * 1000000 div n)").alias("sb_part_e6"),
+        F.expr("SUM((n * q - t * t) * 1000000 div n)").alias("ssw_e6"),
+    )
+    fstat = tot.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("nn").cast("long").alias("n_total"),
+        F.when(
+            F.col("ssw_e6") > 0,
+            F.round(
+                (
+                    F.expr(
+                        "CAST(sb_part_e6 - tt * tt * 1000000 div nn"
+                        " AS DOUBLE)"
+                    )
+                    / (F.col("k").cast("double") - 1)
+                )
+                / (
+                    F.col("ssw_e6").cast("double")
+                    / (
+                        F.col("nn").cast("double")
+                        - F.col("k").cast("double")
+                    )
+                ),
+                4,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("f_stat"),
+    )
+    return (
+        med.crossJoin(F.broadcast(fstat))
+        .select(
+            F.col("g").alias("disc_pct"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("med2").cast("long").alias("median_x2"),
+            (F.col("k") - 1).alias("df1"),
+            (F.col("n_total") - F.col("k")).alias("df2"),
+            "f_stat",
+        )
+        .orderBy("disc_pct")
+    )

@@ -59,6 +59,10 @@ BNL_ALLOWED: dict[str, str] = {
     "crossed onto the <=|years|-row stratum frame",
     "agg_ljung_box": "broadcast 8-row lag dim onto the calendar-sized "
     "daily rollup (events_cross_correlation's lag-dim posture)",
+    "agg_gamma_gk": "broadcast <=550-cell contingency self-pair "
+    "(g < g' theta join — the jonckheere_terpstra posture)",
+    "agg_brown_forsythe": "broadcast 11-row group-median frame back "
+    "onto the scan + 1-row F frame onto the 11-row median frame",
     "embed_silhouette": "broadcast |labels|-row centroid frame against "
     "the feature scan (the kmeans assignment posture) + 1-row overall "
     "cross onto the |labels|-row rollup",
@@ -291,6 +295,10 @@ SINGLE_ALLOWED: dict[str, str] = {
     "customer-grain paired agg (map-side partial agg)",
     "agg_cochran_q": "1-row column-total reduce from the "
     "customer-grain three-era paired agg (the agg_mcnemar posture)",
+    "agg_gamma_gk": "1-row concordant/discordant reduce from the "
+    "bounded contingency cross",
+    "agg_brown_forsythe": "1-row F reduce from the 11-row group-moment "
+    "frame (e6-floored integer SSB/SSW sums)",
     "embed_silhouette": "1-row overall-mean frame + |labels|-row "
     "centroid frame reduced from the vector scan (map-side partial "
     "agg)",

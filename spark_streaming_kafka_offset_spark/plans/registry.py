@@ -120,6 +120,11 @@ DEFERRED_R12: tuple[str, ...] = (
     # test, economic order quantity — operators/statistics.py, §2.63).
     "agg_grubbs_test",
     "orders_eoq",
+    # r11-registered oracle pairs, fourteenth batch (Goodman–Kruskal
+    # gamma, Brown–Forsythe spread test — operators/statistics.py,
+    # §2.64).
+    "agg_gamma_gk",
+    "agg_brown_forsythe",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -233,6 +238,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r11-registered oracle pairs, thirteenth batch (§2.63).
     "agg_grubbs_test",
     "orders_eoq",
+    # r11-registered oracle pairs, fourteenth batch (§2.64).
+    "agg_gamma_gk",
+    "agg_brown_forsythe",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r12+
     # rotation queue reads straight down this list after any deferrals.

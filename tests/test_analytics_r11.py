@@ -1192,3 +1192,79 @@ def test_eoq_sqrt_law_and_python_spec(spark, tmp_path):
           for r in QUERIES["orders_eoq"](spark, str(tmp_path)).collect()}
     for pct in (50, 200, 800):
         assert hi[pct] == round(2 * lo[pct], 2), (pct, lo[pct], hi[pct])
+
+
+def test_gamma_gk_exact_poles_and_jt_coherence(spark, tmp_path):
+    """Gamma laws: a strict dose-response has ZERO discordant pairs —
+    γ = 1.0 exactly; its mirror γ = −1.0; identical per-group
+    multisets give C == D exactly hence γ = 0.0; and on the shared sf
+    fixture γ's SIGN agrees with Jonckheere–Terpstra's z (the
+    estimate and the test must point the same way)."""
+    row = QUERIES["agg_gamma_gk"](spark, SF_DIR).collect()[0]
+    assert abs(row.gamma) < 0.05  # quantity ⊥ discount
+    jt = QUERIES["agg_jonckheere_terpstra"](spark, SF_DIR).collect()[0]
+    assert (row.gamma >= 0) == (jt.z_jt >= 0)
+
+    dose = [(g, 10 * g + k) for g in (0, 2, 4) for k in range(1, 9)]
+    _write_lineitem_dq(tmp_path, dose)
+    up = QUERIES["agg_gamma_gk"](spark, str(tmp_path)).collect()[0]
+    assert up.gamma == 1.0 and up.discordant == 0
+
+    anti = [(g, 100 - 10 * g + k) for g in (0, 2, 4) for k in range(1, 9)]
+    _write_lineitem_dq(tmp_path, anti)
+    dn = QUERIES["agg_gamma_gk"](spark, str(tmp_path)).collect()[0]
+    assert dn.gamma == -1.0 and dn.concordant == 0
+
+    null_rows = [(g, q) for g in (0, 5, 10) for q in (1, 1, 2, 3, 3, 3, 7)]
+    _write_lineitem_dq(tmp_path, null_rows)
+    nu = QUERIES["agg_gamma_gk"](spark, str(tmp_path)).collect()[0]
+    assert nu.concordant == nu.discordant
+    assert nu.gamma == 0.0
+
+
+def test_brown_forsythe_planted_spread_and_python_spec(spark, tmp_path):
+    """Brown–Forsythe laws: one group with a wide spread among narrow
+    ones rejects decisively; identical group multisets sit at F ≈ 0
+    (within the documented e6 quantization band); engine == the
+    e6-floored Python replica EXACTLY on constructed data."""
+    rows = QUERIES["agg_brown_forsythe"](spark, SF_DIR).collect()
+    assert len(rows) == 11
+    f = rows[0].f_stat
+    assert f is not None and f < 3.0, rows  # iid spread: F at the null
+    assert all(r.f_stat == f for r in rows)
+    assert all(r.df1 == 10 for r in rows)
+
+    # groups 0/5 narrow (1..3 repeated), group 10 wide (1..48)
+    narrow = [(g, q) for g in (0, 5) for q in (1, 2, 3) * 8]
+    wide = [(10, 1 + (k * 47) // 23) for k in range(24)]
+    _write_lineitem_dq(tmp_path, narrow + wide)
+    out = QUERIES["agg_brown_forsythe"](spark, str(tmp_path)).collect()
+    fp = out[0].f_stat
+    assert fp > 4.9, out  # F(2, 69) 1% ~ 4.9
+
+    def bf_spec(groups):
+        import statistics as st
+
+        grp = []
+        for xs in groups:
+            med2 = round(2 * st.median(xs))
+            z2 = [abs(2 * x - med2) for x in xs]
+            n, t, q = len(z2), sum(z2), sum(v * v for v in z2)
+            grp.append((n, t, q))
+        nn = sum(g[0] for g in grp)
+        tt = sum(g[1] for g in grp)
+        k = len(grp)
+        sb_part = sum(t * t * 10**6 // n for n, t, _ in grp)
+        ssw = sum((n * q - t * t) * 10**6 // n for n, t, q in grp)
+        ssb = sb_part - tt * tt * 10**6 // nn
+        return round((ssb / (k - 1)) / (ssw / (nn - k)), 4)
+
+    groups = [[q for _, q in narrow if _ == 0],
+              [q for _, q in narrow if _ == 5],
+              [q for _, q in wide]]
+    assert fp == bf_spec(groups)
+
+    same = [(g, q) for g in (0, 5, 10) for q in (2, 4, 4, 9, 9, 9, 30)]
+    _write_lineitem_dq(tmp_path, same)
+    eq = QUERIES["agg_brown_forsythe"](spark, str(tmp_path)).collect()
+    assert eq[0].f_stat < 0.001, eq  # identical multisets

@@ -273,6 +273,10 @@ STRESS_SET = [
     # annualized-demand frame.
     "agg_grubbs_test",
     "orders_eoq",
+    # r11 fourteenth batch: the contingency cross and the
+    # median-join + moment reduce.
+    "agg_gamma_gk",
+    "agg_brown_forsythe",
 ]
 
 
