@@ -1181,10 +1181,12 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ed
     ), gstat AS (
       SELECT m,
-             ROUND((4 * CAST(m AS DOUBLE) * CAST(s1 AS DOUBLE)
-                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
-                   / (2 * CAST(m AS DOUBLE) * CAST(s3 AS DOUBLE)
-                      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)), 6)
+             CASE WHEN 2 * CAST(m AS HUGEINT) * s3 - s2 * s2 <> 0
+                  THEN ROUND((4 * CAST(m AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                        / (2 * CAST(m AS DOUBLE) * CAST(s3 AS DOUBLE)
+                           - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)), 6)
+                  ELSE NULL END
                AS r_assort
       FROM sums
     ), endpoints AS (
@@ -1211,7 +1213,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     random graph, r ≈ 0.0016 at sf0.01 — an honest structural null).
     Reported with the k_nn(class) curve — average neighbour degree per
     log2 degree class — whose slope is the classic visual companion of
-    the scalar r (flat = neutral, rising = assortative).
+    the scalar r (flat = neutral, rising = assortative).  A
+    degree-regular graph (single clique) zeroes the exact denominator
+    2·M·S3 − S2² — r_assort is NULL there, per the degenerate-input
+    convention of the r11 siblings (pytest-pinned on a planted clique).
 
     Exactness: S1/S2/S3 ride as HUGEINT/DECIMAL(38,0) sums of exact
     integer degree products (d_u·d_v ≈ 1e12 per edge at hub scale ×
@@ -1267,17 +1272,33 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     glob = sums.select(
         "m",
-        F.round(
-            (
-                4 * F.col("m").cast("double") * F.col("s1").cast("double")
-                - F.col("s2").cast("double") * F.col("s2").cast("double")
-            )
-            / (
-                2 * F.col("m").cast("double") * F.col("s3").cast("double")
-                - F.col("s2").cast("double") * F.col("s2").cast("double")
+        # Degenerate-input guard (ADVICE r11): a degree-REGULAR graph
+        # (e.g. one clique) zeroes the EXACT integer denominator
+        # 2·M·S3 − S2², so r is undefined — emit NULL per the sibling
+        # convention (agg_mcnemar / agg_gamma_gk), never NaN.  The test
+        # runs on the exact DECIMAL(38,0) sums, not the doubles, so a
+        # tiny-but-nonzero denominator can't round to a false zero.
+        F.when(
+            F.expr("2 * CAST(m AS DECIMAL(38,0)) * s3 - s2 * s2")
+            != F.lit(0),
+            F.round(
+                (
+                    4
+                    * F.col("m").cast("double")
+                    * F.col("s1").cast("double")
+                    - F.col("s2").cast("double") * F.col("s2").cast("double")
+                )
+                / (
+                    2
+                    * F.col("m").cast("double")
+                    * F.col("s3").cast("double")
+                    - F.col("s2").cast("double") * F.col("s2").cast("double")
+                ),
+                6,
             ),
-            6,
-        ).alias("r_assort"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("r_assort"),
     )
     endpoints = ed.select(
         F.col("du").alias("d_self"), F.col("dv").alias("d_nbr")

@@ -5803,10 +5803,12 @@ def agg_gamma_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: C and D are exact HUGEINT/DECIMAL(38,0) sums over the
     bounded contingency cross product (the JT posture — never a
     row-pair join); γ is one deterministic double division ROUND(6).
-    Deliberately NOT an integer-div ppm: signed integer division
-    truncates toward zero in Spark but floors toward −inf in DuckDB —
-    a cross-engine trap whenever the numerator can be negative
-    (documented here as the reference for future signed ratios).
+    Note on signed integer division (ADVICE r11 correction): Spark
+    `div` AND DuckDB `//` both truncate toward ZERO (verified:
+    −7 // 2 = −3 in DuckDB, −7 div 2 = −3 in Spark), so a signed
+    integer-div ppm would have been parity-safe too — the double
+    division here is a stylistic choice (one fewer scaled literal),
+    not a cross-engine requirement.
 
     Scale notes: ONE corpus agg to the ≤550-cell frame; the ordered
     cross product runs on broadcast cells; output is one row."""
@@ -5994,8 +5996,18 @@ def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(n) AS DECIMAL(38,0))").alias("nn"),
         F.expr("CAST(SUM(t) AS DECIMAL(38,0))").alias("tt"),
         F.expr("CAST(COUNT(1) AS DECIMAL(38,0))").alias("k"),
-        F.expr("SUM(t * t * 1000000 div n)").alias("sb_part_e6"),
-        F.expr("SUM((n * q - t * t) * 1000000 div n)").alias("ssw_e6"),
+        # Spark `div` yields BIGINT even on DECIMAL operands; cast each
+        # per-group quotient back to DECIMAL(38,0) BEFORE the SUM so the
+        # accumulator matches the oracle's HUGEINT (an int64 SUM here
+        # overflows near sf500 — ADVICE r11).  Residual bound: the
+        # per-term quotient itself stays under int64 until a single
+        # discount group exceeds ~1.5e10 rows (≈ sf25000).
+        F.expr(
+            "SUM(CAST(t * t * 1000000 div n AS DECIMAL(38,0)))"
+        ).alias("sb_part_e6"),
+        F.expr(
+            "SUM(CAST((n * q - t * t) * 1000000 div n AS DECIMAL(38,0)))"
+        ).alias("ssw_e6"),
     )
     fstat = tot.select(
         F.col("k").cast("long").alias("k"),

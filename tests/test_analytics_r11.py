@@ -283,6 +283,14 @@ def test_assortativity_star_and_regular_union_exact_poles(spark, tmp_path):
     assert all(r.r_assort == 1.0 for r in cliques), cliques
     assert cliques[0].m_edges == 6 + 45
 
+    # degenerate input (ADVICE r11): a SINGLE clique K6 is degree-regular
+    # (every degree = 5), so 2·M·S3 − S2² = 0 exactly — r is undefined
+    # and must surface as NULL (the sibling convention), never NaN
+    _write_lineitem_orders(tmp_path, [list(range(6))])
+    regular = QUERIES["graph_assortativity"](spark, str(tmp_path)).collect()
+    assert len(regular) == 1 and regular[0].m_edges == 15
+    assert regular[0].r_assort is None, regular
+
 
 def _write_lineitem_dq(tmp_path, rows_dq):
     """rows_dq: list of (discount_pct, quantity) -> one lineitem each."""
