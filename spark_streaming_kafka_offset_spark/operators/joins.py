@@ -744,24 +744,38 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATERAL join: for every nation, its top-2 customers by account
-    balance via a correlated subquery with ORDER BY + LIMIT — the SQL
-    surface users reach for before they learn the window-function
-    rewrite (``topk_per_group``).
+    balance via a correlated subquery — the SQL surface users reach for
+    before they learn the window-function rewrite (``topk_per_group``).
 
-    Scale notes: Catalyst decorrelates the lateral subquery into a
-    partitioned rank — NOT a per-outer-row re-execution; the executed
-    plan is the same shuffle-on-nationkey + bounded window shape as
-    topk_per_group, so the 100 TB posture is inherited.  Total-order
-    tiebreak (c_custkey) keeps the LIMIT deterministic on both
-    engines."""
+    The lateral subquery ranks explicitly (row_number + rn <= 2)
+    instead of ORDER BY + LIMIT.  The LIMIT form is a measured cluster
+    hazard (caught by tools/audit_windows.py, r12): Catalyst
+    decorrelates it into an ORDERLESS ``row_number() OVER (PARTITION BY
+    c_nationkey)`` above a global Sort — per-nation top-2 then depends
+    on the pre-sorted rows surviving a hash exchange in order, which
+    holds in local mode (mapId-ordered fetch) but is NOT guaranteed
+    under multi-executor arrival-order shuffle reads.  The explicit
+    window decorrelates into the safe shape (partition c_nationkey,
+    ORDER BY inside the window spec) and drops the rangepartition
+    exchange the LIMIT form needed — one shuffle instead of two.
+
+    Scale notes: Catalyst decorrelates to a partitioned rank — NOT a
+    per-outer-row re-execution; the executed plan is the same
+    shuffle-on-nationkey + bounded window shape as topk_per_group.
+    Total-order tiebreak (c_custkey) keeps the rank deterministic on
+    both engines."""
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
         """
         SELECT n.n_name, c.c_name, c.c_acctbal
         FROM nation n JOIN LATERAL (
-            SELECT c_name, c_acctbal FROM customer
-            WHERE c_nationkey = n.n_nationkey
-            ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+            SELECT c_name, c_acctbal FROM (
+                SELECT c_name, c_acctbal,
+                       row_number() OVER (
+                           ORDER BY c_acctbal DESC, c_custkey) AS rn
+                FROM customer
+                WHERE c_nationkey = n.n_nationkey) ranked
+            WHERE rn <= 2) c
         """
     )

@@ -621,6 +621,29 @@ def test_audit_sweep_is_clean(spark):
     assert not unexplained, unexplained
 
 
+def test_window_total_order_sweep_is_clean(spark):
+    """Run the SAME window total-order sweep `tools/audit_windows.py`
+    ships (shared policy module, VERDICT r11 #2 — the eval_rbo tie
+    hazard mechanized) over every batch query: every tie-sensitive
+    window spec (ROW_NUMBER / NTILE / LAG / LEAD / NTH_VALUE /
+    order-dependent or bounded-ROWS aggregates) must either prove a
+    TOTAL ordering on the fixture (max tie-group size 1 when grouped
+    by partition ∪ order expressions of the window's own child) or
+    carry a reviewed tie-immunity proof in TOTAL_ORDER_ALLOWED.  A new
+    windowed op whose assumed-unique ordering key is not actually
+    unique fails HERE instead of surviving to a ppm-level hash
+    divergence at a bigger SF.  The per-round tool runs at sf0.01 and
+    sf0.1 (where the r11 hazard actually materialized) are recorded in
+    BASELINE.md; this gate keeps the structural invariant every pytest
+    run."""
+    from spark_streaming_kafka_offset_spark.plans.window_audit import (
+        audit_windows,
+    )
+
+    unexplained = audit_windows(spark, SF_DIR)
+    assert not unexplained, unexplained
+
+
 def test_geo_grid_join_is_hash_equi_join(spark):
     """The spatial join must run as a hash equi-join on the cell id —
     never a cartesian or nested loop over customer x supplier — and the

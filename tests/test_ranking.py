@@ -400,3 +400,106 @@ def test_dedup_recall_gates_hold_on_planted_fixture(spark, tmp_path):
         if ids[a] < ids[b]
     }
     assert got_pairs == want
+
+
+def test_setsim_exact_recall_gates_on_planted_fixture(spark, tmp_path):
+    """The EXACT-recall claims of the set-similarity dedup pair
+    (VERDICT r11 #4; full 20k run in tools/probe_containment_20k.py /
+    BENCH_cont20k.json) hold on a compact planted fixture every round:
+
+    * dedup_ngram_jaccard: every planted graded-J pair whose TRUE
+      integer test passes (2*|A^B| >= |AuB|) is emitted — the prefix
+      filter's pigeonhole recall is EXACTLY 1.0, not a curve — with
+      byte-exact n_inter/n_union; no sub-threshold planted pair leaks.
+      (In-place token replacement keeps token counts equal, so every
+      planted pair shares its length bucket by construction.)
+    * dedup_containment: every planted boilerplate-wrapped copy whose
+      TRUE ordered test passes (5*n_inter >= 4*n_a) is emitted with
+      exact (n_inter, n_a); none below; and the shared boilerplate's
+      corpus-hot shingles must not break the df-ranked prefix.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools.probe_containment_20k import (
+        BOILER_PRE,
+        BOILER_SUF,
+        C_LEVELS,
+        VAR_SHIFT,
+        graded_embed,
+        shingles,
+    )
+    from tools.probe_dedup_recall_20k import LEVELS, make_variant
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    rows = t.to_pylist()
+
+    # --- ngram-Jaccard leg: graded in-place variants -------------------
+    out, jtruth = [], []
+    for r in rows:
+        out.append(r)
+        toks = r["text"].split(" ")
+        if len(toks) < 6:
+            continue
+        level = LEVELS[r["doc_id"] % len(LEVELS)]
+        vtoks = make_variant(toks, level, r["doc_id"])
+        vid = r["doc_id"] + VAR_SHIFT
+        vtext = " ".join(vtoks)
+        out.append({**r, "doc_id": vid, "text": vtext, "n_chars": len(vtext)})
+        a, b = shingles(toks), shingles(vtoks)
+        jtruth.append((r["doc_id"], vid, len(a & b), len(a | b)))
+    jdir = tmp_path / "jac"
+    jdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(out, schema=t.schema),
+        str(jdir / "documents.parquet"),
+    )
+    emitted = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_union)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, str(jdir)).collect()
+    }
+    n_eligible = 0
+    for base, vid, ni, nu in jtruth:
+        key = (min(base, vid), max(base, vid))
+        if 2 * ni >= nu:
+            n_eligible += 1
+            assert emitted.get(key) == (ni, nu), (key, emitted.get(key))
+        else:
+            assert key not in emitted, key
+    assert n_eligible > 0  # the gate must actually test something
+
+    # --- containment leg: graded boilerplate-wrapped copies ------------
+    out, ctruth = [], []
+    for r in rows:
+        out.append(r)
+        toks = r["text"].split(" ")
+        if len(toks) < 6:
+            continue
+        level = C_LEVELS[r["doc_id"] % len(C_LEVELS)]
+        wrapped = (
+            BOILER_PRE + graded_embed(toks, level, r["doc_id"]) + BOILER_SUF
+        )
+        wid = r["doc_id"] + VAR_SHIFT
+        wtext = " ".join(wrapped)
+        out.append({**r, "doc_id": wid, "text": wtext, "n_chars": len(wtext)})
+        sh_a, sh_b = shingles(toks), shingles(wrapped)
+        ctruth.append((r["doc_id"], wid, len(sh_a & sh_b), len(sh_a)))
+        ctruth.append((wid, r["doc_id"], len(sh_a & sh_b), len(sh_b)))
+    cdir = tmp_path / "cont"
+    cdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(out, schema=t.schema),
+        str(cdir / "documents.parquet"),
+    )
+    cemit = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_a)
+        for r in QUERIES["dedup_containment"](spark, str(cdir)).collect()
+    }
+    n_eligible = 0
+    for ida, idb, ni, na in ctruth:
+        if 5 * ni >= 4 * na:
+            n_eligible += 1
+            assert cemit.get((ida, idb)) == (ni, na), (ida, idb)
+        else:
+            assert (ida, idb) not in cemit, (ida, idb)
+    assert n_eligible > 0
