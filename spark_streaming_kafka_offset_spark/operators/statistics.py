@@ -5762,9 +5762,10 @@ def orders_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # [−1, 1].  C and D ride as exact HUGEINT/DECIMAL(38,0) integers
     # via the bounded 11×50 contingency-cell cross product (never a
     # row-pair join); γ is ONE deterministic double division ROUND(6)
-    # (NEVER an integer div — signed integer division truncates toward
-    # zero in Spark but floors in DuckDB, a cross-engine trap on
-    # negative numerators), NULL when no decisive pairs exist.
+    # (stylistic — Spark `div` and DuckDB `//` BOTH truncate toward
+    # zero, so a signed integer-div ppm would be parity-safe too; see
+    # the docstring's ADVICE r11 correction), NULL when no decisive
+    # pairs exist.
     oracle="""
     WITH cells AS (
       SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS g,
@@ -6046,4 +6047,717 @@ def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_stat",
         )
         .orderBy("disc_pct")
+    )
+
+
+@register(
+    "agg_cliffs_delta",
+    # Cliff's delta (1993, public) — the two-GROUP ordinal effect size
+    # beside `agg_gamma_gk`'s two-VARIABLE gamma and the estimation
+    # companion of `agg_mannwhitney_u` (δ = 2·AUC − 1): among all
+    # (low-discount, high-discount) line pairs, P(x_A > x_B) −
+    # P(x_A < x_B).  GT/LT/TIE ride as exact HUGEINT/DECIMAL(38,0)
+    # sums over the bounded 50×50 value-cell cross (never a row-pair
+    # join); δ is ONE double division ROUND(6), NULL when either group
+    # is empty.
+    oracle="""
+    WITH cells AS (
+      SELECT CASE WHEN l_discount < 0.05 THEN 0 ELSE 1 END AS grp,
+             CAST(ROUND(l_quantity, 0) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), cross_cd AS (
+      SELECT SUM(CASE WHEN a.v > b.v
+                 THEN CAST(a.cnt AS HUGEINT) * b.cnt ELSE 0 END) AS gt,
+             SUM(CASE WHEN a.v < b.v
+                 THEN CAST(a.cnt AS HUGEINT) * b.cnt ELSE 0 END) AS lt,
+             SUM(CASE WHEN a.v = b.v
+                 THEN CAST(a.cnt AS HUGEINT) * b.cnt ELSE 0 END) AS tie
+      FROM (SELECT v, cnt FROM cells WHERE grp = 0) a
+      CROSS JOIN (SELECT v, cnt FROM cells WHERE grp = 1) b
+    ), sizes AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN cnt ELSE 0 END) AS HUGEINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN grp = 1 THEN cnt ELSE 0 END) AS HUGEINT)
+               AS n_b
+      FROM cells
+    )
+    SELECT CAST(s.n_a AS BIGINT) AS n_a, CAST(s.n_b AS BIGINT) AS n_b,
+           CAST(COALESCE(c.gt, 0) AS BIGINT) AS n_gt,
+           CAST(COALESCE(c.lt, 0) AS BIGINT) AS n_lt,
+           CAST(COALESCE(c.tie, 0) AS BIGINT) AS n_tie,
+           CASE WHEN s.n_a * s.n_b > 0
+                THEN ROUND((CAST(c.gt AS DOUBLE) - CAST(c.lt AS DOUBLE))
+                           / CAST(s.n_a * s.n_b AS DOUBLE), 6)
+                ELSE NULL END AS cliffs_delta
+    FROM sizes s LEFT JOIN cross_cd c ON TRUE
+    """,
+)
+def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between low-discount (< 5%) and high-discount
+    (≥ 5%) line quantities — the two-sample ordinal effect size the
+    rank-test family was missing: `agg_mannwhitney_u` answers IS there
+    a stochastic shift, δ = P(A > B) − P(A < B) = 2·AUC − 1 answers
+    HOW BIG, robustly (no moments, tie-transparent).  The fixture's
+    quantity ⊥ discount gives δ ≈ 0 (honest null); the planted pytests
+    pin the poles exactly: fully separated groups → δ = ±1 with the
+    dominated count 0, identical group multisets → n_gt == n_lt and
+    δ = 0.
+
+    Exactness: GT/LT/TIE are exact HUGEINT/DECIMAL(38,0) sums over the
+    bounded ≤50×50 value-cell cross product (the gamma_gk posture —
+    never a row-pair join; n_a·n_b ≈ 3.6e17 at sf10 already passes
+    int64, hence the wide type); δ is ONE double division ROUND(6),
+    NULL when a group is empty.
+
+    Scale notes: ONE corpus agg to ≤100 cells; the dominance cross
+    runs on broadcast cell frames (bounded 50×50 — reviewed NLJ);
+    output is one row."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cells = l.groupBy(
+        F.when(F.col("l_discount") < 0.05, 0).otherwise(1).alias("grp"),
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    from ..common import stage
+
+    cells = stage(cells)
+    a = cells.where(F.col("grp") == 0).select(
+        F.col("v").alias("va"), F.col("cnt").alias("ca")
+    )
+    b = cells.where(F.col("grp") == 1).select(
+        F.col("v").alias("vb"), F.col("cnt").alias("cb")
+    )
+    prod = "CAST(ca AS DECIMAL(38,0)) * cb"
+    cd = a.crossJoin(F.broadcast(b)).agg(
+        F.expr(f"SUM(CASE WHEN va > vb THEN {prod} ELSE 0 END)").alias("gt"),
+        F.expr(f"SUM(CASE WHEN va < vb THEN {prod} ELSE 0 END)").alias("lt"),
+        F.expr(f"SUM(CASE WHEN va = vb THEN {prod} ELSE 0 END)").alias("tie"),
+    )
+    sizes = cells.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 0 THEN cnt ELSE 0 END)"
+            " AS DECIMAL(38,0))"
+        ).alias("n_a"),
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 1 THEN cnt ELSE 0 END)"
+            " AS DECIMAL(38,0))"
+        ).alias("n_b"),
+    )
+    return sizes.crossJoin(F.broadcast(cd)).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.coalesce(F.col("gt"), F.lit(0)).cast("long").alias("n_gt"),
+        F.coalesce(F.col("lt"), F.lit(0)).cast("long").alias("n_lt"),
+        F.coalesce(F.col("tie"), F.lit(0)).cast("long").alias("n_tie"),
+        F.when(
+            F.col("n_a") * F.col("n_b") > 0,
+            F.round(
+                (F.col("gt").cast("double") - F.col("lt").cast("double"))
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("cliffs_delta"),
+    )
+
+
+@register(
+    "agg_mood_median",
+    # Mood's median test (1950, public) — the LOCATION counterpart of
+    # `agg_brown_forsythe`'s spread test on the same 11-group frame: a
+    # k×2 chi-square on counts above/below the GRAND 2-scaled median
+    # (ties at the median excluded, the textbook convention).  The
+    # grand median is the lo+hi middle order statistic off the bounded
+    # global cell frame; per-group above/below counts are exact
+    # integers; chi2 rides as an e6-FLOORED integer sum of per-cell
+    # rationals ((o·T − n·M)²·1e6 div (T·n·M) — both engines floor
+    # identical nonnegative integers, the KW discipline), ONE double
+    # division at the surface, ROUND(4).
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS g,
+             CAST(ROUND(l_quantity, 0) AS BIGINT) AS x
+      FROM lineitem
+    ), cells AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1
+    ), cum AS (
+      SELECT x, SUM(cnt) OVER (ORDER BY x) AS cumc,
+             SUM(cnt) OVER () AS n
+      FROM cells
+    ), med AS (
+      SELECT MIN(CASE WHEN cumc >= (n + 1) // 2 THEN x END)
+             + MIN(CASE WHEN cumc >= (n + 2) // 2 THEN x END) AS med2
+      FROM cum
+    ), grp AS (
+      SELECT b.g,
+             CAST(SUM(CASE WHEN 2 * b.x > m.med2 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS a,
+             CAST(SUM(CASE WHEN 2 * b.x < m.med2 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS b
+      FROM base b CROSS JOIN med m
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(a) AS HUGEINT) AS ta,
+             CAST(SUM(b) AS HUGEINT) AS tb,
+             CAST(SUM(a) + SUM(b) AS HUGEINT) AS t,
+             CAST(SUM(CASE WHEN a + b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k_eff
+      FROM grp
+    ), chi AS (
+      SELECT SUM(CASE WHEN g.a + g.b > 0 THEN
+               (g.a * t.t - (g.a + g.b) * t.ta)
+               * (g.a * t.t - (g.a + g.b) * t.ta) * 1000000
+               // (t.t * (g.a + g.b) * t.ta)
+               + (g.b * t.t - (g.a + g.b) * t.tb)
+               * (g.b * t.t - (g.a + g.b) * t.tb) * 1000000
+               // (t.t * (g.a + g.b) * t.tb)
+             ELSE 0 END) AS chi_e6
+      FROM grp g CROSS JOIN tot t
+      WHERE t.ta > 0 AND t.tb > 0
+    )
+    SELECT g.g AS disc_pct, CAST(g.a AS BIGINT) AS n_above,
+           CAST(g.b AS BIGINT) AS n_below,
+           CAST(m.med2 AS BIGINT) AS grand_median_x2,
+           t.k_eff - 1 AS df,
+           CASE WHEN t.ta > 0 AND t.tb > 0
+                THEN ROUND(CAST(c.chi_e6 AS DOUBLE) / 1000000, 4)
+                ELSE NULL END AS chi2_stat
+    FROM grp g CROSS JOIN med m CROSS JOIN tot t
+    LEFT JOIN chi c ON TRUE
+    ORDER BY disc_pct
+    """,
+)
+def agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test — do the 11 discount levels share a quantity
+    LOCATION?  The k-sample sibling completing the group-comparison
+    triad on this frame: `agg_kruskal_wallis` compares mean ranks
+    (power against shifts), `agg_brown_forsythe` compares spreads,
+    this one compares medians with the bluntest, most outlier-proof
+    statistic available — a k×2 chi-square on counts above/below the
+    GRAND median, immune to anything monotone done to the values.
+    Ties AT the median are excluded (the textbook convention; the
+    integer 2-scaled median makes "at" exact, never a float epsilon).
+    The fixture draws quantity iid across discounts (chi2 at the
+    null); the planted pytest shifts one group's median and rejects;
+    identical group multisets pin every group's (above, below) split
+    equal and chi2 ≈ 0 within the e6 floor.
+
+    Exactness: the grand median is 2-SCALED (lo+hi middle order
+    statistics off the ≤50-row global cell frame); per-group
+    above/below counts are exact integers; each group's chi2
+    contribution is the e6-floored integer rational
+    (o·T − n·M)²·1e6 div (T·n·M) summed EXACTLY (HUGEINT/
+    DECIMAL(38,0) — both engines floor identical nonnegative
+    integers), one double division at the surface, ROUND(4); NULL
+    when either margin is empty; groups with every value AT the
+    median contribute nothing (k_eff adjusts df).
+
+    Scale notes: ONE corpus agg to the ≤50-cell global value frame
+    (unpartitioned cum window on that bounded frame — reviewed
+    SINGLE); the median broadcasts back to a second corpus agg
+    collapsing to 11 group rows; the chi2 reduce is 1-row.  Exactness
+    headroom: the squared deviation (o·T − n·M)²·1e6 tops out near
+    N⁴·1e6 ≈ 1.3e37 at sf10 — inside DECIMAL(38,0)/HUGEINT, with
+    overflow near sf20; the giant-corpus variant replaces the e6 floor
+    with an ORDERED prefix-sum of per-group doubles (≤11 terms, both
+    engines add left-to-right — deterministic), documented here rather
+    than built because the e6-exact path covers every fixture this
+    repo measures."""
+    l = load_table(spark, sf_dir, "lineitem")
+    base = l.select(
+        F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").alias("g"),
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("x"),
+    )
+    cells = base.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = (
+        Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    cum = cells.select(
+        "x",
+        F.sum("cnt").over(w_cum).alias("cumc"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    med = cum.agg(
+        (
+            F.min(F.when(F.col("cumc") >= F.expr("(n + 1) div 2"), F.col("x")))
+            + F.min(
+                F.when(F.col("cumc") >= F.expr("(n + 2) div 2"), F.col("x"))
+            )
+        ).alias("med2")
+    )
+    grp = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN 2 * x > med2 THEN 1 ELSE 0 END)"
+                " AS DECIMAL(38,0))"
+            ).alias("a"),
+            F.expr(
+                "CAST(SUM(CASE WHEN 2 * x < med2 THEN 1 ELSE 0 END)"
+                " AS DECIMAL(38,0))"
+            ).alias("b"),
+        )
+    )
+    from ..common import stage
+
+    grp = stage(grp)
+    tot = grp.agg(
+        F.expr("CAST(SUM(a) AS DECIMAL(38,0))").alias("ta"),
+        F.expr("CAST(SUM(b) AS DECIMAL(38,0))").alias("tb"),
+        F.expr("CAST(SUM(a) + SUM(b) AS DECIMAL(38,0))").alias("t"),
+        F.expr(
+            "CAST(SUM(CASE WHEN a + b > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("k_eff"),
+    )
+    chi = (
+        grp.crossJoin(F.broadcast(tot))
+        .where((F.col("ta") > 0) & (F.col("tb") > 0))
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN a + b > 0 THEN"
+                " (a * t - (a + b) * ta) * (a * t - (a + b) * ta)"
+                " * 1000000 div (t * (a + b) * ta)"
+                " + (b * t - (a + b) * tb) * (b * t - (a + b) * tb)"
+                " * 1000000 div (t * (a + b) * tb)"
+                " ELSE 0 END)"
+            ).alias("chi_e6")
+        )
+    )
+    return (
+        grp.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            F.col("g").alias("disc_pct"),
+            F.col("a").cast("long").alias("n_above"),
+            F.col("b").cast("long").alias("n_below"),
+            F.col("med2").cast("long").alias("grand_median_x2"),
+            (F.col("k_eff") - 1).alias("df"),
+            F.when(
+                (F.col("ta") > 0) & (F.col("tb") > 0),
+                F.round(F.col("chi_e6").cast("double") / 1000000, 4),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("chi2_stat"),
+        )
+        .orderBy("disc_pct")
+    )
+
+
+@register(
+    "agg_ansari_bradley",
+    # Ansari–Bradley scale test (1960, public) — the RANK-based spread
+    # test beside `agg_brown_forsythe`'s ANOVA-on-deviations: scores
+    # rank from BOTH ends inward (min of rank and its mirror), so a
+    # group with the wider spread collects the small end-scores.  The
+    # conditional (ties-respecting) permutation null is computed from
+    # the OBSERVED score multiset, so mid-rank ties cost no exactness:
+    # 2-scaled mid-rank m2 = 2·c_before + cnt + 1, 2-scaled score
+    # s2 = min(m2, 2(N+1) − m2); AB·2, Σs2, Σs2² are exact
+    # HUGEINT/DECIMAL(38,0) sums over the bounded value-cell frame;
+    # z is ONE shared double composition of exact integers, ROUND(4),
+    # NULL on zero score variance.
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN l_discount < 0.05 THEN 0 ELSE 1 END AS grp,
+             CAST(ROUND(l_quantity, 0) AS BIGINT) AS v
+      FROM lineitem
+    ), cells AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base GROUP BY 1
+    ), scored AS (
+      SELECT v, ca, cnt,
+             2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS m2,
+             SUM(cnt) OVER () AS n
+      FROM cells
+    ), s2c AS (
+      SELECT ca, cnt,
+             CASE WHEN m2 <= 2 * (n + 1) - m2 THEN m2
+                  ELSE 2 * (n + 1) - m2 END AS s2,
+             n
+      FROM scored
+    ), agg AS (
+      SELECT CAST(SUM(CAST(ca AS HUGEINT) * s2) AS HUGEINT) AS ab2,
+             CAST(SUM(CAST(cnt AS HUGEINT) * s2) AS HUGEINT) AS t1,
+             CAST(SUM(CAST(cnt AS HUGEINT) * s2 * s2) AS HUGEINT) AS t2,
+             CAST(SUM(ca) AS HUGEINT) AS n1,
+             CAST(MAX(n) AS HUGEINT) AS n
+      FROM s2c
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n - n1 AS BIGINT) AS n_b,
+           CAST(ab2 AS BIGINT) AS ab_sum_x2,
+           CASE WHEN n1 > 0 AND n1 < n AND n > 1
+                     AND n * t2 - t1 * t1 > 0
+                THEN ROUND(CAST(ab2 * n - n1 * t1 AS DOUBLE)
+                           / SQRT(CAST(n1 * (n - n1) AS DOUBLE)
+                                  * CAST(n * t2 - t1 * t1 AS DOUBLE)
+                                  / CAST(n - 1 AS DOUBLE)), 4)
+                ELSE NULL END AS z_stat
+    FROM agg
+    """,
+)
+def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari–Bradley test — do low-discount (< 5%) and high-discount
+    (≥ 5%) lines share a quantity SPREAD?  The rank-based scale test
+    completing the two-sample corner of the dispersion family:
+    `agg_brown_forsythe` compares k groups via an ANOVA on absolute
+    deviations (needs a location estimate); Ansari–Bradley needs NO
+    location at all — values rank from both ends inward, the group
+    with the wider spread collects the small end-scores, and the test
+    conditions on the observed (tied) score multiset.  The fixture
+    draws both groups iid (z at the null); the planted pytests pin a
+    two-ends-vs-middle construction to its hand-computed minimal AB
+    sum (exact integers) and reject, and identical group multisets
+    give z ≈ 0.
+
+    Exactness: 2-scaled mid-ranks m2 = 2·c_before + cnt + 1 and scores
+    s2 = min(m2, 2(N+1) − m2) are exact integers off the bounded
+    ≤50-row global value-cell frame; AB·2, Σs2 and Σs2² ride as
+    HUGEINT/DECIMAL(38,0) sums; the permutation-null moments
+    (mean n1·T1/N, variance n1·n2·(N·T2 − T1²)/(N²(N−1)) — sampling
+    without replacement from the observed scores) reduce to the ONE
+    shared double composition (AB2·N − n1·T1)/√(n1·n2·(N·T2 − T1²)/
+    (N−1)), ROUND(4); NULL on a degenerate margin or zero score
+    variance.  N·T2 ≈ N⁴: inside DECIMAL(38,0) through sf10, the
+    mood_median headroom note applies.
+
+    Scale notes: ONE corpus agg to the ≤50-cell value frame
+    (unpartitioned windows on that bounded frame — reviewed SINGLE);
+    everything after is a 1-row reduce."""
+    l = load_table(spark, sf_dir, "lineitem")
+    base = l.select(
+        F.when(F.col("l_discount") < 0.05, 0).otherwise(1).alias("grp"),
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("v"),
+    )
+    cells = base.groupBy("v").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("ca"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    scored = cells.select(
+        "ca",
+        "cnt",
+        (2 * (F.sum("cnt").over(w_cum) - F.col("cnt")) + F.col("cnt") + 1)
+        .alias("m2"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    s2c = scored.select(
+        "ca",
+        "cnt",
+        F.expr(
+            "CASE WHEN m2 <= 2 * (n + 1) - m2 THEN m2"
+            " ELSE 2 * (n + 1) - m2 END"
+        ).alias("s2"),
+        "n",
+    )
+    agg = s2c.agg(
+        F.expr("CAST(SUM(CAST(ca AS DECIMAL(38,0)) * s2) AS DECIMAL(38,0))")
+        .alias("ab2"),
+        F.expr("CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * s2) AS DECIMAL(38,0))")
+        .alias("t1"),
+        F.expr(
+            "CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * s2 * s2)"
+            " AS DECIMAL(38,0))"
+        ).alias("t2"),
+        F.expr("CAST(SUM(ca) AS DECIMAL(38,0))").alias("n1"),
+        F.expr("CAST(MAX(n) AS DECIMAL(38,0))").alias("n"),
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_a"),
+        (F.col("n") - F.col("n1")).cast("long").alias("n_b"),
+        F.col("ab2").cast("long").alias("ab_sum_x2"),
+        F.when(
+            (F.col("n1") > 0)
+            & (F.col("n1") < F.col("n"))
+            & (F.col("n") > 1)
+            & (F.expr("n * t2 - t1 * t1") > 0),
+            F.round(
+                F.expr("CAST(ab2 * n - n1 * t1 AS DOUBLE)")
+                / F.sqrt(
+                    F.expr("CAST(n1 * (n - n1) AS DOUBLE)")
+                    * F.expr("CAST(n * t2 - t1 * t1 AS DOUBLE)")
+                    / F.expr("CAST(n - 1 AS DOUBLE)")
+                ),
+                4,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("z_stat"),
+    )
+
+
+@register(
+    "agg_durbin_watson",
+    # Durbin–Watson first-order serial-correlation statistic (1950,
+    # public) on mean-centered daily volumes per event type — the
+    # LAG-1-focused companion of `agg_ljung_box`'s portmanteau (LB asks
+    # "any autocorrelation up to lag 8?", DW gives the classic 0..4
+    # positioning of lag 1: 2 = white, →0 positive, →4 alternating).
+    # Residuals ride N-SCALED (r = n·c − S, exact integers — the
+    # ljung_box discipline), so Σ(Δr)² and Σr² are exact
+    # HUGEINT/DECIMAL(38,0) sums and DW is ONE double division,
+    # ROUND(4), NULL on a constant series.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), dims AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s
+      FROM daily GROUP BY 1
+    ), resid AS (
+      SELECT x.event_type,
+             m.n * x.c - m.s AS r,
+             m.n * (x.c - LAG(x.c) OVER (PARTITION BY x.event_type
+                                         ORDER BY x.d)) AS dr
+      FROM daily x JOIN dims m ON x.event_type = m.event_type
+    ), sums AS (
+      SELECT event_type,
+             CAST(SUM(r * r) AS HUGEINT) AS den,
+             CAST(SUM(CASE WHEN dr IS NOT NULL THEN dr * dr ELSE 0 END)
+                  AS HUGEINT) AS num,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM resid GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           CASE WHEN den > 0
+                THEN ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4)
+                ELSE NULL END AS dw_stat
+    FROM sums ORDER BY event_type
+    """,
+)
+def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson statistic on each event type's mean-centered daily
+    volume series — the classic lag-1 serial-correlation dial
+    (DW ≈ 2(1 − ρ₁)): 2 means white noise, toward 0 means momentum
+    (yesterday's surplus predicts today's), toward 4 means alternation
+    (overshoot-correct).  Complements the family's existing series
+    diagnostics: `agg_ljung_box` tests lags 1-8 jointly,
+    `events_runs_test` looks only at delta signs; DW is the single
+    number regression practitioners quote for residual independence.
+    The fixture's iid daily volumes sit near 2; the planted pytests
+    pin the poles exactly — a ±h alternating series has
+    Δr = ∓2hn each step, giving the closed-form DW = 4·(m−1)/m on its
+    tie-free interior (hand-computed), and a two-level step series
+    drives DW toward 0.
+
+    Exactness: residuals ride N-SCALED (r_t = n·c_t − S — integers,
+    never a float mean; the ljung_box discipline), so the numerator
+    Σ(r_t − r_{t−1})² = n²·Σ(c_t − c_{t−1})² and denominator Σr_t²
+    are exact HUGEINT/DECIMAL(38,0) sums; DW is ONE double division,
+    ROUND(4); NULL for a constant series (den = 0).  Days are the
+    OBSERVED daily rollup ordered by date (no zero-fill spine — a
+    silent day is a gap, not a zero; documented difference from the
+    densified friedman grid).
+
+    Scale notes: ONE corpus agg to the (type, day) calendar rollup;
+    the LAG window is type-partitioned on that bounded frame; the
+    moment agg collapses to ≤|types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dims = daily.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(c) AS DECIMAL(38,0))").alias("s"),
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("d")
+    resid = daily.join(F.broadcast(dims), "event_type").select(
+        "event_type",
+        (F.col("n") * F.col("c") - F.col("s")).alias("r"),
+        (F.col("n") * (F.col("c") - F.lag("c").over(w_lag))).alias("dr"),
+    )
+    sums = resid.groupBy("event_type").agg(
+        F.expr("CAST(SUM(r * r) AS DECIMAL(38,0))").alias("den"),
+        F.expr(
+            "CAST(SUM(CASE WHEN dr IS NOT NULL THEN dr * dr ELSE 0 END)"
+            " AS DECIMAL(38,0))"
+        ).alias("num"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return sums.select(
+        "event_type",
+        "n_days",
+        F.when(
+            F.col("den") > 0,
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"), 4),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("dw_stat"),
+    ).orderBy("event_type")
+
+
+@register(
+    "agg_page_trend",
+    # Page's L trend test (1963, public) — the ORDERED-alternative
+    # member of the blocked-rank family: `agg_friedman_test` asks "do
+    # the k treatments differ at all across blocks?"; Page's L asks
+    # "do they INCREASE along a hypothesized order?" (here the
+    # alphabetical event-type order, the deterministic convention both
+    # engines share), exactly as `agg_jonckheere_terpstra` sharpens
+    # `agg_kruskal_wallis` for unblocked groups.  Reuses friedman's
+    # densified (type, day) grid and 2-SCALED mid-ranks; L·2 = Σ j·R2_j
+    # is an exact HUGEINT/DECIMAL(38,0) integer; z uses the no-ties
+    # Page moments (E[L] = n·k(k+1)²/4, Var[L] = n·k²(k+1)(k²−1)/144 —
+    # the textbook normal approximation; mid-rank ties make it
+    # conservative, documented), ONE shared double composition,
+    # ROUND(4).
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT t.event_type, dd.d, COALESCE(x.c, 0) AS c
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT DISTINCT d FROM daily) dd
+        LEFT JOIN daily x ON x.event_type = t.event_type AND x.d = dd.d
+    ), ranked AS (
+        SELECT event_type, c,
+               2 * RANK() OVER (PARTITION BY d ORDER BY c)
+                 + COUNT(*) OVER (PARTITION BY d, c) - 1 AS r2
+        FROM grid
+    ), tr AS (
+        SELECT event_type,
+               DENSE_RANK() OVER (ORDER BY event_type) AS j,
+               CAST(SUM(r2) AS BIGINT) AS rank_sum_x2
+        FROM ranked GROUP BY event_type
+    ), dims AS (
+        SELECT CAST(COUNT(DISTINCT event_type) AS HUGEINT) AS k,
+               CAST(COUNT(*) // COUNT(DISTINCT event_type) AS HUGEINT)
+                 AS n
+        FROM ranked
+    ), lsum AS (
+        SELECT CAST(SUM(CAST(j AS HUGEINT) * rank_sum_x2) AS HUGEINT)
+                 AS l2
+        FROM tr
+    )
+    SELECT t.event_type, CAST(t.j AS BIGINT) AS j_order,
+           t.rank_sum_x2,
+           CAST(s.l2 AS BIGINT) AS l_x2,
+           CAST(m.n AS BIGINT) AS n_blocks,
+           ROUND(CAST(2 * s.l2 - m.n * m.k * (m.k + 1) * (m.k + 1)
+                      AS DOUBLE)
+                 / (4.0 * SQRT(CAST(m.n * m.k * m.k * (m.k + 1)
+                                    * (m.k * m.k - 1) AS DOUBLE)
+                               / 144.0)), 4) AS z_stat
+    FROM tr t CROSS JOIN dims m CROSS JOIN lsum s
+    ORDER BY t.event_type
+    """,
+)
+def agg_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for an ordered trend across the event types,
+    blocked by day — the ordered-alternative sharpening of
+    `agg_friedman_test` (the same relationship
+    `agg_jonckheere_terpstra` bears to `agg_kruskal_wallis`, now on
+    the BLOCKED grid): if the k types are hypothesized to rank in a
+    fixed order (alphabetical here — a deterministic, engine-shared
+    convention standing in for any domain ordering), L = Σ j·R_j
+    concentrates the test's power on monotone separation that
+    Friedman's omnibus Q dilutes across all alternatives.  The
+    fixture's iid types sit at the null; the planted pytests pin the
+    poles exactly — a latin-rotation grid (every type every rank
+    equally often) gives z = 0 via identical rank sums, and a
+    perfectly ordered grid drives L·2 to its hand-computed maximum
+    n·k(k+1)(2k+1)/3.
+
+    Exactness: reuses friedman's densified grid and 2-scaled mid-rank
+    construction verbatim (missing cells are 0, blocks complete by
+    construction); L·2 = Σ j·R2_j is an exact HUGEINT/DECIMAL(38,0)
+    integer; z composes the no-ties Page moments
+    (E[L] = n·k(k+1)²/4, Var[L] = n·k²(k+1)(k²−1)/144) in ONE shared
+    double expression, ROUND(4) — mid-rank ties shrink the true
+    variance slightly, so the normal z is conservative under heavy
+    ties (documented; the law tests use tie-free grids where the
+    moments are exact).
+
+    Scale notes: identical to friedman — ONE corpus agg to the
+    (type, day) rollup, densify via the bounded grid cross, ranks
+    partitioned by day, k-row output (reviewed SINGLE on the bounded
+    frames)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from ..common import stage
+
+    daily = stage(daily)
+    types = daily.select("event_type").distinct()
+    days = daily.select("d").distinct()
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_rank = Window.partitionBy("d").orderBy("c")
+    w_tie = Window.partitionBy("d", "c")
+    ranked = grid.select(
+        "event_type",
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        ).alias("r2"),
+    )
+    w_j = Window.orderBy("event_type")
+    tr = (
+        ranked.groupBy("event_type")
+        .agg(F.sum("r2").cast("long").alias("rank_sum_x2"))
+        .select(
+            "event_type",
+            F.dense_rank().over(w_j).alias("j"),
+            "rank_sum_x2",
+        )
+    )
+    dims = ranked.agg(
+        F.expr(
+            "CAST(COUNT(DISTINCT event_type) AS DECIMAL(38,0))"
+        ).alias("k"),
+        F.expr(
+            "CAST(COUNT(*) div COUNT(DISTINCT event_type)"
+            " AS DECIMAL(38,0))"
+        ).alias("n"),
+    )
+    lsum = tr.agg(
+        F.expr(
+            "CAST(SUM(CAST(j AS DECIMAL(38,0)) * rank_sum_x2)"
+            " AS DECIMAL(38,0))"
+        ).alias("l2")
+    )
+    return (
+        tr.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(lsum))
+        .select(
+            "event_type",
+            F.col("j").cast("long").alias("j_order"),
+            "rank_sum_x2",
+            F.col("l2").cast("long").alias("l_x2"),
+            F.col("n").cast("long").alias("n_blocks"),
+            F.round(
+                F.expr(
+                    "CAST(2 * l2 - n * k * (k + 1) * (k + 1) AS DOUBLE)"
+                )
+                / (
+                    4.0
+                    * F.sqrt(
+                        F.expr(
+                            "CAST(n * k * k * (k + 1) * (k * k - 1)"
+                            " AS DOUBLE)"
+                        )
+                        / 144.0
+                    )
+                ),
+                4,
+            ).alias("z_stat"),
+        )
+        .orderBy("event_type")
     )

@@ -54,6 +54,18 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 #: registrations append here AND to DRIVER_PRIORITY just after the window
 #: boundary.
 DEFERRED_R13: tuple[str, ...] = (
+    # r12-registered oracle pairs, first batch (two-sample ordinal
+    # effect size + k-group median test — operators/statistics.py,
+    # §2.65).
+    "agg_cliffs_delta",
+    "agg_mood_median",
+    # r12-registered oracle pairs, second batch (rank-based scale test
+    # + lag-1 serial correlation — operators/statistics.py, §2.66).
+    "agg_ansari_bradley",
+    "agg_durbin_watson",
+    # r12-registered oracle pair, third batch (ordered blocked-rank
+    # trend — operators/statistics.py, §2.67).
+    "agg_page_trend",
     # r5-tier spillover (newest hard row r5; stalest-outside-window at
     # the r12 seal) — the r13 window head, in r5-tier listed order.
     "q14_promo_share",
@@ -152,6 +164,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- window boundary (50) ---
     # Oracle keys registered during r12, after this window seal, are
     # appended HERE (and to DEFERRED_R13) — the r13 queue head.
+    # r12-registered oracle pairs, first batch (§2.65).
+    "agg_cliffs_delta",
+    "agg_mood_median",
+    # r12-registered oracle pairs, second batch (§2.66).
+    "agg_ansari_bradley",
+    "agg_durbin_watson",
+    # r12-registered oracle pair, third batch (§2.67).
+    "agg_page_trend",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r13+
     # rotation queue reads straight down this list after any deferrals.
