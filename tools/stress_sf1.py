@@ -34,6 +34,14 @@ import urllib.request
 sys.path.insert(0, ".")
 
 STRESS_SET = [
+    # r12 additions: two bounded value-cell crosses (Cliff/AB), the
+    # broadcast-median corpus re-scan (Mood), and two calendar-rollup
+    # estimators (DW/Page) — cheap by design, swept once to prove it.
+    "agg_cliffs_delta",
+    "agg_mood_median",
+    "agg_ansari_bradley",
+    "agg_durbin_watson",
+    "agg_page_trend",
     # r11 additions: the triangle-explode node attribution (the batch's
     # one output-sized shape) and the three calendar-rollup estimators
     # (cheap by design — swept once to prove it).
