@@ -960,3 +960,130 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "eval_ece",
+    # Expected calibration error (Naeini et al. 2015, public) over the
+    # same 10 fixed forecast bins as `eval_brier_decomposition`: the
+    # bin-weighted |accuracy − confidence| gap, plus MCE (the max bin
+    # gap) — the two numbers a model card quotes where Murphy's
+    # decomposition explains WHY.  Exact: per-bin gap numerators are
+    # integers (|sum_o·1e6 − f_mid·n_k|), ECE spends ONE double
+    # division over the exact HUGEINT/DECIMAL(38,0) gap sum, ROUND(6);
+    # per-bin acc/gap ppm are integer divs (identical floor on both
+    # engines — nonnegative).
+    oracle="""
+    WITH scored AS (
+        SELECT LEAST(9, LEAST(1000000,
+                   GREATEST(0, (n_chars - 50) * 2000)) // 100000) AS bin,
+               CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0
+               END AS o
+        FROM documents
+    ), binned AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_k,
+               CAST(bin * 100000 + 50000 AS BIGINT) AS conf_ppm,
+               CAST(SUM(o) AS BIGINT) AS sum_o
+        FROM scored GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_k) AS HUGEINT) AS n,
+               CAST(SUM(ABS(CAST(sum_o AS HUGEINT) * 1000000
+                            - CAST(conf_ppm AS HUGEINT) * n_k))
+                    AS HUGEINT) AS gap_sum,
+               CAST(MAX(ABS(CAST(sum_o AS HUGEINT) * 1000000
+                            - CAST(conf_ppm AS HUGEINT) * n_k) // n_k)
+                    AS BIGINT) AS mce_ppm
+        FROM binned
+    )
+    SELECT b.bin, b.n_k, b.conf_ppm,
+           CAST(CAST(b.sum_o AS HUGEINT) * 1000000 // b.n_k AS BIGINT)
+               AS acc_ppm,
+           CAST(ABS(CAST(b.sum_o AS HUGEINT) * 1000000
+                    - CAST(b.conf_ppm AS HUGEINT) * b.n_k) // b.n_k
+                AS BIGINT) AS gap_ppm,
+           ROUND(CAST(t.gap_sum AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE) * 1e6), 6) AS ece,
+           t.mce_ppm
+    FROM binned b CROSS JOIN tot t
+    ORDER BY b.bin
+    """,
+)
+def eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected + maximum calibration error of the char-length
+    probability forecast against the stopword gate, over the SAME 10
+    fixed bins as `eval_brier_decomposition` — ECE is the bin-weighted
+    |accuracy − confidence| gap every model card quotes, MCE its
+    worst-bin companion; Murphy's reliability term (already measured)
+    is the squared-gap cousin, so the pair cross-checks: a bin driving
+    MCE must also dominate reliability.  The fixture's length forecast
+    is honestly miscalibrated (ECE ≈ 0.25 at sf0.01 — the affine map
+    is not a probability model), which makes the measurement
+    non-degenerate; the planted pytests pin both poles: a perfectly
+    calibrated construction (per-bin outcome rate == bin midpoint)
+    gives ECE == 0.0 and gap_ppm == 0 in every bin exactly, and an
+    anti-calibrated one (all outcomes in the lowest-confidence bin)
+    pins the hand-computed gap.
+
+    Exactness: per-bin gap numerators |sum_o·1e6 − f_mid·n_k| are
+    exact integers; ECE is ONE double division of the exact
+    HUGEINT/DECIMAL(38,0) gap sum by N·1e6, ROUND(6); per-bin acc/gap
+    ppm and MCE are nonnegative integer divs (identical floor on both
+    engines).
+
+    Scale notes: ONE corpus aggregate to the 10-row bin rollup; the
+    1-row total frame broadcast-crosses back onto it (the
+    brier_decomposition posture)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.least(
+            F.lit(9),
+            F.expr(
+                "LEAST(1000000, GREATEST(0, (n_chars - 50) * 2000))"
+                " div 100000"
+            ),
+        ).alias("bin"),
+        F.when(_stopword_gate(), 1).otherwise(0).alias("o"),
+    )
+    binned = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.expr("CAST(FIRST(bin) * 100000 + 50000 AS BIGINT)").alias(
+            "conf_ppm"
+        ),
+        F.sum("o").cast("long").alias("sum_o"),
+    )
+    tot = binned.agg(
+        F.expr("CAST(SUM(n_k) AS DECIMAL(38,0))").alias("n"),
+        F.expr(
+            "CAST(SUM(ABS(CAST(sum_o AS DECIMAL(38,0)) * 1000000"
+            " - CAST(conf_ppm AS DECIMAL(38,0)) * n_k)) AS DECIMAL(38,0))"
+        ).alias("gap_sum"),
+        F.expr(
+            "CAST(MAX(ABS(CAST(sum_o AS DECIMAL(38,0)) * 1000000"
+            " - CAST(conf_ppm AS DECIMAL(38,0)) * n_k) div n_k)"
+            " AS BIGINT)"
+        ).alias("mce_ppm"),
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_k",
+            "conf_ppm",
+            F.expr(
+                "CAST(CAST(sum_o AS DECIMAL(38,0)) * 1000000 div n_k"
+                " AS BIGINT)"
+            ).alias("acc_ppm"),
+            F.expr(
+                "CAST(ABS(CAST(sum_o AS DECIMAL(38,0)) * 1000000"
+                " - CAST(conf_ppm AS DECIMAL(38,0)) * n_k) div n_k"
+                " AS BIGINT)"
+            ).alias("gap_ppm"),
+            F.round(
+                F.col("gap_sum").cast("double")
+                / (F.col("n").cast("double") * F.lit(1e6)),
+                6,
+            ).alias("ece"),
+            "mce_ppm",
+        )
+        .orderBy("bin")
+    )

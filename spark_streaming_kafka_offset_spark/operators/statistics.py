@@ -6761,3 +6761,644 @@ def agg_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "orders_bullwhip_ratio",
+    # Bullwhip ratio (Lee et al. 1997 demand-amplification measure,
+    # public) per brand: CV²(weekly shipped quantity) over CV²(weekly
+    # ordered quantity) — >1 means the fulfilment side amplifies
+    # demand variability (batching), the fourth member of the
+    # inventory quartet (croston forecasts, newsvendor stocks, EOQ
+    # sizes; this one DIAGNOSES).  Weeks are epoch-day div 7 (engine-
+    # neutral; DATE_TRUNC week conventions differ) and BOTH series are
+    # ZERO-FILLED over the brand's combined [min, max] week span — a
+    # week with no shipments is a zero-demand week, not a missing row
+    # (without the spine a perfectly batched shipper's equal spikes
+    # read as ZERO variance — caught by the planted law test at dev
+    # time).  Both CV² terms are rationals of exact HUGEINT/
+    # DECIMAL(38,0) moments over the densified series; the ratio is
+    # ONE shared double composition, ROUND(4), NULL on degenerate
+    # variance.
+    oracle="""
+    WITH ship0 AS (
+      SELECT p.p_brand AS brand,
+             (CAST(l.l_shipdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+             CAST(SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+               AS q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), ord0 AS (
+      SELECT p.p_brand AS brand,
+             (CAST(o.o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+             CAST(SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+               AS q
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), spine AS (
+      SELECT brand, UNNEST(generate_series(lo, hi)) AS wk
+      FROM (SELECT brand, MIN(wk) AS lo, MAX(wk) AS hi
+            FROM (SELECT brand, wk FROM ship0
+                  UNION ALL SELECT brand, wk FROM ord0)
+            GROUP BY 1)
+    ), ship AS (
+      SELECT s.brand, s.wk, COALESCE(x.q, 0) AS q
+      FROM spine s LEFT JOIN ship0 x
+        ON s.brand = x.brand AND s.wk = x.wk
+    ), ord AS (
+      SELECT s.brand, s.wk, COALESCE(x.q, 0) AS q
+      FROM spine s LEFT JOIN ord0 x
+        ON s.brand = x.brand AND s.wk = x.wk
+    ), ms AS (
+      SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(q) AS HUGEINT) AS s,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS qq
+      FROM ship GROUP BY 1
+    ), mo AS (
+      SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(q) AS HUGEINT) AS s,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS qq
+      FROM ord GROUP BY 1
+    )
+    SELECT ms.brand,
+           CAST(ms.n AS BIGINT) AS n_weeks,
+           CAST(ms.s AS BIGINT) AS units,
+           CASE WHEN ms.s > 0 AND mo.s > 0 AND ms.n > 1
+                     AND mo.n * mo.qq - mo.s * mo.s > 0
+                THEN ROUND((CAST(ms.n * ms.qq - ms.s * ms.s AS DOUBLE)
+                            / (CAST(ms.s AS DOUBLE) * CAST(ms.s AS DOUBLE)
+                               * (CAST(ms.n AS DOUBLE) - 1)))
+                           / (CAST(mo.n * mo.qq - mo.s * mo.s AS DOUBLE)
+                              / (CAST(mo.s AS DOUBLE)
+                                 * CAST(mo.s AS DOUBLE)
+                                 * (CAST(mo.n AS DOUBLE) - 1))), 4)
+                ELSE NULL END AS bullwhip_ratio
+    FROM ms JOIN mo ON ms.brand = mo.brand
+    ORDER BY ms.brand
+    """,
+)
+def orders_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip ratio per brand — does the SHIPPING side amplify the
+    variability of the ORDERING side?  The classic supply-chain
+    demand-amplification diagnostic: CV²(weekly shipped units) /
+    CV²(weekly ordered units); > 1 means batching/forecast-chasing
+    inflates upstream variance (the bullwhip), ≈ 1 means the chain
+    passes demand through.  Completes the inventory quartet:
+    `orders_croston_demand` forecasts, `orders_newsvendor` and
+    `orders_safety_stock` stock against variability, `orders_eoq`
+    sizes batches — this one measures the variability amplification
+    those policies must absorb.  Both weekly series are ZERO-FILLED
+    over the brand's combined week span — a silent week is a
+    zero-demand week, the opposite convention from
+    `agg_durbin_watson`'s observed-days gaps, and here it is
+    load-bearing: a perfectly batched shipper emits equal spikes whose
+    observed-weeks-only variance is ZERO (the dev-time law test caught
+    exactly that), while the honest zero-filled series shows the
+    spike/quiet alternation the bullwhip measures.  The fixture ships
+    each line at a per-line lag from its order date, which SPREADS
+    order-week batches across ship weeks (ratio near 1, honest
+    measurement); the planted pytest batches all shipping into every
+    4th week and recovers a ratio ≫ 1, and an identical-series
+    construction pins the ratio at exactly 1.0.
+
+    Exactness: weekly quantity sums are exact integers at
+    (brand, epoch-day-div-7) grain (engine-neutral week boundary —
+    DATE_TRUNC('week') conventions differ between engines, the
+    orders_seasonality lesson); the spine is a bounded integer
+    sequence per brand; both n·Σq² − (Σq)² variance numerators and
+    the s² scale terms ride as HUGEINT/DECIMAL(38,0); the ratio is
+    ONE shared double composition, ROUND(4); NULL when either series
+    is degenerate (single week, zero mean, zero order-side variance).
+
+    Scale notes: two corpus-sized joins (line→part broadcast dim,
+    line→orders keyed) each collapsing to the (brand × week) rollup in
+    ONE partial+final agg; the zero-fill spine is a per-brand bounded
+    sequence explode on the brand-sized bounds frame (the resample
+    posture); the per-brand moment frames join on brand.  No windows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    qty = F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)")
+    ship0 = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr("datediff(l_shipdate, DATE '1970-01-01') div 7").alias(
+                "wk"
+            ),
+        )
+        .agg(F.sum(qty).alias("q"))
+    )
+    ord0 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "datediff(o_orderdate, DATE '1970-01-01') div 7"
+            ).alias("wk"),
+        )
+        .agg(F.sum(qty).alias("q"))
+    )
+    from ..common import stage
+
+    ship0 = stage(ship0)
+    ord0 = stage(ord0)
+    spine = (
+        ship0.select("brand", "wk")
+        .unionByName(ord0.select("brand", "wk"))
+        .groupBy("brand")
+        .agg(F.min("wk").alias("lo"), F.max("wk").alias("hi"))
+        .select(
+            "brand",
+            F.explode(F.sequence("lo", "hi")).alias("wk"),
+        )
+    )
+    ship = spine.join(ship0, ["brand", "wk"], "left").select(
+        "brand", "wk", F.coalesce("q", F.lit(0)).alias("q")
+    )
+    ordw = spine.join(ord0, ["brand", "wk"], "left").select(
+        "brand", "wk", F.coalesce("q", F.lit(0)).alias("q")
+    )
+
+    def moments(df):
+        return df.groupBy("brand").agg(
+            F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+            F.expr("CAST(SUM(q) AS DECIMAL(38,0))").alias("s"),
+            F.expr(
+                "CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0))"
+            ).alias("qq"),
+        )
+
+    ms = moments(ship).select(
+        "brand",
+        F.col("n").alias("n_s"),
+        F.col("s").alias("s_s"),
+        F.col("qq").alias("q_s"),
+    )
+    mo = moments(ordw).select(
+        "brand",
+        F.col("n").alias("n_o"),
+        F.col("s").alias("s_o"),
+        F.col("qq").alias("q_o"),
+    )
+    return (
+        ms.join(mo, "brand")
+        .select(
+            "brand",
+            F.col("n_s").cast("long").alias("n_weeks"),
+            F.col("s_s").cast("long").alias("units"),
+            F.when(
+                (F.col("s_s") > 0)
+                & (F.col("s_o") > 0)
+                & (F.col("n_s") > 1)
+                & (F.expr("n_o * q_o - s_o * s_o") > 0),
+                F.round(
+                    (
+                        F.expr("CAST(n_s * q_s - s_s * s_s AS DOUBLE)")
+                        / (
+                            F.expr("CAST(s_s AS DOUBLE)")
+                            * F.expr("CAST(s_s AS DOUBLE)")
+                            * (F.expr("CAST(n_s AS DOUBLE)") - 1)
+                        )
+                    )
+                    / (
+                        F.expr("CAST(n_o * q_o - s_o * s_o AS DOUBLE)")
+                        / (
+                            F.expr("CAST(s_o AS DOUBLE)")
+                            * F.expr("CAST(s_o AS DOUBLE)")
+                            * (F.expr("CAST(n_o AS DOUBLE)") - 1)
+                        )
+                    ),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("bullwhip_ratio"),
+        )
+        .orderBy("brand")
+    )
+
+
+
+@register(
+    "events_turning_points",
+    # Turning-point randomness test (Kendall, public) on each event
+    # type's daily volume series: T = strict local extrema among
+    # interior days; under iid, E[T] = 2(n−2)/3 and
+    # Var[T] = (16n − 29)/90 — the cheapest member of the series-
+    # randomness family (`events_runs_test` reads delta signs,
+    # `agg_durbin_watson` lag-1, `agg_ljung_box` lags 1-8; this one
+    # counts direction changes).  T and the z numerator 3T − 2(n−2)
+    # are exact integers; z is ONE shared double composition, ROUND(4),
+    # NULL below n = 3.  Plateau days (an equal neighbor) are not
+    # extrema — strict inequalities, documented.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, c,
+             LAG(c) OVER (PARTITION BY event_type ORDER BY d) AS cp,
+             LEAD(c) OVER (PARTITION BY event_type ORDER BY d) AS cn
+      FROM daily
+    ), agg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN cp IS NOT NULL AND cn IS NOT NULL
+                           AND ((c > cp AND c > cn)
+                                OR (c < cp AND c < cn))
+                      THEN 1 ELSE 0 END) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lagged GROUP BY 1
+    )
+    SELECT event_type, n AS n_days, t AS n_turning,
+           CASE WHEN n >= 3
+                THEN ROUND(CAST(3 * t - 2 * (n - 2) AS DOUBLE)
+                           / (3.0 * SQRT(CAST(16 * n - 29 AS DOUBLE)
+                                         / 90.0)), 4)
+                ELSE NULL END AS z_stat
+    FROM agg ORDER BY event_type
+    """,
+)
+def events_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point test per event type — is the daily volume series
+    random, or does it change direction too rarely (trend/momentum) or
+    too often (alternation/overcorrection)?  Counts strict interior
+    local extrema T; an iid series has E[T] = 2(n−2)/3, so the z score
+    positions the series on the trend↔alternation axis with zero
+    model assumptions — the cheapest randomness screen in the family
+    (`events_runs_test` dichotomizes deltas, `agg_durbin_watson`
+    measures lag-1 magnitude; this one only reads direction changes).
+    The planted pytests pin the poles exactly: a strictly monotone
+    series has T = 0 (z most negative, hand-computed), a perfect
+    alternation has T = n − 2 (every interior day an extremum, z
+    positive, hand-computed).  On the real fixture the screen EARNS
+    its keep: four types sit near the null but signup's sf0.001 daily
+    series shows genuine direction-persistence (T = 9 vs
+    E[T] = 18.7, z ≈ −4.3) — momentum the iid assumption misses,
+    which is exactly what the test is for.
+
+    Exactness: T and n are exact integers off the calendar rollup;
+    the z numerator 3T − 2(n−2) is an exact integer and z is ONE
+    shared double composition of it with the closed-form variance,
+    ROUND(4); NULL below n = 3 (no interior day).  Plateau days (an
+    equal neighbor) are NOT counted — strict extremum convention,
+    shared by both engines (midrank-free, so no tie scaling needed).
+
+    Scale notes: ONE corpus agg to the (type, day) rollup;
+    LAG/LEAD windows are type-partitioned on the calendar-bounded
+    frame ((type, day) unique by construction — window-audit-proven);
+    output is ≤|types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "c",
+        F.lag("c").over(w).alias("cp"),
+        F.lead("c").over(w).alias("cn"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN cp IS NOT NULL AND cn IS NOT NULL"
+            " AND ((c > cp AND c > cn) OR (c < cp AND c < cn))"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("t").alias("n_turning"),
+        F.when(
+            F.col("n") >= 3,
+            F.round(
+                F.expr("CAST(3 * t - 2 * (n - 2) AS DOUBLE)")
+                / (
+                    3.0
+                    * F.sqrt(
+                        F.expr("CAST(16 * n - 29 AS DOUBLE)") / 90.0
+                    )
+                ),
+                4,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("z_stat"),
+    ).orderBy("event_type")
+
+
+@register(
+    "agg_cohens_d",
+    # Cohen's d (1969, public) between low- and high-discount line
+    # quantities — the PARAMETRIC effect size beside
+    # `agg_cliffs_delta`'s ordinal one (same two groups, so the pair
+    # cross-checks sign and magnitude class): standardized mean
+    # difference over the pooled SD.  All four inner terms (mean-diff
+    # numerator s1·n2 − s2·n1, the two n·Σx² − (Σx)² variance
+    # numerators, and the scale products) are exact HUGEINT/
+    # DECIMAL(38,0); d is ONE shared double composition, ROUND(6),
+    # NULL on an empty group or zero pooled variance.
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN l_discount < 0.05 THEN 0 ELSE 1 END AS grp,
+             CAST(ROUND(l_quantity, 0) AS BIGINT) AS x
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS n1,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS n2,
+             CAST(SUM(CASE WHEN grp = 0 THEN x ELSE 0 END) AS HUGEINT)
+               AS s1,
+             CAST(SUM(CASE WHEN grp = 1 THEN x ELSE 0 END) AS HUGEINT)
+               AS s2,
+             CAST(SUM(CASE WHEN grp = 0 THEN CAST(x AS HUGEINT) * x
+                      ELSE 0 END) AS HUGEINT) AS q1,
+             CAST(SUM(CASE WHEN grp = 1 THEN CAST(x AS HUGEINT) * x
+                      ELSE 0 END) AS HUGEINT) AS q2
+      FROM base
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2
+                     AND (q1 * n1 - s1 * s1) * n2
+                         + (q2 * n2 - s2 * s2) * n1 > 0
+                THEN ROUND((CAST(s1 * n2 - s2 * n1 AS DOUBLE)
+                            / CAST(n1 * n2 AS DOUBLE))
+                           / SQRT(CAST((q1 * n1 - s1 * s1) * n2
+                                       + (q2 * n2 - s2 * s2) * n1
+                                       AS DOUBLE)
+                                  / CAST(n1 * n2 * (n1 + n2 - 2)
+                                         AS DOUBLE)), 6)
+                ELSE NULL END AS cohens_d
+    FROM m
+    """,
+)
+def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d between low-discount (< 5%) and high-discount (≥ 5%)
+    line quantities — the parametric standardized-mean-difference
+    effect size on the SAME two groups as `agg_cliffs_delta`, so the
+    pair cross-checks: both must agree in sign, and the classic
+    small/medium/large bands (|d| 0.2/0.5/0.8) should cohere with
+    |δ|'s 0.15/0.33/0.47 (Romano's mapping) on any planted effect.
+    The fixture's quantity ⊥ discount gives d ≈ 0 (honest null); the
+    planted pytests pin identical multisets at d = 0.0 exactly and a
+    +1-SD location shift at its hand-computed value.
+
+    Exactness: group moments (n, Σx, Σx²) are exact integers; the
+    mean-diff numerator s1·n2 − s2·n1 and pooled-SS numerator
+    (q1·n1 − s1²)·n2 + (q2·n2 − s2²)·n1 ride as HUGEINT/DECIMAL(38,0)
+    (q·n ≈ N²·x̄² crosses int64 near sf100); d is ONE shared double
+    composition, ROUND(6); NULL on an empty group, n ≤ 2, or zero
+    pooled variance.
+
+    Scale notes: ONE corpus agg to a single six-sum row (map-side
+    combined — the agg_welch_ttest scalar-exchange shape); everything
+    after is a 1-row projection."""
+    l = load_table(spark, sf_dir, "lineitem")
+    base = l.select(
+        F.when(F.col("l_discount") < 0.05, 0).otherwise(1).alias("grp"),
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("x"),
+    )
+    m = base.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)"
+            " AS DECIMAL(38,0))"
+        ).alias("n1"),
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)"
+            " AS DECIMAL(38,0))"
+        ).alias("n2"),
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 0 THEN x ELSE 0 END)"
+            " AS DECIMAL(38,0))"
+        ).alias("s1"),
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 1 THEN x ELSE 0 END)"
+            " AS DECIMAL(38,0))"
+        ).alias("s2"),
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 0 THEN CAST(x AS DECIMAL(38,0)) * x"
+            " ELSE 0 END) AS DECIMAL(38,0))"
+        ).alias("q1"),
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 1 THEN CAST(x AS DECIMAL(38,0)) * x"
+            " ELSE 0 END) AS DECIMAL(38,0))"
+        ).alias("q2"),
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.when(
+            (F.col("n1") > 0)
+            & (F.col("n2") > 0)
+            & (F.col("n1") + F.col("n2") > 2)
+            & (
+                F.expr(
+                    "(q1 * n1 - s1 * s1) * n2 + (q2 * n2 - s2 * s2) * n1"
+                )
+                > 0
+            ),
+            F.round(
+                (
+                    F.expr("CAST(s1 * n2 - s2 * n1 AS DOUBLE)")
+                    / F.expr("CAST(n1 * n2 AS DOUBLE)")
+                )
+                / F.sqrt(
+                    F.expr(
+                        "CAST((q1 * n1 - s1 * s1) * n2"
+                        " + (q2 * n2 - s2 * s2) * n1 AS DOUBLE)"
+                    )
+                    / F.expr(
+                        "CAST(n1 * n2 * (n1 + n2 - 2) AS DOUBLE)"
+                    )
+                ),
+                6,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("cohens_d"),
+    )
+
+
+@register(
+    "agg_quade_test",
+    # Quade test (1979, public) — the blocked-rank family's WEIGHTED
+    # member: `agg_friedman_test` gives every day-block equal vote;
+    # Quade weights each block by the rank of its RANGE (bigger-spread
+    # days carry more signal), which dominates Friedman's power at
+    # small k.  Everything integer: within-block mid-ranks r2
+    # (2-scaled, the friedman expr), block-range ranks Q2 (2-scaled
+    # mid-ranks over the day frame), S4_ij = Q2·(r2 − (k+1))
+    # (4-scaled products), so A·16 = ΣS4² and n·B·16 = Σ_j S4_j² are
+    # exact HUGEINT/DECIMAL(38,0) and F = (n−1)·ΣS4_j² /
+    # (n·ΣS4² − ΣS4_j²) is ONE double division of exact integers,
+    # ROUND(4); NULL at the all-agreement pole (A == B — the textbook
+    # convention treats it as a zero-denominator perfect
+    # discrimination).
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT t.event_type, dd.d, COALESCE(x.c, 0) AS c
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT DISTINCT d FROM daily) dd
+        LEFT JOIN daily x ON x.event_type = t.event_type AND x.d = dd.d
+    ), ranked AS (
+        SELECT event_type, d, c,
+               2 * RANK() OVER (PARTITION BY d ORDER BY c)
+                 + COUNT(*) OVER (PARTITION BY d, c) - 1 AS r2
+        FROM grid
+    ), spread AS (
+        SELECT d, MAX(c) - MIN(c) AS rng FROM grid GROUP BY d
+    ), bw AS (
+        SELECT d,
+               2 * RANK() OVER (ORDER BY rng)
+                 + COUNT(*) OVER (PARTITION BY rng) - 1 AS q2
+        FROM spread
+    ), dims AS (
+        SELECT CAST(COUNT(DISTINCT event_type) AS HUGEINT) AS k,
+               CAST(COUNT(DISTINCT d) AS HUGEINT) AS n
+        FROM ranked
+    ), s4 AS (
+        SELECT r.event_type,
+               CAST(b.q2 AS HUGEINT) * (r.r2 - (m.k + 1)) AS s4
+        FROM ranked r JOIN bw b ON r.d = b.d CROSS JOIN dims m
+    ), parts AS (
+        SELECT event_type,
+               CAST(SUM(s4) AS HUGEINT) AS s4_j,
+               CAST(SUM(s4 * s4) AS HUGEINT) AS a16_j
+        FROM s4 GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(a16_j) AS HUGEINT) AS a16,
+               CAST(SUM(s4_j * s4_j) AS HUGEINT) AS b16n
+        FROM parts
+    )
+    SELECT p.event_type,
+           CAST(p.s4_j AS BIGINT) AS s_weighted_x4,
+           CAST(m.k - 1 AS BIGINT) AS df1,
+           CAST((m.k - 1) * (m.n - 1) AS BIGINT) AS df2,
+           CASE WHEN m.n * t.a16 - t.b16n > 0
+                THEN ROUND(CAST((m.n - 1) * t.b16n AS DOUBLE)
+                           / CAST(m.n * t.a16 - t.b16n AS DOUBLE), 4)
+                ELSE NULL END AS f_stat
+    FROM parts p CROSS JOIN dims m CROSS JOIN tot t
+    ORDER BY p.event_type
+    """,
+)
+def agg_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test — the blocked-rank comparison with RANGE-weighted
+    blocks: `agg_friedman_test` treats a flat day (every type within a
+    few events) and a wildly split day as equally informative; Quade
+    ranks days by their within-day range and weights each day's
+    centered type-ranks by that rank, concentrating power in the
+    blocks that actually discriminate — the textbook recommendation
+    over Friedman for small k.  F = (n−1)·B/(A−B) with
+    S_ij = Q_i·(r_ij − (k+1)/2), F(k−1, (k−1)(n−1)) under the null.
+    The fixture's iid types sit at the null; the planted pytests pin
+    the rotation pole exactly (every S4_j = 0 because equal-range days
+    share one mid-rank weight and the rotation zeroes each type's
+    centered-rank sum → F = 0.0) and a consistent ordering rejects.
+
+    Exactness: within-block mid-ranks r2 and block-range mid-ranks Q2
+    are 2-scaled integers (the friedman construction, applied twice);
+    S4 = Q2·(r2 − (k+1)) is an exact 4-scaled integer; A·16 = ΣS4²
+    and n·B·16 = Σ_j(Σ_i S4)² ride as HUGEINT/DECIMAL(38,0) (S4 ≈
+    2n·2k per cell ⇒ ΣS4² ≈ n³k³·16 crosses int64 near n ≈ 3e4
+    blocks); the 16-scales cancel in F, which is ONE double division
+    of exact integers, ROUND(4); NULL at A == B (all-agreement).
+
+    Scale notes: the friedman posture plus one day-frame window —
+    ONE corpus agg to the (type, day) rollup, bounded grid densify,
+    day-partitioned rank window, calendar-sized range/weight frames,
+    k-row output (reviewed SINGLE on the bounded frames)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from ..common import stage
+
+    daily = stage(daily)
+    types = daily.select("event_type").distinct()
+    days = daily.select("d").distinct()
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    grid = stage(grid)
+    w_rank = Window.partitionBy("d").orderBy("c")
+    w_tie = Window.partitionBy("d", "c")
+    ranked = grid.select(
+        "event_type",
+        "d",
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        ).alias("r2"),
+    )
+    spread = grid.groupBy("d").agg((F.max("c") - F.min("c")).alias("rng"))
+    w_brank = Window.orderBy("rng")
+    w_btie = Window.partitionBy("rng")
+    bw = spread.select(
+        "d",
+        (
+            2 * F.rank().over(w_brank)
+            + F.count(F.lit(1)).over(w_btie)
+            - 1
+        ).alias("q2"),
+    )
+    dims = ranked.agg(
+        F.expr(
+            "CAST(COUNT(DISTINCT event_type) AS DECIMAL(38,0))"
+        ).alias("k"),
+        F.expr("CAST(COUNT(DISTINCT d) AS DECIMAL(38,0))").alias("n"),
+    )
+    s4 = (
+        ranked.join(F.broadcast(bw), "d")
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(q2 AS DECIMAL(38,0)) * (r2 - (k + 1))"
+            ).alias("s4"),
+        )
+    )
+    parts = s4.groupBy("event_type").agg(
+        F.expr("CAST(SUM(s4) AS DECIMAL(38,0))").alias("s4_j"),
+        F.expr("CAST(SUM(s4 * s4) AS DECIMAL(38,0))").alias("a16_j"),
+    )
+    tot = parts.agg(
+        F.expr("CAST(SUM(a16_j) AS DECIMAL(38,0))").alias("a16"),
+        F.expr("CAST(SUM(s4_j * s4_j) AS DECIMAL(38,0))").alias("b16n"),
+    )
+    return (
+        parts.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("s4_j").cast("long").alias("s_weighted_x4"),
+            (F.col("k") - 1).cast("long").alias("df1"),
+            F.expr("CAST((k - 1) * (n - 1) AS BIGINT)").alias("df2"),
+            F.when(
+                F.expr("n * a16 - b16n") > 0,
+                F.round(
+                    F.expr("CAST((n - 1) * b16n AS DOUBLE)")
+                    / F.expr("CAST(n * a16 - b16n AS DOUBLE)"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("f_stat"),
+        )
+        .orderBy("event_type")
+    )

@@ -77,6 +77,18 @@ BNL_ALLOWED: dict[str, str] = {
     "service-level dim onto the value-level rollup",
     "orders_eoq": "broadcast 3-row cost-ratio dim onto the "
     "<=|brands|-row annualized-demand frame",
+    "agg_cliffs_delta": "broadcast <=50x50 value-cell dominance cross "
+    "(the gamma_gk contingency posture) + 1-row GT/LT frame crossed "
+    "onto the 1-row sizes frame",
+    "agg_mood_median": "broadcast 1-row grand-median frame onto the "
+    "scan + 1-row totals/chi2 frames crossed onto the 11-row group "
+    "frame",
+    "agg_page_trend": "1-row dims/L2 scalar frames crossed onto the "
+    "k-row rank-sum frame (the friedman posture)",
+    "eval_ece": "broadcast 1-row (n, gap_sum, mce) frame crossed onto "
+    "the 10-row bin rollup (the brier_decomposition posture)",
+    "agg_quade_test": "1-row dims/A16/B16n scalar frames crossed onto "
+    "the k-row weighted-rank frame (the friedman posture)",
     "orders_croston_demand": "broadcast 150-row e12 weight literal dim "
     "against the per-part demand sequence (the holt_winters filter "
     "posture)",
@@ -414,6 +426,27 @@ SINGLE_ALLOWED: dict[str, str] = {
     "unioned into the report",
     "agg_trend_cochran_armitage": "per-bucket table assembly over the "
     "<=10-bucket rollup",
+    "agg_cliffs_delta": "1-row GT/LT/TIE reduce from the bounded "
+    "<=50x50 cell cross + 1-row group-sizes reduce (the gamma_gk "
+    "scalar shape)",
+    "agg_mood_median": "grand-median cum window over the <=50-row "
+    "global value-cell frame + 1-row totals/chi2 reduces from the "
+    "11-row group frame",
+    "agg_ansari_bradley": "mid-rank/total windows over the <=50-row "
+    "global value-cell frame + 1-row six-moment reduce",
+    "agg_durbin_watson": "final ordering of the <=|types|-row output "
+    "frame (LAG windows are type-partitioned)",
+    "agg_page_trend": "day-partitioned ranks collapse to the k-row "
+    "rank-sum frame; 1-row dims/L2 reduces (the friedman shape)",
+    "eval_ece": "1-row (n, gap_sum, mce) reduce from the 10-row bin "
+    "rollup (the brier_decomposition shape)",
+    "agg_cohens_d": "1-row six-sum global aggregate (map-side "
+    "combined; the agg_welch_ttest scalar-exchange shape)",
+    "agg_quade_test": "block-range weight window over the "
+    "calendar-day frame + 1-row dims/A/B reduces (the friedman "
+    "shape)",
+    "events_turning_points": "final ordering of the <=|types|-row "
+    "output frame (LAG/LEAD windows are type-partitioned)",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

@@ -66,6 +66,17 @@ DEFERRED_R13: tuple[str, ...] = (
     # r12-registered oracle pair, third batch (ordered blocked-rank
     # trend — operators/statistics.py, §2.67).
     "agg_page_trend",
+    # r12-registered oracle pairs, fourth batch (calibration error,
+    # bullwhip amplification — operators/ranking.py,
+    # operators/statistics.py, §2.68).
+    "eval_ece",
+    "orders_bullwhip_ratio",
+    # r12-registered oracle pairs, fifth batch (turning-point
+    # randomness, Cohen's d, Quade weighted blocked ranks —
+    # operators/statistics.py, §2.69).
+    "events_turning_points",
+    "agg_cohens_d",
+    "agg_quade_test",
     # r5-tier spillover (newest hard row r5; stalest-outside-window at
     # the r12 seal) — the r13 window head, in r5-tier listed order.
     "q14_promo_share",
@@ -172,6 +183,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_durbin_watson",
     # r12-registered oracle pair, third batch (§2.67).
     "agg_page_trend",
+    # r12-registered oracle pairs, fourth batch (§2.68).
+    "eval_ece",
+    "orders_bullwhip_ratio",
+    # r12-registered oracle pairs, fifth batch (§2.69).
+    "events_turning_points",
+    "agg_cohens_d",
+    "agg_quade_test",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r13+
     # rotation queue reads straight down this list after any deferrals.

@@ -179,8 +179,7 @@ def test_ansari_bradley_exact_zero_and_spread_rejection(spark, tmp_path):
     out = QUERIES["agg_ansari_bradley"](spark, str(tmp_path)).collect()[0]
     n = 4 * m
     # hand computation: value cells (1: m), (25: 2m), (50: m)
-    # mid2(1) = m+1; mid2(25) = 2m + 2m + 1 = 4m+1 -> wait: 2*c_before+cnt+1
-    # c_before(1)=0 -> mid2 = 0 + m + 1 = m+1; s2 = min(m+1, 2(n+1)-(m+1))
+    # mid2 = 2*c_before + cnt + 1; s2 = min(mid2, 2(n+1) - mid2)
     s2_1 = min(m + 1, 2 * (n + 1) - (m + 1))
     mid2_25 = 2 * m + 2 * m + 1
     s2_25 = min(mid2_25, 2 * (n + 1) - mid2_25)
@@ -250,3 +249,256 @@ def test_page_trend_rotation_zero_and_ordered_maximum(spark, tmp_path):
     by_j = sorted(out, key=lambda r: r.j_order)
     sums = [r.rank_sum_x2 for r in by_j]
     assert sums == sorted(sums)
+
+
+_DOCS_SCHEMA = pq.read_schema(f"{SF_DIR}/documents.parquet")
+
+
+def _write_docs(tmp_path, rows):
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_DOCS_SCHEMA),
+        str(tmp_path / "documents.parquet"),
+    )
+
+
+def test_ece_perfect_calibration_and_anti_pole(spark, tmp_path):
+    """A construction whose per-bin outcome rate equals the bin
+    midpoint exactly pins ECE == 0.0 and gap_ppm == 0 in EVERY bin
+    (2b+1 positives of 20 docs in bin b: (2b+1)/20 == (b+0.5)/10).
+    The anti-calibrated pole (bin 9, zero positives) pins gap_ppm ==
+    conf_ppm == 950000 and ECE == 0.95.  The fixture itself must be
+    honestly miscalibrated (ECE visibly > 0)."""
+    base = QUERIES["eval_ece"](spark, SF_DIR).collect()
+    assert base[0].ece > 0.05  # length is not a probability model
+
+    rows, did = [], 0
+    for b in range(10):
+        n_chars = 50 + 50 * b + 10  # lands strictly inside bin b
+        for i in range(20):
+            pos = i < 2 * b + 1
+            body = "a the " if pos else "axthex"
+            text = body + "x" * (n_chars - len(body))
+            rows.append(
+                {
+                    "doc_id": did,
+                    "text": text,
+                    "lang": "en",
+                    "source": "cal",
+                    "n_chars": n_chars,
+                }
+            )
+            did += 1
+    _write_docs(tmp_path, rows)
+    out = QUERIES["eval_ece"](spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    assert all(r.gap_ppm == 0 for r in out), out
+    assert out[0].ece == 0.0 and out[0].mce_ppm == 0
+
+    anti = [
+        {
+            "doc_id": i,
+            "text": "x" * 510,
+            "lang": "en",
+            "source": "cal",
+            "n_chars": 510,  # bin 9, conf 950000 ppm, outcome 0
+        }
+        for i in range(20)
+    ]
+    _write_docs(tmp_path, anti)
+    out = QUERIES["eval_ece"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert (out[0].conf_ppm, out[0].acc_ppm, out[0].gap_ppm) == (
+        950000,
+        0,
+        950000,
+    )
+    assert out[0].ece == 0.95 and out[0].mce_ppm == 950000
+
+
+_ORDERS_SCHEMA = None
+
+
+def _write_lineitem_orders_ship(tmp_path, lines):
+    """lines: (orderkey, partkey, qty, orderdate, shipdate) rows; writes
+    lineitem + orders + a 1-brand part dim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    li, seen_parts, orders = [], set(), {}
+    for i, (ok, pk, q, od, sd) in enumerate(lines):
+        li.append(
+            {
+                "l_orderkey": ok,
+                "l_partkey": pk,
+                "l_suppkey": 1,
+                "l_linenumber": i,
+                "l_quantity": float(q),
+                "l_extendedprice": 100.0,
+                "l_discount": 0.0,
+                "l_tax": 0.0,
+                "l_returnflag": "N",
+                "l_linestatus": "O",
+                "l_shipdate": sd,
+            }
+        )
+        seen_parts.add(pk)
+        orders[ok] = od
+    pq.write_table(
+        pa.Table.from_pylist(li, schema=_LINEITEM_SCHEMA),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    oschema = pq.read_schema(f"{SF_DIR}/orders.parquet")
+    ocols = {f.name for f in oschema}
+    orows = []
+    for ok, od in orders.items():
+        row = {
+            "o_orderkey": ok,
+            "o_custkey": 1,
+            "o_orderstatus": "O",
+            "o_totalprice": 100.0,
+            "o_orderdate": od,
+            "o_orderpriority": "1-URGENT",
+            "o_shippriority": 0,
+        }
+        orows.append({k: v for k, v in row.items() if k in ocols})
+    pq.write_table(
+        pa.Table.from_pylist(orows, schema=oschema),
+        str(tmp_path / "orders.parquet"),
+    )
+    pschema = pq.read_schema(f"{SF_DIR}/part.parquet")
+    pcols = {f.name for f in pschema}
+    prows = []
+    for pk in sorted(seen_parts):
+        row = {
+            "p_partkey": pk,
+            "p_name": f"part{pk}",
+            "p_brand": "Brand#1",
+            "p_type": "t",
+            "p_size": 1,
+            "p_retailprice": 10.0,
+            "p_mfgr": "m",
+            "p_container": "BOX",
+        }
+        prows.append({k: v for k, v in row.items() if k in pcols})
+    pq.write_table(
+        pa.Table.from_pylist(prows, schema=pschema),
+        str(tmp_path / "part.parquet"),
+    )
+
+
+def test_bullwhip_identity_and_batched_amplification(spark, tmp_path):
+    """Shipping the day it was ordered makes both weekly series
+    identical → ratio == 1.0 exactly.  Batching all shipping into
+    every 4th week amplifies CV² → ratio well above 1."""
+    base = _dt.datetime(2024, 1, 1)
+    # 8 weeks of orders, one line/day, qty varies 10..16 by weekday
+    lines = []
+    for day in range(56):
+        d = base + _dt.timedelta(days=day)
+        lines.append((day, day % 5, 10 + day % 7, d, d))
+    _write_lineitem_orders_ship(tmp_path, lines)
+    out = QUERIES["orders_bullwhip_ratio"](spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].bullwhip_ratio == 1.0
+
+    # same orders; shipping batched to the Monday of every 4th week
+    batched = []
+    for day in range(56):
+        d = base + _dt.timedelta(days=day)
+        ship = base + _dt.timedelta(days=(day // 28) * 28)
+        batched.append((day, day % 5, 10 + day % 7, d, ship))
+    _write_lineitem_orders_ship(tmp_path, batched)
+    out = QUERIES["orders_bullwhip_ratio"](spark, str(tmp_path)).collect()
+    # the zero-filled spine is what makes this measurable: two equal
+    # spikes over observed-weeks-only would read as ZERO variance
+    assert out[0].bullwhip_ratio > 1.5, out
+    assert out[0].n_weeks >= 8  # spine spans the full 8-week horizon
+
+
+def test_turning_points_poles_and_null(spark, tmp_path):
+    """Monotone series: T = 0, z at its hand-computed negative pole;
+    perfect alternation: T = n − 2 (every interior day an extremum);
+    the iid fixture sits near the null."""
+    import math
+
+    rows = QUERIES["events_turning_points"](spark, SF_DIR).collect()
+    # the fixture is NOT direction-neutral for every type: signup's
+    # sf0.001 daily series shows genuine momentum (z ≈ -4.3, T = 9 of
+    # E = 18.7) — an honest measurement, so only sanity-bound it
+    assert rows and all(-6 < r.z_stat < 3.5 for r in rows)
+
+    n = 18
+    _write_events(tmp_path, _mk_rows({"mono": [10 + d for d in range(n)]}))
+    out = QUERIES["events_turning_points"](spark, str(tmp_path)).collect()[0]
+    z = (3 * 0 - 2 * (n - 2)) / (3 * math.sqrt((16 * n - 29) / 90))
+    assert out.n_turning == 0 and out.z_stat == round(z, 4)
+
+    _write_events(
+        tmp_path,
+        _mk_rows({"alt": [10 if d % 2 == 0 else 20 for d in range(n)]}),
+    )
+    out = QUERIES["events_turning_points"](spark, str(tmp_path)).collect()[0]
+    z = (3 * (n - 2) - 2 * (n - 2)) / (3 * math.sqrt((16 * n - 29) / 90))
+    assert out.n_turning == n - 2 and out.z_stat == round(z, 4)
+
+
+def test_cohens_d_exact_zero_planted_shift_and_delta_coherence(
+    spark, tmp_path
+):
+    """Identical group multisets pin d == 0.0 exactly; a planted shift
+    matches the Python pooled-SD replica to the rounding grain and
+    agrees in sign with Cliff's delta on the same fixture."""
+    both = [(0, q) for q in (10, 20, 30)] * 4 + [
+        (9, q) for q in (10, 20, 30)
+    ] * 4
+    _write_lineitem_dq(tmp_path, both)
+    z0 = QUERIES["agg_cohens_d"](spark, str(tmp_path)).collect()[0]
+    assert z0.cohens_d == 0.0
+
+    a_vals = [10, 20] * 8
+    b_vals = [20, 30] * 8
+    _write_lineitem_dq(
+        tmp_path,
+        [(0, q) for q in a_vals] + [(9, q) for q in b_vals],
+    )
+    out = QUERIES["agg_cohens_d"](spark, str(tmp_path)).collect()[0]
+    n1, n2 = len(a_vals), len(b_vals)
+    m1 = sum(a_vals) / n1
+    m2 = sum(b_vals) / n2
+    ss1 = sum(x * x for x in a_vals) - n1 * m1 * m1
+    ss2 = sum(x * x for x in b_vals) - n2 * m2 * m2
+    import math
+
+    d = (m1 - m2) / math.sqrt((ss1 + ss2) / (n1 + n2 - 2))
+    assert abs(out.cohens_d - d) < 1e-4
+    delta = QUERIES["agg_cliffs_delta"](spark, str(tmp_path)).collect()[0]
+    assert (out.cohens_d < 0) == (delta.cliffs_delta < 0)
+
+
+def test_quade_rotation_zero_and_consistent_rejection(spark, tmp_path):
+    """Latin rotation on equal-range blocks: every type's weighted
+    centered-rank sum is 0 → F == 0.0 exactly.  A consistent ordering
+    across blocks rejects (F far above the F(4, 76) critical
+    value)."""
+    rows = QUERIES["agg_quade_test"](spark, SF_DIR).collect()
+    assert len(rows) == 5 and rows[0].df1 == 4
+    assert rows[0].f_stat is None or rows[0].f_stat < 4.0  # null fixture
+
+    k, n = 5, 20
+    types = [f"t{i}" for i in range(k)]
+    rot = {
+        t: [10 + ((i + d) % k) + 1 for d in range(n)]
+        for i, t in enumerate(types)
+    }
+    _write_events(tmp_path, _mk_rows(rot))
+    out = QUERIES["agg_quade_test"](spark, str(tmp_path)).collect()
+    assert all(r.s_weighted_x4 == 0 for r in out)
+    assert all(r.f_stat == 0.0 for r in out)
+
+    consistent = {
+        t: [10 * (i + 1) + d % 3 for d in range(n)]
+        for i, t in enumerate(types)
+    }
+    _write_events(tmp_path, _mk_rows(consistent))
+    out = QUERIES["agg_quade_test"](spark, str(tmp_path)).collect()
+    assert all(r.f_stat is None or r.f_stat > 6.0 for r in out)
+    assert out[0].df2 == (k - 1) * (n - 1)
