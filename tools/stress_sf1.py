@@ -42,6 +42,15 @@ STRESS_SET = [
     "agg_ansari_bradley",
     "agg_durbin_watson",
     "agg_page_trend",
+    # r12 additions, second batch: the 10-bin calibration rollup, the
+    # zero-filled two-series bullwhip (the batch's one two-join shape),
+    # the LAG/LEAD extrema screen, the six-sum scalar d, and the
+    # double-mid-rank Quade grid.
+    "eval_ece",
+    "orders_bullwhip_ratio",
+    "events_turning_points",
+    "agg_cohens_d",
+    "agg_quade_test",
     # r11 additions: the triangle-explode node attribution (the batch's
     # one output-sized shape) and the three calendar-rollup estimators
     # (cheap by design — swept once to prove it).
