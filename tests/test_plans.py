@@ -644,6 +644,26 @@ def test_window_total_order_sweep_is_clean(spark):
     assert not unexplained, unexplained
 
 
+def test_aggregate_determinism_sweep_is_clean(spark):
+    """Run the SAME aggregate-determinism sweep
+    `tools/audit_aggregates.py` ships (shared policy module, r12):
+    every SUM/AVG-over-DOUBLE accumulation (IEEE order-dependent —
+    the two engines never add in the same order) and every
+    collect_list/collect_set site (partition-arrival array order)
+    in any batch query's optimized plan must carry a reviewed reason
+    (bounded ROUND-absorbed frame, exactly-representable summands,
+    sorted-before-read collection).  A new op that accidentally
+    accumulates doubles at corpus grain fails HERE instead of
+    surfacing as a ulp-level hash flake at a bigger SF — the
+    aggregate-grain twin of the window total-order gate above."""
+    from spark_streaming_kafka_offset_spark.plans.agg_audit import (
+        audit_aggregates,
+    )
+
+    unexplained = audit_aggregates(spark, SF_DIR)
+    assert not unexplained, unexplained
+
+
 def test_geo_grid_join_is_hash_equi_join(spark):
     """The spatial join must run as a hash equi-join on the cell id —
     never a cartesian or nested loop over customer x supplier — and the
