@@ -1796,3 +1796,211 @@ def corpus_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "corpus_psi_drift",
+    # Population stability index (the credit-scoring drift measure,
+    # public) of the doc-length profile between the corpus's even- and
+    # odd-doc_id halves — the snapshot-drift check a training pipeline
+    # runs before appending a new crawl: PSI = Σ (p−q)·ln(p/q) over
+    # the 10 fixed eval_ece length bins, +1-smoothed so empty bins
+    # stay finite (textbook bands: <0.1 stable, >0.25 drifted).
+    # Counts exact integers; ln runs on the IDENTICAL smoothed-count
+    # ratio expression in both engines (the events_drift_jsd posture);
+    # ROUND(6)-terminal.
+    oracle="""
+    WITH binned AS (
+      SELECT LEAST(9, LEAST(1000000,
+                 GREATEST(0, (n_chars - 50) * 2000)) // 100000) AS bin,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_b
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c_a) + 10 AS BIGINT) AS n_a,
+             CAST(SUM(c_b) + 10 AS BIGINT) AS n_b
+      FROM binned
+    ), terms AS (
+      SELECT b.bin, b.c_a, b.c_b,
+             (CAST(b.c_a + 1 AS DOUBLE) / t.n_a
+              - CAST(b.c_b + 1 AS DOUBLE) / t.n_b)
+             * ln((CAST(b.c_a + 1 AS DOUBLE) * t.n_b)
+                  / (CAST(b.c_b + 1 AS DOUBLE) * t.n_a)) AS term
+      FROM binned b CROSS JOIN tot t
+    )
+    SELECT bin, c_a AS n_even_half, c_b AS n_odd_half,
+           ROUND(SUM(term) OVER (), 6) AS psi
+    FROM terms ORDER BY bin
+    """,
+)
+def corpus_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the document-length profile
+    between the corpus's even- and odd-doc_id halves — the
+    distribution-drift gate a training-data pipeline runs before
+    admitting a new snapshot (PSI < 0.1 stable, 0.1–0.25 watch,
+    > 0.25 drifted — the credit-scoring convention).  The
+    deterministic parity split makes the op self-contained on one
+    table while exercising the real machinery: fixed bins (the
+    eval_ece edges, so the two calibration/drift ops share one
+    binning), +1 Laplace smoothing so a bin empty on one side stays
+    finite, and the (p−q)·ln(p/q) accumulation.  The fixture's halves
+    draw from one distribution (PSI ≈ 0 — honest null); the planted
+    pytests pin identical halves at PSI == 0.0 exactly (every ln
+    ratio is ln 1 = 0 exactly — no float dust) and a planted
+    length shift in the odd half past the 0.25 drift band.
+
+    Exactness: bin counts are exact integers; each term's ln runs on
+    the IDENTICAL smoothed integer-count ratio expression in both
+    engines (the events_drift_jsd posture — one shared libm call per
+    bin, not a both-sides-different decomposition); the 10-term sum is
+    ROUND(6)-absorbed (BOUNDED class in the aggregate-determinism
+    audit).
+
+    Scale notes: ONE corpus aggregate to the 10-row bin rollup; the
+    1-row smoothed-total frame broadcast-crosses back; the PSI sum is
+    an unpartitioned window over the 10-row frame (reviewed
+    SINGLE)."""
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.groupBy(
+        F.least(
+            F.lit(9),
+            F.expr(
+                "LEAST(1000000, GREATEST(0, (n_chars - 50) * 2000))"
+                " div 100000"
+            ),
+        ).alias("bin")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("c_a"),
+        F.expr(
+            "CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("c_b"),
+    )
+    tot = binned.agg(
+        F.expr("CAST(SUM(c_a) + 10 AS BIGINT)").alias("n_a"),
+        F.expr("CAST(SUM(c_b) + 10 AS BIGINT)").alias("n_b"),
+    )
+    terms = binned.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "c_a",
+        "c_b",
+        (
+            (
+                F.expr("CAST(c_a + 1 AS DOUBLE)") / F.col("n_a")
+                - F.expr("CAST(c_b + 1 AS DOUBLE)") / F.col("n_b")
+            )
+            * F.log(
+                F.expr("CAST(c_a + 1 AS DOUBLE) * n_b")
+                / F.expr("CAST(c_b + 1 AS DOUBLE) * n_a")
+            )
+        ).alias("term"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        terms.select(
+            "bin",
+            F.col("c_a").alias("n_even_half"),
+            F.col("c_b").alias("n_odd_half"),
+            F.round(F.sum("term").over(w_all), 6).alias("psi"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "text_template_prefixes",
+    # Boilerplate-template detector: per source, the top-5 32-char
+    # document prefixes shared by ≥ 2 docs, with counts and corpus
+    # share — the cheap screen that finds scraped-template families
+    # BEFORE the shingle dedup pays for them (a prefix family is the
+    # classic crawler artifact: cookie banners, license headers,
+    # forum scaffolding).  Counts exact; share is an integer ppm div;
+    # the rank window carries (count DESC, prefix ASC) — a TOTAL
+    # order, window-audit-proven.
+    oracle="""
+    WITH pref AS (
+      SELECT source, substr(text, 1, 32) AS prefix,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents
+      WHERE length(text) >= 32
+      GROUP BY 1, 2
+    ), src AS (
+      SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_src
+      FROM pref GROUP BY 1
+    ), ranked AS (
+      SELECT p.source, p.prefix, p.n_docs,
+             CAST(p.n_docs * 1000000 // s.n_src AS BIGINT) AS share_ppm,
+             ROW_NUMBER() OVER (PARTITION BY p.source
+                                ORDER BY p.n_docs DESC, p.prefix)
+               AS rk
+      FROM pref p JOIN src s ON p.source = s.source
+      WHERE p.n_docs >= 2
+    )
+    SELECT source, prefix, n_docs, share_ppm
+    FROM ranked WHERE rk <= 5
+    ORDER BY source, n_docs DESC, prefix
+    """,
+)
+def text_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-prefix families per source: the top-5 32-char document
+    prefixes shared by at least 2 docs, with exact counts and ppm
+    corpus share — the cheapest boilerplate screen in the dedup
+    family: `dedup_containment` finds wrapped COPIES, this finds the
+    WRAPPER (cookie banners, license headers, forum scaffolding) with
+    one aggregate, no shingles, no pair join.  A pipeline runs it
+    first and feeds the hits to targeted stripping, shrinking what
+    the expensive set-similarity passes must chew.  The fixture's
+    synthetic vocabulary yields few genuine 32-char collisions
+    (honest near-empty output at small SF); the planted pytests wrap
+    doc families in shared banners and recover exact counts, shares,
+    deterministic (count DESC, prefix ASC) ranking, and the <2-doc
+    exclusion.
+
+    Exactness: prefix counts are exact integers off ONE (source,
+    prefix) aggregate; share_ppm is a nonnegative integer div
+    (identical floor); the top-5 window's ordering appends the prefix
+    to the count — a TOTAL order on the aggregate's own grain
+    (window-audit-proven), so ranking never depends on tie arrival.
+
+    Scale notes: the (source, prefix) aggregate collapses map-side
+    (boilerplate prefixes are exactly the hot keys that combine
+    well); the rank window runs on the collision-family frame
+    (n_docs ≥ 2), not the corpus; output ≤ 5 rows per source."""
+    d = load_table(spark, sf_dir, "documents")
+    pref = (
+        d.where(F.length("text") >= 32)
+        .groupBy(
+            "source", F.expr("substr(text, 1, 32)").alias("prefix")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    from ..common import stage
+
+    pref = stage(pref)
+    src = pref.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_src")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), F.col("prefix")
+    )
+    return (
+        pref.join(F.broadcast(src), "source")
+        .where(F.col("n_docs") >= 2)
+        .select(
+            "source",
+            "prefix",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 div n_src AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 5)
+        .drop("rk")
+        .orderBy("source", F.col("n_docs").desc(), "prefix")
+    )

@@ -662,3 +662,93 @@ def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n_members", "mean_sil_e6", "overall_sil_e6")
         .orderBy("label")
     )
+
+
+@register(
+    "embed_dim_variance",
+    # Per-dimension moment profile of the embedding matrix — the
+    # whitening/anisotropy diagnostic an embedding pipeline runs
+    # before trusting cosine geometry (a dimension with outsized
+    # variance dominates every distance; a dead dimension wastes
+    # capacity — the "anisotropy problem" of contextual embeddings).
+    # Values are e6-FLOORED to integers at the scan (floor(x·1e6) —
+    # double·exact-power product + floor is bit-identical on both
+    # engines), so Σv and Σv² are exact HUGEINT/DECIMAL(38,0) and the
+    # variance (n·Σv² − (Σv)²)/n² is ONE double division, ROUND(6),
+    # in raw embedding units (the e12 scales cancel).
+    oracle="""
+    WITH flat AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v_e6
+      FROM embeddings
+    ), m AS (
+      SELECT dim, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(v_e6) AS HUGEINT) AS s,
+             CAST(SUM(CAST(v_e6 AS HUGEINT) * v_e6) AS HUGEINT) AS q
+      FROM flat GROUP BY 1
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n_vecs,
+           CAST(s AS BIGINT) AS sum_v_e6,
+           ROUND(CAST(n * q - s * s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 6)
+               AS variance
+    FROM m ORDER BY dim
+    """,
+)
+def embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance profile of the embedding matrix — is the
+    space isotropic?  The pre-flight diagnostic behind whitening and
+    matryoshka truncation decisions: a dimension with outsized
+    variance dominates every cosine; a near-zero one is dead capacity
+    (`embed_matryoshka_eval` measures the truncation CONSEQUENCE;
+    this measures the per-dimension CAUSE).  The fixture's vectors
+    are near-isotropic (honest flat profile); the planted pytests pin
+    a constant dimension at variance == 0.0 exactly and a ±1
+    alternating dimension at exactly 1.0 (v_e6 = ±1e6, zero mean —
+    the e12 scales cancel to an exact integer ratio).
+
+    Exactness: each component is e6-floored AT THE SCAN
+    (floor(CAST(x AS DOUBLE)·1e6) — the double product with an
+    exactly-representable power is IEEE-identical on both engines, so
+    the integers agree bit-for-bit); Σv and Σv² ride as
+    HUGEINT/DECIMAL(38,0) (v_e6² ≈ 1e12 × corpus crosses int64 near
+    1e6 vectors); variance is ONE double division of exact integers,
+    ROUND(6).  Dimensions are 1-based on both engines (DuckDB
+    generate_subscripts convention; Spark posexplode pos + 1).
+
+    Scale notes: posexplode fans the scan to corpus×dim narrow rows
+    that COLLAPSE in the map-side partial aggregate to |dims| groups
+    — the exchange carries |dims| rows per task, never the fanout;
+    output is |dims| (64) rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+        ).alias("v_e6"),
+    )
+    m = flat.groupBy("dim").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(v_e6) AS DECIMAL(38,0))").alias("s"),
+        F.expr(
+            "CAST(SUM(CAST(v_e6 AS DECIMAL(38,0)) * v_e6)"
+            " AS DECIMAL(38,0))"
+        ).alias("q"),
+    )
+    return m.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("n").cast("long").alias("n_vecs"),
+        F.col("s").cast("long").alias("sum_v_e6"),
+        F.round(
+            F.expr("CAST(n * q - s * s AS DOUBLE)")
+            / (
+                F.col("n").cast("double")
+                * F.col("n").cast("double")
+                * F.lit(1e12)
+            ),
+            6,
+        ).alias("variance"),
+    ).orderBy("dim")

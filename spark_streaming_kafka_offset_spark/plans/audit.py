@@ -89,6 +89,8 @@ BNL_ALLOWED: dict[str, str] = {
     "the 10-row bin rollup (the brier_decomposition posture)",
     "agg_quade_test": "1-row dims/A16/B16n scalar frames crossed onto "
     "the k-row weighted-rank frame (the friedman posture)",
+    "corpus_psi_drift": "broadcast 1-row smoothed-total frame crossed "
+    "onto the 10-row bin rollup (the eval_ece posture)",
     "orders_croston_demand": "broadcast 150-row e12 weight literal dim "
     "against the per-part demand sequence (the holt_winters filter "
     "posture)",
@@ -447,6 +449,8 @@ SINGLE_ALLOWED: dict[str, str] = {
     "shape)",
     "events_turning_points": "final ordering of the <=|types|-row "
     "output frame (LAG/LEAD windows are type-partitioned)",
+    "corpus_psi_drift": "1-row smoothed-total reduce + bounded PSI "
+    "window over the 10-row bin rollup (the eval_ece shape)",
 }
 
 #: key → reason a CartesianProduct is the operator's very semantics.

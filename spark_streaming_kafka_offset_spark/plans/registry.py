@@ -77,6 +77,12 @@ DEFERRED_R13: tuple[str, ...] = (
     "events_turning_points",
     "agg_cohens_d",
     "agg_quade_test",
+    # r12-registered oracle pairs, sixth batch (snapshot drift,
+    # boilerplate prefixes, embedding anisotropy —
+    # functions/curation.py, functions/vectors.py, §2.70).
+    "corpus_psi_drift",
+    "text_template_prefixes",
+    "embed_dim_variance",
     # r5-tier spillover (newest hard row r5; stalest-outside-window at
     # the r12 seal) — the r13 window head, in r5-tier listed order.
     "q14_promo_share",
@@ -190,6 +196,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_turning_points",
     "agg_cohens_d",
     "agg_quade_test",
+    # r12-registered oracle pairs, sixth batch (§2.70).
+    "corpus_psi_drift",
+    "text_template_prefixes",
+    "embed_dim_variance",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r13+
     # rotation queue reads straight down this list after any deferrals.

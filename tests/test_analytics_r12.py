@@ -502,3 +502,128 @@ def test_quade_rotation_zero_and_consistent_rejection(spark, tmp_path):
     out = QUERIES["agg_quade_test"](spark, str(tmp_path)).collect()
     assert all(r.f_stat is None or r.f_stat > 6.0 for r in out)
     assert out[0].df2 == (k - 1) * (n - 1)
+
+
+def test_psi_identical_halves_zero_and_planted_drift(spark, tmp_path):
+    """Mirrored halves (every even doc has an odd twin with the same
+    length) pin PSI == 0.0 exactly — every smoothed ratio is ln 1.
+    A planted length shift in the odd half lands past the 0.25
+    textbook drift band."""
+    base = QUERIES["corpus_psi_drift"](spark, SF_DIR).collect()
+    assert len(base) == 10 or len(base) > 0
+    assert abs(base[0].psi) < 0.1  # one distribution, honest null
+
+    rows = []
+    for i in range(60):
+        n_chars = 60 + (i % 6) * 80
+        text = "w" * n_chars
+        for par in (0, 1):  # identical even/odd twins
+            rows.append(
+                {
+                    "doc_id": 2 * i + par,
+                    "text": text,
+                    "lang": "en",
+                    "source": "s",
+                    "n_chars": n_chars,
+                }
+            )
+    _write_docs(tmp_path, rows)
+    out = QUERIES["corpus_psi_drift"](spark, str(tmp_path)).collect()
+    assert all(r.n_even_half == r.n_odd_half for r in out)
+    assert out[0].psi == 0.0
+
+    drifted = []
+    for i in range(60):
+        even_chars, odd_chars = 80, 480  # short vs long halves
+        drifted.append(
+            {
+                "doc_id": 2 * i,
+                "text": "w" * even_chars,
+                "lang": "en",
+                "source": "s",
+                "n_chars": even_chars,
+            }
+        )
+        drifted.append(
+            {
+                "doc_id": 2 * i + 1,
+                "text": "w" * odd_chars,
+                "lang": "en",
+                "source": "s",
+                "n_chars": odd_chars,
+            }
+        )
+    _write_docs(tmp_path, drifted)
+    out = QUERIES["corpus_psi_drift"](spark, str(tmp_path)).collect()
+    assert out[0].psi > 0.25, out[0].psi
+
+
+def test_template_prefixes_planted_banners(spark, tmp_path):
+    """Planted banner families recover exact counts, ppm shares, the
+    deterministic (count DESC, prefix ASC) ranking, the <2-doc
+    exclusion, and the top-5 cut."""
+    banner_a = "COOKIE-BANNER-" + "A" * 18  # 32 chars
+    banner_b = "COOKIE-BANNER-" + "B" * 18
+    rows, did = [], 0
+
+    def doc(text, source="s1"):
+        nonlocal did
+        rows.append(
+            {
+                "doc_id": did,
+                "text": text,
+                "lang": "en",
+                "source": source,
+                "n_chars": len(text),
+            }
+        )
+        did += 1
+
+    for i in range(6):
+        doc(banner_a + f" body {i}")
+    for i in range(3):
+        doc(banner_b + f" body {i}")
+    doc("unique doc with its own very specific opening line here")
+    # a second source with 7 two-doc families -> top-5 cut applies
+    for fam in range(7):
+        pref = f"TEMPLATE-{fam:02d}-" + "x" * 20
+        for i in range(2):
+            doc(pref + f" tail {i}", source="s2")
+    _write_docs(tmp_path, rows)
+    out = QUERIES["text_template_prefixes"](spark, str(tmp_path)).collect()
+    s1 = [r for r in out if r.source == "s1"]
+    assert [(r.prefix[:14], r.n_docs) for r in s1] == [
+        ("COOKIE-BANNER-", 6),
+        ("COOKIE-BANNER-", 3),
+    ]
+    assert s1[0].share_ppm == 600000 and s1[1].share_ppm == 300000
+    s2 = [r for r in out if r.source == "s2"]
+    assert len(s2) == 5  # top-5 cut of the 7 families
+    assert [r.prefix[:12] for r in s2] == [
+        f"TEMPLATE-{f:02d}-" for f in range(5)
+    ]  # count ties broken by prefix ASC
+
+
+def test_embed_dim_variance_exact_poles(spark, tmp_path):
+    """A constant dimension pins variance == 0.0 exactly; a ±1
+    alternating dimension pins exactly 1.0 (e6 scales cancel)."""
+    base = QUERIES["embed_dim_variance"](spark, SF_DIR).collect()
+    assert len(base) == 64 and all(r.variance >= 0 for r in base)
+
+    eschema = pq.read_schema(f"{SF_DIR}/embeddings.parquet")
+    rows = []
+    for i in range(40):
+        vec = [0.5, 1.0 if i % 2 == 0 else -1.0, 0.25 * (i % 4)]
+        rows.append({"vec_id": i, "embedding": vec, "label": 0})
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=eschema),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = {
+        r.dim: r
+        for r in QUERIES["embed_dim_variance"](spark, str(tmp_path)).collect()
+    }
+    assert out[1].variance == 0.0  # constant dim
+    assert out[1].sum_v_e6 == 40 * 500000
+    assert out[2].variance == 1.0  # ±1 alternation, zero mean
+    assert out[2].sum_v_e6 == 0

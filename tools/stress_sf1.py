@@ -51,6 +51,12 @@ STRESS_SET = [
     "events_turning_points",
     "agg_cohens_d",
     "agg_quade_test",
+    # r12 additions, third batch: the 10-bin drift rollup, the
+    # (source, prefix) boilerplate screen, and the posexplode-collapse
+    # anisotropy profile.
+    "corpus_psi_drift",
+    "text_template_prefixes",
+    "embed_dim_variance",
     # r11 additions: the triangle-explode node attribution (the batch's
     # one output-sized shape) and the three calendar-rollup estimators
     # (cheap by design — swept once to prove it).
