@@ -1022,7 +1022,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1 ORDER BY decile
     """,
 )
-def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str, scale_stripes: int = 0
+) -> DataFrame:
     """Local clustering coefficient distribution of the part
     co-purchase graph — per node, what fraction of my neighbors'
     possible pairs actually co-occur? (Watts–Strogatz; the 'are my
@@ -1045,7 +1047,22 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_triangle_count; per-edge intersections EXPLODE to one row
     per triangle (work is output-sized — the only way to attribute
     triangles to all three corners), then one unpivot + node agg; the
-    decile rollup is 10 rows."""
+    decile rollup is 10 rows.
+
+    ``scale_stripes=K`` (r12, the bounded-local-disk path): the
+    intersection join ships BOTH endpoint adjacency arrays on every
+    oriented edge — Σ_edges (out_d(s) + out_d(t)) entries, the classic
+    m^1.5-class volume that measured >60 GB of shuffle spill at sf10
+    and exceeded this host's /tmp (BASELINE.md r12).  With K stripes
+    the edge list is processed in K sequential passes on
+    ``pmod(s, K)``, each shipping 1/K of the array volume (peak disk
+    divides by K; total work unchanged), and the per-stripe PARTIAL
+    per-node triangle counts (≤|nodes| rows each) are unioned and
+    re-aggregated — sums of disjoint-edge attributions, so the result
+    is IDENTICAL by construction and pinned by an equality pytest.
+    On a 1000-executor cluster the unstriped path is the right one
+    (the same volume is ~MBs per executor); striping is the
+    small-local-disk escape hatch, same answer."""
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = l.alias("a")
     b = l.alias("b")
@@ -1085,29 +1102,64 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = oriented.groupBy("s").agg(
         F.array_sort(F.collect_list("t")).alias("nbrs")
     )
+    adj = stage(adj)
     adj_s = adj.select(F.col("s"), F.col("nbrs").alias("nbrs_s"))
     adj_t = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t"))
-    tri_nodes = (
-        oriented.join(adj_s, "s")
-        .join(adj_t, "t", "left")
-        .select(
-            "s",
-            "t",
-            F.explode(
-                F.array_intersect(
-                    "nbrs_s",
-                    F.coalesce("nbrs_t", F.array().cast("array<bigint>")),
-                )
-            ).alias("w"),
+
+    def _tri_counts(edge_frame):
+        tri_nodes = (
+            edge_frame.join(adj_s, "s")
+            .join(adj_t, "t", "left")
+            .select(
+                "s",
+                "t",
+                F.explode(
+                    F.array_intersect(
+                        "nbrs_s",
+                        F.coalesce(
+                            "nbrs_t", F.array().cast("array<bigint>")
+                        ),
+                    )
+                ).alias("w"),
+            )
         )
-    )
-    per_node = (
-        tri_nodes.select(F.col("s").alias("node"))
-        .unionAll(tri_nodes.select(F.col("t").alias("node")))
-        .unionAll(tri_nodes.select(F.col("w").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("tri"))
-    )
+        return (
+            tri_nodes.select(F.col("s").alias("node"))
+            .unionAll(tri_nodes.select(F.col("t").alias("node")))
+            .unionAll(tri_nodes.select(F.col("w").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("tri"))
+        )
+
+    if scale_stripes > 1:
+        # sequential stripes on pmod(s, K): each pass ships 1/K of the
+        # adjacency-array join volume (peak local disk divides by K);
+        # the staged per-stripe partial counts are disjoint-edge
+        # attributions, so summing them reproduces the one-pass answer
+        # exactly.
+        partials = []
+        for k in range(scale_stripes):
+            partials.append(
+                stage(
+                    _tri_counts(
+                        oriented.where(
+                            F.pmod(F.col("s"), F.lit(scale_stripes)) == k
+                        )
+                    )
+                )
+            )
+            # the whole point of striping is PEAK disk: a finished
+            # stripe's shuffle files are garbage once its partial is
+            # checkpointed, but Spark's ContextCleaner only deletes
+            # them after a JVM GC (periodicGC defaults to 30 min) —
+            # force one so stripe k's spill is gone before k+1 writes
+            spark._jvm.System.gc()
+        acc = partials[0]
+        for part in partials[1:]:
+            acc = acc.unionAll(part)
+        per_node = acc.groupBy("node").agg(F.sum("tri").alias("tri"))
+    else:
+        per_node = _tri_counts(oriented)
     cc = (
         deg.where(F.col("d") >= 2)
         .join(per_node, "node", "left")

@@ -1531,6 +1531,28 @@ def test_table_skew_stats_twopass_equivalence(spark):
     assert "_pid" in plan  # per-range local rank, not a global sort
 
 
+def test_clustering_coefficient_striped_equivalence(spark):
+    """`graph_clustering_coefficient(scale_stripes=K)` (r12 — the
+    bounded-local-disk path: the adjacency-array intersection join is
+    processed in K sequential pmod(s, K) edge stripes, peak shuffle
+    spill divided by K, per-stripe partial triangle counts summed)
+    must return IDENTICAL rows to the one-pass default — the stripes
+    partition the oriented edge list, so the per-node attributions are
+    disjoint sums by construction.  This is the path that fits the
+    sf10 second decade on a small-/tmp host (BASELINE.md r12: the
+    one-pass form measured >60 GB of spill there)."""
+    from spark_streaming_kafka_offset_spark.operators.graph import (
+        graph_clustering_coefficient,
+    )
+
+    base = graph_clustering_coefficient(spark, SF_DIR).collect()
+    striped = graph_clustering_coefficient(
+        spark, SF_DIR, scale_stripes=3
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, striped))
+    assert base and base[0].n_nodes_total > 0
+
+
 def _winnow_reference(text: str, k: int = 5, w: int = 4) -> set[tuple[int, int]]:
     """Brute-force winnowing (Schleimer et al. 2003): hash all k-grams,
     for every w-window record (min hash, RIGHTMOST position attaining
