@@ -72,14 +72,14 @@ def test_window_targets_stalest_oracle_keys():
     hold exactly the oracle keys with the OLDEST newest-hard-row in the
     CORRECTNESS ledgers (never-proven keys count as round 0), with any
     arithmetic overflow (more stalest-tier keys than slots) named
-    explicitly in DEFERRED_R13.  This makes every future round's queue
+    explicitly in DEFERRED_R14.  This makes every future round's queue
     auto-derivable from the ledgers: sort oracle keys by newest hard
     row ascending, take 50, name the spillover."""
     import glob
     import json
     import os
 
-    from spark_streaming_kafka_offset_spark.plans.registry import DEFERRED_R13
+    from spark_streaming_kafka_offset_spark.plans.registry import DEFERRED_R14
 
     root = os.path.join(os.path.dirname(__file__), "..")
     newest: dict[str, int] = {}
@@ -90,10 +90,10 @@ def test_window_targets_stalest_oracle_keys():
                 newest[key] = max(newest.get(key, 0), rnd)
 
     window = set(DRIVER_PRIORITY[:WINDOW])
-    assert set(DEFERRED_R13) <= set(ORACLE_SQL)
-    assert not set(DEFERRED_R13) & window, "deferred keys cannot be in-window"
+    assert set(DEFERRED_R14) <= set(ORACLE_SQL)
+    assert not set(DEFERRED_R14) & window, "deferred keys cannot be in-window"
 
-    outside = set(ORACLE_SQL) - window - set(DEFERRED_R13)
+    outside = set(ORACLE_SQL) - window - set(DEFERRED_R14)
     max_in = max(newest.get(k, 0) for k in window)
     min_out = min(newest.get(k, 0) for k in outside)
     assert max_in <= min_out, (
@@ -104,6 +104,6 @@ def test_window_targets_stalest_oracle_keys():
     )
     # every never-proven oracle key is accounted for: in-window or deferred
     never = {k for k in ORACLE_SQL if k not in newest}
-    assert never <= window | set(DEFERRED_R13), sorted(
-        never - window - set(DEFERRED_R13)
+    assert never <= window | set(DEFERRED_R14), sorted(
+        never - window - set(DEFERRED_R14)
     )
