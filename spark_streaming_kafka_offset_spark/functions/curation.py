@@ -1818,17 +1818,20 @@ def corpus_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
                   AS BIGINT) AS c_b
       FROM documents GROUP BY 1
+    ), dense AS (
+      SELECT g.bin, COALESCE(b.c_a, 0) AS c_a, COALESCE(b.c_b, 0) AS c_b
+      FROM generate_series(0, 9) g(bin) LEFT JOIN binned b ON b.bin = g.bin
     ), tot AS (
       SELECT CAST(SUM(c_a) + 10 AS BIGINT) AS n_a,
              CAST(SUM(c_b) + 10 AS BIGINT) AS n_b
-      FROM binned
+      FROM dense
     ), terms AS (
       SELECT b.bin, b.c_a, b.c_b,
              (CAST(b.c_a + 1 AS DOUBLE) / t.n_a
               - CAST(b.c_b + 1 AS DOUBLE) / t.n_b)
              * ln((CAST(b.c_a + 1 AS DOUBLE) * t.n_b)
                   / (CAST(b.c_b + 1 AS DOUBLE) * t.n_a)) AS term
-      FROM binned b CROSS JOIN tot t
+      FROM dense b CROSS JOIN tot t
     )
     SELECT bin, c_a AS n_even_half, c_b AS n_odd_half,
            ROUND(SUM(term) OVER (), 6) AS psi
@@ -1844,8 +1847,10 @@ def corpus_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic parity split makes the op self-contained on one
     table while exercising the real machinery: fixed bins (the
     eval_ece edges, so the two calibration/drift ops share one
-    binning), +1 Laplace smoothing so a bin empty on one side stays
-    finite, and the (p−q)·ln(p/q) accumulation.  The fixture's halves
+    binning), densified to the full 10-bin frame so bins empty on
+    BOTH halves still carry their smoothed term, +1 Laplace smoothing
+    so a bin empty on one side stays finite, and the (p−q)·ln(p/q)
+    accumulation.  The fixture's halves
     draw from one distribution (PSI ≈ 0 — honest null); the planted
     pytests pin identical halves at PSI == 0.0 exactly (every ln
     ratio is ln 1 = 0 exactly — no float dust) and a planted
@@ -1881,11 +1886,23 @@ def corpus_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("c_b"),
     )
-    tot = binned.agg(
+    # Densify to the full fixed 10-bin frame BEFORE smoothing
+    # (ADVICE r12 #2): a bin empty on BOTH halves still contributes
+    # its smoothed term (1/n_a − 1/n_b)·ln(n_b/n_a), which is nonzero
+    # whenever the halves are unequal — dropping it understated PSI on
+    # sparse inputs versus the documented "+1-smoothed over the 10
+    # fixed bins" definition.  The 10-row literal frame broadcasts.
+    bins = spark.range(0, 10).select(F.col("id").alias("bin"))
+    dense = bins.join(F.broadcast(binned), "bin", "left").select(
+        "bin",
+        F.coalesce("c_a", F.lit(0)).alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    )
+    tot = dense.agg(
         F.expr("CAST(SUM(c_a) + 10 AS BIGINT)").alias("n_a"),
         F.expr("CAST(SUM(c_b) + 10 AS BIGINT)").alias("n_b"),
     )
-    terms = binned.crossJoin(F.broadcast(tot)).select(
+    terms = dense.crossJoin(F.broadcast(tot)).select(
         "bin",
         "c_a",
         "c_b",

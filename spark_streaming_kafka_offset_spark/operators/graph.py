@@ -1152,8 +1152,14 @@ def graph_clustering_coefficient(
             # stripe's shuffle files are garbage once its partial is
             # checkpointed, but Spark's ContextCleaner only deletes
             # them after a JVM GC (periodicGC defaults to 30 min) —
-            # force one so stripe k's spill is gone before k+1 writes
-            spark._jvm.System.gc()
+            # force one so stripe k's spill is gone before k+1 writes.
+            # _jvm is a classic-session py4j bridge; under Spark
+            # Connect it is absent, so degrade to relying on
+            # spark.cleaner.periodicGC.interval rather than crashing
+            # (ADVICE r12 #4).
+            jvm = getattr(spark, "_jvm", None)
+            if jvm is not None:
+                jvm.System.gc()
         acc = partials[0]
         for part in partials[1:]:
             acc = acc.unionAll(part)

@@ -6645,11 +6645,13 @@ def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
            t.rank_sum_x2,
            CAST(s.l2 AS BIGINT) AS l_x2,
            CAST(m.n AS BIGINT) AS n_blocks,
-           ROUND(CAST(2 * s.l2 - m.n * m.k * (m.k + 1) * (m.k + 1)
-                      AS DOUBLE)
-                 / (4.0 * SQRT(CAST(m.n * m.k * m.k * (m.k + 1)
-                                    * (m.k * m.k - 1) AS DOUBLE)
-                               / 144.0)), 4) AS z_stat
+           CASE WHEN m.k > 1 THEN
+             ROUND(CAST(2 * s.l2 - m.n * m.k * (m.k + 1) * (m.k + 1)
+                        AS DOUBLE)
+                   / (4.0 * SQRT(CAST(m.n * m.k * m.k * (m.k + 1)
+                                      * (m.k * m.k - 1) AS DOUBLE)
+                                 / 144.0)), 4)
+           ELSE NULL END AS z_stat
     FROM tr t CROSS JOIN dims m CROSS JOIN lsum s
     ORDER BY t.event_type
     """,
@@ -6678,7 +6680,9 @@ def agg_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     double expression, ROUND(4) — mid-rank ties shrink the true
     variance slightly, so the normal z is conservative under heavy
     ties (documented; the law tests use tie-free grids where the
-    moments are exact).
+    moments are exact); a single-type corpus (k = 1) zeroes both the
+    numerator and the variance, so z is NULL, the family's degenerate
+    convention.
 
     Scale notes: identical to friedman — ONE corpus agg to the
     (type, day) rollup, densify via the bounded grid cross, ranks
@@ -6742,21 +6746,30 @@ def agg_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_sum_x2",
             F.col("l2").cast("long").alias("l_x2"),
             F.col("n").cast("long").alias("n_blocks"),
-            F.round(
-                F.expr(
-                    "CAST(2 * l2 - n * k * (k + 1) * (k + 1) AS DOUBLE)"
-                )
-                / (
-                    4.0
-                    * F.sqrt(
-                        F.expr(
-                            "CAST(n * k * k * (k + 1) * (k * k - 1)"
-                            " AS DOUBLE)"
-                        )
-                        / 144.0
+            # Degenerate-input guard (ADVICE r12 #3): with a single
+            # event type (k = 1) both the numerator and the variance
+            # term are 0, so the raw quotient is 0/0 = NaN on both
+            # engines; the family convention (mood_median,
+            # ansari_bradley, cliffs_delta, quade) is NULL.
+            F.when(
+                F.col("k") > 1,
+                F.round(
+                    F.expr(
+                        "CAST(2 * l2 - n * k * (k + 1) * (k + 1)"
+                        " AS DOUBLE)"
                     )
+                    / (
+                        4.0
+                        * F.sqrt(
+                            F.expr(
+                                "CAST(n * k * k * (k + 1) * (k * k - 1)"
+                                " AS DOUBLE)"
+                            )
+                            / 144.0
+                        )
+                    ),
+                    4,
                 ),
-                4,
             ).alias("z_stat"),
         )
         .orderBy("event_type")

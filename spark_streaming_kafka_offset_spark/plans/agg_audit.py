@@ -20,8 +20,12 @@ flake on a boundary case (the eval_rbo lesson, one level down):
    must be reviewed.
 
 The sweep walks every registered batch query's OPTIMIZED plan (the
-plans/audit.py posture, at expression grain inside Aggregate nodes),
-inventories the sites, and fails on any key not in the allowlists.
+plans/audit.py posture, at expression grain inside Aggregate AND
+Window nodes — windowed float sums carry the same cross-engine ulp
+hazard, since DuckDB's segment-tree frames need not associate the
+additions like Spark's per-row folds; ADVICE r12 #1 closed the
+original Aggregate-only blind spot), inventories the sites, and fails
+on any key not in the allowlists.
 tests/test_plans.py runs the sweep; tools/audit_aggregates.py is the
 CLI twin.
 """
@@ -91,6 +95,14 @@ FLOAT_SUM_ALLOWED: dict[str, str] = {
     "text_textrank_keywords": "BOUNDED: per-iteration Σ of "
     "rank/out_deg over each word's vocab-graph in-edges (vocab-sized "
     "frame, top-k output rank-separated)",
+    # -- windowed sites (r13: iter_sites now walks Window nodes too) --
+    "corpus_psi_drift": "BOUNDED: win:Σ term OVER () over the "
+    "densified fixed 10-bin frame, ROUND(6)-absorbed",
+    "events_kaplan_meier": "BOUNDED: win:Σ ln(1−d/n) prefix sums over "
+    "the ≤12-row duration-support rollup (fup spans 3..11 days), "
+    "summed in the SAME duration order on both engines, ppm-floored",
+    "agg_mutual_information": "BOUNDED: win:Σ c·pmi OVER () over the "
+    "≤|x×y| contingency-cell rollup, ROUND-absorbed",
 }
 
 #: key → reviewed reason its collect_list/collect_set sites are safe.
@@ -113,6 +125,9 @@ COLLECT_ALLOWED: dict[str, str] = {
     "adjacency arrays — sorted before intersection",
     "sim_topk_pq": "rows-only op: codebook collect is sorted before "
     "quantization; recall gate in BENCH_ann20k",
+    # -- windowed sites (r13: iter_sites now walks Window nodes too) --
+    "win_median_sliding": "win:array_sort(collect_list(rev).over(w7)) "
+    "— sorted before the median element_at, ≤7-value frame",
 }
 
 SKIP_PREFIXES: tuple[str, ...] = (
@@ -148,26 +163,44 @@ def _walk_expr(e, acc: list) -> list:
     return acc
 
 
+def _classify_exprs(exprs, tag: str):
+    """Yield hazard sites from a Seq of named expressions.
+
+    ``tag`` marks the hosting node kind ('' for Aggregate, 'win:' for
+    Window) so a reviewer can tell a grouped sum from a windowed one.
+    """
+    for i in range(exprs.size()):
+        for e in _walk_expr(exprs.apply(i), []):
+            name = _simple(e)
+            if name in ("CollectList", "CollectSet"):
+                yield "collect", f"{tag}{name}"
+            elif name in ("Sum", "Average"):
+                try:
+                    dt = e.children().apply(0).dataType().toString()
+                except Exception:  # noqa: BLE001
+                    dt = "?"
+                if "Double" in dt or "Float" in dt:
+                    yield "float_sum", f"{tag}{name}({dt})"
+
+
 def iter_sites(df):
     """Yield ('float_sum'|'collect', detail) for every hazardous
-    aggregate expression in ``df``'s optimized plan."""
+    aggregate expression in ``df``'s optimized plan.
+
+    Walks BOTH Aggregate and Window nodes (ADVICE r12 #1): a windowed
+    SUM/AVG over DOUBLE is evaluated over the sorted frame, but the two
+    engines need not associate the additions identically (DuckDB's
+    segment-tree sliding frames vs Spark's per-row folds), so windowed
+    float sums carry the same cross-engine ulp hazard as grouped ones
+    and must clear the same FLOAT_SUM_ALLOWED review.
+    """
     opt = df._jdf.queryExecution().optimizedPlan()
     for node in _walk_plan(opt, []):
-        if _simple(node) != "Aggregate":
-            continue
-        aggs = node.aggregateExpressions()
-        for i in range(aggs.size()):
-            for e in _walk_expr(aggs.apply(i), []):
-                name = _simple(e)
-                if name in ("CollectList", "CollectSet"):
-                    yield "collect", name
-                elif name in ("Sum", "Average"):
-                    try:
-                        dt = e.children().apply(0).dataType().toString()
-                    except Exception:  # noqa: BLE001
-                        dt = "?"
-                    if "Double" in dt or "Float" in dt:
-                        yield "float_sum", f"{name}({dt})"
+        kind = _simple(node)
+        if kind == "Aggregate":
+            yield from _classify_exprs(node.aggregateExpressions(), "")
+        elif kind == "Window":
+            yield from _classify_exprs(node.windowExpressions(), "win:")
 
 
 def audit_aggregates(
