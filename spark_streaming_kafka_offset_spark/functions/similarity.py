@@ -872,6 +872,14 @@ _SD_K_MIN = 8
 _SD_CLUSTER_TARGET = 250
 _SD_ITERS = 3
 _SD_TAU_E5 = 40000
+#: Multi-probe width (r13): pairs are compared when they share ANY of
+#: their _SD_PROBES nearest clusters, not just the primary — the IVF
+#: multi-probe fix for boundary splits.  BENCH_semdedup20k measured the
+#: probe-1 form at 0.862 recall on planted cosine-0.999 twins (a
+#: near-identical pair straddles a 2-D k-means boundary ~14% of the
+#: time); probe-2 recovers the straddlers whose second-nearest cells
+#: meet.  Pair volume stays linear: ≤ probes²·target·n/2.
+_SD_PROBES = 2
 
 
 def _oracle_dedup_semantic() -> str:
@@ -915,7 +923,7 @@ def _oracle_dedup_semantic() -> str:
       LIMIT (SELECT GREATEST({_SD_K_MIN},
                              COUNT(*) // {_SD_CLUSTER_TARGET})
              FROM feats)
-    ), {", ".join(steps)}, asg AS (
+    ), {", ".join(steps)}, asg AS MATERIALIZED (
       SELECT f.vec_id, f.emb, c.cluster,
              (f.f1 - c.c1) * (f.f1 - c.c1)
                + (f.f2 - c.c2) * (f.f2 - c.c2) AS d2,
@@ -923,8 +931,14 @@ def _oracle_dedup_semantic() -> str:
                (f.f1 - c.c1) * (f.f1 - c.c1)
                + (f.f2 - c.c2) * (f.f2 - c.c2), c.cluster) AS rn
       FROM feats f CROSS JOIN c{_SD_ITERS} c
+    ), probes AS MATERIALIZED (
+      SELECT vec_id, cluster FROM asg WHERE rn <= {_SD_PROBES}
     ), av AS MATERIALIZED (
       SELECT vec_id, emb, cluster, d2 FROM asg WHERE rn = 1
+    ), cand AS (
+      SELECT DISTINCT pv.vec_id AS v_id, pu.vec_id AS u_id
+      FROM probes pv JOIN probes pu ON pu.cluster = pv.cluster
+      WHERE pu.vec_id <> pv.vec_id
     )
     SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
            CAST(v.cluster AS BIGINT) AS cluster,
@@ -932,8 +946,9 @@ def _oracle_dedup_semantic() -> str:
            CAST(COUNT(*) AS BIGINT) AS n_dominators,
            CAST(MAX(CAST(floor(list_dot_product(u.emb, v.emb) * 100000)
                          AS BIGINT)) AS BIGINT) AS best_cos_e5
-    FROM av v JOIN av u
-      ON u.cluster = v.cluster AND u.vec_id <> v.vec_id
+    FROM cand c
+    JOIN av v ON v.vec_id = c.v_id
+    JOIN av u ON u.vec_id = c.u_id
     WHERE floor(list_dot_product(u.emb, v.emb) * 100000) >= {_SD_TAU_E5}
       AND (u.d2 > v.d2 OR (u.d2 = v.d2 AND u.vec_id < v.vec_id))
     GROUP BY v.vec_id, v.cluster, v.d2
@@ -945,13 +960,19 @@ def _oracle_dedup_semantic() -> str:
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup — semantic (paraphrase-level) deduplication in embedding
     space (Abbas et al. 2023, public): k-means cluster the corpus
-    embeddings, then WITHIN each cluster drop every vector that has a
-    τ-cosine near-duplicate sitting FARTHER from the centroid (the
-    paper's keep-farthest rule: among semantic duplicates, the example
-    least typical of its cluster is kept for diversity).  The modern
-    member of the dedup family that exact text / MinHash / SimHash /
-    containment / pHash all miss: paraphrases share no n-grams but do
-    share an embedding neighborhood.
+    embeddings, then drop every vector that has a τ-cosine
+    near-duplicate sitting FARTHER from the centroid (the paper's
+    keep-farthest rule: among semantic duplicates, the example least
+    typical of its cluster is kept for diversity).  Candidate pairs are
+    MULTI-PROBE blocked (r13): two vectors are compared when ANY of
+    their _SD_PROBES=2 nearest clusters coincide — the IVF multi-probe
+    fix for boundary splits, adopted after BENCH_semdedup20k measured
+    the probe-1 form at 0.862 recall on planted cosine-0.999 twins
+    (a near-identical pair straddles a k-means boundary ~14% of the
+    time on the 2-D feature).  The modern member of the dedup family
+    that exact text / MinHash / SimHash / containment / pHash all
+    miss: paraphrases share no n-grams but do share an embedding
+    neighborhood.
 
     Output: one row per DROPPED vector — (vec_id, cluster, integer
     squared distance to centroid, how many dominators forced the drop,
@@ -968,11 +989,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop rule compares integers only — the unrolled DuckDB twin matches
     bit-for-bit.
 
-    Scale notes: the cluster is the blocking key — pair volume is
-    Σ_c |c|² — and because k scales with n (target cluster size ~250;
-    SemDeDup ran 110k clusters over LAION) that volume is ~n·250/2,
-    LINEAR in n, never all-pairs (the fixed-k first cut measured 14.3×
-    sf1 growth; this form is ~linear).
+    Scale notes: the probed cluster is the blocking key — pair volume
+    is ≤ probes²·Σ_c |c|² — and because k scales with n (target
+    cluster size ~250; SemDeDup ran 110k clusters over LAION) that
+    volume is ~4·n·250/2, still LINEAR in n, never all-pairs (the
+    fixed-k first cut measured 14.3× sf1 growth; this form is
+    ~linear).  The DISTINCT candidate pass adds one pair-sized
+    shuffle; the dominator cosine then ships each embedding once per
+    candidate pair, as before.
     Per iteration the centroid frame is a broadcast k-row literal
     against the feature scan (no shuffle of the embedding column); the
     pair join shuffles each cluster's vectors to one key — the
@@ -1018,12 +1042,26 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(2 * sum(f1) + count(*)) div (2 * count(*))").alias("c1"),
             F.expr("(2 * sum(f2) + count(*)) div (2 * count(*))").alias("c2"),
         )
-    av = (
+    from ..common import stage
+
+    asg = stage(
         feats.crossJoin(F.broadcast(cents.select("cluster", "c1", "c2")))
         .withColumn("d2", d2)
         .withColumn("rn", F.row_number().over(wv))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster", "d2")
+        .where(F.col("rn") <= _SD_PROBES)
+        .select("vec_id", "embedding", "cluster", "d2", "rn")
+    )
+    av = asg.where(F.col("rn") == 1)
+    # multi-probe candidate pairs: v and u meet when ANY of their
+    # _SD_PROBES nearest clusters coincide; DISTINCT collapses pairs
+    # that share both probes so each dominator is counted once.
+    pv = asg.select(F.col("vec_id").alias("v_id"), F.col("cluster").alias("p_cluster"))
+    pu = asg.select(F.col("vec_id").alias("u_id"), F.col("cluster").alias("p_cluster"))
+    cand = (
+        pv.join(pu, "p_cluster")
+        .where(F.col("v_id") != F.col("u_id"))
+        .select("v_id", "u_id")
+        .distinct()
     )
     v = av.select(
         F.col("vec_id").alias("v_id"),
@@ -1034,12 +1072,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = av.select(
         F.col("vec_id").alias("u_id"),
         F.col("embedding").alias("u_emb"),
-        F.col("cluster").alias("u_cluster"),
         F.col("d2").alias("u_d2"),
     )
     cos_e5 = F.floor(dot(F.col("u_emb"), F.col("v_emb")) * 100000).cast("long")
     return (
-        v.join(u, (F.col("cluster") == F.col("u_cluster")) & (F.col("v_id") != F.col("u_id")))
+        cand.join(v, "v_id")
+        .join(u, "u_id")
         .where(
             (cos_e5 >= _SD_TAU_E5)
             & (
