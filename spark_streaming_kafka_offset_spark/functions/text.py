@@ -3940,3 +3940,136 @@ def docs_instruction_format_check(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source", "status")
     )
+
+
+@register(
+    "text_script_profile",
+    # Script/charset mix screen (r13 — the text family's missing
+    # corpus-intake check [N]): per language, the character-class
+    # composition of the text column — latin letters, digits,
+    # whitespace, non-ASCII, other — as exact integer ppm, plus the
+    # per-lang count of docs containing ANY non-ASCII byte and of
+    # digit-heavy docs (5·digits > chars).  A corpus tagged lang=en
+    # whose nonascii_ppm or digit share spikes is mis-tagged, OCR
+    # noise, or markup — the screen a pipeline runs BEFORE langid
+    # believes the label.  Counts are length-diff regexp (one scan,
+    # no explode); every output is an integer or an integer ppm
+    # division, zero-doc langs guarded on both engines.
+    oracle="""
+    WITH per AS (
+      SELECT lang,
+             length(text) AS n_c,
+             length(text)
+               - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_lat,
+             length(text)
+               - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_dig,
+             length(text)
+               - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g'))
+               AS n_sp,
+             length(text)
+               - length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g'))
+               AS n_na
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN SUM(n_c) > 0
+                THEN SUM(n_lat) * 1000000 // SUM(n_c) END AS BIGINT)
+             AS latin_ppm,
+           CAST(CASE WHEN SUM(n_c) > 0
+                THEN SUM(n_dig) * 1000000 // SUM(n_c) END AS BIGINT)
+             AS digit_ppm,
+           CAST(CASE WHEN SUM(n_c) > 0
+                THEN SUM(n_sp) * 1000000 // SUM(n_c) END AS BIGINT)
+             AS space_ppm,
+           CAST(CASE WHEN SUM(n_c) > 0
+                THEN SUM(n_na) * 1000000 // SUM(n_c) END AS BIGINT)
+             AS nonascii_ppm,
+           CAST(CASE WHEN SUM(n_c) > 0
+                THEN (SUM(n_c) - SUM(n_lat) - SUM(n_dig) - SUM(n_sp)
+                      - SUM(n_na)) * 1000000 // SUM(n_c) END AS BIGINT)
+             AS other_ppm,
+           CAST(SUM(CASE WHEN n_na > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_nonascii,
+           CAST(SUM(CASE WHEN 5 * n_dig > n_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_digit_heavy,
+           CAST(MAX(CASE WHEN n_c > 0
+                THEN n_na * 1000000 // n_c ELSE 0 END) AS BIGINT)
+             AS max_doc_nonascii_ppm
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script/charset composition profile per language — the corpus
+    intake screen the text family lacked: BEFORE trusting a lang
+    label (or feeding `text_langid`), check what the bytes actually
+    are.  Per lang: exact ppm of latin letters / digits / whitespace /
+    non-ASCII / other characters, the count of docs containing ANY
+    non-ASCII character, the count of digit-heavy docs (5·digits >
+    chars — tables and logs masquerading as prose), and the worst
+    per-doc non-ASCII ppm (one mojibake doc hides inside a clean
+    corpus mean; the max finds it).
+
+    Exactness: class counts are length-minus-replaced-length integers
+    (the `dedup_exact` normalization idiom); 'other' derives by exact
+    subtraction so the five classes partition n_chars; ppm values are
+    single integer divisions; zero-char langs yield NULL ppm on both
+    engines (guarded — DuckDB's // raises on 0).  The whitespace
+    class is the EXPLICIT [ \\t\\n\\r] set, not \\s (Java includes
+    \\x0B where RE2 does not — an engine-divergence trap).
+
+    Scale notes: ONE projection scan computes all five counts per doc
+    (regexp on the already-read text column, no explode, no shuffle of
+    text), then ONE map-combined agg to the ≤|langs|-row rollup —
+    the minimal-movement shape; at 100 TB the text column never
+    crosses the wire."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def cls(pat: str) -> Column:
+        return F.length("text") - F.length(
+            F.regexp_replace(F.col("text"), pat, "")
+        )
+
+    per = d.select(
+        "lang",
+        F.length("text").alias("n_c"),
+        cls("[A-Za-z]").alias("n_lat"),
+        cls("[0-9]").alias("n_dig"),
+        cls("[ \\t\\n\\r]").alias("n_sp"),
+        cls("[^\\x00-\\x7F]").alias("n_na"),
+    )
+
+    def ppm(expr: str) -> Column:
+        return (
+            F.expr(f"CASE WHEN SUM(n_c) > 0 THEN ({expr}) * 1000000"
+                   " div SUM(n_c) END")
+            .cast("long")
+        )
+
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            ppm("SUM(n_lat)").alias("latin_ppm"),
+            ppm("SUM(n_dig)").alias("digit_ppm"),
+            ppm("SUM(n_sp)").alias("space_ppm"),
+            ppm("SUM(n_na)").alias("nonascii_ppm"),
+            ppm(
+                "SUM(n_c) - SUM(n_lat) - SUM(n_dig) - SUM(n_sp)"
+                " - SUM(n_na)"
+            ).alias("other_ppm"),
+            F.expr("SUM(CASE WHEN n_na > 0 THEN 1 ELSE 0 END)")
+            .cast("long")
+            .alias("n_docs_nonascii"),
+            F.expr("SUM(CASE WHEN 5 * n_dig > n_c THEN 1 ELSE 0 END)")
+            .cast("long")
+            .alias("n_docs_digit_heavy"),
+            F.expr(
+                "MAX(CASE WHEN n_c > 0 THEN n_na * 1000000 div n_c"
+                " ELSE 0 END)"
+            )
+            .cast("long")
+            .alias("max_doc_nonascii_ppm"),
+        )
+        .orderBy("lang")
+    )

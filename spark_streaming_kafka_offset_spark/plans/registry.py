@@ -63,6 +63,9 @@ DEFERRED_R14: tuple[str, ...] = (
     #    the deterministic-literal VALUES twin for the csv/json reader
     #    round-trip. --
     "scan_csv_json",
+    # -- r13-registered oracle pair (script/charset mix screen —
+    #    functions/text.py, §2.71). --
+    "text_script_profile",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -146,6 +149,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r13 oracle-ization: scan_csv_json's deterministic-literal VALUES
     # twin (sources/batch.py; removed from the rows-only tail).
     "scan_csv_json",
+    # r13-registered oracle pair (§2.71): script/charset mix screen.
+    "text_script_profile",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r14+
     # rotation queue reads straight down this list after any deferrals.

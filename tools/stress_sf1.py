@@ -207,7 +207,13 @@ STRESS_SET = [
     # r10-built: SemDeDup — within-cluster pair join is the quadratic
     # risk (n²/k); the sf1 fixture's replica-identical embeddings make
     # every cluster 10x denser, the worst case for the pair volume.
+    # (r13 re-toll: blocking changed to multi-probe — probes² pair
+    # volume — so the sf1 row was re-paid in-round.)
     "dedup_semantic",
+    # r13-built: the script/charset mix screen — one projection scan
+    # (5 regexp counts over text) + one map-combined agg; swept once
+    # to prove the scan-bound shape.
+    "text_script_profile",
     # r10 second batch: the query-set × corpus negative join, the
     # bigram explode + distinct, and the three rollup-bounded aggs.
     "sim_hard_negatives",
