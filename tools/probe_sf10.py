@@ -47,6 +47,9 @@ PROBE_SET = [
     # 3-round label-propagation join.
     "dedup_semantic",
     "graph_label_propagation",
+    # r13 addition: the script/charset scan (scan-bound claim tested at
+    # the second decade too).
+    "text_script_profile",
 ]
 
 
