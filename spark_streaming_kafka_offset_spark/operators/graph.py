@@ -1050,17 +1050,18 @@ def graph_clustering_coefficient(
     decile rollup is 10 rows.
 
     ``scale_stripes`` (r12/r13): ``None`` (the default) AUTO-SELECTS K
-    from the estimated array-shipping volume — the intersection join
-    ships out_d(s)+out_d(t) adjacency entries per oriented edge, so
-    16·Σ out_d² bytes (one cheap agg over the staged adjacency frame;
-    exact on the s-side, expectation-matching on the t-side) is the
-    planning estimate, and K = ceil(est / SSKOS_STRIPE_DISK_BUDGET_GB,
-    default 32 GiB).  Every small-SF run stays unstriped (est ≪
-    budget ⇒ K = 1) while the sf10 second decade self-engages K ≥ 8
-    with NO caller parameter — closing the ergonomics gap where a
-    naive user at an intermediate scale hit the /tmp wall (VERDICT
-    r12 #4).  Explicit ``scale_stripes=K`` still forces the choice
-    (0/1 = one-pass).
+    from the EXACT raw array-shipping volume — the intersection join
+    ships od(s)+od(t) adjacency entries per oriented edge, which sums
+    per node to Σ od(v)·d(v) raw entries (one node-sized join + 1-row
+    agg over frames the plan already builds), ×8 B ×2 measured
+    disk-overhead factor, and K = ceil(est /
+    SSKOS_STRIPE_DISK_BUDGET_GB, default 26 GiB — the r12-measured
+    safe /tmp peak on this host).  Every small-SF run stays
+    unstriped (est ≪ budget ⇒ K = 1) while the sf10 second decade
+    self-engages K = 8 with NO caller parameter — closing the
+    ergonomics gap where a naive user at an intermediate scale hit the
+    /tmp wall (VERDICT r12 #4).  Explicit ``scale_stripes=K`` still
+    forces the choice (0/1 = one-pass).
 
     ``scale_stripes=K`` (the bounded-local-disk path itself): the
     intersection join ships BOTH endpoint adjacency arrays on every
@@ -1117,24 +1118,40 @@ def graph_clustering_coefficient(
     )
     adj = stage(adj)
     if scale_stripes is None:
-        # Auto-select K (VERDICT r12 #4): 16·Σ out_d² bytes estimates
-        # the intersection join's array-shipping shuffle (8 B/entry,
-        # s-side Σ od² exact, t-side matching in expectation).  The
-        # 1-row agg runs over the already-staged adjacency frame —
-        # no extra shuffle, one column scan.
+        # Auto-select K (VERDICT r12 #4) from the EXACT raw
+        # array-shipping volume: each oriented edge (s,t) ships
+        # od(s)+od(t) adjacency entries into the intersection join, and
+        # summing per node gives Σ_v od(v)·(od(v)+in_d(v)) = Σ od(v)·d(v)
+        # (od+in = total degree) — one join of two node-sized frames
+        # (the staged adjacency and the degree rollup) + a 1-row agg.
+        # Raw entries are 8 B, but the MEASURED on-disk peak runs ≈2×
+        # the raw-entry bytes (calibrated against the r12 K=8 sf10 run:
+        # 13.25 GB raw entries per stripe → ~26 GB observed /tmp peak —
+        # tuple/array-header overhead plus map output and reducer sort
+        # spill coexisting), so est = 2·8·Σ od·d.  Budget default
+        # 26 GiB = the r12-measured safe peak on this host: at sf10
+        # (raw 106 GB, measured here — exactly 10× the sf1 10.6 GB, the
+        # estimate is linear across decades) K resolves to 8, the
+        # measured working point; sf1 and below stay unstriped.
+        # An earlier 2·Σ od² form undercounted the t-side ~2.2×
+        # (in-degrees concentrate on high-od nodes) and picked K=4
+        # where the measured wall needed 8.
         import math
         import os
 
-        row = adj.agg(
-            F.sum(
-                F.size("nbrs").cast("long") * F.size("nbrs").cast("long")
-            ).alias("s2")
-        ).collect()[0]
-        est_bytes = 16 * int(row["s2"] or 0)
-        budget_gb = float(os.environ.get("SSKOS_STRIPE_DISK_BUDGET_GB", "32"))
+        row = (
+            adj.select(F.col("s").alias("node"),
+                       F.size("nbrs").cast("long").alias("od"))
+            .join(deg, "node")
+            .agg(F.sum(F.col("od") * F.col("d")).alias("ship"))
+            .collect()[0]
+        )
+        est_bytes = 2 * 8 * int(row["ship"] or 0)
+        budget_gb = float(os.environ.get("SSKOS_STRIPE_DISK_BUDGET_GB", "26"))
         scale_stripes = max(1, math.ceil(est_bytes / (budget_gb * (1 << 30))))
-        # introspection hook for the auto-selection pytest / sf10 probe
+        # introspection hooks for the auto-selection pytest / sf10 probe
         graph_clustering_coefficient.last_auto_stripes = scale_stripes
+        graph_clustering_coefficient.last_auto_est_bytes = est_bytes
     adj_s = adj.select(F.col("s"), F.col("nbrs").alias("nbrs_s"))
     adj_t = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t"))
 
