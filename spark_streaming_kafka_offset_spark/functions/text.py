@@ -4073,3 +4073,115 @@ def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_code_detect",
+    # Code-vs-prose screen (r13 [N]): training-corpus curation routes
+    # code to a code pipeline (different dedup granularity, different
+    # quality rules) and keeps accidental code OUT of prose corpora.
+    # Deterministic integer rule — no classifier weights: a doc is
+    # code-like when structural symbols exceed 2% of characters
+    # (50·n_sym > n_chars) OR more than a quarter of its lines are
+    # indented (4·n_indent > n_lines).  Rollup per source with exact
+    # ppm composition.  Newlines are counted via chr(10) replacement
+    # (engine-shared exact form); the symbol/indent counts use
+    # regexp_extract_all length, probed IDENTICAL on both engines
+    # (the (?m)^ anchor matches at pos 0 and after every newline in
+    # BOTH Java regex and RE2).
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             length(text) AS n_c,
+             len(regexp_extract_all(text, '[{};()=<>\\[\\]]')) AS n_sym,
+             length(text) - length(replace(text, chr(10), '')) + 1
+               AS n_lines,
+             len(regexp_extract_all(text, '(?m)^(\\t|  )')) AS n_ind
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN 50 * n_sym > n_c
+                          OR 4 * n_ind > n_lines
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+           CAST(SUM(CASE WHEN 50 * n_sym > n_c
+                          OR 4 * n_ind > n_lines
+                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS code_ppm,
+           CAST(CASE WHEN SUM(n_c) > 0
+                THEN SUM(n_sym) * 1000000 // SUM(n_c) END AS BIGINT)
+             AS sym_ppm,
+           CAST(CASE WHEN SUM(n_lines) > 0
+                THEN SUM(n_ind) * 1000000 // SUM(n_lines) END AS BIGINT)
+             AS indent_ppm
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection per source — the curation screen that
+    routes code to a code pipeline and keeps stray code out of prose
+    corpora (code wants different dedup granularity, different quality
+    rules, different tokenizer stats).  Deterministic INTEGER rule, no
+    model: code-like ⇔ structural symbols ({};()=<>[]) exceed 2% of
+    chars OR >25% of lines are indented (leading tab or 2 spaces).
+    Output per source: doc count, code-like count and ppm, and the
+    corpus-level symbol/indent composition that justifies the verdict.
+
+    Exactness: all four features are integer counts —
+    regexp_extract_all array length for symbols/indents (probed
+    byte-identical across Java regex and RE2, including the (?m)^
+    anchor), chr(10)-replacement length diff for lines; the rule and
+    every ppm are integer arithmetic; zero-char/zero-line groups are
+    NULL-guarded on both engines.  The synthetic fixture is word soup
+    (≈0 symbols) so the honest output is near-zero code_ppm; the
+    planted pytests pin real code/prose/indent poles exactly.
+
+    Scale notes: ONE projection scan (two regexp passes + one replace
+    over the already-read text column, no explode), then ONE
+    map-combined agg to the ≤|sources|-row rollup — text never
+    crosses the wire (the `text_script_profile` shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        F.length("text").alias("n_c"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[{};()=<>\[\]]"), F.lit(0)
+            )
+        ).cast("long").alias("n_sym"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("\n"), F.lit("")))
+            + 1
+        ).cast("long").alias("n_lines"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"(?m)^(\t|  )"), F.lit(0)
+            )
+        ).cast("long").alias("n_ind"),
+    )
+    is_code = "CASE WHEN 50 * n_sym > n_c OR 4 * n_ind > n_lines" \
+              " THEN 1 ELSE 0 END"
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr(f"SUM({is_code})").cast("long").alias("n_code"),
+            F.expr(f"SUM({is_code}) * 1000000 div COUNT(*)")
+            .cast("long")
+            .alias("code_ppm"),
+            F.expr(
+                "CASE WHEN SUM(n_c) > 0 THEN SUM(n_sym) * 1000000"
+                " div SUM(n_c) END"
+            )
+            .cast("long")
+            .alias("sym_ppm"),
+            F.expr(
+                "CASE WHEN SUM(n_lines) > 0 THEN SUM(n_ind) * 1000000"
+                " div SUM(n_lines) END"
+            )
+            .cast("long")
+            .alias("indent_ppm"),
+        )
+        .orderBy("source")
+    )

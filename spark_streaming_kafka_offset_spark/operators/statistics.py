@@ -7415,3 +7415,117 @@ def agg_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "orders_adi_cv2",
+    # Syntetos-Boylan demand classification (2005, public) per brand —
+    # the decision layer over the inventory quartet: croston FORECASTS
+    # intermittent demand, newsvendor STOCKS it, EOQ SIZES orders,
+    # bullwhip DIAGNOSES amplification; this op decides WHICH method
+    # applies by placing each brand in the (ADI, CV²) quadrant with
+    # the published cutoffs ADI 1.32 / CV² 0.49: smooth, intermittent
+    # (sparse-regular → Croston), erratic (dense-volatile), lumpy
+    # (sparse-volatile — the hard class).  Weeks are epoch-day div 7
+    # (engine-neutral, the bullwhip convention, CAST AS DATE first —
+    # timestamp-typed dates make DuckDB date arithmetic an INTERVAL);
+    # ADI = week-span / demand-weeks and CV² = (n·Σq² − (Σq)²)/(Σq)²
+    # ride as exact integer rationals (quantities are integer-valued
+    # doubles, CAST AS BIGINT exact), e6-floored for display; the
+    # quadrant compares use the cross-multiplied INTEGER forms
+    # (100·span ≥ 132·dw; 100·(n·Σq²−(Σq)²) ≥ 49·(Σq)²) so the class
+    # is decided without ANY float.
+    oracle="""
+    WITH weekly AS (
+      SELECT p.p_brand AS brand,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(l.l_shipdate AS DATE)) // 7 AS wk,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), b AS (
+      SELECT brand,
+             CAST(COUNT(*) AS BIGINT) AS dw,
+             CAST(MAX(wk) - MIN(wk) + 1 AS BIGINT) AS span,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM weekly GROUP BY brand
+    )
+    SELECT brand, dw AS n_demand_weeks, span AS n_span_weeks,
+           CAST(span * 1000000 // dw AS BIGINT) AS adi_e6,
+           CAST((dw * s2 - s1 * s1) * 1000000 // (s1 * s1) AS BIGINT)
+             AS cv2_e6,
+           CASE WHEN 100 * span >= 132 * dw THEN
+                  CASE WHEN 100 * (dw * s2 - s1 * s1) >= 49 * s1 * s1
+                       THEN 'lumpy' ELSE 'intermittent' END
+                ELSE
+                  CASE WHEN 100 * (dw * s2 - s1 * s1) >= 49 * s1 * s1
+                       THEN 'erratic' ELSE 'smooth' END
+           END AS demand_class
+    FROM b ORDER BY brand
+    """,
+)
+def orders_adi_cv2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan (ADI, CV²) demand classification per brand —
+    which forecasting/stocking method applies: smooth (dense, stable —
+    exponential smoothing works), intermittent (sparse, stable — use
+    `orders_croston_demand`), erratic (dense, volatile), lumpy
+    (sparse, volatile — the class where `orders_safety_stock`'s
+    normal assumptions break).  ADI = span-weeks / demand-weeks,
+    CV² = population variance over mean² of nonzero weekly demand,
+    quadrant cutoffs 1.32 / 0.49 (the published values).
+
+    Exactness: weekly quantities are exact BIGINTs (integer-valued
+    doubles), so ADI and CV² are integer rationals — the quadrant is
+    decided by cross-multiplied integer compares (100·span ≥ 132·dw;
+    100·(n·Σq²−(Σq)²) ≥ 49·(Σq)²) and the e6 display values are
+    single integer divisions; no float exists anywhere in the op.
+    The fixture's dense near-uniform demand lands every brand in
+    'smooth' honestly; the planted pytests pin one brand per
+    quadrant through the exact integer poles.
+
+    Scale notes: lineitem ⋈ broadcast part (the dim join), ONE
+    map-combined agg to the (brand, week) rollup, ONE more to the
+    ≤|brands|-row frame — the minimal-movement inventory-family
+    shape; no window, no explode."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    weekly = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')"
+                " div 7"
+            ).alias("wk"),
+            F.col("l_quantity").cast("long").alias("qv"),
+        )
+        .groupBy("brand", "wk")
+        .agg(F.sum("qv").cast("long").alias("q"))
+    )
+    b = weekly.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("dw"),
+        F.expr("CAST(MAX(wk) - MIN(wk) + 1 AS BIGINT)").alias("span"),
+        F.sum("q").cast("long").alias("s1"),
+        F.expr("CAST(SUM(q * q) AS BIGINT)").alias("s2"),
+    )
+    return b.select(
+        "brand",
+        F.col("dw").alias("n_demand_weeks"),
+        F.col("span").alias("n_span_weeks"),
+        F.expr("span * 1000000 div dw").cast("long").alias("adi_e6"),
+        F.expr("(dw * s2 - s1 * s1) * 1000000 div (s1 * s1)")
+        .cast("long")
+        .alias("cv2_e6"),
+        F.expr(
+            "CASE WHEN 100 * span >= 132 * dw THEN"
+            "  CASE WHEN 100 * (dw * s2 - s1 * s1) >= 49 * s1 * s1"
+            "       THEN 'lumpy' ELSE 'intermittent' END"
+            " ELSE"
+            "  CASE WHEN 100 * (dw * s2 - s1 * s1) >= 49 * s1 * s1"
+            "       THEN 'erratic' ELSE 'smooth' END"
+            " END"
+        ).alias("demand_class"),
+    ).orderBy("brand")

@@ -66,6 +66,11 @@ DEFERRED_R14: tuple[str, ...] = (
     # -- r13-registered oracle pair (script/charset mix screen —
     #    functions/text.py, §2.71). --
     "text_script_profile",
+    # -- r13-registered oracle pairs, second batch (code-vs-prose
+    #    screen — functions/text.py; Syntetos-Boylan demand quadrant —
+    #    operators/statistics.py; §2.72). --
+    "text_code_detect",
+    "orders_adi_cv2",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -151,6 +156,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_csv_json",
     # r13-registered oracle pair (§2.71): script/charset mix screen.
     "text_script_profile",
+    # r13-registered oracle pairs, second batch (§2.72).
+    "text_code_detect",
+    "orders_adi_cv2",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r14+
     # rotation queue reads straight down this list after any deferrals.

@@ -75,3 +75,110 @@ def test_script_profile_planted_mixes(spark, tmp_path):
     dd = out["dd"]  # "a\tb\nc": 3 latin, 2 whitespace of 5
     assert dd.latin_ppm == 3 * 1000000 // 5
     assert dd.space_ppm == 2 * 1000000 // 5
+
+
+def test_code_detect_planted_poles(spark, tmp_path):
+    """Symbol-heavy code, indent-heavy code, and plain prose pin the
+    integer rule exactly; expected rollup values are recomputed in
+    python with the same regexes rather than hand constants."""
+    import re
+
+    code_a = "int f(){return a[0]<b;}"
+    code_b = "x = [i*i for i in range(9)];"
+    prose = "plain words only here nothing structural at all"
+    indent = "def g():\n  a = one\n  b = two\n\tc = three\nplain tail"
+    rows = [
+        {"doc_id": 0, "text": code_a, "lang": "en", "source": "code",
+         "n_chars": len(code_a)},
+        {"doc_id": 1, "text": code_b, "lang": "en", "source": "code",
+         "n_chars": len(code_b)},
+        {"doc_id": 2, "text": prose, "lang": "en", "source": "prose",
+         "n_chars": len(prose)},
+        {"doc_id": 3, "text": indent, "lang": "en", "source": "indent",
+         "n_chars": len(indent)},
+    ]
+    _write_docs(tmp_path, rows)
+
+    def feats(t):
+        n_c = len(t)
+        n_sym = len(re.findall(r"[{};()=<>\[\]]", t))
+        n_lines = t.count("\n") + 1
+        n_ind = len(re.findall(r"(?m)^(\t|  )", t))
+        return n_c, n_sym, n_lines, n_ind
+
+    def expect(texts):
+        per = [feats(t) for t in texts]
+        n_code = sum(
+            1 for c, s, ln, i in per if 50 * s > c or 4 * i > ln
+        )
+        sc, ss, sl, si = (sum(x) for x in zip(*per))
+        return {
+            "n_docs": len(texts),
+            "n_code": n_code,
+            "code_ppm": n_code * 1000000 // len(texts),
+            "sym_ppm": ss * 1000000 // sc,
+            "indent_ppm": si * 1000000 // sl,
+        }
+
+    out = {
+        r.source: r
+        for r in QUERIES["text_code_detect"](spark, str(tmp_path)).collect()
+    }
+    for src, texts in (
+        ("code", [code_a, code_b]),
+        ("prose", [prose]),
+        ("indent", [indent]),
+    ):
+        want = expect(texts)
+        got = out[src]
+        for k, v in want.items():
+            assert getattr(got, k) == v, (src, k, getattr(got, k), v)
+    assert out["code"].n_code == 2  # symbol rule fires on both
+    assert out["prose"].n_code == 0
+    assert out["indent"].n_code == 1  # indent rule alone fires
+
+
+def test_adi_cv2_planted_quadrants(spark, tmp_path):
+    """One planted brand per Syntetos-Boylan quadrant through the
+    exact integer poles (ADI/CV² values hand-derivable)."""
+    from datetime import datetime, timedelta
+
+    parts = [
+        {"p_partkey": 1, "p_brand": "SMOOTH"},
+        {"p_partkey": 2, "p_brand": "INTERMIT"},
+        {"p_partkey": 3, "p_brand": "ERRATIC"},
+        {"p_partkey": 4, "p_brand": "LUMPY"},
+    ]
+    epoch = datetime(1970, 1, 1)
+
+    def li(pk, wk, q):
+        return {
+            "l_partkey": pk,
+            "l_shipdate": epoch + timedelta(days=7 * wk),
+            "l_quantity": float(q),
+        }
+
+    rows = []
+    rows += [li(1, w, 10) for w in range(10)]            # ADI 1, CV² 0
+    rows += [li(2, w, 10) for w in (0, 2, 4, 6, 8)]       # ADI 1.8, CV² 0
+    rows += [li(3, w, 1 if w % 2 == 0 else 19)            # ADI 1, CV² .81
+             for w in range(10)]
+    rows += [li(4, w, q) for w, q in ((0, 1), (4, 1), (8, 28))]  # 3, 1.62
+
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.Table.from_pylist(parts), str(tmp_path / "part.parquet"))
+
+    out = {
+        r.brand: r
+        for r in QUERIES["orders_adi_cv2"](spark, str(tmp_path)).collect()
+    }
+    assert out["SMOOTH"].demand_class == "smooth"
+    assert (out["SMOOTH"].adi_e6, out["SMOOTH"].cv2_e6) == (1000000, 0)
+    assert out["INTERMIT"].demand_class == "intermittent"
+    assert out["INTERMIT"].adi_e6 == 1800000
+    assert out["ERRATIC"].demand_class == "erratic"
+    assert out["ERRATIC"].cv2_e6 == 810000
+    assert out["LUMPY"].demand_class == "lumpy"
+    assert (out["LUMPY"].adi_e6, out["LUMPY"].cv2_e6) == (3000000, 1620000)
+    assert out["LUMPY"].n_demand_weeks == 3
+    assert out["LUMPY"].n_span_weeks == 9

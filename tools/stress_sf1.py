@@ -214,6 +214,11 @@ STRESS_SET = [
     # (5 regexp counts over text) + one map-combined agg; swept once
     # to prove the scan-bound shape.
     "text_script_profile",
+    # r13 second batch: the code-vs-prose screen (same scan-bound
+    # shape, 2 regexp passes) and the Syntetos-Boylan quadrant (dim
+    # join + two rollup aggs).
+    "text_code_detect",
+    "orders_adi_cv2",
     # r10 second batch: the query-set × corpus negative join, the
     # bigram explode + distinct, and the three rollup-bounded aggs.
     "sim_hard_negatives",
