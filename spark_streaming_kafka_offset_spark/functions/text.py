@@ -4185,3 +4185,115 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_ocr_artifacts",
+    # OCR/extraction-noise screen (r13 [N]): scanned-PDF pipelines leak
+    # three mechanical artifacts that poison tokenizers and dedup —
+    # hyphen-linebreak word splits ("exam-\nple"), punctuation runs
+    # (≥4 of .,:;!?), and stray single-letter tokens (column-break
+    # shrapnel).  All three are exact integer counts: the hyphen-break
+    # count is a fixed-2-length replace diff (chr(10) shared form),
+    # the punct-run count is regexp_extract_all length (RE2/Java
+    # agree; no backreference anywhere — RE2 has none), and the
+    # single-token count is a lambda list filter over the space split
+    # (probed identical).  A doc is suspect when any break exists, any
+    # run exists, or singles exceed 5% of tokens (20·singles >
+    # tokens).  Rollup per source — the intake grain.
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(text, ' '),
+                 t -> length(t) = 1 AND regexp_matches(t, '^[a-zA-Z]$')))
+               AS n_single,
+             (length(text) - length(replace(text, '-' || chr(10), '')))
+               // 2 AS n_hyb,
+             len(regexp_extract_all(text, '[.,:;!?]{4,}')) AS n_runs
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_hyb > 0 OR n_runs > 0
+                          OR 20 * n_single > n_tok
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+           CAST(SUM(CASE WHEN n_hyb > 0 OR n_runs > 0
+                          OR 20 * n_single > n_tok
+                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS suspect_ppm,
+           CAST(SUM(n_hyb) AS BIGINT) AS hyphen_breaks,
+           CAST(SUM(n_runs) AS BIGINT) AS punct_runs,
+           CAST(CASE WHEN SUM(n_tok) > 0
+                THEN SUM(n_single) * 1000000 // SUM(n_tok) END AS BIGINT)
+             AS single_token_ppm
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def text_ocr_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR/extraction-artifact screen per source — the intake check a
+    scanned-document pipeline runs before text reaches the tokenizer:
+    hyphen-linebreak word splits (de-hyphenation candidates; they also
+    defeat shingle dedup because "exam-\\nple" shares no n-gram with
+    "example"), punctuation runs (table rules / redaction residue),
+    and stray single-letter tokens (column-break shrapnel; >5% of
+    tokens flips the doc suspect).
+
+    Exactness: the three features are exact integer counts — a
+    fixed-length replace diff (hyphen+chr(10), shared form), a
+    regexp_extract_all length (RE2/Java-identical class repeat, no
+    backreference — RE2 has none, which is also why the repeated-CHAR
+    run screen is NOT here: (.)\\1{3,} needs a backreference), and a
+    lambda list filter over the space split (probed identical both
+    engines); the suspect rule and all ppm are integer arithmetic,
+    zero-token sources NULL-guarded.  The word-soup fixture honestly
+    reads ≈0 suspects; planted pytests pin each artifact pole exactly.
+
+    Scale notes: ONE projection scan (split + filter + replace + one
+    regexp over the already-read text), ONE map-combined agg to the
+    ≤|sources|-row rollup — the `text_script_profile` shape; text
+    never crosses the wire."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.size(
+            F.filter(
+                F.split("text", " "),
+                lambda t: (F.length(t) == 1) & t.rlike("^[a-zA-Z]$"),
+            )
+        ).cast("long").alias("n_single"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("-\n"), F.lit("")))
+            )
+            / 2
+        ).cast("long").alias("n_hyb"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[.,:;!?]{4,}"), F.lit(0))
+        ).cast("long").alias("n_runs"),
+    )
+    suspect = (
+        "CASE WHEN n_hyb > 0 OR n_runs > 0 OR 20 * n_single > n_tok"
+        " THEN 1 ELSE 0 END"
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr(f"SUM({suspect})").cast("long").alias("n_suspect"),
+            F.expr(f"SUM({suspect}) * 1000000 div COUNT(*)")
+            .cast("long")
+            .alias("suspect_ppm"),
+            F.sum("n_hyb").cast("long").alias("hyphen_breaks"),
+            F.sum("n_runs").cast("long").alias("punct_runs"),
+            F.expr(
+                "CASE WHEN SUM(n_tok) > 0 THEN SUM(n_single) * 1000000"
+                " div SUM(n_tok) END"
+            )
+            .cast("long")
+            .alias("single_token_ppm"),
+        )
+        .orderBy("source")
+    )

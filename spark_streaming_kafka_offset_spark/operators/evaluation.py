@@ -1440,3 +1440,122 @@ def eval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "eval_krippendorff_alpha",
+    # Krippendorff's alpha, nominal scale (public; the many-rater,
+    # missing-data generalization `eval_cohens_kappa` cannot reach —
+    # kappa needs exactly two raters).  Units = orders, "raters" = the
+    # order's lineitems, label = l_returnflag; units contribute with
+    # 2..7 ratings (TPC-H's lineitem-per-order span, the panel-width
+    # window).  EXACT integer form: the per-unit disagreement term
+    # Σ_c o_uc(m_u−o_uc)/(m_u−1) is made integral by the LCM trick —
+    # m_u−1 ∈ {1..6} all divide 60, so 60/(m_u−1) is exact and
+    # do_num = Σ_u (60/(m_u−1))·Σ_c o_uc(m_u−o_uc) is a BIGINT;
+    # De's N²−Σn_c² is exact; alpha_e6 = 1e6 − do_num·(N−1)·1e6 //
+    # (60·(N²−Σn_c²)) rides HUGEINT/DECIMAL(38,0) (the product tops
+    # ~1e26 at sf1).  Single-category corpora (N²=Σn²) yield NULL —
+    # the family degenerate convention.
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey AS unit, l_returnflag AS cat FROM lineitem
+    ), m AS (
+      SELECT unit, COUNT(*) AS mu FROM r GROUP BY unit
+    ), inc AS (
+      SELECT unit, mu FROM m WHERE mu BETWEEN 2 AND 7
+    ), o AS (
+      SELECT r.unit, r.cat, COUNT(*) AS ouc, MAX(i.mu) AS mu
+      FROM r JOIN inc i ON r.unit = i.unit
+      GROUP BY r.unit, r.cat
+    ), dnum AS (
+      SELECT CAST(SUM((60 // (mu - 1)) * ouc * (mu - ouc)) AS HUGEINT)
+               AS do_num
+      FROM o
+    ), cats AS (
+      SELECT cat, CAST(SUM(ouc) AS HUGEINT) AS n_c FROM o GROUP BY cat
+    ), tot AS (
+      SELECT CAST(SUM(n_c) AS HUGEINT) AS nn,
+             CAST(SUM(n_c * n_c) AS HUGEINT) AS s2
+      FROM cats
+    ), units AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_units FROM inc
+    )
+    SELECT c.cat AS category,
+           CAST(c.n_c AS BIGINT) AS n_ratings,
+           u.n_units,
+           CAST(t.nn AS BIGINT) AS n_ratings_total,
+           CAST(CASE WHEN t.nn * t.nn > t.s2 THEN
+                  1000000 - (d.do_num * (t.nn - 1) * 1000000)
+                            // (60 * (t.nn * t.nn - t.s2))
+                END AS BIGINT) AS alpha_e6
+    FROM cats c CROSS JOIN tot t CROSS JOIN dnum d CROSS JOIN units u
+    ORDER BY category
+    """,
+)
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) over the order "panels" — the
+    inter-rater reliability measure that handles MANY raters and
+    uneven panel sizes, which `eval_cohens_kappa` (two raters) cannot:
+    each order's lineitems act as 2-7 raters labeling the order with
+    their return flag.  alpha = 1 − Do/De with Do the within-unit
+    pairwise disagreement rate and De the chance rate from the pooled
+    category margins; 1 = perfect agreement, 0 = chance, negative =
+    systematic disagreement.
+
+    Exactness: the per-unit term Σ_c o_uc(m_u−o_uc)/(m_u−1) is made
+    INTEGRAL by the LCM-60 trick (m_u−1 ∈ {1..6} all divide 60), so
+    Do's numerator, the margins, N²−Σn_c², and the final e6 value are
+    one exact integer-division chain — no float anywhere; the big
+    product rides DECIMAL(38,0)/HUGEINT.  Single-category corpora
+    (De = 0) yield NULL, the family degenerate convention.  Law
+    pytests pin the poles: all-same-label units → exactly 1e6;
+    one-of-each two-category panels → exactly 1e6 − (2U−1)·1e6 // U
+    (the textbook 1 − (2 − 1/U) small-sample value).
+
+    Scale notes: one (unit, cat) agg over the fact table, one
+    unit-sized filter join, then three ≤|cats|-row rollups crossed
+    broadcast-style — the `agg_partial_corr` posture; output is
+    |cats| rows."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("unit"), F.col("l_returnflag").alias("cat")
+    )
+    m = l.groupBy("unit").agg(F.count(F.lit(1)).alias("mu"))
+    inc = m.where((F.col("mu") >= 2) & (F.col("mu") <= 7))
+    o = (
+        l.join(inc, "unit")
+        .groupBy("unit", "cat")
+        .agg(F.count(F.lit(1)).alias("ouc"), F.max("mu").alias("mu"))
+    )
+    dnum = o.agg(
+        F.expr(
+            "CAST(SUM((60 div (mu - 1)) * ouc * (mu - ouc))"
+            " AS DECIMAL(38,0))"
+        ).alias("do_num")
+    )
+    cats = o.groupBy("cat").agg(
+        F.expr("CAST(SUM(ouc) AS DECIMAL(38,0))").alias("n_c")
+    )
+    tot = cats.agg(
+        F.expr("CAST(SUM(n_c) AS DECIMAL(38,0))").alias("nn"),
+        F.expr("CAST(SUM(n_c * n_c) AS DECIMAL(38,0))").alias("s2"),
+    )
+    units = inc.agg(F.count(F.lit(1)).cast("long").alias("n_units"))
+    return (
+        cats.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dnum))
+        .crossJoin(F.broadcast(units))
+        .select(
+            F.col("cat").alias("category"),
+            F.col("n_c").cast("long").alias("n_ratings"),
+            "n_units",
+            F.col("nn").cast("long").alias("n_ratings_total"),
+            F.expr(
+                "CAST(CASE WHEN nn * nn > s2 THEN"
+                " 1000000 - (do_num * (nn - 1) * 1000000)"
+                "           div (60 * (nn * nn - s2))"
+                " END AS BIGINT)"
+            ).alias("alpha_e6"),
+        )
+        .orderBy("category")
+    )

@@ -29,6 +29,8 @@ from collections.abc import Callable, Iterable
 #: table that never grows with the corpus.
 BNL_ALLOWED: dict[str, str] = {
     "join_cross": "the 5x5 cartesian SURVEY 2.3 demo - cartesian is the point",
+    "eval_krippendorff_alpha": "broadcast 1-row do_num/totals/n_units "
+    "frames crossed onto the <=|cats| (3-row) category rollup",
     "join_theta_range": "theta join over broadcast 25-row nation",
     "join_interval": "broadcast 4-row period dim",
     "fn_fuzzy": "broadcast literal name list (3 rows)",
@@ -182,6 +184,9 @@ BNL_ALLOWED: dict[str, str] = {
 #: exchanged frame is rollup-sized — bounded by the calendar, a bucket /
 #: rule / class count, or literally one row — never corpus-sized.
 SINGLE_ALLOWED: dict[str, str] = {
+    "eval_krippendorff_alpha": "1-row do_num / (nn, s2) / n_units "
+    "frames reduced from the order-grain rollup (map-side partial "
+    "agg; the agg_partial_corr posture)",
     "sort_multi": "numPartitions-row per-partition-offsets frame "
     "(range-partitioned dense-index recipe), not data",
     "graph_shortest_paths": "1-row frontier-count termination check per "

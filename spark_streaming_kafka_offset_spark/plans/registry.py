@@ -71,6 +71,11 @@ DEFERRED_R14: tuple[str, ...] = (
     #    operators/statistics.py; §2.72). --
     "text_code_detect",
     "orders_adi_cv2",
+    # -- r13-registered oracle pairs, third batch (OCR-artifact screen
+    #    — functions/text.py; Krippendorff's nominal alpha —
+    #    operators/evaluation.py; §2.73). --
+    "text_ocr_artifacts",
+    "eval_krippendorff_alpha",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -159,6 +164,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r13-registered oracle pairs, second batch (§2.72).
     "text_code_detect",
     "orders_adi_cv2",
+    # r13-registered oracle pairs, third batch (§2.73).
+    "text_ocr_artifacts",
+    "eval_krippendorff_alpha",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r14+
     # rotation queue reads straight down this list after any deferrals.

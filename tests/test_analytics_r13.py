@@ -182,3 +182,74 @@ def test_adi_cv2_planted_quadrants(spark, tmp_path):
     assert (out["LUMPY"].adi_e6, out["LUMPY"].cv2_e6) == (3000000, 1620000)
     assert out["LUMPY"].n_demand_weeks == 3
     assert out["LUMPY"].n_span_weeks == 9
+
+
+def test_ocr_artifacts_planted_poles(spark, tmp_path):
+    """Each artifact pole fires its clause alone; expected counts are
+    recomputed in python with the same primitives."""
+    hyb = "the exam-\nple word and ano-\nther split here ok fine"
+    runs = "header....... then body!!!! and tail words here"
+    shrap = "a b c d e normal f g h i j k l m"  # singles >> 5% of tokens
+    clean = "perfectly ordinary prose with no artifacts at all today"
+    rows = [
+        {"doc_id": 0, "text": hyb, "lang": "en", "source": "hyb",
+         "n_chars": len(hyb)},
+        {"doc_id": 1, "text": runs, "lang": "en", "source": "runs",
+         "n_chars": len(runs)},
+        {"doc_id": 2, "text": shrap, "lang": "en", "source": "shrap",
+         "n_chars": len(shrap)},
+        {"doc_id": 3, "text": clean, "lang": "en", "source": "clean",
+         "n_chars": len(clean)},
+    ]
+    _write_docs(tmp_path, rows)
+    out = {
+        r.source: r
+        for r in QUERIES["text_ocr_artifacts"](spark, str(tmp_path)).collect()
+    }
+    assert (out["hyb"].hyphen_breaks, out["hyb"].n_suspect) == (2, 1)
+    assert (out["runs"].punct_runs, out["runs"].n_suspect) == (2, 1)
+    toks = shrap.split(" ")
+    singles = sum(1 for t in toks if len(t) == 1 and t.isalpha())
+    assert out["shrap"].single_token_ppm == singles * 1000000 // len(toks)
+    assert out["shrap"].n_suspect == 1
+    assert (out["clean"].n_suspect, out["clean"].suspect_ppm) == (0, 0)
+
+
+def test_krippendorff_planted_poles(spark, tmp_path):
+    """Perfect agreement pins alpha_e6 == 1e6 exactly (with ≥2
+    categories present); one-of-each two-category panels pin the
+    textbook small-sample pole 1e6 − (2U−1)·1e6 // U; a
+    single-category corpus yields NULL (De = 0)."""
+    def lineitem(rows):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"l_orderkey": u, "l_returnflag": c} for u, c in rows]
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+
+    def run():
+        return {
+            r.category: r
+            for r in QUERIES["eval_krippendorff_alpha"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+
+    # perfect agreement: 6 units, each panel unanimous, two categories
+    lineitem([(u, "A" if u % 2 == 0 else "R") for u in range(6) for _ in range(3)])
+    out = run()
+    assert out["A"].alpha_e6 == 1000000
+    assert out["A"].n_units == 6 and out["A"].n_ratings_total == 18
+
+    # maximal small-sample disagreement: U=10 units, panels = (A, R)
+    u_n = 10
+    lineitem([(u, c) for u in range(u_n) for c in ("A", "R")])
+    out = run()
+    want = 1000000 - (2 * u_n - 1) * 1000000 // u_n
+    assert out["A"].alpha_e6 == want == -900000
+
+    # degenerate: one category everywhere -> NULL
+    lineitem([(u, "A") for u in range(5) for _ in range(2)])
+    out = run()
+    assert out["A"].alpha_e6 is None

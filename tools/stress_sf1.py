@@ -219,6 +219,10 @@ STRESS_SET = [
     # join + two rollup aggs).
     "text_code_detect",
     "orders_adi_cv2",
+    # r13 third batch: the OCR screen (scan + split-filter) and the
+    # alpha panels (fact agg + unit filter join + cat rollups).
+    "text_ocr_artifacts",
+    "eval_krippendorff_alpha",
     # r10 second batch: the query-set × corpus negative join, the
     # bigram explode + distinct, and the three rollup-bounded aggs.
     "sim_hard_negatives",
