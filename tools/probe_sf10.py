@@ -50,6 +50,11 @@ PROBE_SET = [
     # r13 addition: the script/charset scan (scan-bound claim tested at
     # the second decade too).
     "text_script_profile",
+    # r13 second/third batches: the remaining new ops' second decade.
+    "text_code_detect",
+    "orders_adi_cv2",
+    "text_ocr_artifacts",
+    "eval_krippendorff_alpha",
 ]
 
 
