@@ -7445,13 +7445,14 @@ def agg_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ), b AS (
       SELECT brand,
-             CAST(COUNT(*) AS BIGINT) AS dw,
-             CAST(MAX(wk) - MIN(wk) + 1 AS BIGINT) AS span,
-             CAST(SUM(q) AS BIGINT) AS s1,
-             CAST(SUM(q * q) AS BIGINT) AS s2
+             CAST(COUNT(*) AS HUGEINT) AS dw,
+             CAST(MAX(wk) - MIN(wk) + 1 AS HUGEINT) AS span,
+             CAST(SUM(q) AS HUGEINT) AS s1,
+             CAST(SUM(q * q) AS HUGEINT) AS s2
       FROM weekly GROUP BY brand
     )
-    SELECT brand, dw AS n_demand_weeks, span AS n_span_weeks,
+    SELECT brand, CAST(dw AS BIGINT) AS n_demand_weeks,
+           CAST(span AS BIGINT) AS n_span_weeks,
            CAST(span * 1000000 // dw AS BIGINT) AS adi_e6,
            CAST((dw * s2 - s1 * s1) * 1000000 // (s1 * s1) AS BIGINT)
              AS cv2_e6,
@@ -7505,16 +7506,20 @@ def orders_adi_cv2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand", "wk")
         .agg(F.sum("qv").cast("long").alias("q"))
     )
+    # DECIMAL(38,0) accumulators (the house int128 pattern): at sf10 a
+    # brand's s1 ≈ 6e7 so s1²·1e6 ≈ 3.6e21 — past BIGINT (the ANSI
+    # overflow the second-decade probe caught in-round), comfortably
+    # inside DECIMAL(38,0)/HUGEINT.
     b = weekly.groupBy("brand").agg(
-        F.count(F.lit(1)).cast("long").alias("dw"),
-        F.expr("CAST(MAX(wk) - MIN(wk) + 1 AS BIGINT)").alias("span"),
-        F.sum("q").cast("long").alias("s1"),
-        F.expr("CAST(SUM(q * q) AS BIGINT)").alias("s2"),
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("dw"),
+        F.expr("CAST(MAX(wk) - MIN(wk) + 1 AS DECIMAL(38,0))").alias("span"),
+        F.expr("CAST(SUM(q) AS DECIMAL(38,0))").alias("s1"),
+        F.expr("CAST(SUM(q * q) AS DECIMAL(38,0))").alias("s2"),
     )
     return b.select(
         "brand",
-        F.col("dw").alias("n_demand_weeks"),
-        F.col("span").alias("n_span_weeks"),
+        F.col("dw").cast("long").alias("n_demand_weeks"),
+        F.col("span").cast("long").alias("n_span_weeks"),
         F.expr("span * 1000000 div dw").cast("long").alias("adi_e6"),
         F.expr("(dw * s2 - s1 * s1) * 1000000 div (s1 * s1)")
         .cast("long")
