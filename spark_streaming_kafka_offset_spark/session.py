@@ -63,6 +63,30 @@ def ensure_configs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def skew_join_tuned_confs(
+    advisory: str = "64m", factor: int = 2
+) -> dict[str, str]:
+    """Runtime confs that make AQE's skew-join split actually fire on
+    the hot-join-then-same-key-agg shape (BASELINE.md r13, measured):
+    stock AQE leaves a skewed join partition UNSPLIT when (a) a
+    downstream same-key aggregate could reuse the join's partitioning
+    (splitting costs an extra shuffle, so OptimizeSkewedJoin declines
+    without ``forceOptimizeSkewedJoin``) and (b) the hot partition
+    misses the factor-5 median test (a GB-hot production key clears
+    it; mid-scale partitions may not).  On the Zipf sf10 fixture these
+    two settings cut q3 from 12.5 s to 6.3 s and its max task from
+    10.3 s to 1.5 s.  Apply per session or per query via
+    ``spark.conf.set``; ``advisory`` should track the deployment's
+    target partition size (64-128 MB on a real cluster)."""
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": str(factor),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": advisory,
+    }
+
+
 def get_spark(
     app_name: str = "sskos-engine",
     shuffle_partitions: int | None = None,

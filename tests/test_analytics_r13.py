@@ -253,3 +253,20 @@ def test_krippendorff_planted_poles(spark, tmp_path):
     lineitem([(u, "A") for u in range(5) for _ in range(2)])
     out = run()
     assert out["A"].alpha_e6 is None
+
+
+def test_skew_join_tuned_confs_contract():
+    """The documented skew-join posture (BASELINE.md r13) is a stable
+    dict of RUNTIME-settable confs — the stress harness consumes this
+    exact function, so key drift would break both."""
+    from spark_streaming_kafka_offset_spark.session import (
+        skew_join_tuned_confs,
+    )
+
+    confs = skew_join_tuned_confs()
+    assert confs["spark.sql.adaptive.forceOptimizeSkewedJoin"] == "true"
+    assert confs["spark.sql.adaptive.skewJoin.skewedPartitionFactor"] == "2"
+    assert confs["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == "64m"
+    assert skew_join_tuned_confs(advisory="16m")[
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ] == "16m"

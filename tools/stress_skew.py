@@ -95,17 +95,16 @@ def main() -> int:
     # that a GB-hot production key clears trivially — factor 2 models
     # the production ratio.  With both set the lineitem side reads
     # 'AQEShuffleRead coalesced and skewed' and q3 drops ~40%.
+    from spark_streaming_kafka_offset_spark.session import (
+        skew_join_tuned_confs,
+    )
+
     MODES = (
         ("aqe_off", {"spark.sql.adaptive.enabled": "false"}),
         ("aqe_on", {"spark.sql.adaptive.enabled": "true"}),
-        (
-            "aqe_skewfix",
-            {
-                "spark.sql.adaptive.enabled": "true",
-                "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
-                "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-            },
-        ),
+        # the engine's documented posture for this shape — the harness
+        # consumes the same dict the product exposes (single source).
+        ("aqe_skewfix", skew_join_tuned_confs(advisory="16m")),
     )
     for key in SKEW_SET:
         rec: dict = {}
