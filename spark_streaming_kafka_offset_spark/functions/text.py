@@ -4297,3 +4297,196 @@ def text_ocr_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "docs_bleu",
+    # Corpus-level BLEU-2 (Papineni et al. 2002, public) over the same
+    # deterministic (doc, successor) pairing as `docs_rouge_n` — the
+    # generation-eval pair: ROUGE aggregates per-pair means, BLEU is
+    # DEFINED as the corpus-level ratio of clipped-overlap sums with a
+    # corpus brevity penalty, which is exactly why it gets its own op
+    # (a mean of per-pair BLEUs is the classic implementation bug).
+    # Pairs where either side lacks a bigram are excluded (documented;
+    # the modified-precision geometric mean needs both orders).
+    # OV/C/R sums are exact integers; p1/p2 ppm are integer divisions;
+    # BP and the geometric mean are ONE shared double composition
+    # (exp/sqrt) floored at 1e-6 on both engines.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), uni AS (
+      SELECT doc_id, unnest(t) AS g FROM toks
+    ), bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, n), i -> t[i] || ' ' || t[i+1]))
+               AS g
+      FROM toks WHERE n >= 2
+    ), grams AS (
+      SELECT 1 AS ng, doc_id, g, COUNT(*) AS c FROM uni GROUP BY 2, 3
+      UNION ALL
+      SELECT 2 AS ng, doc_id, g, COUNT(*) AS c FROM bi GROUP BY 2, 3
+    ), sizes AS (
+      SELECT ng, doc_id, SUM(c) AS sz FROM grams GROUP BY 1, 2
+    ), pairs AS (
+      SELECT r.ng, r.doc_id AS ref_id,
+             SUM(LEAST(r.c, cnd.c)) AS ov
+      FROM grams r JOIN grams cnd
+        ON cnd.ng = r.ng AND cnd.doc_id = r.doc_id + 1 AND cnd.g = r.g
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT sr.ng, sr.doc_id AS ref_id,
+             COALESCE(p.ov, 0) AS ov, sr.sz AS ref_n, sc.sz AS cand_n
+      FROM sizes sr
+      JOIN sizes sc ON sc.ng = sr.ng AND sc.doc_id = sr.doc_id + 1
+      LEFT JOIN pairs p ON p.ng = sr.ng AND p.ref_id = sr.doc_id
+    ), paired AS (
+      SELECT ref_id,
+             MAX(CASE WHEN ng = 1 THEN ov END) AS ov1,
+             MAX(CASE WHEN ng = 1 THEN cand_n END) AS c1,
+             MAX(CASE WHEN ng = 1 THEN ref_n END) AS r1,
+             MAX(CASE WHEN ng = 2 THEN ov END) AS ov2,
+             MAX(CASE WHEN ng = 2 THEN cand_n END) AS c2
+      FROM scored GROUP BY ref_id
+      HAVING MAX(CASE WHEN ng = 2 THEN cand_n END) IS NOT NULL
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(ov1) AS BIGINT) AS ov1,
+             CAST(SUM(c1) AS BIGINT) AS c1,
+             CAST(SUM(r1) AS BIGINT) AS r1,
+             CAST(SUM(ov2) AS BIGINT) AS ov2,
+             CAST(SUM(c2) AS BIGINT) AS c2
+      FROM paired
+    )
+    SELECT n_pairs,
+           CAST(c1 AS BIGINT) AS cand_tokens,
+           CAST(r1 AS BIGINT) AS ref_tokens,
+           CAST(ov1 * 1000000 // c1 AS BIGINT) AS p1_ppm,
+           CAST(ov2 * 1000000 // c2 AS BIGINT) AS p2_ppm,
+           CAST(floor(CASE WHEN c1 >= r1 THEN 1000000.0
+                 ELSE exp(1.0 - CAST(r1 AS DOUBLE) / c1) * 1000000.0 END)
+                AS BIGINT) AS bp_ppm,
+           CAST(floor((CASE WHEN c1 >= r1 THEN 1.0
+                       ELSE exp(1.0 - CAST(r1 AS DOUBLE) / c1) END)
+                * sqrt((CAST(ov1 AS DOUBLE) / c1)
+                       * (CAST(ov2 AS DOUBLE) / c2))
+                * 1000000.0) AS BIGINT) AS bleu2_ppm
+    FROM tot WHERE n_pairs > 0
+    """,
+)
+def docs_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-2 with brevity penalty over the (doc,
+    successor) pairs — the generation-eval companion to
+    `docs_rouge_n`: BLEU is DEFINED as corpus-level clipped-precision
+    sums (Σov_n / Σcand_n) under a corpus brevity penalty, NOT a mean
+    of per-pair scores — averaging per-pair BLEUs is the classic
+    implementation bug this op's shape forecloses.  BLEU-2 =
+    BP·√(p1·p2), BP = min(1, e^(1−r/c)).  Pairs lacking a bigram on
+    either side are excluded (the geometric mean needs both orders;
+    documented).
+
+    Exactness: all overlap/length sums are exact integers; p1/p2 ppm
+    are single integer divisions; BP and the geometric mean are ONE
+    shared exp/sqrt double composition floored at 1e-6 on both
+    engines (the corpus_psi_drift posture).  Law pytests pin the
+    poles: identical pairs → bleu2_ppm == 1000000 exactly; a
+    half-length perfect-prefix candidate → BP = e^(−1) exactly
+    (floor 367879); zero bigram overlap → 0.
+
+    Scale notes: identical movement to `docs_rouge_n` — one
+    token/bigram explode into doc-keyed gram counts, the pair overlap
+    an equi-join on (n, doc_id+1, gram), then ONE corpus reduce to a
+    1-row frame; never all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = d.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    uni = toks.select("doc_id", F.explode("t").alias("g")).withColumn(
+        "ng", F.lit(1)
+    )
+    bi = (
+        toks.where(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                )
+            ).alias("g"),
+        )
+        .withColumn("ng", F.lit(2))
+    )
+    grams = (
+        uni.unionByName(bi)
+        .groupBy("ng", "doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = grams.groupBy("ng", "doc_id").agg(F.sum("c").alias("sz"))
+    r = grams.select(
+        "ng", F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("c_ref")
+    )
+    cnd = grams.select(
+        "ng",
+        (F.col("doc_id") - 1).alias("ref_id"),
+        "g",
+        F.col("c").alias("c_cand"),
+    )
+    pairs = (
+        r.join(cnd, ["ng", "ref_id", "g"])
+        .groupBy("ng", "ref_id")
+        .agg(F.sum(F.least("c_ref", "c_cand")).alias("ov"))
+    )
+    sr = sizes.select(
+        "ng", F.col("doc_id").alias("ref_id"), F.col("sz").alias("ref_n")
+    )
+    sc = sizes.select(
+        "ng", (F.col("doc_id") - 1).alias("ref_id"), F.col("sz").alias("cand_n")
+    )
+    scored = (
+        sr.join(sc, ["ng", "ref_id"])
+        .join(pairs, ["ng", "ref_id"], "left")
+        .select("ng", "ref_id", F.coalesce("ov", F.lit(0)).alias("ov"),
+                "ref_n", "cand_n")
+    )
+    both = (
+        scored.groupBy("ref_id")
+        .agg(
+            F.expr("MAX(CASE WHEN ng = 1 THEN ov END)").alias("ov1"),
+            F.expr("MAX(CASE WHEN ng = 1 THEN cand_n END)").alias("c1"),
+            F.expr("MAX(CASE WHEN ng = 1 THEN ref_n END)").alias("r1"),
+            F.expr("MAX(CASE WHEN ng = 2 THEN ov END)").alias("ov2"),
+            F.expr("MAX(CASE WHEN ng = 2 THEN cand_n END)").alias("c2"),
+        )
+        .where(F.col("c2").isNotNull())
+    )
+    tot = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("ov1").cast("long").alias("ov1"),
+        F.sum("c1").cast("long").alias("c1"),
+        F.sum("r1").cast("long").alias("r1"),
+        F.sum("ov2").cast("long").alias("ov2"),
+        F.sum("c2").cast("long").alias("c2"),
+    )
+    return tot.where(F.col("n_pairs") > 0).select(
+        "n_pairs",
+        F.col("c1").alias("cand_tokens"),
+        F.col("r1").alias("ref_tokens"),
+        F.expr("ov1 * 1000000 div c1").cast("long").alias("p1_ppm"),
+        F.expr("ov2 * 1000000 div c2").cast("long").alias("p2_ppm"),
+        F.expr(
+            "CAST(floor(CASE WHEN c1 >= r1 THEN 1000000.0"
+            " ELSE exp(1.0 - CAST(r1 AS DOUBLE) / c1) * 1000000.0 END)"
+            " AS BIGINT)"
+        ).alias("bp_ppm"),
+        F.expr(
+            "CAST(floor((CASE WHEN c1 >= r1 THEN 1.0"
+            "            ELSE exp(1.0 - CAST(r1 AS DOUBLE) / c1) END)"
+            " * sqrt((CAST(ov1 AS DOUBLE) / c1)"
+            "        * (CAST(ov2 AS DOUBLE) / c2))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("bleu2_ppm"),
+    )

@@ -187,6 +187,8 @@ SINGLE_ALLOWED: dict[str, str] = {
     "eval_krippendorff_alpha": "1-row do_num / (nn, s2) / n_units "
     "frames reduced from the order-grain rollup (map-side partial "
     "agg; the agg_partial_corr posture)",
+    "docs_bleu": "1-row corpus reduce of the pair-grain BLEU sums "
+    "(map-side partial agg; BLEU is DEFINED corpus-level)",
     "sort_multi": "numPartitions-row per-partition-offsets frame "
     "(range-partitioned dense-index recipe), not data",
     "graph_shortest_paths": "1-row frontier-count termination check per "

@@ -76,6 +76,9 @@ DEFERRED_R14: tuple[str, ...] = (
     #    operators/evaluation.py; §2.73). --
     "text_ocr_artifacts",
     "eval_krippendorff_alpha",
+    # -- r13-registered oracle pair, fourth batch (corpus BLEU-2 —
+    #    functions/text.py; §2.73). --
+    "docs_bleu",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -167,6 +170,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r13-registered oracle pairs, third batch (§2.73).
     "text_ocr_artifacts",
     "eval_krippendorff_alpha",
+    # r13-registered oracle pair, fourth batch (§2.73).
+    "docs_bleu",
     # Hard-proven oracle keys below, stalest evidence first — ascending
     # newest hard row, alphabetical within a tier — so the r14+
     # rotation queue reads straight down this list after any deferrals.

@@ -270,3 +270,47 @@ def test_skew_join_tuned_confs_contract():
     assert skew_join_tuned_confs(advisory="16m")[
         "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     ] == "16m"
+
+
+def test_bleu_planted_poles(spark, tmp_path):
+    """Identical pairs pin bleu2_ppm == 1e6 exactly; a half-length
+    perfect-prefix candidate pins BP = e^(−1) (floor 367879); a
+    bigram-free overlap pins 0.  IDs are gapped so only the planted
+    pairs score."""
+    import math
+
+    ref = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+
+    def doc(did, text):
+        return {"doc_id": did, "text": text, "lang": "en", "source": "s",
+                "n_chars": len(text)}
+
+    # case 1: identical pair
+    _write_docs(tmp_path, [doc(0, ref), doc(1, ref)])
+    out = QUERIES["docs_bleu"](spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].n_pairs == 1
+    assert (out[0].p1_ppm, out[0].p2_ppm) == (1000000, 1000000)
+    assert (out[0].bp_ppm, out[0].bleu2_ppm) == (1000000, 1000000)
+
+    # case 2: candidate = first half of ref (perfect clipped precision,
+    # brevity-penalized): c=5, r=10 -> BP = e^(1-2) = e^-1; p1 = p2 = 1
+    _write_docs(tmp_path, [doc(0, ref), doc(1, "w0 w1 w2 w3 w4")])
+    out = QUERIES["docs_bleu"](spark, str(tmp_path)).collect()[0]
+    want_bp = math.floor(math.exp(1.0 - 10.0 / 5.0) * 1000000.0)
+    assert (out.p1_ppm, out.p2_ppm) == (1000000, 1000000)
+    assert out.bp_ppm == want_bp == 367879
+    assert out.bleu2_ppm == want_bp
+
+    # case 3: shared unigrams, zero shared bigrams (reversed order)
+    _write_docs(
+        tmp_path,
+        [doc(0, "a b c d"), doc(1, "d c b a")],
+    )
+    out = QUERIES["docs_bleu"](spark, str(tmp_path)).collect()[0]
+    assert out.p1_ppm == 1000000 and out.p2_ppm == 0
+    assert out.bleu2_ppm == 0
+
+    # case 4: a single-token candidate has no bigram -> pair excluded,
+    # zero scoring pairs -> empty result (both engines)
+    _write_docs(tmp_path, [doc(0, ref), doc(1, "w0")])
+    assert QUERIES["docs_bleu"](spark, str(tmp_path)).collect() == []

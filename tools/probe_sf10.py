@@ -55,6 +55,7 @@ PROBE_SET = [
     "orders_adi_cv2",
     "text_ocr_artifacts",
     "eval_krippendorff_alpha",
+    "docs_bleu",
 ]
 
 

@@ -223,6 +223,9 @@ STRESS_SET = [
     # alpha panels (fact agg + unit filter join + cat rollups).
     "text_ocr_artifacts",
     "eval_krippendorff_alpha",
+    # r13 fourth batch: the rouge-movement BLEU (token/bigram explode
+    # + gram equi-join + 1-row reduce).
+    "docs_bleu",
     # r10 second batch: the query-set × corpus negative join, the
     # bigram explode + distinct, and the three rollup-bounded aggs.
     "sim_hard_negatives",
