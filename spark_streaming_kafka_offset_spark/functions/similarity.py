@@ -884,17 +884,19 @@ _SD_PROBES = 2
 
 def _oracle_dedup_semantic() -> str:
     """Unroll the Lloyd iterations as chained CTEs (the
-    `kmeans_lloyd_exact` codegen-twin recipe) and apply the SemDeDup
-    drop rule on the final assignment.  `av` is referenced twice (both
-    sides of the within-cluster pair join) so it is MATERIALIZED — the
-    multi-reference CTE-inlining hazard documented in SURVEY §8."""
+    `kmeans_lloyd_exact` codegen-twin recipe) over the exact-collapsed
+    corpus, apply the SemDeDup drop rule on representative groups, then
+    expand the per-member rows through the multiplicity algebra.  `av`
+    is referenced twice (both sides of the within-cluster pair join) so
+    it is MATERIALIZED — the multi-reference CTE-inlining hazard
+    documented in SURVEY §8."""
     steps = []
     prev = "c0"
     for it in range(1, _SD_ITERS + 1):
         steps.append(
             f"""a{it} AS (
-        SELECT f.vec_id, f.f1, f.f2, c.cluster,
-               row_number() OVER (PARTITION BY f.vec_id ORDER BY
+        SELECT f.rep_id, f.f1, f.f2, c.cluster,
+               row_number() OVER (PARTITION BY f.rep_id ORDER BY
                  (f.f1 - c.c1) * (f.f1 - c.c1)
                  + (f.f2 - c.c2) * (f.f2 - c.c2), c.cluster) AS rn
         FROM feats f CROSS JOIN {prev} c
@@ -907,51 +909,80 @@ def _oracle_dedup_semantic() -> str:
         )
         prev = f"c{it}"
     return f"""
-    WITH feats AS (
-      SELECT vec_id,
-             CAST(floor(CAST(embedding[1] AS DOUBLE) * 100000) AS BIGINT)
-               AS f1,
-             CAST(floor(CAST(embedding[2] AS DOUBLE) * 100000) AS BIGINT)
-               AS f2,
-             CAST(embedding AS DOUBLE[]) AS emb
-      FROM embeddings
+    WITH raw AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), grp AS MATERIALIZED (
+      SELECT emb, MIN(vec_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS g_n
+      FROM raw GROUP BY emb
+    ), feats AS MATERIALIZED (
+      SELECT rep_id, g_n,
+             CAST(floor(emb[1] * 100000) AS BIGINT) AS f1,
+             CAST(floor(emb[2] * 100000) AS BIGINT) AS f2,
+             emb
+      FROM grp
     ), c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1
+      SELECT CAST(row_number() OVER (ORDER BY rep_id) AS BIGINT) - 1
                AS cluster,
              f1 AS c1, f2 AS c2
-      FROM feats ORDER BY vec_id
+      FROM feats ORDER BY rep_id
       LIMIT (SELECT GREATEST({_SD_K_MIN},
                              COUNT(*) // {_SD_CLUSTER_TARGET})
              FROM feats)
     ), {", ".join(steps)}, asg AS MATERIALIZED (
-      SELECT f.vec_id, f.emb, c.cluster,
+      SELECT f.rep_id, f.emb, f.g_n, c.cluster,
              (f.f1 - c.c1) * (f.f1 - c.c1)
                + (f.f2 - c.c2) * (f.f2 - c.c2) AS d2,
-             row_number() OVER (PARTITION BY f.vec_id ORDER BY
+             row_number() OVER (PARTITION BY f.rep_id ORDER BY
                (f.f1 - c.c1) * (f.f1 - c.c1)
                + (f.f2 - c.c2) * (f.f2 - c.c2), c.cluster) AS rn
       FROM feats f CROSS JOIN c{_SD_ITERS} c
     ), probes AS MATERIALIZED (
-      SELECT vec_id, cluster FROM asg WHERE rn <= {_SD_PROBES}
+      SELECT rep_id, cluster FROM asg WHERE rn <= {_SD_PROBES}
     ), av AS MATERIALIZED (
-      SELECT vec_id, emb, cluster, d2 FROM asg WHERE rn = 1
+      SELECT rep_id, emb, g_n, cluster, d2 FROM asg WHERE rn = 1
     ), cand AS (
-      SELECT DISTINCT pv.vec_id AS v_id, pu.vec_id AS u_id
+      SELECT DISTINCT pv.rep_id AS v_id, pu.rep_id AS u_id
       FROM probes pv JOIN probes pu ON pu.cluster = pv.cluster
-      WHERE pu.vec_id <> pv.vec_id
+      WHERE pu.rep_id <> pv.rep_id
+    ), ext AS (
+      SELECT v.rep_id,
+             CAST(SUM(u.g_n) AS BIGINT) AS ext_cnt,
+             CAST(MAX(CAST(floor(list_dot_product(u.emb, v.emb) * 100000)
+                           AS BIGINT)) AS BIGINT) AS ext_best
+      FROM cand c
+      JOIN av v ON v.rep_id = c.v_id
+      JOIN av u ON u.rep_id = c.u_id
+      WHERE floor(list_dot_product(u.emb, v.emb) * 100000) >= {_SD_TAU_E5}
+        AND (u.d2 > v.d2 OR (u.d2 = v.d2 AND u.rep_id < v.rep_id))
+      GROUP BY v.rep_id
+    ), gstat AS (
+      SELECT a.rep_id, a.cluster, a.d2,
+             CAST(floor(list_dot_product(a.emb, a.emb) * 100000) AS BIGINT)
+               AS c_self,
+             e.ext_cnt, e.ext_best
+      FROM av a LEFT JOIN ext e ON e.rep_id = a.rep_id
+    ), members AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (PARTITION BY emb ORDER BY vec_id)
+                  AS BIGINT) - 1 AS rk,
+             MIN(vec_id) OVER (PARTITION BY emb) AS rep_id
+      FROM raw
+    ), scored AS (
+      SELECT m.vec_id, g.cluster, g.d2,
+             COALESCE(g.ext_cnt, 0)
+               + CASE WHEN g.c_self >= {_SD_TAU_E5} THEN m.rk ELSE 0 END
+               AS n_dom,
+             CASE WHEN g.c_self >= {_SD_TAU_E5} AND m.rk > 0
+                       AND (g.ext_best IS NULL OR g.c_self > g.ext_best)
+                  THEN g.c_self ELSE g.ext_best END AS best_cos
+      FROM members m JOIN gstat g ON g.rep_id = m.rep_id
     )
-    SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
-           CAST(v.cluster AS BIGINT) AS cluster,
-           CAST(v.d2 AS BIGINT) AS d2_e5sq,
-           CAST(COUNT(*) AS BIGINT) AS n_dominators,
-           CAST(MAX(CAST(floor(list_dot_product(u.emb, v.emb) * 100000)
-                         AS BIGINT)) AS BIGINT) AS best_cos_e5
-    FROM cand c
-    JOIN av v ON v.vec_id = c.v_id
-    JOIN av u ON u.vec_id = c.u_id
-    WHERE floor(list_dot_product(u.emb, v.emb) * 100000) >= {_SD_TAU_E5}
-      AND (u.d2 > v.d2 OR (u.d2 = v.d2 AND u.vec_id < v.vec_id))
-    GROUP BY v.vec_id, v.cluster, v.d2
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(cluster AS BIGINT) AS cluster,
+           CAST(d2 AS BIGINT) AS d2_e5sq,
+           CAST(n_dom AS BIGINT) AS n_dominators,
+           CAST(best_cos AS BIGINT) AS best_cos_e5
+    FROM scored WHERE n_dom > 0
     ORDER BY vec_id
     """
 
@@ -974,55 +1005,97 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss: paraphrases share no n-grams but do share an embedding
     neighborhood.
 
+    EXACT-COLLAPSE FORM (r14 — VERDICT r13 #2 killed the raw-pair
+    shape): identical embeddings previously rode through the pair join
+    as full cliques, so candidate pairs grew with exact-duplicate
+    multiplicity² — the sf10 replica fixture (100 copies × 2k distinct)
+    measured 453.7 s vs 21.7 s for the same op over a pre-collapsed
+    corpus (BASELINE.md r13).  The minhash/phash r11 recipe, applied:
+    group identical embedding arrays, elect the min-vec_id
+    representative, run clustering + multi-probe pairing over
+    REPRESENTATIVES only, then expand per-member drop rows by closed-
+    form multiplicity algebra.  Within an exact group all members share
+    f1/f2, hence the cluster and the d2, so the keep-farthest rule
+    degenerates to the vec_id tie-break: the member at ascending-vec_id
+    rank r has exactly r within-group dominators (each at the group's
+    self-cosine c_self = floor(dot(e,e)·1e5), counted only when
+    c_self ≥ τ) — all but the min-id member drop.  Cross-group
+    dominators are group-level (cosine, d2, and candidacy are functions
+    of the embedding alone): a dominator group contributes its FULL
+    multiplicity g_n to every member of the dominated group.  Cross-
+    group d2 ties break on rep_id (group-level, closed-form) — this is
+    the one semantics refinement vs the raw form, where equal-d2
+    cross-group pairs tie-broke on per-member vec_id; on any corpus
+    without exact-duplicate embeddings (all driver SFs: verified 0
+    dup groups at sf0.001/0.01/0.1) the two forms are identical because
+    every group is a singleton with rep_id == vec_id.
+
     Output: one row per DROPPED vector — (vec_id, cluster, integer
     squared distance to centroid, how many dominators forced the drop,
     best dominator cosine in 1e-5 units).  The keep set is the
     complement; emitting drops keeps the result decision-auditable.
 
     Exactness: clustering is the `kmeans_lloyd_exact` recipe verbatim
-    (first-2-coordinate features floored to integer 1e-5 units,
-    data-adaptive k = max(8, n/250) computed identically on both
-    engines, 3 fixed Lloyd iterations, integer half-up centroid means,
-    integer
+    over the collapsed corpus (first-2-coordinate features floored to
+    integer 1e-5 units, data-adaptive k = max(8, n_distinct/250)
+    computed identically on both engines, first-k-by-rep_id seeds,
+    3 fixed Lloyd iterations, integer half-up centroid means, integer
     argmin assignment with ties to the lowest cluster id), cosines are
     index-order double folds floored to integer 1e-5 units, and the
-    drop rule compares integers only — the unrolled DuckDB twin matches
-    bit-for-bit.
+    drop rule compares integers only — the collapsed DuckDB twin
+    matches bit-for-bit, multiplicity expansion included.
 
-    Scale notes: the probed cluster is the blocking key — pair volume
-    is ≤ probes²·Σ_c |c|² — and because k scales with n (target
-    cluster size ~250; SemDeDup ran 110k clusters over LAION) that
-    volume is ~4·n·250/2, still LINEAR in n, never all-pairs (the
-    fixed-k first cut measured 14.3× sf1 growth; this form is
-    ~linear).  The DISTINCT candidate pass adds one pair-sized
-    shuffle; the dominator cosine then ships each embedding once per
-    candidate pair, as before.
-    Per iteration the centroid frame is a broadcast k-row literal
-    against the feature scan (no shuffle of the embedding column); the
-    pair join shuffles each cluster's vectors to one key — the
-    documented skew guard is the k choice itself (cluster occupancy is
-    load-balance-audited by `embed_bucket_stats`' recipe).  The
-    dominator test is an inner self-join + groupBy, one shuffle on
-    cluster, output bounded by the drop count."""
+    Scale notes: pair volume is now over DISTINCT embeddings —
+    ≤ probes²·Σ_c |c|² with k scaling off n_distinct (target cluster
+    size ~250; SemDeDup ran 110k clusters over LAION), LINEAR in the
+    collapsed corpus and IMMUNE to replica multiplicity (the r13 wart:
+    multiplicity² pair blowup on replica-dense input).  The collapse is
+    one hash aggregate on the embedding array; the member expansion is
+    one window over the same key (rank within exact group) plus one
+    join from corpus-sized members to the distinct-sized group stats on
+    a long key — all linear, no pair-shaped shuffle touches raw rows.
+    Per Lloyd iteration the centroid frame is a broadcast k-row literal
+    against the staged representative table (feats is staged: the
+    collapse aggregate feeds the count, the seed pull, 3 Lloyd passes
+    and the final assignment); the pair join shuffles each cluster's
+    representatives to one key — the documented skew guard is the k
+    choice itself (cluster occupancy is load-balance-audited by
+    `embed_bucket_stats`' recipe).  The dominator test is an inner
+    self-join + groupBy over representative pairs, output bounded by
+    the drop count."""
+    from ..common import stage
+
     e = load_table(spark, sf_dir, "embeddings")
-    feats = e.select(
-        "vec_id",
-        F.floor(F.element_at("embedding", 1).cast("double") * 100000)
-        .cast("long")
-        .alias("f1"),
-        F.floor(F.element_at("embedding", 2).cast("double") * 100000)
-        .cast("long")
-        .alias("f2"),
-        "embedding",
+    raw = e.select("vec_id", "embedding")
+    # Exact collapse (the minhash/phash r11 recipe): the embedding
+    # array itself is the group key — a hash collision cannot merge
+    # two distinct vectors, unlike a 64-bit digest.
+    grp = raw.groupBy("embedding").agg(
+        F.min("vec_id").alias("rep_id"),
+        F.count(F.lit(1)).cast("long").alias("g_n"),
+    )
+    feats = stage(
+        grp.select(
+            "rep_id",
+            "g_n",
+            F.floor(F.element_at("embedding", 1).cast("double") * 100000)
+            .cast("long")
+            .alias("f1"),
+            F.floor(F.element_at("embedding", 2).cast("double") * 100000)
+            .cast("long")
+            .alias("f2"),
+            "embedding",
+        )
     )
     # Data-adaptive k (the SemDeDup prescription — see the constants
-    # note): per-cluster size stays ~_SD_CLUSTER_TARGET so pair volume
-    # grows linearly in n.  The count + k-row seed pull is the driver-
-    # coordinated init (k·2 longs — ~2 MB even at LAION's 110k
-    # clusters); production would swap in kmeans|| sampled init, which
-    # changes the seeds, not the plan shape.
+    # note), now off the DISTINCT count: per-cluster size stays
+    # ~_SD_CLUSTER_TARGET so pair volume grows linearly in n_distinct.
+    # The count + k-row seed pull is the driver-coordinated init (k·2
+    # longs — ~2 MB even at LAION's 110k clusters); production would
+    # swap in kmeans|| sampled init, which changes the seeds, not the
+    # plan shape.
     k = max(_SD_K_MIN, feats.count() // _SD_CLUSTER_TARGET)
-    seed = feats.select("vec_id", "f1", "f2").orderBy("vec_id").limit(k).collect()
+    seed = feats.select("rep_id", "f1", "f2").orderBy("rep_id").limit(k).collect()
     cents = spark.createDataFrame(
         [(i, r["f1"], r["f2"]) for i, r in enumerate(seed)],
         "cluster long, c1 long, c2 long",
@@ -1030,7 +1103,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("f1") - F.col("c1")) * (F.col("f1") - F.col("c1")) + (
         F.col("f2") - F.col("c2")
     ) * (F.col("f2") - F.col("c2"))
-    wv = Window.partitionBy("vec_id").orderBy(d2.alias("d"), "cluster")
+    wv = Window.partitionBy("rep_id").orderBy(d2.alias("d"), "cluster")
     for _ in range(_SD_ITERS):
         assigned = (
             feats.crossJoin(F.broadcast(cents.select("cluster", "c1", "c2")))
@@ -1042,21 +1115,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(2 * sum(f1) + count(*)) div (2 * count(*))").alias("c1"),
             F.expr("(2 * sum(f2) + count(*)) div (2 * count(*))").alias("c2"),
         )
-    from ..common import stage
-
     asg = stage(
         feats.crossJoin(F.broadcast(cents.select("cluster", "c1", "c2")))
         .withColumn("d2", d2)
         .withColumn("rn", F.row_number().over(wv))
         .where(F.col("rn") <= _SD_PROBES)
-        .select("vec_id", "embedding", "cluster", "d2", "rn")
+        .select("rep_id", "embedding", "g_n", "cluster", "d2", "rn")
     )
     av = asg.where(F.col("rn") == 1)
-    # multi-probe candidate pairs: v and u meet when ANY of their
-    # _SD_PROBES nearest clusters coincide; DISTINCT collapses pairs
-    # that share both probes so each dominator is counted once.
-    pv = asg.select(F.col("vec_id").alias("v_id"), F.col("cluster").alias("p_cluster"))
-    pu = asg.select(F.col("vec_id").alias("u_id"), F.col("cluster").alias("p_cluster"))
+    # multi-probe candidate pairs over REPRESENTATIVES: v and u meet
+    # when ANY of their _SD_PROBES nearest clusters coincide; DISTINCT
+    # collapses pairs that share both probes so each dominator group is
+    # counted once.
+    pv = asg.select(F.col("rep_id").alias("v_id"), F.col("cluster").alias("p_cluster"))
+    pu = asg.select(F.col("rep_id").alias("u_id"), F.col("cluster").alias("p_cluster"))
     cand = (
         pv.join(pu, "p_cluster")
         .where(F.col("v_id") != F.col("u_id"))
@@ -1064,18 +1136,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     v = av.select(
-        F.col("vec_id").alias("v_id"),
+        F.col("rep_id").alias("v_id"),
         F.col("embedding").alias("v_emb"),
-        "cluster",
         F.col("d2").alias("v_d2"),
     )
     u = av.select(
-        F.col("vec_id").alias("u_id"),
+        F.col("rep_id").alias("u_id"),
         F.col("embedding").alias("u_emb"),
         F.col("d2").alias("u_d2"),
+        F.col("g_n").alias("u_g_n"),
     )
     cos_e5 = F.floor(dot(F.col("u_emb"), F.col("v_emb")) * 100000).cast("long")
-    return (
+    # Group-level dominance: a dominator group ships its whole
+    # multiplicity; d2 ties break on rep_id (see docstring).
+    ext = (
         cand.join(v, "v_id")
         .join(u, "u_id")
         .where(
@@ -1085,18 +1159,49 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | ((F.col("u_d2") == F.col("v_d2")) & (F.col("u_id") < F.col("v_id")))
             )
         )
-        .groupBy("v_id", "cluster", "v_d2")
+        .groupBy("v_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_dominators"),
-            F.max(cos_e5).alias("best_cos_e5"),
+            F.sum("u_g_n").cast("long").alias("ext_cnt"),
+            F.max(cos_e5).alias("ext_best"),
         )
+        .withColumnRenamed("v_id", "rep_id")
+    )
+    c_self = F.floor(dot(F.col("embedding"), F.col("embedding")) * 100000).cast(
+        "long"
+    )
+    gstat = av.select(
+        "rep_id", "cluster", "d2", c_self.alias("c_self")
+    ).join(ext, "rep_id", "left")
+    # Member expansion: rank within the exact group (ascending vec_id)
+    # and the group key, from ONE window shuffle over the embedding
+    # array; the join back to group stats is on the long rep_id.
+    we = Window.partitionBy("embedding")
+    members = raw.select(
+        "vec_id",
+        (F.row_number().over(we.orderBy("vec_id")) - 1).cast("long").alias("rk"),
+        F.min("vec_id").over(we).alias("rep_id"),
+    )
+    int_active = F.col("c_self") >= _SD_TAU_E5
+    n_dom = (
+        F.coalesce(F.col("ext_cnt"), F.lit(0))
+        + F.when(int_active, F.col("rk")).otherwise(F.lit(0))
+    ).cast("long")
+    best = F.when(
+        int_active
+        & (F.col("rk") > 0)
+        & (F.col("ext_best").isNull() | (F.col("c_self") > F.col("ext_best"))),
+        F.col("c_self"),
+    ).otherwise(F.col("ext_best"))
+    return (
+        members.join(gstat, "rep_id")
         .select(
-            F.col("v_id").cast("long").alias("vec_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
             F.col("cluster").cast("long").alias("cluster"),
-            F.col("v_d2").cast("long").alias("d2_e5sq"),
-            "n_dominators",
-            F.col("best_cos_e5").cast("long").alias("best_cos_e5"),
+            F.col("d2").cast("long").alias("d2_e5sq"),
+            n_dom.alias("n_dominators"),
+            best.cast("long").alias("best_cos_e5"),
         )
+        .where(F.col("n_dominators") > 0)
         .orderBy("vec_id")
     )
 

@@ -1801,6 +1801,101 @@ def test_embed_dedup_planted_recall_laws(spark, tmp_path):
             assert b in dropped, (a, b, lev, c)
 
 
+def test_semantic_dedup_collapse_multiplicity_algebra(spark, tmp_path):
+    """The r14 exact-collapse form of `dedup_semantic` (VERDICT r13 #2:
+    the raw-pair shape's candidate volume grew with exact-duplicate
+    multiplicity²) must carry the full per-member algebra on a
+    replica-dense input, and the DuckDB oracle must mirror the collapse
+    bit-for-bit — the driver can never exercise this path because the
+    driver SFs contain zero duplicate embeddings.
+
+    Fixture: 8 orthogonal singleton fillers at ids 0..7 (the
+    first-k-by-rep_id seeds), an exact-duplicate group A of THREE
+    identical vectors (ids 100..102) and a group B of TWO (ids
+    200..201), with cos(A, B) > 0.999 ≥ τ.  All ten reps converge to
+    one cluster whose centroid is filler-dominated, leaving A farther
+    out than B by a ~274k d2 margin (hand-checked against the integer
+    half-up centroid means), so the closed-form algebra pins every
+    output cell:
+
+    - group A (farthest) has no external dominator: member 100 (rank 0)
+      SURVIVES, members 101/102 drop with exactly rank-many internal
+      dominators (1, 2) at the self-cosine;
+    - group B is dominated by all |A| = 3 members: member 200 drops
+      with n_dominators = 3 (external only), member 201 with 3 + 1;
+    - fillers are untouched (cosine 0 to everything)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_kafka_offset_spark.plans.registry import (
+        ORACLE_SQL,
+        QUERIES,
+    )
+    from tools.driver_canon import canon_frame
+
+    dim = 64
+
+    def unit(eps):
+        import math
+
+        v = [0.0] * dim
+        v[0], v[1] = 1.0, eps
+        nrm = math.sqrt(sum(x * x for x in v))
+        return [x / nrm for x in v]
+
+    rows = []
+    for j in range(8):
+        v = [0.0] * dim
+        v[j + 2] = 1.0
+        rows.append((j, v))
+    vec_a, vec_b = unit(0.00), unit(0.01)
+    rows += [(100, vec_a), (101, vec_a), (102, vec_a)]
+    rows += [(200, vec_b), (201, vec_b)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    got = QUERIES["dedup_semantic"](spark, str(tmp_path)).toPandas()
+    out = {int(r.vec_id): r for r in got.itertuples(index=False)}
+
+    # closed-form per-member laws
+    assert set(out) == {101, 102, 200, 201}, sorted(out)
+    assert {k: int(out[k].n_dominators) for k in sorted(out)} == {
+        101: 1,  # rank 1, internal only
+        102: 2,  # rank 2, internal only
+        200: 3,  # rank 0, |A| external
+        201: 4,  # rank 1, |A| external + 1 internal
+    }
+    # internal dominators score at the group self-cosine (unit vectors:
+    # floor(dot·1e5) ≥ 99999); 200's best dominator is the CROSS cosine
+    # cos(A,B) ≈ 0.99995 — strictly below the self-cosine band.
+    for vid in (101, 102, 201):
+        assert int(out[vid].best_cos_e5) >= 99999, out[vid]
+    assert 99000 <= int(out[200].best_cos_e5) < 99999, out[200]
+    # members of one exact group share cluster and d2; A sits farther
+    # from the centroid than B (the keep-farthest geometry).
+    assert out[101].cluster == out[102].cluster == out[200].cluster
+    assert out[101].d2_e5sq == out[102].d2_e5sq
+    assert out[200].d2_e5sq == out[201].d2_e5sq
+    assert out[101].d2_e5sq > out[200].d2_e5sq
+
+    # oracle mirrors the collapse: driver-identical canon compare
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    oracle = con.execute(ORACLE_SQL["dedup_semantic"]).df()
+    con.close()
+    assert canon_frame(got) == canon_frame(oracle)
+
+
 def test_phash_collapse_multiplicity_equals_raw_pairs(spark, tmp_path):
     """The r11 exact-collapse form of multimodal_dedup_phash must carry
     the full raw-pair algebra on a replica-heavy input: expanding every
