@@ -70,16 +70,22 @@ def test_survey_section2_enumerates_registry():
 def test_window_targets_stalest_oracle_keys():
     """Freshness rule (VERDICT r4 #2 / r5 #8): the 50-slot window must
     hold exactly the oracle keys with the OLDEST newest-hard-row in the
-    CORRECTNESS ledgers (never-proven keys count as round 0), with any
-    arithmetic overflow (more stalest-tier keys than slots) named
-    explicitly in DEFERRED_R14.  This makes every future round's queue
-    auto-derivable from the ledgers: sort oracle keys by newest hard
-    row ascending, take 50, name the spillover."""
+    CORRECTNESS ledgers (never-proven keys count as round 0, and keys
+    named in REPROOF_VOID count as never-proven while their newest row
+    is at or below the voided round — ledger rows proving superseded
+    semantics are not evidence), with any arithmetic overflow (more
+    stalest-tier keys than slots) named explicitly in DEFERRED_R15.
+    This makes every future round's queue auto-derivable from the
+    ledgers: sort oracle keys by effective newest hard row ascending,
+    take 50, name the spillover."""
     import glob
     import json
     import os
 
-    from spark_streaming_kafka_offset_spark.plans.registry import DEFERRED_R14
+    from spark_streaming_kafka_offset_spark.plans.registry import (
+        DEFERRED_R15,
+        REPROOF_VOID,
+    )
 
     root = os.path.join(os.path.dirname(__file__), "..")
     newest: dict[str, int] = {}
@@ -89,21 +95,33 @@ def test_window_targets_stalest_oracle_keys():
             if isinstance(row, dict) and row.get("hash_match"):
                 newest[key] = max(newest.get(key, 0), rnd)
 
-    window = set(DRIVER_PRIORITY[:WINDOW])
-    assert set(DEFERRED_R14) <= set(ORACLE_SQL)
-    assert not set(DEFERRED_R14) & window, "deferred keys cannot be in-window"
+    def effective(k: str) -> int:
+        n = newest.get(k, 0)
+        return 0 if n <= REPROOF_VOID.get(k, -1) else n
 
-    outside = set(ORACLE_SQL) - window - set(DEFERRED_R14)
-    max_in = max(newest.get(k, 0) for k in window)
-    min_out = min(newest.get(k, 0) for k in outside)
+    # an inert REPROOF_VOID entry (a row newer than the voided round has
+    # landed) must be pruned at the next rotation, not accumulate
+    for k, voided in REPROOF_VOID.items():
+        assert k in ORACLE_SQL and newest.get(k, 0) <= voided, (
+            f"REPROOF_VOID entry for {k} is inert (newest row "
+            f"{newest.get(k, 0)} > voided {voided}); prune it"
+        )
+
+    window = set(DRIVER_PRIORITY[:WINDOW])
+    assert set(DEFERRED_R15) <= set(ORACLE_SQL)
+    assert not set(DEFERRED_R15) & window, "deferred keys cannot be in-window"
+
+    outside = set(ORACLE_SQL) - window - set(DEFERRED_R15)
+    max_in = max(effective(k) for k in window)
+    min_out = min(effective(k) for k in outside)
     assert max_in <= min_out, (
         "window holds a fresher key than one left outside: "
         f"freshest-in-window={max_in} vs stalest-outside={min_out}; "
         f"over-fresh in-window keys="
-        f"{sorted(k for k in window if newest.get(k, 0) > min_out)}"
+        f"{sorted(k for k in window if effective(k) > min_out)}"
     )
     # every never-proven oracle key is accounted for: in-window or deferred
-    never = {k for k in ORACLE_SQL if k not in newest}
-    assert never <= window | set(DEFERRED_R14), sorted(
-        never - window - set(DEFERRED_R14)
+    never = {k for k in ORACLE_SQL if effective(k) == 0}
+    assert never <= window | set(DEFERRED_R15), sorted(
+        never - window - set(DEFERRED_R15)
     )
