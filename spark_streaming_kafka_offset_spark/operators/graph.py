@@ -1060,8 +1060,13 @@ def graph_clustering_coefficient(
     unstriped (est ≪ budget ⇒ K = 1) while the sf10 second decade
     self-engages K = 8 with NO caller parameter — closing the
     ergonomics gap where a naive user at an intermediate scale hit the
-    /tmp wall (VERDICT r12 #4).  Explicit ``scale_stripes=K`` still
-    forces the choice (0/1 = one-pass).
+    /tmp wall (VERDICT r12 #4).  NOTE (ADVICE r13): the auto path is
+    EAGER — computing the estimate runs one small Spark job (the
+    node-sized degree join + 1-row agg) before the plan is returned,
+    so the default call is no longer a pure plan builder; callers
+    composing many invocations should pass an explicit
+    ``scale_stripes`` to stay lazy.  Explicit ``scale_stripes=K``
+    forces the choice (0/1 = one-pass) and skips the estimation job.
 
     ``scale_stripes=K`` (the bounded-local-disk path itself): the
     intersection join ships BOTH endpoint adjacency arrays on every

@@ -1555,8 +1555,9 @@ def test_clustering_coefficient_striped_equivalence(spark):
 
 def test_clustering_coefficient_auto_stripe_selection(spark, monkeypatch):
     """scale_stripes=None (the r13 default) self-selects K from the
-    16·Σ out_d² shipping estimate against SSKOS_STRIPE_DISK_BUDGET_GB:
-    at the default 32 GiB budget the sf0.001 run stays unstriped, and
+    2·8·Σ od(v)·d(v) shipping estimate against
+    SSKOS_STRIPE_DISK_BUDGET_GB: at the default 26 GiB budget the
+    sf0.001 run stays unstriped, and
     with the budget squeezed below the fixture's estimate the striped
     path must self-engage (K > 1) and still return the identical rows
     (the equality pin, now through the auto path)."""
