@@ -948,6 +948,157 @@ def stream_dedup_corpus(
     return out.orderBy("event_type")
 
 
+#: staged embedding-stream cache (mirrors _STAGE_CACHE for events): every
+#: streaming query re-uses the same immutable staged copy per sf_dir.
+_EMBED_STAGE_CACHE: dict[tuple[str, int], str] = {}
+
+EMBED_STREAM_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def stage_embed_stream_dir(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> str:
+    """Chunk ``embeddings`` into ``n_chunks`` parquet files (chunk i =
+    rows with vec_id % n == i) under a temp dir with increasing mtimes —
+    the embedding-ingestion stand-in for a Kafka vector topic, exactly
+    the `stage_stream_dir` recipe on the vector table."""
+    cache_key = (sf_dir, n_chunks)
+    cached = _EMBED_STAGE_CACHE.get(cache_key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    mod = pc.subtract(
+        tbl["vec_id"],
+        pc.multiply(pc.divide(tbl["vec_id"], n_chunks), n_chunks),
+    )
+    stream_dir = scratch_path("sskos_embstream_")
+    for i in range(n_chunks):
+        dest = os.path.join(stream_dir, f"{i:04d}.parquet")
+        pq.write_table(tbl.filter(pc.equal(mod, i)), dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    _EMBED_STAGE_CACHE[cache_key] = stream_dir
+    return stream_dir
+
+
+#: Cell scale for the streaming semantic-admission blocking grid:
+#: floor(coord · 50) buckets the first two embedding coordinates into
+#: 0.02-wide cells.  Exact duplicates and identical-leading-coordinate
+#: twins share their cell BY CONSTRUCTION (integer floor of the same
+#: double), which is what makes the planted-recall pytest a LAW; the
+#: production analogue is an IVF cell id.  τ reuses the SemDeDup
+#: threshold (functions/similarity._SD_TAU_E5) so the admission rule
+#: is exercised on the fixture corpus (max pairwise cosine ≈0.49),
+#: not vacuous.
+_SDE_CELL_SCALE = 50
+
+
+@register("stream_dedup_embed")  # rows-only: streaming (batch-equivalence + planted-recall pytests)
+def stream_dedup_embed(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    emit: str = "agg",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming SEMANTIC admission — the embedding twin of
+    `stream_dedup_corpus` (r14, the VERDICT r13 thin-seam item): an
+    incoming vector stream is deduped against a STATIC already-ingested
+    reference corpus by τ-cosine, so a paraphrase whose text fingerprint
+    is new but whose embedding the corpus already covers is rejected at
+    ingestion time.  Zero stream state: the reference is static per
+    micro-batch, nothing accumulates (contrast `stream_dedup`'s
+    watermark state).
+
+    Semantics: incoming vector v is DROPPED iff some reference vector r
+    (vec_id ≡ 0 mod 3 — the ingested-ledger rule shared with
+    `stream_dedup_corpus`) shares v's blocking cell (floor of the first
+    two coordinates at `_SDE_CELL_SCALE`) and has floor-1e-5 cosine
+    ≥ τ = 0.40.  A replayed reference record drops on its own self-match
+    (identical vector ⇒ same cell, cosine ≈ 1), so exact replays and
+    τ-paraphrases die by the SAME rule — no separate id path.
+
+    ``emit="agg"`` (default) returns per-label admitted counts;
+    ``emit="records"`` returns the admitted records themselves (append
+    mode) for per-record hit/miss accounting, and
+    ``max_files_per_trigger=1`` forces one staged chunk per micro-batch
+    — the measured-recall hooks, mirroring `stream_dedup_corpus`.
+
+    Exactness/recall evidence (rows-only — streaming):
+    tests/test_streaming.py gates batch-twin equality (the identical
+    cell-blocked anti-join over the static table) and the planted law:
+    twins built with IDENTICAL leading coordinates share the cell
+    BY CONSTRUCTION, so every ≥τ twin of a reference vector MUST drop,
+    across micro-batches, while orthogonal newcomers are admitted.
+
+    Scale notes: the join is cell-equi-keyed — per micro-batch each
+    incoming vector meets only its cell's reference occupancy (IVF-cell
+    economics, never all-pairs; the 2-coordinate grid is the scaled
+    stand-in for a k-means cell id).  The reference side here rides the
+    stream-static broadcast like `stream_dedup_corpus`; at 100 TB the
+    reference does not broadcast — the production forms, in preference
+    order: (1) per-cell centroid/bloom prefilter broadcast (bits, not
+    vectors) with the exact cosine join only on cell hits, (2) a
+    bucketed reference table co-partitioned on cell id with the
+    stream's shuffle.  The micro-batch plan shape is identical."""
+    from ..functions.similarity import _SD_TAU_E5, dot
+
+    reader = spark.readStream.schema(EMBED_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.parquet(stage_embed_stream_dir(spark, sf_dir))
+
+    def cell(col: str, i: int):
+        return (
+            F.floor(
+                F.element_at(col, i).cast("double") * _SDE_CELL_SCALE
+            ).cast("long")
+        )
+
+    ref = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 3 == 0)
+        .select(
+            F.col("embedding").alias("ref_emb"),
+            cell("embedding", 1).alias("rc1"),
+            cell("embedding", 2).alias("rc2"),
+        )
+    )
+    probe = src.withColumn("c1", cell("embedding", 1)).withColumn(
+        "c2", cell("embedding", 2)
+    )
+    cos_e5 = F.floor(dot(F.col("embedding"), F.col("ref_emb")) * 100000).cast(
+        "long"
+    )
+    fresh = probe.join(
+        F.broadcast(ref),
+        (F.col("c1") == F.col("rc1"))
+        & (F.col("c2") == F.col("rc2"))
+        & (cos_e5 >= _SD_TAU_E5),
+        "left_anti",
+    )
+    if emit == "records":
+        out = run_to_completion(
+            fresh.select("vec_id", "label"),
+            "stream_dedup_embed_records",
+            "append",
+        )
+        return out.orderBy("vec_id")
+    agg = fresh.groupBy("label").agg(F.count("*").alias("n_admitted"))
+    out = run_to_completion(agg, "stream_dedup_embed", "complete")
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_admitted").cast("long").alias("n_admitted"),
+    ).orderBy("label")
+
+
+
 @register("stream_topk_windowed")  # rows-only: streaming (batch-equivalence pytest)
 def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed top-k: the 3 most frequent event types per

@@ -1495,3 +1495,111 @@ def test_stream_temporal_dim_join_equals_batch(spark):
     assert streamed == batch
     tiers = {t[0] for t in streamed}
     assert tiers == {"base", "plus"}, tiers
+
+
+def test_stream_dedup_embed_equals_batch_anti_join(spark):
+    """The streaming semantic admission must equal the identical
+    cell-blocked τ-cosine anti-join computed in batch over the same
+    rows — the batch-equivalence contract every streaming operator
+    carries (§5.4)."""
+    from spark_streaming_kafka_offset_spark.functions.similarity import (
+        _SD_TAU_E5,
+        dot,
+    )
+    from spark_streaming_kafka_offset_spark.streaming.core import (
+        _SDE_CELL_SCALE,
+    )
+
+    streamed = {
+        r["label"]: r["n_admitted"]
+        for r in QUERIES["stream_dedup_embed"](spark, SF_DIR).collect()
+    }
+
+    e = load_table(spark, SF_DIR, "embeddings")
+
+    def cell(col, i):
+        return F.floor(
+            F.element_at(col, i).cast("double") * _SDE_CELL_SCALE
+        ).cast("long")
+
+    ref = e.where(F.col("vec_id") % 3 == 0).select(
+        F.col("embedding").alias("ref_emb"),
+        cell("embedding", 1).alias("rc1"),
+        cell("embedding", 2).alias("rc2"),
+    )
+    probe = e.select("vec_id", "label", "embedding").withColumn(
+        "c1", cell("embedding", 1)
+    ).withColumn("c2", cell("embedding", 2))
+    cos_e5 = F.floor(dot(F.col("embedding"), F.col("ref_emb")) * 100000).cast(
+        "long"
+    )
+    batch = {
+        r["label"]: r["n"]
+        for r in probe.join(
+            ref,
+            (F.col("c1") == F.col("rc1"))
+            & (F.col("c2") == F.col("rc2"))
+            & (cos_e5 >= _SD_TAU_E5),
+            "left_anti",
+        )
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert streamed == batch
+    # the admission rule is exercised, not vacuous: every replayed
+    # reference vector self-matches, so admitted < total
+    total = e.count()
+    assert 0 < sum(streamed.values()) < total
+
+
+def test_stream_dedup_embed_planted_recall_laws(spark, tmp_path):
+    """Planted-recall LAW for the streaming semantic admission
+    (mirrors the batch family's identical-f1f2 trick): twins built
+    with IDENTICAL leading coordinates share the reference vector's
+    blocking cell BY CONSTRUCTION, so across micro-batches (one chunk
+    per trigger)
+
+    - every ≥τ twin of a reference vector MUST be rejected,
+    - every replayed reference record MUST be rejected (self-match),
+    - orthogonal newcomers MUST be admitted exactly once."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 64
+
+    def unit(lead, j):
+        # leading coords (lead, 0.1) shared bit-exactly by twins; the
+        # tail axis j carries the rotation that sets the cosine level
+        v = [0.0] * dim
+        v[0], v[1] = lead, 0.1
+        v[j] = math.sqrt(max(0.0, 1.0 - lead * lead - 0.01))
+        return v
+
+    rows = [
+        (0, unit(0.9, 10), 0),    # reference (0 % 3 == 0) — also replayed
+        (7, unit(0.9, 10), 0),    # exact twin, fresh id → cos 1.0 ≥ τ: drop
+        (13, unit(0.9, 11), 0),   # same-cell twin, orthogonal tail:
+                                  # cos = 0.9²+0.1² = 0.82 ≥ τ: drop
+        (5, [1.0 if k == 30 else 0.0 for k in range(dim)], 1),  # newcomer
+        (11, [1.0 if k == 40 else 0.0 for k in range(dim)], 1),  # newcomer
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    admitted = [
+        r["vec_id"]
+        for r in QUERIES["stream_dedup_embed"](
+            spark, str(tmp_path), emit="records", max_files_per_trigger=1
+        ).collect()
+    ]
+    assert sorted(admitted) == [5, 11], admitted  # laws all at once
+    assert len(admitted) == len(set(admitted))

@@ -56,6 +56,10 @@ PROBE_SET = [
     "text_ocr_artifacts",
     "eval_krippendorff_alpha",
     "docs_bleu",
+    # r14: the streaming semantic-admission twin (cell-blocked
+    # stream-static anti-join; linearity claim tested at the second
+    # decade like its batch siblings).
+    "stream_dedup_embed",
 ]
 
 
