@@ -1499,15 +1499,18 @@ def test_stream_temporal_dim_join_equals_batch(spark):
 
 def test_stream_dedup_embed_equals_batch_anti_join(spark):
     """The streaming semantic admission must equal the identical
-    cell-blocked τ-cosine anti-join computed in batch over the same
-    rows — the batch-equivalence contract every streaming operator
-    carries (§5.4)."""
+    neighborhood-registered τ-cosine anti-join computed in batch over
+    the same rows — the batch-equivalence contract every streaming
+    operator carries (§5.4).  The twin re-derives the registration
+    expansion independently (explicit dx/dy explode at the shipped
+    default posture)."""
     from spark_streaming_kafka_offset_spark.functions.similarity import (
         _SD_TAU_E5,
         dot,
     )
     from spark_streaming_kafka_offset_spark.streaming.core import (
         _SDE_CELL_SCALE,
+        _SDE_REGISTER_RADIUS,
     )
 
     streamed = {
@@ -1522,10 +1525,26 @@ def test_stream_dedup_embed_equals_batch_anti_join(spark):
             F.element_at(col, i).cast("double") * _SDE_CELL_SCALE
         ).cast("long")
 
-    ref = e.where(F.col("vec_id") % 3 == 0).select(
-        F.col("embedding").alias("ref_emb"),
-        cell("embedding", 1).alias("rc1"),
-        cell("embedding", 2).alias("rc2"),
+    offs = F.array(
+        *[
+            F.lit(d)
+            for d in range(-_SDE_REGISTER_RADIUS, _SDE_REGISTER_RADIUS + 1)
+        ]
+    )
+    ref = (
+        e.where(F.col("vec_id") % 3 == 0)
+        .select(
+            F.col("embedding").alias("ref_emb"),
+            cell("embedding", 1).alias("bc1"),
+            cell("embedding", 2).alias("bc2"),
+        )
+        .withColumn("dx", F.explode(offs))
+        .withColumn("dy", F.explode(offs))
+        .select(
+            "ref_emb",
+            (F.col("bc1") + F.col("dx")).alias("rc1"),
+            (F.col("bc2") + F.col("dy")).alias("rc2"),
+        )
     )
     probe = e.select("vec_id", "label", "embedding").withColumn(
         "c1", cell("embedding", 1)
@@ -1554,13 +1573,17 @@ def test_stream_dedup_embed_equals_batch_anti_join(spark):
 
 
 def test_stream_dedup_embed_planted_recall_laws(spark, tmp_path):
-    """Planted-recall LAW for the streaming semantic admission
+    """Planted-recall LAWS for the streaming semantic admission
     (mirrors the batch family's identical-f1f2 trick): twins built
     with IDENTICAL leading coordinates share the reference vector's
-    blocking cell BY CONSTRUCTION, so across micro-batches (one chunk
-    per trigger)
+    blocking cell BY CONSTRUCTION, and a twin nudged JUST ACROSS the
+    cell boundary is covered by the radius-1 neighborhood registration
+    BY CONSTRUCTION (the posture the 20k measured sweep shipped —
+    under radius 0 it provably leaks), so across micro-batches (one
+    chunk per trigger)
 
-    - every ≥τ twin of a reference vector MUST be rejected,
+    - every ≥τ same-cell twin of a reference vector MUST be rejected,
+    - the boundary-crossing twin MUST be rejected (registration law),
     - every replayed reference record MUST be rejected (self-match),
     - orthogonal newcomers MUST be admitted exactly once."""
     import math
@@ -1571,18 +1594,24 @@ def test_stream_dedup_embed_planted_recall_laws(spark, tmp_path):
     dim = 64
 
     def unit(lead, j):
-        # leading coords (lead, 0.1) shared bit-exactly by twins; the
-        # tail axis j carries the rotation that sets the cosine level
+        # leading coords (lead, 0.1); the tail axis j carries the
+        # rotation that sets the cosine level
         v = [0.0] * dim
         v[0], v[1] = lead, 0.1
         v[j] = math.sqrt(max(0.0, 1.0 - lead * lead - 0.01))
         return v
 
+    # shipped grid: scale 25 → 0.04-wide cells with boundaries at k/25.
+    # lead 0.879 floors to cell 21, lead 0.881 to cell 22 — adjacent
+    # cells; cosine(ref, crosser) = 0.879·0.881 + 0.01 + t·t' ≈ 1 ≥ τ.
     rows = [
-        (0, unit(0.9, 10), 0),    # reference (0 % 3 == 0) — also replayed
-        (7, unit(0.9, 10), 0),    # exact twin, fresh id → cos 1.0 ≥ τ: drop
-        (13, unit(0.9, 11), 0),   # same-cell twin, orthogonal tail:
-                                  # cos = 0.9²+0.1² = 0.82 ≥ τ: drop
+        (0, unit(0.879, 10), 0),  # reference (0 % 3 == 0) — also replayed
+        (7, unit(0.879, 10), 0),  # exact twin, fresh id → cos 1.0 ≥ τ: drop
+        (13, unit(0.879, 11), 0),  # same-cell twin, orthogonal tail:
+                                   # cos ≈ 0.879²+0.1² = 0.78 ≥ τ: drop
+        (16, unit(0.881, 10), 0),  # boundary-crossing twin, next cell
+                                   # over → dropped ONLY via radius-1
+                                   # neighborhood registration
         (5, [1.0 if k == 30 else 0.0 for k in range(dim)], 1),  # newcomer
         (11, [1.0 if k == 40 else 0.0 for k in range(dim)], 1),  # newcomer
     ]
@@ -1595,6 +1624,18 @@ def test_stream_dedup_embed_planted_recall_laws(spark, tmp_path):
     )
     pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
 
+    # construction guards: the crosser really is in the NEXT raw cell
+    # (so only neighborhood registration can reach it), one cell apart
+    from spark_streaming_kafka_offset_spark.streaming.core import (
+        _SDE_CELL_SCALE,
+        _SDE_REGISTER_RADIUS,
+    )
+
+    ref_cell = math.floor(0.879 * _SDE_CELL_SCALE)
+    crosser_cell = math.floor(0.881 * _SDE_CELL_SCALE)
+    assert crosser_cell == ref_cell + 1
+    assert _SDE_REGISTER_RADIUS >= 1
+
     admitted = [
         r["vec_id"]
         for r in QUERIES["stream_dedup_embed"](
@@ -1603,3 +1644,18 @@ def test_stream_dedup_embed_planted_recall_laws(spark, tmp_path):
     ]
     assert sorted(admitted) == [5, 11], admitted  # laws all at once
     assert len(admitted) == len(set(admitted))
+
+    # the registration law is FALSIFIABLE: under radius 0 (the
+    # first-cut posture the 20k sweep measured at 0.62 recall) the
+    # boundary-crossing twin provably leaks through
+    leaked = [
+        r["vec_id"]
+        for r in QUERIES["stream_dedup_embed"](
+            spark,
+            str(tmp_path),
+            emit="records",
+            max_files_per_trigger=1,
+            register_radius=0,
+        ).collect()
+    ]
+    assert 16 in leaked, leaked
