@@ -4490,3 +4490,203 @@ def docs_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000.0) AS BIGINT)"
         ).alias("bleu2_ppm"),
     )
+
+
+@register(
+    "docs_chrf",
+    # Corpus-level chrF (Popović 2015, public) over the same
+    # deterministic (doc, successor) pairing as `docs_bleu` — the
+    # character-grain generation-eval sibling: chrF is whitespace-free
+    # CHARACTER n-gram F-β with β = 2 (recall-weighted), robust to
+    # tokenization and morphology where BLEU's word grams are brittle.
+    # Orders 1..3 (the span the fixture's word lengths support;
+    # standard chrF6's orders 4-6 add nothing on short synthetic docs
+    # — documented reduction).  The β = 2 F-score collapses to ONE
+    # exact integer rational per order:  F = 5PR/(4P+R) with
+    # P = ov/c, R = ov/r  ⇒  F = 5·ov/(4r + c)  (ov = 0 ⇒ 0), so
+    # f{1,2,3}_e6 are single integer divisions and chrf3_e6 is their
+    # floored mean — no float anywhere, unlike BLEU's exp/sqrt tail.
+    # Pairs where either side lacks an order-3 gram (< 3 chars after
+    # space removal) are excluded (documented, the docs_bleu posture).
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, replace(text, ' ', '') AS s,
+             length(replace(text, ' ', '')) AS len
+      FROM documents
+    ), grams_raw AS (
+      SELECT 1 AS ng, doc_id, unnest(list_transform(range(1, len + 1),
+               i -> substr(s, i, 1))) AS g
+      FROM s WHERE len >= 1
+      UNION ALL
+      SELECT 2 AS ng, doc_id, unnest(list_transform(range(1, len),
+               i -> substr(s, i, 2))) AS g
+      FROM s WHERE len >= 2
+      UNION ALL
+      SELECT 3 AS ng, doc_id, unnest(list_transform(range(1, len - 1),
+               i -> substr(s, i, 3))) AS g
+      FROM s WHERE len >= 3
+    ), grams AS (
+      SELECT ng, doc_id, g, COUNT(*) AS c FROM grams_raw GROUP BY 1, 2, 3
+    ), sizes AS (
+      SELECT ng, doc_id, SUM(c) AS sz FROM grams GROUP BY 1, 2
+    ), pairs AS (
+      SELECT r.ng, r.doc_id AS ref_id, SUM(LEAST(r.c, cnd.c)) AS ov
+      FROM grams r JOIN grams cnd
+        ON cnd.ng = r.ng AND cnd.doc_id = r.doc_id + 1 AND cnd.g = r.g
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT sr.ng, sr.doc_id AS ref_id,
+             COALESCE(p.ov, 0) AS ov, sr.sz AS ref_n, sc.sz AS cand_n
+      FROM sizes sr
+      JOIN sizes sc ON sc.ng = sr.ng AND sc.doc_id = sr.doc_id + 1
+      LEFT JOIN pairs p ON p.ng = sr.ng AND p.ref_id = sr.doc_id
+    ), pair_ok AS (
+      SELECT ref_id,
+             MAX(CASE WHEN ng = 1 THEN ov END) AS ov1,
+             MAX(CASE WHEN ng = 1 THEN cand_n END) AS c1,
+             MAX(CASE WHEN ng = 1 THEN ref_n END) AS r1,
+             MAX(CASE WHEN ng = 2 THEN ov END) AS ov2,
+             MAX(CASE WHEN ng = 2 THEN cand_n END) AS c2,
+             MAX(CASE WHEN ng = 2 THEN ref_n END) AS r2,
+             MAX(CASE WHEN ng = 3 THEN ov END) AS ov3,
+             MAX(CASE WHEN ng = 3 THEN cand_n END) AS c3,
+             MAX(CASE WHEN ng = 3 THEN ref_n END) AS r3
+      FROM scored GROUP BY ref_id
+      HAVING MAX(CASE WHEN ng = 3 THEN cand_n END) IS NOT NULL
+         AND MAX(CASE WHEN ng = 3 THEN ref_n END) IS NOT NULL
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(ov1) AS BIGINT) AS ov1,
+             CAST(SUM(c1) AS BIGINT) AS c1,
+             CAST(SUM(r1) AS BIGINT) AS r1,
+             CAST(SUM(ov2) AS BIGINT) AS ov2,
+             CAST(SUM(c2) AS BIGINT) AS c2,
+             CAST(SUM(r2) AS BIGINT) AS r2,
+             CAST(SUM(ov3) AS BIGINT) AS ov3,
+             CAST(SUM(c3) AS BIGINT) AS c3,
+             CAST(SUM(r3) AS BIGINT) AS r3
+      FROM pair_ok
+    )
+    SELECT n_pairs,
+           c1 AS cand_chars, r1 AS ref_chars,
+           CAST(5 * ov1 * 1000000 // (4 * r1 + c1) AS BIGINT) AS f1_e6,
+           CAST(5 * ov2 * 1000000 // (4 * r2 + c2) AS BIGINT) AS f2_e6,
+           CAST(5 * ov3 * 1000000 // (4 * r3 + c3) AS BIGINT) AS f3_e6,
+           CAST((5 * ov1 * 1000000 // (4 * r1 + c1)
+               + 5 * ov2 * 1000000 // (4 * r2 + c2)
+               + 5 * ov3 * 1000000 // (4 * r3 + c3)) // 3 AS BIGINT)
+             AS chrf3_e6
+    FROM tot WHERE n_pairs > 0
+    """,
+)
+def docs_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level chrF (β = 2, character orders 1..3) over the
+    (doc, successor) pairs — the character-grain sibling of
+    `docs_bleu`: whitespace is removed, per-order clipped character
+    n-gram overlaps are summed CORPUS-LEVEL (never a mean of per-pair
+    scores — the same definitional trap BLEU's shape forecloses), and
+    chrF3 is the mean of the three per-order F-β scores.
+
+    Exactness: β = 2 makes each per-order F-score one exact integer
+    division — F = 5PR/(4P+R) with P = Σov/Σc, R = Σov/Σr collapses
+    to 5·Σov/(4·Σr + Σc) — so f1/f2/f3_e6 and their floored mean
+    chrf3_e6 form an all-integer chain with NO float anywhere (chrF's
+    advantage over BLEU's exp/sqrt tail, preserved by the algebra).
+    Law pytests pin the poles: identical pairs → every f_e6 and
+    chrf3_e6 exactly 1e6; disjoint alphabets → all exactly 0; a
+    hand-computed aaaa/aaa pair pins the integer chain end-to-end.
+
+    Scale notes: identical movement to `docs_bleu` at character grain
+    — one char-gram explode (~3× the text volume in rows, the cost of
+    tokenization robustness) into doc-keyed gram counts, pair overlap
+    an equi-join on (ng, doc_id+1, gram), then ONE corpus reduce to a
+    1-row frame; never all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.expr("replace(text, ' ', '')").alias("s"),
+        F.expr("length(replace(text, ' ', ''))").alias("len"),
+    )
+    parts = []
+    for n in (1, 2, 3):
+        parts.append(
+            s.where(F.col("len") >= n).select(
+                F.lit(n).alias("ng"),
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, len - {n} + 1),"
+                        f" i -> substring(s, i, {n}))"
+                    )
+                ).alias("g"),
+            )
+        )
+    grams = (
+        parts[0]
+        .unionByName(parts[1])
+        .unionByName(parts[2])
+        .groupBy("ng", "doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = grams.groupBy("ng", "doc_id").agg(F.sum("c").alias("sz"))
+    r = grams.select(
+        "ng", F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("c_ref")
+    )
+    cnd = grams.select(
+        "ng",
+        (F.col("doc_id") - 1).alias("ref_id"),
+        "g",
+        F.col("c").alias("c_cand"),
+    )
+    pairs = (
+        r.join(cnd, ["ng", "ref_id", "g"])
+        .groupBy("ng", "ref_id")
+        .agg(F.sum(F.least("c_ref", "c_cand")).alias("ov"))
+    )
+    sr = sizes.select(
+        "ng", F.col("doc_id").alias("ref_id"), F.col("sz").alias("ref_n")
+    )
+    sc = sizes.select(
+        "ng", (F.col("doc_id") - 1).alias("ref_id"), F.col("sz").alias("cand_n")
+    )
+    scored = (
+        sr.join(sc, ["ng", "ref_id"])
+        .join(pairs, ["ng", "ref_id"], "left")
+        .select("ng", "ref_id", F.coalesce("ov", F.lit(0)).alias("ov"),
+                "ref_n", "cand_n")
+    )
+    both = (
+        scored.groupBy("ref_id")
+        .agg(
+            *[
+                F.expr(f"MAX(CASE WHEN ng = {n} THEN {c} END)").alias(
+                    f"{a}{n}"
+                )
+                for n in (1, 2, 3)
+                for c, a in (("ov", "ov"), ("cand_n", "c"), ("ref_n", "r"))
+            ]
+        )
+        .where(F.col("c3").isNotNull() & F.col("r3").isNotNull())
+    )
+    tot = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        *[
+            F.sum(f"{a}{n}").cast("long").alias(f"{a}{n}")
+            for n in (1, 2, 3)
+            for a in ("ov", "c", "r")
+        ],
+    )
+    f = {
+        n: f"(5 * ov{n} * 1000000 div (4 * r{n} + c{n}))" for n in (1, 2, 3)
+    }
+    return tot.where(F.col("n_pairs") > 0).select(
+        "n_pairs",
+        F.col("c1").alias("cand_chars"),
+        F.col("r1").alias("ref_chars"),
+        F.expr(f"CAST({f[1]} AS BIGINT)").alias("f1_e6"),
+        F.expr(f"CAST({f[2]} AS BIGINT)").alias("f2_e6"),
+        F.expr(f"CAST({f[3]} AS BIGINT)").alias("f3_e6"),
+        F.expr(
+            f"CAST(({f[1]} + {f[2]} + {f[3]}) div 3 AS BIGINT)"
+        ).alias("chrf3_e6"),
+    )

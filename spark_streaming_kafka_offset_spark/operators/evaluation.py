@@ -1559,3 +1559,120 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+@register(
+    "eval_fleiss_kappa",
+    # Fleiss' kappa (public: Fleiss 1971, "Measuring nominal scale
+    # agreement among many raters") — the FIXED-panel-size many-rater
+    # agreement measure: `eval_cohens_kappa` needs exactly two raters
+    # and `eval_krippendorff_alpha` pools uneven panels; Fleiss' kappa
+    # is defined for N units each rated by exactly n raters, so the op
+    # reports one kappa PER PANEL SIZE n ∈ {2..7} (TPC-H's
+    # lineitem-per-order span) — each group satisfies the fixed-n
+    # assumption exactly instead of forcing one arbitrary n.  Units =
+    # orders, raters = the order's lineitems, label = l_returnflag.
+    # EXACT integer form: with so2 = Σ_{u,c} o_uc², N units, n raters,
+    # Nn = N·n, S2 = Σ_c n_c²:  P̄  = (so2 − Nn)/(Nn(n−1)),
+    # P̄e = S2/(Nn)², and kappa = (P̄−P̄e)/(1−P̄e) collapses to ONE
+    # exact rational:  (  (so2 − Nn)·(Nn)² − Nn(n−1)·S2  ) · 1e6
+    #              div (  Nn(n−1)·((Nn)² − S2)  )
+    # — every term integral, rides DECIMAL(38,0)/HUGEINT (the product
+    # tops ~1e28 at sf10; headroom to ~sf3000 documented), both
+    # engines' integer division truncating toward zero (the gamma_gk
+    # verification).  Single-category groups ((Nn)² = S2) yield NULL —
+    # the family degenerate convention.
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey AS unit, l_returnflag AS cat FROM lineitem
+    ), m AS (
+      SELECT unit, COUNT(*) AS n FROM r GROUP BY unit
+    ), inc AS (
+      SELECT unit, n FROM m WHERE n BETWEEN 2 AND 7
+    ), o AS (
+      SELECT r.unit, MAX(i.n) AS n, r.cat, COUNT(*) AS ouc
+      FROM r JOIN inc i ON r.unit = i.unit
+      GROUP BY r.unit, r.cat
+    ), per_n AS (
+      SELECT n,
+             CAST(COUNT(DISTINCT unit) AS HUGEINT) AS nu,
+             CAST(SUM(ouc * ouc) AS HUGEINT) AS so2
+      FROM o GROUP BY n
+    ), margins AS (
+      SELECT n, cat, CAST(SUM(ouc) AS HUGEINT) AS n_c
+      FROM o GROUP BY n, cat
+    ), s2 AS (
+      SELECT n, CAST(SUM(n_c * n_c) AS HUGEINT) AS s2 FROM margins
+      GROUP BY n
+    )
+    SELECT CAST(p.n AS BIGINT) AS panel_n,
+           CAST(p.nu AS BIGINT) AS n_units,
+           CAST(p.nu * p.n AS BIGINT) AS n_ratings,
+           CAST(CASE WHEN (p.nu*p.n)*(p.nu*p.n) > s.s2 THEN
+                  ((p.so2 - p.nu*p.n) * (p.nu*p.n) * (p.nu*p.n)
+                   - p.nu*p.n * (p.n - 1) * s.s2) * 1000000
+                  // (p.nu*p.n * (p.n - 1)
+                      * ((p.nu*p.n)*(p.nu*p.n) - s.s2))
+                END AS BIGINT) AS kappa_e6
+    FROM per_n p JOIN s2 s ON p.n = s.n
+    ORDER BY panel_n
+    """,
+)
+def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa per panel size over the order "panels" — N units
+    each rated by exactly n raters (the order's n lineitems labeling
+    the order with their return flag), one row per n ∈ {2..7}:
+    kappa = (P̄ − P̄e)/(1 − P̄e) with P̄ the mean per-unit pairwise
+    agreement rate and P̄e the chance rate from the pooled margins;
+    1 = perfect, 0 = chance, negative = systematic disagreement.
+    Grouping BY panel size keeps Fleiss' fixed-n assumption exact
+    (pooling uneven panels is Krippendorff's job — the sibling op).
+
+    Exactness: the whole statistic is ONE exact integer rational (see
+    the registration comment for the algebra); kappa_e6 is a single
+    DECIMAL(38,0) division, no float anywhere.  Law pytests pin the
+    poles: unanimous panels with ≥2 categories across units →
+    exactly 1e6; one-of-each-category panels (n = k, equal margins) →
+    exactly −1e6 div (n−1) (the textbook −1/(n−1) floor);
+    single-category groups → NULL.
+
+    Scale notes: one (unit, cat) agg over the fact table, a unit-sized
+    panel filter join, then three ≤6-row rollups joined on panel size
+    — the eval_krippendorff_alpha movement with the group-by-n split;
+    output ≤ 6 rows."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("unit"), F.col("l_returnflag").alias("cat")
+    )
+    m = l.groupBy("unit").agg(F.count(F.lit(1)).alias("n"))
+    inc = m.where((F.col("n") >= 2) & (F.col("n") <= 7))
+    o = (
+        l.join(inc, "unit")
+        .groupBy("unit", "cat")
+        .agg(F.count(F.lit(1)).alias("ouc"), F.max("n").alias("n"))
+    )
+    per_n = o.groupBy("n").agg(
+        F.expr("CAST(COUNT(DISTINCT unit) AS DECIMAL(38,0))").alias("nu"),
+        F.expr("CAST(SUM(ouc * ouc) AS DECIMAL(38,0))").alias("so2"),
+    )
+    s2 = (
+        o.groupBy("n", "cat")
+        .agg(F.expr("CAST(SUM(ouc) AS DECIMAL(38,0))").alias("n_c"))
+        .groupBy("n")
+        .agg(F.expr("CAST(SUM(n_c * n_c) AS DECIMAL(38,0))").alias("s2"))
+    )
+    return (
+        per_n.join(s2, "n")
+        .select(
+            F.col("n").cast("long").alias("panel_n"),
+            F.col("nu").cast("long").alias("n_units"),
+            F.expr("CAST(nu * n AS BIGINT)").alias("n_ratings"),
+            F.expr(
+                "CAST(CASE WHEN (nu*n)*(nu*n) > s2 THEN"
+                " ((so2 - nu*n) * (nu*n) * (nu*n)"
+                "  - nu*n * (n - 1) * s2) * 1000000"
+                " div (nu*n * (n - 1) * ((nu*n)*(nu*n) - s2))"
+                " END AS BIGINT)"
+            ).alias("kappa_e6"),
+        )
+        .orderBy("panel_n")
+    )

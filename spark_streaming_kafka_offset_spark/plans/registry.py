@@ -67,6 +67,11 @@ REPROOF_VOID: dict[str, int] = {
 }
 
 DEFERRED_R15: tuple[str, ...] = (
+    # r14-registered oracle pairs (never driver-proven — effective
+    # round 0, so they precede the r7 tier): the fixed-panel Fleiss
+    # kappa and the character-grain corpus chrF (§2.74).
+    "eval_fleiss_kappa",
+    "docs_chrf",
     # r7-tier spillover (newest hard row r7; stalest-outside-window at
     # the r14 seal) — the r15 window head, in r7-tier listed order.
     "corpus_heaps_curve",
@@ -610,6 +615,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r14: streaming semantic admission (embedding twin of
     # stream_dedup_corpus — §2.9; rows-only: streaming).
     "stream_dedup_embed",
+    # r14 oracle pairs (§2.74) — outside the sealed window, queued at
+    # the DEFERRED_R15 head for their first driver proof.
+    "eval_fleiss_kappa",
+    "docs_chrf",
 )
 
 

@@ -1,0 +1,176 @@
+"""Planted-law tests for the r14 operator batch (SURVEY §2.72)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from spark_streaming_kafka_offset_spark.plans.registry import QUERIES
+from tests.conftest import SF_DIR
+
+_DOCS_SCHEMA = pq.read_schema(f"{SF_DIR}/documents.parquet")
+
+
+def _write_docs(tmp_path, rows):
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_DOCS_SCHEMA),
+        str(tmp_path / "documents.parquet"),
+    )
+
+
+def _write_lineitem(tmp_path, rows):
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"l_orderkey": u, "l_returnflag": c} for u, c in rows]
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+
+def test_fleiss_kappa_planted_poles(spark, tmp_path):
+    """Unanimous panels with ≥2 categories across units pin
+    kappa_e6 == 1e6 exactly; one-of-each-category panels (n = k with
+    equal margins) pin the textbook −1/(n−1) pole exactly; a
+    single-category group yields NULL; panel sizes are grouped, not
+    pooled (two sizes in one fixture → two independent rows)."""
+
+    def run():
+        return {
+            r.panel_n: r
+            for r in QUERIES["eval_fleiss_kappa"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+
+    # perfect agreement at two panel sizes in one corpus: each row
+    # must hit the pole independently (the fixed-n split law)
+    _write_lineitem(
+        tmp_path,
+        [(u, "A" if u % 2 == 0 else "R") for u in range(6) for _ in range(3)]
+        + [(100 + u, "A" if u % 2 == 0 else "R") for u in range(4) for _ in range(5)],
+    )
+    out = run()
+    assert set(out) == {3, 5}
+    assert out[3].kappa_e6 == 1000000 and out[5].kappa_e6 == 1000000
+    assert out[3].n_units == 6 and out[3].n_ratings == 18
+    assert out[5].n_units == 4 and out[5].n_ratings == 20
+
+    # maximal disagreement, n = k = 2 with equal margins:
+    # P̄ = 0, P̄e = 1/2 → kappa = −1 exactly
+    _write_lineitem(tmp_path, [(u, c) for u in range(10) for c in ("A", "R")])
+    out = run()
+    assert out[2].kappa_e6 == -1000000
+
+    # n = k = 3 one-of-each: P̄ = 0, P̄e = 1/3 → kappa = −1/2 exactly
+    _write_lineitem(
+        tmp_path, [(u, c) for u in range(9) for c in ("A", "N", "R")]
+    )
+    out = run()
+    assert out[3].kappa_e6 == -500000
+
+    # degenerate: one category everywhere → NULL (P̄e = 1)
+    _write_lineitem(tmp_path, [(u, "A") for u in range(5) for _ in range(2)])
+    out = run()
+    assert out[2].kappa_e6 is None
+
+
+def test_fleiss_kappa_groups_are_independent(spark, tmp_path):
+    """Adding a fully-disagreeing n=2 group must not move the n=3
+    unanimous group's kappa — the per-panel-size split is what keeps
+    Fleiss' fixed-n assumption exact (pooling would drag both)."""
+    unanimous3 = [
+        (u, "A" if u % 2 == 0 else "R") for u in range(6) for _ in range(3)
+    ]
+    _write_lineitem(tmp_path, unanimous3)
+    solo = {
+        r.panel_n: r.kappa_e6
+        for r in QUERIES["eval_fleiss_kappa"](spark, str(tmp_path)).collect()
+    }
+    _write_lineitem(
+        tmp_path,
+        unanimous3 + [(100 + u, c) for u in range(8) for c in ("A", "R")],
+    )
+    mixed = {
+        r.panel_n: r.kappa_e6
+        for r in QUERIES["eval_fleiss_kappa"](spark, str(tmp_path)).collect()
+    }
+    assert mixed[3] == solo[3] == 1000000
+    assert mixed[2] == -1000000
+
+
+def _doc(doc_id, text):
+    row = {f.name: None for f in _DOCS_SCHEMA}
+    row["doc_id"] = doc_id
+    row["text"] = text
+    return row
+
+
+def test_chrf_planted_poles(spark, tmp_path):
+    """Identical pairs pin every f_e6 and chrf3_e6 at exactly 1e6;
+    disjoint alphabets pin 0; the hand-computed aaaa/aaa pair pins
+    the β=2 integer chain end-to-end (5·ov/(4r+c) per order, floored
+    mean).  IDs are gapped so only the planted pairs form."""
+
+    def run():
+        rows = QUERIES["docs_chrf"](spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        return rows[0]
+
+    # identical pair (whitespace removed before gramming)
+    _write_docs(
+        tmp_path,
+        [_doc(10, "abc def"), _doc(11, "abc def")],
+    )
+    r = run()
+    assert (r.f1_e6, r.f2_e6, r.f3_e6, r.chrf3_e6) == (
+        1000000,
+        1000000,
+        1000000,
+        1000000,
+    )
+    assert r.n_pairs == 1 and r.cand_chars == 6 and r.ref_chars == 6
+
+    # disjoint alphabets → every order 0
+    _write_docs(tmp_path, [_doc(10, "aaaa"), _doc(11, "bbbb")])
+    r = run()
+    assert (r.f1_e6, r.f2_e6, r.f3_e6, r.chrf3_e6) == (0, 0, 0, 0)
+
+    # hand case: ref "aaaa" (doc 10), cand "aaa" (doc 11):
+    # o1: ov=3, c=3, r=4 → 15e6 // 19 = 789473
+    # o2: ov=2, c=2, r=3 → 10e6 // 14 = 714285
+    # o3: ov=1, c=1, r=2 →  5e6 //  9 = 555555
+    # chrf3 = (789473+714285+555555) // 3 = 686437
+    _write_docs(tmp_path, [_doc(10, "aaaa"), _doc(11, "aaa")])
+    r = run()
+    assert (r.f1_e6, r.f2_e6, r.f3_e6) == (789473, 714285, 555555)
+    assert r.chrf3_e6 == 686437
+
+    # a sub-3-char side excludes the pair entirely (needs all orders)
+    _write_docs(
+        tmp_path,
+        [_doc(10, "aaaa"), _doc(11, "aa"), _doc(20, "xyz"), _doc(21, "xyz")],
+    )
+    r = run()
+    assert r.n_pairs == 1 and r.chrf3_e6 == 1000000
+
+
+def test_chrf_is_corpus_level_not_mean_of_pairs(spark, tmp_path):
+    """chrF must be the ratio of corpus SUMS, not the mean of per-pair
+    scores: one perfect pair + one zero pair with unequal sizes gives
+    sum-based f1 = 5·4/(4·(4+8)+(4+8)) = 1/3 exactly (333333), while
+    a mean of per-pair F1s would give 500000 — the same definitional
+    trap docs_bleu forecloses, pinned at character grain."""
+    _write_docs(
+        tmp_path,
+        [
+            _doc(10, "aaaa"),
+            _doc(11, "aaaa"),  # perfect pair, 4 chars each side
+            _doc(20, "cccccccc"),
+            _doc(21, "dddddddd"),  # zero-overlap pair, 8 chars each
+        ],
+    )
+    rows = QUERIES["docs_chrf"](spark, str(tmp_path)).collect()
+    r = rows[0]
+    assert r.n_pairs == 2
+    assert r.f1_e6 == 333333  # corpus-sum definition
+    assert r.f1_e6 != 500000  # what mean-of-pairs would report

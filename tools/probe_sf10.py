@@ -60,6 +60,11 @@ PROBE_SET = [
     # stream-static anti-join; linearity claim tested at the second
     # decade like its batch siblings).
     "stream_dedup_embed",
+    # r14 second batch: the fixed-panel agreement rollup and the
+    # char-gram corpus F — the heaviest new shapes (chrF explodes
+    # ~3x the corpus characters).
+    "eval_fleiss_kappa",
+    "docs_chrf",
 ]
 
 
