@@ -189,6 +189,9 @@ SINGLE_ALLOWED: dict[str, str] = {
     "agg; the agg_partial_corr posture)",
     "docs_bleu": "1-row corpus reduce of the pair-grain BLEU sums "
     "(map-side partial agg; BLEU is DEFINED corpus-level)",
+    "docs_chrf": "1-row corpus reduce of the pair-grain chrF sums "
+    "(map-side partial agg; chrF is DEFINED corpus-level — the "
+    "docs_bleu shape at character grain)",
     "sort_multi": "numPartitions-row per-partition-offsets frame "
     "(range-partitioned dense-index recipe), not data",
     "graph_shortest_paths": "1-row frontier-count termination check per "
