@@ -4690,3 +4690,98 @@ def docs_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(({f[1]} + {f[2]} + {f[3]}) div 3 AS BIGINT)"
         ).alias("chrf3_e6"),
     )
+
+
+@register(
+    "docs_edit_distance",
+    # Corpus edit-distance profile (Levenshtein 1966, public) over the
+    # (doc, successor) pairing shared with docs_bleu/docs_chrf — the
+    # third generation-eval grain: BLEU counts word n-grams, chrF
+    # character n-grams, edit distance the minimal character
+    # EDIT SCRIPT (the TER-family primitive; also the post-OCR /
+    # near-dup adjudication metric).  Both engines implement the SAME
+    # dynamic program as a builtin (`levenshtein`), so the whole op is
+    # EXACT with no float anywhere: per pair, similarity_e6 =
+    # (maxlen − lev)·1e6 div maxlen, bucketed into deciles (identical
+    # pairs fold into the top bucket via least(9, ·) — documented).
+    # Output: one row per occupied decile with pair count, summed
+    # distance, and the floored mean similarity.
+    oracle="""
+    WITH p AS (
+      SELECT r.doc_id AS ref_id,
+             levenshtein(r.text, c.text) AS lev,
+             GREATEST(length(r.text), length(c.text)) AS maxlen
+      FROM documents r JOIN documents c ON c.doc_id = r.doc_id + 1
+      WHERE length(r.text) > 0 AND length(c.text) > 0
+    ), scored AS (
+      SELECT lev, maxlen,
+             (maxlen - lev) * 1000000 // maxlen AS sim_e6
+      FROM p
+    )
+    SELECT CAST(LEAST(9, sim_e6 // 100000) AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(lev) AS BIGINT) AS sum_lev,
+           CAST(SUM(sim_e6) // COUNT(*) AS BIGINT) AS mean_sim_e6
+    FROM scored
+    GROUP BY 1 ORDER BY decile
+    """,
+)
+def docs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus edit-distance profile over the (doc, successor) pairs —
+    the character edit-script grain completing the generation-eval
+    triple (word n-grams = `docs_bleu`, char n-grams = `docs_chrf`):
+    per pair, Levenshtein distance and the normalized similarity
+    (maxlen − lev)/maxlen, rolled into a decile histogram with the
+    corpus mean.
+
+    Exactness: `levenshtein` is the SAME exact dynamic program as a
+    JVM builtin on both engines, distances and lengths are integers,
+    similarity_e6 and the mean are single integer divisions — the
+    entire op is float-free end-to-end (no floor() composition at
+    all, unlike BLEU's exp/sqrt tail).  Identical pairs (sim_e6 =
+    1e6) fold into decile 9 via least(9, ·), documented.  Law
+    pytests pin identical → (0 distance, decile 9), disjoint
+    equal-length → (len, decile 0), the half-length prefix →
+    sim exactly 500000, and kitten/sitting → exactly 3.
+
+    Scale notes: the successor pairing is ONE equi-join on doc_id+1
+    (adjacent pairs, never all-pairs), but it ships full text both
+    sides and the DP is O(len_a·len_b) per pair — the one op in the
+    triple whose cost is quadratic in DOCUMENT length (not corpus
+    size).  At 100 TB the production posture is edit distance as the
+    VERIFY stage over blocked candidate pairs only (dedup_minhash /
+    dedup_containment emit the candidates); this pairing is the
+    deterministic eval-harness shape, same as its siblings."""
+    d = load_table(spark, sf_dir, "documents")
+    r = d.where(F.length("text") > 0).select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("text").alias("rt"),
+        F.length("text").alias("rl"),
+    )
+    c = d.where(F.length("text") > 0).select(
+        (F.col("doc_id") - 1).alias("ref_id"),
+        F.col("text").alias("ct"),
+        F.length("text").alias("cl"),
+    )
+    scored = r.join(c, "ref_id").select(
+        F.levenshtein("rt", "ct").cast("long").alias("lev"),
+        F.greatest("rl", "cl").cast("long").alias("maxlen"),
+    ).select(
+        "lev",
+        F.expr("(maxlen - lev) * 1000000 div maxlen").alias("sim_e6"),
+    )
+    return (
+        scored.groupBy(
+            F.expr("CAST(LEAST(9, sim_e6 div 100000) AS BIGINT)").alias(
+                "decile"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("lev").cast("long").alias("sum_lev"),
+            F.expr("CAST(SUM(sim_e6) div COUNT(*) AS BIGINT)").alias(
+                "mean_sim_e6"
+            ),
+        )
+        .orderBy("decile")
+    )

@@ -69,9 +69,11 @@ REPROOF_VOID: dict[str, int] = {
 DEFERRED_R15: tuple[str, ...] = (
     # r14-registered oracle pairs (never driver-proven — effective
     # round 0, so they precede the r7 tier): the fixed-panel Fleiss
-    # kappa and the character-grain corpus chrF (§2.74).
+    # kappa, the character-grain corpus chrF, and the edit-distance
+    # profile (§2.74).
     "eval_fleiss_kappa",
     "docs_chrf",
+    "docs_edit_distance",
     # r7-tier spillover (newest hard row r7; stalest-outside-window at
     # the r14 seal) — the r15 window head, in r7-tier listed order.
     "corpus_heaps_curve",
@@ -619,6 +621,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the DEFERRED_R15 head for their first driver proof.
     "eval_fleiss_kappa",
     "docs_chrf",
+    "docs_edit_distance",
 )
 
 

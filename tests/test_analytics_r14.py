@@ -174,3 +174,42 @@ def test_chrf_is_corpus_level_not_mean_of_pairs(spark, tmp_path):
     assert r.n_pairs == 2
     assert r.f1_e6 == 333333  # corpus-sum definition
     assert r.f1_e6 != 500000  # what mean-of-pairs would report
+
+
+def test_edit_distance_planted_poles(spark, tmp_path):
+    """Identical pairs pin (lev 0, sim 1e6, decile 9 — the documented
+    top-bucket fold); disjoint equal-length pins (lev = len, sim 0,
+    decile 0); the half-length prefix pins sim exactly 500000; the
+    textbook kitten/sitting pair pins distance exactly 3 with
+    sim = 4e6 // 7 = 571428 (decile 5).  IDs gapped so only planted
+    pairs form."""
+
+    def run():
+        return {
+            r.decile: r
+            for r in QUERIES["docs_edit_distance"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+
+    _write_docs(
+        tmp_path,
+        [
+            _doc(10, "same text"),
+            _doc(11, "same text"),  # identical
+            _doc(20, "aaaa"),
+            _doc(21, "bbbb"),  # disjoint equal length
+            _doc(30, "abcdef"),
+            _doc(31, "abc"),  # half-length prefix
+            _doc(40, "kitten"),
+            _doc(41, "sitting"),  # the textbook case
+        ],
+    )
+    out = run()
+    assert out[9].n_pairs == 1 and out[9].sum_lev == 0
+    assert out[9].mean_sim_e6 == 1000000
+    assert out[0].n_pairs == 1 and out[0].sum_lev == 4
+    assert out[0].mean_sim_e6 == 0
+    assert out[5].n_pairs == 2  # prefix (500000) and kitten (571428)
+    assert out[5].sum_lev == 3 + 3
+    assert out[5].mean_sim_e6 == (500000 + 571428) // 2

@@ -65,6 +65,7 @@ PROBE_SET = [
     # ~3x the corpus characters).
     "eval_fleiss_kappa",
     "docs_chrf",
+    "docs_edit_distance",
 ]
 
 
