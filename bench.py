@@ -127,6 +127,11 @@ BSET = [
     "text_ngram_novelty",
     # r8 sf1-sweep fix (the codegen-JIT-cliff rewrite): same rationale.
     "agg_bootstrap_ci",
+    # r14 heavies: the char-gram corpus F (12-scan diamond, ~3x text
+    # volume exploded) and the per-pair Levenshtein DP — the two new
+    # shapes whose cost structure differs from everything above.
+    "docs_chrf",
+    "docs_edit_distance",
 ]
 
 
