@@ -4785,3 +4785,89 @@ def docs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "text_hapax_ratio",
+    # Hapax legomena profile per language (public lexicostatistics —
+    # the Zipf-tail summary): the share of vocabulary occurring
+    # exactly once (hapax) and exactly twice (dis legomena) is the
+    # standard lexical-richness / corpus-maturity signal the Heaps
+    # curve (`corpus_heaps_curve`) integrates — a crawl slice whose
+    # hapax share collapses is template-saturated, one whose share
+    # explodes is OCR-shrapnel-ridden (the two tails the curation
+    # screens chase).  All counts are exact integers; ratios are
+    # single e6 integer divisions; token shares use the hapax rule at
+    # TOKEN grain too (hapax tokens == hapax types by definition, so
+    # the token share reuses the type count — the arithmetic identity
+    # the law test pins).
+    oracle="""
+    WITH w AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), wc AS (
+      SELECT lang, word, COUNT(*) AS c FROM w WHERE word <> ''
+      GROUP BY lang, word
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dis,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                  // COUNT(*) AS BIGINT) AS hapax_type_e6,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                  // SUM(c) AS BIGINT) AS hapax_token_e6
+    FROM wc GROUP BY lang ORDER BY lang
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena profile per language — the Zipf-tail summary of
+    lexical richness: type count, token count, words occurring exactly
+    once (hapax) and exactly twice (dis legomena), with the hapax
+    share of TYPES and of TOKENS as e6 integers.  The curation read:
+    a collapsing hapax share flags template saturation, an exploding
+    one flags OCR shrapnel — the integrand of `corpus_heaps_curve`'s
+    growth law at one snapshot.
+
+    Exactness: pure integer counting end-to-end; both ratios are
+    single e6 integer divisions.  Law pytests pin the poles: an
+    all-unique corpus → both shares exactly 1e6; an everything-twice
+    corpus → both exactly 0; and the token-share identity (hapax
+    tokens ≡ hapax types, so hapax_token_e6 = n_hapax·1e6 div
+    n_tokens with the SAME numerator as the type share).
+
+    Scale notes: one token explode into a (lang, word) count — the
+    `vocab_topk` movement — then a ≤|langs|-row conditional rollup;
+    the explode is the only corpus-sized stage and combines
+    map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return (
+        wc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            hapax.cast("long").alias("n_hapax"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dis"),
+        )
+        .select(
+            "lang",
+            "n_types",
+            "n_tokens",
+            "n_hapax",
+            "n_dis",
+            F.expr("n_hapax * 1000000 div n_types").alias("hapax_type_e6"),
+            F.expr("n_hapax * 1000000 div n_tokens").alias("hapax_token_e6"),
+        )
+        .orderBy("lang")
+    )

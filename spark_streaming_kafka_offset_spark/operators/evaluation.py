@@ -1676,3 +1676,266 @@ def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("panel_n")
     )
+
+
+@register(
+    "eval_mcc",
+    # Matthews correlation coefficient (Matthews 1975, public; the
+    # balanced-classes-robust single-number confusion summary) over
+    # the SAME decile threshold sweep as `eval_confusion_thresholds`
+    # — precision/recall/F1 all ignore TN, so on skewed corpora a
+    # degenerate always-positive classifier scores deceptively well;
+    # MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) is the
+    # ±1-bounded correlation of the binary contingency table.  The
+    # numerator is exact integer; the denominator is the house ONE
+    # shared float composition (a single √ of the double product of
+    # the four integer margins, written identically on both engines —
+    # IEEE sqrt is correctly rounded and the 4-factor product is
+    # evaluated in the same literal order, so the doubles are
+    # bit-identical), floored at e6.  Any zero margin ⇒ NULL (the
+    # undefined-MCC convention).
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS score_cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events
+    ), buckets AS (
+        SELECT score_cents // {_SWEEP_BUCKET_CENTS} AS bucket,
+               COUNT(*) AS n, SUM(pos) AS n_pos
+        FROM scored GROUP BY 1
+    ), cum AS (
+        SELECT bucket, n, n_pos,
+               SUM(n) OVER (ORDER BY bucket) AS cum_n,
+               SUM(n_pos) OVER (ORDER BY bucket) AS cum_pos,
+               SUM(n) OVER () AS total_n,
+               SUM(n_pos) OVER () AS total_pos,
+               (SUM(n) OVER (ORDER BY bucket) - 1) * 10
+                   // SUM(n) OVER () AS decile
+        FROM buckets
+    ), openers AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY decile
+                                     ORDER BY bucket) AS rn
+        FROM cum
+    ), conf AS (
+        SELECT decile, bucket,
+               total_pos - (cum_pos - n_pos) AS tp,
+               (total_n - (cum_n - n)) - (total_pos - (cum_pos - n_pos))
+                 AS fp,
+               cum_pos - n_pos AS fn,
+               (cum_n - n) - (cum_pos - n_pos) AS tn
+        FROM openers WHERE rn = 1 AND decile >= 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(bucket * {_SWEEP_BUCKET_CENTS} AS BIGINT) AS threshold_cents,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(CASE WHEN (tp+fp) > 0 AND (tp+fn) > 0
+                      AND (tn+fp) > 0 AND (tn+fn) > 0 THEN
+                  floor((tp*tn - fp*fn) * 1000000.0
+                        / sqrt(CAST(tp+fp AS DOUBLE) * CAST(tp+fn AS DOUBLE)
+                               * CAST(tn+fp AS DOUBLE)
+                               * CAST(tn+fn AS DOUBLE)))
+                END AS BIGINT) AS mcc_e6
+    FROM conf ORDER BY decile
+    """,
+)
+def eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient per decile threshold — the
+    TN-aware single-number confusion summary `eval_confusion_thresholds`'
+    precision/recall/F1 columns cannot provide: on a skewed corpus an
+    always-positive classifier posts high recall and decent F1 while
+    its MCC is ~0, which is why MCC is the reported headline for
+    imbalanced screens (quality classifiers, contamination flags).
+
+    Exactness: TP/FP/FN/TN ride the identical integer cdf sweep as the
+    confusion op (same bucket rule, same decile openers); the MCC
+    numerator TP·TN − FP·FN is exact; the denominator is ONE shared
+    float composition (single √ over the double product of the four
+    margins, literal order identical on both engines), floored at e6
+    — the docs_bleu posture.  Any zero margin ⇒ NULL.  Law pytests
+    pin the poles on planted confusion tables: perfect ⇒ exactly 1e6,
+    inverted ⇒ exactly −1e6, independent ⇒ 0.
+
+    Scale notes: identical movement to `eval_confusion_thresholds` —
+    ONE corpus agg to the $1-bucket cdf (range-bounded rollup), all
+    windows/decile math on that ≤~500-row frame; output ≤9 rows."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("score_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    buckets = scored.groupBy(
+        F.expr(f"score_cents div {_SWEEP_BUCKET_CENTS}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos"))
+    w_cum = Window.orderBy("bucket")
+    cum = buckets.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+        F.sum("n").over(Window.partitionBy()).alias("total_n"),
+        F.sum("n_pos").over(Window.partitionBy()).alias("total_pos"),
+    ).withColumn("decile", F.expr("(cum_n - 1) * 10 div total_n"))
+    conf = (
+        cum.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("decile").orderBy("bucket")
+            ),
+        )
+        .where((F.col("rn") == 1) & (F.col("decile") >= 1))
+        .select(
+            "decile",
+            "bucket",
+            F.expr("total_pos - (cum_pos - n_pos)").alias("tp"),
+            F.expr(
+                "(total_n - (cum_n - n)) - (total_pos - (cum_pos - n_pos))"
+            ).alias("fp"),
+            F.expr("cum_pos - n_pos").alias("fn"),
+            F.expr("(cum_n - n) - (cum_pos - n_pos)").alias("tn"),
+        )
+    )
+    return conf.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.expr(f"CAST(bucket * {_SWEEP_BUCKET_CENTS} AS BIGINT)").alias(
+            "threshold_cents"
+        ),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.expr(
+            "CAST(CASE WHEN (tp+fp) > 0 AND (tp+fn) > 0"
+            " AND (tn+fp) > 0 AND (tn+fn) > 0 THEN"
+            " floor((tp*tn - fp*fn) * 1000000.0"
+            " / sqrt(CAST(tp+fp AS DOUBLE) * CAST(tp+fn AS DOUBLE)"
+            " * CAST(tn+fp AS DOUBLE) * CAST(tn+fn AS DOUBLE)))"
+            " END AS BIGINT)"
+        ).alias("mcc_e6"),
+    ).orderBy("decile")
+
+
+@register(
+    "eval_concordance_ccc",
+    # Lin's concordance correlation coefficient (Lin 1989, public) —
+    # the agreement measure for two CONTINUOUS measurements of the
+    # same quantity: Pearson r rewards any linear relationship, CCC
+    # penalizes location and scale shifts too (CCC = 1 only at
+    # y = x), which is what ledger reconciliation / model-vs-model
+    # score agreement actually needs.  Pairing: per order, x = the
+    # header total o_totalprice, y = the lineitem-derived gross total
+    # Σ l_extendedprice — the classic two-books reconciliation.
+    # EXACT integer form in cents: with n pairs and S-sums,
+    #   ccc = 2(n·Sxy − Sx·Sy)
+    #         / ((n·Sxx − Sx²) + (n·Syy − Sy²) + (Sx − Sy)²)
+    # (the population form of 2·cov/(varx+vary+(μx−μy)²) scaled by
+    # n²) — ONE exact rational on DECIMAL(38,0)/HUGEINT (n·Sxx·1e6 ≈
+    # 7e35 at sf10; headroom ~sf40 documented, the tightest budget in
+    # the family and named here deliberately); e6 by single integer
+    # division; zero denominator (both measures constant) ⇒ NULL.
+    # The location-shift share (Sx−Sy)²·1e6 div den attributes HOW
+    # the two books disagree (level vs dispersion vs correlation).
+    oracle="""
+    WITH pair AS (
+      SELECT CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS x,
+             CAST(l.line_total * 100 AS BIGINT) AS y
+      FROM orders o
+      JOIN (SELECT l_orderkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS line_total
+            FROM lineitem GROUP BY l_orderkey) l
+        ON l.l_orderkey = o.o_orderkey
+    ), s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(y * y) AS HUGEINT) AS syy
+      FROM pair
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(CASE WHEN (n*sxx - sx*sx) + (n*syy - sy*sy)
+                          + (sx-sy)*(sx-sy) > 0 THEN
+                  2 * (n*sxy - sx*sy) * 1000000
+                  // ((n*sxx - sx*sx) + (n*syy - sy*sy)
+                      + (sx-sy)*(sx-sy))
+                END AS BIGINT) AS ccc_e6,
+           CAST(CASE WHEN (n*sxx - sx*sx) + (n*syy - sy*sy)
+                          + (sx-sy)*(sx-sy) > 0 THEN
+                  (sx-sy)*(sx-sy) * 1000000
+                  // ((n*sxx - sx*sx) + (n*syy - sy*sy)
+                      + (sx-sy)*(sx-sy))
+                END AS BIGINT) AS location_shift_e6
+    FROM s
+    """,
+)
+def eval_concordance_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation coefficient between the order
+    header total and the lineitem-derived gross total — the two-books
+    reconciliation number: Pearson r is blind to a constant markup or
+    a level shift between the books; CCC = 1 demands y = x exactly,
+    and the companion location_shift_e6 attributes the discordance
+    share owed to the LEVEL difference (vs dispersion/correlation).
+
+    Exactness: cents are exact BIGINTs from DECIMAL(12,2); the
+    statistic is ONE exact integer rational (see the registration
+    comment) on DECIMAL(38,0)/HUGEINT — no float anywhere.  The ~7e35
+    sf10 product is the family's tightest DECIMAL(38,0) budget
+    (headroom ~sf40, documented).  Law pytests pin y = x ⇒ exactly
+    1e6 with shift 0; y = x + c (equal spreads) ⇒ the closed form
+    2v/(2v+c²) through the integer chain; y = −x with equal means ⇒
+    exactly −1e6.
+
+    Scale notes: one map-combined lineitem rollup to order grain, one
+    equi-join with orders, ONE 6-sum corpus reduce to a 1-row frame —
+    the agg_corr_exact movement with the reconciliation pairing."""
+    # prices land as doubles; the house money discipline casts to
+    # DECIMAL(12,2) at scan so the sum is exact and order-independent
+    # (the aggregate-determinism audit rejects a raw double SUM here)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("x"),
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.expr("SUM(CAST(l_extendedprice AS DECIMAL(12,2)))").alias(
+                "line_total"
+            )
+        )
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.expr("CAST(line_total * 100 AS BIGINT)").alias("y"),
+        )
+    )
+    # the per-row product fits a long but Spark's SUM(long) accumulator
+    # does not (~4.5e19 at sf0.01) — accumulate in DECIMAL(38,0)
+    s = o.join(l, "o_orderkey").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("sx"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))").alias("sxy"),
+        F.expr("SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))").alias("sxx"),
+        F.expr("SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))").alias("syy"),
+    )
+    den = (
+        "(n*sxx - sx*sx) + (n*syy - sy*sy) + (sx-sy)*(sx-sy)"
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.expr(
+            f"CAST(CASE WHEN {den} > 0 THEN"
+            f" 2 * (n*sxy - sx*sy) * 1000000 div ({den})"
+            " END AS BIGINT)"
+        ).alias("ccc_e6"),
+        F.expr(
+            f"CAST(CASE WHEN {den} > 0 THEN"
+            f" (sx-sy)*(sx-sy) * 1000000 div ({den})"
+            " END AS BIGINT)"
+        ).alias("location_shift_e6"),
+    )

@@ -192,6 +192,11 @@ SINGLE_ALLOWED: dict[str, str] = {
     "docs_chrf": "1-row corpus reduce of the pair-grain chrF sums "
     "(map-side partial agg; chrF is DEFINED corpus-level — the "
     "docs_bleu shape at character grain)",
+    "eval_mcc": "cumulative/decile windows over the range-bounded "
+    "(<=~500-row) $1 score-cdf rollup (the eval_confusion_thresholds "
+    "shape)",
+    "eval_concordance_ccc": "1-row six-sum reconciliation reduce "
+    "(map-side combined; the agg_corr_exact scalar-exchange shape)",
     "sort_multi": "numPartitions-row per-partition-offsets frame "
     "(range-partitioned dense-index recipe), not data",
     "graph_shortest_paths": "1-row frontier-count termination check per "

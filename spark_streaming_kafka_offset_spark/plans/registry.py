@@ -74,6 +74,10 @@ DEFERRED_R15: tuple[str, ...] = (
     "eval_fleiss_kappa",
     "docs_chrf",
     "docs_edit_distance",
+    # r14 third batch (§2.75): hapax profile, MCC sweep, Lin's CCC.
+    "text_hapax_ratio",
+    "eval_mcc",
+    "eval_concordance_ccc",
     # r7-tier spillover (newest hard row r7; stalest-outside-window at
     # the r14 seal) — the r15 window head, in r7-tier listed order.
     "corpus_heaps_curve",
@@ -622,6 +626,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "eval_fleiss_kappa",
     "docs_chrf",
     "docs_edit_distance",
+    "text_hapax_ratio",
+    "eval_mcc",
+    "eval_concordance_ccc",
 )
 
 

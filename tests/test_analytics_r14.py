@@ -213,3 +213,144 @@ def test_edit_distance_planted_poles(spark, tmp_path):
     assert out[5].n_pairs == 2  # prefix (500000) and kitten (571428)
     assert out[5].sum_lev == 3 + 3
     assert out[5].mean_sim_e6 == (500000 + 571428) // 2
+
+
+def test_hapax_ratio_planted_poles(spark, tmp_path):
+    """All-unique corpus pins both hapax shares at exactly 1e6;
+    everything-twice pins both at 0; the 'a a b' hand case pins the
+    type/token share split (500000 vs 333333) and the dis-legomena
+    count."""
+
+    def run():
+        return {
+            r.lang: r
+            for r in QUERIES["text_hapax_ratio"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+
+    def doc(doc_id, text, lang):
+        row = {f.name: None for f in _DOCS_SCHEMA}
+        row["doc_id"], row["text"], row["lang"] = doc_id, text, lang
+        return row
+
+    _write_docs(
+        tmp_path,
+        [
+            doc(1, "w1 w2 w3 w4", "uniq"),
+            doc(2, "r1 r2 r1 r2", "twice"),
+            doc(3, "a a b", "mixed"),
+        ],
+    )
+    out = run()
+    u = out["uniq"]
+    assert (u.n_types, u.n_tokens, u.n_hapax, u.n_dis) == (4, 4, 4, 0)
+    assert u.hapax_type_e6 == 1000000 and u.hapax_token_e6 == 1000000
+    t = out["twice"]
+    assert (t.n_types, t.n_hapax, t.n_dis) == (2, 0, 2)
+    assert t.hapax_type_e6 == 0 and t.hapax_token_e6 == 0
+    m = out["mixed"]
+    assert (m.n_types, m.n_tokens, m.n_hapax, m.n_dis) == (2, 3, 1, 1)
+    assert m.hapax_type_e6 == 500000 and m.hapax_token_e6 == 333333
+
+
+def _write_events(tmp_path, rows):
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"event_type": t, "value": v} for t, v in rows]
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+
+def test_mcc_planted_poles(spark, tmp_path):
+    """On 100 one-per-dollar scores the decile-5 opener is the $51
+    threshold; labels perfectly separated there pin mcc_e6 == 1e6
+    exactly, inverted labels pin −1e6 exactly (sqrt(50⁴) = 2500 is
+    exact in double, so the one float composition is exact at the
+    pole), and odd/even labels pin 0 (zero numerator)."""
+
+    def run():
+        return {
+            r.decile: r
+            for r in QUERIES["eval_mcc"](spark, str(tmp_path)).collect()
+        }
+
+    # perfect separation: purchases are exactly the scores >= $51
+    _write_events(
+        tmp_path,
+        [("purchase" if v >= 51 else "view", float(v)) for v in range(1, 101)],
+    )
+    out = run()
+    r5 = out[5]
+    assert (r5.tp, r5.fp, r5.fn, r5.tn) == (50, 0, 0, 50)
+    assert r5.mcc_e6 == 1000000
+
+    # inverted: purchases are exactly the scores <= $50
+    _write_events(
+        tmp_path,
+        [("purchase" if v <= 50 else "view", float(v)) for v in range(1, 101)],
+    )
+    out = run()
+    r5 = out[5]
+    assert (r5.tp, r5.fp, r5.fn, r5.tn) == (0, 50, 50, 0)
+    assert r5.mcc_e6 == -1000000
+
+    # independence: purchases are the odd scores -> balanced table
+    _write_events(
+        tmp_path,
+        [("purchase" if v % 2 == 1 else "view", float(v)) for v in range(1, 101)],
+    )
+    out = run()
+    r5 = out[5]
+    assert (r5.tp, r5.fp, r5.fn, r5.tn) == (25, 25, 25, 25)
+    assert r5.mcc_e6 == 0
+
+
+def _write_books(tmp_path, pairs):
+    """orders/lineitem fixture: one line per order, (header, line)."""
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"o_orderkey": i, "o_totalprice": x}
+                for i, (x, _) in enumerate(pairs)
+            ]
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"l_orderkey": i, "l_extendedprice": y}
+                for i, (_, y) in enumerate(pairs)
+            ]
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+
+def test_concordance_ccc_planted_poles(spark, tmp_path):
+    """y = x pins ccc_e6 == 1e6 with shift 0; y = x + 10 on
+    {10, 30} pins the closed form 2v/(2v + c²) = 2/3 through the
+    integer chain (666666 / shift 333333); y = 40 − x (equal means,
+    perfect anticorrelation) pins exactly −1e6."""
+
+    def run():
+        rows = QUERIES["eval_concordance_ccc"](
+            spark, str(tmp_path)
+        ).collect()
+        assert len(rows) == 1
+        return rows[0]
+
+    _write_books(tmp_path, [(10.0, 10.0), (20.0, 20.0), (30.0, 30.0)])
+    r = run()
+    assert r.n_orders == 3
+    assert r.ccc_e6 == 1000000 and r.location_shift_e6 == 0
+
+    _write_books(tmp_path, [(10.0, 20.0), (30.0, 40.0)])
+    r = run()
+    assert r.ccc_e6 == 666666 and r.location_shift_e6 == 333333
+
+    _write_books(tmp_path, [(10.0, 30.0), (30.0, 10.0)])
+    r = run()
+    assert r.ccc_e6 == -1000000 and r.location_shift_e6 == 0

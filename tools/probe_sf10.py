@@ -66,6 +66,10 @@ PROBE_SET = [
     "eval_fleiss_kappa",
     "docs_chrf",
     "docs_edit_distance",
+    # r14 third batch.
+    "text_hapax_ratio",
+    "eval_mcc",
+    "eval_concordance_ccc",
 ]
 
 
