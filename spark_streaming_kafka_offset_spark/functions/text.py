@@ -4602,7 +4602,12 @@ def docs_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on (ng, doc_id+1, gram), then ONE corpus reduce to a
     1-row frame; never all-pairs."""
     d = load_table(spark, sf_dir, "documents")
-    s = d.select(
+    # CPU-rebalance before the explode (r14, the shingle_sets recipe):
+    # the sf fixtures read as ONE ~0.6 MB split, so all three char-gram
+    # explodes (~3× the corpus characters in rows) ran single-task.
+    # Explicit count for the documented AQE-coalesce reason.
+    par = spark.sparkContext.defaultParallelism
+    s = d.repartition(par, F.col("doc_id")).select(
         "doc_id",
         F.expr("replace(text, ' ', '')").alias("s"),
         F.expr("length(replace(text, ' ', ''))").alias("len"),
@@ -4621,14 +4626,26 @@ def docs_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("g"),
             )
         )
-    grams = (
+    # stage(): the gram-count table feeds FOUR consumers (r, cnd, and
+    # sizes twice via sr/sc); without it Catalyst inlines the 3-way
+    # char-gram explode + count subtree into every consumer — the
+    # formatted plan carried 24 documents scans for one logical pass
+    # (the "12-scan diamond" SURVEY noted).  Staged: the corpus is
+    # scanned exactly 3× (once per order) in one job and every consumer
+    # reads the checkpointed gram counts.  sf0.1 wall is flat (~5.7 s
+    # A/B — the tiny fixture is page-cached and the duplicate subtrees
+    # overlap inside one job wave), but at 100 TB re-reading and
+    # re-exploding the corpus 8× per reference is the difference
+    # between one pass and a day; same posture as dedup_minhash's
+    # shingle stage.
+    grams = stage(
         parts[0]
         .unionByName(parts[1])
         .unionByName(parts[2])
         .groupBy("ng", "doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sizes = grams.groupBy("ng", "doc_id").agg(F.sum("c").alias("sz"))
+    sizes = stage(grams.groupBy("ng", "doc_id").agg(F.sum("c").alias("sz")))
     r = grams.select(
         "ng", F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("c_ref")
     )
@@ -4753,11 +4770,22 @@ def docs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_containment emit the candidates); this pairing is the
     deterministic eval-harness shape, same as its siblings."""
     d = load_table(spark, sf_dir, "documents")
+    # CPU-rebalance on the PROBE side (r14, the shingle_sets /
+    # agg_bootstrap_ci recipe): the DP stage is pipelined onto the
+    # documents scan, and the sf fixtures read as ONE ~0.6 MB split, so
+    # the whole O(len²)-per-pair Levenshtein stage ran in a single task
+    # (31 cores idle; measured at sf0.1: ~5.4 s → ~2.3 s cold,
+    # 4.5 s → 1.0 s warm).  Hashing on
+    # ref_id is deterministic under task retry; the explicit count
+    # stops AQE coalescing the byte-tiny exchange back to 1 partition
+    # even though the downstream is CPU-bound, exactly as documented in
+    # shingle_sets.
+    par = spark.sparkContext.defaultParallelism
     r = d.where(F.length("text") > 0).select(
         F.col("doc_id").alias("ref_id"),
         F.col("text").alias("rt"),
         F.length("text").alias("rl"),
-    )
+    ).repartition(par, F.col("ref_id"))
     c = d.where(F.length("text") > 0).select(
         (F.col("doc_id") - 1).alias("ref_id"),
         F.col("text").alias("ct"),

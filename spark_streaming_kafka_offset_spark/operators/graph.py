@@ -88,10 +88,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew (BENCH_sf1 r8, stage 91).  Each iteration now (a) BROADCASTS
     the narrow (node, r) rank vector into a hash join probed by the
     evenly-partitioned edges — no shuffle touches the edge list, no
-    partition is hub-shaped — and (b) re-aggregates on (dst, salt) with
-    salt = xxhash64(src) % 16 BEFORE the final dst rollup, so even the
-    reduce side of a hub's in-flow spreads across 16 slots (two-level
-    salted partial aggregation, the ``join_skew_salted`` recipe).
+    partition is hub-shaped — and (b) re-aggregates with ONE
+    groupBy(dst): SUM is algebraic, so HashAggregate's map-side partial
+    combines a hub's in-flow per task before the exchange and the
+    reduce side receives ≤ #map-tasks rows per hub (the r9-r13 shape
+    additionally salted this rollup, which only bought a second
+    Exchange per iteration — removed r14, plan 44 → 34 Exchanges).
     Ranks are staged (lineage truncated) every 2 iterations — the r8
     staging A/B showed iterative-loop inputs are exactly the case where
     staging wins (SURVEY §8).  At 100-TB graph sizes (>100M nodes) the
@@ -126,7 +128,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src",
             "dst",
             (F.col("w").cast("double") / F.col("sw")).alias("wn"),
-            F.pmod(F.xxhash64("src"), F.lit(16)).alias("salt"),
         )
         .cache()
     )
@@ -135,16 +136,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
     )
     for i in range(_ITERS):
-        partial = (
-            en.join(F.broadcast(ranks), en.src == ranks.node)
-            .groupBy("dst", "salt")
-            .agg(F.sum(F.col("wn") * F.col("r")).alias("cs"))
-        )
+        # One-level aggregate (r14): the r9 shape interposed a salted
+        # (dst, salt) partial before the dst rollup, but SUM is
+        # algebraic — HashAggregate's map-side partial already combines
+        # a hub's in-flow per task before the exchange, so the reduce
+        # side of groupBy(dst) receives ≤ #map-tasks rows per hub, salt
+        # or no salt.  The salt level only added a second Exchange per
+        # iteration (plan: 44 → 34 Exchanges over 5 iterations).  The
+        # r8 hub skew the salt was guarding lived in the JOIN shuffle,
+        # which the rank broadcast already removed.
         ranks = (
-            partial.groupBy(F.col("dst").alias("node"))
+            en.join(F.broadcast(ranks), en.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
             .agg(
                 (F.lit(0.15 / n_nodes)
-                 + F.lit(_DAMPING) * F.sum("cs")).alias("r")
+                 + F.lit(_DAMPING) * F.sum(F.col("wn") * F.col("r"))).alias("r")
             )
         )
         if i % 2 == 1 and i < _ITERS - 1:
@@ -560,8 +566,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = []
     for r in range(1, _KCORE_ROUNDS + 1):
-        deg = g.groupBy("src").agg(F.count("*").alias("d"))
-        rm = stage(deg.where(F.col("d") < _KCORE_K).select(F.col("src").alias("node")))
+        # stage() the DEGREE table, not the removal list (r14): the r6
+        # shape staged rm and then recomputed the full degree aggregate
+        # a second time for the n_before count — one redundant
+        # shuffle+agg pass over the round's edge set, every round.
+        # Staged degrees serve the removal filter, both peel anti-joins
+        # and both trajectory counts from one computation.
+        deg = stage(g.groupBy("src").agg(F.count("*").alias("d")))
+        rm = deg.where(F.col("d") < _KCORE_K).select(F.col("src").alias("node"))
         counts = (
             deg.agg(F.count("*").alias("n_before"))
             .crossJoin(F.broadcast(rm.agg(F.count("*").alias("n_removed"))))
@@ -663,7 +675,16 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") * 1103515245 + F.col("slot") * 12345) % 2147483648,
         "user_id",
     )
-    active = (
+    # stage(): the capped activity set feeds FOUR consumers (both sides
+    # of the slot self-join plus the degree table behind both broadcast
+    # lookups); without it Catalyst inlines the events scan + distinct +
+    # per-slot window into every consumer — the formatted plan carried
+    # 8 events scans and 4 windows for one logical pass.  Staged, the
+    # scan/distinct/cap runs once; at 100 TB that is 1 corpus pass
+    # instead of 4 (the docs_chrf/dedup_minhash diamond posture).
+    from ..common import stage
+
+    active = stage(
         active0.withColumn("rn", F.row_number().over(wslot))
         .where(F.col("rn") <= 50)
         .select("user_id", "slot")
