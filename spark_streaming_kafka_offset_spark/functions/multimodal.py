@@ -381,15 +381,29 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("payload").alias("th"),
         F.length("payload").alias("n_len"),
     )
-    groups = dd.groupBy("th").agg(
-        F.min("doc_id").alias("rep_id"),
-        F.count(F.lit(1)).alias("g_n"),
-        F.first("n_len").alias("g_len"),
+    # Single-pass collapse (r14, the dedup_minhash recipe): carry the
+    # representative's payload in the min_by buffer instead of electing
+    # rep_id and joining back — the r12 shape scanned+md5'd the media a
+    # second time and shuffled every payload byte through a th-keyed
+    # join just to recover survivors.  min_by's map-side partial keeps
+    # ONE payload per group per task, so exact replicas collapse before
+    # the exchange.  Staged: the group table feeds FOUR consumers (the
+    # signature pipeline and ga/gb/self_rows multiplicity algebra).
+    groups = stage(
+        dd.groupBy("th").agg(
+            F.min_by(F.struct("doc_id", "payload"), "doc_id").alias("keep"),
+            F.count(F.lit(1)).alias("g_n"),
+            F.first("n_len").alias("g_len"),
+        )
+        .select(
+            F.col("keep.doc_id").alias("rep_id"),
+            F.col("keep.payload").alias("payload"),
+            "g_n",
+            "g_len",
+        )
     )
     m = (
-        dd.join(groups.select("th", "rep_id"), "th")
-        .where(F.col("doc_id") == F.col("rep_id"))
-        .select("doc_id", "payload")
+        groups.select(F.col("rep_id").alias("doc_id"), "payload")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     n = F.length("payload")

@@ -253,8 +253,19 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shuffles more than (source, token, count) rows."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
-    tf = toks.groupBy("source", "token").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # One corpus pass (r14): tf and df previously hung two independent
+    # aggregates off the explode, so the scan+explode ran twice (and
+    # countDistinct(doc_id) expanded to its own two-phase dedup).  Both
+    # derive from the (token, doc_id) grain: tf = Σ per-doc counts,
+    # df = row count per token (doc_id is unique, source is
+    # functionally dependent on it) — so aggregate to that grain once
+    # and let both rollups share its exchange.  Integer counts, so the
+    # scored floats are bit-identical.
+    g1 = toks.groupBy("token", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tf = g1.groupBy("source", "token").agg(F.sum("c").alias("tf"))
+    df = g1.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # n_docs as a broadcast 1-row aggregate frame (NOT a driver-side
     # d.count()): the whole query stays one lazy plan with no eager job
     # in the build path; the cross join is 1-row-broadcast, cost-free.
@@ -867,16 +878,29 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("th"),
         F.size(F.split(F.col("text"), " ")).alias("n_tok"),
     )
-    groups = dd.groupBy("th").agg(
-        F.min("doc_id").alias("rep_id"),
-        F.count(F.lit(1)).alias("g_n"),
-        F.first("n_tok").alias("g_tok"),
+    # Single-pass collapse (r14): carry the representative's text in the
+    # min_by buffer instead of electing rep_id and joining back — the
+    # r11 shape scanned+md5'd the corpus a second time and shuffled the
+    # full text through a th-keyed join just to recover the survivor
+    # rows.  min_by's map-side partial keeps ONE text per group per
+    # task, so exact replicas collapse before the exchange and the
+    # corpus crosses the wire once (it also removes the join's
+    # th-shuffle of every text byte).  Staged: the group table feeds
+    # FOUR consumers (reps, both multiplicity lookups, the self rows).
+    groups = stage(
+        dd.groupBy("th").agg(
+            F.min_by(F.struct("doc_id", "text"), "doc_id").alias("keep"),
+            F.count(F.lit(1)).alias("g_n"),
+            F.first("n_tok").alias("g_tok"),
+        )
+        .select(
+            F.col("keep.doc_id").alias("rep_id"),
+            F.col("keep.text").alias("text"),
+            "g_n",
+            "g_tok",
+        )
     )
-    reps = (
-        dd.join(groups.select("th", "rep_id"), "th")
-        .where(F.col("doc_id") == F.col("rep_id"))
-        .select("doc_id", "text")
-    )
+    reps = groups.select(F.col("rep_id").alias("doc_id"), "text")
     sets_ = shingle_sets(reps)
     cands = _candidates_from_sets(sets_)
     a = sets_.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
