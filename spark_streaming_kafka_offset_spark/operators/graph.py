@@ -580,10 +580,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .first()
         )
         rows.append((r, counts["n_before"], counts["n_removed"]))
-        g = stage(
-            g.join(rm, g.src == rm.node, "left_anti")
-            .join(rm.select(F.col("node").alias("dnode")), F.col("dst") == F.col("dnode"), "left_anti")
-        )
+        if r < _KCORE_ROUNDS:
+            # The final round's peeled edge set has no consumer — the
+            # trajectory ends at its counts — so don't pay the two
+            # anti-joins + staging pass for it (r14; one full edge-set
+            # pass saved per invocation).
+            g = stage(
+                g.join(rm, g.src == rm.node, "left_anti")
+                .join(rm.select(F.col("node").alias("dnode")), F.col("dst") == F.col("dnode"), "left_anti")
+            )
     return spark.createDataFrame(rows, "round long, n_before long, n_removed long")
 
 
