@@ -822,3 +822,55 @@ def test_q3_skew_join_posture_splits_hot_partition(spark):
     )
     assert tuned_rows == stock_rows, "skew split changed results"
     assert len(tuned_rows) > 0
+
+
+# --- r14 optimization-round gates: the plan shapes the round's wins ---
+# depend on must not drift back (OPTIMIZATION_r14.md #1/#2/#4/#6).
+
+
+def test_edit_distance_dp_is_spread_not_scan_pipelined(spark):
+    """docs_edit_distance's O(len²)-per-pair Levenshtein stage must run
+    ABOVE a ref_id hash repartition, never pipelined onto the documents
+    scan — the fixtures read as ONE split, so the scan-pipelined form
+    runs the whole DP in a single task (measured 4.5 s → 1.1 s at
+    sf0.1)."""
+    df = QUERIES["docs_edit_distance"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "levenshtein" in plan, plan
+    assert "hashpartitioning(ref_id" in plan, plan
+    # Tree prints output-first: the DP projection must sit above (before)
+    # the rebalance exchange it depends on.
+    assert plan.index("levenshtein") < plan.index("hashpartitioning(ref_id"), plan
+
+
+def test_chrf_gram_diamond_is_staged(spark):
+    """docs_chrf's gram-count table feeds four consumers; staged, the
+    final plan reads the checkpointed grams and never rescans the
+    corpus (the unstaged form carried 24 documents scans)."""
+    df = QUERIES["docs_chrf"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_dedup_collapse_final_plans_read_staged_groups(spark):
+    """dedup_minhash / multimodal_dedup_phash collapse exact dups with
+    min_by(struct) in ONE pass; the group/signature tables are staged,
+    so the final pair plans read checkpointed RDDs only — a parquet
+    scan here would mean the join-back (a second corpus scan + full
+    text/payload shuffle) crept back in."""
+    for key in ("dedup_minhash", "multimodal_dedup_phash"):
+        plan = executed_plan(QUERIES[key](spark, SF_DIR))
+        assert "Scan parquet" not in plan, (key, plan)
+        assert "Scan ExistingRDD" in plan, (key, plan)
+
+
+def test_pagerank_rollup_is_unsalted_single_level(spark):
+    """graph_pagerank's per-iteration rollup is ONE groupBy(dst): SUM is
+    algebraic, map-side partials bound hub in-flow, and the r9 salt
+    level only bought an extra Exchange per iteration.  The salt
+    derivation must not reappear."""
+    df = QUERIES["graph_pagerank"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "salt" not in plan, plan
+    assert "partial_sum" in plan, plan
