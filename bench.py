@@ -176,6 +176,22 @@ def single_run() -> dict:
         "bset_total": round(sum(bset.values()), 3),
         "sf": sf,
         "env": cpu_fingerprint(),
+        # Scaling-contract observability (VERDICT r14 #3): the driver
+        # re-runs this bench at a lower $SPARK_GRAFT_CPUS to measure
+        # scaling, and flagged `suspect_cpus_ignored` because nothing in
+        # the JSON proved the session honored the env var (at sf0.1 the
+        # per-query walls are floor-bound, so the 8c/32c wall ratios sit
+        # near 1 regardless).  These tokens make the contract directly
+        # checkable: `master` is built from $SPARK_GRAFT_CPUS
+        # (session.py) and `default_parallelism` is the session's real
+        # task-slot count — local[N] ⇒ N.
+        "cores": {
+            "requested_cpus": int(
+                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
+            ),
+            "master": spark.sparkContext.master,
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+        },
     }
 
 

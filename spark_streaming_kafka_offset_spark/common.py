@@ -97,7 +97,7 @@ def stage(df, mode: str | None = None):
     Without staging, Catalyst inlines the producing subtree into every
     consumer (measured 10x wall on MinHash at sf0.1).  Two modes:
 
-    * ``local`` (default): ``localCheckpoint`` — executor-memory blocks,
+    * ``local``: ``localCheckpoint`` — executor-memory blocks,
       right for a single-process session; lineage is truncated.
     * ``table``: parquet round-trip through a scratch directory
       (``$SSKOS_STAGE_DIR`` or a fresh tempdir) — the production staging
@@ -105,8 +105,14 @@ def stage(df, mode: str | None = None):
       (eviction + no cross-job reuse); a staged table is re-readable,
       partition-pruned, and survives executor loss.
 
-    ``$SSKOS_STAGE_MODE`` flips the default so the same code path is
-    testable both ways (tests/test_properties.py exercises ``table``).
+    The DEFAULT is deployment-gated on the session's master (VERDICT
+    r14 #4, mirroring session.py's maxPartitionBytes gate): ``local``
+    on a ``local[*]`` master, ``table`` anywhere else — a
+    ``localCheckpoint`` holds lineage-truncated, NON-REPLICATED
+    executor blocks, so on a real cluster one executor loss would be
+    job-fatal with no recompute path.  ``$SSKOS_STAGE_MODE`` overrides
+    the default in either direction so the same code path is testable
+    both ways (tests/test_properties.py exercises ``table``).
 
     Scratch hygiene: all staged parquet lives under ONE per-process
     scratch root (per ``$SSKOS_STAGE_DIR`` base) that is removed at
@@ -115,7 +121,11 @@ def stage(df, mode: str | None = None):
     """
     import os
 
-    mode = mode or os.environ.get("SSKOS_STAGE_MODE", "local")
+    if mode is None:
+        mode = os.environ.get("SSKOS_STAGE_MODE")
+    if mode is None:
+        master = df.sparkSession.sparkContext.master
+        mode = "local" if master.startswith("local") else "table"
     if mode == "table":
         path = scratch_path("stage") + "/stage.parquet"
         df.write.mode("overwrite").parquet(path)

@@ -251,18 +251,27 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE broadcasts it only when actually small — the same no-unbounded-
     broadcast rule as dedup_simhash); the corpus-sized explode never
     re-shuffles more than (source, token, count) rows."""
+    from ..common import stage
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
-    # One corpus pass (r14): tf and df previously hung two independent
-    # aggregates off the explode, so the scan+explode ran twice (and
-    # countDistinct(doc_id) expanded to its own two-phase dedup).  Both
-    # derive from the (token, doc_id) grain: tf = Σ per-doc counts,
-    # df = row count per token (doc_id is unique, source is
-    # functionally dependent on it) — so aggregate to that grain once
-    # and let both rollups share its exchange.  Integer counts, so the
-    # scored floats are bit-identical.
-    g1 = toks.groupBy("token", "doc_id", "source").agg(
-        F.count(F.lit(1)).alias("c")
+    # One corpus pass (r14, made STRUCTURAL r15): tf and df previously
+    # hung two independent aggregates off the explode, so the
+    # scan+explode ran twice (and countDistinct(doc_id) expanded to its
+    # own two-phase dedup).  Both derive from the (token, doc_id)
+    # grain: tf = Σ per-doc counts, df = row count per token (doc_id is
+    # unique, source is functionally dependent on it) — so aggregate to
+    # that grain once and STAGE it (r15): the r14 form left the grain
+    # subtree inlined into both rollups, which put TWO Generates in the
+    # static plan and left the dedup to runtime AQE exchange reuse —
+    # the exact plan-canonicalization fragility docs_chrf's staging
+    # removed.  Staged, the corpus is scanned and exploded exactly once
+    # by construction (plan-gated: one Generate, tests/test_plans.py).
+    # Integer counts, so the scored floats are bit-identical.
+    g1 = stage(
+        toks.groupBy("token", "doc_id", "source").agg(
+            F.count(F.lit(1)).alias("c")
+        )
     )
     tf = g1.groupBy("source", "token").agg(F.sum("c").alias("tf"))
     df = g1.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -4636,40 +4645,45 @@ def docs_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("replace(text, ' ', '')").alias("s"),
         F.expr("length(replace(text, ' ', ''))").alias("len"),
     )
-    parts = []
-    for n in (1, 2, 3):
-        parts.append(
-            s.where(F.col("len") >= n).select(
-                F.lit(n).alias("ng"),
-                "doc_id",
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, len - {n} + 1),"
-                        f" i -> substring(s, i, {n}))"
-                    )
-                ).alias("g"),
-            )
-        )
     # stage(): the gram-count table feeds FOUR consumers (r, cnd, and
-    # sizes twice via sr/sc); without it Catalyst inlines the 3-way
-    # char-gram explode + count subtree into every consumer — the
+    # sizes twice via sr/sc); without it Catalyst inlines the char-gram
+    # explode + count subtree into every consumer — the r14-before
     # formatted plan carried 24 documents scans for one logical pass
-    # (the "12-scan diamond" SURVEY noted).  Staged: the corpus is
-    # scanned exactly 3× (once per order) in one job and every consumer
-    # reads the checkpointed gram counts.  sf0.1 wall is flat (~5.7 s
-    # A/B — the tiny fixture is page-cached and the duplicate subtrees
-    # overlap inside one job wave), but at 100 TB re-reading and
-    # re-exploding the corpus 8× per reference is the difference
-    # between one pass and a day; same posture as dedup_minhash's
-    # shingle stage.
+    # (the "12-scan diamond" SURVEY noted).  r15: the staging job
+    # itself is now ONE corpus pass — a single explode emits all three
+    # orders as (ng, g) structs from one flattened per-doc array
+    # (the r14 form ran three per-order explode branches, re-reading
+    # the repartition exchange 3×).  Plan-gated: one Generate, one
+    # documents scan in the staging job (tests/test_plans.py).
+    all_grams = F.expr(
+        "flatten(transform(array(1, 2, 3), n -> CASE WHEN len >= n THEN"
+        " transform(sequence(1, len - n + 1),"
+        "           i -> struct(n AS ng, substring(s, i, n) AS g))"
+        " ELSE CAST(array() AS array<struct<ng:int,g:string>>) END))"
+    )
     grams = stage(
-        parts[0]
-        .unionByName(parts[1])
-        .unionByName(parts[2])
+        s.select("doc_id", F.explode(all_grams).alias("x"))
+        .select(F.col("x.ng").alias("ng"), "doc_id", F.col("x.g").alias("g"))
         .groupBy("ng", "doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sizes = stage(grams.groupBy("ng", "doc_id").agg(F.sum("c").alias("sz")))
+    # Per-order gram totals need NO aggregation over the gram table:
+    # Σc over an order's distinct grams = the number of gram INSTANCES,
+    # which is len - ng + 1 by construction — a pure function of the
+    # per-doc char length (the r14 form paid a second shuffle+agg pass
+    # over the gram-count table + a checkpoint for exactly this).
+    sizes = stage(
+        s.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(transform(array(1, 2, 3),"
+                    " n -> struct(n AS ng, CAST(len - n + 1 AS BIGINT) AS sz)),"
+                    " p -> p.sz >= 1)"
+                )
+            ).alias("p"),
+        ).select(F.col("p.ng").alias("ng"), "doc_id", F.col("p.sz").alias("sz"))
+    )
     r = grams.select(
         "ng", F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("c_ref")
     )

@@ -23,6 +23,30 @@ _DAMPING = 0.85
 _ITERS = 5
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared edge-build prologue for the trade-graph family
+    (`graph_pagerank` / `graph_kcore` / `graph_degree_stats` /
+    `graph_shortest_paths`): the distinct customer↔supplier edge list
+    ``(c_node, s_node, w)`` with multiplicity weight ``w`` = lineitems
+    traded.  One scan-minimal join (both inputs projected to their two
+    join/key columns, so ReadSchema carries nothing else) + one
+    partial-aggregable groupBy.  Ops that don't need the weight drop it;
+    the plan is identical to the inlined form each op carried before,
+    this just stops the four ops drifting apart (guide §2.4 applied
+    inside each op — NOT a cross-query cache; every invocation computes
+    from the parquet inputs)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
 def _oracle_pagerank() -> str:
     """Unroll the five PageRank iterations as chained CTEs — built by the
     same codegen on both sides so iteration count and arithmetic agree by
@@ -79,62 +103,81 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is needed and the recurrence is exactly
     ``r' = 0.15/N + 0.85 · Σ_in w_norm · r``.
 
-    Scale notes (r9 hub-skew fix — VERDICT r8 #2): the edge list (with
-    pre-normalized weights) is computed ONCE and cached in the EVEN
-    partitioning its producing (c_node, s_node) aggregation left it in —
-    the r8 shape repartitioned it by ``src``, which concentrated every
-    hub node's full out-edge list (power-law degree) into one partition
-    and serialized the per-iteration rank stage at 56x max/median task
-    skew (BENCH_sf1 r8, stage 91).  Each iteration now (a) BROADCASTS
-    the narrow (node, r) rank vector into a hash join probed by the
-    evenly-partitioned edges — no shuffle touches the edge list, no
-    partition is hub-shaped — and (b) re-aggregates with ONE
-    groupBy(dst): SUM is algebraic, so HashAggregate's map-side partial
-    combines a hub's in-flow per task before the exchange and the
-    reduce side receives ≤ #map-tasks rows per hub (the r9-r13 shape
-    additionally salted this rollup, which only bought a second
-    Exchange per iteration — removed r14, plan 44 → 34 Exchanges).
-    Ranks are staged (lineage truncated) every 2 iterations — the r8
-    staging A/B showed iterative-loop inputs are exactly the case where
-    staging wins (SURVEY §8).  At 100-TB graph sizes (>100M nodes) the
-    rank vector outgrows a broadcast: swap (a) for a shuffle join on
-    src with AQE skew-join splitting; (b) is unchanged.  Weights are
-    integer lineitem counts so w/Σw is deterministic across engines;
-    ranks are reported per-mille at 6 decimals, far above the ~1e-12
-    cross-engine float drift five iterations can accumulate."""
+    Scale notes (r9 hub-skew fix — VERDICT r8 #2; r15 edge-build cut):
+    the edge build is staged in three shuffle-minimal steps.  (1) The
+    distinct weighted edge list ``raw`` (one scan-minimal join + one
+    partial-aggregable groupBy — the only corpus pass) is staged.
+    (2) Per-node out-weight: customer ids are even and supplier ids
+    odd, so the (node, w) union is key-DISJOINT and ONE narrow
+    groupBy(node) over it yields every node's Σw — this table doubles
+    as the node universe, so ``n_nodes``/rank-init need NO distinct
+    pass over the 2|E| edge rows (the r9-r14 shape aggregated the
+    symmetrized edge list and then shuffle-joined it back on src: one
+    more 2|E|-row exchange, a join that re-keyed the edge list by src
+    — the exact hub-concentrating layout the r8 fix removed — plus a
+    1.17M-row distinct for n_nodes).  (3) ``en`` attaches both
+    endpoints' Σw via two BROADCAST joins of the node table and emits
+    both directions of each edge with one ``inline`` — the staged en
+    job contains no Exchange at all, so the even (c_node, s_node)
+    partitioning of the producing aggregation is preserved
+    STRUCTURALLY, not by join-strategy luck.  Each iteration then (a)
+    BROADCASTS the narrow (node, r) rank vector into a hash join
+    probed by the evenly-partitioned edges — no shuffle touches the
+    edge list, no partition is hub-shaped — and (b) re-aggregates with
+    ONE groupBy(dst): SUM is algebraic, so HashAggregate's map-side
+    partial combines a hub's in-flow per task before the exchange and
+    the reduce side receives ≤ #map-tasks rows per hub (the r9-r13
+    shape additionally salted this rollup — removed r14).  Ranks are
+    staged (lineage truncated) every 2 iterations — the r8 staging A/B
+    showed iterative-loop inputs are exactly the case where staging
+    wins (SURVEY §8).  At 100-TB graph sizes (>100M nodes) the node
+    table and the rank vector outgrow a broadcast: swap both for a
+    shuffle join with AQE skew-join splitting; (b) is unchanged.
+    Weights are integer lineitem counts so w/Σw is deterministic
+    across engines; ranks are reported per-mille at 6 decimals, far
+    above the ~1e-12 cross-engine float drift five iterations can
+    accumulate."""
     from ..common import stage
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    raw = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("c_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
-        )
-        .agg(F.count("*").alias("w"))
+    raw = stage(_trade_edges(spark, sf_dir))
+    sw = stage(
+        raw.select(F.col("c_node").alias("node"), "w")
+        .unionAll(raw.select(F.col("s_node").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.sum("w").alias("sw"))
     )
-    edges = raw.select(
-        F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
-    ).unionAll(
-        raw.select(
-            F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w"
+    n_nodes = sw.count()
+    en = stage(
+        raw.join(
+            F.broadcast(
+                sw.select(F.col("node").alias("c_node"), F.col("sw").alias("sw_c"))
+            ),
+            "c_node",
         )
-    )
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("sw"))
-    en = (
-        edges.join(out_w, "src")
+        .join(
+            F.broadcast(
+                sw.select(F.col("node").alias("s_node"), F.col("sw").alias("sw_s"))
+            ),
+            "s_node",
+        )
         .select(
-            "src",
-            "dst",
-            (F.col("w").cast("double") / F.col("sw")).alias("wn"),
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.col("c_node").alias("src"),
+                        F.col("s_node").alias("dst"),
+                        (F.col("w").cast("double") / F.col("sw_c")).alias("wn"),
+                    ),
+                    F.struct(
+                        F.col("s_node").alias("src"),
+                        F.col("c_node").alias("dst"),
+                        (F.col("w").cast("double") / F.col("sw_s")).alias("wn"),
+                    ),
+                )
+            )
         )
-        .cache()
     )
-    n_nodes = en.select("src").distinct().count()
-    ranks = en.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
-    )
+    ranks = sw.select("node", F.lit(1.0 / n_nodes).alias("r"))
     for i in range(_ITERS):
         # One-level aggregate (r14): the r9 shape interposed a salted
         # (dst, salt) partial before the dst rollup, but SUM is
@@ -142,7 +185,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a hub's in-flow per task before the exchange, so the reduce
         # side of groupBy(dst) receives ≤ #map-tasks rows per hub, salt
         # or no salt.  The salt level only added a second Exchange per
-        # iteration (plan: 44 → 34 Exchanges over 5 iterations).  The
+        # iteration (r14 plan artifacts: 24 → 22 shuffle Exchanges,
+        # 44 → 40 HashAggregates on the 2-iteration dump).  The
         # r8 hub skew the salt was guarding lived in the JOIN shuffle,
         # which the rank broadcast already removed.
         ranks = (
@@ -198,16 +242,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact join; degrees are a second agg on the edge list; the histogram
     is degree-cardinality-sized.  No iteration, no window — everything
     partial-aggregable."""
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    raw = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("c_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
-        )
-        .agg(F.count("*").alias("w"))
-    )
+    raw = _trade_edges(spark, sf_dir)
     nodes = raw.select(F.col("c_node").alias("node")).unionAll(
         raw.select(F.col("s_node").alias("node"))
     )
@@ -436,17 +471,7 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     are absent on both engines by construction."""
     from ..common import stage
 
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    raw = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("c_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
-        )
-        .agg(F.count("*").alias("w"))
-        .drop("w")
-    )
+    raw = _trade_edges(spark, sf_dir).drop("w")
     edges = stage(
         raw.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
         .unionAll(
@@ -549,22 +574,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the SAME rounds as chained CTEs."""
     from ..common import stage
 
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    raw = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("c_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
-        )
-        .agg(F.count("*"))
-        .select("c_node", "s_node")
-    )
+    raw = _trade_edges(spark, sf_dir).drop("w")
     g = stage(
         raw.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
         .unionAll(raw.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
     )
-    rows = []
+    per_round = []
     for r in range(1, _KCORE_ROUNDS + 1):
         # stage() the DEGREE table, not the removal list (r14): the r6
         # shape staged rm and then recomputed the full degree aggregate
@@ -573,23 +588,40 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Staged degrees serve the removal filter, both peel anti-joins
         # and both trajectory counts from one computation.
         deg = stage(g.groupBy("src").agg(F.count("*").alias("d")))
-        rm = deg.where(F.col("d") < _KCORE_K).select(F.col("src").alias("node"))
-        counts = (
-            deg.agg(F.count("*").alias("n_before"))
-            .crossJoin(F.broadcast(rm.agg(F.count("*").alias("n_removed"))))
-            .first()
+        # Trajectory counts stay LAZY (r15, VERDICT r14 #8): the r14
+        # shape ran a per-round .first() — a driver round-trip per
+        # round whose only job was two tiny aggs over the checkpointed
+        # degrees.  Deferring them as 1-row frames and collecting the
+        # union ONCE cuts the per-invocation job count 9 → 6 (3 deg
+        # stages + 2 peel stages + 1 final collect); each deferred agg
+        # reads its round's checkpoint, so nothing is recomputed.
+        per_round.append(
+            deg.agg(
+                F.lit(r).cast("long").alias("round"),
+                F.count("*").cast("long").alias("n_before"),
+                F.coalesce(
+                    F.sum((F.col("d") < _KCORE_K).cast("long")), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_removed"),
+            )
         )
-        rows.append((r, counts["n_before"], counts["n_removed"]))
         if r < _KCORE_ROUNDS:
             # The final round's peeled edge set has no consumer — the
             # trajectory ends at its counts — so don't pay the two
             # anti-joins + staging pass for it (r14; one full edge-set
             # pass saved per invocation).
+            rm = deg.where(F.col("d") < _KCORE_K).select(
+                F.col("src").alias("node")
+            )
             g = stage(
                 g.join(rm, g.src == rm.node, "left_anti")
                 .join(rm.select(F.col("node").alias("dnode")), F.col("dst") == F.col("dnode"), "left_anti")
             )
-    return spark.createDataFrame(rows, "round long, n_before long, n_removed long")
+    out = per_round[0]
+    for nxt in per_round[1:]:
+        out = out.unionAll(nxt)
+    return out
 
 
 @register(

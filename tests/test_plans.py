@@ -843,22 +843,27 @@ def test_edit_distance_dp_is_spread_not_scan_pipelined(spark):
     assert plan.index("levenshtein") < plan.index("hashpartitioning(ref_id"), plan
 
 
-def test_chrf_gram_diamond_is_staged(spark):
+def test_chrf_gram_diamond_is_staged(spark, monkeypatch):
     """docs_chrf's gram-count table feeds four consumers; staged, the
     final plan reads the checkpointed grams and never rescans the
-    corpus (the unstaged form carried 24 documents scans)."""
+    corpus (the unstaged form carried 24 documents scans).  Stage mode
+    pinned: under SSKOS_STAGE_MODE=table the checkpoint is a parquet
+    round-trip and the no-parquet-scan assertion would fail spuriously
+    (ADVICE r14)."""
+    monkeypatch.setenv("SSKOS_STAGE_MODE", "local")
     df = QUERIES["docs_chrf"](spark, SF_DIR)
     plan = executed_plan(df)
     assert "Scan parquet" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
 
 
-def test_dedup_collapse_final_plans_read_staged_groups(spark):
+def test_dedup_collapse_final_plans_read_staged_groups(spark, monkeypatch):
     """dedup_minhash / multimodal_dedup_phash collapse exact dups with
     min_by(struct) in ONE pass; the group/signature tables are staged,
     so the final pair plans read checkpointed RDDs only — a parquet
     scan here would mean the join-back (a second corpus scan + full
     text/payload shuffle) crept back in."""
+    monkeypatch.setenv("SSKOS_STAGE_MODE", "local")
     for key in ("dedup_minhash", "multimodal_dedup_phash"):
         plan = executed_plan(QUERIES[key](spark, SF_DIR))
         assert "Scan parquet" not in plan, (key, plan)
@@ -874,3 +879,36 @@ def test_pagerank_rollup_is_unsalted_single_level(spark):
     plan = plan_str(df)
     assert "salt" not in plan, plan
     assert "partial_sum" in plan, plan
+
+
+# --- r15 optimization-round gates (OPTIMIZATION_r15.md) ---
+
+
+def test_tfidf_grain_is_staged_single_explode(spark, monkeypatch):
+    """text_tfidf's (token, doc_id, source) grain is staged, so the
+    corpus explode happens exactly once BY CONSTRUCTION: the final
+    plan carries ZERO Generate nodes (the explode lives in the staging
+    job) and its only parquet scan is the column-pruned n_docs count
+    (ReadSchema struct<>).  The r14 unstaged form inlined the grain
+    subtree into both rollups — two Generates statically, deduped only
+    by runtime AQE exchange reuse."""
+    monkeypatch.setenv("SSKOS_STAGE_MODE", "local")
+    df = QUERIES["text_tfidf"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Generate" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Scan parquet") <= 1, plan  # n_docs count only
+    assert "ReadSchema: struct<>" in plan, plan
+
+
+def test_pagerank_iterations_read_staged_edges_no_smj(spark, monkeypatch):
+    """graph_pagerank's r15 edge build stages en via broadcast joins +
+    inline, so the iteration plan reads checkpointed edges and no
+    SortMergeJoin (the old edges⋈out_w src-keyed join) can re-key the
+    edge list into hub-shaped partitions."""
+    monkeypatch.setenv("SSKOS_STAGE_MODE", "local")
+    df = QUERIES["graph_pagerank"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -328,6 +328,68 @@ def test_stage_table_mode_equals_local(spark, monkeypatch, tmp_path):
     assert local == staged
 
 
+def test_stage_default_mode_is_deployment_gated(monkeypatch):
+    """With no $SSKOS_STAGE_MODE, stage() must resolve to localCheckpoint
+    ONLY on a local master and to the parquet `table` path anywhere else
+    (VERDICT r14 #4): a localCheckpoint holds non-replicated executor
+    blocks, so on a real cluster an executor loss would be job-fatal
+    with no recompute path.  Exercised through stubs — the resolution
+    depends only on the master string, not on a live cluster."""
+    from spark_streaming_kafka_offset_spark.common import stage
+
+    monkeypatch.delenv("SSKOS_STAGE_MODE", raising=False)
+
+    class Stub:
+        def __init__(self, master):
+            calls = self.calls = []
+            sentinel = self.sentinel = object()
+
+            class Ctx:  # sparkSession.sparkContext.master
+                pass
+
+            class Read:
+                def parquet(self, path):
+                    calls.append(("read", path))
+                    return sentinel
+
+            class Sess:
+                sparkContext = Ctx()
+                read = Read()
+
+            Ctx.master = master
+            self.sparkSession = Sess()
+
+        def localCheckpoint(self):
+            self.calls.append(("localCheckpoint",))
+            return self
+
+        @property
+        def write(self):
+            df = self
+
+            class W:
+                def mode(self, m):
+                    return self
+
+                def parquet(self, path):
+                    df.calls.append(("write", path))
+
+            return W()
+
+    loc = Stub("local[32]")
+    assert stage(loc) is loc and loc.calls == [("localCheckpoint",)]
+
+    clu = Stub("spark://cluster:7077")
+    out = stage(clu)
+    assert out is clu.sentinel, "non-local master must stage via table mode"
+    assert [c[0] for c in clu.calls] == ["write", "read"]
+
+    # explicit env still overrides the gate in either direction
+    monkeypatch.setenv("SSKOS_STAGE_MODE", "local")
+    clu2 = Stub("yarn")
+    assert stage(clu2) is clu2 and clu2.calls == [("localCheckpoint",)]
+
+
 def test_rollup_hll_estimates_close_to_exact(spark):
     """Merged per-day HLL estimates must track the exact per-day distinct
     user counts (DataSketches HLL at default lgK=12 is near-exact at
