@@ -208,9 +208,12 @@ def audit_aggregates(
     sf_dir: str,
     keys: Iterable[str] | None = None,
     report: Callable[[str], None] | None = None,
+    frames: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Sweep registered batch queries; return (key, detail) pairs with
-    non-allowlisted float-sum or collect sites.  Empty == clean."""
+    non-allowlisted float-sum or collect sites.  Empty == clean.
+    ``frames`` shares one query-construction pass across sweeps (see
+    plans.audit.audit_plans)."""
     from .registry import QUERIES, ordered_queries
 
     say = report or (lambda _line: None)
@@ -220,7 +223,10 @@ def audit_aggregates(
         if key.startswith(SKIP_PREFIXES):
             continue
         try:
-            sites = list(iter_sites(fn(spark, sf_dir)))
+            df = frames[key] if frames is not None else fn(spark, sf_dir)
+            if isinstance(df, Exception):
+                raise df
+            sites = list(iter_sites(df))
         except Exception as e:  # noqa: BLE001 - audit reports, not dies
             say(f"ERR   {key}: {type(e).__name__}: {e}")
             unexplained.append((key, "ERR"))

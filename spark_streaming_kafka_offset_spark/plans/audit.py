@@ -201,6 +201,10 @@ SINGLE_ALLOWED: dict[str, str] = {
     "(range-partitioned dense-index recipe), not data",
     "graph_shortest_paths": "1-row frontier-count termination check per "
     "BFS round; vertex/edge frames stay hash-partitioned",
+    "graph_kcore": "union of three 1-row trajectory-count reduces over "
+    "the checkpointed per-round degree tables (r15 lazy counts — the "
+    "per-round .first() round-trips folded into one action); edge/"
+    "degree frames stay hash-partitioned",
     "events_dau_mau_stickiness": "boundary-sweep cumsum over the "
     "calendar-sized (days) delta rollup",
     "events_rolling_active": "same interval-merge sweep: calendar-sized "
@@ -511,10 +515,17 @@ def audit_plans(
     sf_dir: str,
     keys: Iterable[str] | None = None,
     report: Callable[[str], None] | None = None,
+    frames: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Sweep every registered batch query's executed plan; return the
     (key, flag) pairs NOT covered by the allowlists ("ERR" flag when the
-    plan could not be built).  Empty list == clean tree."""
+    plan could not be built).  Empty list == clean tree.
+
+    ``frames`` (key → built DataFrame, or the Exception its build
+    raised) lets several sweeps share ONE query-construction pass —
+    building all 462 queries dominates each sweep's wall (iterative ops
+    run their staging jobs at build time), so the pytest gates build
+    once and run all audits over the same frames (r15, VERDICT r14 #2a)."""
     from .registry import QUERIES, ordered_queries
 
     say = report or (lambda _line: None)
@@ -524,7 +535,10 @@ def audit_plans(
         if key.startswith(SKIP_PREFIXES):
             continue
         try:
-            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            df = frames[key] if frames is not None else fn(spark, sf_dir)
+            if isinstance(df, Exception):
+                raise df
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 - audit must report, not die
             say(f"ERR   {key}: {type(e).__name__}: {e}")
             unexplained.append((key, "ERR"))

@@ -224,10 +224,13 @@ def audit_windows(
     sf_dir: str,
     keys: Iterable[str] | None = None,
     report: Callable[[str], None] | None = None,
+    frames: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Sweep registered batch queries; return (key, detail) pairs whose
     tie-sensitive window specs are NOT total on ``sf_dir``'s fixture
-    and are not on the reviewed allowlist.  Empty list == clean."""
+    and are not on the reviewed allowlist.  Empty list == clean.
+    ``frames`` shares one query-construction pass across sweeps (see
+    plans.audit.audit_plans)."""
     from .registry import QUERIES, ordered_queries
 
     say = report or (lambda _line: None)
@@ -237,7 +240,9 @@ def audit_windows(
         if key.startswith(SKIP_PREFIXES):
             continue
         try:
-            df = fn(spark, sf_dir)
+            df = frames[key] if frames is not None else fn(spark, sf_dir)
+            if isinstance(df, Exception):
+                raise df
             specs = list(iter_sensitive_specs(df))
         except Exception as e:  # noqa: BLE001 - audit reports, not dies
             say(f"ERR   {key}: {type(e).__name__}: {e}")

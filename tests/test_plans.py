@@ -7,11 +7,32 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 import __spark_entry__ as entrymod
 from spark_streaming_kafka_offset_spark.session import load_table
 from tests.conftest import SF_DIR
 
 QUERIES = entrymod.queries()
+
+
+@pytest.fixture(scope="session")
+def audit_frames(spark):
+    """ONE query-construction pass shared by every registry-wide sweep
+    below (r15, VERDICT r14 #2a): building all 462 queries dominates
+    each sweep's wall — iterative ops run their staging jobs at build
+    time — and the four sweeps used to pay it four times (~14 min of
+    the 50-min suite).  Values are the built DataFrame or the Exception
+    its build raised (the audits report those as ERR)."""
+    frames: dict[str, object] = {}
+    for key, fn in QUERIES.items():
+        if key.startswith(("stream_", "source_", "sink_")):
+            continue
+        try:
+            frames[key] = fn(spark, SF_DIR)
+        except Exception as e:  # noqa: BLE001 - audits report ERR per key
+            frames[key] = e
+    return frames
 
 
 def plan_str(df) -> str:
@@ -242,18 +263,18 @@ from spark_streaming_kafka_offset_spark.plans.audit import (  # noqa: E402
 _BNL_ALLOWED = frozenset(_BNL_REASONS)
 
 
-def test_no_unexpected_cartesian_or_bnl_anywhere(spark):
+def test_no_unexpected_cartesian_or_bnl_anywhere(spark, audit_frames):
     """Engine-wide scale invariant: NO batch query plans a
     CartesianProduct, and BroadcastNestedLoopJoin appears only where a
     tiny bounded side is deliberately broadcast (whitelist above).  A
     new operator that accidentally introduces an unbounded cross join
     fails here before it ever reaches a fixture where it would matter."""
-    skip = ("stream_", "sink_", "source_")
     offenders = {}
-    for key, fn in QUERIES.items():
-        if key.startswith(skip):
+    for key, df in audit_frames.items():
+        if isinstance(df, Exception):
+            offenders[key] = f"build error: {df}"
             continue
-        plan = executed_plan(fn(spark, SF_DIR))
+        plan = executed_plan(df)
         if "CartesianProduct" in plan and key != "join_cross":
             offenders[key] = "cartesian"
         elif "BroadcastNestedLoopJoin" in plan and key not in _BNL_ALLOWED:
@@ -608,7 +629,7 @@ def test_cached_reuse_hits_memory_scan(spark):
         li.unpersist()
 
 
-def test_audit_sweep_is_clean(spark):
+def test_audit_sweep_is_clean(spark, audit_frames):
     """Run the SAME plan sweep `tools/audit_plans.py` ships (shared
     policy module) over every batch query: zero unexplained
     CARTESIAN/NLJ/SINGLE/PYUDF flags.  This is the drift-proofing from
@@ -617,11 +638,11 @@ def test_audit_sweep_is_clean(spark):
     the tool would reject fails here too, because they are one list."""
     from spark_streaming_kafka_offset_spark.plans.audit import audit_plans
 
-    unexplained = audit_plans(spark, SF_DIR)
+    unexplained = audit_plans(spark, SF_DIR, frames=audit_frames)
     assert not unexplained, unexplained
 
 
-def test_window_total_order_sweep_is_clean(spark):
+def test_window_total_order_sweep_is_clean(spark, audit_frames):
     """Run the SAME window total-order sweep `tools/audit_windows.py`
     ships (shared policy module, VERDICT r11 #2 — the eval_rbo tie
     hazard mechanized) over every batch query: every tie-sensitive
@@ -640,11 +661,11 @@ def test_window_total_order_sweep_is_clean(spark):
         audit_windows,
     )
 
-    unexplained = audit_windows(spark, SF_DIR)
+    unexplained = audit_windows(spark, SF_DIR, frames=audit_frames)
     assert not unexplained, unexplained
 
 
-def test_aggregate_determinism_sweep_is_clean(spark):
+def test_aggregate_determinism_sweep_is_clean(spark, audit_frames):
     """Run the SAME aggregate-determinism sweep
     `tools/audit_aggregates.py` ships (shared policy module, r12):
     every SUM/AVG-over-DOUBLE accumulation (IEEE order-dependent —
@@ -660,7 +681,7 @@ def test_aggregate_determinism_sweep_is_clean(spark):
         audit_aggregates,
     )
 
-    unexplained = audit_aggregates(spark, SF_DIR)
+    unexplained = audit_aggregates(spark, SF_DIR, frames=audit_frames)
     assert not unexplained, unexplained
 
 
