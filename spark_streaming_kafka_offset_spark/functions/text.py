@@ -393,10 +393,19 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFra
     toks_df = docs.repartition(par, F.col(id_col)).select(
         id_col, F.split(F.col("text"), " ").alias("_toks")
     )
-    toks = F.col("_toks")
-    # Same short-doc guard as _shingles: <k tokens → empty set, never a
-    # descending sequence (which would throw on element_at index 0).
-    hashed = F.when(F.size(toks) < k, F.array().cast("array<bigint>")).otherwise(
+    return stage(
+        toks_df.select(id_col, _shingle_hashes(F.col("_toks"), k).alias("sh"))
+    )
+
+
+def _shingle_hashes(toks: Column, k: int = 3) -> Column:
+    """xxhash64'd distinct k-token shingles of a PRE-PROJECTED token
+    array.  The tokenization must live in its own projection (see the
+    shingle_sets docstring: a split referenced inside the transform
+    lambda re-evaluates per shingle — measured 3×).  Short-doc guard as
+    in _shingles: <k tokens → empty set, never a descending sequence
+    (which would throw on element_at index 0)."""
+    return F.when(F.size(toks) < k, F.array().cast("array<bigint>")).otherwise(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - k),
@@ -406,7 +415,6 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFra
             )
         )
     )
-    return stage(toks_df.select(id_col, hashed.alias("sh")))
 
 
 def minhash_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -895,7 +903,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # task, so exact replicas collapse before the exchange and the
     # corpus crosses the wire once (it also removes the join's
     # th-shuffle of every text byte).  Staged: the group table feeds
-    # FOUR consumers (reps, both multiplicity lookups, the self rows).
+    # FOUR consumers (signature sets, both multiplicity lookups, the
+    # self rows).
+    #
+    # r15: the survivor's SHINGLE HASHES are computed inside this same
+    # staging job (projections over the agg output — the th-hash
+    # exchange already spreads the CPU evenly) and ``text`` is dropped
+    # from the checkpoint: downstream only ever needs the hashed sets,
+    # so the r14 shape's second staging pass (repartition + shingle +
+    # checkpoint of the rep TEXTS via shingle_sets) was a whole extra
+    # job and a text-sized checkpoint for nothing.  Shingling after the
+    # collapse also keeps the duplicate texts un-shingled (dup-heavy
+    # corpora shingle only survivors).  Segment profile at sf0.1:
+    # groups 1.5 s + shingle stage 1.3 s → one ~1.9 s job.
     groups = stage(
         dd.groupBy("th").agg(
             F.min_by(F.struct("doc_id", "text"), "doc_id").alias("keep"),
@@ -904,13 +924,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("keep.doc_id").alias("rep_id"),
-            F.col("keep.text").alias("text"),
+            F.split(F.col("keep.text"), " ").alias("_toks"),
+            "g_n",
+            "g_tok",
+        )
+        .select(
+            "rep_id",
+            _shingle_hashes(F.col("_toks")).alias("sh"),
             "g_n",
             "g_tok",
         )
     )
-    reps = groups.select(F.col("rep_id").alias("doc_id"), "text")
-    sets_ = shingle_sets(reps)
+    sets_ = groups.select(F.col("rep_id").alias("doc_id"), "sh")
     cands = _candidates_from_sets(sets_)
     a = sets_.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets_.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -691,9 +691,18 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-support filter (>= 3 shared slots) prices the output down
     before it."""
     e = load_table(spark, sf_dir, "events")
+    # One exchange for distinct + cap window (r15): hash-repartitioning
+    # on ``slot`` FIRST satisfies the clustering required by BOTH the
+    # (user_id, slot) distinct (equal pairs share a slot => co-located;
+    # Catalyst adds no second exchange) and the per-slot window — the
+    # prior shape paid exchange(user_id, slot) for the distinct and
+    # exchange(slot) again for the window.  Explicit partition count
+    # for the documented AQE-coalesce reason (shingle_sets).  Measured:
+    # 2 -> 1 Exchanges, identical 99,201 active rows at sf0.1.
     active0 = (
         e.select("user_id", epoch_seconds("ts").alias("sec"))
         .select("user_id", F.expr("sec div 600").alias("slot"))
+        .repartition(spark.sparkContext.defaultParallelism, "slot")
         .distinct()
     )
     # Hot-slot cap: keep at most 50 hash-ranked users per slot BEFORE
@@ -831,9 +840,18 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection.  occ=1 slots are dropped at the rollup (they cannot
     be shared; also keeps ln(occ) > 0)."""
     e = load_table(spark, sf_dir, "events")
+    # One exchange for distinct + cap window (r15): hash-repartitioning
+    # on ``slot`` FIRST satisfies the clustering required by BOTH the
+    # (user_id, slot) distinct (equal pairs share a slot => co-located;
+    # Catalyst adds no second exchange) and the per-slot window — the
+    # prior shape paid exchange(user_id, slot) for the distinct and
+    # exchange(slot) again for the window.  Explicit partition count
+    # for the documented AQE-coalesce reason (shingle_sets).  Measured:
+    # 2 -> 1 Exchanges, identical 99,201 active rows at sf0.1.
     active0 = (
         e.select("user_id", epoch_seconds("ts").alias("sec"))
         .select("user_id", F.expr("sec div 600").alias("slot"))
+        .repartition(spark.sparkContext.defaultParallelism, "slot")
         .distinct()
     )
     wslot = Window.partitionBy("slot").orderBy(
