@@ -3723,6 +3723,55 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_gram_tables(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Staged (grams, sizes) word-grain tables for the corpus-F pair ops
+    (docs_rouge_n / docs_bleu) — the docs_chrf r15 staging recipe at
+    word grain.  ONE corpus pass: a single explode emits unigrams and
+    bigrams together as (ng, g) structs (the prior shape ran two
+    explode branches whose union was inlined into every consumer — the
+    static plans carried 16 documents scans), hash-spread by doc_id
+    before the explode (the single-split fixture trap, shingle_sets
+    note; deterministic key, not round-robin — guide on rand-derived
+    repartitions under retry).  Per-order sizes need NO aggregation
+    over the gram table: Σc over an order's grams = the instance count
+    = n − ng + 1, a pure function of the per-doc token count.  Both
+    tables are staged — grams feeds both roles of the pairing, sizes
+    feeds sr/sc.
+    """
+    par = d.sparkSession.sparkContext.defaultParallelism
+    t = F.split("text", " ")
+    toks = d.repartition(par, F.col("doc_id")).select(
+        "doc_id", t.alias("t"), F.size(t).alias("n")
+    )
+    all_grams = F.expr(
+        "flatten(transform(array(1, 2), ng -> CASE"
+        " WHEN ng = 1 THEN transform(t, tok -> struct(ng AS ng, tok AS g))"
+        " WHEN n >= 2 THEN transform(sequence(1, n - 1),"
+        " i -> struct(ng AS ng, concat_ws(' ', element_at(t, i),"
+        " element_at(t, i + 1)) AS g))"
+        " ELSE CAST(array() AS array<struct<ng:int,g:string>>) END))"
+    )
+    grams = stage(
+        toks.select("doc_id", F.explode(all_grams).alias("x"))
+        .select(F.col("x.ng").alias("ng"), "doc_id", F.col("x.g").alias("g"))
+        .groupBy("ng", "doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = stage(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(transform(array(1, 2),"
+                    " ng -> struct(ng AS ng, CAST(n - ng + 1 AS BIGINT) AS sz)),"
+                    " p -> p.sz >= 1)"
+                )
+            ).alias("p"),
+        ).select(F.col("p.ng").alias("ng"), "doc_id", F.col("p.sz").alias("sz"))
+    )
+    return grams, sizes
+
+
 def _pair_clipped_overlap(grams: DataFrame) -> DataFrame:
     """Clipped n-gram overlap Σ min(c_ref, c_cand) of each (doc, doc+1)
     pair from a unique-keyed (ng, doc_id, g, c) gram-count table —
@@ -3840,39 +3889,12 @@ def docs_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic ROUGE-pipeline bug: it inflates every mean exactly when
     generation is worst)."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    # Pre-fanout repartition (the standing text-scan rule): the fixture
-    # parquet holds 2-6 row groups, so the explode pipeline otherwise
-    # runs on single-digit tasks (measured: a 4-task 6.3 s-max stage at
-    # sf1, real skew 2.4×).
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    toks = d.repartition(n_shuffle).select(
-        "doc_id", t.alias("t"), F.size(t).alias("n")
-    )
-    uni = toks.select("doc_id", F.explode("t").alias("g")).withColumn(
-        "ng", F.lit(1)
-    )
-    bi = (
-        toks.where(F.col("n") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("n") - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at("t", i), F.element_at("t", i + 1)
-                    ),
-                )
-            ).alias("g"),
-        )
-        .withColumn("ng", F.lit(2))
-    )
-    grams = (
-        uni.unionByName(bi)
-        .groupBy("ng", "doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sizes = grams.groupBy("ng", "doc_id").agg(F.sum("c").alias("sz"))
+    # Pre-fanout repartition lives inside _word_gram_tables (the
+    # standing text-scan rule: the fixture parquet holds 2-6 row
+    # groups, so the explode pipeline otherwise runs on single-digit
+    # tasks — measured a 4-task 6.3 s-max stage at sf1, real skew
+    # 2.4×; now a deterministic doc_id hash spread).
+    grams, sizes = _word_gram_tables(d)
     pairs = _pair_clipped_overlap(grams)
     sr = sizes.select("ng", F.col("doc_id").alias("ref_id"), F.col("sz").alias("ref_n"))
     sc = sizes.select(
@@ -4487,32 +4509,7 @@ def docs_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on (n, doc_id+1, gram), then ONE corpus reduce to a
     1-row frame; never all-pairs."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    toks = d.select("doc_id", t.alias("t"), F.size(t).alias("n"))
-    uni = toks.select("doc_id", F.explode("t").alias("g")).withColumn(
-        "ng", F.lit(1)
-    )
-    bi = (
-        toks.where(F.col("n") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("n") - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at("t", i), F.element_at("t", i + 1)
-                    ),
-                )
-            ).alias("g"),
-        )
-        .withColumn("ng", F.lit(2))
-    )
-    grams = (
-        uni.unionByName(bi)
-        .groupBy("ng", "doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sizes = grams.groupBy("ng", "doc_id").agg(F.sum("c").alias("sz"))
+    grams, sizes = _word_gram_tables(d)
     pairs = _pair_clipped_overlap(grams)
     sr = sizes.select(
         "ng", F.col("doc_id").alias("ref_id"), F.col("sz").alias("ref_n")
