@@ -568,17 +568,21 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`dedup_clusters`), cohesion here.
 
     Scale notes: each round is one degree aggregate over the current
-    edge set plus two anti-joins (src, dst) against the removed-node
-    frame — all keyed shuffles, no windows; the edge set only shrinks;
-    `stage()` truncates lineage per round (iterative discipline).  The
-    oracle unrolls the SAME rounds as chained CTEs."""
+    edge set plus two anti-joins (c_node, s_node) against the
+    removed-node frame — all keyed shuffles, no windows; the edge set
+    only shrinks; `stage()` truncates lineage per round (iterative
+    discipline).  The loop works on the DIRECTED half-size edge list
+    (r15): the symmetrized union the r6-r14 shape materialized doubled
+    every checkpoint, every degree shuffle and every anti-join probe —
+    but deg(node) over the symmetric set is just the count of raw rows
+    touching the node on either side (customer ids even, supplier ids
+    odd ⇒ the (node) union below is key-disjoint), and peeling removes
+    a raw row when EITHER endpoint is removed, exactly the two
+    anti-joins.  The oracle unrolls the symmetric form; parity proves
+    the halved loop equivalent."""
     from ..common import stage
 
-    raw = _trade_edges(spark, sf_dir).drop("w")
-    g = stage(
-        raw.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
-        .unionAll(raw.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
-    )
+    raw = stage(_trade_edges(spark, sf_dir).drop("w"))
     per_round = []
     for r in range(1, _KCORE_ROUNDS + 1):
         # stage() the DEGREE table, not the removal list (r14): the r6
@@ -587,7 +591,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle+agg pass over the round's edge set, every round.
         # Staged degrees serve the removal filter, both peel anti-joins
         # and both trajectory counts from one computation.
-        deg = stage(g.groupBy("src").agg(F.count("*").alias("d")))
+        deg = stage(
+            raw.select(F.col("c_node").alias("node"))
+            .unionAll(raw.select(F.col("s_node").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
         # Trajectory counts stay LAZY (r15, VERDICT r14 #8): the r14
         # shape ran a per-round .first() — a driver round-trip per
         # round whose only job was two tiny aggs over the checkpointed
@@ -612,11 +621,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             # anti-joins + staging pass for it (r14; one full edge-set
             # pass saved per invocation).
             rm = deg.where(F.col("d") < _KCORE_K).select(
-                F.col("src").alias("node")
+                F.col("node").alias("rnode")
             )
-            g = stage(
-                g.join(rm, g.src == rm.node, "left_anti")
-                .join(rm.select(F.col("node").alias("dnode")), F.col("dst") == F.col("dnode"), "left_anti")
+            raw = stage(
+                raw.join(rm, raw.c_node == rm.rnode, "left_anti")
+                .join(
+                    rm.select(F.col("rnode").alias("dnode")),
+                    F.col("s_node") == F.col("dnode"),
+                    "left_anti",
+                )
             )
     out = per_round[0]
     for nxt in per_round[1:]:
