@@ -864,18 +864,25 @@ def test_edit_distance_dp_is_spread_not_scan_pipelined(spark):
     assert plan.index("levenshtein") < plan.index("hashpartitioning(ref_id"), plan
 
 
-def test_chrf_gram_diamond_is_staged(spark, monkeypatch):
-    """docs_chrf's gram-count table feeds four consumers; staged, the
-    final plan reads the checkpointed grams and never rescans the
-    corpus (the unstaged form carried 24 documents scans).  Stage mode
-    pinned: under SSKOS_STAGE_MODE=table the checkpoint is a parquet
-    round-trip and the no-parquet-scan assertion would fail spuriously
-    (ADVICE r14)."""
+def test_chrf_single_corpus_pass_pipeline(spark, monkeypatch):
+    """docs_chrf's grams→pairs chain is ONE pipeline consuming ONE
+    corpus scan (r15): the gram counts have exactly one consumer (the
+    inline-role pairing explode), so no checkpoint splits the chain —
+    the r14 before-plan carried 24 documents scans for the same logical
+    pass.  Exactly: 1 parquet scan (the corpus pass), 2 Generates (the
+    3-order gram explode + the role inline), and the staged sizes read
+    as checkpointed RDDs.  Stage mode pinned: under
+    SSKOS_STAGE_MODE=table the sizes checkpoint is a parquet round-trip
+    and the scan-count assertion would fail spuriously (ADVICE r14).
+    docs_rouge_n / docs_bleu share the shape via _word_gram_tables /
+    _pair_clipped_overlap."""
     monkeypatch.setenv("SSKOS_STAGE_MODE", "local")
-    df = QUERIES["docs_chrf"](spark, SF_DIR)
-    plan = executed_plan(df)
-    assert "Scan parquet" not in plan, plan
-    assert "Scan ExistingRDD" in plan, plan
+    for key in ("docs_chrf", "docs_rouge_n", "docs_bleu"):
+        plan = executed_plan(QUERIES[key](spark, SF_DIR))
+        assert plan.count("Scan parquet") == 1, (key, plan)
+        assert plan.count("Generate") == 2, (key, plan)
+        assert "Scan ExistingRDD" in plan, (key, plan)
+        assert "SortMergeJoin" not in plan, (key, plan)
 
 
 def test_dedup_collapse_final_plans_read_staged_groups(spark, monkeypatch):
